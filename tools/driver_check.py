@@ -1,0 +1,106 @@
+"""Simulate the driver's verify pass: run entry(spark) smoke, then every
+queries()[name] at sf0.01 against oracle_sql()[name] via duckdb —
+row-count + schema + order-insensitive value-hash.
+
+Usage: python tools/driver_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as E
+from weaviate_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(pdf) -> str:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for tup in pdf.itertuples(index=False):
+        cells = []
+        for v in tup:
+            if isinstance(v, float):
+                cells.append(f"{v:.6f}")
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("driver-check")
+
+    t0 = time.time()
+    res = E.entry(spark)
+    n = res.count()
+    print(f"entry(): {n} rows, schema={[f.name for f in res.schema.fields]}, {time.time()-t0:.1f}s")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    passed = failed = rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"  FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+            failed += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"  rows-only {name}: {len(sdf)} rows ({el:.1f}s)")
+            rows_only += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"  FAIL {name}: oracle raised {ex}")
+            failed += 1
+            continue
+        sc, dc = sorted(sdf.columns), sorted(ddf.columns)
+        if sc != dc:
+            print(f"  FAIL {name}: columns {sc} vs {dc}")
+            failed += 1
+            continue
+        if len(sdf) != len(ddf):
+            print(f"  FAIL {name}: rowcount {len(sdf)} vs {len(ddf)}")
+            failed += 1
+            continue
+        hs, hd = value_hash(sdf), value_hash(ddf)
+        if hs != hd:
+            print(f"  FAIL {name}: value hash mismatch ({len(sdf)} rows)")
+            # show a diff sample
+            import pandas as pd
+            a = sdf[sc].sort_values(by=sc, ignore_index=True)
+            b = ddf[sc].sort_values(by=sc, ignore_index=True)
+            neq = (a.astype(str) != b.astype(str)).any(axis=1)
+            print(pd.concat([a[neq].head(3), b[neq].head(3)], keys=["spark", "duck"]))
+            failed += 1
+            continue
+        print(f"  PASS {name}: {len(sdf)} rows hash={hs[:10]} ({el:.1f}s)")
+        passed += 1
+
+    print(f"== {passed} passed, {failed} failed, {rows_only} rows-only ==")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

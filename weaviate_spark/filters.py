@@ -1,0 +1,239 @@
+"""The `where` filter algebra: a recursive clause tree compiled to a single
+Catalyst ``Column`` predicate.
+
+Mirrors weaviate's filter IR (reference: entities/filters/filters.go:24-40
+operator enum, :155-160 Clause{operator, path ("on"), value, operands}) and
+the execution semantics of adapters/repos/db/inverted/searcher.go — but the
+execution is entirely Catalyst: every predicate compiles to built-in column
+expressions, so predicate pushdown to the Parquet scan, partition pruning,
+and whole-stage codegen are free. No UDFs anywhere in this module.
+
+Semantics pinned from the reference:
+
+* ``Like`` (inverted/like_regexp.go:40-57): ``?`` = exactly one char,
+  ``*`` = zero-or-more, anchored both ends. We additionally rewrite the
+  pure-prefix pattern ``abc*`` to ``startswith`` so Catalyst pushes a
+  StartsWith filter into the scan (the reference's "prefix optimization").
+* ``NotEqual`` / ``Not`` (inverted/searcher.go:1609-1655): weaviate's
+  bitmap complement is TWO-VALUED — a row whose property is null is
+  simply "not in the match set", so NOT(match) INCLUDES null rows.
+  Spark's 3-valued logic would drop them, so every negation wraps its
+  operand in ``coalesce(expr, false)`` first.
+* ``ContainsAny/All/None`` (searcher.go:1253-1455): on scalar columns,
+  desugared OR/AND of equals (= ``isin``); on array columns, element
+  overlap / superset tests.
+* ``WithinGeoRange`` (vector/geo/geo.go:77-110 with the haversine
+  distancer hnsw/distancer/geo_spatial.go): closed-form haversine on the
+  struct fields, compared in meters.
+* ``len(prop)`` (entities/schema/data_types.go:136-143): char count for
+  text, element count for arrays.
+* Three-valued logic at the root: the final predicate is wrapped in
+  ``coalesce(pred, false)`` so a filter never *keeps* a null-valued row.
+
+Scale: all of this is row-local (narrow); no shuffles. Filters on
+partition columns (e.g. `_tenant`) prune partitions for free.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# IR
+
+OPERATORS = {
+    "Equal", "NotEqual", "GreaterThan", "GreaterThanEqual", "LessThan",
+    "LessThanEqual", "Like", "IsNull", "WithinGeoRange", "ContainsAny",
+    "ContainsAll", "ContainsNone", "And", "Or", "Not",
+}
+
+
+@dataclass
+class GeoRange:
+    """entities/filters/filters.go:162-167."""
+
+    latitude: float
+    longitude: float
+    distance_meters: float
+
+
+@dataclass
+class Clause:
+    """One node of the where tree (entities/filters/filters.go:155-160)."""
+
+    operator: str
+    path: Sequence[str] = ()
+    value: Any = None
+    operands: Sequence["Clause"] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.operator not in OPERATORS:
+            raise ValueError(f"unknown where operator: {self.operator!r}")
+
+
+# ---------------------------------------------------------------------------
+# Like translation (inverted/like_regexp.go:40-46)
+
+_LIKE_PREFIX = re.compile(r"^[^*?]*\*$")
+
+
+def like_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def compile_like(col: Column, pattern: str) -> Column:
+    if "*" not in pattern and "?" not in pattern:
+        return col == F.lit(pattern)
+    if _LIKE_PREFIX.match(pattern):
+        # prefix optimization (like_regexp.go:48-57) -> pushdown-able
+        return col.startswith(pattern[:-1])
+    return col.rlike(like_to_regex(pattern))
+
+
+# ---------------------------------------------------------------------------
+# Geo (hnsw/distancer/geo_spatial.go — haversine, meters)
+
+EARTH_RADIUS_M = 6_371_000.0
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+
+def _two_valued_not(pred: Column) -> Column:
+    """Negate under weaviate's two-valued bitmap semantics: null -> matches."""
+    return ~F.coalesce(pred, F.lit(False))
+
+
+def _resolve(df: DataFrame, path: Sequence[str]) -> tuple[Column, Any]:
+    """Resolve a property path to (Column, Spark DataType).
+
+    Round-1 scope: direct and nested-struct paths on the input DataFrame.
+    Ref-property paths (semi-joins, searcher_ref_filter.go) are handled a
+    level up in plans/compile.py because they need a second table.
+    """
+    name = ".".join(path)
+    col = F.col(name)
+    dtype: Any = None
+    cur: Any = dict(zip(df.schema.fieldNames(), df.schema.fields))
+    for p in path:
+        if isinstance(cur, dict):
+            f_ = cur.get(p)
+        elif isinstance(cur, T.StructType):
+            f_ = cur[p] if p in cur.fieldNames() else None
+        else:
+            f_ = None
+        if f_ is None:
+            dtype = None
+            break
+        dtype = f_.dataType
+        cur = dtype
+    return col, dtype
+
+
+def _is_array(dtype: Any) -> bool:
+    return isinstance(dtype, T.ArrayType)
+
+
+def compile_where(df: DataFrame, clause: Clause) -> Column:
+    """Compile a clause tree to a Column predicate (not yet null-wrapped)."""
+    op = clause.operator
+
+    if op in ("And", "Or"):
+        if not clause.operands:
+            raise ValueError(f"{op} requires operands")
+        preds = [compile_where(df, c) for c in clause.operands]
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if op == "And" else (out | p)
+        return out
+    if op == "Not":
+        if len(clause.operands) != 1:
+            raise ValueError("Not takes exactly one operand")
+        return _two_valued_not(compile_where(df, clause.operands[0]))
+
+    col, dtype = _resolve(df, clause.path)
+    v = clause.value
+
+    if op == "IsNull":
+        want_null = bool(v) if v is not None else True
+        return col.isNull() if want_null else col.isNotNull()
+    if op == "Equal":
+        return col == F.lit(v)
+    if op == "NotEqual":
+        return _two_valued_not(col == F.lit(v))
+    if op == "GreaterThan":
+        return col > F.lit(v)
+    if op == "GreaterThanEqual":
+        return col >= F.lit(v)
+    if op == "LessThan":
+        return col < F.lit(v)
+    if op == "LessThanEqual":
+        return col <= F.lit(v)
+    if op == "Like":
+        return compile_like(col, v)
+    if op == "WithinGeoRange":
+        g = v if isinstance(v, GeoRange) else GeoRange(**v)
+        d = haversine_meters(
+            col.getField("latitude"), col.getField("longitude"),
+            F.lit(g.latitude), F.lit(g.longitude),
+        )
+        return d <= F.lit(g.distance_meters)
+    if op in ("ContainsAny", "ContainsAll", "ContainsNone"):
+        vals = list(v)
+        if _is_array(dtype):
+            arr = F.array(*[F.lit(x) for x in vals])
+            if op == "ContainsAny":
+                return F.arrays_overlap(col, arr)
+            if op == "ContainsAll":
+                return F.forall(arr, lambda x: F.array_contains(col, x))
+            return _two_valued_not(F.arrays_overlap(col, arr))
+        if op == "ContainsAny":
+            return col.isin(vals)
+        if op == "ContainsAll":
+            # scalar ContainsAll: AND of equals (searcher.go:414) — only
+            # satisfiable when all values equal; keep reference semantics.
+            out = col == F.lit(vals[0])
+            for x in vals[1:]:
+                out = out & (col == F.lit(x))
+            return out
+        return _two_valued_not(col.isin(vals))
+
+    raise ValueError(f"unhandled operator {op}")
+
+
+def apply_where(df: DataFrame, clause: Clause | None) -> DataFrame:
+    """Filter df by the clause tree.
+
+    No null-wrapping at the root: SQL WHERE already drops rows whose
+    predicate is NULL, and a ``coalesce(pred, false)`` wrapper would block
+    Parquet filter pushdown (observed: PushedFilters becomes empty).
+    Two-valued negation semantics are handled inside Not/NotEqual/
+    ContainsNone, the only places they matter.
+    """
+    if clause is None:
+        return df
+    return df.where(compile_where(df, clause))

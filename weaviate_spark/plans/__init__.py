@@ -1,0 +1,2 @@
+from weaviate_spark.plans.spec import GetSpec, SortKey  # noqa: F401
+from weaviate_spark.plans.compile import compile_get  # noqa: F401

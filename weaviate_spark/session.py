@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+local[N] for tests/bench; the same config block is what we would ship to a
+1000-executor cluster — AQE on (runtime skew-join + partition coalescing),
+explicit shuffle partition count, Arrow enabled for the few pandas_udf paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local test scale; on a real cluster this scales with
+        # executor count (rule of thumb: 2-3x total cores).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast anything under 64 MB — dimension tables (region, nation,
+        # query-vector single rows, stats tables) should never shuffle-join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # weaviate dates are RFC3339 with ns precision (SURVEY §1.2); parquet
+        # TIMESTAMP(NANOS) is read as long and converted to µs at load
+        # (documented divergence: ns -> µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,76 @@
+"""Parquet table sources for the driver testdata (TESTDATA.md).
+
+Each table is a weaviate "collection" (reference: entities/models/class.go);
+the primary key column doubles as the source of the reserved `_id` uuid
+column (ids.uuid_col). Loading is a plain `spark.read.parquet` — columnar
+scan with Catalyst predicate pushdown and column pruning; at 100 TB these
+would be partitioned/bucketed Delta tables, but the query layer is
+identical.
+
+Scale note: `_id` is derived lazily (a projection), never materialized
+unless a query needs it, so queries that don't touch `_id` pay nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from weaviate_spark.ids import uuid_col
+
+# table -> primary key expression used for `_id`
+TABLES: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite key (l_orderkey, l_linenumber)
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (driver-local footer read)."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    ]
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, with_id: bool = False
+) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); convert
+    # to µs TimestampType — the documented ns->µs divergence (SURVEY §1.2).
+    for col_name in _nanos_ts_columns(f"{sf_dir}/{name}.parquet"):
+        if isinstance(df.schema[col_name].dataType, T.LongType):
+            df = df.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+            )
+    if with_id:
+        from pyspark.sql import functions as F
+
+        if name == "lineitem":
+            key = F.concat_ws(
+                "_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+            )
+        else:
+            key = F.col(TABLES[name])
+        df = df.withColumn("_id", uuid_col(name, key))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
