@@ -15,6 +15,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from weaviate_spark.filters import Clause
+from weaviate_spark.operators.aggregate import (
+    AggregateSpec,
+    PropertyAgg,
+    aggregate,
+    top_occurrences,
+)
 from weaviate_spark.plans import GetSpec, SortKey, compile_get
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -192,3 +198,143 @@ def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["l_orderkey", "l_linenumber", "l_shipdate"],
     )
     return compile_get(spark, sf_dir, spec)
+
+
+# ---------------------------------------------------------------------------
+# M2 — aggregations (SURVEY §2.4)
+
+@register(
+    "agg_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, "
+        "count(l_quantity) AS l_quantity_count, "
+        "sum(l_quantity) AS l_quantity_sum, "
+        "avg(l_quantity) AS l_quantity_mean, "
+        "min(l_quantity) AS l_quantity_minimum, "
+        "max(l_quantity) AS l_quantity_maximum, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS l_extendedprice_sum, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS l_extendedprice_mean "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count/sum/mean/min/max; money sums via DECIMAL so the
+    result is partition-order independent (aggregator/numerical.go)."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="lineitem",
+        group_by="l_returnflag",
+        properties=[
+            PropertyAgg("l_quantity", ["count", "sum", "mean", "minimum", "maximum"]),
+            PropertyAgg("l_extendedprice", ["sum", "mean"], decimal=True),
+        ],
+    ))
+
+
+@register(
+    "agg_median_mode",
+    oracle=(
+        "WITH med AS (SELECT l_returnflag, median(l_quantity) AS l_quantity_median "
+        "  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag), "
+        "mode_ AS (SELECT l_returnflag, l_quantity AS l_quantity_mode FROM ("
+        "  SELECT l_returnflag, l_quantity, "
+        "         row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity ASC) AS rn "
+        "  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag, l_quantity) t WHERE rn = 1) "
+        "SELECT med.l_returnflag, l_quantity_median, l_quantity_mode "
+        "FROM med JOIN mode_ USING (l_returnflag)"
+    ),
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (even-N -> mean of middle pair, numerical.go:208-231) and
+    mode with smallest-value tie-break (numerical.go:107-124)."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="lineitem",
+        group_by="l_returnflag",
+        properties=[PropertyAgg("l_quantity", ["median", "mode"])],
+    ))
+
+
+@register(
+    "agg_meta_count",
+    oracle=(
+        "SELECT count(*) AS meta_count FROM orders WHERE o_orderstatus = 'F'"
+    ),
+)
+def q_agg_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered meta{count} (params.go:83-99 IsCountStar path)."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="orders",
+        where=Clause(operator="Equal", path=["o_orderstatus"], value="F"),
+        include_meta_count=True,
+    ))
+
+
+@register(
+    "agg_boolean",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS is_filled_totalTrue, "
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS is_filled_totalFalse, "
+        "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS is_filled_percentageTrue, "
+        "sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE) AS is_filled_percentageFalse "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregators (aggregator/boolean.go) over a derived flag."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="orders",
+        group_by="o_orderpriority",
+        derived={"is_filled": "o_orderstatus = 'F'"},
+        properties=[PropertyAgg("is_filled", [
+            "totalTrue", "totalFalse", "percentageTrue", "percentageFalse",
+        ])],
+    ))
+
+
+@register(
+    "agg_date_minmax",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "count(o_orderdate) AS o_orderdate_count, "
+        "min(o_orderdate) AS o_orderdate_minimum, "
+        "max(o_orderdate) AS o_orderdate_maximum "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def q_agg_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date aggregations (aggregator/date.go): count/min/max."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="orders",
+        group_by="o_orderpriority",
+        properties=[PropertyAgg("o_orderdate", ["count", "minimum", "maximum"])],
+    ))
+
+
+@register(
+    "agg_top_occurrences",
+    oracle=(
+        "SELECT c_mktsegment AS value, count(*) AS occurs FROM customer "
+        "GROUP BY c_mktsegment ORDER BY occurs DESC, value ASC LIMIT 3"
+    ),
+)
+def q_agg_topoccurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topOccurrences{value, occurs} (aggregator/text.go), limit 3."""
+    return top_occurrences(spark, sf_dir, "customer", "c_mktsegment", limit=3)
+
+
+@register(
+    "agg_group_limit",
+    oracle=(
+        "SELECT n_regionkey, count(*) AS meta_count FROM nation "
+        "GROUP BY n_regionkey ORDER BY meta_count DESC, n_regionkey ASC LIMIT 3"
+    ),
+)
+def q_agg_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy with group-count limit (params.go limit): deterministic
+    admission order = count desc, value asc."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="nation",
+        group_by="n_regionkey",
+        include_meta_count=True,
+        limit=3,
+    ))

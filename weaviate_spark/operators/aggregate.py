@@ -1,0 +1,216 @@
+"""Aggregate{} operator family (SURVEY §2.4).
+
+Mirrors weaviate's aggregation semantics (reference:
+entities/aggregation/params.go:25-42, adapters/repos/db/aggregator/
+{unfiltered,filtered,grouped}.go, numerical.go, boolean.go, text.go,
+date.go) as plain ``groupBy().agg()`` plans:
+
+* ``count``     — non-null count per property (meta count = count(*)).
+* ``min/max/sum/mean`` — numeric/date; money-like sums go through
+  DECIMAL so the result is order-of-summation independent (a double
+  sum's low bits vary with partitioning; decimal is exact, making the
+  result cluster-size invariant — required for oracle hash-matching AND
+  for run-to-run determinism at 100 TB).
+* ``median``    — TRUE median (numerical.go:208-231): sorted values,
+  even N -> mean of the two middle values. Spark ``percentile`` (exact)
+  reproduces this. At 100 TB scale the exact percentile is a heavy
+  sort-based agg; callers can opt into ``approx_percentile`` via
+  ``exact=False`` when oracle parity is not required.
+* ``mode``      — most frequent value, ties -> SMALLEST value
+  (numerical.go:107-124 ``count == maxCount && value < mode``).
+  Implemented as value-frequency groupBy + per-group rank — two
+  shuffles, both map-side-combined; no driver-side state.
+* ``totalTrue/totalFalse/percentageTrue/percentageFalse`` (boolean.go).
+* ``topOccurrences`` (text.go) — top-N values by frequency, default
+  limit 5; ties -> smallest value for determinism.
+* ``groupBy``   — one result row per distinct value of the group path;
+  array-valued group paths explode first (grouped.go:63 — an object
+  appears in every group its array elements name).
+
+Scale notes: everything here is a standard shuffle-agg with map-side
+partial aggregation; AQE coalesces post-shuffle partitions. Mode and
+topOccurrences shuffle on (group, value) first — the high-cardinality
+key — then on group, so no single reducer sees a whole group's raw rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause, apply_where
+from weaviate_spark.sources.tables import load_table
+
+# aggregators whose Spark expression is a single Column over the group
+_SIMPLE = {"count", "minimum", "maximum", "sum", "mean", "median",
+           "totalTrue", "totalFalse", "percentageTrue", "percentageFalse"}
+
+
+@dataclass
+class PropertyAgg:
+    """Aggregators requested for one property (params.go:117-150)."""
+
+    prop: str
+    aggregators: Sequence[str]
+    # exact decimal sums for money-like doubles (order-independent)
+    decimal: bool = False
+
+
+@dataclass
+class AggregateSpec:
+    collection: str
+    properties: Sequence[PropertyAgg] = field(default_factory=list)
+    where: Optional[Clause] = None
+    group_by: Optional[str] = None
+    include_meta_count: bool = False
+    limit: Optional[int] = None  # max number of groups
+    exact: bool = True
+    # derived columns (name -> SQL expr) computed before aggregation; used
+    # e.g. to aggregate a boolean predicate the way weaviate aggregates a
+    # boolean property.
+    derived: dict[str, str] = field(default_factory=dict)
+
+
+def _simple_agg_col(pa: PropertyAgg, agg: str, exact: bool) -> Column:
+    c = F.col(pa.prop)
+    alias = f"{pa.prop}_{agg}"
+    if agg == "count":
+        return F.count(c).alias(alias)
+    if agg == "minimum":
+        return F.min(c).alias(alias)
+    if agg == "maximum":
+        return F.max(c).alias(alias)
+    if agg == "sum":
+        if pa.decimal:
+            return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+        return F.sum(c).alias(alias)
+    if agg == "mean":
+        if pa.decimal:
+            return (
+                F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c)
+            ).alias(alias)
+        return F.avg(c).alias(alias)
+    if agg == "median":
+        if exact:
+            return F.percentile(c, F.lit(0.5)).alias(alias)
+        return F.expr(f"approx_percentile({pa.prop}, 0.5)").alias(alias)
+    if agg == "totalTrue":
+        return F.sum(c.cast("int")).alias(alias)
+    if agg == "totalFalse":
+        return F.sum((~c).cast("int")).alias(alias)
+    if agg == "percentageTrue":
+        return (F.sum(c.cast("int")) / F.count(c)).alias(alias)
+    if agg == "percentageFalse":
+        return (F.sum((~c).cast("int")) / F.count(c)).alias(alias)
+    raise ValueError(f"unknown aggregator {agg}")
+
+
+def _group_cols(df: DataFrame, spec: AggregateSpec) -> tuple[DataFrame, list[str]]:
+    if spec.group_by is None:
+        return df, []
+    from pyspark.sql import types as T
+
+    dtype = df.schema[spec.group_by].dataType if spec.group_by in df.columns else None
+    if isinstance(dtype, T.ArrayType):
+        # array group path: each element groups separately (grouped.go:63)
+        df = df.withColumn(spec.group_by, F.explode(spec.group_by))
+    return df, [spec.group_by]
+
+
+def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFrame:
+    df = load_table(spark, sf_dir, spec.collection)
+    df = apply_where(df, spec.where)
+    for name, expr in spec.derived.items():
+        df = df.withColumn(name, F.expr(expr))
+    df, gcols = _group_cols(df, spec)
+
+    aggs: list[Column] = []
+    if spec.include_meta_count:
+        aggs.append(F.count(F.lit(1)).alias("meta_count"))
+    mode_props: list[PropertyAgg] = []
+    for pa in spec.properties:
+        for a in pa.aggregators:
+            if a == "mode":
+                mode_props.append(pa)
+            elif a in _SIMPLE:
+                aggs.append(_simple_agg_col(pa, a, spec.exact))
+            else:
+                raise ValueError(f"unknown aggregator {a}")
+
+    if not aggs and not mode_props:
+        raise ValueError("no aggregators requested")
+
+    out = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+
+    for pa in mode_props:
+        out = out.join(
+            _mode_df(df, gcols, pa.prop), on=gcols if gcols else None, how="left"
+        ) if gcols else out.crossJoin(_mode_df(df, gcols, pa.prop))
+
+    if spec.limit is not None and gcols:
+        # deterministic group admission: largest groups first, value asc
+        order = [F.col("meta_count").desc()] if spec.include_meta_count else []
+        out = out.orderBy(*order, *[F.col(g).asc() for g in gcols]).limit(spec.limit)
+    return out
+
+
+def _mode_df(df: DataFrame, gcols: list[str], prop: str) -> DataFrame:
+    """Most frequent value per group, ties -> smallest (numerical.go:107-124)."""
+    freq = (
+        df.where(F.col(prop).isNotNull())
+        .groupBy(*gcols, prop)
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("_freq").desc(), F.col(prop).asc()) \
+        if gcols else Window.orderBy(F.col("_freq").desc(), F.col(prop).asc())
+    return (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*gcols, F.col(prop).alias(f"{prop}_mode"))
+    )
+
+
+def top_occurrences(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    prop: str,
+    limit: int = 5,
+    where: Clause | None = None,
+    group_by: str | None = None,
+) -> DataFrame:
+    """topOccurrences{value, occurs} (text.go; params.go:139-145).
+
+    Flat result: (group?, value, occurs) rows, top-`limit` per group by
+    frequency, ties -> smallest value (deterministic; the reference's map
+    iteration order is unspecified, we pin value-asc).
+    """
+    df = load_table(spark, sf_dir, collection)
+    df = apply_where(df, where)
+    from pyspark.sql import types as T
+
+    gcols = []
+    if group_by is not None:
+        if isinstance(df.schema[group_by].dataType, T.ArrayType):
+            df = df.withColumn(group_by, F.explode(group_by))
+        gcols = [group_by]
+    col = F.col(prop)
+    if isinstance(df.schema[prop].dataType, T.ArrayType):
+        df = df.withColumn(prop, F.explode(prop))
+        col = F.col(prop)
+    freq = (
+        df.where(col.isNotNull())
+        .groupBy(*gcols, prop)
+        .agg(F.count(F.lit(1)).alias("occurs"))
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy(F.col("occurs").desc(), F.col(prop).asc())
+    return (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= limit)
+        .select(*gcols, F.col(prop).alias("value"), "occurs")
+    )
