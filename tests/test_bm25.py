@@ -1,0 +1,109 @@
+"""M4: tokenizers + BM25F semantics (FIXTURES.md §A3 micro-corpus)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.text import EN_STOPWORDS, remove_stopwords, tokenize, tokenize_py
+
+
+@pytest.mark.parametrize(
+    "mode,text,want",
+    [
+        ("word", "Hello, World-42!", ["hello", "world", "42"]),
+        ("lowercase", "Hello  World-42!", ["hello", "world-42!"]),
+        ("whitespace", "Hello  World", ["Hello", "World"]),
+        ("field", "  Hello World ", ["Hello World"]),
+        ("trigram", "Spark", ["spa", "par", "ark"]),
+    ],
+)
+def test_tokenize_modes(spark, mode, text, want):
+    df = spark.createDataFrame([(text,)], ["t"])
+    got = df.select(tokenize(F.col("t"), mode).alias("toks")).collect()[0]["toks"]
+    assert got == want
+    assert tokenize_py(text, mode) == want  # driver-side mirrors JVM-side
+
+
+def test_stopword_removal(spark):
+    df = spark.createDataFrame([("the quick fox",)], ["t"])
+    got = df.select(
+        remove_stopwords(tokenize(F.col("t"))).alias("toks")
+    ).collect()[0]["toks"]
+    assert "the" not in got and "quick" in got
+
+
+def test_bm25f_hand_computed(spark, tmp_path):
+    """3-doc corpus, hand-computed BM25 score for a 1-term query."""
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+
+    rows = [
+        (1, "apple banana apple"),   # len 3, freq(apple)=2
+        (2, "apple cherry"),         # len 2, freq(apple)=1
+        (3, "banana cherry date"),   # len 3, freq=0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spec = BM25Spec(
+        collection="x", query="apple", properties=[BM25Prop("text")],
+        id_col="doc_id", round_digits=None,
+    )
+    out = {r["doc_id"]: r["_score"] for r in bm25_score_df(df, spec).collect()}
+    N, n = 3, 2
+    idf = math.log(1 + (N - n + 0.5) / (n + 0.5))
+    avgdl = (3 + 2 + 3) / 3
+    k1, b = 1.2, 0.75
+
+    def tf(freq, dl):
+        return freq / (freq + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == pytest.approx(tf(2, 3) * idf)
+    assert out[2] == pytest.approx(tf(1, 2) * idf)
+    assert 3 not in out
+
+
+def test_bm25f_multi_prop_boost(spark):
+    """title^2 + body: contribution = tf*idf*boost summed over props;
+    avgdl = mean of per-prop means (bm25_searcher.go:408-446)."""
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+
+    rows = [
+        (1, "apple", "banana fruit"),
+        (2, "banana", "apple apple pie"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+    spec = BM25Spec(
+        collection="x", query="apple",
+        properties=[BM25Prop("title", boost=2.0), BM25Prop("body")],
+        id_col="doc_id", round_digits=None,
+    )
+    out = {r["doc_id"]: r["_score"] for r in bm25_score_df(df, spec).collect()}
+    k1, b = 1.2, 0.75
+    avgdl = (1.0 + 2.5) / 2  # mean of per-prop mean lengths
+    idf_title = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))  # n=1 in title
+    idf_body = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))   # n=1 in body
+
+    def tf(freq, dl):
+        return freq / (freq + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == pytest.approx(tf(1, 1) * idf_title * 2.0)
+    assert out[2] == pytest.approx(tf(2, 3) * idf_body * 1.0)
+
+
+def test_bm25_duplicate_term_boost(spark):
+    """Duplicate query terms multiply frequency (terms.go:59)."""
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+
+    df = spark.createDataFrame([(1, "apple pie"), (2, "cherry pie")], ["doc_id", "text"])
+    single = bm25_score_df(df, BM25Spec(
+        collection="x", query="apple", properties=[BM25Prop("text")],
+        id_col="doc_id", round_digits=None,
+    )).collect()
+    double = bm25_score_df(df, BM25Spec(
+        collection="x", query="apple apple", properties=[BM25Prop("text")],
+        id_col="doc_id", round_digits=None,
+    )).collect()
+    s1 = {r["doc_id"]: r["_score"] for r in single}[1]
+    s2 = {r["doc_id"]: r["_score"] for r in double}[1]
+    assert s2 > s1  # boosted frequency saturates higher

@@ -1,0 +1,109 @@
+"""M5: distance metrics + nearVector semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.distance import (
+    certainty_to_distance,
+    cosine_distance,
+    distance,
+    dot_distance,
+    hamming,
+    l2_squared,
+    manhattan,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        "id int, v array<float>",
+    )
+
+
+def _d(df, expr_col):
+    return {r["id"]: r["d"] for r in df.select("id", expr_col.alias("d")).collect()}
+
+
+def test_cosine(vec_df):
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    d = _d(vec_df, cosine_distance(F.col("v"), q))
+    assert d[1] == pytest.approx(0.0)
+    assert d[2] == pytest.approx(1.0)
+    assert d[3] == pytest.approx(1 - 1 / math.sqrt(2))
+    assert d[4] == pytest.approx(2.0)
+
+
+def test_dot_l2_manhattan_hamming(vec_df):
+    q = F.array(F.lit(2.0), F.lit(3.0))
+    assert _d(vec_df, dot_distance(F.col("v"), q))[3] == pytest.approx(-5.0)
+    assert _d(vec_df, l2_squared(F.col("v"), q))[1] == pytest.approx(1 + 9)
+    assert _d(vec_df, manhattan(F.col("v"), q))[1] == pytest.approx(1 + 3)
+    assert _d(vec_df, hamming(F.col("v"), F.array(F.lit(1.0), F.lit(1.0))))[1] == 1.0
+
+
+def test_certainty_conversion():
+    # distance.go:14-29
+    assert certainty_to_distance(1.0) == 0.0
+    assert certainty_to_distance(0.5) == 1.0
+
+
+def test_unknown_metric(vec_df):
+    with pytest.raises(ValueError):
+        distance(F.col("v"), F.col("v"), "chebyshev")
+
+
+def test_near_vector_certainty_non_cosine_rejected(spark, sf_dir):
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    with pytest.raises(ValueError):
+        near_vector(spark, sf_dir, NearVectorSpec(
+            collection="embeddings", vector=[0.0] * 64,
+            metric="l2-squared", certainty=0.9,
+        ))
+
+
+def test_multi_target_combine(spark):
+    from weaviate_spark.operators.vector import multi_target_combine
+
+    a = spark.createDataFrame([(1, 0.1), (2, 0.5), (3, 0.9)], ["id", "_distance"])
+    b = spark.createDataFrame([(1, 0.3), (2, 0.2)], ["id", "_distance"])
+    # object 3 missing in leg b drops out (shard_combine_multi_target drop rule)
+    got = {
+        r["id"]: r["_distance"]
+        for r in multi_target_combine([a, b], "id", "min").collect()
+    }
+    assert got == {1: 0.1, 2: 0.2}
+    got_sum = {
+        r["id"]: r["_distance"]
+        for r in multi_target_combine([a, b], "id", "sum").collect()
+    }
+    assert got_sum[1] == pytest.approx(0.4)
+    got_w = {
+        r["id"]: r["_distance"]
+        for r in multi_target_combine([a, b], "id", "manualWeights", weights=[2.0, 1.0]).collect()
+    }
+    assert got_w[2] == pytest.approx(2 * 0.5 + 0.2)
+
+
+def test_hybrid_fusion_unit(spark):
+    """RRF + relative-score on hand-built legs (hybrid_fusion.go)."""
+    from weaviate_spark.operators.hybrid import fuse
+
+    kw = spark.createDataFrame([(1, 2.0), (2, 1.0)], ["id", "_secondary"])
+    ve = spark.createDataFrame([(2, 0.9), (3, 0.5)], ["id", "_secondary"])
+    rrf = {r["id"]: r["_score"] for r in fuse([(kw, 0.5), (ve, 0.5)], "id", "ranked").collect()}
+    assert rrf[1] == pytest.approx(0.5 / 60, abs=1e-6)
+    assert rrf[2] == pytest.approx(0.5 / 61 + 0.5 / 60, abs=1e-6)
+    assert rrf[3] == pytest.approx(0.5 / 61, abs=1e-6)
+
+    rel = {r["id"]: r["_score"] for r in fuse([(kw, 0.25), (ve, 0.75)], "id", "relativeScore").collect()}
+    # kw: 1 -> 1.0, 2 -> 0.0 ; ve: 2 -> 1.0, 3 -> 0.0
+    assert rel[1] == pytest.approx(0.25)
+    assert rel[2] == pytest.approx(0.75)
+    assert rel[3] == pytest.approx(0.0)

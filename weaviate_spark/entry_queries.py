@@ -338,3 +338,295 @@ def q_agg_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         include_meta_count=True,
         limit=3,
     ))
+
+
+# ---------------------------------------------------------------------------
+# M3 — cross-references / joins (SURVEY §2.3)
+
+@register(
+    "ref_resolve_2hop",
+    oracle=(
+        "SELECT c_custkey, c_name, c_acctbal, n_name, r_name "
+        "FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_acctbal > 5000 ORDER BY c_custkey"
+    ),
+)
+def q_ref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reference resolution (customer -> nation -> region) as
+    broadcast lookup joins (search.go:425 ResolveReferences)."""
+    from weaviate_spark.operators.refs import REFS, resolve_reference
+    from weaviate_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    c = resolve_reference(
+        spark, sf_dir, "customer", "inNation", ["n_name", "n_regionkey"],
+        where=Clause(operator="GreaterThan", path=["c_acctbal"], value=5000.0),
+    )
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(region, c["n_regionkey"] == region["r_regionkey"], "left")
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "ref_filter_semijoin",
+    oracle=(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+        "ORDER BY c_custkey"
+    ),
+)
+def q_ref_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref-path filter: parents with >=1 matching referenced object
+    (searcher_ref_filter.go). Inverse-FK direction: customer <- orders."""
+    from weaviate_spark.operators.refs import ref_filter
+    from weaviate_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big.select("o_custkey"), cust["c_custkey"] == big["o_custkey"], "leftsemi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "ref_count",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name, CAST(count(o.o_orderkey) AS BIGINT) AS order_count "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_name "
+        "HAVING count(o.o_orderkey) >= 15 ORDER BY c.c_custkey"
+    ),
+)
+def q_ref_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-count filter (searcher.go:694): customers with >= 15 orders."""
+    from weaviate_spark.operators.refs import ref_count
+    from pyspark.sql import functions as F
+
+    out = ref_count(spark, sf_dir, "customer", "orders", "byCustomer", alias="order_count")
+    return (
+        out.where(F.col("order_count") >= 15)
+        .select("c_custkey", "c_name", "order_count")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "ref_fact_join_agg",
+    oracle=(
+        "SELECT n_name, "
+        "CAST(count(*) AS BIGINT) AS num_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+)
+def q_ref_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim reference resolution + aggregate (TPC-H Q5 shape):
+    shuffle join on o_custkey (bucketable at scale), broadcast nation."""
+    import datetime
+    from weaviate_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= datetime.datetime(1995, 1, 1)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — BM25 keyword search (SURVEY §2.5)
+
+from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_oracle_sql, bm25_search
+
+
+@register(
+    "bm25_topk",
+    oracle=bm25_oracle_sql("documents", "text", "doc_id", "spark filter join", limit=20),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 Or-search over documents.text, top-20 (bm25_searcher.go:163)."""
+    return bm25_search(spark, sf_dir, BM25Spec(
+        collection="documents", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=20,
+    ))
+
+
+@register(
+    "bm25_and_operator",
+    oracle=bm25_oracle_sql(
+        "documents", "text", "doc_id", "vector query batch",
+        limit=50, search_operator="And",
+    ),
+)
+def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchOperator=And: docs must contain every query term."""
+    return bm25_search(spark, sf_dir, BM25Spec(
+        collection="documents", query="vector query batch",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=50,
+        search_operator="And",
+    ))
+
+
+@register(
+    "bm25_min_or",
+    oracle=bm25_oracle_sql(
+        "documents", "text", "doc_id", "stream window watermark merge",
+        limit=50, minimum_or_tokens_match=2,
+    ),
+)
+def q_bm25_min_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimumOrTokensMatch=2: Or with a floor on matched distinct terms."""
+    return bm25_search(spark, sf_dir, BM25Spec(
+        collection="documents", query="stream window watermark merge",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=50,
+        minimum_or_tokens_match=2,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# M5 — vector search (SURVEY §2.5)
+
+from weaviate_spark.operators.vector import NearVectorSpec, near_object, near_vector
+
+# deterministic synthetic query vector (dim 64), same literal both sides
+QVEC = [round(((i * 37 + 11) % 97) / 97.0 - 0.5, 6) for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(str(x) for x in QVEC) + "]::DOUBLE[]"
+_COS_SQL = (
+    "round(1 - list_dot_product(ev, qv) / "
+    "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings) "
+        f"SELECT vec_id, label, {_COS_SQL} AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearVector top-k, cosine (hnsw/distancer/cosine_dist.go);
+    plan = narrow distance eval + TakeOrderedAndProject."""
+    out = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10,
+    ))
+    return out.select("vec_id", "label", "_distance")
+
+
+@register(
+    "knn_l2_within_distance",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings) "
+        "SELECT * FROM (SELECT vec_id, round(list_sum(list_transform(list_zip(ev, qv), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))), 6) AS _distance "
+        "FROM e CROSS JOIN q) t "
+        "WHERE _distance <= 25.0 ORDER BY _distance ASC, vec_id ASC"
+    ),
+)
+def q_knn_l2_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative limit = all within distance (hnsw/search_with_max_dist.go),
+    l2-squared metric."""
+    out = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, metric="l2-squared",
+        limit=-1, distance=25.0,
+    ))
+    return out.select("vec_id", "_distance")
+
+
+@register(
+    "knn_filtered",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE label IN (1, 2, 3)) "
+        f"SELECT vec_id, label, {_COS_SQL} AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 15"
+    ),
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: where-allowlist first, then exact distance
+    (shard_read.go:639-651 brute-force branch)."""
+    out = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=15,
+        where=Clause(operator="ContainsAny", path=["label"], value=[1, 2, 3]),
+    ))
+    return out.select("vec_id", "label", "_distance")
+
+
+@register(
+    "knn_near_object",
+    oracle=(
+        "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv "
+        "FROM embeddings WHERE vec_id = 7), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_near_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearObject: query vector looked up by id (retrieval.go:128-135)."""
+    out = near_object(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=[], limit=10,
+    ), object_id=7)
+    return out.select("vec_id", "_distance")
+
+
+# ---------------------------------------------------------------------------
+# M6 — hybrid fusion (SURVEY §2.5)
+
+from weaviate_spark.operators.hybrid import HybridSpec, hybrid_oracle_sql, hybrid_search
+
+
+@register(
+    "hybrid_rrf",
+    oracle=hybrid_oracle_sql("spark filter join", QVEC, alpha=0.5, fusion="ranked", limit=25),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rankedFusion (RRF, constant 60): weight/(rank+60) summed across
+    keyword + vector legs (hybrid_fusion.go:22-33)."""
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="ranked", limit=25,
+    ))
+
+
+@register(
+    "hybrid_relative_score",
+    oracle=hybrid_oracle_sql("spark filter join", QVEC, alpha=0.75, fusion="relativeScore", limit=25),
+)
+def q_hybrid_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relativeScoreFusion (default): per-leg min-max normalization,
+    weighted sum (hybrid_fusion.go:93-160)."""
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.75, fusion="relativeScore", limit=25,
+    ))

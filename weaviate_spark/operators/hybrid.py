@@ -1,0 +1,239 @@
+"""Hybrid search: BM25 + vector legs fused by doc id (SURVEY §2.5/§2.6).
+
+Reference semantics (usecases/traverser/hybrid/searcher.go:75-153,
+hybrid_fusion.go):
+
+* weights: keyword leg = 1-alpha, vector leg = alpha (searcher.go:84-119).
+* sub-searches capped at max(QueryHybridMaximumResults=100, limit)
+  (explorer_hybrid.go:227-253); each leg ordered score-desc/id-asc.
+* rankedFusion (hybrid_fusion.go:22): doc score = sum over legs of
+  weight/(rank + 60), rank 0-based within the leg.
+* relativeScoreFusion (hybrid_fusion.go:93, the default): each leg's
+  SecondarySortValue is min-max normalized within the leg
+  ([min,max] -> [0,1]; all-equal -> 1), scaled by the leg weight,
+  summed. SecondarySortValue: keyword = bm25 score (searcher.go:215),
+  vector = 1 - distance (searcher.go:250).
+* max_vector_distance cutoff drops vector hits beyond it AND removes
+  keyword hits whose vector distance exceeds it (searcher.go:114-123).
+* final order: score desc, then id asc (tie rule §4.3).
+
+Scale: each leg is already a top-(<=max(100,limit)) result, so fusion
+operates on tiny DataFrames — the window functions here never see the
+corpus, only the capped legs. The expensive work happens inside the
+leg operators which have their own scale stories (bm25.py, vector.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause
+from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+from weaviate_spark.operators.vector import NearVectorSpec, near_vector, with_distance
+from weaviate_spark.plans.spec import QUERY_HYBRID_MAXIMUM_RESULTS
+from weaviate_spark.sources.tables import load_table
+from weaviate_spark.filters import apply_where
+
+
+@dataclass
+class HybridSpec:
+    collection: str
+    query: str
+    vector: Sequence[float]
+    properties: Sequence[BM25Prop]
+    id_col: str
+    vector_col: str = "embedding"
+    alpha: float = 0.75
+    fusion: str = "relativeScore"   # "ranked" | "relativeScore"
+    metric: str = "cosine"
+    limit: int = 100
+    max_vector_distance: Optional[float] = None
+    where: Optional[Clause] = None
+    round_digits: int = 6
+
+
+def _leg_cap(spec: HybridSpec) -> int:
+    return max(QUERY_HYBRID_MAXIMUM_RESULTS, spec.limit)
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFrame:
+    """Returns (id_col, _score) fused top-`limit`."""
+    cap = _leg_cap(spec)
+    id_col = spec.id_col
+    legs: list[tuple[DataFrame, float]] = []  # (df[id, _secondary], weight)
+
+    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
+
+    if spec.alpha < 1 and spec.query:
+        bspec = BM25Spec(
+            collection=spec.collection, query=spec.query,
+            properties=spec.properties, id_col=id_col,
+            round_digits=spec.round_digits, where=spec.where,
+        )
+        sparse = (
+            bm25_score_df(df, bspec)
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .limit(cap)
+            .select(id_col, F.col("_score").alias("_secondary"))
+        )
+        if spec.max_vector_distance is not None:
+            # drop keyword hits whose vector distance exceeds the cutoff
+            # (searcher.go:123-133) — needs each hit's distance
+            dists = with_distance(
+                df, NearVectorSpec(
+                    collection=spec.collection, vector=spec.vector,
+                    vector_col=spec.vector_col, id_col=id_col,
+                    metric=spec.metric, round_digits=spec.round_digits,
+                )
+            ).select(id_col, "_distance")
+            sparse = (
+                sparse.join(dists, id_col, "left")
+                .where(F.col("_distance") <= F.lit(spec.max_vector_distance))
+                .select(id_col, "_secondary")
+            )
+        legs.append((sparse, 1.0 - spec.alpha))
+
+    if spec.alpha > 0 and spec.vector:
+        dense = near_vector(spark, sf_dir, NearVectorSpec(
+            collection=spec.collection, vector=spec.vector,
+            vector_col=spec.vector_col, id_col=id_col, metric=spec.metric,
+            limit=cap, distance=spec.max_vector_distance,
+            where=spec.where, round_digits=spec.round_digits,
+        )).select(id_col, (F.lit(1.0) - F.col("_distance")).alias("_secondary"))
+        legs.append((dense, spec.alpha))
+
+    fused = fuse(legs, id_col, spec.fusion, spec.round_digits)
+    return fused.orderBy(F.col("_score").desc(), F.col(id_col).asc()).limit(spec.limit)
+
+
+def fuse(
+    legs: Sequence[tuple[DataFrame, float]],
+    id_col: str,
+    fusion: str = "relativeScore",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fuse (df[id,_secondary], weight) legs into (id, _score)."""
+    contribs = []
+    for leg_df, weight in legs:
+        w = Window.orderBy(F.col("_secondary").desc(), F.col(id_col).asc())
+        if fusion == "ranked":
+            # weight / (rank + 60), rank 0-based (hybrid_fusion.go:33)
+            c = leg_df.withColumn("_rank", F.row_number().over(w) - 1).select(
+                id_col,
+                (F.lit(weight) / (F.col("_rank") + 60)).alias("_contrib"),
+            )
+        elif fusion == "relativeScore":
+            mm = Window.partitionBy()  # min/max over the whole (capped) leg
+            c = (
+                leg_df.withColumn("_mx", F.max("_secondary").over(mm))
+                .withColumn("_mn", F.min("_secondary").over(mm))
+                .select(
+                    id_col,
+                    F.when(
+                        F.col("_mx") == F.col("_mn"), F.lit(weight)
+                    ).otherwise(
+                        F.lit(weight)
+                        * (F.col("_secondary") - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn"))
+                    ).alias("_contrib"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown fusion {fusion!r}")
+        contribs.append(c)
+
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.unionByName(c)
+    out = out.groupBy(id_col).agg(F.round(F.sum("_contrib"), round_digits).alias("_score"))
+    return out
+
+
+def hybrid_oracle_sql(
+    query: str,
+    vector: Sequence[float],
+    alpha: float = 0.75,
+    fusion: str = "relativeScore",
+    limit: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL reproducing hybrid_search over the docs_embedded shape
+    (documents JOIN embeddings ON doc_id = vec_id), word tokenization,
+    cosine metric — the generated-oracle counterpart of hybrid_search."""
+    from weaviate_spark.functions.text import tokenize_py
+
+    cap = max(QUERY_HYBRID_MAXIMUM_RESULTS, limit)
+    qtokens = tokenize_py(query, "word")
+    qboost = {t: qtokens.count(t) for t in set(qtokens)}
+    terms_sql = ", ".join(f"('{t}', {c})" for t, c in sorted(qboost.items()))
+    qvec_sql = "[" + ", ".join(str(float(x)) for x in vector) + "]::DOUBLE[]"
+    w_kw, w_vec = 1.0 - alpha, alpha
+
+    if fusion == "ranked":
+        fuse_sql = f"""
+contribs AS (
+  SELECT id, {w_kw} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM bm
+  UNION ALL
+  SELECT id, {w_vec} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM ve
+)"""
+    elif fusion == "relativeScore":
+        fuse_sql = f"""
+contribs AS (
+  SELECT id, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_kw}
+    ELSE {w_kw} * (sec - min(sec) OVER ()) / (max(sec) OVER () - min(sec) OVER ()) END AS c
+  FROM bm
+  UNION ALL
+  SELECT id, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_vec}
+    ELSE {w_vec} * (sec - min(sec) OVER ()) / (max(sec) OVER () - min(sec) OVER ()) END AS c
+  FROM ve
+)"""
+    else:
+        raise ValueError(f"unknown fusion {fusion!r}")
+
+    return f"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+toks AS (
+  SELECT doc_id AS _doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS _term
+  FROM corpus
+),
+doclen AS (SELECT _doc, count(*) AS _len FROM toks GROUP BY _doc),
+stats AS (SELECT count(*) AS _ndocs, avg(_len) AS _avgdl FROM doclen),
+qterms(_term, _boost) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT _doc, toks._term, count(*) * _boost AS _freq
+  FROM toks JOIN qterms ON toks._term = qterms._term
+  GROUP BY _doc, toks._term, _boost
+),
+n_t AS (SELECT _term, count(*) AS _n FROM tf GROUP BY _term),
+bm_all AS (
+  SELECT tf._doc AS id, round(sum(
+    (tf._freq / (tf._freq + {k1} * (1 - {b} + {b} * doclen._len / stats._avgdl)))
+    * ln(1 + (greatest(CAST(stats._ndocs AS DOUBLE), _n) - _n + 0.5) / (_n + 0.5))
+  ), 6) AS sec
+  FROM tf JOIN doclen ON tf._doc = doclen._doc
+  JOIN n_t ON tf._term = n_t._term CROSS JOIN stats
+  GROUP BY tf._doc
+),
+bm AS (SELECT id, sec FROM bm_all ORDER BY sec DESC, id ASC LIMIT {cap}),
+qv AS (SELECT {qvec_sql} AS v),
+vd AS (
+  SELECT doc_id AS id, round(1 - list_dot_product(ev, v) /
+    (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(v, v))), 6) AS _distance
+  FROM (SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM corpus)
+  CROSS JOIN qv
+  ORDER BY _distance ASC, id ASC LIMIT {cap}
+),
+ve AS (SELECT id, 1 - _distance AS sec FROM vd),
+{fuse_sql}
+SELECT id AS doc_id, round(sum(c), 6) AS _score
+FROM contribs GROUP BY id
+ORDER BY _score DESC, doc_id ASC LIMIT {limit}
+"""

@@ -1,0 +1,137 @@
+"""nearVector / nearObject exact search + multi-target combination
+(SURVEY §2.5; reference: adapters/repos/db/shard_read.go:612-662,
+hnsw/search.go, shard_combine_multi_target.go).
+
+Batch engine = the reference's "brute force under filter" branch, always:
+exact distance over the (optionally filtered) scan, then
+``orderBy(_distance asc, id asc).limit(k)`` which Spark executes as
+TakeOrderedAndProject — per-partition top-k heaps + single merge, no
+global sort shuffle. This is the correctness oracle; ANN index plans
+(LSH / IVF candidate pruning, operators/similarity.py) are an opt-in
+rewrite that must only ever *narrow* the scanned set.
+
+Semantics:
+* distance cutoff (`distance`/`certainty` params,
+  searchparams/retrieval.go:33-39): post-filter `_distance <= d`;
+  certainty converts via (1-c)*2 (cosine only).
+* negative limit = "all within distance" (hnsw/search_with_max_dist.go):
+  no row cap, cutoff only.
+* nearObject (retrieval.go:128-135): look up the query object's vector
+  by id (1-row lookup), then nearVector.
+* multi-target (dto.go:30-47, shard_combine_multi_target.go:89-260):
+  per-target distances joined on id; combine Minimum (default) / Sum /
+  Average / ManualWeights; objects missing a target vector drop out
+  (inner join across targets).
+
+Scale: distance eval is narrow (no shuffle); top-k is TakeOrdered.
+The filtered path pushes the predicate into the scan before any
+distance math — at 100 TB the scan cost dominates, so selective
+filters make vector search cheaper, exactly the allowlist-first
+design of shard_read.go:639-651.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause, apply_where
+from weaviate_spark.functions.distance import certainty_to_distance, distance
+from weaviate_spark.sources.tables import load_table
+
+
+@dataclass
+class NearVectorSpec:
+    collection: str
+    vector: Sequence[float]
+    vector_col: str = "embedding"
+    id_col: str = "vec_id"
+    metric: str = "cosine"
+    limit: int = 100                  # negative => all within distance
+    distance: Optional[float] = None  # max-distance cutoff
+    certainty: Optional[float] = None # cosine-only alternative
+    where: Optional[Clause] = None
+    round_digits: Optional[int] = 6
+
+
+def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in spec.vector])
+    d = distance(F.col(spec.vector_col), q, spec.metric)
+    if spec.round_digits is not None:
+        d = F.round(d, spec.round_digits)
+    return df.withColumn("_distance", d)
+
+
+def near_vector(spark: SparkSession, sf_dir: str, spec: NearVectorSpec) -> DataFrame:
+    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
+    df = with_distance(df, spec)
+
+    cutoff = spec.distance
+    if cutoff is None and spec.certainty is not None:
+        if spec.metric != "cosine":
+            raise ValueError("certainty is cosine-only (distance.go:14-29)")
+        cutoff = certainty_to_distance(spec.certainty)
+    if cutoff is not None:
+        df = df.where(F.col("_distance") <= F.lit(cutoff))
+
+    df = df.orderBy(F.col("_distance").asc(), F.col(spec.id_col).asc())
+    if spec.limit >= 0:
+        df = df.limit(spec.limit)
+    return df
+
+
+def near_object(
+    spark: SparkSession, sf_dir: str, spec: NearVectorSpec, object_id
+) -> DataFrame:
+    """nearVector with the query vector looked up by object id; the query
+    object itself is excluded from results (matches weaviate, which
+    returns it at distance 0 — we keep it, callers filter if needed)."""
+    src = (
+        load_table(spark, sf_dir, spec.collection)
+        .where(F.col(spec.id_col) == F.lit(object_id))
+        .select(spec.vector_col)
+        .collect()
+    )
+    if not src:
+        raise ValueError(f"nearObject: id {object_id!r} not found")
+    vec = [float(x) for x in src[0][0]]
+    return near_vector(
+        spark, sf_dir,
+        NearVectorSpec(**{**spec.__dict__, "vector": vec}),
+    )
+
+
+def multi_target_combine(
+    legs: Sequence[DataFrame],
+    id_col: str,
+    combination: str = "min",
+    weights: Optional[Sequence[float]] = None,
+) -> DataFrame:
+    """Join per-target distance legs on id and combine
+    (shard_combine_multi_target.go:89-260). Inner join: objects missing
+    any target vector drop out (:119-167 drop semantics)."""
+    if weights is not None and len(weights) != len(legs):
+        raise ValueError("weights must match number of legs")
+    out = None
+    for i, leg in enumerate(legs):
+        leg = leg.select(F.col(id_col), F.col("_distance").alias(f"_d{i}"))
+        out = leg if out is None else out.join(leg, id_col, "inner")
+    cols = [F.col(f"_d{i}") for i in range(len(legs))]
+    if combination == "min":
+        combined = F.least(*cols) if len(cols) > 1 else cols[0]
+    elif combination == "sum":
+        combined = sum(cols[1:], cols[0])
+    elif combination == "average":
+        combined = sum(cols[1:], cols[0]) / F.lit(float(len(cols)))
+    elif combination == "manualWeights":
+        ws = weights or [1.0] * len(cols)
+        combined = sum(
+            (c * F.lit(float(w)) for c, w in list(zip(cols, ws))[1:]),
+            cols[0] * F.lit(float(ws[0])),
+        )
+    else:
+        raise ValueError(f"unknown combination {combination!r}")
+    return out.withColumn("_distance", combined).select(id_col, "_distance")

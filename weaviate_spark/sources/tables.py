@@ -51,6 +51,17 @@ def load_table(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "docs_embedded":
+        # weaviate object shape: text properties + vector in one collection.
+        # documents and embeddings share the key space (doc_id == vec_id);
+        # at scale these would be stored as one table — the join is a
+        # co-partitioned equi-join, broadcast at test scale.
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        return docs.join(emb, "doc_id", "inner")
+
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); convert
     # to µs TimestampType — the documented ns->µs divergence (SURVEY §1.2).
