@@ -1,0 +1,135 @@
+"""M7: dedup, text analysis, ANN, autocut, search-groupBy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup(spark):
+    from weaviate_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World!"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup_groups(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2 and out[0]["keep_id"] == 1
+    assert out[0]["dup_ids"] == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from weaviate_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " tomorrow"),          # near-dup of 1
+        (3, "completely different words describing unrelated machine topics"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_simhash_near_dup(spark):
+    from weaviate_spark.operators.dedup import simhash_neardup_pairs, simhash64
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "nothing shared here at all whatsoever")],
+        ["doc_id", "text"],
+    )
+    sims = {r["_doc"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert sims[1] != sims[3]
+    pairs = simhash_neardup_pairs(df, "doc_id", "text", max_hamming=12).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """LSH recall is only meaningful when near neighbors exist (the
+    driver's uniform synthetic embeddings have min pairwise angle ~60°,
+    where bucketing legitimately prunes everything). Build clustered
+    micro-data: 20 centers x 10 perturbed members, query near center 0."""
+    import math
+    from weaviate_spark.operators.similarity import ann_recall_vs_exact
+
+    def unit(seed, dim=16):
+        vals = [math.sin(seed * 37.1 + d * 1.7) for d in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = unit(c)
+        for m in range(10):
+            noise = unit(1000 + c * 10 + m)
+            vec = [cv + 0.05 * nv for cv, nv in zip(center, noise)]
+            rows.append((vid, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = unit(0)
+    recall = ann_recall_vs_exact(df, q, "vec_id", "embedding",
+                                 k=10, num_planes=8, probe=2)
+    assert recall >= 0.9, f"ANN recall@10 on clustered data: {recall}"
+
+
+def test_autocut_reference_cases():
+    from weaviate_spark.operators.search_post import autocut_index
+
+    # flat-then-drop curve: clear extremum after the 4th result
+    assert autocut_index([1.0, 0.99, 0.98, 0.97, 0.5, 0.49], 1) == 4
+    # exactly-linear scores with float-exact values: diff identically 0,
+    # no extremum -> keep all. (Non-exact linear curves are knife-edge
+    # under float noise, both here and in the reference's float32 math.)
+    assert autocut_index([3.0, 2.0, 1.0], 1) == 3
+    assert autocut_index([1.0, 0.5], 1) == 2
+    # single element / empty
+    assert autocut_index([1.0], 1) == 1
+    assert autocut_index([], 1) == 0
+    # second extremum
+    scores = [1.0, 0.99, 0.6, 0.59, 0.58, 0.2, 0.19]
+    first = autocut_index(scores, 1)
+    second = autocut_index(scores, 2)
+    assert first < second <= len(scores)
+
+
+def test_lang_id_and_quality(spark):
+    from weaviate_spark.operators.textstats import text_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house with it"),
+            (2, "el perro y el gato es que en un con por la casa"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_profile(df, "doc_id", "text").collect()}
+    assert out[1]["lang_guess"] == "en"
+    assert out[2]["lang_guess"] == "es"
+    assert out[3]["n_tokens"] == 0 and out[3]["quality"] is not None
+
+
+def test_search_group_by_semantics(spark):
+    from weaviate_spark.operators.search_post import group_search_results
+
+    hits = spark.createDataFrame(
+        [  # (id, group, distance) — hit order by distance
+            (1, "a", 0.1), (2, "b", 0.2), (3, "a", 0.3), (4, "a", 0.4),
+            (5, "c", 0.5), (6, "b", 0.6), (7, "d", 0.7),
+        ],
+        ["id", "g", "d"],
+    )
+    out = group_search_results(
+        hits, "g", [F.col("d").asc(), F.col("id").asc()],
+        groups=2, objects_per_group=2,
+    ).collect()
+    kept = {(r["g"], r["id"]) for r in out}
+    # groups admitted in result order: a (rank1), b (rank2); c,d excluded
+    # per-group cap 2: a keeps ids 1,3 (not 4)
+    assert kept == {("a", 1), ("a", 3), ("b", 2), ("b", 6)}

@@ -630,3 +630,290 @@ def q_hybrid_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties=[BM25Prop("text")], id_col="doc_id",
         alpha=0.75, fusion="relativeScore", limit=25,
     ))
+
+
+# ---------------------------------------------------------------------------
+# M7 — LLM-pipeline extras: dedup + text analysis (BASELINE.json north star)
+
+from weaviate_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from weaviate_spark.operators.textstats import text_profile
+from weaviate_spark.sources.tables import load_table as _load
+
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
+  FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
+  WHERE len(tt) >= 3
+),
+mh AS (
+  SELECT _doc, i AS _i, min(md5(CAST(i AS VARCHAR) || ':' || _shingle)) AS _minhash
+  FROM sh, LATERAL unnest(range(0, 16)) AS t(i)
+  GROUP BY _doc, i
+),
+bands AS (
+  SELECT _doc, CAST(_i // 4 AS INT) AS _band,
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || _minhash, ',' ORDER BY CAST(_i AS VARCHAR) || ':' || _minhash)) AS _bucket
+  FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
+),
+cand AS (
+  SELECT a._doc AS _a, b._doc AS _b
+  FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
+  GROUP BY 1, 2
+),
+sizes AS (SELECT _doc, count(*) AS _sz FROM sh GROUP BY _doc),
+inter AS (
+  SELECT c._a, c._b, count(*) AS _inter
+  FROM cand c
+  JOIN sh sa ON sa._doc = c._a
+  JOIN sh sb ON sb._doc = c._b AND sb._shingle = sa._shingle
+  GROUP BY c._a, c._b
+)
+SELECT i._a AS id_a, i._b AS id_b,
+  round(CAST(i._inter AS DOUBLE) / (sa._sz + sb._sz - i._inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa._doc = i._a
+JOIN sizes sb ON sb._doc = i._b
+WHERE CAST(i._inter AS DOUBLE) / (sa._sz + sb._sz - i._inter) >= {thr}
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=(
+        "WITH norm AS (SELECT doc_id, md5(array_to_string("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS content_hash "
+        "FROM documents) "
+        "SELECT content_hash, CAST(count(*) AS BIGINT) AS dup_count, min(doc_id) AS keep_id "
+        "FROM norm GROUP BY content_hash HAVING count(*) > 1"
+    ),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content; one shuffle on a
+    uniform md5 key."""
+    df = _load(spark, sf_dir, "documents")
+    return exact_dedup_groups(df, "doc_id", "text").select(
+        "content_hash", "dup_count", "keep_id"
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_SQL.format(thr=0.35))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard verified
+    at >= 0.35. md5-based hashing -> bit-identical in the SQL oracle."""
+    df = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_MINHASH_SQL.format(thr=0.35).replace(
+        """cand AS (
+  SELECT a._doc AS _a, b._doc AS _b
+  FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
+  GROUP BY 1, 2
+),""",
+        """cand AS (
+  SELECT a._doc AS _a, b._doc AS _b
+  FROM sh a JOIN sh b ON a._shingle = b._shingle AND a._doc < b._doc
+  GROUP BY 1, 2
+),""",
+    ),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= 0.35 (candidates = any shared
+    shingle). The ground truth the LSH variant approximates."""
+    df = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.35)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(1 - list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS _distance "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE 1 - list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) <= 0.55"
+    ),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exactness oracle for
+    the LSH-bucketed scale path)."""
+    df = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(df, "vec_id", "embedding", max_distance=0.55)
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs within Hamming distance 12
+    (rows-only check: bit-level majority votes are not practical to
+    mirror in SQL; exactness covered by unit tests)."""
+    df = _load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(df, "doc_id", "text", max_hamming=12)
+
+
+def _lang_vote_sql() -> tuple[str, str]:
+    """(hits-CTE columns, argmax CASE expression) mirroring
+    textstats.lang_id's fold with alphabetical tie-break."""
+    from weaviate_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "len(list_filter(tt, t -> t IN ({vals}))) AS h_{lang}".format(
+            vals=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best, bs = f"'{langs[0]}'", f"h_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN h_{lang} > {bs} THEN '{lang}' ELSE {best} END"
+        bs = f"greatest({bs}, h_{lang})"
+    return hit_cols, best
+
+
+_HITS, _BEST = _lang_vote_sql()
+
+_TEXT_PROFILE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+),
+feat AS (
+  SELECT doc_id, text, tt, len(tt) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tt) > 0 THEN
+      round(CAST(list_sum(list_transform(tt, t -> length(t))) AS DOUBLE) / len(tt), 6)
+    ELSE 0.0 END AS mean_token_len,
+    {_HITS}
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, punct_ratio, mean_token_len,
+  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0 THEN 1.0 ELSE 0.5 END)
+      + 0.3 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS quality,
+  {_BEST} AS lang_guess,
+  md5(array_to_string(tt, ' ')) AS fingerprint
+FROM feat
+"""
+
+
+@register("text_quality_scores", oracle=_TEXT_PROFILE_SQL)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile: token count, punctuation ratio, mean token
+    length, composite quality score, language guess, fingerprint — all
+    narrow Catalyst expressions (zero shuffles)."""
+    df = _load(spark, sf_dir, "documents")
+    return text_profile(df, "doc_id", "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "mean_token_len",
+        "quality", "lang_guess", "fingerprint",
+    )
+
+
+@register(
+    "text_tokens_by_lang",
+    oracle=(
+        "SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(n_chars), 6) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    ),
+)
+def q_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up by language (corpus budgeting query)."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.textstats import token_count
+
+    df = _load(spark, sf_dir, "documents")
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7 — search post-stages: groupBy-in-search, autocut; ANN
+
+from weaviate_spark.operators.search_post import apply_autocut, group_search_results
+
+
+@register(
+    "search_group_by",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        f"hits AS (SELECT vec_id, label, {_COS_SQL} AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 50), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY _distance ASC, vec_id ASC) AS _rnk FROM hits), "
+        "grp AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY _rnk) AS _in_group_rank FROM ranked), "
+        "best AS (SELECT label, min(_rnk) AS _best FROM ranked GROUP BY label), "
+        "adm AS (SELECT label, dense_rank() OVER (ORDER BY _best) AS _group_rank FROM best) "
+        "SELECT g.label, g.vec_id, g._distance, CAST(g._in_group_rank AS BIGINT) AS _in_group_rank, "
+        "CAST(a._group_rank AS BIGINT) AS _group_rank "
+        "FROM grp g JOIN adm a USING (label) "
+        "WHERE a._group_rank <= 3 AND g._in_group_rank <= 2"
+    ),
+)
+def q_search_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result groupBy (shard_group_by.go): top-50 knn hits, first
+    3 groups by label in result order, best 2 hits per group."""
+    from pyspark.sql import functions as F
+
+    hits = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=50,
+    )).select("vec_id", "label", "_distance")
+    out = group_search_results(
+        hits, "label",
+        [F.col("_distance").asc(), F.col("vec_id").asc()],
+        groups=3, objects_per_group=2,
+    )
+    return out.select(
+        "label", "vec_id", "_distance",
+        F.col("_in_group_rank").cast("long").alias("_in_group_rank"),
+        F.col("_group_rank").cast("long").alias("_group_rank"),
+    )
+
+
+@register("bm25_autocut")
+def q_bm25_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k then autocut at the 1st score-curve extremum
+    (autocut.go applied as in index.go:2309-2313). Rows-only check:
+    the extremum scan is a driver-side pure function (unit-tested
+    against hand-computed cases)."""
+    hits = bm25_search(spark, sf_dir, BM25Spec(
+        collection="documents", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=30,
+    ))
+    return apply_autocut(hits.select("doc_id", "_score"), "_score", cut_off=1)
+
+
+@register("ann_lsh_topk")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact
+    rescore (rows-only: approximate by design; recall vs exact is
+    asserted in unit tests)."""
+    from weaviate_spark.operators.similarity import ann_top_k, build_lsh_index
+
+    emb = _load(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, "vec_id", "embedding", num_planes=8, dim=64)
+    return ann_top_k(idx, QVEC, "vec_id", "embedding", k=10, num_planes=8, probe=2)

@@ -50,10 +50,13 @@ def tokenize(col: Column, mode: str = "word") -> Column:
     if mode == "field":
         return F.array(F.trim(col))
     if mode == "trigram":
+        # guard: sequence(1,0) is DESCENDING [1,0] in Spark, not empty
         low = F.lower(col)
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
-            lambda i: low.substr(i, F.lit(3)),
+        return F.when(F.length(low) < 3, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - 2),
+                lambda i: low.substr(i, F.lit(3)),
+            )
         )
     raise ValueError(f"unknown tokenization mode {mode!r}")
 

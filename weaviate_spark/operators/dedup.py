@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines
+(BASELINE.json north star; not part of the weaviate surface — these are
+the batch extras a 100 TB corpus pipeline needs).
+
+All hashing is md5-based so every step is reproducible in the duckdb
+oracle AND stable across cluster sizes / Spark versions (no reliance on
+`hash()`/`xxhash64` whose seeds differ between engines). Min-hashes
+compare hex strings lexicographically — same order as the underlying
+128-bit integers, no int conversion needed.
+
+* ``exact_dedup_groups`` — hash-groupBy on normalized text: one shuffle
+  on a uniformly distributed md5 key; scales linearly, no skew.
+* ``minhash_signatures`` / ``minhash_lsh_pairs`` — shingle -> K
+  min-hashes -> band -> bucket-join candidate generation -> exact
+  Jaccard verification. The classic LSH trade: candidate pairs scale
+  with collisions per bucket, not with n^2. Shuffles: (doc,hash_i)
+  groupBy, band bucket groupBy, pair verification join — all on
+  hash-uniform keys. Skew guard: buckets larger than
+  ``max_bucket_size`` are dropped (boilerplate-cluster protection —
+  a 10k-doc boilerplate bucket would otherwise emit 10^8 pairs).
+* ``ngram_jaccard_pairs`` — exact Jaccard for a candidate pair set
+  (used standalone at small scale; as the verify stage after LSH at
+  large scale).
+* ``simhash64`` — 64-bit simhash over word tokens (per-bit majority of
+  token md5 bits); near-dups = signatures within Hamming distance k.
+* ``embedding_neardup_pairs`` — cosine-close embedding pairs; brute
+  self-join at test scale, LSH-bucketed via random hyperplanes
+  (operators/similarity.py) at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.text import tokenize
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate groups by exact (whitespace-normalized, lowercased)
+    content hash. Returns (content_hash, dup_count, keep_id, dup_ids)
+    for groups with >1 member; keep_id = smallest id (deterministic
+    canonical survivor)."""
+    norm = F.concat_ws(" ", tokenize(F.col(text_col), "word"))
+    h = F.md5(norm)
+    return (
+        df.select(F.col(id_col).alias("_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("_id").alias("keep_id"),
+            F.sort_array(F.collect_list("_id")).alias("dup_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the text. (Guard: Spark's
+    sequence(1,0) is descending [1,0], not empty — short docs must
+    yield an empty shingle set.)"""
+    toks = tokenize(text_col, "word")
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc, shingle) exploded pairs — distinct shingles per doc.
+
+    Repartitions the input first: small corpora arrive as one parquet
+    file = one partition, which would serialize the (CPU-heavy)
+    tokenize/shingle stage on a single core. At real scale the scan
+    already has many partitions and the repartition coalesces to the
+    same count (cheap); locally it unlocks all cores."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("_shingle"),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc, hash_idx, minhash) — minhash_i = min over shingles of
+    md5(i ':' shingle), compared as hex strings (order-isomorphic to the
+    integer value). One shuffle on (doc, i)."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_i")
+    hashed = sh.select("_doc", "_shingle", idx).withColumn(
+        "_h", F.md5(F.concat(F.col("_i").cast("string"), F.lit(":"), F.col("_shingle")))
+    )
+    return hashed.groupBy("_doc", "_i").agg(F.min("_h").alias("_minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: shingles -> minhash signatures -> band buckets (rows/band =
+    num_hashes/bands, bucket key = md5 of the band's minhashes) ->
+    candidate pairs from shared buckets -> exact Jaccard verify.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sh = shingle_df(df, id_col, text_col, shingle_n).cache()
+
+    # wide-form signatures: ONE groupBy over shingles computing all K
+    # mins as columns — no K-fold row blowup through the shuffle (the
+    # long-form equivalent shuffles K x the shingle count). Bucket
+    # strings are bit-identical to the long form: per band, the
+    # "i:minhash" entries are concatenated in lexicographic order of
+    # the i-prefix (prefixes are unique, so hash values never matter).
+    sig = sh.groupBy("_doc").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_shingle")))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ])
+    band_cols = []
+    for b in range(bands):
+        idx = sorted(range(b * rows_per_band, (b + 1) * rows_per_band), key=str)
+        entry = F.concat_ws(",", *[
+            F.concat(F.lit(f"{i}:"), F.col(f"_mh{i}")) for i in idx
+        ])
+        band_cols.append(F.struct(F.lit(b).alias("_band"), F.md5(entry).alias("_bucket")))
+    buckets = (
+        sig.select("_doc", F.explode(F.array(*band_cols)).alias("_bb"))
+        .select("_doc", F.col("_bb._band").alias("_band"), F.col("_bb._bucket").alias("_bucket"))
+    )
+    # skew guard: drop degenerate boilerplate buckets
+    sized = buckets.groupBy("_band", "_bucket").agg(
+        F.collect_list("_doc").alias("_docs"), F.count(F.lit(1)).alias("_n")
+    ).where((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+
+    pairs = (
+        sized.select(F.explode("_docs").alias("_a"), F.col("_docs"))
+        .select("_a", F.explode("_docs").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    verified = jaccard_for_pairs(pairs, sh)
+    return verified.where(F.col("jaccard") >= jaccard_threshold).select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard"
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs."""
+    sizes = sh.groupBy("_doc").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_doc").alias("_a"), F.col("_shingle").alias("_s"))
+    b = sh.select(F.col("_doc").alias("_b"), F.col("_shingle").alias("_s"))
+    inter = (
+        pairs.join(a, "_a").join(b, ["_b", "_s"])
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_doc", "_a").withColumnRenamed("_sz", "_sza"), "_a")
+        .join(sizes.withColumnRenamed("_doc", "_b").withColumnRenamed("_sz", "_szb"), "_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .select("_a", "_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (candidate generation
+    by shared shingle — quadratic in worst case; LSH variant is the
+    scale path)."""
+    sh = shingle_df(df, id_col, text_col, shingle_n).cache()
+    a = sh.select(F.col("_doc").alias("_a"), "_shingle")
+    b = sh.select(F.col("_doc").alias("_b"), "_shingle")
+    pairs = (
+        a.join(b, "_shingle").where(F.col("_a") < F.col("_b"))
+        .select("_a", "_b").distinct()
+    )
+    return (
+        jaccard_for_pairs(pairs, sh)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    max_distance: float = 0.25,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Pairs of rows whose embedding distance <= max_distance
+    (id_a < id_b). Brute-force self-join — correct at any scale, O(n^2)
+    compute; the production path buckets by random-hyperplane LSH
+    (simhash over the embedding signs) first so only same-bucket pairs
+    join. Exposed as the exactness oracle for that path."""
+    from weaviate_spark.functions.distance import distance
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    d = F.round(distance(F.col("_va"), F.col("_vb"), metric), 6)
+    return (
+        pairs.withColumn("_distance", d)
+        .where(F.col("_distance") <= F.lit(max_distance))
+        .select("id_a", "id_b", "_distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit simhash as a hex string: bit i set iff the majority of the
+    doc's tokens have bit i set in md5(token). Pure column expressions:
+    per-token first-16-hex -> 64 bits via conv(), per-bit vote."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    ).withColumn("_h", F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long"))
+    # 60 usable bits from 15 hex chars (conv on 16 chars can overflow sign)
+    bits = [F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}") for b in range(60)]
+    votes = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n"), *bits)
+    sim = votes.select(
+        "_doc",
+        sum(
+            (F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b)).otherwise(F.lit(0)) for b in range(1, 60)),
+            F.when(F.col("_b0") * 2 >= F.col("_n"), F.lit(1)).otherwise(F.lit(0)),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs whose simhash Hamming distance <= max_hamming. Candidate
+    generation by pigeonhole blocking: split the 60 bits into
+    max_hamming+1 chunks — a pair within the distance budget must agree
+    on at least one chunk. Smaller chunks (higher budgets) mean more
+    bucket collisions and more rescoring; that is the LSH recall/cost
+    dial, same trade as minhash bands."""
+    num_chunks = min(max_hamming + 1, 15)
+    width = (60 + num_chunks - 1) // num_chunks
+    sim = simhash64(df, id_col, text_col).cache()
+    chunks = sim.select(
+        "_doc", "simhash",
+        F.explode(F.array(*[
+            F.concat(
+                F.lit(f"{c}:"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("string"),
+            )
+            for c in range(num_chunks)
+        ])).alias("_chunk"),
+    )
+    a = chunks.select(F.col("_doc").alias("_a"), F.col("simhash").alias("_sa"), "_chunk")
+    b = chunks.select(F.col("_doc").alias("_b"), F.col("simhash").alias("_sb"), "_chunk")
+    cand = a.join(b, "_chunk").where(F.col("_a") < F.col("_b")).select("_a", "_b", "_sa", "_sb").distinct()
+    ham = cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+    return ham.where(F.col("hamming") <= max_hamming).select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "hamming"
+    )

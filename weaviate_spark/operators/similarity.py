@@ -1,0 +1,148 @@
+"""Approximate similarity search: LSH-bucketed ANN over embedding columns
+(SURVEY §2.5 vector-index analogue; BASELINE.json "batch vector index
+build").
+
+Exact top-k (operators/vector.py) is the correctness oracle; this module
+is the scale path: at 100 TB a brute-force scan per query is fine for
+ONE query (it's a narrow map + TakeOrdered), but a *batch* of queries
+(e.g. similarity self-join, kNN classification) needs candidate pruning.
+
+Design — random-hyperplane LSH (charikar'02 simhash family, public):
+* ``num_planes`` hyperplanes with deterministic md5-derived components
+  (no RNG state, reproducible across engines/cluster sizes).
+* signature(v) = bit b per plane = [dot(v, plane_b) >= 0] -> bucket key.
+* ``build_lsh_index`` materializes (id, bucket) — the "index build" is
+  a narrow map over the corpus, writable as a table (MLlib-style
+  BucketedRandomProjectionLSH would shuffle; this does not).
+* ``ann_top_k``: query signature -> candidates = same bucket (plus
+  multiprobe: buckets within Hamming distance 1 when ``probe > 1``) ->
+  exact rescoring of candidates only -> top-k.
+* recall is tunable with num_planes (fewer planes = bigger buckets =
+  higher recall, more rescoring); unit tests measure recall vs exact.
+
+Scale notes: index build = map + optional write (no shuffle); batch
+query = broadcast of query signatures + one shuffle join on bucket key;
+rescoring is narrow. Bucket skew is bounded by 2^num_planes uniformity
+of random hyperplanes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.distance import distance
+
+
+def _plane_component(seed: int, plane: int, dim: int) -> float:
+    h = hashlib.md5(f"{seed}:{plane}:{dim}".encode()).hexdigest()[:8]
+    return int(h, 16) / 0xFFFFFFFF - 0.5
+
+
+def hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes."""
+    return [
+        [_plane_component(seed, p, d) for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def signature_col(vector_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Bit-string LSH signature, e.g. '10110...' (one char per plane)."""
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dp = F.aggregate(
+            F.zip_with(vector_col, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vector, _bucket) — persist this as the 'index table'."""
+    planes = hyperplanes(num_planes, dim, seed)
+    return df.select(
+        F.col(id_col), F.col(vector_col),
+        signature_col(F.col(vector_col), planes).alias("_bucket"),
+    )
+
+
+def _sig_py(vector: Sequence[float], planes: Sequence[Sequence[float]]) -> str:
+    return "".join(
+        "1" if sum(float(v) * p for v, p in zip(vector, plane)) >= 0 else "0"
+        for plane in planes
+    )
+
+
+def ann_top_k(
+    index_df: DataFrame,
+    query_vector: Sequence[float],
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 8,
+    seed: int = 42,
+    probe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates from the query's bucket (plus all
+    Hamming-1 buckets when probe > 1), exact rescore, top-k."""
+    planes = hyperplanes(num_planes, len(query_vector), seed)
+    qsig = _sig_py(query_vector, planes)
+    buckets = {qsig}
+    if probe > 1:
+        for i in range(num_planes):
+            flipped = qsig[:i] + ("0" if qsig[i] == "1" else "1") + qsig[i + 1:]
+            buckets.add(flipped)
+    cand = index_df.where(F.col("_bucket").isin(sorted(buckets)))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        cand.withColumn("_distance", F.round(distance(F.col(vector_col), q, metric), 6))
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "_distance")
+    )
+
+
+def ann_recall_vs_exact(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    num_planes: int = 8,
+    probe: int = 2,
+) -> float:
+    """Measured recall@k of the ANN path against exact brute force."""
+    from weaviate_spark.functions.distance import distance as dist_fn
+
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    exact = {
+        r[0]
+        for r in df.withColumn("_d", dist_fn(F.col(vector_col), q, "cosine"))
+        .orderBy(F.col("_d").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col)
+        .collect()
+    }
+    idx = build_lsh_index(df, id_col, vector_col, num_planes=num_planes,
+                          dim=len(query_vector))
+    approx = {
+        r[0]
+        for r in ann_top_k(idx, query_vector, id_col, vector_col, k=k,
+                           num_planes=num_planes, probe=probe).collect()
+    }
+    return len(exact & approx) / k

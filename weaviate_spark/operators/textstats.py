@@ -1,0 +1,129 @@
+"""Text analysis operators for training-data pipelines (BASELINE.json
+north star): language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen; narrow — zero
+shuffles), and all reproducible in ANSI SQL so each op is
+duckdb-oracle-checkable. At 100 TB these run as map-only stages over
+the corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.text import EN_STOPWORDS, tokenize
+
+# tiny per-language function-word lists for the n-gram/stopword-vote
+# language heuristic (deterministic; not a quality claim). Ties break
+# alphabetically by language code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation token count (word tokenization)."""
+    return F.size(tokenize(text, "word"))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, "[a-zA-Z0-9\\s]", "")
+    return F.round(
+        F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0), 6
+    )
+
+
+def _in_list(t: Column, values: list[str]) -> Column:
+    """OR-chain membership test usable on higher-order-function lambda
+    variables (Column.isin is not supported there)."""
+    out = t == F.lit(values[0])
+    for v in values[1:]:
+        out = out | (t == F.lit(v))
+    return out
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokenize(text, "word")
+    words = stopwords or EN_STOPWORDS
+    hits = F.size(F.filter(toks, lambda t: _in_list(t, words)))
+    return F.round(
+        F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0), 6
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokenize(text, "word")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(
+        F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(0.0), 6
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length
+    (saturating at 100 tokens), moderate mean word length, low
+    punctuation noise; components weighted 0.4/0.3/0.3. Deterministic
+    and SQL-reproducible; thresholds are pipeline knobs, not truths."""
+    ntok = token_count(text).cast("double")
+    len_component = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    mwl = mean_token_length(text)
+    wl_component = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round(
+        0.4 * len_component + 0.3 * wl_component + 0.3 * punct_component, 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Function-word-vote language guess; tie -> alphabetically first
+    language code (deterministic)."""
+    toks = tokenize(text, "word")
+    scores = []
+    def _hits_fn(markers: list[str]):
+        # NB: no default-arg lambdas — pyspark treats a 2-param lambda
+        # as (element, index) and binds the index to the second param
+        return lambda t: _in_list(t, markers)
+
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, _hits_fn(LANG_MARKERS[lang])))
+        scores.append((lang, hits))
+    # argmax with alphabetical tie-break: fold over langs in order, strict >
+    best_lang, best_score = F.lit(sorted(LANG_MARKERS)[0]), scores[0][1]
+    for lang, s in scores[1:]:
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: md5 of the normalized
+    (word-tokenized, space-joined) text — the exact-dedup key."""
+    return F.md5(F.concat_ws(" ", tokenize(text, "word")))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All text stats in one narrow projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_length(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )
