@@ -1,0 +1,190 @@
+"""Streaming ingest, CRUD/TTL/tenants, multimodal plumbing, schema
+registry, rerank stages (SURVEY §2.1, §2.9, §3.3)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_ingest_replay(spark, sf_dir, tmp_path):
+    """Replay the events table through Structured Streaming foreachBatch
+    (the BatchStream analogue) and check the sink matches the source."""
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.streaming.ingest import stream_ingest
+
+    src_dir = str(tmp_path / "events_src")
+    tgt_dir = str(tmp_path / "events_tgt")
+    chk_dir = str(tmp_path / "chk")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(src_dir)
+    n_src = events.count()
+
+    q = stream_ingest(
+        spark, src_dir, events.schema, tgt_dir,
+        transform=lambda df: df.withColumn("_ingested", F.lit(True)),
+        checkpoint_dir=chk_dir,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(tgt_dir)
+    assert out.count() == n_src
+    assert out.where(~F.col("_ingested")).count() == 0
+
+
+def test_windowed_counts_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Unified model: the windowed agg gives identical results on the
+    streaming replay and the batch table."""
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.streaming.ingest import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+
+    src_dir = str(tmp_path / "ev2")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert streamed == batch
+
+
+def test_crud_upsert_patch_delete(spark, tmp_path):
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.sources.crud import delete_where, patch, upsert
+
+    tdir = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+    ).write.parquet(tdir)
+
+    upsert(spark, tdir, spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], ["id", "name", "val"]
+    ), key="id")
+    rows = {r["id"]: r for r in spark.read.parquet(tdir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2]["name"] == "b2"
+
+    patch(spark, tdir, "id", 1, {"val": 99.0})
+    rows = {r["id"]: r for r in spark.read.parquet(tdir).collect()}
+    assert rows[1]["val"] == 99.0 and rows[1]["name"] == "a"
+
+    n = delete_where(spark, tdir, Clause(operator="GreaterThan", path=["val"], value=25.0), dry_run=True)
+    assert n == 3  # 99, 30, 40 — dry run does not delete
+    assert spark.read.parquet(tdir).count() == 4
+    n = delete_where(spark, tdir, Clause(operator="GreaterThan", path=["val"], value=25.0))
+    assert n == 3
+    assert {r["id"] for r in spark.read.parquet(tdir).collect()} == {2}
+
+
+def test_ttl(spark, tmp_path):
+    from weaviate_spark.sources.crud import purge_expired, with_ttl_filter
+
+    tdir = str(tmp_path / "ttl_tbl")
+    now = 1_000_000
+    spark.createDataFrame(
+        [(1, now - 5000), (2, now - 100), (3, now - 10)], ["id", "_creationTimeUnix"]
+    ).write.parquet(tdir)
+    live = with_ttl_filter(spark.read.parquet(tdir), 1000, now, "_creationTimeUnix")
+    assert {r["id"] for r in live.collect()} == {2, 3}
+    n = purge_expired(spark, tdir, 1000, now, "_creationTimeUnix")
+    assert n == 1
+    assert {r["id"] for r in spark.read.parquet(tdir).collect()} == {2, 3}
+
+
+def test_tenant_partition_pruning(spark, tmp_path):
+    from weaviate_spark.sources.crud import read_tenant, write_tenant_partitioned
+
+    tdir = str(tmp_path / "tenants")
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i)) for i in range(30)], ["id", "_tenant", "v"]
+    )
+    write_tenant_partitioned(df, tdir, "_tenant")
+    one = read_tenant(spark, tdir, "_tenant", "t1")
+    assert one.count() == 10
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_tenant" in plan, "tenant filter must prune partitions"
+
+
+def test_multimodal_plumbing(spark):
+    from weaviate_spark.operators.multimodal import (
+        attach_media_meta, decode_image_features, sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-1")), (2, bytearray(b"imagebytes-2")), (3, None)],
+        "media_id long, media binary",
+    )
+    df = attach_media_meta(df, mime="image/png")
+    assert df.schema["media_meta"].dataType.fieldNames() == [
+        "mime", "width", "height", "duration_ms", "sample_rate"]
+
+    feats = decode_image_features(df, "media_id", "media", dim=4, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[3]["decode_ok"] is False and by_id[3]["feature"] is None
+    assert len(by_id[1]["feature"]) == 4
+    # deterministic stub: same bytes -> same features
+    feats2 = decode_image_features(df, "media_id", "media", dim=4, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats}
+
+    # real decoder path is stubbed: must raise, not silently fake
+    with pytest.raises(Exception):
+        decode_image_features(df, "media_id", "media", dim=4, fake=False).collect()
+
+    frames = sample_frames(df, "media_id", "media", every_ms=1000, fake=True).collect()
+    assert len(frames) == 10  # 2 clips x 5 fake frames
+    assert all(len(r["frame"]) == 16 for r in frames)
+
+
+def test_schema_determine_type():
+    from weaviate_spark.schema import determine_type, infer_collection
+
+    assert determine_type("2023-01-02T10:00:00Z") == "date"
+    assert determine_type("2023-01-02 10:00:00") == "text"  # not RFC3339 shape
+    assert determine_type("7c9f9699-6d14-4a57-8a3f-1b2f3c4d5e6f") == "uuid"
+    assert determine_type("not-a-uuid-but-len-36-chars-exactly!") == "text"
+    assert determine_type(True) == "boolean"
+    assert determine_type(3) == "int"
+    assert determine_type(3.5) == "number"
+    assert determine_type({"latitude": 1.0, "longitude": 2.0}) == "geoCoordinates"
+    assert determine_type({"a": 1}) == "object"
+    assert determine_type(["x"]) == "text[]"
+    assert determine_type([1, 2]) == "int[]"
+    assert determine_type(b"raw") == "blob"
+
+    coll = infer_collection("Doc", {"title": "hi", "views": 4, "_internal": 1})
+    assert [p.name for p in coll.properties] == ["title", "views"]
+    schema = coll.spark_schema()
+    assert schema.fieldNames()[0] == "_id"
+
+
+def test_mmr_and_legacy_group():
+    from weaviate_spark.operators.rerank import legacy_group, mmr_select
+
+    rows = [
+        {"id": 1, "v": [1.0, 0.0], "s": 1.0},
+        {"id": 2, "v": [0.99, 0.01], "s": 0.95},  # near-dup of 1
+        {"id": 3, "v": [0.0, 1.0], "s": 0.9},
+    ]
+    picked = mmr_select(rows, "v", "s", k=2, balance=0.5)
+    assert [r["id"] for r in picked] == [1, 3], "MMR must diversify away from near-dup"
+
+    groups = legacy_group(rows, "v", force=0.1, strategy="closest")
+    assert [g["id"] for g in groups] == [1, 3]
+    assert groups[0]["_group_size"] == 2
+    merged = legacy_group(rows, "v", force=0.1, strategy="merge")
+    assert merged[0]["_group_size"] == 2 and len(merged[0]["v"]) == 2

@@ -917,3 +917,121 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     idx = build_lsh_index(emb, "vec_id", "embedding", num_planes=8, dim=64)
     return ann_top_k(idx, QVEC, "vec_id", "embedding", k=10, num_planes=8, probe=2)
+
+
+# ---------------------------------------------------------------------------
+# M7 — streaming-shaped ops (batch-equivalent windowed agg; §2.9)
+
+@register(
+    "events_windowed_counts",
+    oracle=(
+        "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window counts over the events stream table — same
+    code path Structured Streaming uses (unified batch/stream model);
+    the streaming variant (watermark + availableNow replay) is
+    exercised in tests/test_streaming.py."""
+    from weaviate_spark.streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(_load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# M7 — kNN classification, Explore, boost
+
+@register(
+    "knn_classification",
+    oracle=(
+        f"WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        "unl AS (SELECT * FROM e WHERE vec_id % 10 = 0), "
+        "lab AS (SELECT * FROM e WHERE vec_id % 10 <> 0), "
+        "d AS (SELECT u.vec_id AS _qid, l.label AS _label, l.vec_id AS _tid, "
+        "round(1 - list_dot_product(u.ev, l.ev) / "
+        "(sqrt(list_dot_product(u.ev, u.ev)) * sqrt(list_dot_product(l.ev, l.ev))), 6) AS _d "
+        "FROM unl u CROSS JOIN lab l), "
+        "topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _d ASC, _tid ASC) AS _rn FROM d) WHERE _rn <= 5), "
+        "votes AS (SELECT _qid, _label, count(*) AS _votes FROM topk GROUP BY _qid, _label) "
+        "SELECT _qid AS vec_id, _label AS predicted_label, CAST(_votes AS BIGINT) AS votes FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _votes DESC, _label ASC) AS _r FROM votes) "
+        "WHERE _r = 1"
+    ),
+)
+def q_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification (classifier_run_knn.go): every 10th object is
+    'unlabeled', k=5 neighbors among the rest vote; tie -> smallest
+    label."""
+    from weaviate_spark.operators.rerank import knn_classify
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir, "embeddings")
+    unl = emb.where(F.col("vec_id") % 10 == 0)
+    lab = emb.where(F.col("vec_id") % 10 != 0)
+    return knn_classify(lab, unl, "vec_id", "embedding", "label", k=5)
+
+
+@register(
+    "explore_cross_class",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "ce AS (SELECT 'embeddings' AS class_name, CAST(vec_id AS VARCHAR) AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings "
+        "UNION ALL "
+        "SELECT 'docs_embedded' AS class_name, CAST(d.doc_id AS VARCHAR) AS id, "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.lang = 'en') "
+        "SELECT class_name, id, "
+        "round(1 - list_dot_product(ev, qv) / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS _distance "
+        "FROM ce CROSS JOIN q ORDER BY _distance ASC, id ASC LIMIT 12"
+    ),
+)
+def q_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explore{}: one vector search across two collections, global
+    merge by distance (explorer.go:798-846). (The 'en'-filtered
+    docs_embedded leg makes the two classes distinguishable.)"""
+    from weaviate_spark.operators.rerank import explore
+
+    leg1 = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=12,
+    )).select("vec_id", "_distance")
+    leg2 = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="docs_embedded", vector=QVEC, id_col="doc_id", limit=12,
+        where=Clause(operator="Equal", path=["lang"], value="en"),
+    )).select("doc_id", "_distance")
+    return explore([("embeddings", leg1), ("docs_embedded", leg2)], limit=12)
+
+
+@register(
+    "boost_rerank",
+    oracle=(
+        "WITH hits AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer "
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 100), "
+        "norm AS (SELECT *, CASE WHEN max(c_acctbal) OVER () = min(c_acctbal) OVER () THEN 1.0 "
+        "ELSE (c_acctbal - min(c_acctbal) OVER ()) / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()) END AS _p "
+        "FROM hits) "
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, "
+        "round(0.5 * _p + 0.5 * (CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END), 6) AS _boosted_score "
+        "FROM norm"
+    ),
+)
+def q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boost re-rank (boost_scorer.go): top-100 by acctbal, blended 0.5
+    with a filter-condition boost for the BUILDING segment."""
+    from weaviate_spark.operators.rerank import BoostCondition, boost_rerank
+    from pyspark.sql import functions as F
+
+    hits = (
+        _load(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(100)
+    )
+    out = boost_rerank(
+        hits, "c_acctbal",
+        [BoostCondition(filter=Clause(operator="Equal", path=["c_mktsegment"], value="BUILDING"))],
+        weight=0.5, id_col="c_custkey",
+    )
+    return out.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "_boosted_score")

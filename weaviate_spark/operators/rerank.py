@@ -1,0 +1,246 @@
+"""Re-ranking post-stages: boost, MMR, legacy group merge, Explore
+cross-class search, kNN classification (SURVEY §2.3/§2.5).
+
+All of these operate on an already-capped search window (boost overfetch
+Depth default 100, MMR window <= limit), so window functions and
+driver-side greedy loops are exact and cheap — the corpus never flows
+through these stages.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause, compile_where
+
+BOOST_DEFAULT_DEPTH = 100
+
+
+@dataclass
+class BoostCondition:
+    """entities/filters/boost.go:52-59: exactly one of filter /
+    property_value / numeric decay; weight may be negative (demote)."""
+
+    weight: float = 1.0
+    filter: Optional[Clause] = None
+    property_value: Optional[str] = None          # numeric column path
+    pv_modifier: str = "none"                     # none | log1p | sqrt
+    decay_col: Optional[str] = None               # numeric decay
+    decay_origin: float = 0.0
+    decay_scale: float = 1.0
+    decay_offset: float = 0.0
+    decay_curve: str = "gauss"                    # exp | gauss | linear
+    decay_value: float = 0.5
+
+
+def _minmax_norm(c: Column, w: Window) -> Column:
+    mx, mn = F.max(c).over(w), F.min(c).over(w)
+    return F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn))
+
+
+def _condition_score(df: DataFrame, cond: BoostCondition, w: Window) -> Column:
+    if cond.filter is not None:
+        # binary: 1 if match else 0 (boost.go:54)
+        return F.when(F.coalesce(compile_where(df, cond.filter), F.lit(False)), 1.0).otherwise(0.0)
+    if cond.property_value is not None:
+        v = F.col(cond.property_value).cast("double")
+        if cond.pv_modifier == "log1p":
+            v = F.log1p(F.greatest(v, F.lit(0.0)))
+        elif cond.pv_modifier == "sqrt":
+            v = F.sqrt(F.greatest(v, F.lit(0.0)))
+        return _minmax_norm(v, w)
+    if cond.decay_col is not None:
+        dist = F.greatest(
+            F.abs(F.col(cond.decay_col).cast("double") - F.lit(cond.decay_origin))
+            - F.lit(cond.decay_offset),
+            F.lit(0.0),
+        )
+        s, dv = cond.decay_scale, cond.decay_value
+        if cond.decay_curve == "linear":
+            return F.greatest(F.lit(1.0) - dist * (1 - dv) / s, F.lit(0.0))
+        if cond.decay_curve == "exp":
+            lam = math.log(dv) / s
+            return F.exp(dist * lam)
+        # gauss: exp(dist^2 * ln(dv) / scale^2)
+        lam = math.log(dv) / (s * s)
+        return F.exp(dist * dist * F.lit(lam))
+    raise ValueError("boost condition needs filter, property_value, or decay_col")
+
+
+def boost_rerank(
+    hits: DataFrame,
+    score_col: str,
+    conditions: Sequence[BoostCondition],
+    weight: float = 0.5,
+    id_col: str = "_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Blended re-rank (usecases/traverser/boost_scorer.go:67-160):
+    primary scores min-max normalized over the window (all-equal -> 1),
+    boost = sum(w_i * cond_i) / sum(|w_i|), final = (1-w)*primary_norm
+    + w*boost; re-sort final desc, id asc. Distance-shaped primaries
+    should be converted to scores first (distToScore)."""
+    if not conditions or weight <= 0:
+        return hits
+    w = Window.partitionBy()
+    primary = F.col(score_col).cast("double")
+    if not descending:
+        primary = -primary
+    p_norm = _minmax_norm(primary, w)
+    weight_sum = sum(abs(c.weight) for c in conditions) or 1.0
+    boost = None
+    for c in conditions:
+        term = _condition_score(hits, c, w) * F.lit(c.weight)
+        boost = term if boost is None else boost + term
+    boost = boost / F.lit(weight_sum)
+    out = hits.withColumn("_boosted_score", F.round((1 - weight) * p_norm + weight * boost, 6))
+    return out.orderBy(F.col("_boosted_score").desc(), F.col(id_col).asc())
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (adapters/repos/db/selection_hybrid.go:28-90)
+
+def mmr_select(
+    rows: list[dict],
+    vector_key: str,
+    score_key: str,
+    k: int,
+    balance: float = 0.5,
+) -> list[dict]:
+    """Greedy maximal-marginal-relevance over a collected window
+    (<= limit rows — driver-side by design, like the reference which
+    operates on the fetched window): next = argmax balance*relevance -
+    (1-balance)*max_cosine_sim_to_selected."""
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dp / (na * nb)
+
+    remaining = list(rows)
+    selected: list[dict] = []
+    while remaining and len(selected) < k:
+        best, best_val = None, -float("inf")
+        for r in remaining:
+            rel = float(r[score_key])
+            sim = max((cos(r[vector_key], s[vector_key]) for s in selected), default=0.0)
+            val = balance * rel - (1 - balance) * sim
+            if val > best_val:
+                best, best_val = r, val
+        selected.append(best)
+        remaining.remove(best)
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# legacy `group` merge (usecases/traverser/grouper/grouper.go:33-143)
+
+def legacy_group(
+    rows: list[dict],
+    vector_key: str,
+    force: float,
+    strategy: str = "closest",
+) -> list[dict]:
+    """Post-search clustering of the collected top-k: rows whose
+    normalized vector cosine-distance < force merge into one group;
+    'closest' keeps the best-ranked member, 'merge' averages vectors.
+    Driver-side single-linkage over <= limit rows (as in the
+    reference, which loops over the fetched result slice)."""
+
+    def dist(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return 1 - dp / (na * nb)
+
+    groups: list[list[dict]] = []
+    for r in rows:
+        placed = False
+        for g in groups:
+            if any(dist(r[vector_key], m[vector_key]) < force for m in g):
+                g.append(r)
+                placed = True
+                break
+        if not placed:
+            groups.append([r])
+    out = []
+    for g in groups:
+        if strategy == "merge" and len(g) > 1:
+            dim = len(g[0][vector_key])
+            centroid = [sum(m[vector_key][d] for m in g) / len(g) for d in range(dim)]
+            rep = dict(g[0])
+            rep[vector_key] = centroid
+            rep["_group_size"] = len(g)
+            out.append(rep)
+        else:
+            rep = dict(g[0])
+            rep["_group_size"] = len(g)
+            out.append(rep)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Explore{} cross-class vector search (explorer.go:798-846)
+
+def explore(
+    legs: Sequence[tuple[str, DataFrame]],
+    limit: int,
+) -> DataFrame:
+    """One vector search across classes: per-class nearVector results
+    (id, _distance) tagged with the class name, globally merged by
+    distance asc, id asc (same metric required across classes —
+    traverser_explore_concepts.go:23-50)."""
+    out = None
+    for class_name, leg in legs:
+        tagged = leg.select(
+            F.lit(class_name).alias("class_name"),
+            F.col(leg.columns[0]).cast("string").alias("id"),
+            "_distance",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.orderBy(F.col("_distance").asc(), F.col("id").asc()).limit(limit)
+
+
+# ---------------------------------------------------------------------------
+# kNN classification (usecases/classification/classifier_run_knn.go)
+
+def knn_classify(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str,
+    vector_col: str,
+    label_col: str,
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """For each unlabeled row: k nearest labeled rows vote; majority
+    wins, ties -> smallest label (deterministic). Plan: distance join +
+    per-query window top-k + vote aggregation. At scale the join side
+    is pruned by an ANN index (operators/similarity.py) instead of the
+    full cross join."""
+    from weaviate_spark.functions.distance import distance
+
+    q = unlabeled.select(F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv"))
+    t = labeled.select(
+        F.col(id_col).alias("_tid"), F.col(vector_col).alias("_tv"),
+        F.col(label_col).alias("_label"),
+    )
+    joined = q.crossJoin(t).withColumn(
+        "_d", F.round(distance(F.col("_qv"), F.col("_tv"), metric), 6)
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_tid").asc())
+    topk = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    votes = topk.groupBy("_qid", "_label").agg(F.count(F.lit(1)).alias("_votes"))
+    wv = Window.partitionBy("_qid").orderBy(F.col("_votes").desc(), F.col("_label").asc())
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .where(F.col("_r") == 1)
+        .select(F.col("_qid").alias(id_col), F.col("_label").alias("predicted_label"),
+                F.col("_votes").alias("votes"))
+    )

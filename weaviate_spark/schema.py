@@ -1,0 +1,176 @@
+"""Schema registry + auto-schema inference (SURVEY §1.2, §3.3).
+
+A Collection is a named, typed container (entities/models/class.go); its
+properties map to Spark StructFields via the §1.2 type table. Index
+toggles (indexFilterable / indexSearchable / indexRangeFilters,
+tokenization) are carried as metadata and validated at query-build time
+— Spark needs no physical index, but the legality rules are preserved
+(e.g. BM25 only over searchable text props,
+entities/searchparams/retrieval.go:54-65).
+
+Auto-schema (usecases/objects/auto_schema.go:82,232 determineType):
+values arriving as strings are sniffed with the reference's exact
+shape-guards:
+* couldBeRFC3339 (:220-222): '-' at 4 and 7, 'T'/'t' at 10, len >= 20,
+  then a real datetime parse -> date.
+* couldBeUUID (:226-231): len in {32, 36, 38, 45}, then a real uuid
+  parse -> uuid.
+* bool -> boolean, int -> int, float -> number,
+  {latitude, longitude} dict -> geoCoordinates, nested dict -> object,
+  lists recurse to array types, bytes -> blob; fallback text.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import types as T
+
+WEAVIATE_TO_SPARK: dict[str, T.DataType] = {
+    "text": T.StringType(),
+    "string": T.StringType(),          # deprecated alias
+    "int": T.LongType(),
+    "number": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),         # ns -> µs documented divergence
+    "uuid": T.StringType(),            # canonical lowercase
+    "geoCoordinates": T.StructType([
+        T.StructField("latitude", T.FloatType()),
+        T.StructField("longitude", T.FloatType()),
+    ]),
+    "phoneNumber": T.StructType([
+        T.StructField("input", T.StringType()),
+        T.StructField("defaultCountry", T.StringType()),
+        T.StructField("internationalFormatted", T.StringType()),
+        T.StructField("nationalFormatted", T.StringType()),
+        T.StructField("countryCode", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]),
+    "blob": T.BinaryType(),
+    "blobHash": T.StringType(),        # sha256 hex
+}
+
+
+@dataclass
+class Property:
+    name: str
+    data_type: str                      # weaviate type name, "text[]" for arrays
+    tokenization: str = "word"
+    index_filterable: bool = True
+    index_searchable: bool = True       # only meaningful for text/text[]
+    index_range_filters: bool = False
+    nested: list["Property"] = field(default_factory=list)
+
+    def spark_type(self) -> T.DataType:
+        dt = self.data_type
+        if dt.endswith("[]"):
+            return T.ArrayType(Property(self.name, dt[:-2], nested=self.nested).spark_type())
+        if dt == "object":
+            return T.StructType([
+                T.StructField(p.name, p.spark_type()) for p in self.nested
+            ])
+        if dt not in WEAVIATE_TO_SPARK:
+            # cref: class names as dataType -> beacon array
+            return T.ArrayType(T.StructType([
+                T.StructField("beacon", T.StringType()),
+                T.StructField("className", T.StringType()),
+                T.StructField("id", T.StringType()),
+            ]))
+        return WEAVIATE_TO_SPARK[dt]
+
+    def searchable(self) -> bool:
+        """HasSearchableIndex (retrieval.go:54-65): text types only."""
+        return self.index_searchable and self.data_type in ("text", "text[]", "string", "string[]")
+
+
+@dataclass
+class Collection:
+    name: str
+    properties: list[Property] = field(default_factory=list)
+    vector_dim: int | None = None
+    multi_tenancy: bool = False
+
+    def spark_schema(self, with_reserved: bool = True) -> T.StructType:
+        fields = [T.StructField(p.name, p.spark_type()) for p in self.properties]
+        if with_reserved:
+            fields = [
+                T.StructField("_id", T.StringType(), False),
+                *fields,
+                T.StructField("_creationTimeUnix", T.LongType()),
+                T.StructField("_lastUpdateTimeUnix", T.LongType()),
+            ]
+            if self.vector_dim:
+                fields.append(T.StructField("_vector", T.ArrayType(T.FloatType())))
+            if self.multi_tenancy:
+                fields.append(T.StructField("_tenant", T.StringType()))
+        return T.StructType(fields)
+
+    def property(self, name: str) -> Property:
+        for p in self.properties:
+            if p.name == name:
+                return p
+        raise KeyError(f"no property {name!r} in collection {self.name}")
+
+
+# ---------------------------------------------------------------------------
+# auto-schema (determineType)
+
+def could_be_rfc3339(s: str) -> bool:
+    """auto_schema.go:220-222."""
+    return len(s) >= 20 and s[4] == "-" and s[7] == "-" and s[10] in ("T", "t")
+
+
+def could_be_uuid(s: str) -> bool:
+    """auto_schema.go:226-231."""
+    return len(s) in (32, 36, 38, 45)
+
+
+def determine_type(value, of_nested: bool = False) -> str:
+    """Port of determineType (auto_schema.go:232-...): infer the
+    weaviate type of a JSON-ish python value."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, float):
+        return "number"
+    if isinstance(value, bytes):
+        return "blob"
+    if isinstance(value, str):
+        if could_be_rfc3339(value):
+            try:
+                datetime.fromisoformat(value.replace("Z", "+00:00"))
+                return "date"
+            except ValueError:
+                pass
+        if could_be_uuid(value):
+            try:
+                uuid_mod.UUID(value.strip("{}").removeprefix("urn:uuid:"))
+                return "uuid"
+            except ValueError:
+                pass
+        return "text"
+    if isinstance(value, dict):
+        if set(value) == {"latitude", "longitude"}:
+            return "geoCoordinates"
+        return "object"
+    if isinstance(value, (list, tuple)):
+        if not value:
+            return "text[]"
+        return determine_type(value[0], of_nested) + "[]"
+    if value is None:
+        return "text"
+    raise TypeError(f"cannot infer weaviate type for {type(value)}")
+
+
+def infer_collection(name: str, sample: dict) -> Collection:
+    """Auto-schema a collection from one sample object (first-write
+    inference, auto_schema.go:82)."""
+    props = [
+        Property(k, determine_type(v))
+        for k, v in sample.items()
+        if not k.startswith("_")
+    ]
+    return Collection(name=name, properties=props)

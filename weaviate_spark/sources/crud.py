@@ -1,0 +1,125 @@
+"""Object CRUD / batch delete / TTL / multi-tenancy on parquet tables
+(SURVEY §2.1; reference: usecases/objects/{add,update,merge,delete,
+batch_add,batch_delete}.go, usecases/object_ttl/, usecases/multitenancy/).
+
+Storage is copy-on-write parquet (staging dir + atomic rename), the
+dependency-minimal stand-in for Delta's MERGE/DELETE. The API mirrors
+the reference's operations:
+
+* ``upsert``      — add/update (PUT) by key: MERGE semantics.
+* ``patch``       — merge (PATCH): update only provided columns.
+* ``delete_where``— batch delete by filter with ``dry_run`` and
+  match-count reporting (batch_delete.go:33-112 dryRun/output).
+* ``ttl_expired`` / ``purge_expired`` — read-time TTL predicate
+  (explorer.go:939 keepObjectsWithTTL) + the background deletion job
+  (object_ttl.go).
+* ``write_tenant_partitioned`` / ``read_tenant`` — tenant = partition
+  column; reads prune to one partition directory
+  (adapters/repos/db/search.go:103-108 tenant routing).
+
+Scale: COW rewrite is O(table) per call — exactly Delta-without-log;
+at 100 TB you bucket/partition so the rewrite touches only affected
+partitions (partition-pruned overwrite is demonstrated by the tenant
+variant: `partitionOverwriteMode=dynamic`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause, apply_where, compile_where
+
+
+def _rewrite(df: DataFrame, table_dir: str) -> None:
+    """Write df to a staging dir then swap — readers never see a
+    half-written table."""
+    staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
+    df.write.mode("overwrite").parquet(staging)
+    backup = table_dir.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(table_dir):
+        os.rename(table_dir, backup)
+    os.rename(staging, table_dir)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -> None:
+    """MERGE: replace rows with matching key, append the rest."""
+    current = spark.read.parquet(table_dir)
+    keys = [r[0] for r in new_rows.select(key).distinct().collect()]
+    kept = current.where(~F.col(key).isin(keys))
+    _rewrite(kept.unionByName(new_rows), table_dir)
+
+
+def patch(
+    spark: SparkSession, table_dir: str, key: str, key_value, updates: dict
+) -> None:
+    """PATCH: update only the provided columns of one object
+    (usecases/objects/merge.go)."""
+    current = spark.read.parquet(table_dir)
+    out = current
+    for col, val in updates.items():
+        out = out.withColumn(
+            col, F.when(F.col(key) == F.lit(key_value), F.lit(val)).otherwise(F.col(col))
+        )
+    _rewrite(out, table_dir)
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, where: Clause, dry_run: bool = False
+) -> int:
+    """Batch delete by filter; returns the matched count. dry_run
+    reports without rewriting (batch_delete.go dryRun)."""
+    current = spark.read.parquet(table_dir).cache()
+    pred = compile_where(current, where)
+    matched = current.where(pred).count()
+    if not dry_run and matched:
+        # two-valued keep-set: rows where pred is null are KEPT
+        kept = current.where(~F.coalesce(pred, F.lit(False)))
+        _rewrite(kept, table_dir)
+    current.unpersist()
+    return matched
+
+
+def ttl_expired(df: DataFrame, ttl_seconds: int, now_unix: int, created_col: str) -> DataFrame:
+    """Rows past their TTL (read-time exclusion predicate inverted)."""
+    return df.where(F.col(created_col) + F.lit(ttl_seconds) <= F.lit(now_unix))
+
+
+def with_ttl_filter(df: DataFrame, ttl_seconds: int, now_unix: int, created_col: str) -> DataFrame:
+    """Read-time TTL view: only live objects (explorer.go:939)."""
+    return df.where(F.col(created_col) + F.lit(ttl_seconds) > F.lit(now_unix))
+
+
+def purge_expired(
+    spark: SparkSession, table_dir: str, ttl_seconds: int, now_unix: int, created_col: str
+) -> int:
+    """The TTL background job: physically delete expired rows."""
+    current = spark.read.parquet(table_dir).cache()
+    expired = ttl_expired(current, ttl_seconds, now_unix, created_col).count()
+    if expired:
+        _rewrite(with_ttl_filter(current, ttl_seconds, now_unix, created_col), table_dir)
+    current.unpersist()
+    return expired
+
+
+def write_tenant_partitioned(df: DataFrame, table_dir: str, tenant_col: str) -> None:
+    """Partition the collection by tenant; per-tenant reads prune to one
+    directory, per-tenant overwrites rewrite only that partition."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(tenant_col)
+        .parquet(table_dir)
+    )
+
+
+def read_tenant(spark: SparkSession, table_dir: str, tenant_col: str, tenant) -> DataFrame:
+    """Single-tenant view; the equality predicate is a partition filter
+    (visible as PartitionFilters in the scan — §4.1 tenant routing)."""
+    return spark.read.parquet(table_dir).where(F.col(tenant_col) == F.lit(tenant))

@@ -1,0 +1,87 @@
+"""Streaming ingestion (SURVEY §2.9).
+
+Weaviate's "streaming" surface is ingestion-shaped: gRPC BatchStream
+(grpc/proto/v1/weaviate.proto:22) and the async vector-index queue
+(adapters/repos/db/vector_index_queue.go) that makes writes searchable
+eventually. The Spark mapping is Structured Streaming:
+
+* ``stream_ingest`` — readStream -> (optional transform, e.g. the
+  vectorizer/text-profile stage) -> foreachBatch append to the
+  collection's table. foreachBatch is the BatchStream analogue: each
+  micro-batch is one atomic append, per-batch error isolation, and the
+  table becomes queryable per batch (eventual visibility ≈ weaviate's
+  async indexing).
+* ``windowed_event_counts`` — tumbling-window aggregation with a
+  watermark for late data: not a weaviate feature (it has no streaming
+  query operators) but table stakes for the events table in a training
+  pipeline.
+
+Scale: foreachBatch appends are parallel parquet writes (one file per
+partition); the watermark bounds state size for the windowed agg. On a
+real deployment the sink would be Delta for ACID appends + compaction;
+plain parquet-append keeps the dependency surface to what is baked in.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """File-source streaming ingest into a parquet table via foreachBatch.
+
+    With ``available_now`` the stream drains everything currently in
+    `source_dir` and stops — the batch-replay mode used by tests and
+    backfills; without it the query keeps tailing the directory."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target_dir)
+
+    writer = stream.writeStream.foreachBatch(_append)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark; works on both
+    streaming and batch DataFrames (identical semantics — Spark's
+    unified model)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("_w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
