@@ -1,0 +1,102 @@
+"""Extended filter coverage: len(), tokenized Equal, nested object[]
+paths, _id/timestamp filters; multivector maxsim; module registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.filters import Clause, apply_where
+
+
+def test_len_filter_text_and_array(spark):
+    df = spark.createDataFrame(
+        [(1, "abc", ["x"]), (2, "abcdef", ["x", "y", "z"])],
+        "id int, t string, a array<string>",
+    )
+    out = apply_where(df, Clause(operator="GreaterThan", path=["len(t)"], value=4))
+    assert [r.id for r in out.collect()] == [2]
+    out = apply_where(df, Clause(operator="Equal", path=["len(a)"], value=3))
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_tokenized_equal(spark):
+    # row_reader.go:76-91: Equal on word-tokenized text matches per-token
+    df = spark.createDataFrame(
+        [(1, "The Quick Fox"), (2, "slow turtle")], ["id", "t"]
+    )
+    out = apply_where(
+        df, Clause(operator="Equal", path=["t"], value="quick", tokenization="word")
+    )
+    assert [r.id for r in out.collect()] == [1]
+    # without tokenization: exact match only
+    out = apply_where(df, Clause(operator="Equal", path=["t"], value="quick"))
+    assert out.count() == 0
+
+
+def test_nested_object_array_filter(spark):
+    # object[] path: ANY element matching admits the row (searcher_nested)
+    df = spark.createDataFrame(
+        [
+            (1, [{"name": "a", "n": 5}, {"name": "b", "n": 1}]),
+            (2, [{"name": "c", "n": 2}]),
+            (3, []),
+        ],
+        "id int, objs array<struct<name:string,n:int>>",
+    )
+    out = apply_where(df, Clause(operator="GreaterThan", path=["objs", "n"], value=4))
+    assert [r.id for r in out.collect()] == [1]
+    out = apply_where(df, Clause(operator="Like", path=["objs", "name"], value="c*"))
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_nested_struct_scalar_filter(spark):
+    df = spark.createDataFrame(
+        [(1, {"city": "berlin"}), (2, {"city": "paris"})],
+        "id int, addr struct<city:string>",
+    )
+    out = apply_where(df, Clause(operator="Equal", path=["addr", "city"], value="paris"))
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_maxsim_multivector(spark):
+    from weaviate_spark.operators.multivector import multivector_search
+
+    df = spark.createDataFrame(
+        [
+            (1, [[1.0, 0.0], [0.0, 1.0]]),     # covers both query tokens
+            (2, [[1.0, 0.0], [1.0, 0.0]]),     # only covers first
+        ],
+        "id long, toks array<array<float>>",
+    )
+    q = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["id"]: r["_score"] for r in multivector_search(df, "id", "toks", q).collect()}
+    assert out[1] == pytest.approx(2.0)  # 1 + 1
+    assert out[2] == pytest.approx(1.0)  # 1 + 0
+    assert out[1] > out[2]
+
+
+def test_vectorizer_and_near_text(spark):
+    from weaviate_spark.modules import hash_embed_py, near_text_vector, vectorize_column
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "hello world")], ["id", "t"])
+    out = df.withColumn("_vector", vectorize_column(F.col("t"), dim=8)).collect()
+    assert out[0]["_vector"] == out[1]["_vector"], "deterministic vectorizer"
+    assert len(out[0]["_vector"]) == 8
+
+    q = near_text_vector(["hello world"], dim=8)
+    assert q == pytest.approx(hash_embed_py("hello world", 8))
+    moved = near_text_vector(["hello world"], dim=8, move_to=["greetings"], force=0.5)
+    assert moved != pytest.approx(q)
+
+
+def test_reranker_and_generative(spark):
+    from weaviate_spark.modules import GENERATIVES, RERANKERS
+
+    df = spark.createDataFrame([(1, "spark joins fast"), (2, "other stuff")], ["id", "t"])
+    scored = df.withColumn("_rr", RERANKERS["reranker-dummy"]("spark joins")(F.col("t")))
+    by_id = {r["id"]: r["_rr"] for r in scored.collect()}
+    assert by_id[1] == 1.0 and by_id[2] == 0.0
+
+    gen = df.withColumn("_g", GENERATIVES["generative-dummy"]("Summary: {text}")(F.col("t")))
+    assert gen.collect()[0]["_g"] == "Summary: spark joins fast"

@@ -1035,3 +1035,43 @@ def q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight=0.5, id_col="c_custkey",
     )
     return out.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "_boosted_score")
+
+
+@register(
+    "filter_len_property",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part WHERE length(p_name) > 10 "
+        "ORDER BY p_partkey"
+    ),
+)
+def q_filter_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """len(prop) filter (schema/data_types.go:136-143): char count on text."""
+    spec = GetSpec(
+        collection="part",
+        where=Clause(operator="GreaterThan", path=["len(p_name)"], value=10),
+        sort=[SortKey(path=["p_partkey"])],
+        limit=10_000,
+        select=["p_partkey", "p_name"],
+    )
+    return compile_get(spark, sf_dir, spec)
+
+
+@register(
+    "filter_tokenized_equal",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE list_contains(regexp_extract_all(lower(p_name), '[a-z0-9]+'), 'widget') "
+        "ORDER BY p_partkey"
+    ),
+)
+def q_filter_tokenized_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized Equal (row_reader.go:76-91): Equal('Widget') on a
+    word-tokenized property matches any row whose tokens contain it."""
+    spec = GetSpec(
+        collection="part",
+        where=Clause(operator="Equal", path=["p_name"], value="Widget", tokenization="word"),
+        sort=[SortKey(path=["p_partkey"])],
+        limit=10_000,
+        select=["p_partkey", "p_name"],
+    )
+    return compile_get(spark, sf_dir, spec)

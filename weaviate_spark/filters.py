@@ -65,12 +65,19 @@ class GeoRange:
 
 @dataclass
 class Clause:
-    """One node of the where tree (entities/filters/filters.go:155-160)."""
+    """One node of the where tree (entities/filters/filters.go:155-160).
+
+    ``tokenization``: set to the property's tokenization mode to get
+    weaviate's tokenized-Equal semantics on text (row_reader.go:76-91 —
+    Equal on a word-tokenized property matches per-token, so
+    Equal("Quick") hits "the quick fox").
+    """
 
     operator: str
     path: Sequence[str] = ()
     value: Any = None
     operands: Sequence["Clause"] = field(default_factory=list)
+    tokenization: str | None = None
 
     def __post_init__(self) -> None:
         if self.operator not in OPERATORS:
@@ -128,13 +135,27 @@ def _two_valued_not(pred: Column) -> Column:
     return ~F.coalesce(pred, F.lit(False))
 
 
+_LEN_PATH = re.compile(r"^len\((.+)\)$")
+
+
 def _resolve(df: DataFrame, path: Sequence[str]) -> tuple[Column, Any]:
     """Resolve a property path to (Column, Spark DataType).
 
-    Round-1 scope: direct and nested-struct paths on the input DataFrame.
-    Ref-property paths (semi-joins, searcher_ref_filter.go) are handled a
-    level up in plans/compile.py because they need a second table.
+    Supported path shapes (entities/filters/filters.go path resolution):
+    * direct columns and nested-struct fields (a.b.c);
+    * ``len(prop)`` pseudo-path (schema/data_types.go:136-143): char
+      count for text, element count for arrays;
+    * reserved `_id` / `_creationTimeUnix` / `_lastUpdateTimeUnix`
+      (searcher.go:789,816) — plain columns here.
+    Ref-property paths (semi-joins, searcher_ref_filter.go) are handled
+    a level up (operators/refs.py) because they need a second table.
     """
+    if len(path) == 1 and (m := _LEN_PATH.match(path[0])):
+        inner, dtype = _resolve(df, m.group(1).split("."))
+        if isinstance(dtype, T.ArrayType):
+            return F.size(inner), T.IntegerType()
+        return F.length(inner), T.IntegerType()
+
     name = ".".join(path)
     col = F.col(name)
     dtype: Any = None
@@ -158,6 +179,38 @@ def _is_array(dtype: Any) -> bool:
     return isinstance(dtype, T.ArrayType)
 
 
+def _compile_on_struct(x: Column, stype: T.StructType, clause: Clause) -> Column:
+    """Compile a scalar sub-clause against a struct lambda variable
+    (nested object[] filters, searcher_nested_executor_recursive.go)."""
+    col: Column = x
+    dtype: Any = stype
+    for p in clause.path:
+        col = col[p]
+        if isinstance(dtype, T.StructType) and p in dtype.fieldNames():
+            dtype = dtype[p].dataType
+        else:
+            dtype = None
+    op, v = clause.operator, clause.value
+    if op == "Equal":
+        return col == F.lit(v)
+    if op == "NotEqual":
+        return _two_valued_not(col == F.lit(v))
+    if op == "GreaterThan":
+        return col > F.lit(v)
+    if op == "GreaterThanEqual":
+        return col >= F.lit(v)
+    if op == "LessThan":
+        return col < F.lit(v)
+    if op == "LessThanEqual":
+        return col <= F.lit(v)
+    if op == "Like":
+        return compile_like(col, v)
+    if op == "IsNull":
+        want_null = bool(v) if v is not None else True
+        return col.isNull() if want_null else col.isNotNull()
+    raise ValueError(f"operator {op} not supported inside object[] paths")
+
+
 def compile_where(df: DataFrame, clause: Clause) -> Column:
     """Compile a clause tree to a Column predicate (not yet null-wrapped)."""
     op = clause.operator
@@ -175,6 +228,25 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
             raise ValueError("Not takes exactly one operand")
         return _two_valued_not(compile_where(df, clause.operands[0]))
 
+    # nested object[] path: [arrayProp, sub, ...] -> exists(arr, x -> pred)
+    # (searcher_nested.go / nested plan+executor; object[] semantics:
+    # the row matches if ANY element matches)
+    if len(clause.path) > 1:
+        head_dtype = (
+            df.schema[clause.path[0]].dataType if clause.path[0] in df.columns else None
+        )
+        if isinstance(head_dtype, T.ArrayType) and isinstance(
+            head_dtype.elementType, T.StructType
+        ):
+            sub = Clause(
+                operator=op, path=list(clause.path[1:]), value=clause.value,
+                tokenization=clause.tokenization,
+            )
+            return F.exists(
+                F.col(clause.path[0]),
+                lambda x: _compile_on_struct(x, head_dtype.elementType, sub),
+            )
+
     col, dtype = _resolve(df, clause.path)
     v = clause.value
 
@@ -182,6 +254,18 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
         want_null = bool(v) if v is not None else True
         return col.isNull() if want_null else col.isNotNull()
     if op == "Equal":
+        if clause.tokenization and isinstance(dtype, T.StringType):
+            # tokenized Equal: per-token match (row_reader.go:76-91)
+            from weaviate_spark.functions.text import tokenize, tokenize_py
+
+            toks = tokenize(col, clause.tokenization)
+            target = tokenize_py(str(v), clause.tokenization)
+            if not target:
+                return F.lit(False)
+            out = F.array_contains(toks, target[0])
+            for t in target[1:]:
+                out = out & F.array_contains(toks, t)
+            return out
         return col == F.lit(v)
     if op == "NotEqual":
         return _two_valued_not(col == F.lit(v))

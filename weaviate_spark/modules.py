@@ -1,0 +1,129 @@
+"""Module registry: the UDF extension surface (SURVEY §2.10).
+
+Weaviate's extension point is capability modules
+(entities/modulecapabilities/, usecases/modules/): vectorizers
+(text2vec-*), rerankers (reranker-*), generative (generative-*). The
+Spark mapping is a registry of Arrow-batched pandas_udfs applied as
+plan stages:
+
+* vectorizer  — text -> array<float>; applied at ingest
+  (withColumn("_vector", ...)) and to nearText query strings
+  (driver-side, same function — the VectorFromInput analogue).
+* reranker    — (query, doc text) -> score; applied to the top-k
+  window after search (reranker-* modules re-order the fetched k).
+* generative  — (prompt, doc) -> text; per-result map stage
+  (generative-* single-prompt mode).
+
+Shipped implementations are deterministic dummies (like the
+reference's own `generative-dummy` module) so pipelines are testable
+offline; a real model plugs in by registering a function with the same
+signature — the plan shape does not change.
+
+nearText's moveTo/moveAwayFrom concept arithmetic
+(retrieval.go:149-160): q' = q + force*(avg(to) - q) - force*(avg(away) - q),
+implemented on the driver-side query vector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+VECTORIZERS: dict[str, Callable] = {}
+RERANKERS: dict[str, Callable] = {}
+GENERATIVES: dict[str, Callable] = {}
+
+
+def register_vectorizer(name: str):
+    def deco(fn):
+        VECTORIZERS[name] = fn
+        return fn
+    return deco
+
+
+def hash_embed_py(text: str, dim: int = 16) -> list[float]:
+    """Deterministic text embedding: md5-seeded unit vector (the
+    text2vec-dummy). Same function serves column batches and query
+    strings, so nearText is self-consistent."""
+    raw = []
+    data = (text or "").encode()
+    for d in range(dim):
+        h = hashlib.md5(data + d.to_bytes(4, "little")).digest()
+        raw.append(int.from_bytes(h[:4], "little") / 0xFFFFFFFF - 0.5)
+    n = math.sqrt(sum(x * x for x in raw)) or 1.0
+    return [x / n for x in raw]
+
+
+@register_vectorizer("text2vec-dummy")
+def text2vec_dummy(dim: int = 16):
+    @pandas_udf("array<float>")
+    def _embed(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda t: hash_embed_py(t, dim))
+
+    return _embed
+
+
+def vectorize_column(text_col: Column, module: str = "text2vec-dummy", dim: int = 16) -> Column:
+    """Ingest-time vectorizer stage: withColumn('_vector', ...)."""
+    return VECTORIZERS[module](dim)(text_col)
+
+
+def near_text_vector(
+    concepts: list[str],
+    module: str = "text2vec-dummy",
+    dim: int = 16,
+    move_to: list[str] | None = None,
+    move_away: list[str] | None = None,
+    force: float = 0.5,
+) -> list[float]:
+    """Query-side nearText: embed concepts (averaged), then apply
+    moveTo/moveAwayFrom concept arithmetic (retrieval.go:149-160)."""
+    def avg(texts: list[str]) -> list[float]:
+        vs = [hash_embed_py(t, dim) for t in texts]
+        return [sum(col) / len(vs) for col in zip(*vs)]
+
+    q = avg(concepts)
+    if move_to:
+        to = avg(move_to)
+        q = [qi + force * (ti - qi) for qi, ti in zip(q, to)]
+    if move_away:
+        aw = avg(move_away)
+        q = [qi - force * (ai - qi) for qi, ai in zip(q, aw)]
+    return q
+
+
+def reranker_dummy(query: str):
+    """Deterministic rerank score: token-overlap ratio with the query
+    (the reranker-dummy). Returns a pandas_udf over doc text."""
+    qtok = set((query or "").lower().split())
+
+    @pandas_udf("double")
+    def _score(batch: pd.Series) -> pd.Series:
+        def s(t):
+            dtok = set((t or "").lower().split())
+            return len(qtok & dtok) / (len(qtok) or 1)
+        return batch.map(s)
+
+    return _score
+
+
+RERANKERS["reranker-dummy"] = reranker_dummy
+
+
+def generative_dummy(prompt_template: str):
+    """Per-result generative stage (generative-dummy): fills {text}
+    into the template — the plan-stage shape of generative-* modules."""
+    @pandas_udf("string")
+    def _gen(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda t: prompt_template.replace("{text}", t or ""))
+
+    return _gen
+
+
+GENERATIVES["generative-dummy"] = generative_dummy
