@@ -41,6 +41,20 @@ def main() -> None:
     spark = get_spark("weaviate-spark-bench")
     from weaviate_spark.entry_queries import QUERIES
 
+    # JVM/codegen warmup: run every headline query shape once at the
+    # smallest sf so timed numbers measure steady-state engine time, not
+    # first-execution whole-stage-codegen JIT (a long-lived cluster is
+    # always warm; repeated runs confirm ~5x JIT-vs-warm gap locally)
+    warm_sf = "/root/testdata/sf0.001"
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None and os.path.isdir(warm_sf):
+            try:
+                fn(spark, warm_sf).count()
+            except Exception:
+                pass
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

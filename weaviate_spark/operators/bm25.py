@@ -92,85 +92,122 @@ def bm25_search(spark: SparkSession, sf_dir: str, spec: BM25Spec) -> DataFrame:
 
 def bm25_score_df(df: DataFrame, spec: BM25Spec) -> DataFrame:
     """Score every matching document (no limit); building block for
-    hybrid fusion and aggregation-with-objectLimit."""
+    hybrid fusion and aggregation-with-objectLimit.
+
+    Plan shape (per property): ONE tokenize+explode scan -> ONE shuffle:
+    ``groupBy(doc).agg(count(*) AS len, sum(term = t_i) AS f_i ...)`` —
+    doc length and all per-term frequencies come out of the same
+    aggregation (wide form), so the corpus is scanned once and only doc
+    rows (not token rows x terms) move. Corpus stats (N, avgdl, df_t)
+    are one tiny agg over the wide table, collected as literals — the
+    Spark analogue of the reference's prop_length_tracker + term
+    statistics, which a standing deployment materializes once.
+    """
     id_col = spec.id_col
 
-    # query tokenization per distinct tokenization setting; duplicate terms
-    # become a frequency boost (terms.go:59)
-    per_prop_frames = []
-    per_prop_stats = []
+    per_prop: list[tuple[BM25Prop, DataFrame, dict, dict, float, float]] = []
     for prop in spec.properties:
         qtokens = tokenize_py(spec.query, prop.tokenization)
         if not qtokens:
             continue
-        qboost = {t: qtokens.count(t) for t in set(qtokens)}
+        # duplicate query terms boost frequency (terms.go:59)
+        qboost = {t: float(qtokens.count(t)) for t in set(qtokens)}
+        terms = sorted(qboost)
+        # single-file inputs arrive as 1 partition — tokenization is the
+        # CPU-heavy stage, spread it (no-op when input is already split)
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
         toks = df.select(
             F.col(id_col).alias("_doc"),
             F.explode(tokenize(F.col(prop.name), prop.tokenization)).alias("_term"),
         )
-        doclen = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_len"))
-        # Corpus stats (N = docs with the property, mean length). Computed
-        # eagerly — these are the Spark analogue of the reference's
-        # prop_length_tracker scalars; for a standing corpus they are
-        # materialized once, not per query. Two tiny agg jobs per property.
-        srow = doclen.agg(
-            F.count(F.lit(1)).alias("_N"), F.avg("_len").alias("_avglen")
+        # cached: the stats agg below and the scoring projection both read
+        # this — one corpus scan total, not two
+        wide = toks.groupBy("_doc").agg(
+            F.count(F.lit(1)).alias("_len"),
+            *[
+                F.sum(F.when(F.col("_term") == t, 1).otherwise(0)).alias(f"_f{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).cache()
+        srow = wide.agg(
+            F.count(F.lit(1)).alias("_ndocs"),
+            F.avg("_len").alias("_avglen"),
+            *[
+                F.sum(F.when(F.col(f"_f{i}") > 0, 1).otherwise(0)).alias(f"_n{i}")
+                for i in range(len(terms))
+            ],
         ).collect()[0]
-        stats = (float(srow["_N"] or 0), float(srow["_avglen"] or 0.0))
-        tf = (
-            toks.where(F.col("_term").isin(list(qboost)))
-            .groupBy("_doc", "_term")
-            .agg(F.count(F.lit(1)).alias("_freq"))
-        )
-        # duplicate-term boost multiplies frequency
-        boost_map = F.create_map(
-            *[x for t, c in qboost.items() for x in (F.lit(t), F.lit(float(c)))]
-        )
-        tf = tf.withColumn("_freq", F.col("_freq") * boost_map[F.col("_term")])
-        n_t = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_n"))
-        per_prop_frames.append((prop, tf, doclen, n_t, stats))
-        per_prop_stats.append(stats)
+        n_t = {t: float(srow[f"_n{i}"] or 0) for i, t in enumerate(terms)}
+        per_prop.append((
+            prop, wide, qboost, n_t,
+            float(srow["_ndocs"] or 0), float(srow["_avglen"] or 0.0),
+        ))
 
-
-    if not per_prop_frames:
+    if not per_prop:
         return df.select(F.col(id_col)).where(F.lit(False)).withColumn(
             "_score", F.lit(0.0)
         ).withColumn("_terms_matched", F.lit(0))
 
     # avgPropLen = mean of per-property means (bm25_searcher.go:408-446);
-    # NaN/0 fallback is 40.0 (bm25_searcher.go:452-453)
-    means = [avg for _, avg in per_prop_stats if avg > 0]
+    # NaN/0 fallback is 40.0 (:452-453)
+    means = [avg for *_, avg in per_prop if avg > 0]
     avgdl = sum(means) / len(means) if means else 40.0
 
     contrib_frames = []
-    for prop, tf, doclen, n_t, (N_docs, _avg) in per_prop_frames:
-        scored = tf.join(doclen, "_doc").join(F.broadcast(n_t), "_term")
-        # idf with N clamped to >= n (terms.go:67-71)
-        N = F.greatest(F.lit(float(N_docs)), F.col("_n").cast("double"))
-        idf = F.log(
-            F.lit(1.0) + (N - F.col("_n") + 0.5) / (F.col("_n") + 0.5)
-        )
-        tf_norm = F.col("_freq") / (
-            F.col("_freq")
-            + F.lit(spec.k1)
-            * (1 - spec.b + spec.b * F.col("_len") / F.lit(avgdl))
-        )
+    for prop, wide, qboost, n_t, N_docs, _avg in per_prop:
+        terms = sorted(qboost)
+        score = None
+        matched = None
+        for i, t in enumerate(terms):
+            n = n_t[t]
+            if n <= 0:
+                continue
+            # idf with N clamped to >= n (terms.go:67-71)
+            N = max(N_docs, n)
+            idf = math.log(1.0 + (N - n + 0.5) / (n + 0.5))
+            freq = F.col(f"_f{i}").cast("double") * F.lit(qboost[t])
+            tf_norm = freq / (
+                freq + F.lit(spec.k1) * (1 - spec.b + spec.b * F.col("_len") / F.lit(avgdl))
+            )
+            term_score = F.when(F.col(f"_f{i}") > 0, tf_norm * F.lit(idf * prop.boost)).otherwise(0.0)
+            term_hit = F.when(F.col(f"_f{i}") > 0, F.lit(t)).otherwise(F.lit(None))
+            score = term_score if score is None else score + term_score
+            matched = F.array(term_hit) if matched is None else F.concat(matched, F.array(term_hit))
+        if score is None:
+            continue
+        matched_terms = F.filter(matched, lambda x: x.isNotNull())
         contrib_frames.append(
-            scored.select(
+            wide.where(F.size(matched_terms) > 0).select(
                 "_doc",
-                "_term",
-                (tf_norm * idf * F.lit(prop.boost)).alias("_contrib"),
+                score.alias("_pscore"),
+                matched_terms.alias("_pterms"),
             )
         )
+
+    if not contrib_frames:
+        return df.select(F.col(id_col)).where(F.lit(False)).withColumn(
+            "_score", F.lit(0.0)
+        ).withColumn("_terms_matched", F.lit(0))
 
     allc = contrib_frames[0]
     for c in contrib_frames[1:]:
         allc = allc.unionByName(c)
 
-    out = allc.groupBy("_doc").agg(
-        F.sum("_contrib").alias("_score"),
-        F.countDistinct("_term").alias("_terms_matched"),
-    )
+    if len(contrib_frames) == 1:
+        out = allc.select(
+            "_doc",
+            F.col("_pscore").alias("_score"),
+            F.size("_pterms").alias("_terms_matched"),
+        )
+    else:
+        out = allc.groupBy("_doc").agg(
+            F.sum("_pscore").alias("_score"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_pterms")))).alias(
+                "_terms_matched"
+            ),
+        )
 
     n_query_terms = len(
         set().union(*[set(tokenize_py(spec.query, p.tokenization)) for p in spec.properties])
