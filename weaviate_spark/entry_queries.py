@@ -1075,3 +1075,169 @@ def q_filter_tokenized_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["p_partkey", "p_name"],
     )
     return compile_get(spark, sf_dir, spec)
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference semantics: geo, multi-target, offset, objectLimit,
+# hybrid distance cutoff, blobHash
+
+@register(
+    "filter_geo_within_range",
+    oracle=(
+        # deterministic synthetic geo: lat/lon derived from c_custkey
+        "WITH geo AS (SELECT c_custkey, c_name, "
+        "  35 + (c_custkey % 30) + 0.5 AS lat, (c_custkey % 60) - 15 + 0.5 AS lon "
+        "FROM customer) "
+        "SELECT c_custkey, c_name FROM geo "
+        "WHERE 2 * 6371000.0 * asin(sqrt("
+        "  pow(sin(radians(52.52 - lat) / 2), 2) + "
+        "  cos(radians(lat)) * cos(radians(52.52)) * pow(sin(radians(13.405 - lon) / 2), 2)"
+        ")) <= 2000000 ORDER BY c_custkey"
+    ),
+)
+def q_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WithinGeoRange (geo.go:77-110, haversine distancer): customers
+    with synthetic deterministic coordinates within 2000 km of Berlin."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.filters import GeoRange
+
+    df = _load(spark, sf_dir, "customer").withColumn(
+        "location",
+        F.struct(
+            (35 + (F.col("c_custkey") % 30) + 0.5).cast("double").alias("latitude"),
+            ((F.col("c_custkey") % 60) - 15 + 0.5).cast("double").alias("longitude"),
+        ),
+    )
+    from weaviate_spark.filters import compile_where
+
+    out = df.where(compile_where(df, Clause(
+        operator="WithinGeoRange", path=["location"],
+        value=GeoRange(latitude=52.52, longitude=13.405, distance_meters=2_000_000),
+    )))
+    return out.select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@register(
+    "knn_multi_target",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        "list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS rv FROM embeddings), "
+        "d AS (SELECT vec_id, "
+        "round(1 - list_dot_product(ev, qv) / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS d0, "
+        "round(1 - list_dot_product(rv, qv) / (sqrt(list_dot_product(rv, rv)) * sqrt(list_dot_product(qv, qv))), 6) AS d1 "
+        "FROM e CROSS JOIN q) "
+        "SELECT vec_id, least(d0, d1) AS _distance FROM d "
+        "ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-target vector search (shard_combine_multi_target.go):
+    two named vectors (embedding + its reverse as a second target),
+    Minimum combination (the default), inner-join drop semantics."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.vector import multi_target_combine, with_distance, NearVectorSpec
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rev = emb.withColumn("embedding", F.reverse(F.col("embedding")))
+    leg0 = with_distance(emb, NearVectorSpec(collection="embeddings", vector=QVEC)).select("vec_id", "_distance")
+    leg1 = with_distance(rev, NearVectorSpec(collection="embeddings", vector=QVEC)).select("vec_id", "_distance")
+    out = multi_target_combine([leg0, leg1], "vec_id", "min")
+    return out.orderBy(F.col("_distance").asc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "pagination_offset",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey "
+        "LIMIT 10 OFFSET 25"
+    ),
+)
+def q_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """offset+limit pagination (pagination.go:14-29) under the server cap."""
+    spec = GetSpec(
+        collection="customer",
+        sort=[SortKey(path=["c_custkey"])],
+        offset=25, limit=10,
+        select=["c_custkey", "c_name"],
+    )
+    return compile_get(spark, sf_dir, spec)
+
+
+@register(
+    "agg_object_limit",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+        f"topk AS (SELECT vec_id, label, {_COS_SQL} AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 100) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS meta_count, "
+        "round(avg(_distance), 6) AS _distance_mean "
+        "FROM topk GROUP BY label"
+    ),
+)
+def q_agg_object_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation with objectLimit (aggregator/hybrid.go,
+    vector_search.go): aggregate over only the top-100 of a vector
+    search."""
+    from pyspark.sql import functions as F
+
+    topk = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=100,
+    )).select("vec_id", "label", "_distance")
+    return topk.groupBy("label").agg(
+        F.count(F.lit(1)).alias("meta_count"),
+        F.round(F.avg("_distance"), 6).alias("_distance_mean"),
+    )
+
+
+@register(
+    "hybrid_distance_cutoff",
+    oracle=None,  # set below — needs the ranked-fusion SQL with a cutoff
+)
+def q_hybrid_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid with maxVectorDistance: cutoff prunes the vector leg AND
+    removes keyword hits beyond it (hybrid/searcher.go:114-133)."""
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="ranked", limit=25, max_vector_distance=0.9,
+    ))
+
+
+ORACLES["hybrid_distance_cutoff"] = hybrid_oracle_sql(
+    "spark filter join", QVEC, alpha=0.5, fusion="ranked", limit=25
+).replace(
+    "bm AS (SELECT id, sec FROM bm_all ORDER BY sec DESC, id ASC LIMIT 100),",
+    "bm_cut AS (SELECT id, sec FROM bm_all ORDER BY sec DESC, id ASC LIMIT 100),\n"
+    "bm AS (SELECT b.id, b.sec FROM bm_cut b JOIN vd_all v ON v.id = b.id WHERE v._distance <= 0.9),",
+).replace(
+    "vd AS (",
+    "vd_all AS (SELECT doc_id AS id, round(1 - list_dot_product(ev, v) /\n"
+    "    (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(v, v))), 6) AS _distance\n"
+    "  FROM (SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM corpus)\n"
+    "  CROSS JOIN qv),\n"
+    "vd AS (",
+).replace(
+    "ORDER BY _distance ASC, id ASC LIMIT 100\n),\nve AS",
+    "WHERE _distance <= 0.9 ORDER BY _distance ASC, id ASC LIMIT 100\n),\nve AS",
+)
+
+
+@register(
+    "blob_hash",
+    oracle=(
+        "SELECT doc_id, sha256(text) AS content_sha256 FROM documents "
+        "ORDER BY doc_id LIMIT 100"
+    ),
+)
+def q_blob_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blobHash type (data_types.go:45-46): sha256 stored instead of
+    the payload."""
+    from pyspark.sql import functions as F
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .orderBy("doc_id").limit(100)
+    )
