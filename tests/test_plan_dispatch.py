@@ -1,0 +1,73 @@
+"""GetSpec search dispatch (explorer.go routing) + phone parsing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.plans import GetSpec, SortKey, compile_get
+from weaviate_spark.plans.spec import BM25, Hybrid, NearVector
+
+
+def test_get_with_bm25(spark, sf_dir):
+    out = compile_get(spark, sf_dir, GetSpec(
+        collection="documents",
+        bm25=BM25(query="spark filter join", properties=["text"]),
+        limit=5,
+        extra={"id_col": "doc_id"},
+    ))
+    rows = out.collect()
+    assert len(rows) == 5 and "_score" in out.columns
+
+
+def test_get_with_near_vector(spark, sf_dir):
+    from weaviate_spark.entry_queries import QVEC
+
+    out = compile_get(spark, sf_dir, GetSpec(
+        collection="embeddings",
+        near_vector=NearVector(vector=QVEC),
+        limit=3,
+        extra={"id_col": "vec_id"},
+    ))
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["_distance"] <= rows[1]["_distance"]
+
+
+def test_get_with_hybrid_and_autocut(spark, sf_dir):
+    from weaviate_spark.entry_queries import QVEC
+
+    out = compile_get(spark, sf_dir, GetSpec(
+        collection="docs_embedded",
+        hybrid=Hybrid(query="spark filter join", vector=QVEC, alpha=0.5, fusion="ranked"),
+        limit=20, autocut=1,
+        extra={"id_col": "doc_id"},
+    ))
+    n = out.count()
+    assert 0 < n <= 20
+
+
+def test_search_with_sort_rejected(spark, sf_dir):
+    with pytest.raises(ValueError):
+        compile_get(spark, sf_dir, GetSpec(
+            collection="documents",
+            bm25=BM25(query="x"),
+            sort=[SortKey(path=["doc_id"])],
+            extra={"id_col": "doc_id"},
+        ))
+
+
+def test_phone_parse(spark):
+    from weaviate_spark.functions.phone import parse_phone
+
+    df = spark.createDataFrame(
+        [(1, "+4930123456"), (2, "030 1234567"), (3, "0031 20 555 1234"), (4, "xx")],
+        ["id", "phone"],
+    )
+    out = df.select("id", parse_phone(F.col("phone"), "DE").alias("p")).collect()
+    by = {r["id"]: r["p"] for r in out}
+    assert by[1]["countryCode"] == 49 and by[1]["valid"] is True
+    assert by[1]["internationalFormatted"] == "+4930123456"
+    assert by[2]["countryCode"] == 49 and by[2]["nationalFormatted"] == "0301234567"
+    assert by[3]["countryCode"] == 31 and by[3]["valid"] is True
+    assert by[4]["valid"] is False

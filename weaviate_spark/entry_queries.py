@@ -1241,3 +1241,64 @@ def q_blob_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
         .orderBy("doc_id").limit(100)
     )
+
+
+@register(
+    "events_json_props",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min, "
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props (object-typed property analogue, §1.2):
+    JSON extraction + aggregation over events.props."""
+    from pyspark.sql import functions as F
+
+    df = _load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "agg_date_median_mode",
+    oracle=(
+        "WITH t AS (SELECT o_orderpriority, epoch_us(o_orderdate) AS e FROM orders), "
+        "med AS (SELECT o_orderpriority, round(median(CAST(e AS DOUBLE)), 1) AS orderdate_median_us "
+        "  FROM t GROUP BY 1), "
+        "mode_ AS (SELECT o_orderpriority, e AS orderdate_mode_us FROM ("
+        "  SELECT o_orderpriority, e, row_number() OVER (PARTITION BY o_orderpriority "
+        "    ORDER BY count(*) DESC, e ASC) AS rn FROM t GROUP BY 1, 2) WHERE rn = 1) "
+        "SELECT med.o_orderpriority, orderdate_median_us, orderdate_mode_us "
+        "FROM med JOIN mode_ USING (o_orderpriority)"
+    ),
+)
+def q_agg_date_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date median/mode (aggregator/date.go — median over epoch values,
+    mode smallest-tie). Exposed as epoch-µs values so even-N interpolated
+    medians compare exactly across engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    df = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("e"),
+    )
+    med = df.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(F.col("e").cast("double"), F.lit(0.5)), 1).alias("orderdate_median_us")
+    )
+    freq = df.groupBy("o_orderpriority", "e").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("_c").desc(), F.col("e").asc())
+    mode = (
+        freq.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select("o_orderpriority", F.col("e").alias("orderdate_mode_us"))
+    )
+    return med.join(mode, "o_orderpriority")

@@ -55,6 +55,64 @@ def paginate(df: DataFrame, spec: GetSpec, default_limit: int = DEFAULT_LIMIT) -
     return df.limit(limit)
 
 
+def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFrame:
+    """Dispatch the search leg(s) of a GetSpec (explorer.go:135-206
+    routing: KeywordRanking -> bm25, near params -> vector search,
+    hybrid -> fused)."""
+    id_col = spec.extra.get("id_col", "_id")
+    vector_col = spec.extra.get("vector_col", "embedding")
+    limit = min(spec.limit if spec.limit is not None else DEFAULT_LIMIT,
+                QUERY_MAXIMUM_RESULTS)
+
+    if spec.hybrid is not None:
+        from weaviate_spark.operators.bm25 import BM25Prop
+        from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
+
+        h = spec.hybrid
+        out = hybrid_search(spark, sf_dir, HybridSpec(
+            collection=spec.collection, query=h.query, vector=h.vector or [],
+            properties=[BM25Prop(p) for p in (h.properties or ["text"])],
+            id_col=id_col, vector_col=vector_col, alpha=h.alpha,
+            fusion="ranked" if h.fusion == "ranked" else "relativeScore",
+            limit=limit, max_vector_distance=h.max_vector_distance,
+            where=spec.where,
+        ))
+    elif spec.bm25 is not None:
+        from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
+
+        b = spec.bm25
+        props = []
+        for p in (b.properties or ["text"]):
+            name, _, boost = p.partition("^")
+            props.append(BM25Prop(name, boost=float(boost) if boost else 1.0))
+        out = bm25_search(spark, sf_dir, BM25Spec(
+            collection=spec.collection, query=b.query, properties=props,
+            id_col=id_col, limit=limit, search_operator=b.search_operator,
+            minimum_or_tokens_match=b.minimum_or_tokens_match,
+            where=spec.where,
+        ))
+    else:
+        from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+        nv = spec.near_vector
+        out = near_vector(spark, sf_dir, NearVectorSpec(
+            collection=spec.collection, vector=nv.vector,
+            vector_col=vector_col, id_col=id_col, metric=nv.metric,
+            limit=limit, distance=nv.distance, certainty=nv.certainty,
+            where=spec.where,
+        ))
+
+    if spec.autocut > 0:
+        from weaviate_spark.operators.search_post import apply_autocut
+
+        score_col = "_score" if "_score" in out.columns else "_distance"
+        out = apply_autocut(out, score_col, spec.autocut,
+                            ascending=score_col == "_distance")
+    if spec.select:
+        out = out.select(*spec.select)
+    return out
+
+
 def compile_get(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFrame:
     needs_id = spec.after is not None or any(k.path == ["_id"] for k in spec.sort)
     df = load_table(spark, sf_dir, spec.collection, with_id=needs_id or bool(spec.extra.get("with_id")))
@@ -62,9 +120,14 @@ def compile_get(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFrame:
     df = apply_where(df, spec.where)
 
     if spec.near_vector is not None or spec.bm25 is not None or spec.hybrid is not None:
-        # search legs are compiled by their operator modules; the entry
-        # points in operators/ are used directly for those queries.
-        raise NotImplementedError("use operators.vector / operators.bm25 / operators.hybrid")
+        # search queries: sort is illegal in combination with ranked
+        # search (explorer.go sort validation), results ordered by
+        # score/distance with id tie-break instead
+        if spec.sort:
+            raise ValueError("sort cannot be combined with bm25/near/hybrid search")
+        if spec.after is not None:
+            raise ValueError("cursor (after) cannot be combined with search")
+        return _compile_search(spark, sf_dir, spec)
 
     if spec.after is not None:
         # scroll API: keyset pagination, exclusive start, id order

@@ -34,6 +34,9 @@ def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> Spar
         # TIMESTAMP(NANOS) is read as long and converted to µs at load
         # (documented divergence: ns -> µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # UTC session: NTZ->TZ casts become identity on the UTC epoch,
+        # matching duckdb's epoch_us on naive timestamps
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
