@@ -32,6 +32,8 @@ HEADLINE = [
     "hybrid_relative_score",    # hybrid fusion
     "dedup_minhash_lsh",        # minhash near-dup (LLM-pipeline extra)
     "text_quality_scores",      # text analysis (LLM-pipeline extra)
+    "events_windowed_counts",   # windowed event aggregation (streaming-shaped)
+    "knn_classification",       # kNN classification join
 ]
 
 

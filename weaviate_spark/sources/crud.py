@@ -123,3 +123,49 @@ def read_tenant(spark: SparkSession, table_dir: str, tenant_col: str, tenant) ->
     """Single-tenant view; the equality predicate is a partition filter
     (visible as PartitionFilters in the scan — §4.1 tenant routing)."""
     return spark.read.parquet(table_dir).where(F.col(tenant_col) == F.lit(tenant))
+
+
+def make_beacon(class_name: str, target_id: Column) -> Column:
+    """Beacon struct for a cref element (entities/schema/crossref/:
+    weaviate://localhost/Class/uuid)."""
+    return F.struct(
+        F.concat(
+            F.lit(f"weaviate://localhost/{class_name}/"), target_id
+        ).alias("beacon"),
+        F.lit(class_name).alias("className"),
+        target_id.alias("id"),
+    )
+
+
+def add_reference(
+    spark: SparkSession, table_dir: str, key: str, key_value,
+    ref_prop: str, class_name: str, target_id: str,
+) -> None:
+    """references_add.go: append one beacon to a cref array property
+    (no-op if already present — array_union semantics)."""
+    current = spark.read.parquet(table_dir)
+    beacon = make_beacon(class_name, F.lit(target_id))
+    updated = current.withColumn(
+        ref_prop,
+        F.when(
+            F.col(key) == F.lit(key_value),
+            F.array_union(F.coalesce(F.col(ref_prop), F.array()), F.array(beacon)),
+        ).otherwise(F.col(ref_prop)),
+    )
+    _rewrite(updated, table_dir)
+
+
+def delete_reference(
+    spark: SparkSession, table_dir: str, key: str, key_value,
+    ref_prop: str, target_id: str,
+) -> None:
+    """references_delete.go: remove every beacon pointing at target_id."""
+    current = spark.read.parquet(table_dir)
+    updated = current.withColumn(
+        ref_prop,
+        F.when(
+            F.col(key) == F.lit(key_value),
+            F.filter(F.col(ref_prop), lambda b: b["id"] != F.lit(target_id)),
+        ).otherwise(F.col(ref_prop)),
+    )
+    _rewrite(updated, table_dir)
