@@ -210,3 +210,16 @@ def test_reference_add_delete(spark, tmp_path):
     delete_reference(spark, tdir, "id", 1, "inCountry", "uuid-nl")
     rows = {r["id"]: r["inCountry"] for r in spark.read.parquet(tdir).collect()}
     assert rows[1] == [] and len(rows[2]) == 1
+
+
+def test_registry_aliases():
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.add(Collection("Article", [Property("title", "text")]))
+    reg.add_alias("Post", "Article")
+    assert reg.resolve("Post").name == "Article"
+    with pytest.raises(KeyError):
+        reg.add_alias("X", "Nope")
+    with pytest.raises(KeyError):
+        reg.resolve("Unknown")

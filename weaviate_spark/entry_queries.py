@@ -1356,3 +1356,100 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data curation pipeline (composition showcase):
+# quality gate -> language filter -> near-dup removal (keep smallest id
+# of each dup pair) -> per-source token budget report.
+
+_CURATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+),
+feat AS (
+  SELECT doc_id, source, tt, len(tt) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(tt) > 0 THEN
+      round(CAST(list_sum(list_transform(tt, t -> length(t))) AS DOUBLE) / len(tt), 6)
+    ELSE 0.0 END AS mean_token_len
+  FROM toks
+),
+quality AS (
+  SELECT doc_id, source, n_tokens,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0 THEN 1.0 ELSE 0.5 END)
+        + 0.3 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS q
+  FROM feat
+),
+sh AS (
+  SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
+  FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
+  WHERE len(tt) >= 3
+),
+mh AS (
+  SELECT _doc, i AS _i, min(md5(CAST(i AS VARCHAR) || ':' || _shingle)) AS _minhash
+  FROM sh, LATERAL unnest(range(0, 16)) AS t(i) GROUP BY _doc, i
+),
+bands AS (
+  SELECT _doc, CAST(_i // 4 AS INT) AS _band,
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || _minhash, ',' ORDER BY CAST(_i AS VARCHAR) || ':' || _minhash)) AS _bucket
+  FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
+),
+cand AS (
+  SELECT a._doc AS _a, b._doc AS _b FROM bands a
+  JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
+  GROUP BY 1, 2
+),
+sizes AS (SELECT _doc, count(*) AS _sz FROM sh GROUP BY _doc),
+dup_pairs AS (
+  SELECT c._a, c._b FROM (
+    SELECT c._a, c._b, count(*) AS _inter FROM cand c
+    JOIN sh sa ON sa._doc = c._a JOIN sh sb ON sb._doc = c._b AND sb._shingle = sa._shingle
+    GROUP BY c._a, c._b) c
+  JOIN sizes sa ON sa._doc = c._a JOIN sizes sb ON sb._doc = c._b
+  WHERE CAST(c._inter AS DOUBLE) / (sa._sz + sb._sz - c._inter) >= 0.35
+),
+drops AS (SELECT DISTINCT _b AS doc_id FROM dup_pairs),
+kept AS (
+  SELECT q.doc_id, q.source, q.n_tokens FROM quality q
+  LEFT JOIN drops d ON d.doc_id = q.doc_id
+  WHERE q.q >= 0.5 AND d.doc_id IS NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline composed from engine operators: quality
+    gate (>= 0.5) -> minhash near-dup removal (drop the larger id of
+    each >= 0.35-Jaccard pair) -> per-source doc/token budget. Every
+    stage is the same operator used standalone elsewhere; the oracle
+    reproduces the whole pipeline in SQL."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.dedup import minhash_lsh_pairs
+    from weaviate_spark.operators.textstats import quality_score, token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    dups = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    kept = (
+        scored.where(F.col("q") >= 0.5)
+        .join(dups, "doc_id", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

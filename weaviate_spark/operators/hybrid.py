@@ -66,7 +66,9 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
     id_col = spec.id_col
     legs: list[tuple[DataFrame, float]] = []  # (df[id, _secondary], weight)
 
-    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
+    # one shared (filtered, cached) scan for both legs — the corpus is
+    # read once, not once per leg
+    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where).cache()
 
     if spec.alpha < 1 and spec.query:
         bspec = BM25Spec(
@@ -102,8 +104,8 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
             collection=spec.collection, vector=spec.vector,
             vector_col=spec.vector_col, id_col=id_col, metric=spec.metric,
             limit=cap, distance=spec.max_vector_distance,
-            where=spec.where, round_digits=spec.round_digits,
-        )).select(id_col, (F.lit(1.0) - F.col("_distance")).alias("_secondary"))
+            round_digits=spec.round_digits,
+        ), df=df).select(id_col, (F.lit(1.0) - F.col("_distance")).alias("_secondary"))
         legs.append((dense, spec.alpha))
 
     fused = fuse(legs, id_col, spec.fusion, spec.round_digits)

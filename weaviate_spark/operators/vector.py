@@ -65,8 +65,13 @@ def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
     return df.withColumn("_distance", d)
 
 
-def near_vector(spark: SparkSession, sf_dir: str, spec: NearVectorSpec) -> DataFrame:
-    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
+def near_vector(
+    spark: SparkSession, sf_dir: str, spec: NearVectorSpec, df: DataFrame | None = None
+) -> DataFrame:
+    """Exact nearVector; pass a pre-loaded/pre-filtered ``df`` to reuse
+    a scan across legs (hybrid calls this with its shared input)."""
+    if df is None:
+        df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
     df = with_distance(df, spec)
 
     cutoff = spec.distance

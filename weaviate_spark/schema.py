@@ -174,3 +174,31 @@ def infer_collection(name: str, sample: dict) -> Collection:
         if not k.startswith("_")
     ]
     return Collection(name=name, properties=props)
+
+
+# ---------------------------------------------------------------------------
+# aliases (usecases/objects/alias/, entities/dto/dto.go:70): alternate
+# collection names resolved at the registry level.
+
+class Registry:
+    """Collection registry with alias indirection (name -> table)."""
+
+    def __init__(self) -> None:
+        self._collections: dict[str, Collection] = {}
+        self._aliases: dict[str, str] = {}
+
+    def add(self, coll: Collection) -> None:
+        self._collections[coll.name] = coll
+
+    def add_alias(self, alias: str, target: str) -> None:
+        if target not in self._collections:
+            raise KeyError(f"alias target {target!r} is not a known collection")
+        if alias in self._collections:
+            raise ValueError(f"alias {alias!r} shadows an existing collection")
+        self._aliases[alias] = target
+
+    def resolve(self, name: str) -> Collection:
+        name = self._aliases.get(name, name)
+        if name not in self._collections:
+            raise KeyError(f"unknown collection {name!r}")
+        return self._collections[name]
