@@ -1453,3 +1453,30 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+from weaviate_spark.ids import uuid_sql as _uuid_sql
+
+
+@register(
+    "id_synthesis_cursor",
+    oracle=(
+        f"WITH ids AS (SELECT {_uuid_sql('customer', 'c_custkey')} AS _id, c_custkey, c_name "
+        "FROM customer) "
+        "SELECT _id, c_custkey, c_name FROM ids "
+        "WHERE _id > '80000000' ORDER BY _id LIMIT 15"
+    ),
+)
+def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reserved `_id` uuid synthesis parity (ids.py): the md5-derived
+    uuid is byte-identical across engines, so keyset cursors and beacon
+    ids are oracle-checkable."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer", with_id=True)
+    return (
+        df.where(F.col("_id") > "80000000")
+        .orderBy("_id").limit(15)
+        .select("_id", "c_custkey", "c_name")
+    )

@@ -45,11 +45,25 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may hand us a bare SparkSession; set the runtime-settable
+    confs the engine depends on (session.py sets them at build time for
+    our own sessions): nanos-as-long for the events table's
+    TIMESTAMP(NANOS) parquet, UTC so NTZ epoch math is deterministic."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — session.py-built sessions already have them
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, with_id: bool = False
 ) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    _ensure_session_confs(spark)
 
     if name == "docs_embedded":
         # weaviate object shape: text properties + vector in one collection.
