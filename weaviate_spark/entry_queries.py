@@ -1480,3 +1480,36 @@ def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_id").limit(15)
         .select("_id", "c_custkey", "c_name")
     )
+
+
+@register("neartext_rerank_generate")
+def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module pipeline (SURVEY §2.10): vectorize at ingest
+    (text2vec-dummy) -> nearText top-10 -> reranker-dummy re-order ->
+    generative-dummy per-result prompt. Rows-only: the module outputs
+    are engine-deterministic but not ANSI-SQL-expressible."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.modules import GENERATIVES, RERANKERS, near_text_vector, vectorize_column
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "_vector", vectorize_column(F.col("text"), dim=16)
+    )
+    qv = near_text_vector(["spark filter join"], dim=16)
+    q = F.array(*[F.lit(x) for x in qv])
+    topk = (
+        docs.withColumn("_distance", F.round(distance(F.col("_vector"), q), 6))
+        .orderBy(F.col("_distance").asc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    reranked = topk.withColumn(
+        "_rerank_score", RERANKERS["reranker-dummy"]("spark filter join")(F.col("text"))
+    )
+    generated = reranked.withColumn(
+        "_generated", GENERATIVES["generative-dummy"]("Summarize: {text}")(F.col("text"))
+    )
+    return (
+        generated.orderBy(F.col("_rerank_score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "_distance", "_rerank_score",
+                F.substring("_generated", 1, 40).alias("_generated_head"))
+    )
