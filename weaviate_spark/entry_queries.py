@@ -1513,3 +1513,35 @@ def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "_distance", "_rerank_score",
                 F.substring("_generated", 1, 40).alias("_generated_head"))
     )
+
+
+@register(
+    "filter_array_contains_all",
+    oracle=(
+        "WITH o AS (SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags, "
+        "CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM lineitem GROUP BY l_orderkey) "
+        "SELECT l_orderkey, array_to_string(flags, ',') AS flags_csv, n_lines FROM o "
+        "WHERE list_has_all(flags, ['A', 'N']) ORDER BY l_orderkey"
+    ),
+)
+def q_array_contains_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContainsAll on a derived array property (FIXTURES §B: per-order
+    array_agg of distinct return flags) — orders whose lineitems carry
+    BOTH 'A' and 'N' flags. Array emitted as csv for cross-engine
+    hashing."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.filters import Clause, apply_where
+
+    orders = (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    out = apply_where(orders, Clause(operator="ContainsAll", path=["flags"], value=["A", "N"]))
+    return out.select(
+        "l_orderkey", F.concat_ws(",", "flags").alias("flags_csv"), "n_lines"
+    ).orderBy("l_orderkey")
