@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) — invariants the example-based
+suites can't sweep. The reference has no property testing (SURVEY §5);
+these cover the pure-function layer where random inputs are cheap."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weaviate_spark.filters import like_to_regex
+from weaviate_spark.functions.text import tokenize_py
+from weaviate_spark.operators.search_post import autocut_index
+from weaviate_spark.schema import determine_type
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_like_regex_matches_python_semantics(pattern):
+    """like_to_regex must implement: ? = one char, * = any run, anchored.
+    Cross-check against a hand-rolled recursive matcher."""
+    rx = re.compile(like_to_regex(pattern))
+
+    def like_match(p: str, s: str) -> bool:
+        if not p:
+            return not s
+        if p[0] == "*":
+            return any(like_match(p[1:], s[i:]) for i in range(len(s) + 1))
+        if p[0] == "?":
+            return bool(s) and like_match(p[1:], s[1:])
+        return bool(s) and s[0] == p[0] and like_match(p[1:], s[1:])
+
+    probes = ["", "a", pattern.replace("*", "x").replace("?", "y"),
+              pattern.replace("*", "").replace("?", "z")]
+    for s in probes:
+        assert bool(rx.fullmatch(s)) == like_match(pattern, s), (pattern, s)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False), max_size=30),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_autocut_bounds(scores, cut_off):
+    """0 <= autocut index <= len(scores), always."""
+    idx = autocut_index(scores, cut_off)
+    assert 0 <= idx <= len(scores)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_word_tokens_are_normalized(text):
+    """word tokens: nonempty, lowercase alnum runs; idempotent."""
+    toks = tokenize_py(text, "word")
+    for t in toks:
+        assert t and re.fullmatch("[a-z0-9]+", t)
+    assert tokenize_py(" ".join(toks), "word") == toks
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_trigram_token_lengths(text):
+    toks = tokenize_py(text, "trigram")
+    assert all(len(t) == 3 for t in toks)
+    assert len(toks) == max(len(text) - 2, 0)
+
+
+@given(st.one_of(
+    st.booleans(), st.integers(), st.floats(allow_nan=False),
+    st.text(max_size=50), st.binary(max_size=20),
+    st.lists(st.integers(), min_size=1, max_size=3),
+))
+@settings(max_examples=200, deadline=None)
+def test_determine_type_total_and_stable(value):
+    """determine_type never raises on JSON-ish values and is stable."""
+    t1 = determine_type(value)
+    t2 = determine_type(value)
+    assert t1 == t2
+    assert isinstance(t1, str) and t1
+    # bool must win over int (python bool subclasses int)
+    if isinstance(value, bool):
+        assert t1 == "boolean"
