@@ -1545,3 +1545,75 @@ def q_array_contains_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", F.concat_ws(",", "flags").alias("flags_csv"), "n_lines"
     ).orderBy("l_orderkey")
+
+
+@register(
+    "agg_top_occurrences_grouped",
+    oracle=(
+        "WITH freq AS (SELECT n_regionkey, c_mktsegment, count(*) AS occurs "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_regionkey, c_mktsegment), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY n_regionkey "
+        "ORDER BY occurs DESC, c_mktsegment ASC) AS rn FROM freq) "
+        "SELECT n_regionkey, c_mktsegment AS value, CAST(occurs AS BIGINT) AS occurs "
+        "FROM ranked WHERE rn <= 2"
+    ),
+)
+def q_top_occurrences_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped topOccurrences (aggregator/text.go under groupBy): top-2
+    market segments per region, ties -> smallest value."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = _load(spark, sf_dir, "customer")
+    nation = F.broadcast(_load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    joined = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+    freq = joined.groupBy("n_regionkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("occurs")
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(
+        F.col("occurs").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .select("n_regionkey", F.col("c_mktsegment").alias("value"), "occurs")
+    )
+
+
+@register(
+    "agg_array_elements",
+    oracle=(
+        # array-element aggregation semantics (AggArray fixture §A2):
+        # element count = total elements across arrays; numeric aggs over
+        # the exploded elements
+        "WITH o AS (SELECT o_orderkey, o_orderpriority, list(l_quantity) AS qtys "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderkey, o_orderpriority) "
+        "SELECT o_orderpriority, "
+        "CAST(sum(len(qtys)) AS BIGINT) AS qtys_count, "
+        "sum(list_sum(qtys)) AS qtys_sum, "
+        "min(list_min(qtys)) AS qtys_minimum, "
+        "max(list_max(qtys)) AS qtys_maximum "
+        "FROM o GROUP BY o_orderpriority"
+    ),
+)
+def q_agg_array_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregations over array-typed properties (number[] semantics:
+    count = total elements, numeric aggs over elements). Arrays derived
+    per order from lineitem quantities."""
+    from pyspark.sql import functions as F
+
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    arrays = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.collect_list("l_quantity").alias("qtys"))
+    )
+    return arrays.groupBy("o_orderpriority").agg(
+        F.sum(F.size("qtys")).alias("qtys_count"),
+        F.sum(F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x)).alias("qtys_sum"),
+        F.min(F.array_min("qtys")).alias("qtys_minimum"),
+        F.max(F.array_max("qtys")).alias("qtys_maximum"),
+    )
