@@ -100,3 +100,25 @@ def test_reranker_and_generative(spark):
 
     gen = df.withColumn("_g", GENERATIVES["generative-dummy"]("Summary: {text}")(F.col("t")))
     assert gen.collect()[0]["_g"] == "Summary: spark joins fast"
+
+
+def test_filter_validation_messages(spark):
+    # filters_validator.go-style pre-compile validation
+    from weaviate_spark.filters import validate_where
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["id", "t", "n"])
+    with pytest.raises(ValueError, match="Like is only supported on text"):
+        validate_where(df, Clause(operator="Like", path=["n"], value="x*"))
+    with pytest.raises(ValueError, match="WithinGeoRange requires"):
+        validate_where(df, Clause(operator="WithinGeoRange", path=["n"],
+                                  value={"latitude": 0, "longitude": 0, "distance_meters": 1}))
+    with pytest.raises(ValueError, match="requires a list value"):
+        validate_where(df, Clause(operator="ContainsAny", path=["t"], value="notalist"))
+    with pytest.raises(ValueError, match="non-empty value list"):
+        validate_where(df, Clause(operator="ContainsAll", path=["t"], value=[]))
+    with pytest.raises(ValueError, match="exactly one operand"):
+        validate_where(df, Clause(operator="Not", operands=[]))
+    with pytest.raises(ValueError, match="requires a property path"):
+        validate_where(df, Clause(operator="Equal", value=1))
+    # valid clause passes silently
+    validate_where(df, Clause(operator="Like", path=["t"], value="a*"))

@@ -309,6 +309,45 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
     raise ValueError(f"unhandled operator {op}")
 
 
+_TEXT_ONLY_OPS = {"Like"}
+_COMPOUND_OPS = {"And", "Or", "Not"}
+_LIST_VALUE_OPS = {"ContainsAny", "ContainsAll", "ContainsNone"}
+
+
+def validate_where(df: DataFrame, clause: Clause) -> None:
+    """Pre-compile validation mirroring entities/filters/filters_validator.go:
+    operator/type compatibility, operand arity, value shape. Raises
+    ValueError with a weaviate-style message; compile_where would often
+    surface these as opaque Spark analysis errors instead."""
+    op = clause.operator
+    if op in _COMPOUND_OPS:
+        if op == "Not" and len(clause.operands) != 1:
+            raise ValueError("operator Not requires exactly one operand")
+        if op in ("And", "Or") and not clause.operands:
+            raise ValueError(f"operator {op} requires at least one operand")
+        for c in clause.operands:
+            validate_where(df, c)
+        return
+    if not clause.path:
+        raise ValueError(f"operator {op} requires a property path")
+    if op in _LIST_VALUE_OPS and not isinstance(clause.value, (list, tuple)):
+        raise ValueError(f"operator {op} requires a list value")
+    if op in _LIST_VALUE_OPS and not clause.value:
+        raise ValueError(f"operator {op} requires a non-empty value list")
+    _, dtype = _resolve(df, clause.path)
+    if dtype is not None:
+        if op in _TEXT_ONLY_OPS and not isinstance(dtype, T.StringType):
+            raise ValueError(
+                f"operator Like is only supported on text properties, "
+                f"but {'.'.join(clause.path)} is {dtype.simpleString()}"
+            )
+        if op == "WithinGeoRange" and not isinstance(dtype, T.StructType):
+            raise ValueError(
+                f"operator WithinGeoRange requires a geoCoordinates property, "
+                f"but {'.'.join(clause.path)} is {dtype.simpleString()}"
+            )
+
+
 def apply_where(df: DataFrame, clause: Clause | None) -> DataFrame:
     """Filter df by the clause tree.
 
@@ -320,4 +359,5 @@ def apply_where(df: DataFrame, clause: Clause | None) -> DataFrame:
     """
     if clause is None:
         return df
+    validate_where(df, clause)
     return df.where(compile_where(df, clause))
