@@ -164,8 +164,16 @@ def _mode_df(df: DataFrame, gcols: list[str], prop: str) -> DataFrame:
         .groupBy(*gcols, prop)
         .agg(F.count(F.lit(1)).alias("_freq"))
     )
-    w = Window.partitionBy(*gcols).orderBy(F.col("_freq").desc(), F.col(prop).asc()) \
-        if gcols else Window.orderBy(F.col("_freq").desc(), F.col(prop).asc())
+    if not gcols:
+        # ungrouped top-1 is a TakeOrderedAndProject, not a global window —
+        # a single-partition WindowExec would funnel every distinct value
+        # through one task at scale
+        return (
+            freq.orderBy(F.col("_freq").desc(), F.col(prop).asc())
+            .limit(1)
+            .select(F.col(prop).alias(f"{prop}_mode"))
+        )
+    w = Window.partitionBy(*gcols).orderBy(F.col("_freq").desc(), F.col(prop).asc())
     return (
         freq.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -206,9 +214,15 @@ def top_occurrences(
         .groupBy(*gcols, prop)
         .agg(F.count(F.lit(1)).alias("occurs"))
     )
-    w = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    ).orderBy(F.col("occurs").desc(), F.col(prop).asc())
+    if not gcols:
+        # ungrouped top-N: orderBy().limit() compiles to TakeOrderedAndProject
+        # (per-partition heaps + driver merge of N rows) — no global window
+        return (
+            freq.orderBy(F.col("occurs").desc(), F.col(prop).asc())
+            .limit(limit)
+            .select(F.col(prop).alias("value"), "occurs")
+        )
+    w = Window.partitionBy(*gcols).orderBy(F.col("occurs").desc(), F.col(prop).asc())
     return (
         freq.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= limit)
