@@ -50,19 +50,32 @@ def test_autocut_bounds(scores, cut_off):
 @given(st.text(max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_word_tokens_are_normalized(text):
-    """word tokens: nonempty, lowercase alnum runs; idempotent."""
+    """word tokens: nonempty, lowercase unicode letter/digit runs; idempotent."""
+    import unicodedata
+
     toks = tokenize_py(text, "word")
     for t in toks:
-        assert t and re.fullmatch("[a-z0-9]+", t)
+        assert t and t == t.lower()
+        assert all(
+            ch.isalpha() or unicodedata.category(ch).startswith("N") for ch in t
+        )
     assert tokenize_py(" ".join(toks), "word") == toks
 
 
 @given(st.text(max_size=60))
 @settings(max_examples=200, deadline=None)
 def test_trigram_token_lengths(text):
+    """trigrams come from the concatenated word runs (tokenizer.go:395-410)."""
+    import unicodedata
+
     toks = tokenize_py(text, "trigram")
     assert all(len(t) == 3 for t in toks)
-    assert len(toks) == max(len(text) - 2, 0)
+    # independent cleaning: strip non-alnum chars, THEN lower the joined runs
+    cleaned = "".join(
+        ch for ch in text
+        if ch.isalpha() or unicodedata.category(ch).startswith("N")
+    ).lower()
+    assert len(toks) == max(len(cleaned) - 2, 0)
 
 
 @given(st.one_of(

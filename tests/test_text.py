@@ -1,0 +1,195 @@
+"""Tokenizer / ASCII-fold / stopword parity tests.
+
+Expectations ported from the reference's own test suites:
+entities/tokenizer/tokenizer_test.go (TestTokenize canonical input) and
+entities/tokenizer/ascii_fold_test.go (fold cases). Cross-engine parity
+(Spark column expr vs tokenize_py vs duckdb sql_tokens) is what makes the
+oracle comparisons in __spark_entry__ trustworthy for non-ASCII text.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.functions.text import (
+    StopwordConfig,
+    fold_ascii,
+    fold_ascii_py,
+    fold_ascii_sql,
+    sql_tokens,
+    tokenize,
+    tokenize_py,
+)
+
+# tokenizer_test.go:154-178 — the canonical input
+CANON = " Hello You*-beautiful_world?!"
+CANON_EXPECT = {
+    "field": [CANON.strip()],
+    "whitespace": ["Hello", "You*-beautiful_world?!"],
+    "lowercase": ["hello", "you*-beautiful_world?!"],
+    "word": ["hello", "you", "beautiful", "world"],
+}
+
+# ascii_fold_test.go expectations (subset; ported verbatim)
+FOLD_CASES = [
+    ("école", "ecole"),
+    ("naïve", "naive"),
+    ("São Paulo", "Sao Paulo"),
+    ("Ärger über Öl", "Arger uber Ol"),
+    ("señor", "senor"),
+    ("café résumé hello world", "cafe resume hello world"),
+    ("hello world 123", "hello world 123"),
+    ("", ""),
+    ("Hà Nội", "Ha Noi"),
+    ("příliš žluťoučký kůň", "prilis zlutoucky kun"),
+    ("Łódź złoty", "Lodz zloty"),
+    ("Ørsted rødgrød", "Orsted rodgrod"),
+    ("Đurđevac", "Durdevac"),
+    ("Ħal Balzan", "Hal Balzan"),
+    ("ŧávvet", "tavvet"),
+    ("ƀɇɉɍɏⱥ", "bejrya"),
+    ("Norðurland", "Nordurland"),
+    ("dışarı", "disari"),
+    ("ſincerely", "sincerely"),
+    ("Æneas æsthetic", "AEneas aesthetic"),
+    ("Œuvre cœur", "OEuvre coeur"),
+    ("ĳsland Ĳsselmeer", "ijsland IJsselmeer"),
+    ("weiß ẞ", "weiss SS"),
+    ("þorn Þing", "thorn THing"),
+]
+
+MULTI_SCRIPT = [
+    "Café au lait, s'il-vous-plaît — №42",
+    "Größe STRASSE ß weiß",
+    "Łódź żółć",
+    "日本語のテキストです",
+    "안녕하세요 세계",
+    "ΑΘΗΝΑ ἀθήνα ά",
+    "Ёлка й Москва",
+    "naïve été (decomposed)",
+    "ﬁnance ﬂow",
+    "ab cd",
+    "  trailing　space mix\t",
+    "Việt Nam ở đây",
+    "",
+    "x",
+]
+
+
+def test_canonical_tokenization_modes():
+    for mode, want in CANON_EXPECT.items():
+        assert tokenize_py(CANON, mode) == want, mode
+
+
+def test_fold_cases_ported():
+    for inp, want in FOLD_CASES:
+        assert fold_ascii_py(inp) == want, inp
+
+
+def test_fold_pipeline_matches_reference_on_every_bmp_codepoint():
+    """The replace→translate→strip-Mn pipeline (what the Spark/SQL
+    expressions implement) equals the reference FoldASCII algorithm
+    (fold_ascii_py) for every single BMP codepoint."""
+    from weaviate_spark.functions.text import _fold_maps
+
+    multi, frm, to = _fold_maps()
+    trans = {ord(k): v for k, v in zip(frm, to)}
+
+    def pipe(s: str) -> str:
+        for k, v in multi:
+            s = s.replace(k, v)
+        s = s.translate(trans)
+        return "".join(ch for ch in s if unicodedata.category(ch) != "Mn")
+
+    bad = []
+    for cp in range(0x80, 0x10000):
+        ch = chr(cp)
+        if unicodedata.category(ch) == "Mn":
+            continue
+        if pipe(ch) != fold_ascii_py(ch):
+            bad.append(hex(cp))
+    assert not bad, bad[:20]
+
+
+def test_trigram_joins_word_runs():
+    # tokenizer.go:394-397: non-alphanumerics stripped BEFORE slicing
+    assert tokenize_py("ab cd", "trigram") == ["abc", "bcd"]
+    assert tokenize_py("a-b c.d!e", "trigram") == ["abc", "bcd", "cde"]
+    assert tokenize_py("ab", "trigram") == []
+    # codepoint (not byte) windows for CJK
+    assert tokenize_py("日本語です", "trigram") == ["日本語", "本語で", "語です"]
+
+
+def test_cjk_approx_modes():
+    # bigram expansion for CJK runs, word tokens for Latin
+    assert tokenize_py("日本語 spark", "gse") == ["日本", "本語", "spark"]
+    assert tokenize_py("私", "gse") == ["私"]
+    # Korean: space-delimited word runs
+    assert tokenize_py("한국어를 처리하는 예시입니다", "kagome_kr") == [
+        "한국어를", "처리하는", "예시입니다",
+    ]
+
+
+def test_stopword_config():
+    cfg = StopwordConfig()
+    assert "the" in cfg.words() and "spark" not in cfg.words()
+    cfg2 = StopwordConfig(preset="en", additions=("spark",), removals=("the",))
+    assert "spark" in cfg2.words() and "the" not in cfg2.words()
+    assert StopwordConfig(preset="none").words() == frozenset()
+    with pytest.raises(ValueError):
+        StopwordConfig(preset="xx").words()
+
+
+@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "field", "trigram", "gse"])
+@pytest.mark.parametrize("fold", [False, True])
+def test_spark_python_parity(spark, mode, fold):
+    df = spark.createDataFrame([(t,) for t in MULTI_SCRIPT], ["t"])
+    rows = {
+        r["t"]: r["toks"]
+        for r in df.select(
+            "t", tokenize(F.col("t"), mode, fold=fold).alias("toks")
+        ).collect()
+    }
+    for t in MULTI_SCRIPT:
+        assert rows[t] == tokenize_py(t, mode, fold=fold), (mode, fold, t)
+
+
+@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "trigram"])
+@pytest.mark.parametrize("fold", [False, True])
+def test_duckdb_sql_parity(duck, mode, fold):
+    for t in MULTI_SCRIPT:
+        got = duck.execute(
+            f"SELECT {sql_tokens('t', mode, fold=fold)} FROM (SELECT ? AS t)", [t]
+        ).fetchone()[0]
+        assert got == tokenize_py(t, mode, fold=fold), (mode, fold, t)
+
+
+def test_fold_spark_and_sql_parity(spark, duck):
+    df = spark.createDataFrame([(t,) for t in MULTI_SCRIPT + [i for i, _ in FOLD_CASES]], ["t"])
+    rows = {r["t"]: r["f"] for r in df.select("t", fold_ascii(F.col("t")).alias("f")).collect()}
+    for t, want_spark in rows.items():
+        want = fold_ascii_py(t)
+        assert want_spark == want, t
+        got = duck.execute(
+            f"SELECT {fold_ascii_sql('t')} FROM (SELECT ? AS t)", [t]
+        ).fetchone()[0]
+        assert got == want, t
+
+
+def test_tokenized_like(spark):
+    """Like on tokenized text matches per token (row_reader.go:152-190)."""
+    from weaviate_spark.filters import Clause, apply_where
+
+    df = spark.createDataFrame(
+        [("The quick fox",), ("quince jam",), ("slow dog",)], ["t"]
+    )
+    out = apply_where(
+        df, Clause(operator="Like", path=["t"], value="qui*", tokenization="word")
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["The quick fox", "quince jam"]
+    # without tokenization: whole-field match only
+    out2 = apply_where(df, Clause(operator="Like", path=["t"], value="qui*"))
+    assert [r["t"] for r in out2.collect()] == ["quince jam"]

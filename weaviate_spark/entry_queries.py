@@ -647,7 +647,7 @@ from weaviate_spark.sources.tables import load_table as _load
 
 _MINHASH_SQL = """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
@@ -690,7 +690,7 @@ WHERE CAST(i._inter AS DOUBLE) / (sa._sz + sb._sz - i._inter) >= {thr}
     "dedup_exact",
     oracle=(
         "WITH norm AS (SELECT doc_id, md5(array_to_string("
-        "regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS content_hash "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'), ' ')) AS content_hash "
         "FROM documents) "
         "SELECT content_hash, CAST(count(*) AS BIGINT) AS dup_count, min(doc_id) AS keep_id "
         "FROM norm GROUP BY content_hash HAVING count(*) > 1"
@@ -790,7 +790,7 @@ _HITS, _BEST = _lang_vote_sql()
 
 _TEXT_PROFILE_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
 feat AS (
   SELECT doc_id, text, tt, len(tt) AS n_tokens,
@@ -828,7 +828,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_tokens_by_lang",
     oracle=(
-        "SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, "
+        "SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))) AS BIGINT) AS total_tokens, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "round(avg(n_chars), 6) AS avg_chars "
         "FROM documents GROUP BY lang"
@@ -1060,7 +1060,7 @@ def q_filter_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_tokenized_equal",
     oracle=(
         "SELECT p_partkey, p_name FROM part "
-        "WHERE list_contains(regexp_extract_all(lower(p_name), '[a-z0-9]+'), 'widget') "
+        "WHERE list_contains(regexp_extract_all(lower(p_name), '[\\p{L}\\p{N}]+'), 'widget') "
         "ORDER BY p_partkey"
     ),
 )
@@ -1365,7 +1365,7 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt FROM documents
+  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
 feat AS (
   SELECT doc_id, source, tt, len(tt) AS n_tokens,
@@ -1616,4 +1616,129 @@ def q_agg_array_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x)).alias("qtys_sum"),
         F.min(F.array_min("qtys")).alias("qtys_minimum"),
         F.max(F.array_max("qtys")).alias("qtys_maximum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M13 — Unicode tokenization + ASCII folding + stopwords (round 2;
+# tokenizer.go:279-430, ascii_fold.go, stopwords/presets.go)
+
+_UNICODE_TEXT2_SQL = (
+    "SELECT doc_id, '数据 处理 日本語 ' || "
+    "replace(replace(text, 'data', 'dätä'), 'model', 'modèle') AS text2 "
+    "FROM documents"
+)
+
+
+def _unicode_text2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a derived accented+CJK text column (the testdata is
+    all-ASCII, so the fixture derives non-ASCII deterministically on both
+    engines: same replaces, same prefix)."""
+    from pyspark.sql import functions as F
+
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("数据 处理 日本語 "),
+            F.replace(
+                F.replace(F.col("text"), F.lit("data"), F.lit("dätä")),
+                F.lit("model"), F.lit("modèle"),
+            ),
+        ).alias("text2"),
+    )
+
+
+from weaviate_spark.functions.text import sql_tokens as _sql_tokens
+
+
+@register(
+    "text_unicode_tokens",
+    oracle=(
+        f"WITH d AS ({_UNICODE_TEXT2_SQL}), "
+        "t AS (SELECT doc_id, "
+        + _sql_tokens("text2", "word", fold=True)
+        + " AS tt FROM d) "
+        "SELECT doc_id, CAST(len(tt) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(tt)) AS BIGINT) AS n_unique, "
+        "tt[1] AS first_token, tt[4] AS fourth_token "
+        "FROM t ORDER BY doc_id"
+    ),
+)
+def q_text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode `word` tokenization + ASCII folding over accented+CJK text
+    (tokenizer.go:385-392 unicode letter/digit runs; ascii_fold.go
+    FoldASCII): CJK runs survive as tokens, accents fold to ASCII —
+    hash-compared against the duckdb mirror of the same pipeline."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.text import tokenize
+
+    d = _unicode_text2(spark, sf_dir)
+    toks = tokenize(F.col("text2"), "word", fold=True)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+            F.element_at(toks, 1).alias("first_token"),
+            F.element_at(toks, 4).alias("fourth_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bm25_unicode_oracle() -> str:
+    from weaviate_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        f"({_UNICODE_TEXT2_SQL})", "text2", "doc_id", "the dätä modèle",
+        limit=25, fold=True,
+    )
+
+
+@register("bm25_unicode_fold", oracle=_bm25_unicode_oracle())
+def q_bm25_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with query analysis = fold → tokenize → drop stopwords
+    (analyze.go:216-242): query 'the dätä modèle' folds to [data, modele]
+    ('the' is an en-preset stopword), matching the folded corpus tokens
+    of the accented fixture column. Collection-wide N (bm25_searcher.go:
+    235-239)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+
+    d = _unicode_text2(spark, sf_dir)
+    spec = BM25Spec(
+        collection="documents", query="the dätä modèle",
+        properties=[BM25Prop("text2")], id_col="doc_id", limit=25, fold=True,
+    )
+    return (
+        bm25_score_df(d, spec)
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "filter_tokenized_like",
+    oracle=(
+        "SELECT doc_id FROM documents "
+        "WHERE len(list_filter(regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+'), t -> starts_with(t, 'filt'))) > 0 "
+        "ORDER BY doc_id"
+    ),
+)
+def q_filter_tokenized_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization-aware Like (row_reader.go:152-190): the pattern runs
+    against inverted-index keys, so Like 'filt*' matches any doc with a
+    token starting 'filt' — not just fields that start with it."""
+    from weaviate_spark.filters import Clause, apply_where
+
+    return (
+        apply_where(
+            _load(spark, sf_dir, "documents"),
+            Clause(operator="Like", path=["text"], value="filt*", tokenization="word"),
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
     )

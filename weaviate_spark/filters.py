@@ -14,6 +14,9 @@ Semantics pinned from the reference:
   ``*`` = zero-or-more, anchored both ends. We additionally rewrite the
   pure-prefix pattern ``abc*`` to ``startswith`` so Catalyst pushes a
   StartsWith filter into the scan (the reference's "prefix optimization").
+  With ``tokenization`` set on the clause, Like matches PER TOKEN
+  (row_reader.go:152-190 — the regex runs against inverted-index keys),
+  so Like 'qui*' matches 'The quick fox' on a word-tokenized property.
 * ``NotEqual`` / ``Not`` (inverted/searcher.go:1609-1655): weaviate's
   bitmap complement is TWO-VALUED — a row whose property is null is
   simply "not in the match set", so NOT(match) INCLUDES null rows.
@@ -109,6 +112,23 @@ def compile_like(col: Column, pattern: str) -> Column:
         # prefix optimization (like_regexp.go:48-57) -> pushdown-able
         return col.startswith(pattern[:-1])
     return col.rlike(like_to_regex(pattern))
+
+
+def compile_like_tokenized(col: Column, pattern: str, mode: str) -> Column:
+    """Tokenization-aware Like: the reference evaluates the Like regex
+    against inverted-index KEYS (row_reader.go:152-190), i.e. per-token
+    on tokenized text properties — Like 'qui*' matches 'The quick fox'.
+    Same prefix optimization, applied per token."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = tokenize(col, mode)
+    if "*" not in pattern and "?" not in pattern:
+        return F.array_contains(toks, pattern)
+    if _LIKE_PREFIX.match(pattern):
+        prefix = pattern[:-1]
+        return F.exists(toks, lambda t: t.startswith(prefix))
+    rx = like_to_regex(pattern)
+    return F.exists(toks, lambda t: t.rlike(rx))
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +298,8 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
     if op == "LessThanEqual":
         return col <= F.lit(v)
     if op == "Like":
+        if clause.tokenization and isinstance(dtype, T.StringType):
+            return compile_like_tokenized(col, v, clause.tokenization)
         return compile_like(col, v)
     if op == "WithinGeoRange":
         g = v if isinstance(v, GeoRange) else GeoRange(**v)

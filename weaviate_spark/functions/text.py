@@ -4,61 +4,224 @@ Mirrors weaviate's tokenizer modes (entities/tokenizer/tokenizer.go:279-430)
 as pure Catalyst expressions — no UDFs, so tokenization stays inside
 whole-stage codegen and vectorizes on the JVM side:
 
-* ``word``       — maximal alphanumeric runs, lowercased. (The reference
-  uses unicode classes; we pin ASCII ``[a-z0-9]+`` so the duckdb oracle
-  can reproduce tokenization bit-for-bit. Documented divergence for
-  non-ASCII text; the regex is swappable.)
-* ``lowercase``  — whitespace-split, lowercased.
-* ``whitespace`` — whitespace-split, case-preserving.
-* ``field``      — the whole trimmed value as a single token.
-* ``trigram``    — all 3-char substrings of the lowercased string
-  (tokenizer.go trigram mode; used for fuzzy/gram matching).
+* ``word``       — maximal unicode letter/digit runs, lowercased
+  (tokenizer.go:385-392: split on !IsLetter && !IsNumber). The regex
+  ``[\\p{L}\\p{N}]+`` means the same thing in Java (Spark), RE2
+  (duckdb oracle), and the Python char-class loop in ``tokenize_py`` —
+  verified bit-for-bit on accented/CJK/Greek/Cyrillic fixtures.
+* ``lowercase``  — unicode-whitespace-split, lowercased (tokenizer.go:378).
+* ``whitespace`` — unicode-whitespace-split, case-preserving (:373).
+* ``field``      — the whole value with unicode whitespace trimmed (:331).
+* ``trigram``    — strip ALL non-alphanumerics (joining the word runs),
+  lowercase, then every 3-char (codepoint) window (tokenizer.go:395-410).
+  Multi-word input yields cross-word trigrams with no spaces inside —
+  'ab cd' -> ['abc','bcd'], NOT ['ab ','b c',' cd'].
+* ``gse`` / ``gse_ch`` / ``kagome_ja`` — DICTIONARY-FREE APPROXIMATION of
+  the reference's gse/kagome segmenters (tokenizer.go:414-424, 472-485,
+  which load ja/zh/ko dictionaries we don't ship): word runs, with runs
+  containing Han/Kana expanded to codepoint bigrams (+ the unigram for
+  1-char runs) — standard CJK bigram indexing. Query and corpus tokenize
+  identically so matching is consistent; token boundaries differ from the
+  dictionary segmenters. Explicit mode, never a silent ASCII drop.
+* ``kagome_kr`` — Korean: Hangul is space-delimited, so word tokenization
+  (Hangul chars are \\p{L}) approximates morpheme splitting well enough
+  for matching; documented approximation, same query/corpus consistency.
 
-Stopword handling (adapters/repos/db/inverted/stopwords/, preset "en"):
-``remove_stopwords`` filters a token array against a standard English
-stopword list (public-domain snowball subset).
+ASCII folding (entities/tokenizer/ascii_fold.go FoldASCII): phase-1 fold
+table for characters NFD doesn't decompose (ł→l, æ→ae, ß→ss, …), NFD
+decomposition + combining-mark (Mn) strip, NFC recompose. Reproduced here
+as pure column expressions: ~22 multi-char ``replace``s → one 1512-entry
+``translate`` (every BMP codepoint whose fold differs, precomputed at
+import from unicodedata) → ``regexp_replace('\\p{Mn}', '')`` for
+decomposed-form input. Verified equal to the reference algorithm for every
+single BMP codepoint and on multi-script fixtures. Divergence: decomposed
+Hangul jamo input is not NFC-recomposed (we never recompose); composed
+input (the norm) is unaffected.
 
-The same token stream feeds BM25 (operators/bm25.py), tokenized-Equal
-filters, and the text-analysis ops (operators/textstats.py).
+Stopwords (adapters/repos/db/inverted/stopwords/{presets,detector}.go):
+preset + additions/removals config; preset "en" is the reference's list
+verbatim. Indexing keeps stopwords (analyzer.go:178-180 — doc lengths and
+term freqs include them); QUERY tokens drop them (analyze.go:81-94), which
+is how BM25 consumes this module.
+
+The same token stream feeds BM25 (operators/bm25.py), tokenized-Equal /
+tokenized-Like filters, and the text-analysis ops (operators/textstats.py).
 """
 
 from __future__ import annotations
 
+import unicodedata
+from dataclasses import dataclass, field
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-WORD_REGEX = "[a-z0-9]+"
+# unicode letter/digit runs — same meaning in Java regex (Spark), RE2
+# (duckdb), identical to Go's unicode.IsLetter/IsNumber split
+WORD_REGEX = r"[\p{L}\p{N}]+"
+NON_ALNUM_REGEX = r"[^\p{L}\p{N}]+"
 
-# public-domain snowball English stopword subset (same list must be used by
-# any oracle SQL that exercises stopword removal)
-EN_STOPWORDS = [
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
-    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
-    "the", "their", "then", "there", "these", "they", "this", "to", "was",
-    "will", "with",
+# Go unicode.IsSpace: '\t\n\v\f\r ', U+0085, U+00A0, and categories Zs/Zl/Zp.
+# Raw characters (not \x{..} escapes) so the same class literal is valid in
+# Java regex, RE2, and Python re.
+_SPACE_CHARS = "\t\n\x0b\x0c\r \x85\xa0" + "".join(
+    chr(c)
+    for c in (
+        [0x1680]                       # ogham space mark (Zs)
+        + list(range(0x2000, 0x200B))  # en/em/thin/... spaces (Zs)
+        + [0x2028, 0x2029]             # line / paragraph separator (Zl/Zp)
+        + [0x202F, 0x205F, 0x3000]     # narrow nbsp, math space, ideographic
+    )
+)
+SPACE_REGEX = "[" + _SPACE_CHARS + "]+"
+
+# Han + Hiragana + Katakana (+ prolonged sound mark): runs containing these
+# get bigram expansion under the gse/kagome_ja approximate modes.
+_CJK_RANGES = (
+    (0x3040, 0x30FF),   # hiragana + katakana
+    (0x3400, 0x4DBF),   # CJK ext A
+    (0x4E00, 0x9FFF),   # CJK unified
+    (0xF900, 0xFAFF),   # CJK compat
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+# one regex alternation of the CJK ranges, usable in Java AND RE2 AND Python
+CJK_CLASS = "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in _CJK_RANGES) + "]"
+
+TOKENIZATIONS = [
+    "word", "lowercase", "whitespace", "field", "trigram",
+    "gse", "gse_ch", "kagome_ja", "kagome_kr",
 ]
 
+# ---------------------------------------------------------------------------
+# ASCII folding (ascii_fold.go)
 
-def tokenize(col: Column, mode: str = "word") -> Column:
-    """Token array for a text column under the given tokenization mode."""
-    if mode == "word":
-        return F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
-    if mode == "lowercase":
-        return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
-    if mode == "whitespace":
-        return F.filter(F.split(col, r"\s+"), lambda t: t != "")
-    if mode == "field":
-        return F.array(F.trim(col))
-    if mode == "trigram":
-        # guard: sequence(1,0) is DESCENDING [1,0] in Spark, not empty
-        low = F.lower(col)
-        return F.when(F.length(low) < 3, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(low) - 2),
-                lambda i: low.substr(i, F.lit(3)),
-            )
-        )
-    raise ValueError(f"unknown tokenization mode {mode!r}")
+# phase-1 fold table (ascii_fold.go:76-149) — characters NFD does NOT
+# decompose, mapped by explicit table in the reference
+_EXPLICIT_FOLDS = {
+    # stroked letters
+    "ł": "l", "Ł": "L", "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+    "ħ": "h", "Ħ": "H", "ŧ": "t", "Ŧ": "T", "ɨ": "i", "Ɨ": "I",
+    "ƀ": "b", "Ƀ": "B", "ɇ": "e", "Ɇ": "E", "ɉ": "j", "Ɉ": "J",
+    "ɍ": "r", "Ɍ": "R", "ɏ": "y", "Ɏ": "Y", "ⱥ": "a", "Ⱥ": "A",
+    # ligatures → digraphs
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ĳ": "ij", "Ĳ": "IJ",
+    # special letters
+    "ß": "ss", "ẞ": "SS", "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+    # dotless i / dotted I / kra / long s / apostrophe-n
+    "ı": "i", "İ": "I", "ĸ": "k", "ŉ": "n", "ſ": "s",
+    # typographic ligatures
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
+    "ﬅ": "st", "ﬆ": "st",
+    # hooked / tailed letters
+    "ɓ": "b", "ƈ": "c", "ɗ": "d", "ƒ": "f", "ɠ": "g", "ɦ": "h",
+    "ƙ": "k", "ɱ": "m", "ɲ": "n", "ƞ": "n", "ƥ": "p", "ʠ": "q",
+    "ɽ": "r", "ʂ": "s", "ƭ": "t", "ʋ": "v", "ⱳ": "w", "ƴ": "y",
+    "ʐ": "z",
+    "Ɓ": "B", "Ƈ": "C", "Ɗ": "D", "Ƒ": "F", "Ɠ": "G", "Ƙ": "K",
+    "Ɲ": "N", "Ƥ": "P", "Ƭ": "T", "Ʋ": "V", "Ƴ": "Y", "Ȥ": "Z",
+}
+
+
+def fold_ascii_py(s: str) -> str:
+    """Reference FoldASCII (ascii_fold.go:177-273, ignore=nil): fold table →
+    NFD decompose, strip Mn marks, re-apply table to exposed bases → NFC."""
+    buf = "".join(_EXPLICIT_FOLDS.get(ch, ch) for ch in s)
+    out = []
+    for ch in unicodedata.normalize("NFD", buf):
+        if unicodedata.category(ch) == "Mn":
+            continue
+        out.append(_EXPLICIT_FOLDS.get(ch, ch))
+    return unicodedata.normalize("NFC", "".join(out))
+
+
+@lru_cache(maxsize=1)
+def _fold_maps() -> tuple[tuple[tuple[str, str], ...], str, str]:
+    """(multi_char_replacements, translate_from, translate_to).
+
+    Derived once at import: every BMP codepoint whose fold_ascii_py differs
+    from itself. 1-char results feed one translate(); multi-char results
+    (ligatures etc.) become replace() steps. Verified exhaustively equal to
+    fold_ascii_py for every single BMP codepoint (tests/test_text.py).
+    """
+    multi: dict[str, str] = {k: v for k, v in _EXPLICIT_FOLDS.items() if len(v) > 1}
+    one: dict[str, str] = {k: v for k, v in _EXPLICIT_FOLDS.items() if len(v) == 1}
+    for cp in range(0x80, 0x10000):
+        ch = chr(cp)
+        if ch in _EXPLICIT_FOLDS or unicodedata.category(ch) == "Mn":
+            continue
+        f = fold_ascii_py(ch)
+        if f != ch:
+            (one if len(f) == 1 else multi)[ch] = f
+    items = tuple(sorted(multi.items()))
+    keys = sorted(one)
+    return items, "".join(keys), "".join(one[k] for k in keys)
+
+
+def fold_ascii(col: Column) -> Column:
+    """ASCII folding as a pure column expression (no UDF): multi-char
+    replaces → 1:1 translate → strip remaining combining marks (handles
+    decomposed-form input the way the reference's NFD phase does)."""
+    multi, frm, to = _fold_maps()
+    c = col
+    for k, v in multi:
+        c = F.replace(c, F.lit(k), F.lit(v))
+    c = F.translate(c, frm, to)
+    return F.regexp_replace(c, r"\p{Mn}", "")
+
+
+def fold_ascii_sql(expr: str) -> str:
+    """The identical fold as a duckdb SQL expression (oracle mirror)."""
+    multi, frm, to = _fold_maps()
+    s = expr
+    for k, v in multi:
+        s = f"replace({s}, '{k}', '{v}')"
+    return (
+        f"regexp_replace(translate({s}, '{frm}', '{to}'), "
+        f"'\\p{{Mn}}', '', 'g')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopwords (inverted/stopwords/presets.go + detector.go)
+
+# presets.go:19-27, verbatim
+STOPWORD_PRESETS: dict[str, list[str]] = {
+    "en": [
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+        "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+        "such", "that", "the", "their", "then", "there", "these", "they",
+        "this", "to", "was", "will", "with",
+    ],
+    "none": [],
+}
+
+# kept for back-compat with round-1 imports
+EN_STOPWORDS = STOPWORD_PRESETS["en"]
+
+
+@dataclass(frozen=True)
+class StopwordConfig:
+    """models.StopwordConfig: preset + per-class additions/removals
+    (stopwords/detector.go:32-43)."""
+
+    preset: str = "en"
+    additions: tuple[str, ...] = ()
+    removals: tuple[str, ...] = ()
+
+    def words(self) -> frozenset[str]:
+        if self.preset not in STOPWORD_PRESETS:
+            raise ValueError(f"preset {self.preset!r} not known to stopword detector")
+        base = set(STOPWORD_PRESETS[self.preset])
+        base.update(self.additions)
+        base.difference_update(self.removals)
+        return frozenset(base)
 
 
 def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Column:
@@ -66,20 +229,133 @@ def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Colu
     return F.array_except(tokens, sw)
 
 
-def tokenize_py(text: str, mode: str = "word") -> list[str]:
+# ---------------------------------------------------------------------------
+# Tokenizers
+
+def _bigram_expand(tok: Column) -> Column:
+    """Codepoint bigrams of a token (unigram when length 1) — the
+    approximate-CJK expansion."""
+    n = F.length(tok)
+    return F.when(n <= 1, F.array(tok)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 1), lambda i: tok.substr(i, F.lit(2)))
+    )
+
+
+def tokenize(col: Column, mode: str = "word", fold: bool = False) -> Column:
+    """Token array for a text column under the given tokenization mode.
+
+    ``fold=True`` applies ASCII folding BEFORE tokenizing, matching the
+    reference's analyze pipeline (analyze.go:81-94: fold → tokenize)."""
+    if fold:
+        col = fold_ascii(col)
+    if mode == "word":
+        return F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
+    if mode == "lowercase":
+        return F.filter(F.split(F.lower(col), SPACE_REGEX), lambda t: t != "")
+    if mode == "whitespace":
+        return F.filter(F.split(col, SPACE_REGEX), lambda t: t != "")
+    if mode == "field":
+        # TrimFunc(unicode.IsSpace) — F.trim only strips ' '
+        return F.array(
+            F.regexp_replace(col, f"^{SPACE_REGEX}|{SPACE_REGEX}$", "")
+        )
+    if mode == "trigram":
+        # join word runs (strip all non-alphanumerics), lowercase, then all
+        # 3-codepoint windows (tokenizer.go:395-410)
+        low = F.lower(F.regexp_replace(col, NON_ALNUM_REGEX, ""))
+        # guard: sequence(1,0) is DESCENDING [1,0] in Spark, not empty
+        return F.when(F.length(low) < 3, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - 2),
+                lambda i: low.substr(i, F.lit(3)),
+            )
+        )
+    if mode in ("gse", "gse_ch", "kagome_ja"):
+        toks = F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
+        return F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.when(t.rlike(CJK_CLASS), _bigram_expand(t)).otherwise(
+                    F.array(t)
+                ),
+            )
+        )
+    if mode == "kagome_kr":
+        return F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
+    raise ValueError(f"unknown tokenization mode {mode!r}")
+
+
+def tokenize_py(text: str, mode: str = "word", fold: bool = False) -> list[str]:
     """Driver-side tokenizer for query strings — must agree with
-    `tokenize` exactly (same regex / splitting)."""
+    `tokenize` exactly (verified by parity tests)."""
     import re
 
+    if fold:
+        text = fold_ascii_py(text)
+
+    def word_runs(s: str) -> list[str]:
+        # char loop == [\p{L}\p{N}]+ (Python re lacks \p classes)
+        runs: list[str] = []
+        cur: list[str] = []
+        for ch in s:
+            if ch.isalpha() or unicodedata.category(ch).startswith("N"):
+                cur.append(ch)
+            elif cur:
+                runs.append("".join(cur))
+                cur = []
+        if cur:
+            runs.append("".join(cur))
+        return runs
+
     if mode == "word":
-        return re.findall(WORD_REGEX, text.lower())
+        return word_runs(text.lower())
     if mode == "lowercase":
-        return [t for t in re.split(r"\s+", text.lower()) if t]
+        return [t for t in re.split(SPACE_REGEX, text.lower()) if t]
     if mode == "whitespace":
-        return [t for t in re.split(r"\s+", text) if t]
+        return [t for t in re.split(SPACE_REGEX, text) if t]
     if mode == "field":
-        return [text.strip()]
+        return [text.strip(_SPACE_CHARS)]
     if mode == "trigram":
-        low = text.lower()
+        low = "".join(word_runs(text)).lower()
         return [low[i : i + 3] for i in range(max(len(low) - 2, 0))]
+    if mode in ("gse", "gse_ch", "kagome_ja"):
+        out: list[str] = []
+        for t in word_runs(text.lower()):
+            if any(_is_cjk(ch) for ch in t):
+                out.extend([t] if len(t) <= 1 else [t[i : i + 2] for i in range(len(t) - 1)])
+            else:
+                out.append(t)
+        return out
+    if mode == "kagome_kr":
+        return word_runs(text.lower())
     raise ValueError(f"unknown tokenization mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# duckdb oracle mirrors
+
+def sql_tokens(expr: str, mode: str = "word", fold: bool = False) -> str:
+    """duckdb SQL expression producing the same token list as `tokenize` —
+    used by oracle_sql() generators so Spark and oracle share one
+    tokenizer definition."""
+    if fold:
+        expr = fold_ascii_sql(expr)
+    if mode == "word":
+        return f"regexp_extract_all(lower({expr}), '[\\p{{L}}\\p{{N}}]+')"
+    if mode == "lowercase":
+        return (
+            f"list_filter(regexp_split_to_array(lower({expr}), '{SPACE_REGEX}'), "
+            f"t -> t <> '')"
+        )
+    if mode == "whitespace":
+        return (
+            f"list_filter(regexp_split_to_array({expr}, '{SPACE_REGEX}'), "
+            f"t -> t <> '')"
+        )
+    if mode == "trigram":
+        base = f"lower(regexp_replace({expr}, '[^\\p{{L}}\\p{{N}}]+', '', 'g'))"
+        return (
+            f"CASE WHEN length({base}) < 3 THEN [] "
+            f"ELSE [substr({base}, i, 3) FOR i IN range(1, length({base}) - 1)] END"
+        )
+    raise ValueError(f"no SQL mirror for tokenization mode {mode!r}")

@@ -4,8 +4,12 @@ Semantics from the reference (adapters/repos/db/inverted/bm25_searcher.go,
 terms/terms.go):
 
 * idf(term)  = ln(1 + (N - n + 0.5)/(n + 0.5)), N clamped to >= n
-  (terms/terms.go:64-72 Idf). n = docs containing the term in the
-  property, N = total docs.
+  (terms/terms.go:64-72 Idf). N is the COLLECTION-WIDE object count
+  (bm25_searcher.go:235-239 objectsBucket.CountApproximate — NOT the
+  count of docs holding the property, and NOT post-filter), and n is the
+  term's document frequency over the UNFILTERED corpus (:885-893 — the
+  inverted index row length, which includes filter-excluded docs).
+  A where-filter restricts only the candidate set being scored.
 * tf(doc,prop) = freq / (freq + k1*(1 - b + b*propLen/avgPropLen))
   (terms/terms.go:242-249 Score), defaults k1=1.2 b=0.75
   (usecases/config/config_handler.go:57-58).
@@ -14,11 +18,14 @@ terms/terms.go):
   properties (BM25F additive form).
 * avgPropLen is the mean of the per-property mean lengths across all
   searched properties (bm25_searcher.go:408-446) — NOT per-property.
+* query analysis = fold -> tokenize -> drop stopwords
+  (analyze.go:216-242 AnalyzeAndCountDuplicates); duplicate query terms
+  boost frequency (terms.go:59 freq*boost). INDEXED tokens keep
+  stopwords (analyzer.go:178-180), so doc lengths and term frequencies
+  include them — only the query side drops them.
 * searchOperator Or (default) / And, And = doc must match every query
   term in at least one property; minimumOrTokensMatch = Or with a
   floor on distinct matched terms (base_search.proto:48-58).
-* duplicate query terms boost frequency (terms.go:59 freq*boost) — we
-  multiply the per-(doc,term) contribution count the same way.
 * top-k ties: score desc, then `_id` asc (sortby_scores.go / §4.3).
 
 Execution strategy (batch, WAND-free): the reference's WAND/BlockMax
@@ -27,20 +34,19 @@ engine scores the full candidate set — same results by construction
 (SURVEY §4.1). The plan:
 
     tokens   = explode(tokenize(prop))          -- narrow
-    doclen   = groupBy(id).count()              -- shuffle on id
-    tf       = tokens.filter(term IN query)     -- filter BEFORE agg:
-               .groupBy(id, term).count()          only query terms shuffle
-    stats    = N, avgdl (tiny agg, broadcast)
-    df_t     = tf.groupBy(term).count()         -- |query| rows, broadcast
-    score    = sum over matched terms           -- shuffle on id
+    wide     = groupBy(id).agg(len, f_t ...)    -- ONE shuffle on id
+    stats    = N, avgdl, df_t — from the PRECOMPUTED stats tables when
+               given (the prop_length_tracker/inverted-statistics
+               analogue; build_bm25_stats), else one tiny agg over wide
+    score    = per-row expression over wide     -- narrow
     topk     = orderBy(score desc, id asc).limit(k)  -- TakeOrdered
 
-Scale notes: the only wide ops shuffle on doc id (high cardinality, no
-skew) and everything upstream of them is filtered to query terms first.
-For a standing corpus, `corpus_stats` (N, avgdl, per-term df) can be
-materialized once as small tables and broadcast-joined — the Spark
-analogue of the reference's prop_length_tracker + inverted index
-statistics.
+Scale notes: with materialized stats (build_bm25_stats, refreshed on
+ingest like the reference's prop length tracker), a filtered keyword
+query tokenizes ONLY the candidate docs — no full-corpus scan per
+query. Without them, the one wide aggregation over the corpus serves
+both stats and scoring (cached, released on the next query via
+release_caches).
 """
 
 from __future__ import annotations
@@ -53,11 +59,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weaviate_spark.filters import Clause, apply_where
-from weaviate_spark.functions.text import tokenize, tokenize_py
+from weaviate_spark.functions.text import (
+    StopwordConfig,
+    sql_tokens,
+    tokenize,
+    tokenize_py,
+)
 from weaviate_spark.sources.tables import load_table
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
+AVGDL_FALLBACK = 40.0  # bm25_searcher.go:452-453
+
+# DataFrames cached by the previous query; released at the next top-level
+# query's entry so a long-lived session doesn't accumulate cached blocks
+# (the reference holds its statistics in the index instead). Top-level
+# entries (bm25_search, hybrid_search) call release_caches(); building
+# blocks (bm25_score_df) only register.
+_live_caches: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    _live_caches.append(df)
+    return df
+
+
+def release_caches() -> None:
+    global _live_caches
+    for df in _live_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _live_caches = []
 
 
 @dataclass
@@ -65,6 +99,16 @@ class BM25Prop:
     name: str
     boost: float = 1.0          # "prop^2" syntax in the API
     tokenization: str = "word"
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    """Materialized corpus statistics — the Spark analogue of the
+    reference's propLengthTracker + inverted-index term statistics."""
+
+    n_docs: float                               # collection-wide object count
+    avg_len: dict[str, float]                   # prop -> mean token count
+    term_n: dict[tuple[str, str], float]        # (prop, term) -> doc freq
 
 
 @dataclass
@@ -79,84 +123,208 @@ class BM25Spec:
     search_operator: str = "Or"  # Or | And
     minimum_or_tokens_match: int = 0
     where: Optional[Clause] = None
+    # fold -> tokenize -> drop stopwords on the QUERY (analyze.go:216-242);
+    # preset "en" is the reference's class-config default
+    stopwords: Optional[StopwordConfig] = StopwordConfig()
+    fold: bool = False
+    stats: Optional[CorpusStats] = None
     round_digits: Optional[int] = 6  # deterministic cross-engine hashing
+
+
+def query_terms(
+    query: str,
+    tokenization: str = "word",
+    stopwords: StopwordConfig | None = StopwordConfig(),
+    fold: bool = False,
+) -> dict[str, float]:
+    """term -> boost (duplicate count) after fold + stopword removal —
+    shared by the Spark path and every oracle-SQL generator so both
+    engines see the identical query analysis."""
+    toks = tokenize_py(query, tokenization, fold=fold)
+    if stopwords is not None:
+        sw = stopwords.words()
+        toks = [t for t in toks if t not in sw]
+    return {t: float(toks.count(t)) for t in set(toks)}
+
+
+def build_bm25_stats(
+    corpus: DataFrame,
+    properties: Sequence[BM25Prop],
+    id_col: str,
+    fold: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus_stats, term_df) as small DataFrames, built in ONE pass per
+    property over the UNFILTERED corpus. Persist these as tables and feed
+    `load_stats` for query-time BM25 that never rescans the corpus —
+    refresh on ingest, exactly like the reference's prop length tracker.
+
+    corpus_stats: (prop, n_docs, n_docs_with_prop, avg_len)
+    term_df:      (prop, term, df) — one row per distinct term
+    """
+    n_docs = corpus.count()
+    stat_rows = []
+    term_frames = []
+    for prop in properties:
+        toks = corpus.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokenize(F.col(prop.name), prop.tokenization, fold=fold)).alias("_term"),
+        )
+        per_doc = toks.groupBy("_doc", "_term").agg(F.count(F.lit(1)).alias("_f"))
+        lens = per_doc.groupBy("_doc").agg(F.sum("_f").alias("_len"))
+        srow = lens.agg(
+            F.count(F.lit(1)).alias("nd"), F.avg("_len").alias("al")
+        ).collect()[0]
+        stat_rows.append((prop.name, n_docs, srow["nd"], float(srow["al"] or 0.0)))
+        term_frames.append(
+            per_doc.groupBy("_term").agg(F.count(F.lit(1)).alias("df")).select(
+                F.lit(prop.name).alias("prop"), F.col("_term").alias("term"), "df"
+            )
+        )
+    spark = corpus.sparkSession
+    corpus_stats = spark.createDataFrame(
+        stat_rows, "prop string, n_docs long, n_docs_with_prop long, avg_len double"
+    )
+    term_df = term_frames[0]
+    for t in term_frames[1:]:
+        term_df = term_df.unionByName(t)
+    return corpus_stats, term_df
+
+
+def load_stats(
+    corpus_stats: DataFrame,
+    term_df: DataFrame,
+    needed: dict[str, Sequence[str]] | None = None,
+) -> CorpusStats:
+    """Collect the (tiny) stats needed for a query from the materialized
+    tables. `needed`: prop -> query terms; when given, only those term_df
+    rows move to the driver (a few rows, not the vocabulary)."""
+    rows = corpus_stats.collect()
+    n_docs = float(rows[0]["n_docs"]) if rows else 0.0
+    avg_len = {r["prop"]: float(r["avg_len"]) for r in rows}
+    tdf = term_df
+    if needed is not None:
+        cond = None
+        for prop, terms in needed.items():
+            c = (F.col("prop") == prop) & F.col("term").isin(list(terms))
+            cond = c if cond is None else (cond | c)
+        tdf = tdf.where(cond if cond is not None else F.lit(False))
+    term_n = {(r["prop"], r["term"]): float(r["df"]) for r in tdf.collect()}
+    return CorpusStats(n_docs=n_docs, avg_len=avg_len, term_n=term_n)
 
 
 def bm25_search(spark: SparkSession, sf_dir: str, spec: BM25Spec) -> DataFrame:
     """Top-k BM25F search; returns (id_col, _score) plus match count."""
-    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
-    return bm25_score_df(df, spec).orderBy(
+    release_caches()
+    full = load_table(spark, sf_dir, spec.collection)
+    cand = apply_where(full, spec.where)
+    return bm25_score_df(cand, spec, corpus_df=full).orderBy(
         F.col("_score").desc(), F.col(spec.id_col).asc()
     ).limit(spec.limit)
 
 
-def bm25_score_df(df: DataFrame, spec: BM25Spec) -> DataFrame:
-    """Score every matching document (no limit); building block for
+def _query_analysis(spec: BM25Spec) -> dict[str, dict[str, float]]:
+    """prop name -> (term -> boost)."""
+    return {
+        p.name: query_terms(spec.query, p.tokenization, spec.stopwords, spec.fold)
+        for p in spec.properties
+    }
+
+
+def bm25_score_df(
+    df: DataFrame, spec: BM25Spec, corpus_df: DataFrame | None = None
+) -> DataFrame:
+    """Score every candidate document (no limit); building block for
     hybrid fusion and aggregation-with-objectLimit.
 
-    Plan shape (per property): ONE tokenize+explode scan -> ONE shuffle:
-    ``groupBy(doc).agg(count(*) AS len, sum(term = t_i) AS f_i ...)`` —
-    doc length and all per-term frequencies come out of the same
-    aggregation (wide form), so the corpus is scanned once and only doc
-    rows (not token rows x terms) move. Corpus stats (N, avgdl, df_t)
-    are one tiny agg over the wide table, collected as literals — the
-    Spark analogue of the reference's prop_length_tracker + term
-    statistics, which a standing deployment materializes once.
+    `df` is the candidate set (post-where); `corpus_df` the unfiltered
+    collection that corpus statistics are computed over (defaults to
+    `df`; pass it whenever a where-filter is active — reference
+    semantics score candidates against COLLECTION statistics).
+
+    Plan shape (per property): ONE tokenize+explode scan of the corpus ->
+    ONE shuffle: ``groupBy(doc).agg(count(*) AS len, sum(term = t_i) AS
+    f_i ...)`` — doc length and all per-term frequencies come out of the
+    same aggregation (wide form), so only doc rows (not token rows x
+    terms) move. With spec.stats set, the corpus pass disappears
+    entirely and only candidate docs are tokenized.
     """
     id_col = spec.id_col
+    if corpus_df is None:
+        corpus_df = df
+    stats_from_tables = spec.stats is not None
 
-    per_prop: list[tuple[BM25Prop, DataFrame, dict, dict, float, float]] = []
+    analysis = _query_analysis(spec)
+    n_docs_collection: float | None = (
+        spec.stats.n_docs if spec.stats is not None else None
+    )
+
+    per_prop: list[tuple[BM25Prop, DataFrame, dict, dict, float]] = []
     for prop in spec.properties:
-        qtokens = tokenize_py(spec.query, prop.tokenization)
-        if not qtokens:
+        qboost = analysis[prop.name]
+        if not qboost:
             continue
-        # duplicate query terms boost frequency (terms.go:59)
-        qboost = {t: float(qtokens.count(t)) for t in set(qtokens)}
         terms = sorted(qboost)
+        # with precomputed stats only candidates are tokenized; otherwise
+        # the corpus is (its wide agg also yields the stats)
+        base = df if stats_from_tables else corpus_df
         # single-file inputs arrive as 1 partition — tokenization is the
         # CPU-heavy stage, spread it (no-op when input is already split)
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
-        toks = df.select(
+        parallelism = base.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < parallelism:
+            base = base.repartition(parallelism)
+        toks = base.select(
             F.col(id_col).alias("_doc"),
-            F.explode(tokenize(F.col(prop.name), prop.tokenization)).alias("_term"),
+            F.explode(tokenize(F.col(prop.name), prop.tokenization, fold=spec.fold)).alias("_term"),
         )
-        # cached: the stats agg below and the scoring projection both read
-        # this — one corpus scan total, not two
         wide = toks.groupBy("_doc").agg(
             F.count(F.lit(1)).alias("_len"),
             *[
                 F.sum(F.when(F.col("_term") == t, 1).otherwise(0)).alias(f"_f{i}")
                 for i, t in enumerate(terms)
             ],
-        ).cache()
-        srow = wide.agg(
-            F.count(F.lit(1)).alias("_ndocs"),
-            F.avg("_len").alias("_avglen"),
-            *[
-                F.sum(F.when(F.col(f"_f{i}") > 0, 1).otherwise(0)).alias(f"_n{i}")
-                for i in range(len(terms))
-            ],
-        ).collect()[0]
-        n_t = {t: float(srow[f"_n{i}"] or 0) for i, t in enumerate(terms)}
-        per_prop.append((
-            prop, wide, qboost, n_t,
-            float(srow["_ndocs"] or 0), float(srow["_avglen"] or 0.0),
-        ))
+        )
+
+        if stats_from_tables:
+            avg = spec.stats.avg_len.get(prop.name, 0.0)
+            n_t = {t: spec.stats.term_n.get((prop.name, t), 0.0) for t in terms}
+        else:
+            # per-query stats over the unfiltered corpus: cache the wide
+            # frame — the stats agg and the scoring projection both read it
+            wide = wide.cache()
+            register_cache(wide)
+            srow = wide.agg(
+                F.avg("_len").alias("_avglen"),
+                *[
+                    F.sum(F.when(F.col(f"_f{i}") > 0, 1).otherwise(0)).alias(f"_n{i}")
+                    for i in range(len(terms))
+                ],
+            ).collect()[0]
+            n_t = {t: float(srow[f"_n{i}"] or 0) for i, t in enumerate(terms)}
+            avg = float(srow["_avglen"] or 0.0)
+            if corpus_df is not df:
+                # scoring reads only candidate docs out of the cached corpus
+                # aggregation (ids semi-join; no second tokenize pass)
+                wide = wide.join(
+                    df.select(F.col(id_col).alias("_doc")), "_doc", "semi"
+                )
+        per_prop.append((prop, wide, qboost, n_t, avg))
 
     if not per_prop:
         return df.select(F.col(id_col)).where(F.lit(False)).withColumn(
             "_score", F.lit(0.0)
         ).withColumn("_terms_matched", F.lit(0))
 
+    if n_docs_collection is None:
+        # collection-wide object count (bm25_searcher.go:235-239)
+        n_docs_collection = float(corpus_df.count())
+
     # avgPropLen = mean of per-property means (bm25_searcher.go:408-446);
     # NaN/0 fallback is 40.0 (:452-453)
     means = [avg for *_, avg in per_prop if avg > 0]
-    avgdl = sum(means) / len(means) if means else 40.0
+    avgdl = sum(means) / len(means) if means else AVGDL_FALLBACK
 
     contrib_frames = []
-    for prop, wide, qboost, n_t, N_docs, _avg in per_prop:
+    for prop, wide, qboost, n_t, _avg in per_prop:
         terms = sorted(qboost)
         score = None
         matched = None
@@ -165,7 +333,7 @@ def bm25_score_df(df: DataFrame, spec: BM25Spec) -> DataFrame:
             if n <= 0:
                 continue
             # idf with N clamped to >= n (terms.go:67-71)
-            N = max(N_docs, n)
+            N = max(n_docs_collection, n)
             idf = math.log(1.0 + (N - n + 0.5) / (n + 0.5))
             freq = F.col(f"_f{i}").cast("double") * F.lit(qboost[t])
             tf_norm = freq / (
@@ -209,9 +377,7 @@ def bm25_score_df(df: DataFrame, spec: BM25Spec) -> DataFrame:
             ),
         )
 
-    n_query_terms = len(
-        set().union(*[set(tokenize_py(spec.query, p.tokenization)) for p in spec.properties])
-    )
+    n_query_terms = len(set().union(*[set(analysis[p.name]) for p in spec.properties]))
     if spec.search_operator == "And":
         out = out.where(F.col("_terms_matched") == n_query_terms)
     elif spec.minimum_or_tokens_match > 0:
@@ -234,11 +400,21 @@ def bm25_oracle_sql(
     limit: int = 100,
     search_operator: str = "Or",
     minimum_or_tokens_match: int = 0,
+    tokenization: str = "word",
+    stopwords: StopwordConfig | None = StopwordConfig(),
+    fold: bool = False,
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical single-property BM25 result —
-    the generated-oracle counterpart of bm25_search."""
-    qtokens = tokenize_py(query, "word")
-    qboost = {t: qtokens.count(t) for t in set(qtokens)}
+    the generated-oracle counterpart of bm25_search. Statistics (N,
+    avgdl, df) come from the full table; `where_sql` restricts only the
+    scored candidate set (reference semantics)."""
+    qboost = query_terms(query, tokenization, stopwords, fold)
+    if not qboost:
+        return (
+            f"SELECT {id_col}, 0.0 AS _score, 0 AS _terms_matched "
+            f"FROM {table} WHERE false"
+        )
     terms_sql = ", ".join(f"('{t}', {c})" for t, c in sorted(qboost.items()))
     n_terms = len(qboost)
     if search_operator == "And":
@@ -247,20 +423,29 @@ def bm25_oracle_sql(
         having = f"HAVING count(DISTINCT _term) >= {min(minimum_or_tokens_match, n_terms)}"
     else:
         having = ""
+    toks_expr = sql_tokens(text_col, tokenization, fold=fold)
+    cand = f"SELECT {id_col} AS _doc FROM {table}"
+    if where_sql:
+        cand += f" WHERE {where_sql}"
     return f"""
 WITH toks AS (
-  SELECT {id_col} AS _doc, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS _term
+  SELECT {id_col} AS _doc, unnest({toks_expr}) AS _term
   FROM {table}
 ),
 doclen AS (SELECT _doc, count(*) AS _len FROM toks GROUP BY _doc),
-stats AS (SELECT count(*) AS _ndocs, avg(_len) AS _avgdl FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM {table}) AS _ndocs,
+         (SELECT avg(_len) FROM doclen) AS _avgdl
+),
+cand AS ({cand}),
 qterms(_term, _boost) AS (VALUES {terms_sql}),
-tf AS (
+tf_all AS (
   SELECT _doc, toks._term, count(*) * _boost AS _freq
   FROM toks JOIN qterms ON toks._term = qterms._term
   GROUP BY _doc, toks._term, _boost
 ),
-n_t AS (SELECT _term, count(*) AS _n FROM tf GROUP BY _term),
+n_t AS (SELECT _term, count(*) AS _n FROM tf_all GROUP BY _term),
+tf AS (SELECT tf_all.* FROM tf_all JOIN cand USING (_doc)),
 contrib AS (
   SELECT tf._doc, tf._term,
     (tf._freq / (tf._freq + {k1} * (1 - {b} + {b} * doclen._len / stats._avgdl)))

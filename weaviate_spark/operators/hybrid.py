@@ -32,7 +32,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weaviate_spark.filters import Clause
-from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_score_df
+from weaviate_spark.operators.bm25 import (
+    BM25Prop,
+    BM25Spec,
+    bm25_score_df,
+    query_terms,
+    register_cache,
+    release_caches,
+)
 from weaviate_spark.operators.vector import NearVectorSpec, near_vector, with_distance
 from weaviate_spark.plans.spec import QUERY_HYBRID_MAXIMUM_RESULTS
 from weaviate_spark.sources.tables import load_table
@@ -67,8 +74,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
     legs: list[tuple[DataFrame, float]] = []  # (df[id, _secondary], weight)
 
     # one shared (filtered, cached) scan for both legs — the corpus is
-    # read once, not once per leg
-    df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where).cache()
+    # read once, not once per leg; released at the next query's entry
+    release_caches()
+    full = load_table(spark, sf_dir, spec.collection)
+    df = register_cache(apply_where(full, spec.where).cache())
 
     if spec.alpha < 1 and spec.query:
         bspec = BM25Spec(
@@ -77,7 +86,9 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
             round_digits=spec.round_digits, where=spec.where,
         )
         sparse = (
-            bm25_score_df(df, bspec)
+            # stats over the unfiltered collection (reference semantics);
+            # candidates are the shared filtered scan
+            bm25_score_df(df, bspec, corpus_df=df if spec.where is None else full)
             .orderBy(F.col("_score").desc(), F.col(id_col).asc())
             .limit(cap)
             .select(id_col, F.col("_score").alias("_secondary"))
@@ -167,11 +178,9 @@ def hybrid_oracle_sql(
     """DuckDB SQL reproducing hybrid_search over the docs_embedded shape
     (documents JOIN embeddings ON doc_id = vec_id), word tokenization,
     cosine metric — the generated-oracle counterpart of hybrid_search."""
-    from weaviate_spark.functions.text import tokenize_py
-
     cap = max(QUERY_HYBRID_MAXIMUM_RESULTS, limit)
-    qtokens = tokenize_py(query, "word")
-    qboost = {t: qtokens.count(t) for t in set(qtokens)}
+    # identical query analysis to the Spark path (fold/stopwords included)
+    qboost = query_terms(query, "word")
     terms_sql = ", ".join(f"('{t}', {c})" for t, c in sorted(qboost.items()))
     qvec_sql = "[" + ", ".join(str(float(x)) for x in vector) + "]::DOUBLE[]"
     w_kw, w_vec = 1.0 - alpha, alpha
@@ -203,11 +212,14 @@ WITH corpus AS (
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ),
 toks AS (
-  SELECT doc_id AS _doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS _term
+  SELECT doc_id AS _doc, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS _term
   FROM corpus
 ),
 doclen AS (SELECT _doc, count(*) AS _len FROM toks GROUP BY _doc),
-stats AS (SELECT count(*) AS _ndocs, avg(_len) AS _avgdl FROM doclen),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS _ndocs,
+         (SELECT avg(_len) FROM doclen) AS _avgdl
+),
 qterms(_term, _boost) AS (VALUES {terms_sql}),
 tf AS (
   SELECT _doc, toks._term, count(*) * _boost AS _freq
