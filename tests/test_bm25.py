@@ -107,3 +107,48 @@ def test_bm25_duplicate_term_boost(spark):
     s1 = {r["doc_id"]: r["_score"] for r in single}[1]
     s2 = {r["doc_id"]: r["_score"] for r in double}[1]
     assert s2 > s1  # boosted frequency saturates higher
+
+
+def test_stats_tables_match_recompute(spark, tmp_path):
+    """The materialized-stats path (build_bm25_stats + load_stats) must
+    score identically to the per-query recompute path — including with a
+    where-filter, where stats stay collection-wide but only candidates
+    are scored (bm25_searcher.go:235-239, :885-893)."""
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop,
+        BM25Spec,
+        bm25_score_df,
+        build_bm25_stats,
+        load_stats,
+    )
+
+    rows = [
+        (1, "apple banana apple", "a"),
+        (2, "apple cherry", "b"),
+        (3, "banana cherry date apple", "a"),
+        (4, "cherry date elder", "b"),
+        (5, "apple apple apple banana", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    props = [BM25Prop("text")]
+    spec = BM25Spec(
+        collection="x", query="apple banana", properties=props,
+        id_col="doc_id", round_digits=None,
+    )
+    cs, tdf = build_bm25_stats(df, props, "doc_id")
+    stats = load_stats(cs, tdf, {"text": ["apple", "banana"]})
+
+    for cand in (df, df.where(F.col("grp") == "a")):
+        recompute = {
+            r["doc_id"]: r["_score"]
+            for r in bm25_score_df(cand, spec, corpus_df=df).collect()
+        }
+        fed = {
+            r["doc_id"]: r["_score"]
+            for r in bm25_score_df(
+                cand, BM25Spec(**{**spec.__dict__, "stats": stats}), corpus_df=df
+            ).collect()
+        }
+        assert set(fed) == set(recompute)
+        for k in fed:
+            assert fed[k] == pytest.approx(recompute[k], abs=1e-12)

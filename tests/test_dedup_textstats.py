@@ -126,7 +126,7 @@ def test_search_group_by_semantics(spark):
         ["id", "g", "d"],
     )
     out = group_search_results(
-        hits, "g", [F.col("d").asc(), F.col("id").asc()],
+        hits, "g", [(F.col("d"), True), (F.col("id"), True)],
         groups=2, objects_per_group=2,
     ).collect()
     kept = {(r["g"], r["id"]) for r in out}

@@ -29,7 +29,16 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drop the previous query's scratch caches (see cache.py)
+            from weaviate_spark.cache import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -884,7 +893,7 @@ def q_search_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )).select("vec_id", "label", "_distance")
     out = group_search_results(
         hits, "label",
-        [F.col("_distance").asc(), F.col("vec_id").asc()],
+        [(F.col("_distance"), True), (F.col("vec_id"), True)],
         groups=3, objects_per_group=2,
     )
     return out.select(

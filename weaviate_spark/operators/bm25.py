@@ -52,7 +52,7 @@ release_caches).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,27 +71,9 @@ K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 AVGDL_FALLBACK = 40.0  # bm25_searcher.go:452-453
 
-# DataFrames cached by the previous query; released at the next top-level
-# query's entry so a long-lived session doesn't accumulate cached blocks
-# (the reference holds its statistics in the index instead). Top-level
-# entries (bm25_search, hybrid_search) call release_caches(); building
-# blocks (bm25_score_df) only register.
-_live_caches: list[DataFrame] = []
-
-
-def register_cache(df: DataFrame) -> DataFrame:
-    _live_caches.append(df)
-    return df
-
-
-def release_caches() -> None:
-    global _live_caches
-    for df in _live_caches:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _live_caches = []
+# per-query scratch caches live in weaviate_spark.cache (released at every
+# top-level query entry); re-exported here for backward compatibility
+from weaviate_spark.cache import register_cache, release_caches  # noqa: E402,F401
 
 
 @dataclass
@@ -212,11 +194,63 @@ def load_stats(
     return CorpusStats(n_docs=n_docs, avg_len=avg_len, term_n=term_n)
 
 
-def bm25_search(spark: SparkSession, sf_dir: str, spec: BM25Spec) -> DataFrame:
-    """Top-k BM25F search; returns (id_col, _score) plus match count."""
+# Materialized stats tables, keyed by (session, sf_dir, collection,
+# property set, fold) — the Spark analogue of the reference's long-lived
+# propLengthTracker + inverted-index statistics. Built once per session on
+# the first keyword query against a collection, reused by every later
+# query (including hybrid legs). NOT registered in the per-query cache
+# registry: these persist deliberately. A write path must call
+# invalidate_stats() (the reference refreshes its tracker on ingest).
+_stats_tables: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def invalidate_stats() -> None:
+    for cs, tdf in _stats_tables.values():
+        for frame in (cs, tdf):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+    _stats_tables.clear()
+
+
+def with_materialized_stats(
+    spec: BM25Spec, corpus: DataFrame, table_key: tuple
+) -> BM25Spec:
+    """Return a spec whose ``stats`` come from the session-level
+    materialized stats tables (built on first use). Query-time cost after
+    the build: two collects of a handful of rows from cached frames —
+    no corpus scan."""
+    if spec.stats is not None:
+        return spec
+    props_key = tuple(sorted((p.name, p.tokenization) for p in spec.properties))
+    key = (id(corpus.sparkSession), *table_key, props_key, spec.fold)
+    if key not in _stats_tables:
+        cs, tdf = build_bm25_stats(corpus, spec.properties, spec.id_col, spec.fold)
+        cs, tdf = cs.cache(), tdf.cache()
+        cs.count(), tdf.count()  # materialize now; later reads hit the cache
+        _stats_tables[key] = (cs, tdf)
+    cs, tdf = _stats_tables[key]
+    needed = {p: list(t) for p, t in _query_analysis(spec).items() if t}
+    return replace(spec, stats=load_stats(cs, tdf, needed))
+
+
+def bm25_search(
+    spark: SparkSession, sf_dir: str, spec: BM25Spec, use_stats_tables: bool = True
+) -> DataFrame:
+    """Top-k BM25F search; returns (id_col, _score) plus match count.
+
+    Default path feeds scoring from the materialized stats tables, so
+    only candidate documents are tokenized per query; pass
+    ``use_stats_tables=False`` to recompute statistics from the corpus
+    inside this query (the two paths produce identical scores —
+    tests/test_bm25.py pins it, and the driver oracle is always the
+    recompute formulation)."""
     release_caches()
     full = load_table(spark, sf_dir, spec.collection)
     cand = apply_where(full, spec.where)
+    if use_stats_tables:
+        spec = with_materialized_stats(spec, full, (sf_dir, spec.collection))
     return bm25_score_df(cand, spec, corpus_df=full).orderBy(
         F.col("_score").desc(), F.col(spec.id_col).asc()
     ).limit(spec.limit)

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import register_cache
 from weaviate_spark.functions.text import tokenize
 
 
@@ -126,7 +127,7 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sh = shingle_df(df, id_col, text_col, shingle_n).cache()
+    sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
 
     # wide-form signatures: ONE groupBy over shingles computing all K
     # mins as columns — no K-fold row blowup through the shuffle (the
@@ -201,7 +202,7 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard >= threshold (candidate generation
     by shared shingle — quadratic in worst case; LSH variant is the
     scale path)."""
-    sh = shingle_df(df, id_col, text_col, shingle_n).cache()
+    sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
     a = sh.select(F.col("_doc").alias("_a"), "_shingle")
     b = sh.select(F.col("_doc").alias("_b"), "_shingle")
     pairs = (
@@ -278,7 +279,7 @@ def simhash_neardup_pairs(
     dial, same trade as minhash bands."""
     num_chunks = min(max_hamming + 1, 15)
     width = (60 + num_chunks - 1) // num_chunks
-    sim = simhash64(df, id_col, text_col).cache()
+    sim = register_cache(simhash64(df, id_col, text_col).cache())
     chunks = sim.select(
         "_doc", "simhash",
         F.explode(F.array(*[

@@ -28,7 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weaviate_spark.filters import Clause
@@ -39,6 +39,7 @@ from weaviate_spark.operators.bm25 import (
     query_terms,
     register_cache,
     release_caches,
+    with_materialized_stats,
 )
 from weaviate_spark.operators.vector import NearVectorSpec, near_vector, with_distance
 from weaviate_spark.plans.spec import QUERY_HYBRID_MAXIMUM_RESULTS
@@ -85,10 +86,12 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
             properties=spec.properties, id_col=id_col,
             round_digits=spec.round_digits, where=spec.where,
         )
+        # stats over the unfiltered collection (reference semantics), fed
+        # from the session-level materialized tables — the keyword leg
+        # tokenizes only the shared filtered scan
+        bspec = with_materialized_stats(bspec, full, (sf_dir, spec.collection))
         sparse = (
-            # stats over the unfiltered collection (reference semantics);
-            # candidates are the shared filtered scan
-            bm25_score_df(df, bspec, corpus_df=df if spec.where is None else full)
+            bm25_score_df(df, bspec)
             .orderBy(F.col("_score").desc(), F.col(id_col).asc())
             .limit(cap)
             .select(id_col, F.col("_score").alias("_secondary"))
@@ -129,21 +132,42 @@ def fuse(
     fusion: str = "relativeScore",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Fuse (df[id,_secondary], weight) legs into (id, _score)."""
+    """Fuse (df[id,_secondary], weight) legs into (id, _score).
+
+    No single-partition windows: each leg is already capped at
+    <= max(100, limit) rows, so the global leg rank is computed by
+    collecting the leg into ONE array expression (collect_list ->
+    array_sort -> posexplode, position = 0-based rank) and the leg
+    min/max by broadcasting a 1-row aggregate — both silent-by-design
+    replacements for `Window.orderBy()` with no partition key, which
+    Spark would (rightly) flag."""
     contribs = []
     for leg_df, weight in legs:
-        w = Window.orderBy(F.col("_secondary").desc(), F.col(id_col).asc())
         if fusion == "ranked":
-            # weight / (rank + 60), rank 0-based (hybrid_fusion.go:33)
-            c = leg_df.withColumn("_rank", F.row_number().over(w) - 1).select(
-                id_col,
-                (F.lit(weight) / (F.col("_rank") + 60)).alias("_contrib"),
+            # weight / (rank + 60), rank 0-based (hybrid_fusion.go:33),
+            # ranked by (_secondary desc, id asc): struct key (-sec, id)
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("_secondary")).alias("_k"),
+                        F.col(id_col).alias("_id"),
+                    )
+                )
+            )
+            c = (
+                leg_df.agg(arr.alias("_a"))
+                .select(F.posexplode("_a").alias("_rank", "_row"))
+                .select(
+                    F.col("_row._id").alias(id_col),
+                    (F.lit(weight) / (F.col("_rank") + 60)).alias("_contrib"),
+                )
             )
         elif fusion == "relativeScore":
-            mm = Window.partitionBy()  # min/max over the whole (capped) leg
+            mm = leg_df.agg(
+                F.max("_secondary").alias("_mx"), F.min("_secondary").alias("_mn")
+            )
             c = (
-                leg_df.withColumn("_mx", F.max("_secondary").over(mm))
-                .withColumn("_mn", F.min("_secondary").over(mm))
+                leg_df.crossJoin(F.broadcast(mm))
                 .select(
                     id_col,
                     F.when(

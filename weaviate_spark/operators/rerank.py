@@ -38,22 +38,28 @@ class BoostCondition:
     decay_value: float = 0.5
 
 
-def _minmax_norm(c: Column, w: Window) -> Column:
-    mx, mn = F.max(c).over(w), F.min(c).over(w)
+def _pv_expr(cond: BoostCondition) -> Column:
+    """The (pre-normalization) property-value expression of a condition."""
+    v = F.col(cond.property_value).cast("double")
+    if cond.pv_modifier == "log1p":
+        v = F.log1p(F.greatest(v, F.lit(0.0)))
+    elif cond.pv_modifier == "sqrt":
+        v = F.sqrt(F.greatest(v, F.lit(0.0)))
+    return v
+
+
+def _minmax_norm(c: Column, mx: Column, mn: Column) -> Column:
     return F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn))
 
 
-def _condition_score(df: DataFrame, cond: BoostCondition, w: Window) -> Column:
+def _condition_score(df: DataFrame, cond: BoostCondition, idx: int) -> Column:
+    """Per-row condition score; property_value conditions read their
+    min/max from the broadcast stats columns `_mx{idx}` / `_mn{idx}`."""
     if cond.filter is not None:
         # binary: 1 if match else 0 (boost.go:54)
         return F.when(F.coalesce(compile_where(df, cond.filter), F.lit(False)), 1.0).otherwise(0.0)
     if cond.property_value is not None:
-        v = F.col(cond.property_value).cast("double")
-        if cond.pv_modifier == "log1p":
-            v = F.log1p(F.greatest(v, F.lit(0.0)))
-        elif cond.pv_modifier == "sqrt":
-            v = F.sqrt(F.greatest(v, F.lit(0.0)))
-        return _minmax_norm(v, w)
+        return _minmax_norm(_pv_expr(cond), F.col(f"_mx{idx}"), F.col(f"_mn{idx}"))
     if cond.decay_col is not None:
         dist = F.greatest(
             F.abs(F.col(cond.decay_col).cast("double") - F.lit(cond.decay_origin))
@@ -81,24 +87,38 @@ def boost_rerank(
     descending: bool = True,
 ) -> DataFrame:
     """Blended re-rank (usecases/traverser/boost_scorer.go:67-160):
-    primary scores min-max normalized over the window (all-equal -> 1),
-    boost = sum(w_i * cond_i) / sum(|w_i|), final = (1-w)*primary_norm
-    + w*boost; re-sort final desc, id asc. Distance-shaped primaries
-    should be converted to scores first (distToScore)."""
+    primary scores min-max normalized over the result set (all-equal ->
+    1), boost = sum(w_i * cond_i) / sum(|w_i|), final = (1-w)*
+    primary_norm + w*boost; re-sort final desc, id asc. Distance-shaped
+    primaries should be converted to scores first (distToScore).
+
+    All min/max come from ONE 1-row aggregate broadcast back over the
+    hits (no single-partition window) — correct and scale-safe even on
+    an uncapped input."""
     if not conditions or weight <= 0:
         return hits
-    w = Window.partitionBy()
     primary = F.col(score_col).cast("double")
     if not descending:
         primary = -primary
-    p_norm = _minmax_norm(primary, w)
+
+    aggs = [F.max(primary).alias("_mxp"), F.min(primary).alias("_mnp")]
+    for i, c in enumerate(conditions):
+        if c.property_value is not None:
+            v = _pv_expr(c)
+            aggs += [F.max(v).alias(f"_mx{i}"), F.min(v).alias(f"_mn{i}")]
+    stats = hits.agg(*aggs)
+    out = hits.crossJoin(F.broadcast(stats))
+
+    p_norm = _minmax_norm(primary, F.col("_mxp"), F.col("_mnp"))
     weight_sum = sum(abs(c.weight) for c in conditions) or 1.0
     boost = None
-    for c in conditions:
-        term = _condition_score(hits, c, w) * F.lit(c.weight)
+    for i, c in enumerate(conditions):
+        term = _condition_score(out, c, i) * F.lit(c.weight)
         boost = term if boost is None else boost + term
     boost = boost / F.lit(weight_sum)
-    out = hits.withColumn("_boosted_score", F.round((1 - weight) * p_norm + weight * boost, 6))
+    out = out.withColumn(
+        "_boosted_score", F.round((1 - weight) * p_norm + weight * boost, 6)
+    ).drop(*[f.name for f in stats.schema.fields])
     return out.orderBy(F.col("_boosted_score").desc(), F.col(id_col).asc())
 
 

@@ -20,35 +20,56 @@ from pyspark.sql import functions as F
 def group_search_results(
     hits: DataFrame,
     group_col: str,
-    order_cols: Sequence,
+    order_keys: Sequence,
     groups: int,
     objects_per_group: int,
 ) -> DataFrame:
     """weaviate search-groupBy (shard_group_by.go):
 
-    * hits ordered by `order_cols` (distance asc / score desc + id);
+    * hits ordered by `order_keys` — (Column, ascending) pairs, e.g.
+      ``[(F.col("_distance"), True), (F.col(id), True)]``; descending
+      keys must be numeric (they are negated to build an ascending
+      composite sort key);
     * group admission order = first occurrence of the group value in
-      hit order (min hit rank), first `groups` values kept;
+      hit order (the group's best hit), first `groups` values kept;
     * each group keeps its best `objects_per_group` hits;
     * array-valued group props: explode first (an object may appear in
       several groups) — caller explodes before passing in.
 
     Adds `_group_rank` (admission order) and `_in_group_rank`.
+
+    No single-partition window: in-group ranks use a window PARTITIONED
+    by the group value; the global admission order is computed on the
+    one-row-per-group "best hit" frame (<= #groups rows, itself bounded
+    by the capped hit count) via collect_list -> array_sort ->
+    posexplode, then broadcast-joined back.
     """
-    w_all = Window.orderBy(*order_cols)
-    ranked = hits.withColumn("_rnk", F.row_number().over(w_all))
-    w_grp = Window.partitionBy(group_col).orderBy(F.col("_rnk"))
-    ranked = ranked.withColumn("_in_group_rank", F.row_number().over(w_grp))
-    best = Window.partitionBy(group_col)
-    ranked = ranked.withColumn("_best", F.min("_rnk").over(best))
-    admission = Window.orderBy(F.col("_best"))
-    ranked = ranked.withColumn("_group_rank", F.dense_rank().over(admission))
-    return (
-        ranked.where(
-            (F.col("_group_rank") <= groups)
-            & (F.col("_in_group_rank") <= objects_per_group)
+    sort_cols = [c.asc() if asc else c.desc() for c, asc in order_keys]
+    w_grp = Window.partitionBy(group_col).orderBy(*sort_cols)
+    ranked = hits.withColumn("_in_group_rank", F.row_number().over(w_grp))
+
+    key_fields = [
+        (c if asc else (-c.cast("double"))).alias(f"_k{i}")
+        for i, (c, asc) in enumerate(order_keys)
+    ]
+    best = ranked.where(F.col("_in_group_rank") == 1).select(
+        F.struct(*key_fields, F.col(group_col).alias("_g")).alias("_key")
+    )
+    admitted = (
+        best.agg(F.array_sort(F.collect_list("_key")).alias("_a"))
+        .select(F.posexplode("_a").alias("_r0", "_row"))
+        .select(
+            F.col("_row._g").alias("_g"),
+            (F.col("_r0") + 1).alias("_group_rank"),
         )
-        .drop("_rnk", "_best")
+        .where(F.col("_group_rank") <= groups)
+    )
+    return (
+        ranked.join(
+            F.broadcast(admitted), ranked[group_col] == admitted["_g"]
+        )
+        .where(F.col("_in_group_rank") <= objects_per_group)
+        .drop("_g")
     )
 
 
@@ -81,12 +102,12 @@ def autocut_index(scores: Sequence[float], cut_off: int) -> int:
     return n
 
 
-def apply_autocut(
-    hits: DataFrame, score_col: str, cut_off: int, ascending: bool = True
-) -> DataFrame:
+def apply_autocut(hits: DataFrame, score_col: str, cut_off: int) -> DataFrame:
     """Autocut over an already-ordered top-k result: collect the (small,
     <= limit) score column, compute the cut index driver-side, keep the
-    first `cut` rows. Deterministic pure function of the scores."""
+    first `cut` rows. Deterministic pure function of the scores; the
+    unit-square extremum cut is direction-invariant, so no sort-direction
+    parameter is needed."""
     if cut_off <= 0:
         return hits
     rows = hits.select(score_col).collect()

@@ -106,8 +106,7 @@ def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFram
         from weaviate_spark.operators.search_post import apply_autocut
 
         score_col = "_score" if "_score" in out.columns else "_distance"
-        out = apply_autocut(out, score_col, spec.autocut,
-                            ascending=score_col == "_distance")
+        out = apply_autocut(out, score_col, spec.autocut)
     if spec.select:
         out = out.select(*spec.select)
     return out
