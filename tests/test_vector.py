@@ -107,3 +107,44 @@ def test_hybrid_fusion_unit(spark):
     assert rel[1] == pytest.approx(0.25)
     assert rel[2] == pytest.approx(0.75)
     assert rel[3] == pytest.approx(0.0)
+
+
+def test_knn_classify_lsh_recall_vs_exact(spark):
+    """LSH-pruned classification must agree with the exact path on
+    clustered data (uniform random vectors are the LSH worst case and
+    not representative — clusters are; see FIXTURES gotchas)."""
+    import math
+    import random
+
+    from weaviate_spark.operators.rerank import knn_classify, knn_classify_lsh
+
+    rng = random.Random(7)
+    dim, clusters = 16, 4
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(clusters)]
+    rows = []
+    for i in range(240):
+        c = i % clusters
+        v = [x + rng.gauss(0, 0.05) for x in centers[c]]
+        rows.append((i, v, c))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # split on a modulus coprime to the cluster count, so every
+    # cluster has labeled members
+    lab = df.where(F.col("vec_id") % 5 != 0)
+    unl = df.where(F.col("vec_id") % 5 == 0)
+
+    exact = {
+        r["vec_id"]: r["predicted_label"]
+        for r in knn_classify(
+            lab, unl, "vec_id", "embedding", "label", k=5, backend="expr"
+        ).collect()
+    }
+    approx = {
+        r["vec_id"]: r["predicted_label"]
+        for r in knn_classify_lsh(
+            lab, unl, "vec_id", "embedding", "label", dim=dim, k=5,
+            num_planes=6, probe=2,
+        ).collect()
+    }
+    assert set(approx) == set(exact)          # every query classified
+    agree = sum(approx[q] == exact[q] for q in exact) / len(exact)
+    assert agree >= 0.95, f"LSH classification agreement too low: {agree}"

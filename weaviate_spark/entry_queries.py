@@ -954,33 +954,70 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_classification",
-    oracle=(
-        f"WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
-        "FROM embeddings), "
-        "unl AS (SELECT * FROM e WHERE vec_id % 10 = 0), "
-        "lab AS (SELECT * FROM e WHERE vec_id % 10 <> 0), "
-        "d AS (SELECT u.vec_id AS _qid, l.label AS _label, l.vec_id AS _tid, "
-        "round(1 - list_dot_product(u.ev, l.ev) / "
-        "(sqrt(list_dot_product(u.ev, u.ev)) * sqrt(list_dot_product(l.ev, l.ev))), 6) AS _d "
-        "FROM unl u CROSS JOIN lab l), "
-        "topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _d ASC, _tid ASC) AS _rn FROM d) WHERE _rn <= 5), "
-        "votes AS (SELECT _qid, _label, count(*) AS _votes FROM topk GROUP BY _qid, _label) "
-        "SELECT _qid AS vec_id, _label AS predicted_label, CAST(_votes AS BIGINT) AS votes FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _votes DESC, _label ASC) AS _r FROM votes) "
-        "WHERE _r = 1"
-    ),
+    oracle=None,  # set below — generated from the same LSH planes
 )
 def q_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN classification (classifier_run_knn.go): every 10th object is
-    'unlabeled', k=5 neighbors among the rest vote; tie -> smallest
-    label."""
-    from weaviate_spark.operators.rerank import knn_classify
+    """kNN classification, scale path (classifier_run_knn.go semantics
+    with LSH candidate pruning): every 10th object is 'unlabeled', k=5
+    neighbors among the LSH-bucket candidates of the rest vote; tie ->
+    smallest label. No cross join, nothing collected to the driver —
+    the oracle mirrors the identical deterministic hyperplane buckets,
+    so the comparison is exact. The exact (unpruned) path is pinned by
+    pytest (tests/test_vector.py recall + hand-computed tests)."""
+    from weaviate_spark.operators.rerank import knn_classify_lsh
     from pyspark.sql import functions as F
 
     emb = _load(spark, sf_dir, "embeddings")
     unl = emb.where(F.col("vec_id") % 10 == 0)
     lab = emb.where(F.col("vec_id") % 10 != 0)
-    return knn_classify(lab, unl, "vec_id", "embedding", "label", k=5)
+    return knn_classify_lsh(
+        lab, unl, "vec_id", "embedding", "label", dim=64, k=5,
+        num_planes=6, probe=2,
+    )
+
+
+def _knn_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, seed: int = 42,
+                        k: int = 5) -> str:
+    """DuckDB mirror of q_knn_classification: identical plane constants
+    (same generator), identical signature arithmetic (sequential dot
+    product over doubles), identical probe set and vote rules."""
+    from weaviate_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_expr = " || ".join(
+        f"(CASE WHEN list_dot_product(ev, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    flips = ", ".join(
+        f"substr(_sig,1,{i}) || (CASE WHEN substr(_sig,{i + 1},1)='1' "
+        f"THEN '0' ELSE '1' END) || substr(_sig,{i + 2})"
+        for i in range(num_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+s AS (SELECT *, {sig_expr} AS _sig FROM e),
+unl AS (SELECT * FROM s WHERE vec_id % 10 = 0),
+lab AS (SELECT * FROM s WHERE vec_id % 10 <> 0),
+qp AS (SELECT vec_id AS _qid, ev AS qv, unnest([_sig, {flips}]) AS _bucket FROM unl),
+cand AS (
+  SELECT DISTINCT qp._qid, qp.qv, l.vec_id AS _tid, l.label AS _label, l.ev AS tv
+  FROM qp JOIN lab l ON qp._bucket = l._sig
+),
+d AS (SELECT _qid, _label, _tid,
+  round(1 - list_dot_product(qv, tv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(tv, tv))), 6) AS _d
+  FROM cand),
+topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _d ASC, _tid ASC) AS _rn FROM d) WHERE _rn <= {k}),
+votes AS (SELECT _qid, _label, count(*) AS _votes FROM topk GROUP BY _qid, _label)
+SELECT _qid AS vec_id, _label AS predicted_label, CAST(_votes AS BIGINT) AS votes FROM (
+SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _votes DESC, _label ASC) AS _r FROM votes) WHERE _r = 1
+"""
+
+
+ORACLES["knn_classification"] = _knn_lsh_oracle_sql()
 
 
 @register(

@@ -249,10 +249,14 @@ def knn_classify(
       Arrow batch of queries scored with a single BLAS matmul,
       per-query top-k via argsort on (distance, tid). ~100x the
       expression path on cross-join shapes. Requires the labeled set
-      to fit in executor memory (prune with an ANN index first
-      otherwise).
+      to fit in executor memory — for large labeled sets use
+      ``knn_classify_lsh`` (bucketed candidates, nothing collected).
     * ``expr`` — pure Catalyst cross join + window top-k; exactness
-      reference and fallback when labeled side is huge.
+      reference and fallback when vectors are not cosine-comparable.
+
+    Both exact backends are O(|labeled| x |queries|) by nature; they are
+    the small-training-set path (the reference classifier's typical use)
+    and the recall oracle for ``knn_classify_lsh``.
     """
     if backend == "expr":
         return _knn_classify_expr(labeled, unlabeled, id_col, vector_col, label_col, k, metric)
@@ -295,6 +299,86 @@ def knn_classify(
 
     out_schema = f"{id_col} long, predicted_label long, votes long"
     return unlabeled.select(id_col, vector_col).mapInPandas(_classify, out_schema)
+
+
+def _probe_buckets(sig: Column, num_planes: int, probe: int) -> Column:
+    """Array of bucket keys to probe: the signature itself, plus every
+    Hamming-distance-1 neighbour when probe > 1."""
+    arr = [sig]
+    if probe > 1:
+        for i in range(num_planes):
+            bit = F.substring(sig, i + 1, 1)
+            arr.append(
+                F.concat(
+                    F.substring(sig, 1, i),
+                    F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring(sig, i + 2, num_planes),
+                )
+            )
+    return F.array(*arr)
+
+
+def knn_classify_lsh(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str,
+    vector_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    metric: str = "cosine",
+    num_planes: int = 6,
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """Scale path for kNN classification: candidates come from shared
+    random-hyperplane LSH buckets (operators/similarity.py; the
+    vector-index pruning analogue of the reference's HNSW-backed
+    classifier, classifier_run_knn.go:35-91) instead of the full labeled
+    set. Neither side is collected to the driver and the plan contains
+    no cross join: labeled rows are bucketed by signature, queries probe
+    their own bucket plus all Hamming-1 buckets, candidates are exact-
+    rescored, top-k vote as in `knn_classify`.
+
+    Shuffles: one join on the (hash-uniform) bucket key, one dedup on
+    (query, target), one top-k/vote agg on the query id — all bounded by
+    the candidate count, never n^2. Recall vs the exact path is tunable
+    via num_planes (fewer planes = bigger buckets) and probe;
+    tests/test_vector.py measures it on clustered data."""
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.operators.similarity import hyperplanes, signature_col
+
+    planes = hyperplanes(num_planes, dim, seed)
+    lab = labeled.select(
+        F.col(id_col).alias("_tid"), F.col(vector_col).alias("_tv"),
+        F.col(label_col).alias("_label"),
+        signature_col(F.col(vector_col), planes).alias("_bucket"),
+    )
+    q = unlabeled.select(
+        F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv"),
+        signature_col(F.col(vector_col), planes).alias("_sig"),
+    )
+    qp = q.select(
+        "_qid", "_qv",
+        F.explode(_probe_buckets(F.col("_sig"), num_planes, probe)).alias("_bucket"),
+    )
+    cand = qp.join(lab, "_bucket").dropDuplicates(["_qid", "_tid"])
+    cand = cand.withColumn(
+        "_d", F.round(distance(F.col("_qv"), F.col("_tv"), metric), 6)
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_tid").asc())
+    topk = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    votes = topk.groupBy("_qid", "_label").agg(F.count(F.lit(1)).alias("_votes"))
+    wv = Window.partitionBy("_qid").orderBy(F.col("_votes").desc(), F.col("_label").asc())
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_label").alias("predicted_label"),
+            F.col("_votes").cast("long").alias("votes"),
+        )
+    )
 
 
 def _knn_classify_expr(
