@@ -168,3 +168,40 @@ def test_ivf_index_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / 10
     assert recall >= 0.9, f"IVF recall@10: {recall}"
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-bucketed near-dup must recover the brute-force pairs on
+    clustered data (near-dups = same-cluster pairs)."""
+    import random
+
+    from weaviate_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.03) for x in centers[i % 5]])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", max_distance=0.05
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            df, "vec_id", "embedding", dim=dim, max_distance=0.05,
+            num_planes=6, probe=2,
+        ).collect()
+    }
+    assert lsh <= exact                      # no false positives (rescored)
+    assert exact, "fixture produced no near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"

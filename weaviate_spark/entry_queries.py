@@ -747,24 +747,57 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.35)
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=(
-        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
-        "FROM embeddings) "
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "round(1 - list_dot_product(a.ev, b.ev) / "
-        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS _distance "
-        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
-        "WHERE 1 - list_dot_product(a.ev, b.ev) / "
-        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) <= 0.55"
-    ),
+def _embedding_lsh_oracle_sql(num_planes: int = 6, dim: int = 64,
+                              seed: int = 42,
+                              max_distance: float = 0.55) -> str:
+    """DuckDB mirror of q_dedup_embedding: identical plane constants,
+    signature arithmetic, Hamming-1 probe set, rescore and threshold."""
+    from weaviate_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_expr = " || ".join(
+        f"(CASE WHEN list_dot_product(ev, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    flips = ", ".join(
+        f"substr(_sig,1,{i}) || (CASE WHEN substr(_sig,{i + 1},1)='1' "
+        f"THEN '0' ELSE '1' END) || substr(_sig,{i + 2})"
+        for i in range(num_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+s AS (SELECT *, {sig_expr} AS _sig FROM e),
+ap AS (SELECT vec_id AS id_a, ev AS va, unnest([_sig, {flips}]) AS _bucket FROM s),
+cand AS (
+  SELECT DISTINCT ap.id_a, ap.va, b.vec_id AS id_b, b.ev AS vb
+  FROM ap JOIN s b ON ap._bucket = b._sig
+  WHERE ap.id_a < b.vec_id
 )
+SELECT id_a, id_b,
+  round(1 - list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS _distance
+FROM cand
+WHERE round(1 - list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) <= {max_distance}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_lsh_oracle_sql())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force exactness oracle for
-    the LSH-bucketed scale path)."""
+    """Embedding-cosine near-dup pairs via the LSH-bucketed scale path
+    (no cross join in the plan); the oracle mirrors the identical
+    deterministic hyperplane buckets, so the comparison is exact. The
+    brute-force `embedding_neardup_pairs` stays as the pytest
+    recall/exactness oracle."""
+    from weaviate_spark.operators.dedup import embedding_neardup_pairs_lsh
+
     df = _load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(df, "vec_id", "embedding", max_distance=0.55)
+    return embedding_neardup_pairs_lsh(
+        df, "vec_id", "embedding", dim=64, max_distance=0.55,
+        num_planes=6, probe=2,
+    )
 
 
 @register("dedup_simhash")

@@ -244,6 +244,55 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    max_distance: float = 0.25,
+    metric: str = "cosine",
+    num_planes: int = 6,
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs come from
+    shared random-hyperplane LSH buckets (side A probes its own bucket
+    plus all Hamming-1 buckets when probe > 1), then exact rescore and
+    threshold — no cross join anywhere in the plan. Shuffles: one
+    equi-join on the hash-uniform bucket key + one pair dedup; both
+    scale with collisions per bucket, not n^2. `embedding_neardup_pairs`
+    (brute force) is the exactness/recall oracle
+    (tests/test_dedup_textstats.py)."""
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.operators.rerank import _probe_buckets
+    from weaviate_spark.operators.similarity import hyperplanes, signature_col
+
+    planes = hyperplanes(num_planes, dim, seed)
+    s = df.select(
+        F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"),
+        signature_col(F.col(vector_col), planes).alias("_sig"),
+    )
+    a = s.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.explode(_probe_buckets(F.col("_sig"), num_planes, probe)).alias("_bucket"),
+    )
+    b = s.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_sig").alias("_bucket"),
+    )
+    pairs = (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    d = F.round(distance(F.col("_va"), F.col("_vb"), metric), 6)
+    return (
+        pairs.withColumn("_distance", d)
+        .where(F.col("_distance") <= F.lit(max_distance))
+        .select("id_a", "id_b", "_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 
