@@ -223,3 +223,57 @@ def test_registry_aliases():
         reg.add_alias("X", "Nope")
     with pytest.raises(KeyError):
         reg.resolve("Unknown")
+
+
+def test_upsert_anti_join_no_key_collect(spark, tmp_path):
+    """upsert's keep-set must be a LEFT ANTI join (no driver key
+    materialization): probe the optimized plan of the exact frame upsert
+    builds."""
+    from weaviate_spark.sources.crud import upsert
+
+    tdir = str(tmp_path / "tbl_anti")
+    spark.createDataFrame([(i, i * 1.0) for i in range(100)], ["id", "v"]).write.parquet(tdir)
+    new_rows = spark.createDataFrame([(5, -5.0), (200, -200.0)], ["id", "v"])
+
+    current = spark.read.parquet(tdir)
+    kept = current.join(new_rows.select("id").distinct(), "id", "left_anti")
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+
+    upsert(spark, tdir, new_rows, key="id")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(tdir).collect()}
+    assert len(rows) == 101 and rows[5] == -5.0 and rows[200] == -200.0
+
+
+def test_upsert_partitioned_rewrites_only_affected(spark, tmp_path):
+    """Partition-pruned MERGE: untouched partition directories keep their
+    data files byte-identical (same file names, same mtimes)."""
+    import os
+
+    from weaviate_spark.sources.crud import upsert_partitioned, write_tenant_partitioned
+
+    tdir = str(tmp_path / "tbl_part")
+    df = spark.createDataFrame(
+        [(1, "t1", 1.0), (2, "t1", 2.0), (3, "t2", 3.0), (4, "t3", 4.0)],
+        ["id", "tenant", "v"],
+    )
+    write_tenant_partitioned(df, tdir, "tenant")
+
+    def files(p):
+        d = os.path.join(tdir, p)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before_t2, before_t3 = files("tenant=t2"), files("tenant=t3")
+    upsert_partitioned(
+        spark, tdir,
+        spark.createDataFrame([(2, "t1", 20.0), (5, "t1", 5.0)], ["id", "tenant", "v"]),
+        key="id", partition_col="tenant",
+    )
+    assert files("tenant=t2") == before_t2
+    assert files("tenant=t3") == before_t3
+    rows = {r["id"]: (r["tenant"], r["v"]) for r in spark.read.parquet(tdir).collect()}
+    assert rows == {1: ("t1", 1.0), 2: ("t1", 20.0), 3: ("t2", 3.0),
+                    4: ("t3", 4.0), 5: ("t1", 5.0)}

@@ -49,11 +49,56 @@ def _rewrite(df: DataFrame, table_dir: str) -> None:
 
 
 def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -> None:
-    """MERGE: replace rows with matching key, append the rest."""
+    """MERGE: replace rows with matching key, append the rest.
+
+    The keep-set comes from a LEFT ANTI join on the key — no driver-side
+    key collect, so ``new_rows`` can be arbitrarily large; when it is
+    small, AQE turns the anti join into a broadcast automatically. For
+    partitioned tables use ``upsert_partitioned`` (rewrites only the
+    affected partitions)."""
     current = spark.read.parquet(table_dir)
-    keys = [r[0] for r in new_rows.select(key).distinct().collect()]
-    kept = current.where(~F.col(key).isin(keys))
+    kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
     _rewrite(kept.unionByName(new_rows), table_dir)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    new_rows: DataFrame,
+    key: str,
+    partition_col: str,
+) -> None:
+    """MERGE into a `partition_col`-partitioned table, rewriting ONLY the
+    partitions that appear in ``new_rows`` — the 100 TB path: rewrite cost
+    is O(affected partitions), not O(table).
+
+    Only the distinct partition VALUES are collected (metadata-scale,
+    like Delta's partition pruning), never the keys; the keep-set is a
+    LEFT ANTI join and the current-table scan is partition-pruned to the
+    affected directories. Partition values must be strings or ints
+    (hive-style ``col=value`` directory encoding)."""
+    parts = sorted(
+        r[0] for r in new_rows.select(partition_col).distinct().collect()
+    )
+    current = spark.read.parquet(table_dir).where(
+        F.col(partition_col).isin(list(parts))  # partition-pruned scan
+    )
+    kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
+    out = kept.unionByName(new_rows.select(*kept.columns))
+
+    staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
+    out.write.partitionBy(partition_col).parquet(staging)
+    for p in parts:
+        part_dir = f"{partition_col}={p}"
+        src = os.path.join(staging, part_dir)
+        dst = os.path.join(table_dir, part_dir)
+        backup = dst + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(dst):
+            os.rename(dst, backup)
+        os.rename(src, dst)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    shutil.rmtree(staging)
 
 
 def patch(
