@@ -663,14 +663,20 @@ sh AS (
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
 ),
+km AS (
+  SELECT _doc,
+    ('0x' || substr(md5(_shingle), 1, 14))::BIGINT AS _h1,
+    ('0x' || substr(md5(_shingle), 15, 14))::BIGINT AS _h2
+  FROM sh
+),
 mh AS (
-  SELECT _doc, i AS _i, min(md5(CAST(i AS VARCHAR) || ':' || _shingle)) AS _minhash
-  FROM sh, LATERAL unnest(range(0, 16)) AS t(i)
+  SELECT _doc, i AS _i, min(_h1 + i * _h2) AS _minhash
+  FROM km, LATERAL unnest(range(0, 16)) AS t(i)
   GROUP BY _doc, i
 ),
 bands AS (
   SELECT _doc, CAST(_i // 4 AS INT) AS _band,
-    md5(string_agg(CAST(_i AS VARCHAR) || ':' || _minhash, ',' ORDER BY CAST(_i AS VARCHAR) || ':' || _minhash)) AS _bucket
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || CAST(_minhash AS VARCHAR), ',' ORDER BY _i)) AS _bucket
   FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
 ),
 cand AS (
@@ -1468,13 +1474,19 @@ sh AS (
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
 ),
+km AS (
+  SELECT _doc,
+    ('0x' || substr(md5(_shingle), 1, 14))::BIGINT AS _h1,
+    ('0x' || substr(md5(_shingle), 15, 14))::BIGINT AS _h2
+  FROM sh
+),
 mh AS (
-  SELECT _doc, i AS _i, min(md5(CAST(i AS VARCHAR) || ':' || _shingle)) AS _minhash
-  FROM sh, LATERAL unnest(range(0, 16)) AS t(i) GROUP BY _doc, i
+  SELECT _doc, i AS _i, min(_h1 + i * _h2) AS _minhash
+  FROM km, LATERAL unnest(range(0, 16)) AS t(i) GROUP BY _doc, i
 ),
 bands AS (
   SELECT _doc, CAST(_i // 4 AS INT) AS _band,
-    md5(string_agg(CAST(_i AS VARCHAR) || ':' || _minhash, ',' ORDER BY CAST(_i AS VARCHAR) || ':' || _minhash)) AS _bucket
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || CAST(_minhash AS VARCHAR), ',' ORDER BY _i)) AS _bucket
   FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
 ),
 cand AS (

@@ -4,9 +4,13 @@ the batch extras a 100 TB corpus pipeline needs).
 
 All hashing is md5-based so every step is reproducible in the duckdb
 oracle AND stable across cluster sizes / Spark versions (no reliance on
-`hash()`/`xxhash64` whose seeds differ between engines). Min-hashes
-compare hex strings lexicographically — same order as the underlying
-128-bit integers, no int conversion needed.
+`hash()`/`xxhash64` whose seeds differ between engines). The MinHash
+family hashes each shingle ONCE: md5 split into two 56-bit ints
+(h1, h2), hash_i = h1 + i*h2 — the Kirsch-Mitzenmacher construction
+('Less Hashing, Same Performance: Building a Better Bloom Filter',
+ESA'06), 16x less hashing than md5-per-(i, shingle) with the same
+collision behavior; mirrored exactly in SQL via
+('0x' || substr(md5(s), ..))::BIGINT.
 
 * ``exact_dedup_groups`` — hash-groupBy on normalized text: one shuffle
   on a uniformly distributed md5 key; scales linearly, no skew.
@@ -94,16 +98,30 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     )
 
 
+def _km_halves(shingle: Column) -> tuple[Column, Column]:
+    """ONE md5 per shingle, split into two 56-bit ints (h1, h2); the K
+    hash family is h_i = h1 + i*h2 (Kirsch-Mitzenmacher construction —
+    standard for Bloom/MinHash families, 'Less Hashing, Same
+    Performance'). 16x less hashing than md5-per-(i, shingle); max value
+    h1 + 15*h2 < 2^60 so plain BIGINT arithmetic, mirrored exactly in
+    the duckdb oracle via ('0x' || substr(md5(s), ..))::BIGINT."""
+    m = F.md5(shingle)
+    h1 = F.conv(F.substring(m, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 15, 14), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
     """(doc, hash_idx, minhash) — minhash_i = min over shingles of
-    md5(i ':' shingle), compared as hex strings (order-isomorphic to the
-    integer value). One shuffle on (doc, i)."""
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_i")
-    hashed = sh.select("_doc", "_shingle", idx).withColumn(
-        "_h", F.md5(F.concat(F.col("_i").cast("string"), F.lit(":"), F.col("_shingle")))
-    )
+    h1 + i*h2 (one md5 per shingle, K-M derived family). One shuffle on
+    (doc, i)."""
+    h1, h2 = _km_halves(F.col("_shingle"))
+    hashed = sh.select(
+        "_doc", h1.alias("_h1"), h2.alias("_h2"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_i"),
+    ).withColumn("_h", F.col("_h1") + F.col("_i") * F.col("_h2"))
     return hashed.groupBy("_doc", "_i").agg(F.min("_h").alias("_minhash"))
 
 
@@ -131,19 +149,19 @@ def minhash_lsh_pairs(
 
     # wide-form signatures: ONE groupBy over shingles computing all K
     # mins as columns — no K-fold row blowup through the shuffle (the
-    # long-form equivalent shuffles K x the shingle count). Bucket
-    # strings are bit-identical to the long form: per band, the
-    # "i:minhash" entries are concatenated in lexicographic order of
-    # the i-prefix (prefixes are unique, so hash values never matter).
-    sig = sh.groupBy("_doc").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_shingle")))).alias(f"_mh{i}")
+    # long-form equivalent shuffles K x the shingle count). One md5 per
+    # shingle; the K hashes are the K-M derived family h1 + i*h2.
+    h1, h2 = _km_halves(F.col("_shingle"))
+    hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+    sig = hashed.groupBy("_doc").agg(*[
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
         for i in range(num_hashes)
     ])
     band_cols = []
     for b in range(bands):
-        idx = sorted(range(b * rows_per_band, (b + 1) * rows_per_band), key=str)
         entry = F.concat_ws(",", *[
-            F.concat(F.lit(f"{i}:"), F.col(f"_mh{i}")) for i in idx
+            F.concat(F.lit(f"{i}:"), F.col(f"_mh{i}").cast("string"))
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         ])
         band_cols.append(F.struct(F.lit(b).alias("_band"), F.md5(entry).alias("_bucket")))
     buckets = (
