@@ -135,6 +135,44 @@ def test_search_group_by_semantics(spark):
     assert kept == {("a", 1), ("a", 3), ("b", 2), ("b", 6)}
 
 
+def test_group_result_structs_shape(spark):
+    """The Group struct matches entities/additional/group.go:20-38:
+    0-based ID in admission order, groupedBy{value,path}, min/max =
+    first/last kept hit (shard_group_by.go:193-194), ordered hits;
+    hybrid=True sets max == min (hybrid_group_by.go:108-115)."""
+    from weaviate_spark.operators.search_post import (
+        group_result_structs,
+        group_search_results,
+    )
+
+    hits = spark.createDataFrame(
+        [
+            (1, "a", 0.1), (2, "b", 0.2), (3, "a", 0.3), (4, "a", 0.4),
+            (5, "c", 0.5), (6, "b", 0.6), (7, "d", 0.7),
+        ],
+        ["id", "g", "d"],
+    )
+    grouped = group_search_results(
+        hits, "g", [(F.col("d"), True), (F.col("id"), True)],
+        groups=2, objects_per_group=2,
+    )
+    rows = {r["_group_id"]: r["group"]
+            for r in group_result_structs(grouped, "g", "d", "id").collect()}
+    assert set(rows) == {0, 1}
+    a, b = rows[0], rows[1]
+    assert a["groupedBy"]["value"] == "a" and a["groupedBy"]["path"] == ["g"]
+    assert [h["id"] for h in a["hits"]] == ["1", "3"]
+    assert abs(a["minDistance"] - 0.1) < 1e-9 and abs(a["maxDistance"] - 0.3) < 1e-9
+    assert a["count"] == 2
+    assert b["groupedBy"]["value"] == "b"
+    assert abs(b["maxDistance"] - 0.6) < 1e-9
+
+    hyb = {r["_group_id"]: r["group"] for r in group_result_structs(
+        grouped, "g", "d", "id", hybrid=True).collect()}
+    assert hyb[0]["minDistance"] == hyb[0]["maxDistance"] == hyb[0]["minDistance"]
+    assert abs(hyb[1]["maxDistance"] - 0.2) < 1e-9
+
+
 def test_ivf_index_recall_on_clustered_data(spark):
     """KMeans-IVF with nprobe=4 on clustered data: the query's cluster
     is found and recall@10 vs exact is high."""

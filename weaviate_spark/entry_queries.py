@@ -901,7 +901,11 @@ def q_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # M7 — search post-stages: groupBy-in-search, autocut; ANN
 
-from weaviate_spark.operators.search_post import apply_autocut, group_search_results
+from weaviate_spark.operators.search_post import (
+    apply_autocut,
+    group_result_structs,
+    group_search_results,
+)
 
 
 @register(
@@ -940,6 +944,125 @@ def q_search_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_in_group_rank").cast("long").alias("_in_group_rank"),
         F.col("_group_rank").cast("long").alias("_group_rank"),
     )
+
+
+_GROUP_STRUCT_FLAT_SQL = """
+SELECT CAST(gr - 1 AS BIGINT) AS group_id,
+  CAST({label} AS VARCHAR) AS group_value,
+  '{label}' AS group_path,
+  min_by(_gdist, igr) AS min_distance,
+  {maxd} AS max_distance,
+  CAST(count(*) AS BIGINT) AS n_hits,
+  string_agg(
+    CAST({id} AS VARCHAR) || ':' || CAST(CAST(round(_gdist * 1e6) AS BIGINT) AS VARCHAR),
+    ',' ORDER BY igr) AS hits
+FROM kept GROUP BY gr, {label}
+"""
+
+
+def _flatten_group_structs(g: DataFrame) -> DataFrame:
+    """Project the nested Group struct into hash-stable flat columns for
+    the driver compare (nested structs don't round-trip identically
+    through pandas on both engines; the struct itself is pinned by
+    tests/test_search_post.py)."""
+    from pyspark.sql import functions as F
+
+    return g.select(
+        F.col("_group_id").cast("long").alias("group_id"),
+        F.col("group.groupedBy.value").alias("group_value"),
+        F.concat_ws("/", "group.groupedBy.path").alias("group_path"),
+        F.col("group.minDistance").alias("min_distance"),
+        F.col("group.maxDistance").alias("max_distance"),
+        F.col("group.count").cast("long").alias("n_hits"),
+        F.concat_ws(",", F.transform(
+            "group.hits",
+            lambda h: F.concat(
+                h["id"], F.lit(":"),
+                F.round(h["distance"] * 1e6).cast("long").cast("string"),
+            ),
+        )).alias("hits"),
+    )
+
+
+@register(
+    "search_group_by_struct",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        f"hits AS (SELECT vec_id, label, {_COS_SQL} AS _gdist "
+        "FROM e CROSS JOIN q ORDER BY _gdist ASC, vec_id ASC LIMIT 50), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY _gdist ASC, vec_id ASC) AS _rnk FROM hits), "
+        "grp AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY _rnk) AS igr FROM ranked), "
+        "best AS (SELECT label, min(_rnk) AS _best FROM ranked GROUP BY label), "
+        "adm AS (SELECT label, dense_rank() OVER (ORDER BY _best) AS gr FROM best), "
+        "kept AS (SELECT g.*, a.gr FROM grp g JOIN adm a USING (label) "
+        "WHERE a.gr <= 3 AND g.igr <= 2) "
+        + _GROUP_STRUCT_FLAT_SQL.format(
+            label="label", id="vec_id", maxd="max_by(_gdist, igr)")
+    ),
+)
+def q_search_group_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search groupBy emitting the reference's Group result struct
+    (entities/additional/group.go:20-38): groupedBy{value,path},
+    minDistance/maxDistance = first/last kept hit
+    (shard_group_by.go:193-194), count, ordered hits. The driver row
+    compares a flattened projection; the nested shape itself is pinned
+    by tests/test_search_post.py."""
+    from pyspark.sql import functions as F
+
+    hits = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=50,
+    )).select("vec_id", "label", "_distance")
+    grouped = group_search_results(
+        hits, "label",
+        [(F.col("_distance"), True), (F.col("vec_id"), True)],
+        groups=3, objects_per_group=2,
+    )
+    return _flatten_group_structs(group_result_structs(
+        grouped, "label", "_distance", "vec_id", path=["label"],
+    ))
+
+
+@register(
+    "hybrid_group_by",
+    oracle=(
+        "WITH h0 AS (SELECT f.doc_id, f._score, d.lang "
+        f"FROM ({hybrid_oracle_sql('spark filter join', QVEC, alpha=0.5, fusion='ranked', limit=25)}) f "
+        "JOIN documents d USING (doc_id)), "
+        "ranked AS (SELECT doc_id, _score AS _gdist, lang, "
+        "row_number() OVER (ORDER BY _score DESC, doc_id ASC) AS _rnk FROM h0), "
+        "grp AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY _rnk) AS igr FROM ranked), "
+        "best AS (SELECT lang, min(_rnk) AS _best FROM ranked GROUP BY lang), "
+        "adm AS (SELECT lang, dense_rank() OVER (ORDER BY _best) AS gr FROM best), "
+        "kept AS (SELECT g.*, a.gr FROM grp g JOIN adm a USING (lang) "
+        "WHERE a.gr <= 4 AND g.igr <= 3) "
+        + _GROUP_STRUCT_FLAT_SQL.format(
+            label="lang", id="doc_id", maxd="min_by(_gdist, igr)")
+    ),
+)
+def q_hybrid_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search x groupBy (usecases/traverser/hybrid_group_by.go):
+    fused top-k grouped by a document property; group admission = first
+    occurrence in fusion order, minDistance == maxDistance == the
+    group's best fused score (hybrid_group_by.go:108-115)."""
+    from pyspark.sql import functions as F
+
+    fused = hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="ranked", limit=25,
+    ))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    hits = docs.join(F.broadcast(fused), "doc_id")
+    grouped = group_search_results(
+        hits, "lang",
+        [(F.col("_score"), False), (F.col("doc_id"), True)],
+        groups=4, objects_per_group=3,
+    )
+    return _flatten_group_structs(group_result_structs(
+        grouped, "lang", "_score", "doc_id", path=["lang"], hybrid=True,
+    ))
 
 
 @register("bm25_autocut")

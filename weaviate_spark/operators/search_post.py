@@ -73,6 +73,62 @@ def group_search_results(
     )
 
 
+def group_result_structs(
+    grouped: DataFrame,
+    group_col: str,
+    dist_col: str,
+    id_col: str,
+    path: Sequence[str] | None = None,
+    hybrid: bool = False,
+) -> DataFrame:
+    """Collapse a `group_search_results` frame to one row per group in
+    the reference's Group shape (entities/additional/group.go:20-38):
+
+        _group_id  — 0-based admission order (Group.ID)
+        group      — struct(groupedBy{value, path}, minDistance,
+                     maxDistance, count, hits[{id, distance}])
+
+    minDistance/maxDistance are the first / last kept hit's distance
+    (adapters/repos/db/shard_group_by.go:193-194); the hybrid pipeline
+    sets BOTH to the first hit's score
+    (usecases/traverser/hybrid_group_by.go:108-115) — pass
+    ``hybrid=True`` for that. `hits` preserve in-group rank order.
+
+    One shuffle on the group value; group count is bounded by the capped
+    hit set, so every aggregate here is tiny regardless of corpus size.
+    """
+    hit = F.struct(
+        F.col("_in_group_rank").alias("_r"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(dist_col).cast("double").alias("distance"),
+    )
+    first = F.min_by(F.col(dist_col).cast("double"), F.col("_in_group_rank"))
+    last = F.max_by(F.col(dist_col).cast("double"), F.col("_in_group_rank"))
+    agg = grouped.groupBy(F.col("_group_rank"), F.col(group_col).alias("_value")).agg(
+        first.alias("_mind"),
+        (first if hybrid else last).alias("_maxd"),
+        F.count(F.lit(1)).alias("_count"),
+        F.array_sort(F.collect_list(hit)).alias("_hits_r"),
+    )
+    path_lits = [F.lit(p) for p in (list(path) if path else [group_col])]
+    return agg.select(
+        (F.col("_group_rank") - 1).cast("int").alias("_group_id"),
+        F.struct(
+            F.struct(
+                F.col("_value").cast("string").alias("value"),
+                F.array(*path_lits).alias("path"),
+            ).alias("groupedBy"),
+            F.col("_mind").alias("minDistance"),
+            F.col("_maxd").alias("maxDistance"),
+            F.col("_count").cast("int").alias("count"),
+            F.transform(
+                "_hits_r",
+                lambda h: F.struct(h["id"].alias("id"), h["distance"].alias("distance")),
+            ).alias("hits"),
+        ).alias("group"),
+    )
+
+
 def autocut_index(scores: Sequence[float], cut_off: int) -> int:
     """Pure-function port of the reference's extremum cut
     (autocut.go:14-51): normalize score-vs-rank to the unit square,
