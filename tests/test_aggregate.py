@@ -54,3 +54,63 @@ def test_boolean_percentages(spark):
     ).collect()[0]
     # count excludes nulls (count(prop) semantics)
     assert row["t"] == 2 and abs(row["pct"] - 2 / 3) < 1e-12
+
+
+def test_type_and_pointing_to_aggregators(spark, sf_dir):
+    """Schema-level aggregators report reference strings
+    (traverser_aggregate.go:136-177, traverser_aggregate_test.go:198-243):
+    type buckets numerical/boolean/text/date/cref, schemaType = the
+    declared DataType ('cref' for refs), pointingTo = target classes."""
+    from weaviate_spark.operators.aggregate import AggregateSpec, PropertyAgg, aggregate
+    from weaviate_spark.schema import Collection, Property
+
+    coll = Collection("customer", properties=[
+        Property("c_name", "text"),
+        Property("c_custkey", "int"),
+        Property("c_acctbal", "number"),
+        Property("c_tags", "text[]"),
+        Property("c_orders", "Orders"),
+    ])
+    row = aggregate(spark, sf_dir, AggregateSpec(
+        collection="customer",
+        properties=[
+            PropertyAgg("c_name", ["type"]),
+            PropertyAgg("c_custkey", ["type"]),
+            PropertyAgg("c_acctbal", ["type"]),
+            PropertyAgg("c_tags", ["type"]),
+            PropertyAgg("c_orders", ["type", "pointingTo"]),
+        ],
+        schema=coll,
+    )).collect()[0]
+    assert (row["c_name_type"], row["c_name_schema_type"]) == ("text", "text")
+    assert (row["c_custkey_type"], row["c_custkey_schema_type"]) == ("numerical", "int")
+    assert (row["c_acctbal_type"], row["c_acctbal_schema_type"]) == ("numerical", "number")
+    assert (row["c_tags_type"], row["c_tags_schema_type"]) == ("text", "text[]")
+    assert (row["c_orders_type"], row["c_orders_schema_type"]) == ("cref", "cref")
+    assert row["c_orders_pointing_to"] == ["Orders"]
+
+
+def test_type_aggregator_alongside_data_aggs(spark, sf_dir):
+    from weaviate_spark.operators.aggregate import AggregateSpec, PropertyAgg, aggregate
+    from weaviate_spark.schema import Collection, Property
+
+    coll = Collection("customer", properties=[Property("c_acctbal", "number")])
+    row = aggregate(spark, sf_dir, AggregateSpec(
+        collection="customer",
+        properties=[PropertyAgg("c_acctbal", ["count", "type"])],
+        include_meta_count=True,
+        schema=coll,
+    )).collect()[0]
+    assert row["c_acctbal_count"] == row["meta_count"] > 0
+    assert row["c_acctbal_type"] == "numerical"
+
+
+def test_type_aggregator_requires_schema(spark, sf_dir):
+    import pytest
+    from weaviate_spark.operators.aggregate import AggregateSpec, PropertyAgg, aggregate
+
+    with pytest.raises(ValueError, match="schema"):
+        aggregate(spark, sf_dir, AggregateSpec(
+            collection="customer",
+            properties=[PropertyAgg("c_acctbal", ["type"])],
+        ))

@@ -278,6 +278,47 @@ def q_agg_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_type_pointing_to",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS meta_count, "
+        "CAST(count(c_acctbal) AS BIGINT) AS c_acctbal_count, "
+        "'numerical' AS c_acctbal_type, 'number' AS c_acctbal_schema_type, "
+        "'text' AS c_name_type, 'text' AS c_name_schema_type, "
+        "'cref' AS c_orders_type, 'cref' AS c_orders_schema_type, "
+        "'Orders' AS c_orders_pointing_to "
+        "FROM customer"
+    ),
+)
+def q_agg_type_pointing_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`type` + `pointingTo` schema aggregators alongside data aggs
+    (params.go:118,148-150; traverser_aggregate.go:136-177): the type
+    bucket + declared schemaType per property, ref targets for cref
+    props — answered from the class schema, combined with a real count."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.schema import Collection, Property
+
+    coll = Collection("customer", properties=[
+        Property("c_name", "text"),
+        Property("c_acctbal", "number"),
+        Property("c_orders", "Orders"),
+    ])
+    out = aggregate(spark, sf_dir, AggregateSpec(
+        collection="customer",
+        properties=[
+            PropertyAgg("c_acctbal", ["count", "type"]),
+            PropertyAgg("c_name", ["type"]),
+            PropertyAgg("c_orders", ["type", "pointingTo"]),
+        ],
+        include_meta_count=True,
+        schema=coll,
+    ))
+    # flatten the pointingTo list for the hash compare
+    return out.withColumn(
+        "c_orders_pointing_to", F.concat_ws(",", "c_orders_pointing_to")
+    )
+
+
+@register(
     "agg_boolean",
     oracle=(
         "SELECT o_orderpriority, "

@@ -72,6 +72,10 @@ class AggregateSpec:
     # e.g. to aggregate a boolean predicate the way weaviate aggregates a
     # boolean property.
     derived: dict[str, str] = field(default_factory=dict)
+    # collection schema — required only for the schema-level aggregators
+    # `type` (params.go:118) and `pointingTo` (params.go:148-150), which
+    # report declared types, not data
+    schema: Optional[object] = None  # weaviate_spark.schema.Collection
 
 
 def _simple_agg_col(pa: PropertyAgg, agg: str, exact: bool) -> Column:
@@ -131,19 +135,51 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
     if spec.include_meta_count:
         aggs.append(F.count(F.lit(1)).alias("meta_count"))
     mode_props: list[PropertyAgg] = []
+    schema_cols: list[tuple[str, Column]] = []  # literal, schema-derived outputs
     for pa in spec.properties:
         for a in pa.aggregators:
             if a == "mode":
                 mode_props.append(pa)
             elif a in _SIMPLE:
                 aggs.append(_simple_agg_col(pa, a, spec.exact))
+            elif a in ("type", "pointingTo"):
+                # schema-level aggregators: the reference answers these
+                # from the class schema, not the data
+                # (traverser_aggregate.go:136-177, references.go:21-35)
+                if spec.schema is None:
+                    raise ValueError(
+                        f"aggregator {a!r} needs AggregateSpec.schema "
+                        "(it reports declared types, not data)"
+                    )
+                p = spec.schema.property(pa.prop)
+                if a == "type":
+                    ptype, stype = p.aggregation_type()
+                    schema_cols.append((f"{pa.prop}_type", F.lit(ptype)))
+                    schema_cols.append((f"{pa.prop}_schema_type", F.lit(stype)))
+                else:
+                    targets = p.pointing_to()
+                    if not targets:
+                        raise ValueError(
+                            f"pointingTo on non-reference property {pa.prop!r}"
+                        )
+                    schema_cols.append((
+                        f"{pa.prop}_pointing_to",
+                        F.array(*[F.lit(t) for t in targets]),
+                    ))
             else:
                 raise ValueError(f"unknown aggregator {a}")
 
-    if not aggs and not mode_props:
+    if not aggs and not mode_props and not schema_cols:
         raise ValueError("no aggregators requested")
+    if not aggs and not mode_props:
+        # pure schema query — one row of literals, no scan
+        return df.sparkSession.range(1).select(
+            *[c.alias(n) for n, c in schema_cols]
+        )
 
     out = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+    for n, c in schema_cols:
+        out = out.withColumn(n, c)
 
     for pa in mode_props:
         out = out.join(

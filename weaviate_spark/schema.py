@@ -84,6 +84,37 @@ class Property:
         """HasSearchableIndex (retrieval.go:54-65): text types only."""
         return self.index_searchable and self.data_type in ("text", "text[]", "string", "string[]")
 
+    def is_reference(self) -> bool:
+        """Cross-reference properties carry target class names (capital
+        first letter, not a primitive name) as their dataType
+        (entities/schema/data_types.go FindPropertyDataType)."""
+        base = self.data_type[:-2] if self.data_type.endswith("[]") else self.data_type
+        return base not in WEAVIATE_TO_SPARK and base != "object"
+
+    def pointing_to(self) -> list[str]:
+        """Ref target class list — reference PointingTo == the
+        property's DataType entries (traverser_aggregate.go:170-174,
+        aggregation/params.go:148-150)."""
+        if not self.is_reference():
+            return []
+        return [t.strip() for t in self.data_type.split(",")]
+
+    def aggregation_type(self) -> tuple[str, str]:
+        """(type, schemaType) the `type` aggregator reports
+        (entities/aggregation/result.go:39-46 PropertyType buckets +
+        traverser_aggregate.go:150-175 SchemaType = the schema DataType
+        string; refs collapse to DataTypeCRef 'cref')."""
+        if self.is_reference():
+            return "cref", "cref"
+        base = self.data_type[:-2] if self.data_type.endswith("[]") else self.data_type
+        if base in ("int", "number"):
+            return "numerical", self.data_type
+        if base == "boolean":
+            return "boolean", self.data_type
+        if base == "date":
+            return "date", self.data_type
+        return "text", self.data_type
+
 
 @dataclass
 class Collection:
