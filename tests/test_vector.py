@@ -148,3 +148,24 @@ def test_knn_classify_lsh_recall_vs_exact(spark):
     assert set(approx) == set(exact)          # every query classified
     agree = sum(approx[q] == exact[q] for q in exact) / len(exact)
     assert agree >= 0.95, f"LSH classification agreement too low: {agree}"
+
+
+def test_zeroshot_classify_nearest_target(spark):
+    """classifier_run_zeroshot.go: nearest target-class object wins,
+    no training set; ties break on smallest target id."""
+    from weaviate_spark.operators.rerank import zeroshot_classify
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "id long, v array<float>",
+    )
+    targets = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (20, [0.1, 1.0])], "tid long, v array<float>"
+    )
+    out = {r["id"]: r for r in zeroshot_classify(
+        items, targets, "id", "v", "tid", "Label").collect()}
+    assert out[1]["predicted_tid"] == 10
+    assert out[2]["predicted_tid"] == 20
+    # equidistant from both -> smallest target id
+    assert out[3]["predicted_tid"] == 10
+    assert out[1]["_beacon"].startswith("weaviate://localhost/Label/")

@@ -1223,6 +1223,49 @@ SELECT *, row_number() OVER (PARTITION BY _qid ORDER BY _votes DESC, _label ASC)
 ORACLES["knn_classification"] = _knn_lsh_oracle_sql()
 
 
+from weaviate_spark.ids import uuid_sql as _uuid_sql
+
+
+@register(
+    "zeroshot_classification",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+        "pm AS (SELECT label, min(vec_id) AS mv FROM e GROUP BY label), "
+        "proto AS (SELECT e.label AS t_label, e.ev AS tv FROM e JOIN pm ON e.vec_id = pm.mv), "
+        "items AS (SELECT vec_id, ev FROM e WHERE vec_id % 10 = 0), "
+        "d AS (SELECT vec_id, t_label, "
+        # + 0.0 folds IEEE -0.0 (self-match, fp error) to 0.0 for the hash
+        "round(1 - list_dot_product(ev, tv) / "
+        "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(tv, tv))), 6) + 0.0 AS _d "
+        "FROM items CROSS JOIN proto), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY _d, t_label) AS _rn FROM d) "
+        "SELECT vec_id, t_label AS predicted_label, _d AS _distance, "
+        f"'weaviate://localhost/Label/' || {_uuid_sql('Label', 't_label')} AS _beacon "
+        "FROM r WHERE _rn = 1"
+    ),
+)
+def q_zeroshot_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shot classification (classifier_run_zeroshot.go:24-76): no
+    training set — every 10th object is assigned the nearest object of
+    a synthetic 'Label' target class (one prototype per label: the
+    embedding of the smallest vec_id), emitted as a ref beacon. The
+    target class broadcasts; the corpus never shuffles."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.rerank import zeroshot_classify
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pm = emb.groupBy("label").agg(F.min("vec_id").alias("_mv")).drop("label")
+    proto = (
+        emb.join(F.broadcast(pm), emb["vec_id"] == pm["_mv"])
+        .select(emb["label"], emb["embedding"])
+    )
+    items = emb.where(F.col("vec_id") % 10 == 0)
+    return zeroshot_classify(
+        items, proto, "vec_id", "embedding", "label", "Label",
+    )
+
+
 @register(
     "explore_cross_class",
     oracle=(

@@ -404,3 +404,53 @@ def _knn_classify_expr(
         .select(F.col("_qid").alias(id_col), F.col("_label").alias("predicted_label"),
                 F.col("_votes").alias("votes"))
     )
+
+
+def zeroshot_classify(
+    items: DataFrame,
+    targets: DataFrame,
+    item_id: str,
+    vector_col: str,
+    target_id: str,
+    target_class: str,
+    target_vector_col: str | None = None,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Zero-shot classification (classifier_run_zeroshot.go:24-76): no
+    training set — each item is assigned the single NEAREST object of
+    the classify property's target class (per-item top-1 vector search,
+    ZeroShotSearch), written back as a cross-reference beacon
+    (crossref.NewLocalhost -> weaviate://localhost/<Class>/<uuid>).
+
+    The target class holds one object per candidate label, so it is
+    small by construction: it broadcasts, the corpus streams through a
+    BroadcastNestedLoopJoin, and the per-item argmin is a map-side
+    groupBy on the item id — no corpus shuffle, no driver
+    materialization; linear in |items| x |labels| with tiny |labels|.
+
+    Returns (item_id, predicted_<target_id>, _distance, _beacon);
+    tie-break nearest distance then target id asc (deterministic).
+    """
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.ids import uuid_col
+
+    t = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col(target_vector_col or vector_col).alias("_tvec"),
+    )
+    j = items.select(F.col(item_id), F.col(vector_col)).crossJoin(F.broadcast(t))
+    d = F.round(distance(F.col(vector_col), F.col("_tvec"), metric), 6)
+    best = (
+        j.select(item_id, F.struct(d.alias("_d"), F.col("_tid")).alias("_c"))
+        .groupBy(item_id)
+        .agg(F.min("_c").alias("_best"))
+    )
+    return best.select(
+        F.col(item_id),
+        F.col("_best._tid").alias(f"predicted_{target_id}"),
+        F.col("_best._d").alias("_distance"),
+        F.concat(
+            F.lit(f"weaviate://localhost/{target_class}/"),
+            uuid_col(target_class, F.col("_best._tid")),
+        ).alias("_beacon"),
+    )
