@@ -169,3 +169,50 @@ def test_zeroshot_classify_nearest_target(spark):
     # equidistant from both -> smallest target id
     assert out[3]["predicted_tid"] == 10
     assert out[1]["_beacon"].startswith("weaviate://localhost/Label/")
+
+
+def test_named_vectors_convention(spark):
+    """`_vectors` struct column convention (dto.go:73-107): per-name
+    resolution, inner-join drop semantics for rows missing a target,
+    ManualWeights keyed by name."""
+    from weaviate_spark.operators.vector import (
+        NamedTarget,
+        named_multi_target_search,
+        named_vector_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ([1.0, 0.0], [1.0, 0.0])),
+            (2, ([0.0, 1.0], [0.0, 1.0])),
+            (3, ([1.0, 0.0], None)),  # missing 'head' -> drops
+        ],
+        "id long, _vectors struct<full: array<float>, head: array<float>>",
+    )
+    import pytest
+    with pytest.raises(KeyError):
+        named_vector_col(df, "nope")
+
+    out = named_multi_target_search(
+        df, [NamedTarget("full", [1.0, 0.0]), NamedTarget("head", [1.0, 0.0])],
+        "id", combination="min", limit=10,
+    ).collect()
+    assert [r["id"] for r in out] == [1, 2]  # row 3 dropped
+    assert out[0]["_distance"] == 0.0
+    assert out[0]["_distances"]["head"] == 0.0
+
+    w = named_multi_target_search(
+        df, [NamedTarget("full", [1.0, 0.0], 0.25), NamedTarget("head", [1.0, 0.0], 0.75)],
+        "id", combination="manualWeights", limit=10,
+    ).collect()
+    assert abs(w[1]["_distance"] - 1.0) < 1e-9  # 0.25*1 + 0.75*1
+
+
+def test_named_vectors_schema_emission():
+    from weaviate_spark.schema import Collection
+    from pyspark.sql import types as T
+
+    coll = Collection("c", vector_dim=4, named_vectors={"full": 4, "head": 2})
+    schema = coll.spark_schema()
+    f = schema["_vectors"].dataType
+    assert isinstance(f, T.StructType) and f.fieldNames() == ["full", "head"]

@@ -1438,6 +1438,71 @@ def q_knn_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("_distance").asc(), F.col("vec_id").asc()).limit(10)
 
 
+_QVEC32_SQL = "[" + ", ".join(str(x) for x in QVEC[:32]) + "]::DOUBLE[]"
+
+_NAMED_VECTORS_ORACLE = (
+    f"WITH q AS (SELECT {_QVEC_SQL} AS qf, {_QVEC32_SQL} AS qh), "
+    "e AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf, "
+    "list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS vh FROM embeddings), "
+    "d AS (SELECT vec_id, "
+    "round(1 - list_dot_product(vf, qf) / (sqrt(list_dot_product(vf, vf)) * sqrt(list_dot_product(qf, qf))), 6) AS d_full, "
+    "round(1 - list_dot_product(vh, qh) / (sqrt(list_dot_product(vh, vh)) * sqrt(list_dot_product(qh, qh))), 6) AS d_head "
+    "FROM e CROSS JOIN q) "
+    "SELECT vec_id, {combined} AS _distance, d_full, d_head FROM d "
+    "ORDER BY _distance ASC, vec_id ASC LIMIT 12"
+)
+
+
+def _q_named_vectors(spark: SparkSession, sf_dir: str, combination: str,
+                     weights: tuple[float, float] = (1.0, 1.0)) -> DataFrame:
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.vector import NamedTarget, named_multi_target_search
+
+    emb = _load(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        F.struct(
+            F.col("embedding").alias("full"),
+            F.slice("embedding", 1, 32).alias("head"),
+        ).alias("_vectors"),
+    )
+    out = named_multi_target_search(
+        df,
+        [NamedTarget("full", QVEC, weights[0]), NamedTarget("head", QVEC[:32], weights[1])],
+        "vec_id", combination=combination, limit=12,
+    )
+    return out.select(
+        "vec_id", "_distance",
+        F.col("_distances.full").alias("d_full"),
+        F.col("_distances.head").alias("d_head"),
+    )
+
+
+@register(
+    "knn_named_vectors_min",
+    oracle=_NAMED_VECTORS_ORACLE.format(combined="least(d_full, d_head)"),
+)
+def q_knn_named_vectors_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-vector multi-target search, Minimum combine (the default,
+    dto.go:41): two named spaces ('full' = the 64-d embedding, 'head' =
+    its first 32 dims) stored as a `_vectors` struct — per-target
+    distances fuse into one narrow scan, no leg join
+    (shard_read.go:612-662 re-expressed column-wise)."""
+    return _q_named_vectors(spark, sf_dir, "min")
+
+
+@register(
+    "knn_named_vectors_weighted",
+    oracle=_NAMED_VECTORS_ORACLE.format(
+        combined="round(0.3 * d_full + 0.7 * d_head, 6)"),
+)
+def q_knn_named_vectors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-vector multi-target search, ManualWeights combine
+    (dto.go:30-47): weights keyed by vector name (full: 0.3, head: 0.7)."""
+    return _q_named_vectors(spark, sf_dir, "manualWeights", weights=(0.3, 0.7))
+
+
 @register(
     "pagination_offset",
     oracle=(

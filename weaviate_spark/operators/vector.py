@@ -140,3 +140,97 @@ def multi_target_combine(
     else:
         raise ValueError(f"unknown combination {combination!r}")
     return out.withColumn("_distance", combined).select(id_col, "_distance")
+
+
+# ---------------------------------------------------------------------------
+# Named vectors (entities/dto/dto.go:30-47 TargetCombination;
+# shard_read.go:612-662 per-target search keyed by vector name)
+
+@dataclass
+class NamedTarget:
+    """One named vector space to search: the vector name (a `_vectors`
+    field), its query vector, and a ManualWeights weight."""
+
+    name: str
+    vector: Sequence[float]
+    weight: float = 1.0
+
+
+def named_vector_col(df: DataFrame, name: str, vectors_col: str = "_vectors") -> Column:
+    """Resolve a named vector (models.Vectors map, dto.go:73-107). The
+    column convention is a STRUCT `_vectors` with one array<float> field
+    per vector name — struct fields get Parquet nested-schema pruning
+    (only the searched subfield is read), which a map<string,array>
+    column cannot; map columns are still accepted for ingest
+    compatibility."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[vectors_col].dataType
+    if isinstance(dt, T.StructType):
+        if name not in dt.fieldNames():
+            raise KeyError(f"no named vector {name!r} in {vectors_col}")
+        return F.col(f"{vectors_col}.{name}")
+    if isinstance(dt, T.MapType):
+        return F.col(vectors_col)[name]
+    raise TypeError(f"{vectors_col} must be struct or map, got {dt.simpleString()}")
+
+
+def named_multi_target_search(
+    df: DataFrame,
+    targets: Sequence[NamedTarget],
+    id_col: str,
+    combination: str = "min",
+    limit: int = 10,
+    metric: str = "cosine",
+    vectors_col: str = "_vectors",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-target search over NAMED vector spaces of one collection
+    (dto.go:30-47; joinWithOtherResults drop semantics,
+    shard_combine_multi_target.go:119-167).
+
+    Spark-first plan: because every named vector is a field of the same
+    row, the per-target "searches" fuse into ONE narrow scan computing
+    each distance as a column expression — no per-leg shuffle, no join.
+    Objects missing any searched vector drop out (the reference's inner
+    join across target results). Combine: min (default) / sum / average
+    / manualWeights; then TakeOrderedAndProject top-k.
+
+    Returns (id_col, _distance, _distances{name: per-target distance}).
+    """
+    dcols = []
+    for t in targets:
+        q = F.array(*[F.lit(float(x)) for x in t.vector])
+        d = distance(named_vector_col(df, t.name, vectors_col), q, metric)
+        dcols.append((t, F.round(d, round_digits)))
+    out = df.select(
+        F.col(id_col),
+        *[d.alias(f"_d_{t.name}") for t, d in dcols],
+    )
+    for t, _ in dcols:
+        out = out.where(F.col(f"_d_{t.name}").isNotNull())
+    cols = [F.col(f"_d_{t.name}") for t, _ in dcols]
+    if combination == "min":
+        combined = F.least(*cols) if len(cols) > 1 else cols[0]
+    elif combination == "sum":
+        combined = sum(cols[1:], cols[0])
+    elif combination == "average":
+        combined = sum(cols[1:], cols[0]) / F.lit(float(len(cols)))
+    elif combination == "manualWeights":
+        ws = [float(t.weight) for t, _ in dcols]
+        combined = sum(
+            (c * F.lit(w) for c, w in list(zip(cols, ws))[1:]),
+            cols[0] * F.lit(ws[0]),
+        )
+    else:
+        raise ValueError(f"unknown combination {combination!r}")
+    return (
+        out.withColumn("_distance", F.round(combined, round_digits))
+        .withColumn(
+            "_distances",
+            F.struct(*[F.col(f"_d_{t.name}").alias(t.name) for t, _ in dcols]),
+        )
+        .select(id_col, "_distance", "_distances")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(limit)
+    )

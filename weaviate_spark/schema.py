@@ -122,6 +122,11 @@ class Collection:
     properties: list[Property] = field(default_factory=list)
     vector_dim: int | None = None
     multi_tenancy: bool = False
+    # named vector spaces (models.Vectors, entities/dto/dto.go:73-107):
+    # name -> dimension; stored as a `_vectors` STRUCT column (one
+    # array<float> field per name) so Parquet nested-schema pruning
+    # reads only the searched space
+    named_vectors: dict[str, int] = field(default_factory=dict)
 
     def spark_schema(self, with_reserved: bool = True) -> T.StructType:
         fields = [T.StructField(p.name, p.spark_type()) for p in self.properties]
@@ -134,6 +139,11 @@ class Collection:
             ]
             if self.vector_dim:
                 fields.append(T.StructField("_vector", T.ArrayType(T.FloatType())))
+            if self.named_vectors:
+                fields.append(T.StructField("_vectors", T.StructType([
+                    T.StructField(n, T.ArrayType(T.FloatType()))
+                    for n in self.named_vectors
+                ])))
             if self.multi_tenancy:
                 fields.append(T.StructField("_tenant", T.StringType()))
         return T.StructType(fields)
