@@ -122,3 +122,60 @@ def test_filter_validation_messages(spark):
         validate_where(df, Clause(operator="Equal", value=1))
     # valid clause passes silently
     validate_where(df, Clause(operator="Like", path=["t"], value="a*"))
+
+
+def test_muvera_encoding_shapes_and_asymmetry():
+    """muvera.go:114-205: query FDE = per-cluster SUM; doc FDE =
+    per-cluster MEAN with empty clusters filled by the
+    nearest-by-Hamming token. Encoded dim = reps * 2^ksim * dproj."""
+    import numpy as np
+    from weaviate_spark.operators.multivector import (
+        MuveraSpec, _encode_one, _muvera_params, muvera_encode_query,
+    )
+
+    spec = MuveraSpec(dim=4, ksim=2, dprojections=3, repetitions=2)
+    assert spec.encoded_dim == 2 * 4 * 3
+    toks = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    g, S = _muvera_params(spec)
+    qe = np.asarray(muvera_encode_query(toks, spec))
+    de = _encode_one(toks, spec, g, S, is_doc=True)
+    assert qe.shape == de.shape == (spec.encoded_dim,)
+    # doc-side mean + empty-cluster fill make the encodings differ
+    assert not np.allclose(qe, de)
+    # determinism: same seed -> same encoding
+    assert np.allclose(de, _encode_one(toks, spec, g, S, is_doc=True))
+    # single-token doc: every empty cluster is filled with that token,
+    # so each cluster block projects the token itself
+    one = _encode_one([toks[0]], spec, g, S, is_doc=True)
+    blocks = one.reshape(spec.repetitions, spec.num_clusters, spec.dprojections)
+    for rep in range(spec.repetitions):
+        assert np.allclose(blocks[rep], blocks[rep][0], atol=1e-6)
+
+
+def test_muvera_overfetch_rescore_recall(spark):
+    """FDE overfetch + exact rescore finds the exact top-k on clustered
+    multi-vector data (hnsw/search.go:101-120 pattern)."""
+    import math
+    from weaviate_spark.operators.multivector import (
+        MuveraSpec, multivector_search, muvera_search,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 13.7 + d * 2.3) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for i in range(60):
+        base = unit(i % 6)  # 6 clusters of similar docs
+        rows.append((i, [
+            [b + 0.02 * n for b, n in zip(base, unit(100 + i * 3 + t))]
+            for t in range(3)
+        ]))
+    df = spark.createDataFrame(rows, "id long, toks array<array<float>>")
+    q = [unit(0), unit(1)]
+    spec = MuveraSpec(dim=8, ksim=3, dprojections=8, repetitions=4)
+    exact = [r["id"] for r in multivector_search(df, "id", "toks", q, limit=5).collect()]
+    approx = [r["id"] for r in muvera_search(df, "id", "toks", q, spec, limit=5, overfetch=3).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 4, f"recall@5 too low: {overlap}/5 ({exact} vs {approx})"

@@ -1503,6 +1503,71 @@ def q_knn_named_vectors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_named_vectors(spark, sf_dir, "manualWeights", weights=(0.3, 0.7))
 
 
+def _slice_sql(lo: int, hi: int) -> str:
+    return f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+
+
+_Q_TOK1_SQL = "[" + ", ".join(str(x) for x in QVEC[:21]) + "]::DOUBLE[]"
+_Q_TOK2_SQL = "[" + ", ".join(str(x) for x in QVEC[21:42]) + "]::DOUBLE[]"
+
+
+@register(
+    "multivector_maxsim_topk",
+    oracle=(
+        f"WITH q AS (SELECT {_Q_TOK1_SQL} AS q1, {_Q_TOK2_SQL} AS q2), "
+        f"e AS (SELECT vec_id, {_slice_sql(1, 21)} AS t1, {_slice_sql(22, 42)} AS t2, "
+        f"{_slice_sql(43, 63)} AS t3 FROM embeddings) "
+        "SELECT vec_id, round("
+        "greatest(list_dot_product(t1, q1), list_dot_product(t2, q1), list_dot_product(t3, q1)) + "
+        "greatest(list_dot_product(t1, q2), list_dot_product(t2, q2), list_dot_product(t3, q2))"
+        ", 6) AS _score "
+        "FROM e CROSS JOIN q ORDER BY _score DESC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-vector late interaction (ColBERT maxsim,
+    hnsw/search.go:96-134 rescore semantics): each doc carries 3 token
+    vectors (deterministic slices of its embedding), the 2-token query
+    scores sum-of-max dot products; narrow expression + TakeOrdered."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multivector import multivector_search
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        "vec_id",
+        F.array(
+            F.slice("embedding", 1, 21),
+            F.slice("embedding", 22, 21),
+            F.slice("embedding", 43, 21),
+        ).alias("_toks"),
+    )
+    return multivector_search(docs, "vec_id", "_toks", [QVEC[:21], QVEC[21:42]], limit=10)
+
+
+@register("multivector_muvera_topk")
+def q_multivector_muvera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUVERA fixed-dim encoding + overfetch-2x + exact maxsim rescore
+    (muvera.go:114-205, hnsw/search.go:101-120). Rows-only: the FDE is
+    randomized-projection approximate by design; recall vs the exact
+    path is pinned in tests/test_filters_extended.py."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multivector import MuveraSpec, muvera_search
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        "vec_id",
+        F.array(
+            F.slice("embedding", 1, 21),
+            F.slice("embedding", 22, 21),
+            F.slice("embedding", 43, 21),
+        ).alias("_toks"),
+    )
+    return muvera_search(
+        docs, "vec_id", "_toks", [QVEC[:21], QVEC[21:42]],
+        MuveraSpec(dim=21), limit=10, overfetch=2,
+    )
+
+
 @register(
     "pagination_offset",
     oracle=(
