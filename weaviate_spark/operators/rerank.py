@@ -340,13 +340,26 @@ def knn_classify_lsh(
     their own bucket plus all Hamming-1 buckets, candidates are exact-
     rescored, top-k vote as in `knn_classify`.
 
-    Shuffles: one join on the (hash-uniform) bucket key, one dedup on
-    (query, target), one top-k/vote agg on the query id — all bounded by
-    the candidate count, never n^2. Recall vs the exact path is tunable
-    via num_planes (fewer planes = bigger buckets) and probe;
+    Shuffles: one join on the (hash-uniform) bucket key, then ONE
+    aggregation on the query id that does dedup + top-k + majority vote
+    entirely in array expressions (a pair reached via several probed
+    buckets collapses in array_distinct; per-query candidate counts are
+    bounded by probe x max bucket size, so each array is small). No
+    windows, never n^2. Recall vs the exact path is tunable via
+    num_planes (fewer planes = bigger buckets) and probe;
     tests/test_vector.py measures it on clustered data."""
     from weaviate_spark.functions.distance import distance
     from weaviate_spark.operators.similarity import hyperplanes, signature_col
+
+    # signature/distance evaluation is CPU-heavy narrow work; a
+    # single-file parquet scan arrives as ONE partition locally, which
+    # would serialize it — spread first (at real scale the scan already
+    # has many partitions and this is a no-op coalesce)
+    parallelism = labeled.sparkSession.sparkContext.defaultParallelism
+    if labeled.rdd.getNumPartitions() < parallelism:
+        labeled = labeled.repartition(parallelism)
+    if unlabeled.rdd.getNumPartitions() < parallelism:
+        unlabeled = unlabeled.repartition(parallelism)
 
     planes = hyperplanes(num_planes, dim, seed)
     lab = labeled.select(
@@ -362,21 +375,34 @@ def knn_classify_lsh(
         "_qid", "_qv",
         F.explode(_probe_buckets(F.col("_sig"), num_planes, probe)).alias("_bucket"),
     )
-    cand = qp.join(lab, "_bucket").dropDuplicates(["_qid", "_tid"])
-    cand = cand.withColumn(
-        "_d", F.round(distance(F.col("_qv"), F.col("_tv"), metric), 6)
+    # dedup + top-k + vote in ONE shuffle on _qid: a pair reached via
+    # several probed buckets carries an identical (_d,_tid,_label)
+    # triple and collapses in array_distinct; array_sort orders by
+    # (_d asc, _tid asc); the winner is the (max count, smallest label)
+    # pair via array_min over per-label (-count, label) structs — the
+    # same majority/tie rule as knn_classify (classifier_run_knn.go).
+    topk = F.slice(
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.struct(F.col("_d"), F.col("_tid"), F.col("_label"))
+        ))), 1, k,
     )
-    w = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_tid").asc())
-    topk = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    votes = topk.groupBy("_qid", "_label").agg(F.count(F.lit(1)).alias("_votes"))
-    wv = Window.partitionBy("_qid").orderBy(F.col("_votes").desc(), F.col("_label").asc())
+    labels = F.transform(F.col("_top"), lambda t: t["_label"])
+    best = F.array_min(F.transform(
+        F.array_distinct(labels),
+        lambda l: F.struct(
+            (-F.size(F.filter(labels, lambda x: x == l))).alias("_nc"),
+            l.alias("_l"),
+        ),
+    ))
     return (
-        votes.withColumn("_r", F.row_number().over(wv))
-        .where(F.col("_r") == 1)
+        qp.join(lab, "_bucket")
+        .withColumn("_d", F.round(distance(F.col("_qv"), F.col("_tv"), metric), 6))
+        .groupBy("_qid")
+        .agg(topk.alias("_top"))
         .select(
             F.col("_qid").alias(id_col),
-            F.col("_label").alias("predicted_label"),
-            F.col("_votes").cast("long").alias("votes"),
+            best["_l"].alias("predicted_label"),
+            (-best["_nc"]).cast("long").alias("votes"),
         )
     )
 
