@@ -277,3 +277,92 @@ def test_upsert_partitioned_rewrites_only_affected(spark, tmp_path):
     rows = {r["id"]: (r["tenant"], r["v"]) for r in spark.read.parquet(tdir).collect()}
     assert rows == {1: ("t1", 1.0), 2: ("t1", 20.0), 3: ("t2", 3.0),
                     4: ("t3", 4.0), 5: ("t1", 5.0)}
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pixel_bytes = b""
+    for _y in range(h):
+        row = bytes([rgb[2], rgb[1], rgb[0]] * w)
+        pixel_bytes += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 0, 0, 0, 0)
+    return header + info + pixel_bytes
+
+
+def _make_wav(sr=8000, freq=440, ms=250):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        n = sr * ms // 1000
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_bmp_ppm_decode_and_resize(spark):
+    """BMP/PPM decode is REAL (struct/numpy) — known solid-color images
+    produce exact channel means; resize re-encodes to PPM."""
+    import numpy as np
+    from weaviate_spark.operators.multimodal import (
+        decode_image_array, decode_image_features, resize_images,
+    )
+
+    red_bmp = _make_bmp(6, 4, (255, 0, 0))
+    img = decode_image_array(red_bmp)
+    assert img.shape == (4, 6, 3)
+    assert (img[:, :, 0] == 255).all() and (img[:, :, 1:] == 0).all()
+
+    blue_ppm = b"P6\n2 2\n255\n" + bytes([0, 0, 255] * 4)
+    img2 = decode_image_array(blue_ppm)
+    assert img2.shape == (2, 2, 3) and (img2[:, :, 2] == 255).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(red_bmp)), (2, bytearray(blue_ppm)), (3, None)],
+        "media_id long, media binary",
+    )
+    feats = {r["media_id"]: r for r in
+             decode_image_features(df, "media_id", "media", dim=7).collect()}
+    assert feats[1]["decode_ok"] and abs(feats[1]["feature"][0] - 1.0) < 1e-6
+    assert feats[2]["decode_ok"] and abs(feats[2]["feature"][2] - 1.0) < 1e-6
+    assert not feats[3]["decode_ok"]
+
+    rs = {r["media_id"]: r["resized"] for r in
+          resize_images(df, "media_id", "media", 2, 3).collect()}
+    out = decode_image_array(bytes(rs[1]))
+    assert out.shape == (2, 3, 3) and (out[:, :, 0] == 255).all()
+    assert rs[3] is None
+
+
+def test_real_wav_decode(spark):
+    """WAV decode is REAL (stdlib wave): header fields + RMS +
+    zero-crossing rate of a 440 Hz sine check out."""
+    from weaviate_spark.operators.multimodal import decode_audio_features
+
+    wav = _make_wav(sr=8000, freq=440, ms=250)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "media_id long, media binary",
+    )
+    rows = {r["media_id"]: r for r in
+            decode_audio_features(df, "media_id", "media").collect()}
+    ok = rows[1]
+    assert ok["decode_ok"] and ok["sample_rate"] == 8000 and ok["channels"] == 1
+    assert abs(ok["duration_ms"] - 250) <= 1
+    # sine RMS = amplitude/sqrt(2); zero crossings ~ 2*freq/sr
+    assert abs(ok["rms"] - 20000 / 2 ** 0.5) / (20000 / 2 ** 0.5) < 0.01
+    assert abs(ok["zero_crossing_rate"] - 2 * 440 / 8000) < 0.01
+    assert not rows[2]["decode_ok"]

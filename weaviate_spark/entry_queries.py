@@ -1568,6 +1568,34 @@ def q_multivector_muvera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_features")
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode pipeline over binary media columns: 4x4 PPM
+    images synthesized column-side (P6 header + md5-derived pixels, pure
+    Catalyst), then decoded with the pure-numpy PPM codec and
+    feature-extracted via Arrow-batched mapInPandas
+    (operators/multimodal.py). Rows-only: binary feature floats are not
+    portably hashable across engines; decoder exactness is pinned by
+    tests/test_surfaces.py on known images."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multimodal import decode_image_features
+
+    docs = _load(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"P6\n4 4\n255\n"),
+            F.unhex(F.md5(F.col("text"))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("3")))),
+        ).alias("media"),
+    )
+    out = decode_image_features(media, "media_id", "media", dim=7)
+    return out.where(F.col("decode_ok")).select(
+        "media_id", F.round(F.element_at("feature", 1), 6).alias("mean_r"),
+    ).orderBy("media_id")
+
+
 @register(
     "pagination_offset",
     oracle=(
