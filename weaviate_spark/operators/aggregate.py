@@ -131,13 +131,30 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         df = df.withColumn(name, F.expr(expr))
     df, gcols = _group_cols(df, spec)
 
+    from pyspark.sql import types as T
+
+    def _is_array(prop: str) -> bool:
+        return prop in df.columns and isinstance(
+            df.schema[prop].dataType, T.ArrayType
+        )
+
     aggs: list[Column] = []
     if spec.include_meta_count:
         aggs.append(F.count(F.lit(1)).alias("meta_count"))
     mode_props: list[PropertyAgg] = []
+    array_props: list[PropertyAgg] = []  # element-level aggregation
     schema_cols: list[tuple[str, Column]] = []  # literal, schema-derived outputs
     for pa in spec.properties:
+        arr = _is_array(pa.prop)
+        if arr and any(a in _SIMPLE or a == "mode" for a in pa.aggregators):
+            # array property: data aggregators run over the ELEMENTS
+            # (unfiltered_type_specific.go array branches; acceptance
+            # matrix counts e.g. 10 elements across 7 docs) — handled as
+            # a per-prop exploded aggregation joined back below
+            array_props.append(pa)
         for a in pa.aggregators:
+            if arr and (a in _SIMPLE or a == "mode"):
+                continue  # handled element-level above
             if a == "mode":
                 mode_props.append(pa)
             elif a in _SIMPLE:
@@ -169,15 +186,19 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
             else:
                 raise ValueError(f"unknown aggregator {a}")
 
-    if not aggs and not mode_props and not schema_cols:
+    if not aggs and not mode_props and not schema_cols and not array_props:
         raise ValueError("no aggregators requested")
-    if not aggs and not mode_props:
+    if not aggs and not mode_props and not array_props:
         # pure schema query — one row of literals, no scan
         return df.sparkSession.range(1).select(
             *[c.alias(n) for n, c in schema_cols]
         )
 
-    out = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+    if not aggs and not mode_props and array_props and not gcols:
+        # ungrouped, array-only: one seed row to hang the joins off
+        out = df.sparkSession.range(1).drop("id")
+    else:
+        out = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
     for n, c in schema_cols:
         out = out.withColumn(n, c)
 
@@ -185,6 +206,20 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         out = out.join(
             _mode_df(df, gcols, pa.prop), on=gcols if gcols else None, how="left"
         ) if gcols else out.crossJoin(_mode_df(df, gcols, pa.prop))
+
+    for pa in array_props:
+        ex = df.select(*gcols, F.explode(pa.prop).alias(pa.prop))
+        parts: list[DataFrame] = []
+        data_aggs = [
+            _simple_agg_col(pa, a, spec.exact)
+            for a in pa.aggregators if a in _SIMPLE
+        ]
+        if data_aggs:
+            parts.append(ex.groupBy(*gcols).agg(*data_aggs))
+        if "mode" in pa.aggregators:
+            parts.append(_mode_df(ex, gcols, pa.prop))
+        for p in parts:
+            out = out.join(p, on=gcols, how="left") if gcols else out.crossJoin(p)
 
     if spec.limit is not None and gcols:
         # deterministic group admission: largest groups first, value asc
