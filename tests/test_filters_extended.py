@@ -179,3 +179,34 @@ def test_muvera_overfetch_rescore_recall(spark):
     approx = [r["id"] for r in muvera_search(df, "id", "toks", q, spec, limit=5, overfetch=3).collect()]
     overlap = len(set(exact) & set(approx))
     assert overlap >= 4, f"recall@5 too low: {overlap}/5 ({exact} vs {approx})"
+
+
+def test_validate_where_path_resolution(spark):
+    """filters_validator.go path + len() + IsNull rules: unknown head
+    property, unknown nested path, len() value/operator/sign, IsNull
+    boolean value."""
+    import pytest
+    from weaviate_spark.filters import Clause, validate_where
+
+    df = spark.createDataFrame(
+        [(1, "x", ("a", 2))],
+        "id long, t string, nested struct<s: string, n: long>",
+    )
+    with pytest.raises(ValueError, match="no such prop"):
+        validate_where(df, Clause(operator="Equal", path=["missing"], value=1))
+    with pytest.raises(ValueError, match="no such nested prop"):
+        validate_where(df, Clause(operator="Equal", path=["nested", "zzz"], value=1))
+    with pytest.raises(ValueError, match="IsNull requires a booleanValue"):
+        validate_where(df, Clause(operator="IsNull", path=["t"], value="yes"))
+    with pytest.raises(ValueError, match="requires IntValue"):
+        validate_where(df, Clause(operator="Equal", path=["len(t)"], value="3"))
+    with pytest.raises(ValueError, match="supports operators"):
+        validate_where(df, Clause(operator="Like", path=["len(t)"], value=3))
+    with pytest.raises(ValueError, match="positive property length"):
+        validate_where(df, Clause(operator="Equal", path=["len(t)"], value=-1))
+    with pytest.raises(ValueError, match="no such prop"):
+        validate_where(df, Clause(operator="Equal", path=["len(zzz)"], value=1))
+    # valid shapes pass
+    validate_where(df, Clause(operator="Equal", path=["nested", "s"], value="a"))
+    validate_where(df, Clause(operator="GreaterThan", path=["len(t)"], value=1))
+    validate_where(df, Clause(operator="IsNull", path=["t"], value=True))

@@ -71,3 +71,29 @@ def test_phone_parse(spark):
     assert by[2]["countryCode"] == 49 and by[2]["nationalFormatted"] == "0301234567"
     assert by[3]["countryCode"] == 31 and by[3]["valid"] is True
     assert by[4]["valid"] is False
+
+
+def test_array_prop_sort_element_wise(spark):
+    """Array-prop sort = element-wise compare, then length, with the
+    reference null rules (basic_comparators.go:98-112 stringArray:
+    pairwise compareStrings, tie -> compareInts(len); handleNils asc ->
+    nulls first). Spark's native array ordering implements exactly this
+    — pinned here."""
+    from weaviate_spark.plans.compile import sort_cols
+    from weaviate_spark.plans.spec import SortKey
+
+    df = spark.createDataFrame(
+        [
+            (1, ["b", "a"]),
+            (2, ["a", "z"]),
+            (3, ["a"]),          # prefix of 2/4 -> shorter first
+            (4, ["a", "z", "x"]),
+            (5, None),           # asc -> first
+        ],
+        "id long, tags array<string>",
+    )
+    asc = [r["id"] for r in df.orderBy(sort_cols([SortKey(path=["tags"])])).collect()]
+    assert asc == [5, 3, 2, 4, 1]
+    desc = [r["id"] for r in
+            df.orderBy(sort_cols([SortKey(path=["tags"], order="desc")])).collect()]
+    assert desc == [1, 4, 2, 3, 5]

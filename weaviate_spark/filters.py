@@ -356,6 +356,58 @@ def validate_where(df: DataFrame, clause: Clause) -> None:
         raise ValueError(f"operator {op} requires a list value")
     if op in _LIST_VALUE_OPS and not clause.value:
         raise ValueError(f"operator {op} requires a non-empty value list")
+    # reference validator rules (filters_validator.go:118-143)
+    if op == "IsNull" and not isinstance(clause.value, bool):
+        raise ValueError(
+            f"operator IsNull requires a booleanValue, got {type(clause.value).__name__} instead"
+        )
+    if len(clause.path) == 1 and (m := _LEN_PATH.match(clause.path[0])):
+        if isinstance(clause.value, bool) or not isinstance(clause.value, int):
+            raise ValueError(
+                "Filtering for property length requires IntValue, "
+                f"got {type(clause.value).__name__!r} instead"
+            )
+        if op not in ("Equal", "NotEqual", "GreaterThan", "GreaterThanEqual",
+                      "LessThan", "LessThanEqual"):
+            raise ValueError(
+                "Filtering for property length supports operators (not) equal "
+                f"and greater/less than (equal), got {op} instead"
+            )
+        if clause.value < 0:
+            raise ValueError(
+                f"Can only filter for positive property length got {clause.value} instead"
+            )
+        inner = m.group(1).split(".")
+        if inner[0] not in df.columns:
+            raise ValueError(f'no such prop with name {inner[0]!r} found in class')
+        return
+    # full path resolution: the head segment must exist; nested segments
+    # must resolve through struct fields (filters_validator.go:70-93 —
+    # the resolver rejects unknown classes/properties up front instead
+    # of surfacing an opaque execution error)
+    head = clause.path[0]
+    if head not in df.columns:
+        raise ValueError(f'no such prop with name {head!r} found in class')
+    if len(clause.path) > 1:
+        # lenient walk that also descends through object[] hops
+        # (array<struct>), which compile handles via lambda recursion
+        cur: Any = df.schema
+        ok = True
+        for p in clause.path:
+            if isinstance(cur, T.ArrayType):
+                cur = cur.elementType
+            if isinstance(cur, T.StructType):
+                if p not in cur.fieldNames():
+                    ok = False
+                    break
+                cur = cur[p].dataType
+            else:
+                ok = False
+                break
+        if not ok:
+            raise ValueError(
+                f'no such nested prop path {".".join(clause.path)!r} found in class'
+            )
     _, dtype = _resolve(df, clause.path)
     if dtype is not None:
         if op in _TEXT_ONLY_OPS and not isinstance(dtype, T.StringType):
