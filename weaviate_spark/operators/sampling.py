@@ -1,0 +1,108 @@
+"""Deterministic corpus sampling / splitting (LLM-pipeline extras;
+companions to operators/dedup.py in the curation story).
+
+Everything keys on md5(id) rather than rand(): results are reproducible
+across runs, cluster sizes, and engines (the DuckDB oracle mirrors the
+arithmetic bit-for-bit), and re-running a pipeline stage samples the
+SAME rows — the property a 100 TB curation pipeline actually needs
+(rand()-based sampling resamples on every retry/backfill).
+
+* ``hash_sample``      — keep rows whose md5-derived uniform in [0,1)
+  falls under `fraction`. Narrow, no shuffle; the expected (not exact)
+  sample size is fraction*N, matching Bernoulli sampling semantics.
+* ``stratified_sample`` — per-stratum fractions (dict), same hash rule;
+  one narrow pass, no shuffle (fractions broadcast as a literal map).
+* ``train_val_split``  — label each row train/val by the same hash;
+  deterministic, disjoint, and stable under corpus growth (a row's
+  split never changes when other rows are added — hash-of-id, not
+  rank-based).
+* ``weighted_interleave`` — deterministic source mixing: tag rows from
+  N sources, keep each with its source weight; union preserves the
+  expected mixing ratio without a global sort or shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars -> 32-bit uniform; /2^32 gives [0,1)
+_DENOM = float(0x100000000)
+
+
+def _unit_hash(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0,1) from md5(salt ':' key) — the same
+    construction the oracle reproduces via
+    ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def unit_hash_sql(key_expr: str, salt: str) -> str:
+    """DuckDB fragment computing the identical uniform."""
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Bernoulli sample, deterministic in the id — narrow map, no
+    shuffle, stable under reruns and cluster resizing."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_unit_hash(F.col(id_col), salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum Bernoulli fractions (e.g. downsample dominant
+    languages, keep all of rare ones). The fraction lookup compiles to a
+    literal CASE — no join, no shuffle."""
+    frac = F.lit(float(default_fraction))
+    expr = None
+    for k, v in sorted(fractions.items()):
+        cond = F.col(strata_col) == F.lit(k)
+        expr = F.when(cond, F.lit(float(v))) if expr is None else expr.when(cond, F.lit(float(v)))
+    frac = expr.otherwise(frac) if expr is not None else frac
+    return df.where(_unit_hash(F.col(id_col), salt) < frac)
+
+
+def train_val_split(
+    df: DataFrame, id_col: str, val_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Adds `_split` ('train' | 'val'): hash-of-id keyed, so a row's
+    assignment is stable as the corpus grows — no leakage across
+    incremental pipeline runs."""
+    u = _unit_hash(F.col(id_col), salt)
+    return df.withColumn(
+        "_split", F.when(u < F.lit(float(val_fraction)), F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def weighted_interleave(
+    sources: Sequence[tuple[DataFrame, str, float]], id_col: str, salt: str = "mix"
+) -> DataFrame:
+    """Mix N corpora at given weights: each (df, name, weight<=1) keeps
+    its hash-sampled share and is tagged `_source`. Union of narrow
+    filters — the mixing ratio holds in expectation with zero shuffles,
+    vs. the naive global-shuffle interleave."""
+    out = None
+    for src, name, w in sources:
+        part = hash_sample(src, id_col, w, salt=f"{salt}:{name}").withColumn(
+            "_source", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no sources given")
+    return out
