@@ -366,3 +366,56 @@ def test_real_wav_decode(spark):
     assert abs(ok["rms"] - 20000 / 2 ** 0.5) / (20000 / 2 ** 0.5) < 0.01
     assert abs(ok["zero_crossing_rate"] - 2 * 440 / 8000) < 0.01
     assert not rows[2]["decode_ok"]
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """Chunked variant: pack sums bounded by budget + max_doc - 1;
+    greedy variant: strict sum <= budget (single-doc overflow packs
+    excepted); both deterministic on rerun."""
+    from weaviate_spark.operators.sampling import pack_sequences, pack_sequences_greedy
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "tokens", (F.col("doc_id") * 37 % 900 + 100).cast("long")
+    )
+    packed = pack_sequences(df, "doc_id", "tokens", budget=1000, num_buckets=8)
+    sums = packed.groupBy("_bucket", "_pack").agg(
+        F.sum(F.least(F.col("tokens"), F.lit(1000))).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in sums:
+        assert r["s"] <= 1000 + 999, r  # budget + max_doc - 1
+    greedy = pack_sequences_greedy(df, "doc_id", "tokens", budget=1000, num_buckets=8)
+    gsums = greedy.groupBy("_bucket", "_pack").agg(
+        F.sum(F.least(F.col("tokens"), F.lit(1000))).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in gsums:
+        assert r["s"] <= 1000 or r["n"] == 1, r
+    # packs are contiguous in id order within each bucket
+    rows = greedy.select("_bucket", "doc_id", "_pack").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["_bucket"], []).append((r["doc_id"], r["_pack"]))
+    for seq in by_bucket.values():
+        packs = [p for _, p in sorted(seq)]
+        assert packs == sorted(packs)
+    # deterministic on rerun
+    a = packed.select("doc_id", "_bucket", "_pack").collect()
+    b = pack_sequences(df, "doc_id", "tokens", budget=1000, num_buckets=8) \
+        .select("doc_id", "_bucket", "_pack").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_compact_table(spark, tmp_path):
+    """Small-file compaction rewrites to ceil(rows/target) files and
+    preserves the data."""
+    import glob
+    from weaviate_spark.sources.crud import compact_table
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).repartition(50).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 50
+    files = compact_table(spark, path, target_rows_per_file=500)
+    assert files == 2
+    assert len(glob.glob(path + "/*.parquet")) == 2
+    assert spark.read.parquet(path).count() == 1000

@@ -1636,6 +1636,33 @@ def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences_budget",
+    oracle=(
+        "WITH b AS (SELECT doc_id, n_chars, "
+        "(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16) AS _bucket "
+        "FROM documents), "
+        "c AS (SELECT _bucket, doc_id, "
+        "sum(least(n_chars, 4096)) OVER (PARTITION BY _bucket ORDER BY doc_id) AS _cum FROM b) "
+        "SELECT _bucket, CAST((_cum - 1) // 4096 AS BIGINT) AS _pack, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM c GROUP BY 1, 2"
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-batch construction):
+    hash-bucketed then packed per bucket by a running sum — packing
+    parallelizes across buckets, no global window."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.sampling import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=4096, num_buckets=16)
+    return packed.groupBy("_bucket", "_pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 @register("multimodal_image_features")
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode pipeline over binary media columns: 4x4 PPM

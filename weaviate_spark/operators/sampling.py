@@ -106,3 +106,86 @@ def weighted_interleave(
     if out is None:
         raise ValueError("no sources given")
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Budget-windowed sequence chunking: documents are hash-bucketed,
+    then assigned to contiguous packs per bucket by which `budget`-sized
+    window of the running token sum they END in — one window pass,
+    closed-form, exactly SQL-mirrorable. Pack sums average `budget` and
+    are bounded by budget + max_doc_tokens - 1 (a document whose
+    cumulative range straddles a boundary joins its end-side pack);
+    use `pack_sequences_greedy` when the strict sum <= budget invariant
+    is required. Packing parallelizes across buckets — no global
+    window/single-partition bottleneck at 100 TB; `num_buckets` scales
+    with the cluster.
+
+    Adds `_bucket`, `_pack` (pack index within the bucket).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(num_buckets))
+    dfb = df.withColumn("_bucket", bucket)
+    w = Window.partitionBy("_bucket").orderBy(F.col(id_col).asc())
+    tok = F.least(F.col(tokens_col).cast("long"), F.lit(int(budget)))
+    cum = F.sum(tok).over(w)
+    # pack index: which budget-multiple the running total (ending at this
+    # row) first exceeds — contiguous greedy packing in one window pass
+    return dfb.withColumn("_pack", ((cum - F.lit(1)) / F.lit(int(budget))).cast("long"))
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """TRUE greedy sequence packing: per bucket, walk documents in id
+    order and open a new pack whenever the current one cannot fit the
+    next document — the strict invariant pack_sum <= budget (single
+    oversized documents get their own pack). The fill loop is inherently
+    sequential per bucket, so it runs as applyInPandas per hash bucket:
+    parallel across buckets, Arrow-batched, no driver state. Same
+    output shape as `pack_sequences`.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(num_buckets))
+    dfb = df.withColumn("_bucket", bucket)
+
+    from pyspark.sql import types as T
+
+    # StructType.add mutates in place — build a fresh schema
+    out_schema = T.StructType(
+        list(dfb.schema.fields) + [T.StructField("_pack", T.LongType())]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        packs, cur_pack, cur_sum = [], 0, 0
+        for t in pdf[tokens_col]:
+            t = min(int(t), budget)
+            if cur_sum + t > budget and cur_sum > 0:
+                cur_pack += 1
+                cur_sum = 0
+            cur_sum += t
+            packs.append(cur_pack)
+        pdf["_pack"] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return dfb.groupBy("_bucket").applyInPandas(_pack, out_schema)

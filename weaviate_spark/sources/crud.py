@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -214,3 +215,40 @@ def delete_reference(
         ).otherwise(F.col(ref_prop)),
     )
     _rewrite(updated, table_dir)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction for the COW parquet tables the streaming
+    sink and upsert path produce (the LSM-compaction analogue of the
+    reference's store; Delta's OPTIMIZE equivalent for plain parquet).
+
+    Rewrites the table into ceil(rows / target_rows_per_file) files
+    (per partition directory when `partition_by` is set, preserving
+    partition pruning). Returns the file count written. At scale this
+    runs per-partition-predicate (compact only partitions whose file
+    count exceeds a threshold) — driven by the caller's loop, so the
+    rewrite I/O is bounded by the partitions touched, never the table.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    writer = (
+        df.repartition(files, *partition_by)
+        if partition_by else df.repartition(files)
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    # atomic-ish swap: recreate the table dir from the compacted copy
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return files
