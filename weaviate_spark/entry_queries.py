@@ -1637,6 +1637,101 @@ def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hybrid_object_limit",
+    oracle=(
+        "WITH fused AS (SELECT doc_id FROM ("
+        + hybrid_oracle_sql("spark filter join", QVEC, alpha=0.5, fusion="ranked", limit=20)
+        + ") f) "
+        "SELECT d.lang, CAST(count(*) AS BIGINT) AS n, "
+        "round(avg(d.n_chars), 6) AS avg_chars "
+        "FROM documents d JOIN fused USING (doc_id) GROUP BY d.lang"
+    ),
+)
+def q_agg_hybrid_object_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a hybrid-search objectLimit subset
+    (aggregator/hybrid.go: aggregation runs on the fused top-k object
+    set): hybrid top-20 ids broadcast into the aggregation scan."""
+    from pyspark.sql import functions as F
+
+    fused = hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="ranked", limit=20,
+    )).select("doc_id")
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(fused), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def _hash_embed_sql(expr: str, dim: int = 16) -> str:
+    """DuckDB mirror of modules.hash_embed_py: per-dim
+    md5(text_bytes + d.to_bytes(4, 'little')), first 4 digest bytes as a
+    little-endian uint32 -> [-0.5, 0.5), L2-normalized."""
+    raws = []
+    for d in range(dim):
+        suffix = " || ".join(f"chr({b})" for b in d.to_bytes(4, "little"))
+        h = f"md5(({expr}) || {suffix})"
+        le = (f"('0x' || substr({h},7,2) || substr({h},5,2) || "
+              f"substr({h},3,2) || substr({h},1,2))::BIGINT")
+        raws.append(f"({le} / 4294967295.0 - 0.5)")
+    arr = "[" + ", ".join(raws) + "]::DOUBLE[]"
+    return (f"(SELECT list_transform(r, x -> x / sqrt(list_dot_product(r, r))) "
+            f"FROM (SELECT {arr} AS r))")
+
+
+def _neartext_move_qvec() -> list[float]:
+    from weaviate_spark.modules import near_text_vector
+
+    return near_text_vector(
+        ["spark", "join"], move_to=["filter"], move_away=["audio"], force=0.3,
+    )
+
+
+@register(
+    "neartext_move_topk",
+    oracle=(
+        "WITH e AS (SELECT doc_id, "
+        + _hash_embed_sql("text") + " AS ev FROM documents), "
+        "q AS (SELECT ["
+        + ", ".join(repr(float(x)) for x in _neartext_move_qvec())
+        + "]::DOUBLE[] AS qv) "
+        "SELECT doc_id, round(1 - list_dot_product(ev, qv) / "
+        "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, doc_id ASC LIMIT 15"
+    ),
+)
+def q_neartext_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearText with moveTo/moveAwayFrom concept arithmetic
+    (retrieval.go:149-160): documents vectorized by the deterministic
+    text2vec-dummy (Arrow-batched pandas_udf), query vector = averaged
+    concepts nudged toward 'filter' and away from 'audio'; cosine
+    top-15. The oracle reproduces the md5-seeded embedding bit-for-bit
+    in SQL — the full nearText path is hash-checked, not just row
+    counts."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.modules import vectorize_column
+
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    emb = docs.withColumn("_vector", vectorize_column(F.col("text")))
+    qv = F.array(*[F.lit(float(x)) for x in _neartext_move_qvec()])
+    return (
+        emb.withColumn("_distance", F.round(distance(F.col("_vector"), qv, "cosine"), 6))
+        .select("doc_id", "_distance")
+        .orderBy(F.col("_distance").asc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+@register(
     "pack_sequences_budget",
     oracle=(
         "WITH b AS (SELECT doc_id, n_chars, "
