@@ -141,3 +141,37 @@ def test_null_sort_order(spark):
     assert [r.id for r in asc] == [2, 3, 1]
     desc = df.orderBy(F.col("v").desc_nulls_last()).select("id").collect()
     assert [r.id for r in desc] == [1, 3, 2]
+
+
+def test_geo_bbox_prefilter_pushdown(spark, tmp_path):
+    """WithinGeoRange compiles a bounding-box SUPERSET of the circle as
+    plain comparisons on the struct fields; on a stored geo column they
+    reach the parquet scan (PushedFilters), so at scale the haversine
+    runs only on rows inside the box. Results are identical to the
+    bare-haversine predicate (box is a superset)."""
+    from weaviate_spark.filters import Clause, GeoRange, apply_where
+
+    path = str(tmp_path / "geo")
+    rows = [(i, ((i % 120) - 60.0 + 0.5, (i % 300) - 150.0 + 0.5)) for i in range(2000)]
+    spark.createDataFrame(
+        rows, "id long, location struct<latitude: double, longitude: double>"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    clause = Clause(
+        operator="WithinGeoRange", path=["location"],
+        value=GeoRange(latitude=52.52, longitude=13.405, distance_meters=500_000),
+    )
+    out = apply_where(df, clause)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "location.latitude" in pushed and "GreaterThanOrEqual" in pushed, pushed
+
+    # bbox must not change results vs the bare haversine predicate
+    from weaviate_spark.filters import haversine_meters
+    bare = df.where(
+        haversine_meters(
+            F.col("location.latitude"), F.col("location.longitude"),
+            F.lit(52.52), F.lit(13.405),
+        ) <= 500_000
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in bare.collect())

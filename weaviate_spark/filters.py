@@ -307,7 +307,37 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
             col.getField("latitude"), col.getField("longitude"),
             F.lit(g.latitude), F.lit(g.longitude),
         )
-        return d <= F.lit(g.distance_meters)
+        pred = d <= F.lit(g.distance_meters)
+        # bounding-box prefilter: a strict SUPERSET of the circle, as
+        # simple comparisons on the struct fields — these push into the
+        # parquet scan (nested predicate pushdown + row-group min/max
+        # pruning), so at scale the haversine only runs on rows inside
+        # the box instead of the whole table. 110 574 m/deg is the
+        # MINIMUM meridian degree length; dividing by it over-covers.
+        import math as _math
+
+        dlat = g.distance_meters / 110_574.0
+        lo, hi = g.latitude - dlat, g.latitude + dlat
+        pred = (
+            (col.getField("latitude") >= F.lit(lo))
+            & (col.getField("latitude") <= F.lit(hi))
+            & pred
+        )
+        max_abs_lat = min(max(abs(lo), abs(hi)), 90.0)
+        if max_abs_lat < 89.0:
+            # longitude degree length shrinks by cos(lat); use the
+            # band's worst case and over-cover slightly
+            dlon = g.distance_meters / (
+                111_320.0 * _math.cos(_math.radians(max_abs_lat))
+            ) * 1.001
+            wlo, whi = g.longitude - dlon, g.longitude + dlon
+            if wlo > -180.0 and whi < 180.0:  # skip on antimeridian wrap
+                pred = (
+                    (col.getField("longitude") >= F.lit(wlo))
+                    & (col.getField("longitude") <= F.lit(whi))
+                    & pred
+                )
+        return pred
     if op in ("ContainsAny", "ContainsAll", "ContainsNone"):
         vals = list(v)
         if _is_array(dtype):
