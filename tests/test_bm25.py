@@ -152,3 +152,32 @@ def test_stats_tables_match_recompute(spark, tmp_path):
         assert set(fed) == set(recompute)
         for k in fed:
             assert fed[k] == pytest.approx(recompute[k], abs=1e-12)
+
+
+def test_postings_path_scores_identical(spark, sf_dir):
+    """The inverted-index (postings/doclen) scoring path must produce
+    byte-identical scores to the tokenize-the-corpus path."""
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, bm25_score_df, with_materialized_stats,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    spec = BM25Spec(
+        collection="documents", query="spark filter join data",
+        properties=[BM25Prop("text")], id_col="doc_id",
+    )
+    full = load_table(spark, sf_dir, "documents")
+    sp = with_materialized_stats(spec, full, (sf_dir, "documents"))
+    assert sp.stats.postings is not None
+
+    def rows(s):
+        return sorted(
+            (r["doc_id"], r["_score"], r["_terms_matched"])
+            for r in bm25_score_df(full, s, corpus_df=full).collect()
+        )
+
+    with_postings = rows(sp)
+    without = rows(replace(sp, stats=replace(sp.stats, postings=None, doclen=None)))
+    assert with_postings == without and len(with_postings) > 0

@@ -41,10 +41,14 @@ engine scores the full candidate set — same results by construction
     score    = per-row expression over wide     -- narrow
     topk     = orderBy(score desc, id asc).limit(k)  -- TakeOrdered
 
-Scale notes: with materialized stats (build_bm25_stats, refreshed on
-ingest like the reference's prop length tracker), a filtered keyword
-query tokenizes ONLY the candidate docs — no full-corpus scan per
-query. Without them, the one wide aggregation over the corpus serves
+Scale notes: with the materialized index tables (build_bm25_index,
+refreshed on ingest like the reference's prop length tracker + LSM
+inverted segments), a keyword query tokenizes NOTHING — term
+frequencies come from a term-filtered postings lookup (partition/
+bucket by term at scale => the scan reads only the query terms' rows)
+and lengths from the doclen table; a where-filter semi-joins the
+candidate ids. Locally the postings frame is a cached DataFrame.
+Without the tables, the one wide aggregation over the corpus serves
 both stats and scoring (cached, released on the next query via
 release_caches).
 """
@@ -86,11 +90,21 @@ class BM25Prop:
 @dataclass(frozen=True)
 class CorpusStats:
     """Materialized corpus statistics — the Spark analogue of the
-    reference's propLengthTracker + inverted-index term statistics."""
+    reference's propLengthTracker + inverted-index term statistics.
+
+    When `postings`/`doclen` are attached (the full inverted-index
+    analogue), query-time scoring never tokenizes ANY document: term
+    frequencies come from a term-filtered postings lookup and document
+    lengths from the doclen table — the same work the reference's
+    keyword search does against its LSM inverted segments. At scale
+    these are written tables partitioned/bucketed by term, so a query
+    reads only its own terms' row groups."""
 
     n_docs: float                               # collection-wide object count
     avg_len: dict[str, float]                   # prop -> mean token count
     term_n: dict[tuple[str, str], float]        # (prop, term) -> doc freq
+    postings: Optional[DataFrame] = None        # (prop, _doc, _term, _f)
+    doclen: Optional[DataFrame] = None          # (prop, _doc, _len)
 
 
 @dataclass
@@ -129,30 +143,42 @@ def query_terms(
     return {t: float(toks.count(t)) for t in set(toks)}
 
 
-def build_bm25_stats(
+def build_bm25_index(
     corpus: DataFrame,
     properties: Sequence[BM25Prop],
     id_col: str,
     fold: bool = False,
-) -> tuple[DataFrame, DataFrame]:
-    """(corpus_stats, term_df) as small DataFrames, built in ONE pass per
-    property over the UNFILTERED corpus. Persist these as tables and feed
-    `load_stats` for query-time BM25 that never rescans the corpus —
-    refresh on ingest, exactly like the reference's prop length tracker.
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Full inverted-index analogue, ONE tokenize pass per property over
+    the UNFILTERED corpus:
 
     corpus_stats: (prop, n_docs, n_docs_with_prop, avg_len)
     term_df:      (prop, term, df) — one row per distinct term
+    postings:     (prop, _doc, _term, _f) — per-doc term frequencies
+    doclen:       (prop, _doc, _len) — per-doc token counts
+
+    Persist all four as tables (postings partitioned/bucketed by term at
+    scale) and refresh on ingest, exactly like the reference's prop
+    length tracker + LSM inverted segments; query-time BM25 then never
+    tokenizes a document.
     """
     n_docs = corpus.count()
     stat_rows = []
-    term_frames = []
+    term_frames, post_frames, len_frames = [], [], []
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < parallelism:
+        corpus = corpus.repartition(parallelism)
     for prop in properties:
         toks = corpus.select(
             F.col(id_col).alias("_doc"),
             F.explode(tokenize(F.col(prop.name), prop.tokenization, fold=fold)).alias("_term"),
         )
         per_doc = toks.groupBy("_doc", "_term").agg(F.count(F.lit(1)).alias("_f"))
+        post_frames.append(per_doc.select(
+            F.lit(prop.name).alias("prop"), "_doc", "_term", "_f"
+        ))
         lens = per_doc.groupBy("_doc").agg(F.sum("_f").alias("_len"))
+        len_frames.append(lens.select(F.lit(prop.name).alias("prop"), "_doc", "_len"))
         srow = lens.agg(
             F.count(F.lit(1)).alias("nd"), F.avg("_len").alias("al")
         ).collect()[0]
@@ -166,10 +192,26 @@ def build_bm25_stats(
     corpus_stats = spark.createDataFrame(
         stat_rows, "prop string, n_docs long, n_docs_with_prop long, avg_len double"
     )
-    term_df = term_frames[0]
-    for t in term_frames[1:]:
-        term_df = term_df.unionByName(t)
-    return corpus_stats, term_df
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    return corpus_stats, _union(term_frames), _union(post_frames), _union(len_frames)
+
+
+def build_bm25_stats(
+    corpus: DataFrame,
+    properties: Sequence[BM25Prop],
+    id_col: str,
+    fold: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus_stats, term_df) — the scalar-statistics subset of
+    `build_bm25_index`, kept for callers that only need N/avgdl/df."""
+    cs, tdf, _post, _dl = build_bm25_index(corpus, properties, id_col, fold)
+    return cs, tdf
 
 
 def load_stats(
@@ -201,12 +243,12 @@ def load_stats(
 # query (including hybrid legs). NOT registered in the per-query cache
 # registry: these persist deliberately. A write path must call
 # invalidate_stats() (the reference refreshes its tracker on ingest).
-_stats_tables: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_stats_tables: dict[tuple, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
 
 
 def invalidate_stats() -> None:
-    for cs, tdf in _stats_tables.values():
-        for frame in (cs, tdf):
+    for frames in _stats_tables.values():
+        for frame in frames:
             try:
                 frame.unpersist()
             except Exception:
@@ -217,22 +259,27 @@ def invalidate_stats() -> None:
 def with_materialized_stats(
     spec: BM25Spec, corpus: DataFrame, table_key: tuple
 ) -> BM25Spec:
-    """Return a spec whose ``stats`` come from the session-level
-    materialized stats tables (built on first use). Query-time cost after
-    the build: two collects of a handful of rows from cached frames —
-    no corpus scan."""
+    """Return a spec whose ``stats`` (including the postings/doclen
+    inverted-index tables) come from the session-level materialized
+    tables (built on first use). Query-time cost after the build: two
+    tiny collects plus a term-filtered postings lookup — no document is
+    tokenized, no corpus scan."""
     if spec.stats is not None:
         return spec
     props_key = tuple(sorted((p.name, p.tokenization) for p in spec.properties))
     key = (id(corpus.sparkSession), *table_key, props_key, spec.fold)
     if key not in _stats_tables:
-        cs, tdf = build_bm25_stats(corpus, spec.properties, spec.id_col, spec.fold)
-        cs, tdf = cs.cache(), tdf.cache()
-        cs.count(), tdf.count()  # materialize now; later reads hit the cache
-        _stats_tables[key] = (cs, tdf)
-    cs, tdf = _stats_tables[key]
+        cs, tdf, post, dl = build_bm25_index(
+            corpus, spec.properties, spec.id_col, spec.fold
+        )
+        frames = tuple(f.cache() for f in (cs, tdf, post, dl))
+        for f in frames:
+            f.count()  # materialize now; later reads hit the cache
+        _stats_tables[key] = frames
+    cs, tdf, post, dl = _stats_tables[key]
     needed = {p: list(t) for p, t in _query_analysis(spec).items() if t}
-    return replace(spec, stats=load_stats(cs, tdf, needed))
+    stats = load_stats(cs, tdf, needed)
+    return replace(spec, stats=replace(stats, postings=post, doclen=dl))
 
 
 def bm25_search(
@@ -298,6 +345,31 @@ def bm25_score_df(
         if not qboost:
             continue
         terms = sorted(qboost)
+        if stats_from_tables and spec.stats.postings is not None:
+            # inverted-index path: NO document is tokenized at query
+            # time — term frequencies come from the term-filtered
+            # postings lookup (pushdown on term), lengths from doclen;
+            # only docs holding >= 1 query term ever materialize (docs
+            # without matches can't score, same result set)
+            post = spec.stats.postings.where(
+                (F.col("prop") == prop.name) & F.col("_term").isin(terms)
+            )
+            wide = post.groupBy("_doc").agg(*[
+                F.sum(F.when(F.col("_term") == t, F.col("_f")).otherwise(0)).alias(f"_f{i}")
+                for i, t in enumerate(terms)
+            ]).join(
+                spec.stats.doclen.where(F.col("prop") == prop.name)
+                .select("_doc", "_len"),
+                "_doc",
+            )
+            if spec.where is not None:
+                wide = wide.join(
+                    df.select(F.col(id_col).alias("_doc")), "_doc", "semi"
+                )
+            per_prop.append((prop, wide, qboost,
+                             {t: spec.stats.term_n.get((prop.name, t), 0.0) for t in terms},
+                             spec.stats.avg_len.get(prop.name, 0.0)))
+            continue
         # with precomputed stats only candidates are tokenized; otherwise
         # the corpus is (its wide agg also yields the stats)
         base = df if stats_from_tables else corpus_df
