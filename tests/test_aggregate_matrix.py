@@ -122,3 +122,31 @@ def test_array_matrix_empty_and_null_only(spark, array_class):
     assert row["meta_count"] == 3
     assert (row["numbers_count"] or 0) == 0
     assert row["numbers_sum"] is None
+
+
+def test_array_matrix_dates(spark):
+    """dateArray element aggregation (matrix fixture dates column):
+    element-level count / min / max over timestamp arrays."""
+    from datetime import datetime
+    from weaviate_spark.operators.aggregate import PropertyAgg
+
+    def d(y):
+        return datetime(y, 6, 1, 22, 18, 59)
+
+    rows = [
+        (1, [d(2021), d(2022), d(2023), d(2024)]),
+        (2, [d(2021), d(2022), d(2023)]),
+        (3, [d(2021), d(2022)]),
+        (4, [d(2021)]),
+        (5, []),
+        (6, None),
+        (7, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, dates array<timestamp>")
+    row = _agg(spark, df, [
+        PropertyAgg("dates", ["count", "minimum", "maximum"]),
+    ], include_meta_count=True).collect()[0]
+    assert row["meta_count"] == 7
+    assert row["dates_count"] == 10
+    assert row["dates_minimum"] == d(2021)
+    assert row["dates_maximum"] == d(2024)

@@ -1106,6 +1106,58 @@ def q_hybrid_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+@register(
+    "search_group_by_array",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        f"hits AS (SELECT vec_id, label, {_COS_SQL} AS _gdist "
+        "FROM e CROSS JOIN q ORDER BY _gdist ASC, vec_id ASC LIMIT 30), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY _gdist ASC, vec_id ASC) AS _rnk FROM hits), "
+        "ex AS (SELECT vec_id, _gdist, _rnk, "
+        "unnest([CAST(label AS VARCHAR), 'all']) AS g, unnest([0, 1]) AS _pos FROM ranked), "
+        "grp AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY _rnk, _pos) AS igr FROM ex), "
+        # one hit can admit several groups: values-array order breaks the
+        # tie (hybrid_group_by.go walks the extracted values in order)
+        "best AS (SELECT g, min(_rnk * 10 + _pos) AS _best FROM ex GROUP BY g), "
+        "adm AS (SELECT g, row_number() OVER (ORDER BY _best) AS gr FROM best) "
+        "SELECT x.g AS group_value, CAST(a.gr AS BIGINT) AS group_rank, x.vec_id, "
+        "x._gdist AS _distance, CAST(x.igr AS BIGINT) AS in_group_rank "
+        "FROM grp x JOIN adm a USING (g) WHERE a.gr <= 4 AND x.igr <= 2"
+    ),
+)
+def q_search_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search groupBy on an ARRAY-valued property: an object joins every
+    group its elements name (hybrid_group_by.go extractGroupByValues for
+    []string — here each hit carries [label, 'all'], so it lands in its
+    label group AND the catch-all group). Caller explodes, then the
+    standard admission rules apply."""
+    from pyspark.sql import functions as F
+
+    hits = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=30,
+    )).select("vec_id", "label", "_distance")
+    exploded = hits.select(
+        "vec_id", "label", "_distance",
+        F.posexplode(F.array(F.col("label").cast("string"), F.lit("all"))).alias("_pos", "g"),
+    )
+    # the array position joins the sort keys as the final tie-break:
+    # when one hit admits several groups, they enter in values-array
+    # order (hybrid_group_by.go walks the extracted values in order)
+    grouped = group_search_results(
+        exploded, "g",
+        [(F.col("_distance"), True), (F.col("vec_id"), True), (F.col("_pos"), True)],
+        groups=4, objects_per_group=2,
+    )
+    return grouped.select(
+        F.col("g").alias("group_value"),
+        F.col("_group_rank").cast("long").alias("group_rank"),
+        "vec_id", "_distance",
+        F.col("_in_group_rank").cast("long").alias("in_group_rank"),
+    )
+
+
 @register("bm25_autocut")
 def q_bm25_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k then autocut at the 1st score-curve extremum
