@@ -849,11 +849,43 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(60-bit) near-dup pairs within Hamming distance 12
-    (rows-only check: bit-level majority votes are not practical to
-    mirror in SQL; exactness covered by unit tests)."""
+    """SimHash(60-bit) near-dup pairs within Hamming distance 12 via
+    pigeonhole chunk blocking; the oracle reproduces the per-bit
+    majority votes, chunk buckets, and bit_count(xor) rescore exactly."""
     df = _load(spark, sf_dir, "documents")
     return simhash_neardup_pairs(df, "doc_id", "text", max_hamming=12)
+
+
+def _simhash_oracle_sql(max_hamming: int = 12) -> str:
+    num_chunks = min(max_hamming + 1, 15)
+    width = (60 + num_chunks - 1) // num_chunks
+    bit_sums = ", ".join(
+        f"sum((_h >> {b}) & 1) AS _b{b}" for b in range(60)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN _b{b} * 2 >= _n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    chunk_list = ", ".join(
+        f"'{c}:' || CAST((simhash >> {c * width}) & {(1 << width) - 1} AS VARCHAR)"
+        for c in range(num_chunks)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id AS _doc, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS _t FROM documents), "
+        "h AS (SELECT _doc, ('0x' || substr(md5(_t), 1, 15))::BIGINT AS _h FROM toks), "
+        f"votes AS (SELECT _doc, count(*) AS _n, {bit_sums} FROM h GROUP BY _doc), "
+        f"sim AS (SELECT _doc, {sim_expr} AS simhash FROM votes), "
+        f"chunks AS (SELECT _doc, simhash, unnest([{chunk_list}]) AS _chunk FROM sim), "
+        "cand AS (SELECT DISTINCT a._doc AS _a, b._doc AS _b, "
+        "a.simhash AS sa, b.simhash AS sb "
+        "FROM chunks a JOIN chunks b USING (_chunk) WHERE a._doc < b._doc) "
+        "SELECT _a AS id_a, _b AS id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+    )
+
+
+ORACLES["dedup_simhash"] = _simhash_oracle_sql()
 
 
 def _lang_vote_sql() -> tuple[str, str]:
@@ -1161,9 +1193,8 @@ def q_search_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bm25_autocut")
 def q_bm25_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k then autocut at the 1st score-curve extremum
-    (autocut.go applied as in index.go:2309-2313). Rows-only check:
-    the extremum scan is a driver-side pure function (unit-tested
-    against hand-computed cases)."""
+    (autocut.go applied as in index.go:2309-2313); the oracle reproduces
+    the unit-square extremum scan with window functions."""
     hits = bm25_search(spark, sf_dir, BM25Spec(
         collection="documents", query="spark filter join",
         properties=[BM25Prop("text")], id_col="doc_id", limit=30,
@@ -1171,16 +1202,88 @@ def q_bm25_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_autocut(hits.select("doc_id", "_score"), "_score", cut_off=1)
 
 
+def _autocut_oracle_sql() -> str:
+    """Wrap the bm25 top-30 oracle with the autocut.go:14-51 extremum
+    cut: normalize score-vs-rank to the unit square, diff = y_norm - x,
+    cut before the first local maximum of diff (keep all when none)."""
+    base = bm25_oracle_sql(
+        "documents", "text", "doc_id", "spark filter join", limit=30
+    )
+    return f"""
+WITH hits AS (SELECT doc_id, _score,
+  row_number() OVER (ORDER BY _score DESC, doc_id ASC) AS rn FROM ({base})),
+p AS (SELECT count(*) AS n,
+  max(CASE WHEN rn = 1 THEN _score END) AS s0,
+  max(_score ORDER BY rn DESC) FILTER (rn = (SELECT count(*) FROM hits)) AS s_last
+  FROM hits),
+d AS (SELECT rn, _score, doc_id,
+  CASE WHEN p.s_last = p.s0 THEN 0.0
+       ELSE (_score - p.s0) / (p.s_last - p.s0) END
+  - (rn - 1) * (1.0 / (p.n - 1)) AS diff, p.n AS n
+  FROM hits CROSS JOIN p),
+x AS (SELECT rn, n, diff,
+  lag(diff) OVER (ORDER BY rn) AS prev1,
+  lag(diff, 2) OVER (ORDER BY rn) AS prev2,
+  lead(diff) OVER (ORDER BY rn) AS nxt FROM d),
+ext AS (SELECT rn - 1 AS cut FROM x
+  WHERE rn > 1 AND diff > prev1
+    AND ((rn < n AND diff > nxt)
+         OR (rn = n AND (n < 3 OR diff > prev2)))
+  ORDER BY rn LIMIT 1),
+c AS (SELECT coalesce((SELECT cut FROM ext), (SELECT n FROM p)) AS cut)
+SELECT doc_id, _score FROM hits CROSS JOIN c WHERE rn <= c.cut
+"""
+
+
+ORACLES["bm25_autocut"] = _autocut_oracle_sql()
+
+
 @register("ann_lsh_topk")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact
-    rescore (rows-only: approximate by design; recall vs exact is
-    asserted in unit tests)."""
+    rescore. Approximate w.r.t. exact search, but fully DETERMINISTIC —
+    the oracle reproduces the identical plane constants, signatures,
+    probe set, and rescore, so even the approximation is hash-checked
+    (recall vs exact is pinned separately in unit tests)."""
     from weaviate_spark.operators.similarity import ann_top_k, build_lsh_index
 
     emb = _load(spark, sf_dir, "embeddings")
     idx = build_lsh_index(emb, "vec_id", "embedding", num_planes=8, dim=64)
     return ann_top_k(idx, QVEC, "vec_id", "embedding", k=10, num_planes=8, probe=2)
+
+
+def _ann_lsh_oracle_sql(k: int = 10, num_planes: int = 8, probe: int = 2,
+                        dim: int = 64, seed: int = 42) -> str:
+    from weaviate_spark.operators.similarity import _sig_py, hyperplanes
+
+    planes = hyperplanes(num_planes, dim, seed)
+    qsig = _sig_py(QVEC, planes)
+    buckets = {qsig}
+    if probe > 1:
+        for i in range(num_planes):
+            buckets.add(qsig[:i] + ("0" if qsig[i] == "1" else "1") + qsig[i + 1:])
+    bucket_list = ", ".join(f"'{b}'" for b in sorted(buckets))
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_expr = " || ".join(
+        f"(CASE WHEN list_dot_product(ev, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+        f"s AS (SELECT vec_id, ev, {sig_expr} AS _sig FROM e), "
+        f"cand AS (SELECT * FROM s WHERE _sig IN ({bucket_list})), "
+        f"q AS (SELECT {_QVEC_SQL} AS qv) "
+        f"SELECT vec_id, {_COS_SQL.replace('qv', 'qv')} AS _distance "
+        "FROM cand CROSS JOIN q "
+        f"ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2180,12 +2283,33 @@ def q_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("neartext_rerank_generate")
+def _neartext_pipeline_oracle() -> str:
+    from weaviate_spark.modules import near_text_vector
+
+    qv = near_text_vector(["spark filter join"], dim=16)
+    qv_sql = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    return (
+        "WITH e AS (SELECT doc_id, text, "
+        + _hash_embed_sql("text") + " AS ev FROM documents), "
+        f"q AS (SELECT {qv_sql} AS qv), "
+        "topk AS (SELECT doc_id, text, round(1 - list_dot_product(ev, qv) / "
+        "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS _distance "
+        "FROM e CROSS JOIN q ORDER BY _distance ASC, doc_id ASC LIMIT 10) "
+        "SELECT doc_id, _distance, "
+        "len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')), "
+        "['spark', 'filter', 'join'])) / 3.0 AS _rerank_score, "
+        "substr('Summarize: ' || text, 1, 40) AS _generated_head "
+        "FROM topk"
+    )
+
+
+@register("neartext_rerank_generate", oracle=None)  # set below (needs helpers)
 def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Module pipeline (SURVEY §2.10): vectorize at ingest
     (text2vec-dummy) -> nearText top-10 -> reranker-dummy re-order ->
-    generative-dummy per-result prompt. Rows-only: the module outputs
-    are engine-deterministic but not ANSI-SQL-expressible."""
+    generative-dummy per-result prompt. Every stage is deterministic and
+    reproduced in the DuckDB oracle (md5 embedding, token-overlap
+    rerank, template fill) — the full module pipeline is hash-checked."""
     from pyspark.sql import functions as F
     from weaviate_spark.functions.distance import distance
     from weaviate_spark.modules import GENERATIVES, RERANKERS, near_text_vector, vectorize_column
@@ -2211,6 +2335,9 @@ def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "_distance", "_rerank_score",
                 F.substring("_generated", 1, 40).alias("_generated_head"))
     )
+
+
+ORACLES["neartext_rerank_generate"] = _neartext_pipeline_oracle()
 
 
 @register(
