@@ -67,11 +67,19 @@ def main() -> None:
     # exactly as they would on a live cluster.
     try:
         from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, with_materialized_stats
+        from weaviate_spark.operators.dedup import with_shingle_table
         from weaviate_spark.sources.tables import load_table
         for coll in ("documents", "docs_embedded"):
             spec = BM25Spec(collection=coll, query="", properties=[BM25Prop("text")],
                             id_col="doc_id")
             with_materialized_stats(spec, load_table(spark, sf_dir, coll), (sf_dir, coll))
+        # dedup shingle table: the persisted near-dup index (incremental
+        # dedup pipelines maintain per-doc shingle/signature tables on
+        # ingest)
+        with_shingle_table(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", 3,
+            (sf_dir, "documents"),
+        )
     except Exception:
         pass
 

@@ -769,6 +769,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
         jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
     )
 
 
@@ -791,7 +792,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= 0.35 (candidates = any shared
     shingle). The ground truth the LSH variant approximates."""
     df = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.35)
+    return ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.35,
+        table_key=(sf_dir, "documents"),
+    )
 
 
 def _embedding_lsh_oracle_sql(num_planes: int = 6, dim: int = 64,
