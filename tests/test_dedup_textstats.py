@@ -283,3 +283,47 @@ def test_sampling_determinism_and_split(spark):
     by_src = {r["_source"]: r["n"] for r in
               mix.groupBy("_source").agg(F.count("*").alias("n")).collect()}
     assert by_src["a"] == 1000 and 50 < by_src["b"] < 200
+
+
+def test_pii_profile_and_scrub(spark):
+    from weaviate_spark.operators.curation import pii_profile, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@mail.example.org or +1 (555) 123-4567"),
+            (2, "server at 192.168.001.1 works"),
+            (3, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    prof = {r["id"]: r for r in pii_profile(df, "id", "text").collect()}
+    assert prof[1]["n_email"] == 1 and prof[1]["n_phone"] == 1 and prof[1]["has_pii"]
+    assert prof[2]["n_ipv4"] == 1 and prof[2]["has_pii"]
+    assert not prof[3]["has_pii"]
+
+    scrubbed = {r["id"]: r["text"] for r in pii_scrub(df, "text").collect()}
+    assert "[EMAIL]" in scrubbed[1] and "[PHONE]" in scrubbed[1]
+    assert "@" not in scrubbed[1] and "555" not in scrubbed[1]
+    assert "[IPV4]" in scrubbed[2]
+    assert scrubbed[3] == "nothing sensitive here"
+
+
+def test_contamination_scores(spark):
+    from weaviate_spark.operators.curation import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a fence"),   # shares 5-grams? 
+            (2, "completely unrelated words about spark engines here"),
+            (3, "the quick brown fox jumps over the lazy dog exactly"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in
+           contamination_scores(docs, bench, "id", "text", n=5).collect()}
+    assert out[3]["score"] > 0.5           # near-verbatim inclusion
+    assert out[2]["n_contaminated"] == 0
+    assert out[1]["n_contaminated"] >= 1   # shared "the quick brown fox jumps"

@@ -1917,6 +1917,103 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RX = "\\+?\\d[\\d ().-]{7,}\\d"
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "pii_scrub_profile",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_PII_INJECT_SQL} AS txt FROM documents), "
+        "s AS (SELECT doc_id, "
+        f"len(regexp_extract_all(txt, '{_PII_EMAIL_RX}')) AS n_email, "
+        f"len(regexp_extract_all(txt, '{_PII_PHONE_RX}')) AS n_phone, "
+        "regexp_replace(regexp_replace(txt, "
+        f"'{_PII_EMAIL_RX}', '[EMAIL]', 'g'), "
+        f"'{_PII_PHONE_RX}', '[PHONE]', 'g') AS scrubbed FROM t) "
+        "SELECT doc_id, CAST(n_email AS INT) AS n_email, "
+        "CAST(n_phone AS INT) AS n_phone, "
+        "substr(scrubbed, greatest(len(scrubbed) - 39, 1)) AS scrubbed_tail "
+        "FROM s"
+    ),
+)
+def q_pii_scrub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing: deterministic synthetic PII (an email
+    and a phone number derived from the doc id) is injected, profiled,
+    and masked with typed placeholders — pure regex column expressions,
+    dialect-compatible across both engines."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.curation import pii_profile, pii_scrub
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    prof = pii_profile(docs, "doc_id", "txt").select(
+        "doc_id", F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+    )
+    scrubbed = pii_scrub(docs, "txt", "scrubbed").select(
+        "doc_id",
+        F.substring(
+            F.col("scrubbed"),
+            F.greatest(F.length("scrubbed") - 39, F.lit(1)),
+            F.lit(1_000_000),
+        ).alias("scrubbed_tail"),
+    )
+    return prof.join(scrubbed, "doc_id")
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents), "
+        "sh AS (SELECT doc_id AS _doc, "
+        "list_distinct([array_to_string(tt[i:i+4], ' ') "
+        "FOR i IN range(1, greatest(len(tt) - 4, 0) + 1)]) AS shs "
+        "FROM toks WHERE len(tt) >= 5), "
+        "ex AS (SELECT _doc, unnest(shs) AS _shingle FROM sh), "
+        "bench AS (SELECT DISTINCT _shingle FROM ex WHERE _doc % 97 = 0), "
+        "docs AS (SELECT * FROM ex WHERE _doc % 97 <> 0), "
+        "tot AS (SELECT _doc, count(*) AS n_shingles FROM docs GROUP BY _doc), "
+        "hit AS (SELECT _doc, count(*) AS n_contaminated FROM docs SEMI JOIN bench USING (_shingle) GROUP BY _doc) "
+        "SELECT t._doc AS doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+        "round(coalesce(h.n_contaminated, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS score "
+        "FROM tot t LEFT JOIN hit h USING (_doc) "
+        "WHERE coalesce(h.n_contaminated, 0) > 0"
+    ),
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th doc forms the synthetic
+    held-out benchmark; the rest are scored by the fraction of their
+    word 5-gram shingles appearing in the benchmark's shingle set (the
+    standard n-gram-overlap contamination check). One semi-join on the
+    md5-uniform shingle key — no n^2."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.curation import contamination_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    rest = docs.where(F.col("doc_id") % 97 != 0)
+    out = contamination_scores(rest, bench, "doc_id", "text", n=5)
+    return out.where(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "score",
+    )
+
+
 @register("multimodal_image_features")
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode pipeline over binary media columns: 4x4 PPM

@@ -1,0 +1,88 @@
+"""Corpus-curation operators: PII handling and benchmark
+decontamination (LLM-pipeline extras alongside dedup/textstats).
+
+Everything is pure column expressions with regex dialects chosen to
+behave identically in Spark (Java regex) and DuckDB (RE2) — both
+engines in the oracle loop see the same matches, so the operators are
+value-hash-checkable.
+
+* ``pii_profile``  — per-doc counts of email / phone-shaped / IPv4
+  matches. Narrow map; at 100 TB it's a single codegen'd pass.
+* ``pii_scrub``    — masks each PII class with a typed placeholder
+  (chained regexp_replace, order fixed: emails first so phone-like
+  digit runs inside addresses don't double-fire).
+* ``contamination_scores`` — per-document fraction of word n-gram
+  shingles that appear in a BENCHMARK corpus's shingle set (the
+  standard train/test decontamination check, cf. the n-gram overlap
+  methodology in public LLM reports). Doc shingles explode narrowly;
+  the benchmark set is distinct-deduped once; one join on the
+  (md5-uniform) shingle key, one groupBy on doc id — no n^2, no skew.
+  Filter `score >= threshold` to quarantine contaminated docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.operators.dedup import shingle_df
+
+# scrub order matters: emails before phones (digit runs inside
+# addresses), IPv4 before phones (dotted digit runs match the phone
+# shape too)
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d ().-]{7,}\d"),
+]
+
+
+def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_email, n_phone, n_ipv4, has_pii)."""
+    out = df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+            for name, rx in PII_PATTERNS
+        ],
+    )
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_scrub(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Mask every PII class with its typed placeholder ([EMAIL] etc.)."""
+    col = F.col(text_col)
+    for name, rx in PII_PATTERNS:
+        col = F.regexp_replace(col, rx, f"[{name.upper()}]")
+    return df.withColumn(out_col or text_col, col)
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shingles, n_contaminated, score) — score = fraction of the
+    doc's distinct word n-grams found anywhere in the benchmark corpus."""
+    doc_sh = shingle_df(docs, id_col, text_col, n)
+    bench_sh = shingle_df(benchmark, id_col, text_col, n).select("_shingle").distinct()
+    hit = doc_sh.join(bench_sh, "_shingle", "left_semi") \
+        .groupBy("_doc").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    totals = doc_sh.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hit, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("score"),
+        )
+    )
