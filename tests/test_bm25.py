@@ -181,3 +181,31 @@ def test_postings_path_scores_identical(spark, sf_dir):
     with_postings = rows(sp)
     without = rows(replace(sp, stats=replace(sp.stats, postings=None, doclen=None)))
     assert with_postings == without and len(with_postings) > 0
+
+
+def test_hybrid_degenerate_alphas(spark, sf_dir):
+    """alpha=0 reduces to pure keyword ranking, alpha=1 to pure vector
+    ranking (hybrid weights (1-alpha, alpha)); zero-weight legs may
+    introduce zero-scored rows but never displace positive scores."""
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
+    from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+    from weaviate_spark.entry_queries import QVEC
+
+    def hybrid_ids(alpha):
+        return [r["doc_id"] for r in hybrid_search(spark, sf_dir, HybridSpec(
+            collection="docs_embedded", query="spark filter join", vector=QVEC,
+            properties=[BM25Prop("text")], id_col="doc_id",
+            alpha=alpha, fusion="relativeScore", limit=10,
+        )).collect()]
+
+    kw = [r["doc_id"] for r in bm25_search(spark, sf_dir, BM25Spec(
+        collection="docs_embedded", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=10,
+    )).collect()]
+    vec = [r["doc_id"] for r in near_vector(spark, sf_dir, NearVectorSpec(
+        collection="docs_embedded", vector=QVEC, vector_col="embedding",
+        id_col="doc_id", limit=10,
+    )).collect()]
+    assert hybrid_ids(0.0) == kw
+    assert hybrid_ids(1.0) == vec
