@@ -419,3 +419,23 @@ def test_compact_table(spark, tmp_path):
     assert files == 2
     assert len(glob.glob(path + "/*.parquet")) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_near_media_search(spark):
+    """nearImage: a red query image retrieves red images before blue
+    ones; corrupt rows are skipped, not fatal."""
+    from weaviate_spark.operators.multimodal import near_media_search
+
+    def ppm(rgb, w=4, h=4):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(list(rgb) * (w * h))
+
+    rows = [
+        (1, bytearray(ppm((250, 10, 10)))),
+        (2, bytearray(ppm((10, 10, 250)))),
+        (3, bytearray(ppm((240, 20, 20)))),
+        (4, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = [r["media_id"] for r in
+           near_media_search(df, "media_id", "media", ppm((255, 0, 0)), limit=3).collect()]
+    assert out[:2] == [1, 3] and 4 not in out

@@ -2014,6 +2014,31 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("near_image_topk")
+def q_near_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearImage search (near-media query surface): 4x4 PPM images
+    synthesized per doc, query = a literal PPM blob encoded with the
+    same REAL codec, cosine top-10 in the shared feature space.
+    Rows-only: features come from the python decoder (not
+    SQL-expressible); retrieval semantics pinned by
+    tests/test_surfaces.py on known images."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multimodal import near_media_search
+
+    docs = _load(spark, sf_dir, "documents").limit(300)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"P6\n4 4\n255\n"),
+            F.unhex(F.md5(F.col("text"))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("3")))),
+        ).alias("media"),
+    )
+    query_blob = b"P6\n4 4\n255\n" + bytes(range(48))
+    return near_media_search(media, "media_id", "media", query_blob, limit=10)
+
+
 @register("multimodal_image_features")
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode pipeline over binary media columns: 4x4 PPM

@@ -189,13 +189,16 @@ def decode_image_features(
     dim: int = 8,
     batch_size: int = 256,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """media bytes -> feature vector via Arrow-batched mapInPandas.
 
     BMP (24-bit uncompressed) and PPM (P6) bytes decode for REAL
     (`decode_image_array`); other formats raise NotImplementedError
-    unless ``fake=True`` substitutes the deterministic stub. Null/empty
-    rows come back with decode_ok=False either way.
+    unless ``fake=True`` substitutes the deterministic stub, or
+    ``on_error='skip'`` marks the row decode_ok=False instead (per-row
+    codec failures must never kill a 100 TB pass). Null/empty rows come
+    back with decode_ok=False either way.
     """
 
     def _decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,19 +212,28 @@ def decode_image_features(
                         feats.append(None)
                         oks.append(False)
                         continue
-                    img = decode_image_array(bytes(data))
+                    try:
+                        img = decode_image_array(bytes(data))
+                    except Exception:
+                        img = None
                     if img is not None:
                         feats.append(_image_feature(img, dim))
                         oks.append(True)
                         continue
-                    if not fake:
-                        raise NotImplementedError(
-                            "only BMP/PPM decode without external codecs; "
-                            "JPEG/PNG need PIL (not in this container) — "
-                            "pass fake=True for the deterministic stub"
-                        )
-                    feats.append(_fake_decode(bytes(data), dim))
-                    oks.append(True)
+                    if fake:
+                        feats.append(_fake_decode(bytes(data), dim))
+                        oks.append(True)
+                        continue
+                    if on_error == "skip":
+                        feats.append(None)
+                        oks.append(False)
+                        continue
+                    raise NotImplementedError(
+                        "only BMP/PPM decode without external codecs; "
+                        "JPEG/PNG need PIL (not in this container) — "
+                        "pass fake=True for the deterministic stub or "
+                        "on_error='skip' to drop undecodable rows"
+                    )
                 yield pd.DataFrame({
                     "media_id": chunk[id_col].values,
                     "feature": feats,
@@ -340,3 +352,61 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(_sample, schema)
+
+
+def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
+    """Query-side near-media (nearImage/nearAudio, modules/img2vec &
+    multi2vec query path): decode the query blob with the REAL codecs
+    and produce the same feature vector the ingest side computes, so
+    query and corpus share one space. BMP/PPM -> pooled-grayscale image
+    feature; WAV -> [sample_rate/48k, channels/2, log-duration, rms/2^15,
+    zero-crossing] padded to `dim`."""
+    img = decode_image_array(data)
+    if img is not None:
+        return _image_feature(img, dim)
+    try:
+        info = decode_wav_info(data)
+    except Exception:
+        info = None
+    if info is not None:
+        import math
+
+        feat = [
+            info["sample_rate"] / 48_000.0,
+            info["channels"] / 2.0,
+            math.log1p(info["duration_ms"]) / 10.0,
+            info["rms"] / 32768.0,
+            info["zero_crossing_rate"],
+        ]
+        return [float(x) for x in (feat + [0.0] * dim)[:dim]]
+    raise NotImplementedError(
+        "query blob is neither BMP/PPM nor PCM WAV; other codecs need "
+        "PIL/ffmpeg (not in this container)"
+    )
+
+
+def near_media_search(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    query_blob: bytes,
+    limit: int = 10,
+    dim: int = 8,
+) -> DataFrame:
+    """nearImage/nearAudio search: corpus blobs feature-extract via the
+    Arrow-batched decoder (an ingest-time artifact in a standing
+    deployment — persist the feature table and reuse), the query blob
+    encodes driver-side, cosine top-k via TakeOrdered. Undecodable
+    corpus rows (decode_ok=false) are excluded, mirroring the
+    reference's skip-on-vectorize-error ingest behavior."""
+    from weaviate_spark.functions.distance import distance
+
+    q = F.array(*[F.lit(float(x)) for x in near_media_vector(query_blob, dim)])
+    feats = decode_image_features(df, id_col, media_col, dim=dim, on_error="skip")
+    return (
+        feats.where(F.col("decode_ok"))
+        .withColumn("_distance", F.round(distance(F.col("feature"), q, "cosine"), 6))
+        .orderBy(F.col("_distance").asc(), F.col("media_id").asc())
+        .limit(limit)
+        .select("media_id", "_distance")
+    )
