@@ -2371,6 +2371,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
         jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
     ).select(F.col("id_b").alias("doc_id")).distinct()
     kept = (
         scored.where(F.col("q") >= 0.5)
