@@ -439,3 +439,34 @@ def test_near_media_search(spark):
     out = [r["media_id"] for r in
            near_media_search(df, "media_id", "media", ppm((255, 0, 0)), limit=3).collect()]
     assert out[:2] == [1, 3] and 4 not in out
+
+
+def test_stream_dedup_replay(spark, tmp_path):
+    """Streaming exact-dedup: duplicated keys in the source collapse to
+    one row per key after an availableNow replay through the dedup
+    stage; batch call gives the identical result set."""
+    import glob
+    from pyspark.sql import types as T
+    from weaviate_spark.streaming.ingest import stream_dedup, stream_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ])
+    rows = [(i % 5, "2026-01-01 10:%02d:00" % (i % 30), f"v{i}") for i in range(20)]
+    spark.createDataFrame(rows, "k long, ts string, v string") \
+        .withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+
+    q = stream_ingest(
+        spark, src, schema, out,
+        transform=lambda df: stream_dedup(df, ("k",), "ts", "1 hour"),
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert sorted(r["k"] for r in got.select("k").collect()) == [0, 1, 2, 3, 4]

@@ -85,3 +85,25 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup stage: drop records whose key was already
+    seen within the watermark horizon (exactly the ingest-side dedup a
+    training-data stream needs before the batch near-dup passes).
+
+    Built on dropDuplicatesWithinWatermark — state is bounded by the
+    watermark (keys age out), so a forever-running ingest never grows
+    state without bound; at-least-once sources collapse to exactly-once
+    per key within the horizon. On a batch frame the same call
+    degenerates to dropDuplicates (unified semantics, testable in
+    replay)."""
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(list(key_cols))
+    return stream.dropDuplicates(list(key_cols))
