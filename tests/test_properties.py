@@ -93,3 +93,64 @@ def test_determine_type_total_and_stable(value):
     # bool must win over int (python bool subclasses int)
     if isinstance(value, bool):
         assert t1 == "boolean"
+
+
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=400))
+def test_greedy_pack_invariant(tokens, budget):
+    """Pure-python mirror of pack_sequences_greedy's fill loop: pack
+    sums never exceed the budget except single-oversized-doc packs, and
+    pack ids are contiguous non-decreasing."""
+    packs, cur_pack, cur_sum = [], 0, 0
+    for t in tokens:
+        t = min(t, budget)
+        if cur_sum + t > budget and cur_sum > 0:
+            cur_pack += 1
+            cur_sum = 0
+        cur_sum += t
+        packs.append(cur_pack)
+    assert packs == sorted(packs)
+    from collections import defaultdict
+    sums = defaultdict(list)
+    for p, t in zip(packs, tokens):
+        sums[p].append(min(t, budget))
+    for members in sums.values():
+        assert sum(members) <= budget or len(members) == 1
+
+
+@given(st.text(max_size=300))
+def test_pii_scrub_idempotent(text):
+    """Scrubbing twice == scrubbing once: the typed placeholders never
+    match any PII pattern themselves."""
+    import re
+    from weaviate_spark.operators.curation import PII_PATTERNS
+
+    def scrub(s):
+        for name, rx in PII_PATTERNS:
+            s = re.sub(rx, f"[{name.upper()}]", s)
+        return s
+
+    once = scrub(text)
+    assert scrub(once) == once
+
+
+@given(st.text(min_size=1, max_size=80))
+def test_km_hash_family_bounds(shingle):
+    """Kirsch-Mitzenmacher family: h1 + i*h2 stays under 2^60 for
+    i < 16 (plain BIGINT arithmetic, no overflow on either engine)."""
+    import hashlib
+
+    m = hashlib.md5(shingle.encode()).hexdigest()
+    h1, h2 = int(m[:14], 16), int(m[14:28], 16)
+    for i in range(16):
+        assert 0 <= h1 + i * h2 < 1 << 60
+
+
+@given(st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=4, max_size=4))
+def test_muvera_query_encode_deterministic(vec):
+    from weaviate_spark.operators.multivector import MuveraSpec, muvera_encode_query
+
+    spec = MuveraSpec(dim=4, ksim=2, dprojections=3, repetitions=2)
+    a = muvera_encode_query([vec], spec)
+    b = muvera_encode_query([vec], spec)
+    assert a == b and len(a) == spec.encoded_dim
