@@ -97,3 +97,24 @@ def test_array_prop_sort_element_wise(spark):
     desc = [r["id"] for r in
             df.orderBy(sort_cols([SortKey(path=["tags"], order="desc")])).collect()]
     assert desc == [1, 4, 2, 3, 5]
+
+
+def test_string_sort_case_insensitive(spark):
+    """Reference string sort folds case (basic_comparators.go:72-80:
+    'Orange' vs 'orange' compare EQUAL; 'apple' < 'Orange'); fold-equal
+    ties fall to the next key."""
+    from weaviate_spark.plans.compile import sort_cols
+    from weaviate_spark.plans.spec import SortKey
+
+    df = spark.createDataFrame(
+        [(1, "Orange"), (2, "apple"), (3, "orange"), (4, "Banana")],
+        "id long, name string",
+    )
+    out = [r["id"] for r in df.orderBy(
+        *sort_cols([SortKey(path=["name"])], df), F.col("id").asc()
+    ).collect()]
+    # apple < Banana < {Orange == orange -> id order}
+    assert out == [2, 4, 1, 3]
+    # byte-order comparison would put the capitals first — pin that we
+    # do NOT do that
+    assert [r["id"] for r in df.orderBy(F.col("name").asc()).collect()] != out

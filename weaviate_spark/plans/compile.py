@@ -35,10 +35,28 @@ from weaviate_spark.plans.spec import (
 from weaviate_spark.sources.tables import load_table
 
 
-def sort_cols(keys) -> list[Column]:
+def sort_cols(keys, df: DataFrame | None = None) -> list[Column]:
+    from pyspark.sql import types as T
+
     out = []
     for k in keys:
-        c = F.col(".".join(k.path))
+        name = ".".join(k.path)
+        c = F.col(name)
+        # reference string sort is CASE-INSENSITIVE
+        # (sorter/basic_comparators.go:72-80 compareStrings: EqualFold /
+        # ToLower) — fold text keys; fold-equal values tie and fall to
+        # the next key / id tiebreak
+        if df is not None:
+            try:
+                dt = df.schema[k.path[0]].dataType
+                for p in k.path[1:]:
+                    dt = dt[p].dataType if isinstance(dt, T.StructType) else None
+            except Exception:
+                dt = None
+            if isinstance(dt, T.StringType):
+                c = F.lower(c)
+            elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StringType):
+                c = F.transform(c, F.lower)
         # reference null rule (sorter handleNils): asc -> nulls first,
         # desc -> nulls last. Matches Spark defaults but be explicit.
         out.append(c.asc_nulls_first() if k.order == "asc" else c.desc_nulls_last())
@@ -135,7 +153,7 @@ def compile_get(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFrame:
             raise ValueError("cursor (after) cannot be combined with sort")
         df = df.where(F.col("_id") > F.lit(spec.after)).orderBy(F.col("_id").asc())
     elif spec.sort:
-        df = df.orderBy(*sort_cols(spec.sort))
+        df = df.orderBy(*sort_cols(spec.sort, df))
 
     df = paginate(df, spec)
 
