@@ -210,3 +210,31 @@ def test_validate_where_path_resolution(spark):
     validate_where(df, Clause(operator="Equal", path=["nested", "s"], value="a"))
     validate_where(df, Clause(operator="GreaterThan", path=["len(t)"], value=1))
     validate_where(df, Clause(operator="IsNull", path=["t"], value=True))
+
+
+def test_array_prop_scalar_filters_exists_semantics(spark):
+    """Scalar operators on array properties match per element (the
+    inverted index holds one key per element): Equal/Like/range =
+    EXISTS; NotEqual = two-valued NOT over the exists."""
+    from weaviate_spark.filters import Clause, apply_where
+
+    df = spark.createDataFrame(
+        [
+            (1, ["BUILDING", "other"], [5.0, 1.0]),
+            (2, ["AUTOMOBILE"], [2.0]),
+            (3, None, None),
+        ],
+        "id long, tags array<string>, nums array<double>",
+    )
+
+    def ids(clause):
+        return sorted(r["id"] for r in apply_where(df, clause).collect())
+
+    assert ids(Clause(operator="Equal", path=["tags"], value="other")) == [1]
+    assert ids(Clause(operator="Like", path=["tags"], value="BUIL*")) == [1]
+    assert ids(Clause(operator="GreaterThan", path=["nums"], value=4.0)) == [1]
+    assert ids(Clause(operator="LessThanEqual", path=["nums"], value=2.0)) == [1, 2]
+    # two-valued NotEqual (bitmap complement): docs with a null/missing
+    # property are in the "everything" bitmap, so they MATCH NotEqual —
+    # same rule the scalar filter_not_two_valued oracle pins
+    assert ids(Clause(operator="NotEqual", path=["tags"], value="AUTOMOBILE")) == [1, 3]

@@ -273,6 +273,45 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
     if op == "IsNull":
         want_null = bool(v) if v is not None else True
         return col.isNull() if want_null else col.isNotNull()
+    if _is_array(dtype) and op in (
+        "Equal", "NotEqual", "GreaterThan", "GreaterThanEqual",
+        "LessThan", "LessThanEqual", "Like",
+    ):
+        # scalar operators on ARRAY properties match per ELEMENT — the
+        # reference's inverted index stores one key per element, so
+        # Equal/range/Like on text[]/number[] is an EXISTS over elements
+        # (filters_value.go array branches; row readers see element
+        # keys). NotEqual keeps two-valued semantics over the exists.
+        et = dtype.elementType
+
+        def _elem(e: Column) -> Column:
+            if op in ("Equal", "NotEqual"):
+                if clause.tokenization and isinstance(et, T.StringType):
+                    from weaviate_spark.functions.text import tokenize, tokenize_py
+
+                    target = tokenize_py(str(v), clause.tokenization)
+                    if not target:
+                        return F.lit(False)
+                    toks = tokenize(e, clause.tokenization)
+                    out = F.array_contains(toks, target[0])
+                    for t in target[1:]:
+                        out = out & F.array_contains(toks, t)
+                    return out
+                return e == F.lit(v)
+            if op == "Like":
+                if clause.tokenization and isinstance(et, T.StringType):
+                    return compile_like_tokenized(e, v, clause.tokenization)
+                return compile_like(e, v)
+            if op == "GreaterThan":
+                return e > F.lit(v)
+            if op == "GreaterThanEqual":
+                return e >= F.lit(v)
+            if op == "LessThan":
+                return e < F.lit(v)
+            return e <= F.lit(v)
+
+        exists = F.exists(col, _elem)
+        return _two_valued_not(exists) if op == "NotEqual" else exists
     if op == "Equal":
         if clause.tokenization and isinstance(dtype, T.StringType):
             # tokenized Equal: per-token match (row_reader.go:76-91)
@@ -440,7 +479,11 @@ def validate_where(df: DataFrame, clause: Clause) -> None:
             )
     _, dtype = _resolve(df, clause.path)
     if dtype is not None:
-        if op in _TEXT_ONLY_OPS and not isinstance(dtype, T.StringType):
+        is_texty = isinstance(dtype, T.StringType) or (
+            isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StringType)
+        )
+        if op in _TEXT_ONLY_OPS and not is_texty:
             raise ValueError(
                 f"operator Like is only supported on text properties, "
                 f"but {'.'.join(clause.path)} is {dtype.simpleString()}"
