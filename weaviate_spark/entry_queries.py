@@ -2694,3 +2694,40 @@ def q_filter_tokenized_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tenant_scoped_read",
+    oracle=(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"
+    ),
+)
+def q_tenant_scoped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenancy (usecases/multitenancy/, search.go:103-108): tenant =
+    partition column. The collection is written partitionBy(_tenant); a
+    tenant-scoped query reads exactly one partition directory (the Spark
+    analogue of single-shard tenant routing — PartitionFilters in the
+    scan, asserted by test_tenant_partition_pruning). Scale: adding a
+    tenant appends one directory; per-tenant reads/overwrites never touch
+    other tenants' files, so cost tracks the tenant, not the collection."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources.crud import read_tenant, write_tenant_partitioned
+
+    cust = _load(spark, sf_dir, "customer").withColumn(
+        "_tenant", F.col("c_mktsegment")
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tdir = os.path.join(tempfile.gettempdir(), f"weaviate_spark_tenant_{key}")
+    if not os.path.exists(os.path.join(tdir, "_SUCCESS")):
+        write_tenant_partitioned(cust, tdir, "_tenant")
+    return (
+        read_tenant(spark, tdir, "_tenant", "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
