@@ -155,8 +155,13 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         for a in pa.aggregators:
             if arr and (a in _SIMPLE or a == "mode"):
                 continue  # handled element-level above
-            if a == "mode":
-                mode_props.append(pa)
+            if a == "mode" or (a == "median" and spec.exact and gcols):
+                # grouped exact median and mode both derive from the same
+                # (group, value, count) frequency frame — see
+                # _freq_stats_df; routing median there avoids percentile's
+                # per-group value collection
+                if pa not in mode_props:
+                    mode_props.append(pa)
             elif a in _SIMPLE:
                 aggs.append(_simple_agg_col(pa, a, spec.exact))
             elif a in ("type", "pointingTo"):
@@ -203,20 +208,34 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         out = out.withColumn(n, c)
 
     for pa in mode_props:
-        out = out.join(
-            _mode_df(df, gcols, pa.prop), on=gcols if gcols else None, how="left"
-        ) if gcols else out.crossJoin(_mode_df(df, gcols, pa.prop))
+        if gcols:
+            frame = _freq_stats_df(
+                df, gcols, pa.prop,
+                want_median="median" in pa.aggregators and spec.exact,
+                want_mode="mode" in pa.aggregators,
+            )
+            out = out.join(frame, on=gcols, how="left")
+        else:
+            out = out.crossJoin(_mode_df(df, gcols, pa.prop))
 
     for pa in array_props:
         ex = df.select(*gcols, F.explode(pa.prop).alias(pa.prop))
         parts: list[DataFrame] = []
+        freq_median = gcols and spec.exact and "median" in pa.aggregators
         data_aggs = [
             _simple_agg_col(pa, a, spec.exact)
-            for a in pa.aggregators if a in _SIMPLE
+            for a in pa.aggregators
+            if a in _SIMPLE and not (a == "median" and freq_median)
         ]
         if data_aggs:
             parts.append(ex.groupBy(*gcols).agg(*data_aggs))
-        if "mode" in pa.aggregators:
+        if gcols and (freq_median or "mode" in pa.aggregators):
+            parts.append(_freq_stats_df(
+                ex, gcols, pa.prop,
+                want_median=bool(freq_median),
+                want_mode="mode" in pa.aggregators,
+            ))
+        elif "mode" in pa.aggregators:
             parts.append(_mode_df(ex, gcols, pa.prop))
         for p in parts:
             out = out.join(p, on=gcols, how="left") if gcols else out.crossJoin(p)
@@ -226,6 +245,61 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         order = [F.col("meta_count").desc()] if spec.include_meta_count else []
         out = out.orderBy(*order, *[F.col(g).asc() for g in gcols]).limit(spec.limit)
     return out
+
+
+def _freq_stats_df(
+    df: DataFrame,
+    gcols: list[str],
+    prop: str,
+    want_median: bool,
+    want_mode: bool,
+) -> DataFrame:
+    """Grouped exact median and/or mode from ONE (group, value, count)
+    frequency frame.
+
+    The frequency groupBy partial-aggregates map-side, so the shuffle
+    carries distinct (group, value) pairs — for discrete-ish columns that
+    is orders of magnitude below row count; for continuous columns it is
+    never above it. The exact median then reads off the running count:
+    value v covers sorted positions [_lo, _hi); the median is the mean of
+    the values covering positions floor((n-1)/2) and floor(n/2)
+    (numerical.go:208-231 pair-mean rule — odd n makes both the same
+    position). This replaces ``percentile``'s per-group value collection
+    (one reducer buffers a whole group's raw values) with windows over
+    distinct values, partitioned by group — no single task ever holds a
+    group's raw rows. Mode rides the same frame (numerical.go:107-124
+    smallest-value tie-break).
+    """
+    freq = (
+        df.where(F.col(prop).isNotNull())
+        .groupBy(*gcols, prop)
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    wv = Window.partitionBy(*gcols).orderBy(F.col(prop))
+    c = (
+        freq.withColumn("_hi", F.sum("_f").over(wv))
+        .withColumn("_lo", F.col("_hi") - F.col("_f"))
+        .withColumn("_n", F.sum("_f").over(Window.partitionBy(*gcols)))
+    )
+    aggs: list[Column] = []
+    if want_mode:
+        wm = Window.partitionBy(*gcols).orderBy(
+            F.col("_f").desc(), F.col(prop).asc()
+        )
+        c = c.withColumn("_rn", F.row_number().over(wm))
+        aggs.append(F.min_by(F.col(prop), F.col("_rn")).alias(f"{prop}_mode"))
+    if want_median:
+        lo = F.floor((F.col("_n") - 1) / 2)
+        hi = F.floor(F.col("_n") / 2)
+
+        def covers(i: Column) -> Column:
+            return ((F.col("_lo") <= i) & (F.col("_hi") > i)).cast("int")
+
+        weight = covers(lo) + covers(hi)
+        aggs.insert(0, (
+            F.sum(F.col(prop).cast("double") * weight) / F.lit(2.0)
+        ).alias(f"{prop}_median"))
+    return c.groupBy(*gcols).agg(*aggs)
 
 
 def _mode_df(df: DataFrame, gcols: list[str], prop: str) -> DataFrame:
