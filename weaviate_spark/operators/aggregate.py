@@ -199,23 +199,35 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
             *[c.alias(n) for n, c in schema_cols]
         )
 
+    freq_frames = [
+        _freq_stats_df(
+            df, gcols, pa.prop,
+            want_median="median" in pa.aggregators and spec.exact,
+            want_mode="mode" in pa.aggregators,
+        )
+        for pa in mode_props
+    ] if gcols else []
+
     if not aggs and not mode_props and array_props and not gcols:
         # ungrouped, array-only: one seed row to hang the joins off
         out = df.sparkSession.range(1).drop("id")
+    elif aggs:
+        out = df.groupBy(*gcols).agg(*aggs)
+    elif freq_frames:
+        # no plain aggregators: the first frequency frame already carries
+        # one row per group — no separate distinct() scan needed. NOTE
+        # groups whose stat property is all-null are absent then (the
+        # reference likewise emits no numerical payload for them).
+        out = freq_frames.pop(0)
     else:
-        out = df.groupBy(*gcols).agg(*aggs) if aggs else df.select(*gcols).distinct()
+        out = df.select(*gcols).distinct()
     for n, c in schema_cols:
         out = out.withColumn(n, c)
 
-    for pa in mode_props:
-        if gcols:
-            frame = _freq_stats_df(
-                df, gcols, pa.prop,
-                want_median="median" in pa.aggregators and spec.exact,
-                want_mode="mode" in pa.aggregators,
-            )
-            out = out.join(frame, on=gcols, how="left")
-        else:
+    for frame in freq_frames:
+        out = out.join(frame, on=gcols, how="left")
+    if not gcols:
+        for pa in mode_props:
             out = out.crossJoin(_mode_df(df, gcols, pa.prop))
 
     for pa in array_props:
