@@ -153,6 +153,28 @@ def with_shingle_table(
     return _shingle_tables[key]
 
 
+def with_signature_table(
+    sh: DataFrame, num_hashes: int, table_key: tuple
+) -> DataFrame:
+    """Persisted wide-form minhash signatures — like the shingle table,
+    an ingest-time index artifact (a production near-dup pipeline stores
+    per-doc signatures and refreshes them on ingest; recomputing K mins
+    over every shingle per query is index work leaking into query time).
+    Wide form: ONE groupBy producing all K mins as columns — no K-fold
+    row blowup through the shuffle."""
+    key = (id(sh.sparkSession), *table_key, "sig", num_hashes)
+    if key not in _shingle_tables:
+        h1, h2 = _km_halves(F.col("_shingle"))
+        hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        sig = hashed.groupBy("_doc").agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]).cache()
+        sig.count()  # materialize now
+        _shingle_tables[key] = sig
+    return _shingle_tables[key]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -175,22 +197,24 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     if table_key is not None:
-        # persisted shingle table (ingest-time artifact) — survives
-        # across queries, refreshed via invalidate_dedup_index()
+        # persisted shingle + signature tables (ingest-time artifacts) —
+        # survive across queries, refreshed via invalidate_dedup_index()
         sh = with_shingle_table(df, id_col, text_col, shingle_n, table_key)
+        sig = with_signature_table(sh, num_hashes, (*table_key, shingle_n))
+        sets = with_shingle_sets_table(sh, (*table_key, shingle_n))
     else:
+        sets = None
         sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
-
-    # wide-form signatures: ONE groupBy over shingles computing all K
-    # mins as columns — no K-fold row blowup through the shuffle (the
-    # long-form equivalent shuffles K x the shingle count). One md5 per
-    # shingle; the K hashes are the K-M derived family h1 + i*h2.
-    h1, h2 = _km_halves(F.col("_shingle"))
-    hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
-    sig = hashed.groupBy("_doc").agg(*[
-        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
-        for i in range(num_hashes)
-    ])
+        # wide-form signatures: ONE groupBy over shingles computing all K
+        # mins as columns — no K-fold row blowup through the shuffle (the
+        # long-form equivalent shuffles K x the shingle count). One md5
+        # per shingle; the K hashes are the K-M family h1 + i*h2.
+        h1, h2 = _km_halves(F.col("_shingle"))
+        hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        sig = hashed.groupBy("_doc").agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ])
     band_cols = []
     for b in range(bands):
         entry = F.concat_ws(",", *[
@@ -213,30 +237,55 @@ def minhash_lsh_pairs(
         .where(F.col("_a") < F.col("_b"))
         .distinct()
     )
-    verified = jaccard_for_pairs(pairs, sh)
+    verified = jaccard_for_pairs(pairs, sh, sets=sets)
     return verified.where(F.col("jaccard") >= jaccard_threshold).select(
         F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard"
     )
 
 
-def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for candidate pairs."""
-    sizes = sh.groupBy("_doc").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.select(F.col("_doc").alias("_a"), F.col("_shingle").alias("_s"))
-    b = sh.select(F.col("_doc").alias("_b"), F.col("_shingle").alias("_s"))
-    inter = (
-        pairs.join(a, "_a").join(b, ["_b", "_s"])
-        .groupBy("_a", "_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+def shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc, shingle-set array) — the per-doc set view of the exploded
+    shingle table. Shipped whole through candidate joins so the verify
+    stage is two equi-joins plus a JVM-side array_intersect, instead of
+    an exploded (pair, shingle) shuffle join."""
+    return sh.groupBy("_doc").agg(F.collect_list("_shingle").alias("_ss"))
+
+
+def with_shingle_sets_table(sh: DataFrame, table_key: tuple) -> DataFrame:
+    """Persisted per-doc shingle-set arrays (ingest-time artifact, like
+    the exploded shingle table and the signature table)."""
+    key = (id(sh.sparkSession), *table_key, "sets")
+    if key not in _shingle_tables:
+        sets = shingle_sets(sh).cache()
+        sets.count()  # materialize now
+        _shingle_tables[key] = sets
+    return _shingle_tables[key]
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, sets: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+
+    Each doc's distinct shingle set rides as ONE array row through the
+    two candidate equi-joins; |A ∩ B| = size(array_intersect) evaluated
+    JVM-side per pair. Versus joining exploded (doc, shingle) rows this
+    removes the high-fan-out (_b, _s) shuffle join and the count
+    re-aggregation — the shuffle payload is one array per (pair, side),
+    not one row per (pair, shingle)."""
+    if sets is None:
+        sets = shingle_sets(sh)
+    a = sets.select(F.col("_doc").alias("_a"), F.col("_ss").alias("_sa"))
+    b = sets.select(F.col("_doc").alias("_b"), F.col("_ss").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        inter.join(sizes.withColumnRenamed("_doc", "_a").withColumnRenamed("_sz", "_sza"), "_a")
-        .join(sizes.withColumnRenamed("_doc", "_b").withColumnRenamed("_sz", "_szb"), "_b")
+        pairs.join(a, "_a").join(b, "_b")
+        .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("_inter")
-                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+                / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
                 6,
             ),
         )
@@ -259,8 +308,10 @@ def ngram_jaccard_pairs(
         # persisted shingle table (ingest-time artifact) — survives
         # across queries, refreshed via invalidate_dedup_index()
         sh = with_shingle_table(df, id_col, text_col, shingle_n, table_key)
+        sets = with_shingle_sets_table(sh, (*table_key, shingle_n))
     else:
         sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
+        sets = None
     a = sh.select(F.col("_doc").alias("_a"), "_shingle")
     b = sh.select(F.col("_doc").alias("_b"), "_shingle")
     pairs = (
@@ -268,7 +319,7 @@ def ngram_jaccard_pairs(
         .select("_a", "_b").distinct()
     )
     return (
-        jaccard_for_pairs(pairs, sh)
+        jaccard_for_pairs(pairs, sh, sets=sets)
         .where(F.col("jaccard") >= threshold)
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard")
     )
