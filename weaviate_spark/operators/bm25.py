@@ -244,6 +244,7 @@ def load_stats(
 # registry: these persist deliberately. A write path must call
 # invalidate_stats() (the reference refreshes its tracker on ingest).
 _stats_tables: dict[tuple, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
+_stats_memo: dict[tuple, "CorpusStats"] = {}
 
 
 def invalidate_stats() -> None:
@@ -254,6 +255,7 @@ def invalidate_stats() -> None:
             except Exception:
                 pass
     _stats_tables.clear()
+    _stats_memo.clear()
 
 
 def with_materialized_stats(
@@ -277,8 +279,13 @@ def with_materialized_stats(
             f.count()  # materialize now; later reads hit the cache
         _stats_tables[key] = frames
     cs, tdf, post, dl = _stats_tables[key]
-    needed = {p: list(t) for p, t in _query_analysis(spec).items() if t}
-    stats = load_stats(cs, tdf, needed)
+    needed = {p: sorted(t) for p, t in _query_analysis(spec).items() if t}
+    memo_key = (key, tuple(sorted((p, tuple(t)) for p, t in needed.items())))
+    if memo_key not in _stats_memo:
+        # two tiny collects (one stats row per prop + one df row per query
+        # term); memoized per term set so repeated queries skip the jobs
+        _stats_memo[memo_key] = load_stats(cs, tdf, needed)
+    stats = _stats_memo[memo_key]
     return replace(spec, stats=replace(stats, postings=post, doclen=dl))
 
 

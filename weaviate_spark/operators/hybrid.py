@@ -75,10 +75,16 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
     legs: list[tuple[DataFrame, float]] = []  # (df[id, _secondary], weight)
 
     # one shared (filtered, cached) scan for both legs — the corpus is
-    # read once, not once per leg; released at the next query's entry
+    # read once, not once per leg; released at the next query's entry.
+    # Unfiltered queries reuse the collection frame directly (for the
+    # session-materialized stored collections that is already a cached
+    # table — re-caching it would hold a second copy of the corpus)
     release_caches()
     full = load_table(spark, sf_dir, spec.collection)
-    df = register_cache(apply_where(full, spec.where).cache())
+    if spec.where is None:
+        df = full
+    else:
+        df = register_cache(apply_where(full, spec.where).cache())
 
     if spec.alpha < 1 and spec.query:
         bspec = BM25Spec(
@@ -143,6 +149,11 @@ def fuse(
     Spark would (rightly) flag."""
     contribs = []
     for leg_df, weight in legs:
+        # each leg is referenced more than once below (rank/min-max pass +
+        # normalize pass); without a cache every reference re-executes the
+        # whole leg subtree (corpus scan included). The legs are capped at
+        # <= max(100, limit) rows, so this pins a few KB
+        leg_df = register_cache(leg_df.cache())
         if fusion == "ranked":
             # weight / (rank + 60), rank 0-based (hybrid_fusion.go:33),
             # ranked by (_secondary desc, id asc): struct key (-sec, id)
