@@ -1,0 +1,112 @@
+"""BQ / SQ quantization: encoding parity, hamming math, overfetch+rescore
+recall (flat/index.go:60-131 BQ-with-rescore semantics)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.operators.quantization import (
+    bq_encode,
+    bq_encode_py,
+    hamming_col,
+    sq_encode,
+    sq_encode_py,
+    sq_l2_code_distance,
+)
+
+
+def test_bq_encode_spark_matches_python(spark):
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    enc = df.select(
+        "id", *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col("v"), 64))]
+    ).collect()
+    by_id = {r["id"]: (r["_bq0"], r["_bq1"]) for r in enc}
+    for i, v in rows:
+        assert by_id[i] == tuple(bq_encode_py(v)), f"row {i}"
+
+
+def test_bq_hamming_matches_python(spark):
+    rng = random.Random(4)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    qw = bq_encode_py(q)
+    df = spark.createDataFrame(rows, ["id", "v"])
+    enc = df.select(
+        "id", *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col("v"), 64))]
+    )
+    got = {
+        r["id"]: r["_h"]
+        for r in enc.withColumn(
+            "_h", hamming_col([F.col("_bq0"), F.col("_bq1")], qw)
+        ).collect()
+    }
+    for i, v in rows:
+        w = bq_encode_py(v)
+        expect = bin((w[0] ^ qw[0])).count("1") + bin((w[1] ^ qw[1])).count("1")
+        assert got[i] == expect, f"row {i}"
+
+
+def test_bq_rescore_recall_on_clustered_data(spark, tmp_path):
+    """BQ overfetch+rescore must find (nearly) the same top-k as the
+    exact scan on clustered data. Uses a written parquet table so
+    bq_topk's load_table path is exercised end to end."""
+    from weaviate_spark.operators.quantization import bq_topk
+
+    rng = random.Random(11)
+    dim, clusters = 32, 5
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(clusters)]
+    rows = []
+    for i in range(300):
+        c = i % clusters
+        v = [x + rng.gauss(0, 0.08) for x in centers[c]]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    query = [x + rng.gauss(0, 0.05) for x in centers[2]]
+    approx = [
+        r["vec_id"]
+        for r in bq_topk(
+            spark, sf_dir, "embeddings", query, id_col="vec_id",
+            k=10, overfetch=4,
+        ).collect()
+    ]
+    from weaviate_spark.functions.distance import distance
+
+    qv = F.array(*[F.lit(float(x)) for x in query])
+    exact = [
+        r["vec_id"]
+        for r in df.withColumn("_d", distance(F.col("embedding"), qv, "cosine"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    overlap = len(set(approx) & set(exact)) / 10
+    assert overlap >= 0.8, f"BQ recall too low: {overlap} ({approx} vs {exact})"
+
+
+def test_sq_roundtrip_and_code_distance(spark):
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    qc = sq_encode_py(q, -1.0, 1.0)
+    df = spark.createDataFrame(rows, ["id", "v"])
+    enc = df.select("id", sq_encode(F.col("v"), -1.0, 1.0).alias("_code"))
+    got = {r["id"]: (r["_code"], r["_cd"]) for r in enc.withColumn(
+        "_cd", sq_l2_code_distance(F.col("_code"), qc)
+    ).collect()}
+    for i, v in rows:
+        codes = sq_encode_py(v, -1.0, 1.0)
+        assert got[i][0] == codes, f"codes row {i}"
+        assert all(0 <= c <= 255 for c in codes)
+        expect = sum((a - b) ** 2 for a, b in zip(codes, qc))
+        assert got[i][1] == expect, f"distance row {i}"
+    # quantization error bounded by half a step per dimension
+    step = 2.0 / 255
+    for i, v in rows:
+        for x, c in zip(v, got[i][0]):
+            assert abs((-1.0 + c * step) - x) <= step, (x, c)

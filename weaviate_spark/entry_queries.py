@@ -2731,3 +2731,45 @@ def q_tenant_scoped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# BQ (binary quantization) flat-index search with exact rescore
+
+from weaviate_spark.operators.quantization import bq_encode_py as _bq_encode_py
+
+_BQ_QW = _bq_encode_py(QVEC)
+_BQ_WORD_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0,31), j -> "
+    "CASE WHEN embedding[j+{lo}+1] > 0 THEN CAST(CAST(1 AS BIGINT) << j AS BIGINT) "
+    "ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "knn_bq_rescore",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "enc AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        f"{_BQ_WORD_SQL.format(lo=0)} AS bq0, {_BQ_WORD_SQL.format(lo=32)} AS bq1 "
+        "FROM embeddings), "
+        "cand AS (SELECT vec_id, ev, "
+        f"bit_count(xor(bq0, CAST({_BQ_QW[0]} AS BIGINT))) + "
+        f"bit_count(xor(bq1, CAST({_BQ_QW[1]} AS BIGINT))) AS _hamming "
+        "FROM enc ORDER BY _hamming ASC, vec_id ASC LIMIT 40) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        "FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-index BQ search (flat/index.go:60-131): sign-bit signatures
+    packed 32 dims/word, hamming-distance overfetch of 4*k candidates
+    (codegen'd integer xor/popcount per row — no float math on the scan),
+    exact cosine rescore of only the candidates. Deterministic: both
+    stages break ties by id, so the candidate SET is value-checkable."""
+    from weaviate_spark.operators.quantization import bq_topk
+
+    return bq_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, overfetch=4, table_key=(sf_dir, "embeddings"),
+    )
