@@ -142,6 +142,82 @@ def multi_target_combine(
     return out.withColumn("_distance", combined).select(id_col, "_distance")
 
 
+def multi_target_relative_score(
+    legs: Sequence[DataFrame],
+    id_col: str,
+    weights: Optional[Sequence[float]] = None,
+    leg_limit: int = 100,
+    limit: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """RelativeScore multi-target combination (dto.go:37,
+    shard_combine_multi_target.go:122-186 -> hybrid_fusion.go
+    FusionRelativeScore with descending=false).
+
+    Each leg is a per-target distance frame ``(id_col, _distance)`` over
+    the full candidate set.  Reference semantics, re-expressed:
+
+    1. every leg contributes its top-``leg_limit`` ids; the union of
+       those ids is the fusion input (ids surfaced by any target);
+    2. ids missing from a leg get their true distance back-filled
+       (getScoresOfMissingResults — free here, the legs already carry
+       every id, so the back-fill is a join, not a re-search);
+    3. objects missing a target vector drop out entirely
+       (scoresToRemove, :155-167) — the inner join across legs;
+    4. per leg, distances min-max normalize over the fusion input:
+       ``w * (d - min) / (max - min)`` (all-equal => just ``w``,
+       hybrid_fusion.go:131-135), then sum across legs;
+    5. ascending sort (smaller combined distance-score is better),
+       tie-break id.
+
+    Scale: per-leg top-k is TakeOrderedAndProject; the union id set is
+    ≤ legs×leg_limit rows => broadcast joins; min/max is a 1-row agg
+    broadcast back.  No global shuffle beyond the top-k merges.
+    """
+    if weights is None:
+        weights = [1.0] * len(legs)
+    if len(weights) != len(legs):
+        raise ValueError("weights must match number of legs")
+
+    base = None
+    for i, leg in enumerate(legs):
+        leg = leg.select(F.col(id_col), F.col("_distance").alias(f"_d{i}"))
+        base = leg if base is None else base.join(leg, id_col, "inner")
+
+    cand_ids = None
+    for i in range(len(legs)):
+        top = (
+            base.orderBy(F.col(f"_d{i}").asc(), F.col(id_col).asc())
+            .limit(leg_limit)
+            .select(id_col)
+        )
+        cand_ids = top if cand_ids is None else cand_ids.unionByName(top)
+    cand_ids = cand_ids.distinct()
+
+    cand = base.join(F.broadcast(cand_ids), id_col, "inner")
+    stats = cand.agg(
+        *[F.min(f"_d{i}").alias(f"_min{i}") for i in range(len(legs))],
+        *[F.max(f"_d{i}").alias(f"_max{i}") for i in range(len(legs))],
+    )
+    scored = cand.crossJoin(F.broadcast(stats))
+    parts = []
+    for i, w in enumerate(weights):
+        d, lo, hi = F.col(f"_d{i}"), F.col(f"_min{i}"), F.col(f"_max{i}")
+        parts.append(
+            F.when(hi != lo, F.lit(float(w)) * (d - lo) / (hi - lo))
+            .otherwise(F.lit(float(w)))
+        )
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined + p
+    return (
+        scored.withColumn("_score", F.round(combined, round_digits))
+        .select(id_col, "_score", *[f"_d{i}" for i in range(len(legs))])
+        .orderBy(F.col("_score").asc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Named vectors (entities/dto/dto.go:30-47 TargetCombination;
 # shard_read.go:612-662 per-target search keyed by vector name)

@@ -70,8 +70,19 @@ def windowed_event_counts(
     streaming and batch DataFrames (identical semantics — Spark's
     unified model)."""
     df = events
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    # Spark's watermark requires TIMESTAMP (LTZ) event time; the shipped
+    # parquet carries TIMESTAMP_NTZ.  The session timezone is pinned UTC
+    # (session.py), so the cast is value-identity; we cast the window
+    # bound back so batch and streaming emit the identical schema.
+    needs_cast = ts_type == "timestamp_ntz"
     if df.isStreaming:
+        if needs_cast:
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
+    start = F.col("_w.start")
+    if needs_cast:
+        start = start.cast("timestamp_ntz")
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("_w"), *group_cols)
         .agg(
@@ -79,7 +90,7 @@ def windowed_event_counts(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.col("_w.start").alias("window_start"),
+            start.alias("window_start"),
             *group_cols,
             "n_events",
             "total_value",
@@ -104,6 +115,13 @@ def stream_dedup(
     degenerates to dropDuplicates (unified semantics, testable in
     replay)."""
     if stream.isStreaming:
-        return stream.withWatermark(ts_col, watermark) \
+        df = stream
+        ntz = df.schema[ts_col].dataType.simpleString() == "timestamp_ntz"
+        if ntz:  # watermark needs LTZ; UTC session makes the cast identity
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(list(key_cols))
+        if ntz:
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+        return df
     return stream.dropDuplicates(list(key_cols))
