@@ -91,6 +91,43 @@ def test_multi_target_combine(spark):
     assert got_w[2] == pytest.approx(2 * 0.5 + 0.2)
 
 
+def test_multi_target_relative_score(spark):
+    from weaviate_spark.operators.vector import multi_target_relative_score
+
+    a = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9), (4, 0.3)], ["id", "_distance"])
+    b = spark.createDataFrame(
+        [(1, 0.4), (2, 0.2), (3, 0.8), (4, 0.6)], ["id", "_distance"])
+    got = {
+        r["id"]: r["_score"]
+        for r in multi_target_relative_score(
+            [a, b], "id", weights=[0.5, 0.5], leg_limit=10, limit=10
+        ).collect()
+    }
+    # per-leg min-max over {0.1,0.3,0.5,0.9} and {0.2,0.4,0.6,0.8}
+    assert got[1] == pytest.approx(0.5 * 0.0 + 0.5 * (0.2 / 0.6), abs=1e-6)
+    assert got[2] == pytest.approx(0.5 * 0.5 + 0.5 * 0.0, abs=1e-6)
+    assert got[3] == pytest.approx(0.5 * 1.0 + 0.5 * 1.0, abs=1e-6)
+
+    # all-equal leg => every score contributes exactly the weight
+    # (hybrid_fusion.go:131-135)
+    c = spark.createDataFrame([(1, 0.7), (2, 0.7)], ["id", "_distance"])
+    d = spark.createDataFrame([(1, 0.3), (2, 0.1)], ["id", "_distance"])
+    got2 = {
+        r["id"]: r["_score"]
+        for r in multi_target_relative_score(
+            [c, d], "id", weights=[0.4, 0.6], leg_limit=10, limit=10
+        ).collect()
+    }
+    assert got2[2] == pytest.approx(0.4, abs=1e-6)
+    assert got2[1] == pytest.approx(0.4 + 0.6, abs=1e-6)
+
+    # missing-in-one-leg objects drop out entirely
+    e = spark.createDataFrame([(1, 0.5)], ["id", "_distance"])
+    got3 = multi_target_relative_score([a, e], "id", leg_limit=10).collect()
+    assert [r["id"] for r in got3] == [1]
+
+
 def test_hybrid_fusion_unit(spark):
     """RRF + relative-score on hand-built legs (hybrid_fusion.go)."""
     from weaviate_spark.operators.hybrid import fuse

@@ -1597,6 +1597,48 @@ def q_knn_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("_distance").asc(), F.col("vec_id").asc()).limit(10)
 
 
+@register(
+    "knn_multi_target_relative",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        "list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS rv FROM embeddings), "
+        "d AS (SELECT vec_id, "
+        "round(1 - list_dot_product(ev, qv) / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS _d0, "
+        "round(1 - list_dot_product(rv, qv) / (sqrt(list_dot_product(rv, rv)) * sqrt(list_dot_product(qv, qv))), 6) AS _d1 "
+        "FROM e CROSS JOIN q), "
+        "t0 AS (SELECT vec_id FROM d ORDER BY _d0 ASC, vec_id ASC LIMIT 50), "
+        "t1 AS (SELECT vec_id FROM d ORDER BY _d1 ASC, vec_id ASC LIMIT 50), "
+        "u AS (SELECT vec_id FROM t0 UNION SELECT vec_id FROM t1), "
+        "c AS (SELECT d.* FROM d JOIN u USING (vec_id)), "
+        "s AS (SELECT min(_d0) AS mn0, max(_d0) AS mx0, min(_d1) AS mn1, max(_d1) AS mx1 FROM c) "
+        "SELECT vec_id, round("
+        "CASE WHEN mx0 <> mn0 THEN 0.4 * (_d0 - mn0) / (mx0 - mn0) ELSE 0.4 END + "
+        "CASE WHEN mx1 <> mn1 THEN 0.6 * (_d1 - mn1) / (mx1 - mn1) ELSE 0.6 END"
+        ", 6) AS _score, _d0, _d1 "
+        "FROM c CROSS JOIN s ORDER BY _score ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_multi_target_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-target RelativeScore combination (dto.go:37,
+    shard_combine_multi_target.go:122-186, FusionRelativeScore in
+    hybrid_fusion.go:95-183): two targets (embedding + its reverse),
+    per-target min-max normalization over the union of each leg's
+    top-50 ids, weighted 0.4/0.6 sum, ascending."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.vector import (
+        NearVectorSpec, multi_target_relative_score, with_distance,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rev = emb.withColumn("embedding", F.reverse(F.col("embedding")))
+    leg0 = with_distance(emb, NearVectorSpec(collection="embeddings", vector=QVEC)).select("vec_id", "_distance")
+    leg1 = with_distance(rev, NearVectorSpec(collection="embeddings", vector=QVEC)).select("vec_id", "_distance")
+    return multi_target_relative_score(
+        [leg0, leg1], "vec_id", weights=[0.4, 0.6], leg_limit=50, limit=10,
+    )
+
+
 _QVEC32_SQL = "[" + ", ".join(str(x) for x in QVEC[:32]) + "]::DOUBLE[]"
 
 _NAMED_VECTORS_ORACLE = (
