@@ -1704,6 +1704,112 @@ def q_knn_named_vectors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_named_vectors(spark, sf_dir, "manualWeights", weights=(0.3, 0.7))
 
 
+# Shared window CTE for the post-search rerank oracles (MMR, legacy group):
+# exact cosine top-20 over embeddings, the same collected window the Spark
+# path fetches.
+_RERANK_WINDOW_SQL = (
+    f"q AS (SELECT {_QVEC_SQL} AS qv), "
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+    "d AS (SELECT vec_id, ev, round(1 - list_dot_product(ev, qv) / "
+    "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS dist FROM e CROSS JOIN q), "
+    "cand AS (SELECT vec_id, ev, dist, row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn "
+    "FROM d ORDER BY dist ASC, vec_id ASC LIMIT 20)"
+)
+
+_COS_DIST_SQL = (
+    "1 - list_dot_product(x.ev, c.ev) / "
+    "(sqrt(list_dot_product(x.ev, x.ev)) * sqrt(list_dot_product(c.ev, c.ev)))"
+)
+
+
+def _collect_rerank_window(spark: SparkSession, sf_dir: str) -> list[dict]:
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    top = near_vector(
+        spark, sf_dir,
+        NearVectorSpec(collection="embeddings", vector=QVEC, limit=20),
+    ).select("vec_id", "_distance", "embedding")
+    return [
+        {"vec_id": r["vec_id"], "rel": 1.0 - r["_distance"],
+         "embedding": [float(x) for x in r["embedding"]]}
+        for r in top.collect()
+    ]
+
+
+@register(
+    "mmr_rerank_topk",
+    oracle=(
+        "WITH RECURSIVE " + _RERANK_WINDOW_SQL + ", "
+        "rc AS (SELECT vec_id, ev, 1 - dist AS rel FROM cand), "
+        "pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS s "
+        "FROM rc a CROSS JOIN rc b), "
+        "steps AS ("
+        "SELECT 1 AS step, vec_id AS picked, rel, [vec_id] AS sel "
+        "FROM (SELECT vec_id, rel FROM rc ORDER BY rel DESC, vec_id ASC LIMIT 1) "
+        "UNION ALL "
+        "SELECT s.step + 1, nx.vec_id, nx.rel, list_append(s.sel, nx.vec_id) "
+        "FROM steps s, LATERAL ("
+        "  SELECT c.vec_id, c.rel FROM rc c WHERE NOT list_contains(s.sel, c.vec_id) "
+        "  ORDER BY 0.5 * c.rel - 0.5 * (SELECT max(p.s) FROM pairs p "
+        "    WHERE p.i = c.vec_id AND list_contains(s.sel, p.j)) DESC, "
+        "    c.rel DESC, c.vec_id ASC LIMIT 1"
+        ") nx WHERE s.step < 8) "
+        "SELECT step AS mmr_rank, picked AS vec_id, round(rel, 6) AS rel "
+        "FROM steps ORDER BY mmr_rank"
+    ),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the fetched window
+    (selection_hybrid.go:28-90): greedy argmax of
+    balance*relevance - (1-balance)*max_sim_to_selected, balance 0.5,
+    8 picks from the exact cosine top-20. Driver-side over <= limit
+    rows exactly like the reference; the oracle replays the greedy
+    loop as a recursive CTE."""
+    from weaviate_spark.operators.rerank import mmr_select
+
+    rows = _collect_rerank_window(spark, sf_dir)
+    picked = mmr_select(rows, "embedding", "rel", k=8, balance=0.5)
+    return spark.createDataFrame(
+        [(i + 1, r["vec_id"], round(r["rel"], 6)) for i, r in enumerate(picked)],
+        "mmr_rank int, vec_id long, rel double",
+    )
+
+
+@register(
+    "group_merge_closest",
+    oracle=(
+        "WITH RECURSIVE " + _RERANK_WINDOW_SQL + ", "
+        "steps AS ("
+        "SELECT 1 AS rn, [{'grp': 1, 'vid': vec_id, 'rn': 1, 'ev': ev}] AS state FROM cand WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT s.rn + 1, list_append(s.state, "
+        "{'grp': CASE WHEN len(list_filter(s.state, x -> " + _COS_DIST_SQL + " < 0.73)) > 0 "
+        "THEN list_min(list_transform(list_filter(s.state, x -> " + _COS_DIST_SQL + " < 0.73), x -> x.grp)) "
+        "ELSE list_max(list_transform(s.state, x -> x.grp)) + 1 END, "
+        "'vid': c.vec_id, 'rn': s.rn + 1, 'ev': c.ev}) "
+        "FROM steps s JOIN cand c ON c.rn = s.rn + 1 WHERE s.rn < 20), "
+        "final AS (SELECT x.* FROM (SELECT state FROM steps WHERE rn = 20) f, unnest(f.state) AS t(x)) "
+        "SELECT grp AS group_idx, arg_min(vid, rn) AS vec_id, count(*) AS group_size "
+        "FROM final GROUP BY grp ORDER BY grp"
+    ),
+)
+def q_group_merge_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy `group` with the 'closest' strategy
+    (grouper/grouper.go:33-143): single-linkage merge of the fetched
+    top-20 at force=0.73 cosine distance; each group keeps its
+    best-ranked member. The oracle replays the row-order greedy
+    placement as a recursive CTE carrying the assignment state."""
+    from weaviate_spark.operators.rerank import legacy_group
+
+    rows = _collect_rerank_window(spark, sf_dir)
+    reps = legacy_group(rows, "embedding", force=0.73, strategy="closest")
+    return spark.createDataFrame(
+        [(i + 1, r["vec_id"], r["_group_size"]) for i, r in enumerate(reps)],
+        "group_idx int, vec_id long, group_size long",
+    )
+
+
 def _slice_sql(lo: int, hi: int) -> str:
     return f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
 
