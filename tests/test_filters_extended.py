@@ -34,6 +34,30 @@ def test_tokenized_equal(spark):
     assert out.count() == 0
 
 
+def test_tokenized_equal_array_cross_element(spark):
+    # searcher.go ANDs per-token DOC-level bitmaps: tokens may come from
+    # different array elements ('quick' from elem 0, 'dog' from elem 1)
+    df = spark.createDataFrame(
+        [(1, ["quick fox", "lazy dog"]), (2, ["quick fox"]), (3, ["lazy dog"])],
+        "id int, t array<string>",
+    )
+    out = apply_where(
+        df, Clause(operator="Equal", path=["t"], value="quick dog", tokenization="word")
+    )
+    assert [r.id for r in out.collect()] == [1]
+    # single-token still matches any element
+    out = apply_where(
+        df, Clause(operator="Equal", path=["t"], value="DOG", tokenization="word")
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    # NotEqual keeps two-valued semantics over the doc-level AND
+    out = apply_where(
+        df, Clause(operator="NotEqual", path=["t"], value="quick dog",
+                   tokenization="word")
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+
+
 def test_nested_object_array_filter(spark):
     # object[] path: ANY element matching admits the row (searcher_nested)
     df = spark.createDataFrame(

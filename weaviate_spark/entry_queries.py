@@ -1528,6 +1528,38 @@ def q_filter_tokenized_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_get(spark, sf_dir, spec)
 
 
+@register(
+    "filter_tokenized_equal_array",
+    oracle=(
+        "SELECT p_partkey, p_name, p_type FROM part "
+        "WHERE len(list_filter([p_name, p_type], e -> "
+        "list_contains(regexp_extract_all(lower(e), '[\\p{L}\\p{N}]+'), 'red'))) > 0 "
+        "AND len(list_filter([p_name, p_type], e -> "
+        "list_contains(regexp_extract_all(lower(e), '[\\p{L}\\p{N}]+'), 'economy'))) > 0 "
+        "ORDER BY p_partkey"
+    ),
+)
+def q_filter_tokenized_equal_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized Equal on text[] with CROSS-ELEMENT tokens: the inverted
+    index posts tokens doc-level, so searcher.go's per-token bitmap AND
+    matches 'red economy' against ['red widget', 'ECONOMY'] even though
+    no single element holds both tokens (inverted/searcher.go
+    OperatorAnd over propValuePairs)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.filters import apply_where
+
+    df = _load(spark, sf_dir, "part").withColumn(
+        "tags", F.array(F.col("p_name"), F.col("p_type"))
+    )
+    out = apply_where(
+        df,
+        Clause(operator="Equal", path=["tags"], value="red ECONOMY",
+               tokenization="word"),
+    )
+    return out.select("p_partkey", "p_name", "p_type").orderBy("p_partkey")
+
+
 # ---------------------------------------------------------------------------
 # Remaining reference semantics: geo, multi-target, offset, objectLimit,
 # hybrid distance cutoff, blobHash

@@ -284,19 +284,38 @@ def compile_where(df: DataFrame, clause: Clause) -> Column:
         # keys). NotEqual keeps two-valued semantics over the exists.
         et = dtype.elementType
 
+        if (
+            op in ("Equal", "NotEqual")
+            and clause.tokenization
+            and isinstance(et, T.StringType)
+        ):
+            # tokenized Equal on text[]: the inverted index is DOC-level —
+            # one posting per token regardless of which element produced
+            # it, and searcher.go ANDs the per-token doc bitmaps
+            # (inverted/searcher.go OperatorAnd over propValuePairs). So
+            # each query token must appear in SOME element, not all in
+            # one: ['quick fox','lazy dog'] matches Equal 'quick dog'.
+            from weaviate_spark.functions.text import tokenize, tokenize_py
+
+            target = tokenize_py(str(v), clause.tokenization)
+            if not target:
+                tok_pred = F.lit(False)
+            else:
+                def _has_token(t: str) -> Column:
+                    return F.exists(
+                        col,
+                        lambda e: F.array_contains(
+                            tokenize(e, clause.tokenization), t
+                        ),
+                    )
+
+                tok_pred = _has_token(target[0])
+                for t in target[1:]:
+                    tok_pred = tok_pred & _has_token(t)
+            return _two_valued_not(tok_pred) if op == "NotEqual" else tok_pred
+
         def _elem(e: Column) -> Column:
             if op in ("Equal", "NotEqual"):
-                if clause.tokenization and isinstance(et, T.StringType):
-                    from weaviate_spark.functions.text import tokenize, tokenize_py
-
-                    target = tokenize_py(str(v), clause.tokenization)
-                    if not target:
-                        return F.lit(False)
-                    toks = tokenize(e, clause.tokenization)
-                    out = F.array_contains(toks, target[0])
-                    for t in target[1:]:
-                        out = out & F.array_contains(toks, t)
-                    return out
                 return e == F.lit(v)
             if op == "Like":
                 if clause.tokenization and isinstance(et, T.StringType):
