@@ -318,6 +318,107 @@ def _probe_buckets(sig: Column, num_planes: int, probe: int) -> Column:
     return F.array(*arr)
 
 
+def _bucket_knn_kernel(k: int, metric: str):
+    """Per-bucket batch kernel for knn_classify_lsh: one numpy GEMM per
+    bucket group computes every query-candidate distance, then each
+    query keeps its k best (round-half-up at 6dp, tie-break candidate
+    id asc — byte-identical to the expression path / duckdb oracle).
+    Emitting only top-k per (query, bucket) keeps the downstream vote
+    aggregation at O(queries x probes x k) rows, not O(pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lab = pdf[pdf["_is_lab"] == 1]
+        qs = pdf[pdf["_is_lab"] == 0]
+        empty = pd.DataFrame(
+            {"_qid": pd.Series(dtype="int64"), "_d": pd.Series(dtype="float64"),
+             "_tid": pd.Series(dtype="int64"), "_label": pd.Series(dtype="int64")}
+        )
+        if lab.empty or qs.empty:
+            return empty
+        L = np.stack(lab["_v"].to_numpy()).astype(np.float64)
+        Q = np.stack(qs["_v"].to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            ln = np.sqrt((L * L).sum(axis=1))
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            d = 1.0 - (Q @ L.T) / np.outer(qn, ln)
+        elif metric == "l2-squared":
+            d = (
+                (Q * Q).sum(axis=1)[:, None]
+                + (L * L).sum(axis=1)[None, :]
+                - 2.0 * (Q @ L.T)
+            )
+        elif metric == "dot":
+            d = -(Q @ L.T)
+        else:  # pragma: no cover - guarded by knn_classify_lsh dispatch
+            raise ValueError(f"unsupported kernel metric {metric!r}")
+        # round half-up at 6dp (matches F.round / duckdb round for the
+        # non-negative cosine and l2 distances used here)
+        dr = np.floor(d * 1e6 + 0.5) / 1e6
+        tids = lab["_tid"].to_numpy(dtype=np.int64)
+        labels = lab["_label"].to_numpy(dtype=np.int64)
+        # composite sort key: rounded distance (int micro units) then tid
+        key = (dr * 1e6).astype(np.int64) * np.int64(1_000_000_000) + tids
+        kk = min(k, key.shape[1])
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        qids = qs["_qid"].to_numpy(dtype=np.int64)
+        rows = np.repeat(qids, kk)
+        idx = part.ravel()
+        return pd.DataFrame(
+            {"_qid": rows, "_d": dr[np.arange(len(qids)).repeat(kk), idx],
+             "_tid": tids[idx], "_label": labels[idx]}
+        )
+
+    return kernel
+
+
+def _sig_probe_kernel(planes, probe: int):
+    """mapInPandas stage computing LSH bucket keys in numpy: labeled
+    rows emit their own signature bucket, query rows additionally emit
+    every Hamming-1 flip (probe > 1). Same sign arithmetic as
+    similarity.signature_col, without the ~1k-node literal expression
+    tree (plan analysis + codegen stay trivial)."""
+    import numpy as np
+    import pandas as pd
+
+    P = None  # built lazily so the closure pickles planes as plain lists
+
+    def gen(batches):
+        nonlocal P
+        import numpy as np
+        if P is None:
+            P = np.asarray(planes, dtype=np.float64)
+        n_pl = P.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            bits = (V @ P.T >= 0).astype(np.uint8)  # (n, planes)
+            chars = np.where(bits == 1, "1", "0")
+            sigs = np.array(["".join(row) for row in chars], dtype=object)
+            is_lab = pdf["_is_lab"].to_numpy()
+            out = pdf.copy()
+            out["_bucket"] = sigs
+            frames = [out]
+            if probe > 1:
+                qmask = is_lab == 0
+                if qmask.any():
+                    qpdf = pdf[qmask]
+                    qbits = bits[qmask]
+                    for i in range(n_pl):
+                        fb = qbits.copy()
+                        fb[:, i] ^= 1
+                        fchars = np.where(fb == 1, "1", "0")
+                        fl = qpdf.copy()
+                        fl["_bucket"] = np.array(
+                            ["".join(row) for row in fchars], dtype=object)
+                        frames.append(fl)
+            yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
 def knn_classify_lsh(
     labeled: DataFrame,
     unlabeled: DataFrame,
@@ -330,6 +431,7 @@ def knn_classify_lsh(
     num_planes: int = 6,
     seed: int = 42,
     probe: int = 2,
+    backend: str = "auto",
 ) -> DataFrame:
     """Scale path for kNN classification: candidates come from shared
     random-hyperplane LSH buckets (operators/similarity.py; the
@@ -347,21 +449,89 @@ def knn_classify_lsh(
     bounded by probe x max bucket size, so each array is small). No
     windows, never n^2. Recall vs the exact path is tunable via
     num_planes (fewer planes = bigger buckets) and probe;
-    tests/test_vector.py measures it on clustered data."""
+    tests/test_vector.py measures it on clustered data.
+
+    ``backend='pandas'`` (the 'auto' choice for cosine / l2-squared
+    with integral id + label columns) replaces the per-pair expression
+    distance with one Arrow-batched numpy GEMM per bucket group
+    (applyInPandas) that pre-reduces to top-k per (query, bucket), so
+    the vote aggregation sees O(queries x probes x k) rows instead of
+    O(pairs) — the SIMD-distancer analogue of distancer/asm. The
+    expression path remains for other metrics and non-integral keys."""
+    from pyspark.sql import types as T
+
     from weaviate_spark.functions.distance import distance
     from weaviate_spark.operators.similarity import hyperplanes, signature_col
 
-    # signature/distance evaluation is CPU-heavy narrow work; a
-    # single-file parquet scan arrives as ONE partition locally, which
-    # would serialize it — spread first (at real scale the scan already
-    # has many partitions and this is a no-op coalesce)
-    parallelism = labeled.sparkSession.sparkContext.defaultParallelism
-    if labeled.rdd.getNumPartitions() < parallelism:
-        labeled = labeled.repartition(parallelism)
-    if unlabeled.rdd.getNumPartitions() < parallelism:
-        unlabeled = unlabeled.repartition(parallelism)
+    def _is_integral(df: DataFrame, c: str) -> bool:
+        return isinstance(df.schema[c].dataType,
+                          (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+
+    use_pandas = backend == "pandas" or (
+        backend == "auto"
+        and metric in ("cosine", "l2-squared")
+        and _is_integral(labeled, id_col)
+        and _is_integral(unlabeled, id_col)
+        and _is_integral(labeled, label_col)
+    )
 
     planes = hyperplanes(num_planes, dim, seed)
+
+    if use_pandas:
+        # union BEFORE the signature so the (large) hyperplane dot
+        # expression appears exactly once in the plan — one codegen
+        # compilation, one fused stage, instead of one per side.
+        union0 = labeled.select(
+            F.lit(1).alias("_is_lab"),
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(label_col).cast("long").alias("_label"),
+            F.col(vector_col).alias("_v"),
+        ).unionByName(unlabeled.select(
+            F.lit(0).alias("_is_lab"),
+            F.col(id_col).cast("long").alias("_id"),
+            F.lit(-1).cast("long").alias("_label"),
+            F.col(vector_col).alias("_v"),
+        ))
+        bucketed = union0.mapInPandas(
+            _sig_probe_kernel([list(map(float, p)) for p in planes], probe),
+            "_is_lab int, _id long, _label long, _v array<float>, _bucket string",
+        )
+        union = bucketed.select(
+            "_is_lab",
+            F.when(F.col("_is_lab") == 0, F.col("_id"))
+            .otherwise(F.lit(-1)).alias("_qid"),
+            F.when(F.col("_is_lab") == 1, F.col("_id"))
+            .otherwise(F.lit(-1)).alias("_tid"),
+            "_label", "_v", "_bucket",
+        )
+        pairs = union.groupBy("_bucket").applyInPandas(
+            _bucket_knn_kernel(k, metric),
+            "_qid long, _d double, _tid long, _label long",
+        )
+        topk = F.slice(
+            F.array_sort(F.array_distinct(F.collect_list(
+                F.struct(F.col("_d"), F.col("_tid"), F.col("_label"))
+            ))), 1, k,
+        )
+        labels = F.transform(F.col("_top"), lambda t: t["_label"])
+        best = F.array_min(F.transform(
+            F.array_distinct(labels),
+            lambda l: F.struct(
+                (-F.size(F.filter(labels, lambda x: x == l))).alias("_nc"),
+                l.alias("_l"),
+            ),
+        ))
+        return (
+            pairs.groupBy("_qid")
+            .agg(topk.alias("_top"))
+            .select(
+                F.col("_qid").alias(id_col),
+                best["_l"].alias("predicted_label"),
+                (-best["_nc"]).cast("long").alias("votes"),
+            )
+        )
+
+    # expression path
     lab = labeled.select(
         F.col(id_col).alias("_tid"), F.col(vector_col).alias("_tv"),
         F.col(label_col).alias("_label"),
@@ -375,6 +545,15 @@ def knn_classify_lsh(
         "_qid", "_qv",
         F.explode(_probe_buckets(F.col("_sig"), num_planes, probe)).alias("_bucket"),
     )
+    # signature/distance evaluation is CPU-heavy narrow work; a
+    # single-file parquet scan arrives as ONE partition locally, which
+    # would serialize it — spread first (at real scale the scan already
+    # has many partitions and this is a no-op coalesce)
+    parallelism = labeled.sparkSession.sparkContext.defaultParallelism
+    if lab.rdd.getNumPartitions() < parallelism:
+        lab = lab.repartition(parallelism)
+    if qp.rdd.getNumPartitions() < parallelism:
+        qp = qp.repartition(parallelism)
     # dedup + top-k + vote in ONE shuffle on _qid: a pair reached via
     # several probed buckets carries an identical (_d,_tid,_label)
     # triple and collapses in array_distinct; array_sort orders by
