@@ -83,15 +83,16 @@ def main() -> None:
     except Exception:
         pass
 
-    # Protocol (since r02): each query runs TWICE at the bench sf;
-    # "queries"/"value" report the best (steady-state) time, "cold" the
-    # first run. Rationale: local single-shot numbers are dominated by
-    # one-time whole-stage-codegen JIT + AQE stage compilation (~1-2 s
-    # per complex plan) that is noise at cluster scale — a long-lived
-    # cluster always runs warm, and the engine comparison we care about
-    # is per-query throughput. Both numbers are recorded so regressions
-    # in either are visible. (r01's 10.501 was single-shot, i.e.
-    # comparable to "cold_value".)
+    # Protocol (since r04): each query runs FOUR times at the bench sf;
+    # "cold" is the first run (single-shot incl. plan analysis + AQE
+    # compilation — comparable to r01's protocol), "queries"/"value"
+    # report the MEDIAN of the three subsequent steady-state runs.
+    # Median-of-3 because measured machine variance between identical
+    # runs is 2-3x per query (r03 judge re-run vs driver run on
+    # byte-identical code), so single-run totals whipsaw round-to-round;
+    # the median is stable. A long-lived cluster always runs warm — the
+    # engine comparison we care about is per-query throughput, but both
+    # numbers are recorded so regressions in either are visible.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -99,12 +100,12 @@ def main() -> None:
         if fn is None:
             continue
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
-        times[name] = min(runs)
+        times[name] = sorted(runs[1:])[1]  # median of the 3 steady runs
 
     print(json.dumps({
         "metric": "headline query wall-clock (weaviate_spark, local, steady-state)",

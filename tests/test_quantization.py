@@ -110,3 +110,35 @@ def test_sq_roundtrip_and_code_distance(spark):
     for i, v in rows:
         for x, c in zip(v, got[i][0]):
             assert abs((-1.0 + c * step) - x) <= step, (x, c)
+
+
+def test_sq_rounding_half_up_both_paths(spark):
+    """Exact .5 code boundaries round identically (half-up) in the Spark
+    expression and the python query-side encoder."""
+    # with lo=0, hi=255: x -> x, so x = 0.5, 1.5, 2.5 sit exactly on
+    # code boundaries; half-up gives 1, 2, 3
+    vals = [0.5, 1.5, 2.5, 253.5, 254.49]
+    df = spark.createDataFrame([(1, vals)], ["id", "v"])
+    enc = df.select(sq_encode(F.col("v"), 0.0, 255.0).alias("_code")).collect()
+    assert enc[0]["_code"] == [1, 2, 3, 254, 254]
+    assert sq_encode_py(vals, 0.0, 255.0) == [1, 2, 3, 254, 254]
+
+
+def test_bq_topk_null_vectors_excluded(spark, tmp_path):
+    """Null vectors must not encode to all-zero BQ codes and float to
+    the top of the hamming order — they drop out entirely."""
+    import random
+
+    from weaviate_spark.operators.quantization import bq_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    rows += [(100, None), (101, None)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(sf_dir + "/vecs.parquet")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    got = [r["vec_id"] for r in
+           bq_topk(spark, sf_dir, "vecs", q, k=5, overfetch=2).collect()]
+    assert len(got) == 5
+    assert 100 not in got and 101 not in got

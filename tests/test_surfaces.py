@@ -470,3 +470,44 @@ def test_stream_dedup_replay(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert sorted(r["k"] for r in got.select("k").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_near_audio_corpus_routing(spark):
+    """nearAudio: WAV corpus rows must reach the AUDIO feature path —
+    routing them through the image decoder silently dropped them."""
+    from weaviate_spark.operators.multimodal import near_media_search
+
+    rows = [
+        (1, bytearray(_make_wav(sr=8000, freq=440))),
+        (2, bytearray(_make_wav(sr=44100, freq=2000))),
+        (3, bytearray(_make_wav(sr=8000, freq=450))),
+        (4, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = [r["media_id"] for r in
+           near_media_search(df, "media_id", "media",
+                             _make_wav(sr=8000, freq=440), limit=3).collect()]
+    # every decodable WAV row competes; the identical clip ranks first
+    assert len(out) == 3 and out[0] == 1 and 4 not in out
+
+
+def test_upsert_partitioned_detects_key_moves(spark, tmp_path):
+    """A key whose partition value changes must not leave a stale
+    duplicate in its old partition."""
+    from weaviate_spark.sources.crud import upsert_partitioned, write_tenant_partitioned
+
+    tdir = str(tmp_path / "tbl_move")
+    df = spark.createDataFrame(
+        [(1, "t1", 1.0), (2, "t1", 2.0), (3, "t2", 3.0)],
+        ["id", "tenant", "v"],
+    )
+    write_tenant_partitioned(df, tdir, "tenant")
+
+    # id=3 moves from t2 to t1
+    upsert_partitioned(
+        spark, tdir,
+        spark.createDataFrame([(3, "t1", 30.0)], ["id", "tenant", "v"]),
+        key="id", partition_col="tenant",
+    )
+    rows = {r["id"]: (r["tenant"], r["v"]) for r in spark.read.parquet(tdir).collect()}
+    assert rows == {1: ("t1", 1.0), 2: ("t1", 2.0), 3: ("t1", 30.0)}

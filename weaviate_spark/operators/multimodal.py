@@ -385,6 +385,34 @@ def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
     )
 
 
+def decode_media_features(
+    df: DataFrame, id_col: str, media_col: str, dim: int = 8
+) -> DataFrame:
+    """Corpus blobs -> the shared query/corpus feature space, routed per
+    blob by magic bytes exactly like the query side (near_media_vector):
+    decodable images take the pooled-grayscale feature, PCM WAV the
+    audio feature, anything else decode_ok=False. This is the corpus
+    decoder for near_media_search — routing everything through the
+    image decoder silently dropped every audio row."""
+
+    def _decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            ids, feats, oks = [], [], []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                ids.append(mid)
+                feat = None
+                if data is not None and len(data) > 0:
+                    try:
+                        feat = near_media_vector(bytes(data), dim)
+                    except Exception:
+                        feat = None
+                feats.append(feat)
+                oks.append(feat is not None)
+            yield pd.DataFrame({"media_id": ids, "feature": feats, "decode_ok": oks})
+
+    return df.select(id_col, media_col).mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
 def near_media_search(
     df: DataFrame,
     id_col: str,
@@ -402,7 +430,7 @@ def near_media_search(
     from weaviate_spark.functions.distance import distance
 
     q = F.array(*[F.lit(float(x)) for x in near_media_vector(query_blob, dim)])
-    feats = decode_image_features(df, id_col, media_col, dim=dim, on_error="skip")
+    feats = decode_media_features(df, id_col, media_col, dim=dim)
     return (
         feats.where(F.col("decode_ok"))
         .withColumn("_distance", F.round(distance(F.col("feature"), q, "cosine"), 6))

@@ -144,7 +144,11 @@ def bq_topk(
     qwords = bq_encode_py(vector)
     word_cols = [F.col(f"_bq{w}") for w in range(_n_words(dim))]
     candidates = (
-        enc.withColumn("_hamming", hamming_col(word_cols, qwords))
+        # null vectors would encode to all-zero codes and float to the
+        # top of the hamming order; the reference simply has no vector
+        # to index for them, so drop them before candidate selection
+        enc.where(F.col(vector_col).isNotNull())
+        .withColumn("_hamming", hamming_col(word_cols, qwords))
         .orderBy(F.col("_hamming").asc(), F.col(id_col).asc())
         .limit(overfetch * k)
     )
@@ -168,10 +172,14 @@ def sq_encode(vector_col: Column, lo: float, hi: float) -> Column:
     (compression/scalar_quantizer — bounds trained at ingest; here they
     are caller-supplied constants)."""
     span = hi - lo
+    # floor(x + 0.5), not F.round: keeps the rounding rule identical to
+    # sq_encode_py (python round() is half-even, F.round half-up — codes
+    # at exact .5 boundaries diverged between the two paths)
     return F.transform(
         vector_col, lambda x: F.least(
-            F.greatest(F.round((x - F.lit(lo)) / F.lit(span) * 255), F.lit(0.0)),
-            F.lit(255.0),
+            F.greatest(F.floor((x - F.lit(lo)) / F.lit(span) * 255 + F.lit(0.5)),
+                       F.lit(0).cast("long")),
+            F.lit(255).cast("long"),
         ).cast("int")
     )
 
@@ -188,9 +196,11 @@ def sq_l2_code_distance(code_col: Column, query_codes: Sequence[int]) -> Column:
 
 
 def sq_encode_py(vector: Sequence[float], lo: float, hi: float) -> list[int]:
+    import math
+
     span = hi - lo
     out = []
     for x in vector:
-        c = round((x - lo) / span * 255)
+        c = math.floor((x - lo) / span * 255 + 0.5)  # half-up, same as sq_encode
         out.append(int(min(max(c, 0), 255)))
     return out

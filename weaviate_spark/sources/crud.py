@@ -68,6 +68,7 @@ def upsert_partitioned(
     new_rows: DataFrame,
     key: str,
     partition_col: str,
+    check_moves: bool = True,
 ) -> None:
     """MERGE into a `partition_col`-partitioned table, rewriting ONLY the
     partitions that appear in ``new_rows`` — the 100 TB path: rewrite cost
@@ -77,26 +78,45 @@ def upsert_partitioned(
     like Delta's partition pruning), never the keys; the keep-set is a
     LEFT ANTI join and the current-table scan is partition-pruned to the
     affected directories. Partition values must be strings or ints
-    (hive-style ``col=value`` directory encoding)."""
+    (hive-style ``col=value`` directory encoding).
+
+    A key whose partition value CHANGES leaves a stale row behind in its
+    old partition; ``check_moves`` (default on) detects those keys with
+    one column-pruned key scan of the non-affected partitions and pulls
+    the old partitions into the rewrite set, so the merge stays correct.
+    Callers whose keys are partition-stable (the common append/update
+    pattern) can pass ``check_moves=False`` to skip the scan."""
     parts = sorted(
         r[0] for r in new_rows.select(partition_col).distinct().collect()
     )
-    current = spark.read.parquet(table_dir).where(
-        F.col(partition_col).isin(list(parts))  # partition-pruned scan
+    table = spark.read.parquet(table_dir)
+    affected = list(parts)
+    if check_moves:
+        moved = (
+            table.where(~F.col(partition_col).isin(list(parts)))
+            .join(new_rows.select(key).distinct(), key, "left_semi")
+            .select(partition_col).distinct().collect()
+        )
+        affected += sorted(r[0] for r in moved)
+    current = table.where(
+        F.col(partition_col).isin(list(affected))  # partition-pruned scan
     )
     kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
     out = kept.unionByName(new_rows.select(*kept.columns))
 
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     out.write.partitionBy(partition_col).parquet(staging)
-    for p in parts:
+    for p in affected:
         part_dir = f"{partition_col}={p}"
         src = os.path.join(staging, part_dir)
         dst = os.path.join(table_dir, part_dir)
         backup = dst + ".old-" + uuid.uuid4().hex[:8]
         if os.path.exists(dst):
             os.rename(dst, backup)
-        os.rename(src, dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        # a moved-out partition can end up empty: staging then has no
+        # directory for it and the old contents simply go away
         if os.path.exists(backup):
             shutil.rmtree(backup)
     shutil.rmtree(staging)
