@@ -142,3 +142,61 @@ def test_bq_topk_null_vectors_excluded(spark, tmp_path):
            bq_topk(spark, sf_dir, "vecs", q, k=5, overfetch=2).collect()]
     assert len(got) == 5
     assert 100 not in got and 101 not in got
+
+
+def test_pq_encode_parity_and_recall(spark, tmp_path):
+    """PQ codes from the Spark kernel match the driver-side encoder, and
+    PQ overfetch+rescore recall vs exact top-10 stays high on the real
+    codebook's training distribution."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.distance import distance as dist_col
+    from weaviate_spark.operators.pq_codebook import CODEBOOK
+    from weaviate_spark.operators.quantization import (
+        pq_encode_py, pq_topk, with_pq_index,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = with_pq_index(emb, "vec_id", "embedding", CODEBOOK, ("t", "pq-parity"))
+    got = {r["_id"]: list(r["_pq"]) for r in enc.collect()}
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for vid, codes in got.items():
+        assert codes == pq_encode_py(src[vid], CODEBOOK), f"row {vid}"
+        assert all(0 <= c < 16 for c in codes)
+
+    # recall on CLUSTERED data with a purpose-trained codebook (random
+    # uniform vectors carry almost no per-segment structure, so recall
+    # there only measures the data, not the machinery — same approach
+    # as the LSH recall test)
+    from weaviate_spark.operators.quantization import pq_train
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(5)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 5]
+        rows.append((i, [x + rng.gauss(0, 0.12) for x in c]))
+    sf2 = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(sf2 + "/cvecs.parquet")
+    import numpy as np
+
+    Xn = np.asarray([v for _, v in rows])
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    book = pq_train(Xn, segments=8, centroids=16, iters=8, seed=3)
+    q = [x + rng.gauss(0, 0.12) for x in centers[2]]
+    approx = [r["vec_id"] for r in
+              pq_topk(spark, sf2, "cvecs", q, codebook=book, k=10, overfetch=4,
+                      table_key=("t", "pq-recall")).collect()]
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [r["vec_id"] for r in
+             cdf.withColumn("_d", dist_col(F.col("embedding"), qv, "cosine"))
+             .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+             .limit(10).collect()]
+    overlap = len(set(approx) & set(exact)) / 10
+    assert overlap >= 0.8, f"PQ recall too low: {overlap} ({approx} vs {exact})"

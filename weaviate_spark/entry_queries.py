@@ -2926,6 +2926,70 @@ _BQ_WORD_SQL = (
 )
 
 
+def _pq_oracle_sql(k: int = 10, overfetch: int = 4) -> str:
+    """DuckDB mirror of q_knn_pq_rescore: identical 6dp codebook
+    literals, identical assignment arithmetic (-2*dot(sub, c) + |c|^2,
+    first-occurrence argmin), identical rounded ADC lookup literals."""
+    import numpy as np
+
+    from weaviate_spark.operators.pq_codebook import CODEBOOK, SEG_DIM
+    from weaviate_spark.operators.quantization import pq_lut_py
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    seg_codes = []
+    for s, C in enumerate(CODEBOOK):
+        lo, hi = s * SEG_DIM + 1, (s + 1) * SEG_DIM
+        scores = ", ".join(
+            f"-2 * list_dot_product(nv[{lo}:{hi}], {dlist(c)}) + "
+            f"{float(np.dot(c, c))!r}"
+            for c in C
+        )
+        seg_codes.append(
+            f"list_position(d{s}, list_min(d{s})) - 1"
+        )
+        seg_codes[-1] = (s, f"[{scores}]", seg_codes[-1])
+    lut = pq_lut_py(QVEC, CODEBOOK)
+    darr_cols = ", ".join(f"{arr} AS d{s}" for s, arr, _ in seg_codes)
+    code_list = ", ".join(expr for _, _, expr in seg_codes)
+    adc = " + ".join(
+        f"({dlist(lut[s])})[pq[{s + 1}] + 1]" for s in range(len(lut))
+    )
+    return (
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        # cosine collections store normalized vectors (hnsw ingest);
+        # codes come from the unit-sphere projection, rescore from ev
+        "en AS (SELECT vec_id, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"dists AS (SELECT vec_id, ev, {darr_cols} FROM en), "
+        f"codes AS (SELECT vec_id, ev, [{code_list}] AS pq FROM dists), "
+        f"cand AS (SELECT vec_id, ev, {adc} AS _adc FROM codes "
+        f"ORDER BY _adc ASC, vec_id ASC LIMIT {overfetch * k}) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        f"FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+@register("knn_pq_rescore", oracle=_pq_oracle_sql())
+def q_knn_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search (compressionhelpers/product_quantization.go): 8
+    segments x 16 k-means centroids (codebook trained offline and
+    persisted, the pq_data.go restore path — tools/train_pq.py), ADC
+    overfetch of 4*k candidates via the precomputed lookup table
+    (DistanceLookUpTable semantics: 8 array lookups per row, no float
+    math on the scan), exact cosine rescore of only the candidates.
+    Deterministic: shared 6dp codebook/LUT literals, ties by id."""
+    from weaviate_spark.operators.quantization import pq_topk
+
+    return pq_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, overfetch=4, table_key=(sf_dir, "embeddings"),
+    )
+
+
 @register(
     "knn_bq_rescore",
     oracle=(

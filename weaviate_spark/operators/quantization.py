@@ -204,3 +204,223 @@ def sq_encode_py(vector: Sequence[float], lo: float, hi: float) -> list[int]:
         c = math.floor((x - lo) / span * 255 + 0.5)  # half-up, same as sq_encode
         out.append(int(min(max(c, 0), 255)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): per-segment k-means codebooks + ADC search
+# (compressionhelpers/product_quantization.go; codebook persistence:
+# entities/vectorindex/compression/pq_data.go)
+
+def pq_train(X, segments: int = 8, centroids: int = 16,
+             iters: int = 8, seed: int = 42):
+    """Per-segment Lloyd's k-means codebook (the training step the
+    reference runs on a sample at compression time,
+    product_quantization.go Fit): seeded numpy init, argmin-l2 assign
+    with smallest-index tie-break, empty clusters keep their previous
+    centroid, centroids rounded to 6dp so the literals embed identically
+    in Spark and oracle SQL. Deterministic for a fixed sample.
+    Returns list[segments][centroids][seg_dim]."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, dim = X.shape
+    seg_dim = dim // segments
+    book = np.zeros((segments, centroids, seg_dim))
+    for s in range(segments):
+        Xs = X[:, s * seg_dim:(s + 1) * seg_dim]
+        rng = np.random.RandomState(seed + s)
+        C = Xs[rng.choice(n, centroids, replace=False)].copy()
+        for _ in range(iters):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(centroids):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        book[s] = C
+    return [[list(map(float, c)) for c in seg] for seg in np.round(book, 6)]
+
+
+def _pq_assign_scores(Xs, C):
+    """Per-segment assignment scores: -2*x.c + |c|^2 (the |x|^2 term is
+    constant per row and drops out of the argmin). This exact form — a
+    dot product against the 6dp-rounded centroid literals plus a
+    precomputed |c|^2 constant — is what the DuckDB oracle evaluates,
+    so both engines argmin over the same arithmetic."""
+    import numpy as np
+
+    cc = (C * C).sum(axis=1)
+    return -2.0 * (Xs @ C.T) + cc[None, :]
+
+
+def pq_encode_py(vector: Sequence[float], codebook,
+                 normalize: bool = True) -> list[int]:
+    """Driver-side PQ encode (query/debug path): argmin centroid per
+    segment, smallest index on ties — matches the numpy corpus kernel
+    and the oracle's list_position(first-occurrence) semantics."""
+    import numpy as np
+
+    x = np.asarray([float(v) for v in vector], dtype=np.float64)
+    if normalize:
+        x = x / np.sqrt((x * x).sum())
+    codes = []
+    for s, C in enumerate(codebook):
+        C = np.asarray(C, dtype=np.float64)
+        seg_dim = C.shape[1]
+        xs = x[s * seg_dim:(s + 1) * seg_dim]
+        scores = _pq_assign_scores(xs[None, :], C)[0]
+        codes.append(int(scores.argmin()))
+    return codes
+
+
+def _pq_encode_kernel(codebook, normalize: bool = True):
+    """mapInPandas corpus encoder: one numpy GEMM per segment per batch
+    (ingest-time work — the encoded table is cached per session like the
+    BQ index). ``normalize`` projects rows onto the unit sphere first —
+    the reference stores normalized vectors for cosine collections, so
+    ADC's L2 ordering equals the cosine ordering."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        books = [np.asarray(C, dtype=np.float64) for C in codebook]
+        seg_dim = books[0].shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = pdf["_v"].notna()
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if normalize:
+                X = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            codes = np.zeros((len(pdf), len(books)), dtype=np.int32)
+            for s, C in enumerate(books):
+                Xs = X[:, s * seg_dim:(s + 1) * seg_dim]
+                codes[:, s] = _pq_assign_scores(Xs, C).argmin(axis=1)
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "_v": pdf["_v"].to_numpy(),
+                "_pq": list(codes),
+            })
+
+    return gen
+
+
+_pq_tables: dict[tuple, DataFrame] = {}
+
+
+def invalidate_pq_index() -> None:
+    for frame in _pq_tables.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _pq_tables.clear()
+
+
+def with_pq_index(
+    df: DataFrame, id_col: str, vector_col: str, codebook, table_key: tuple,
+    normalize: bool = True,
+) -> DataFrame:
+    """(_id, _v, _pq codes) — encoded collection, built once per session
+    (the restored-codebook ingest artifact of pq_data.go). Null vectors
+    are dropped (nothing to index); ``_v`` keeps the ORIGINAL vector for
+    the exact rescore."""
+    key = (id(df.sparkSession), *table_key, "pq", normalize)
+    if key not in _pq_tables:
+        enc = (
+            df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+            .mapInPandas(
+                _pq_encode_kernel(codebook, normalize),
+                "_id long, _v array<float>, _pq array<int>",
+            )
+            .cache()
+        )
+        enc.count()
+        _pq_tables[key] = enc
+    return _pq_tables[key]
+
+
+def pq_lut_py(vector: Sequence[float], codebook, round_digits: int = 6,
+              normalize: bool = True) -> list[list[float]]:
+    """Query-side ADC lookup table (DistanceLookUpTable.PrecomputeTable):
+    exact squared-L2 between each query segment and each centroid,
+    rounded so the identical literals embed in the oracle SQL."""
+    import numpy as np
+
+    x = np.asarray([float(v) for v in vector], dtype=np.float64)
+    if normalize:
+        x = x / np.sqrt((x * x).sum())
+    lut = []
+    for s, C in enumerate(codebook):
+        C = np.asarray(C, dtype=np.float64)
+        seg_dim = C.shape[1]
+        xs = x[s * seg_dim:(s + 1) * seg_dim]
+        d = ((C - xs[None, :]) ** 2).sum(axis=1)
+        lut.append([float(v) for v in np.round(d, round_digits)])
+    return lut
+
+
+def pq_adc_col(codes_col: Column, lut: Sequence[Sequence[float]]) -> Column:
+    """ADC distance: sum over segments of LUT[seg][code] — a handful of
+    array lookups per row (LookUp in product_quantization.go), no float
+    math over the original vectors."""
+    acc = None
+    for s, seg_lut in enumerate(lut):
+        arr = F.array(*[F.lit(float(v)) for v in seg_lut])
+        term = F.element_at(arr, F.element_at(codes_col, s + 1) + F.lit(1))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    vector: Sequence[float],
+    codebook=None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 10,
+    overfetch: int = 4,
+    metric: str = "cosine",
+    round_digits: int = 6,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """PQ search: ADC overfetch of `overfetch * k` candidates over the
+    codes (8 array lookups per row instead of 64 float multiplies), then
+    exact-`metric` rescore of only those candidates — the same
+    overfetch/rescore shape as bq_topk, with the PQ distancer semantics
+    of product_quantization.go (PQDistancer.Distance -> LookUp).
+    Returns (id, _distance) top-k, distance asc / id asc.
+
+    Scale: encoding is ingest-time (cached index table / persisted
+    codes column); search is a narrow scan of the codes + one top-k
+    merge; rescore touches overfetch*k rows."""
+    if codebook is None:
+        from weaviate_spark.operators.pq_codebook import CODEBOOK
+        codebook = CODEBOOK
+    normalize = metric == "cosine"
+    base = load_table(spark, sf_dir, collection)
+    enc = with_pq_index(
+        base, id_col, vector_col, codebook,
+        table_key if table_key is not None else (sf_dir, collection),
+        normalize=normalize,
+    )
+    lut = pq_lut_py(vector, codebook, round_digits, normalize=normalize)
+    candidates = (
+        enc.withColumn("_adc", pq_adc_col(F.col("_pq"), lut))
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(overfetch * k)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in vector])
+    return (
+        candidates.withColumn(
+            "_distance", F.round(distance(F.col("_v"), qv, metric), round_digits)
+        )
+        .select(F.col("_id").alias(id_col), "_distance")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
