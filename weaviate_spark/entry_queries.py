@@ -1385,6 +1385,24 @@ ORACLES["knn_classification"] = _knn_lsh_oracle_sql()
 from weaviate_spark.ids import uuid_sql as _uuid_sql
 
 
+def _hash_embed_sql(expr: str, dim: int = 16) -> str:
+    """DuckDB mirror of modules.hash_embed_py: per-dim
+    md5(text_bytes + d.to_bytes(4, 'little')), first 4 digest bytes as a
+    little-endian uint32 -> [-0.5, 0.5), L2-normalized."""
+    raws = []
+    for d in range(dim):
+        suffix = " || ".join(f"chr({b})" for b in d.to_bytes(4, "little"))
+        h = f"md5(({expr}) || {suffix})"
+        le = (f"('0x' || substr({h},7,2) || substr({h},5,2) || "
+              f"substr({h},3,2) || substr({h},1,2))::BIGINT")
+        raws.append(f"({le} / 4294967295.0 - 0.5)")
+    arr = "[" + ", ".join(raws) + "]::DOUBLE[]"
+    return (f"(SELECT list_transform(r, x -> x / sqrt(list_dot_product(r, r))) "
+            f"FROM (SELECT {arr} AS r))")
+
+
+
+
 @register(
     "zeroshot_classification",
     oracle=(
@@ -1423,6 +1441,62 @@ def q_zeroshot_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zeroshot_classify(
         items, proto, "vec_id", "embedding", "label", "Label",
     )
+
+
+_CTX_TOPICS = ["analytics", "streaming", "storage", "graphics", "networking",
+               "security"]
+
+
+def _contextual_oracle_sql() -> str:
+    from weaviate_spark.modules import hash_embed_py
+
+    tvals = ", ".join(
+        f"({i}, '{name}', ["
+        + ", ".join(repr(float(x)) for x in hash_embed_py(name, 16))
+        + "]::DOUBLE[])"
+        for i, name in enumerate(_CTX_TOPICS)
+    )
+    avg_dims = ", ".join(f"round(avg(wv[{d + 1}]), 6)" for d in range(16))
+    return (
+        "WITH w AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))) AS w FROM documents), "
+        "wv AS (SELECT doc_id, " + _hash_embed_sql("w") + " AS wv FROM w), "
+        f"corpus AS (SELECT doc_id, [{avg_dims}] AS cv FROM wv GROUP BY doc_id), "
+        f"t(tid, name, tv) AS (VALUES {tvals}), "
+        "d AS (SELECT doc_id, tid, name, "
+        "round(1 - list_dot_product(cv, tv) / "
+        "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(tv, tv))), 6) + 0.0 AS _d "
+        "FROM corpus CROSS JOIN t), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY _d, tid) AS _rn FROM d) "
+        "SELECT doc_id, name AS predicted_class, _d AS winning_distance, "
+        f"'weaviate://localhost/Topic/' || {_uuid_sql('Topic', 'tid')} AS _beacon "
+        "FROM r WHERE _rn = 1 ORDER BY doc_id"
+    )
+
+
+@register("contextual_classification", oracle=_contextual_oracle_sql())
+def q_contextual_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual classification (classifier.go TypeContextual ->
+    classifier_run_contextual.go): no training set — each document's
+    words vectorize individually (deterministic text2vec-dummy), the
+    corpus centroid is matched to the nearest of six 'Topic' target
+    objects, written back as a ref beacon with the winning distance.
+    The oracle replays the md5 word embedding, per-dim centroid, and
+    argmin in SQL — the whole path is hash-checked."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.modules import hash_embed_py
+    from weaviate_spark.operators.rerank import contextual_classify
+
+    docs = _load(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        [(i, name, hash_embed_py(name, 16)) for i, name in enumerate(_CTX_TOPICS)],
+        "tid int, name string, vector array<double>",
+    )
+    return contextual_classify(
+        docs, targets, "doc_id", "text", "tid", "Topic",
+        target_name_col="name", target_vector_col="vector", dim=16,
+    ).orderBy("doc_id")
 
 
 @register(
@@ -2006,22 +2080,6 @@ def q_agg_hybrid_object_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
-
-
-def _hash_embed_sql(expr: str, dim: int = 16) -> str:
-    """DuckDB mirror of modules.hash_embed_py: per-dim
-    md5(text_bytes + d.to_bytes(4, 'little')), first 4 digest bytes as a
-    little-endian uint32 -> [-0.5, 0.5), L2-normalized."""
-    raws = []
-    for d in range(dim):
-        suffix = " || ".join(f"chr({b})" for b in d.to_bytes(4, "little"))
-        h = f"md5(({expr}) || {suffix})"
-        le = (f"('0x' || substr({h},7,2) || substr({h},5,2) || "
-              f"substr({h},3,2) || substr({h},1,2))::BIGINT")
-        raws.append(f"({le} / 4294967295.0 - 0.5)")
-    arr = "[" + ", ".join(raws) + "]::DOUBLE[]"
-    return (f"(SELECT list_transform(r, x -> x / sqrt(list_dot_product(r, r))) "
-            f"FROM (SELECT {arr} AS r))")
 
 
 def _neartext_move_qvec() -> list[float]:

@@ -69,6 +69,18 @@ def text2vec_dummy(dim: int = 16):
     return _embed
 
 
+def hash_embed_udf(dim: int = 16):
+    """Double-precision variant of the dummy vectorizer: bit-exact with
+    the oracle's md5 SQL mirror (array<float> truncation would round
+    differently at the 6dp hash boundary)."""
+
+    @pandas_udf("array<double>")
+    def _embed(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda t: hash_embed_py(t, dim))
+
+    return _embed
+
+
 def vectorize_column(text_col: Column, module: str = "text2vec-dummy", dim: int = 16) -> Column:
     """Ingest-time vectorizer stage: withColumn('_vector', ...)."""
     return VECTORIZERS[module](dim)(text_col)
