@@ -2254,23 +2254,32 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("near_image_topk")
 def q_near_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nearImage search (near-media query surface): 4x4 PPM images
-    synthesized per doc, query = a literal PPM blob encoded with the
-    same REAL codec, cosine top-10 in the shared feature space.
-    Rows-only: features come from the python decoder (not
-    SQL-expressible); retrieval semantics pinned by
-    tests/test_surfaces.py on known images."""
+    """nearImage search (near-media query surface): a MIXED-CODEC corpus
+    — 4x4 PPM images synthesized per doc plus real baseline JPEGs
+    (pure-numpy decoder) every 7th doc — query = a literal PPM blob,
+    cosine top-10 in the shared feature space. Rows-only: features come
+    from the python decoders (not SQL-expressible); decoder exactness is
+    pinned bit-level by tests/test_jpeg.py and tests/test_surfaces.py."""
     from pyspark.sql import functions as F
-    from weaviate_spark.operators.multimodal import near_media_search
+    from weaviate_spark.operators.multimodal import near_media_search, solid_jpeg
 
     docs = _load(spark, sf_dir, "documents").limit(300)
+    # deterministic JPEG variants (DC categories 2/4/5 only)
+    jpegs = [solid_jpeg(20, -12, 8), solid_jpeg(-8, 14, -3), solid_jpeg(3, 2, 26)]
+    jpeg_col = (
+        F.when(F.col("doc_id") % 21 == 0, F.lit(jpegs[0]))
+        .when(F.col("doc_id") % 21 == 7, F.lit(jpegs[1]))
+        .otherwise(F.lit(jpegs[2]))
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.concat(
-            F.lit(b"P6\n4 4\n255\n"),
-            F.unhex(F.md5(F.col("text"))),
-            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
-            F.unhex(F.md5(F.concat(F.col("text"), F.lit("3")))),
+        F.when(F.col("doc_id") % 7 == 0, jpeg_col).otherwise(
+            F.concat(
+                F.lit(b"P6\n4 4\n255\n"),
+                F.unhex(F.md5(F.col("text"))),
+                F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+                F.unhex(F.md5(F.concat(F.col("text"), F.lit("3")))),
+            )
         ).alias("media"),
     )
     query_blob = b"P6\n4 4\n255\n" + bytes(range(48))

@@ -67,10 +67,11 @@ def attach_media_meta(df: DataFrame, mime: str = "application/octet-stream") -> 
 
 
 def decode_image_array(data: bytes):
-    """REAL image decode for the pure-python-friendly formats: returns a
-    numpy (height, width, 3) uint8 array for binary PPM (P6) and
-    uncompressed 24-bit BMP bytes; None if the format is not one of
-    those (callers fall back to the stub or raise)."""
+    """REAL image decode: returns a numpy (height, width, 3) uint8 array
+    for binary PPM (P6), uncompressed 24-bit BMP, and baseline
+    sequential JPEG bytes (pure-numpy decoder below); None if the
+    format is none of those (callers fall back to the stub or
+    raise)."""
     import struct
 
     import numpy as np
@@ -96,6 +97,8 @@ def decode_image_array(data: bytes):
             return None
         px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
         return px.reshape(h, w, 3).copy()
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     if data[:2] == b"BM":
         off = struct.unpack_from("<I", data, 10)[0]
         w, h = struct.unpack_from("<ii", data, 18)
@@ -110,6 +113,243 @@ def decode_image_array(data: bytes):
         rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         rgb = rows[:, :, ::-1]                   # BGR -> RGB
         return (rgb[::-1] if flip else rgb).copy()  # bottom-up -> top-down
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG decode, pure python/numpy (public JFIF/ITU T.81).
+# Real corpora are JPEG-dominated; the container has no PIL/libjpeg, so this
+# implements the baseline path for real: marker parse, Huffman entropy
+# decode (with byte unstuffing + restart markers), dequantize, de-zigzag,
+# 8x8 IDCT as a numpy matrix product, nearest-neighbor chroma upsample
+# (documented divergence: libjpeg's default is a triangular "fancy"
+# upsample), JFIF YCbCr->RGB. Progressive (SOF2) / arithmetic coding /
+# 12-bit return None — callers skip or raise exactly as for other
+# unsupported codecs.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return M
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (length, code) -> symbol via the
+    standard mincode/maxcode/valptr walk (T.81 F.2.2.3)."""
+
+    def __init__(self, counts, symbols):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code, k = 0, 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+    def decode(self, reader):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.maxcode[ln] >= code >= self.mincode[ln]:
+                return self.symbols[self.valptr[ln] + code - self.mincode[ln]]
+        raise ValueError("bad huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops (raises) at any real marker."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise StopIteration  # real marker: scan over
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the n-bit magnitude to its signed value."""
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+def _decode_jpeg(data: bytes):
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        i += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        ln = int.from_bytes(data[i:i + 2], "big")
+        seg = data[i + 2:i + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec != 0:
+                    return None  # 16-bit tables: not baseline
+                qt[tid] = np.array(list(seg[p:p + 64]), dtype=np.int32)
+                p += 64
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / extended / arithmetic
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = list(seg[p + 17:p + 17 + nsym])
+                huff[(tc, th)] = _HuffTable(counts, symbols)
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tables >> 4, tables & 0xF)
+            scan = (sel, i + ln)
+            break
+        i += ln
+    if frame is None or scan is None:
+        return None
+    sel, pos = scan
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    M = _idct_matrix()
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    reader.align()
+                    # skip the RSTn marker
+                    while data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7:
+                        reader.pos += 2
+                    pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    dc_t = huff[(0, sel[c["id"]][0])]
+                    ac_t = huff[(1, sel[c["id"]][1])]
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int32)
+                            t = dc_t.decode(reader)
+                            diff = _extend(reader.receive(t), t)
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = ac_t.decode(reader)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                zz[k] = _extend(reader.receive(s), s)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz * q
+                            block = M.T @ coef.reshape(8, 8) @ M + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    except (StopIteration, IndexError):
+        return None  # truncated / corrupt entropy data
+    # upsample to full resolution (pixel replication) and crop
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    if len(comps) == 3:
+        Y, Cb, Cr = out_planes
+        r = Y + 1.402 * (Cr - 128.0)
+        g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+        b = Y + 1.772 * (Cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return None
 
 
@@ -229,10 +469,11 @@ def decode_image_features(
                         oks.append(False)
                         continue
                     raise NotImplementedError(
-                        "only BMP/PPM decode without external codecs; "
-                        "JPEG/PNG need PIL (not in this container) — "
-                        "pass fake=True for the deterministic stub or "
-                        "on_error='skip' to drop undecodable rows"
+                        "only BMP/PPM/baseline-JPEG decode without "
+                        "external codecs; PNG/progressive-JPEG need PIL "
+                        "(not in this container) — pass fake=True for "
+                        "the deterministic stub or on_error='skip' to "
+                        "drop undecodable rows"
                     )
                 yield pd.DataFrame({
                     "media_id": chunk[id_col].values,
@@ -438,3 +679,60 @@ def near_media_search(
         .limit(limit)
         .select("media_id", "_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimal baseline-JPEG WRITER for fixtures/tests: solid-color 16x16
+# 4:2:0 images built from DC-only blocks (every byte hand-placed, so
+# decoder tests can assert exact pixel values computed by hand).
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+_JPEG_DC_COUNTS = [0, 0, 4] + [0] * 13     # four 3-bit codes
+_JPEG_DC_SYMS = [0, 2, 4, 5]               # -> categories 0/2/4/5
+_JPEG_AC_COUNTS = [1] + [0] * 15           # one 1-bit code
+_JPEG_AC_SYMS = [0x00]                     # EOB
+
+
+def _jpeg_dc_bits(v: int) -> str:
+    if v == 0:
+        return "000"
+    n = abs(v)
+    cat = n.bit_length()
+    code = {2: "001", 4: "010", 5: "011"}[cat]
+    vb = format(v if v > 0 else (1 << cat) - 1 + v, f"0{cat}b")
+    return code + vb
+
+
+def solid_jpeg(y_dc: int, cb_dc: int, cr_dc: int) -> bytes:
+    """16x16 4:2:0 baseline JPEG whose decoded planes are exactly
+    Y = 2*y_dc + 128, Cb = 2*cb_dc + 128, Cr = 2*cr_dc + 128 (flat
+    quant table of 16s, DC-only blocks). DC values must fall in
+    categories {0,2,4,5} (0, ±2..3, ±8..15, ±16..31)."""
+    data = b"\xff\xd8"
+    data += _jpeg_seg(0xDB, bytes([0]) + bytes([16] * 64))
+    data += _jpeg_seg(0xDB, bytes([1]) + bytes([16] * 64))
+    data += _jpeg_seg(
+        0xC0,
+        bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    data += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS))
+    data += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS))
+    data += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bits = _jpeg_dc_bits(y_dc) + "0"
+    for _ in range(3):
+        bits += _jpeg_dc_bits(0) + "0"       # Y blocks 2-4: diff 0
+    bits += _jpeg_dc_bits(cb_dc) + "0"
+    bits += _jpeg_dc_bits(cr_dc) + "0"
+    while len(bits) % 8:
+        bits += "1"
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i:i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return data + bytes(out) + b"\xff\xd9"
