@@ -179,22 +179,36 @@ def multi_target_relative_score(
     if len(weights) != len(legs):
         raise ValueError("weights must match number of legs")
 
-    base = None
-    for i, leg in enumerate(legs):
-        leg = leg.select(F.col(id_col), F.col("_distance").alias(f"_d{i}"))
-        base = leg if base is None else base.join(leg, id_col, "inner")
+    named = [
+        leg.select(F.col(id_col), F.col("_distance").alias(f"_d{i}"))
+        for i, leg in enumerate(legs)
+    ]
 
+    # per-LEG top-k straight off each leg (the reference searches each
+    # target index independently), so every leg is scanned exactly
+    # twice: once for its TakeOrdered top-k, once for the backfill join
+    # against the tiny union id set — not once per downstream branch.
     cand_ids = None
-    for i in range(len(legs)):
+    for i, leg in enumerate(named):
         top = (
-            base.orderBy(F.col(f"_d{i}").asc(), F.col(id_col).asc())
+            leg.where(F.col(f"_d{i}").isNotNull())
+            .orderBy(F.col(f"_d{i}").asc(), F.col(id_col).asc())
             .limit(leg_limit)
             .select(id_col)
         )
         cand_ids = top if cand_ids is None else cand_ids.unionByName(top)
-    cand_ids = cand_ids.distinct()
+    # cand_ids / cand are tiny (<= legs*leg_limit rows) but referenced by
+    # several downstream branches — scratch-cache them so each leg scans
+    # exactly twice instead of once per branch
+    from weaviate_spark.cache import register_cache
 
-    cand = base.join(F.broadcast(cand_ids), id_col, "inner")
+    cand_ids = register_cache(cand_ids.distinct().cache())
+
+    cand = None
+    for leg in named:
+        backfill = leg.join(F.broadcast(cand_ids), id_col, "inner")
+        cand = backfill if cand is None else cand.join(backfill, id_col, "inner")
+    cand = register_cache(cand.cache())
     stats = cand.agg(
         *[F.min(f"_d{i}").alias(f"_min{i}") for i in range(len(legs))],
         *[F.max(f"_d{i}").alias(f"_max{i}") for i in range(len(legs))],
