@@ -20,8 +20,11 @@ Decoders: REAL pure-python/numpy codecs ship for the container-friendly
 formats — uncompressed 24-bit BMP and binary PPM (P6) images (struct
 header parse + numpy pixel array, nearest-neighbor resize), and PCM WAV
 audio via the stdlib ``wave`` module (sample rate / channels / duration
-/ RMS / zero-crossing features). Formats that require external codecs
-(JPEG/PNG/MP3/video) raise NotImplementedError unless ``fake=True``,
+/ RMS / zero-crossing features), plus baseline-sequential JPEG and
+8-bit PNG decoders written here in pure python/numpy (stdlib zlib for
+the PNG inflate). Formats that still require external codecs
+(progressive JPEG, 16-bit/interlaced PNG, MP3, video) raise
+NotImplementedError unless ``fake=True``,
 which substitutes a deterministic md5-seeded pseudo-decoder; the
 surrounding plumbing — schemas, batching, null handling, output shapes
 — is identical, so swapping in PIL/ffmpeg is a one-function change.
@@ -68,8 +71,8 @@ def attach_media_meta(df: DataFrame, mime: str = "application/octet-stream") -> 
 
 def decode_image_array(data: bytes):
     """REAL image decode: returns a numpy (height, width, 3) uint8 array
-    for binary PPM (P6), uncompressed 24-bit BMP, and baseline
-    sequential JPEG bytes (pure-numpy decoder below); None if the
+    for binary PPM (P6), uncompressed 24-bit BMP, baseline sequential
+    JPEG, and 8-bit PNG bytes (pure-numpy decoders below); None if the
     format is none of those (callers fall back to the stub or
     raise)."""
     import struct
@@ -99,6 +102,8 @@ def decode_image_array(data: bytes):
         return px.reshape(h, w, 3).copy()
     if data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     if data[:2] == b"BM":
         off = struct.unpack_from("<I", data, 10)[0]
         w, h = struct.unpack_from("<ii", data, 18)
@@ -469,11 +474,11 @@ def decode_image_features(
                         oks.append(False)
                         continue
                     raise NotImplementedError(
-                        "only BMP/PPM/baseline-JPEG decode without "
-                        "external codecs; PNG/progressive-JPEG need PIL "
-                        "(not in this container) — pass fake=True for "
-                        "the deterministic stub or on_error='skip' to "
-                        "drop undecodable rows"
+                        "only BMP/PPM/baseline-JPEG/8-bit-PNG decode "
+                        "without external codecs; progressive JPEG and "
+                        "exotic PNG need PIL (not in this container) — "
+                        "pass fake=True for the deterministic stub or "
+                        "on_error='skip' to drop undecodable rows"
                     )
                 yield pd.DataFrame({
                     "media_id": chunk[id_col].values,
@@ -679,6 +684,95 @@ def near_media_search(
         .limit(limit)
         .select("media_id", "_distance")
     )
+
+
+def _decode_png(data: bytes):
+    """PNG decode via stdlib zlib (public RFC 2083): chunk parse,
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), 8-bit
+    gray / RGB / palette / gray+alpha / RGBA, non-interlaced only
+    (Adam7 returns None). Alpha is dropped (media features read color
+    planes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, ctype = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            ihdr = (w, h, color)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, color = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or (color == 3 and palette is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel (8-bit depth)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos + 1).astype(np.int32)
+        pos += stride + 1
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px.copy()
+    if color == 3:
+        return palette[px[:, :, 0]]
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA -> RGB
 
 
 # ---------------------------------------------------------------------------
