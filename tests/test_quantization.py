@@ -200,3 +200,58 @@ def test_pq_encode_parity_and_recall(spark, tmp_path):
              .limit(10).collect()]
     overlap = len(set(approx) & set(exact)) / 10
     assert overlap >= 0.8, f"PQ recall too low: {overlap} ({approx} vs {exact})"
+
+
+def test_rq_rotation_encode_and_recall(spark, tmp_path):
+    """RQ: rotation is (near-)orthonormal, Spark codes match the python
+    arithmetic, the estimated dot tracks the true dot within the 8-bit
+    step bound, and overfetch+rescore recall vs exact stays high."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.distance import distance as dist_col
+    from weaviate_spark.operators.quantization import (
+        rq_rotate_py, rq_rotation_matrix, rq_topk, with_rq_index,
+    )
+
+    M = rq_rotation_matrix(64)
+    assert abs(M @ M.T - np.eye(64)).max() < 1e-4  # 6dp-rounded artifact
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(sf + "/rvecs.parquet")
+
+    enc = with_rq_index(
+        spark.read.parquet(sf + "/rvecs.parquet"),
+        "vec_id", "embedding", M, ("t", "rq-parity"),
+    )
+    got = {r["_id"]: r for r in enc.collect()}
+    src = dict(rows)
+    for vid in list(got)[:20]:
+        x = np.asarray(src[vid], dtype=np.float32).astype(np.float64)
+        x = x / np.sqrt((x * x).sum())
+        rx = np.asarray(M) @ x
+        lo, hi = rx.min(), rx.max()
+        step = (hi - lo) / 255.0
+        expect = np.clip(np.floor((rx - lo) / step + 0.5), 0, 255).astype(int)
+        assert list(got[vid]["_codes"]) == list(expect), vid
+        # estimated value within half a step per dim of the true value
+        dec = lo + step * expect
+        assert np.abs(dec - rx).max() <= step * 0.5 + 1e-9
+
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    approx = [r["vec_id"] for r in
+              rq_topk(spark, sf, "rvecs", q, M=M, k=10, overfetch=4,
+                      table_key=("t", "rq-recall")).collect()]
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    cdf = spark.read.parquet(sf + "/rvecs.parquet")
+    exact = [r["vec_id"] for r in
+             cdf.withColumn("_d", dist_col(F.col("embedding"), qv, "cosine"))
+             .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+             .limit(10).collect()]
+    overlap = len(set(approx) & set(exact)) / 10
+    assert overlap >= 0.9, f"RQ recall too low: {overlap} ({approx} vs {exact})"

@@ -3057,6 +3057,62 @@ def q_knn_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rq_oracle_sql(k: int = 10, overfetch: int = 4) -> str:
+    """DuckDB mirror of q_knn_rq_rescore: identical 6dp rotation-matrix
+    literals, identical per-vector 8-bit code arithmetic (floor(x+0.5),
+    clamp), identical estimated-dot candidate selection."""
+    import numpy as np
+
+    from weaviate_spark.operators.quantization import (
+        rq_rotate_py, rq_rotation_matrix,
+    )
+
+    M = rq_rotation_matrix(64)
+    qr = rq_rotate_py(QVEC, M, normalize=True)
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    rot_rows = ", ".join(
+        f"list_dot_product({dlist(r)}, nv)" for r in M
+    )
+    return (
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "en AS (SELECT vec_id, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"rot AS (SELECT vec_id, ev, [{rot_rows}] AS rx FROM en), "
+        "b AS (SELECT vec_id, ev, rx, list_min(rx) AS lo, "
+        "(list_max(rx) - list_min(rx)) / 255.0 AS st FROM rot), "
+        "codes AS (SELECT vec_id, ev, lo, st, "
+        "list_transform(rx, v -> CAST(least(greatest(floor((v - lo) / st + 0.5), 0), 255) AS DOUBLE)) AS c "
+        "FROM b WHERE st > 0), "
+        "cand AS (SELECT vec_id, ev, "
+        f"round(1 - (lo * {float(qr.sum())!r} + st * list_dot_product({dlist(qr)}, c)), 6) AS _est "
+        f"FROM codes ORDER BY _est ASC, vec_id ASC LIMIT {overfetch * k}) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        f"FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+@register("knn_rq_rescore", oracle=_rq_oracle_sql())
+def q_knn_rq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RQ search (rotational_quantization.go, fast_rotation.go): seeded
+    signed-permutation + Walsh-Hadamard rotation folded into one
+    persisted 6dp matrix (the RestoreFastRotation artifact), per-VECTOR
+    8-bit codes with own lower/step bounds, estimated-dot candidate
+    selection (RQDistancer closed form), exact cosine rescore of 4*k
+    candidates. Deterministic: shared rotation/query literals, ties by
+    id."""
+    from weaviate_spark.operators.quantization import rq_topk
+
+    return rq_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, overfetch=4, table_key=(sf_dir, "embeddings"),
+    )
+
+
 @register(
     "knn_bq_rescore",
     oracle=(

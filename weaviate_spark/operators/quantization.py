@@ -424,3 +424,180 @@ def pq_topk(
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# rotational quantization (RQ): seeded fast rotation + per-vector 8-bit
+# codes + estimated-dot candidate selection + exact rescore
+# (compressionhelpers/rotational_quantization.go, fast_rotation.go;
+# entities/vectorindex/compression/fast_rotation.go:126-215)
+
+def rq_rotation_matrix(dim: int = 64, rounds: int = 3, seed: int = 7,
+                       round_digits: int = 6):
+    """The reference's FastRotation — per round a random signed
+    permutation followed by a blocked Walsh-Hadamard transform — folded
+    into ONE dim x dim matrix and rounded to 6dp, so the identical
+    literals embed in the Spark kernel and the DuckDB oracle (the
+    persisted-rotation analogue of RestoreFastRotation; our RNG differs
+    from Go's PCG, a documented divergence — the rotation is an internal
+    random artifact, not a semantic)."""
+    import numpy as np
+
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two")
+    # Hadamard matrix via Sylvester construction, orthonormal scaling
+    H = np.array([[1.0]])
+    while H.shape[0] < dim:
+        H = np.block([[H, H], [H, -H]])
+    H = H / np.sqrt(dim)
+    M = np.eye(dim)
+    for r in range(rounds):
+        rng = np.random.RandomState(seed + r)
+        perm = rng.permutation(dim)
+        signs = rng.choice([-1.0, 1.0], size=dim)
+        P = np.zeros((dim, dim))
+        P[np.arange(dim), perm] = signs
+        M = H @ P @ M
+    return np.round(M, round_digits)
+
+
+def rq_rotate_py(vector, M, normalize: bool = True):
+    import numpy as np
+
+    x = np.asarray([float(v) for v in vector], dtype=np.float64)
+    if normalize:
+        x = x / np.sqrt((x * x).sum())
+    return M @ x
+
+
+def _rq_encode_kernel(M, normalize: bool = True):
+    """mapInPandas corpus encoder: rotate (one GEMM per batch), then
+    per-VECTOR 8-bit scalar quantization — lower/step from the rotated
+    vector's own min/max (rotational_quantization.go encode: the
+    rotation spreads energy across dims, so per-vector bounds are
+    tight). Emits (codes, lower, step) plus the original vector for the
+    exact rescore."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        Mx = np.asarray(M, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["_v"].notna()]
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if normalize:
+                X = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            R = X @ Mx.T
+            lower = R.min(axis=1)
+            upper = R.max(axis=1)
+            step = (upper - lower) / 255.0
+            safe = step > 0
+            codes = np.zeros_like(R, dtype=np.int32)
+            if safe.any():
+                codes[safe] = np.clip(
+                    np.floor((R[safe] - lower[safe, None]) / step[safe, None] + 0.5),
+                    0, 255,
+                ).astype(np.int32)
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "_v": pdf["_v"].to_numpy(),
+                "_codes": list(codes),
+                "_lower": lower,
+                "_step": step,
+            })
+
+    return gen
+
+
+_rq_tables: dict[tuple, DataFrame] = {}
+
+
+def invalidate_rq_index() -> None:
+    for frame in _rq_tables.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _rq_tables.clear()
+
+
+def with_rq_index(
+    df: DataFrame, id_col: str, vector_col: str, M, table_key: tuple,
+    normalize: bool = True,
+) -> DataFrame:
+    key = (id(df.sparkSession), *table_key, "rq", normalize)
+    if key not in _rq_tables:
+        enc = (
+            df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+            .mapInPandas(
+                _rq_encode_kernel([list(map(float, r)) for r in M], normalize),
+                "_id long, _v array<float>, _codes array<int>, "
+                "_lower double, _step double",
+            )
+            .cache()
+        )
+        enc.count()
+        _rq_tables[key] = enc
+    return _rq_tables[key]
+
+
+def rq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    vector: Sequence[float],
+    M=None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 10,
+    overfetch: int = 4,
+    metric: str = "cosine",
+    round_digits: int = 6,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """RQ search: the estimated dot between the (full-precision) rotated
+    query and a coded vector is closed-form —
+    ``lower * sum(q_rot) + step * dot(q_rot, codes)``
+    (RQDistancer semantics, rotational_quantization.go:253-310) — so
+    candidate selection is one narrow expression over the codes column,
+    then the exact metric rescores only overfetch*k rows. For cosine
+    both sides are unit-normalized, so estimated distance =
+    1 - estimated dot."""
+    import numpy as np
+
+    if M is None:
+        M = rq_rotation_matrix(len(vector))
+    normalize = metric == "cosine"
+    base = load_table(spark, sf_dir, collection)
+    enc = with_rq_index(
+        base, id_col, vector_col, M,
+        table_key if table_key is not None else (sf_dir, collection),
+        normalize=normalize,
+    )
+    qr = rq_rotate_py(vector, np.asarray(M), normalize=normalize)
+    sumq = float(qr.sum())
+    qarr = F.array(*[F.lit(float(x)) for x in qr])
+    dotqc = F.aggregate(
+        F.zip_with(qarr, F.col("_codes"), lambda a, b: a * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    est = F.lit(1.0) - (F.col("_lower") * F.lit(sumq) + F.col("_step") * dotqc)
+    candidates = (
+        enc.withColumn("_est", F.round(est, round_digits))
+        .orderBy(F.col("_est").asc(), F.col("_id").asc())
+        .limit(overfetch * k)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in vector])
+    return (
+        candidates.withColumn(
+            "_distance", F.round(distance(F.col("_v"), qv, metric), round_digits)
+        )
+        .select(F.col("_id").alias(id_col), "_distance")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
