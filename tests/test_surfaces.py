@@ -511,3 +511,33 @@ def test_upsert_partitioned_detects_key_moves(spark, tmp_path):
     )
     rows = {r["id"]: (r["tenant"], r["v"]) for r in spark.read.parquet(tdir).collect()}
     assert rows == {1: ("t1", 1.0), 2: ("t1", 2.0), 3: ("t1", 30.0)}
+
+
+def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Unified model: the session-window agg gives identical sessions on
+    the streaming replay and the batch table."""
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.streaming.ingest import sessionized_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in sessionized_event_counts(events).collect()
+    }
+    assert batch  # sf0.001 still produces sessions
+
+    src_dir = str(tmp_path / "ev3")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = sessionized_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_counts")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    assert streamed == batch

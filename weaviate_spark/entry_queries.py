@@ -1311,6 +1311,30 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(_load(spark, sf_dir, "events"))
 
 
+@register(
+    "events_session_agg",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, value, event_id, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 2) AS total_value "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation per user (4h inactivity gap) — Spark's
+    native F.session_window, the same code path Structured Streaming
+    state-merges incrementally; the oracle derives identical sessions
+    via gaps-and-islands (lag + running sum). Streaming equivalence is
+    pinned by tests/test_surfaces.py."""
+    from weaviate_spark.streaming.ingest import sessionized_event_counts
+
+    return sessionized_event_counts(_load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # M7 — kNN classification, Explore, boost
 

@@ -125,3 +125,45 @@ def stream_dedup(
             df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
         return df
     return stream.dropDuplicates(list(key_cols))
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "4 hours",
+    group_cols: tuple[str, ...] = ("user_id",),
+    watermark: str = "8 hours",
+) -> DataFrame:
+    """Session-window aggregation: per key, events closer than ``gap``
+    merge into one session (F.session_window — Spark's native session
+    semantics, state-merged incrementally in streaming mode under the
+    watermark). Not a weaviate feature (it has no streaming operators);
+    table stakes for event analytics over the events table. Batch and
+    streaming share this exact code path (unified model).
+
+    Scale: one shuffle on the session-window key; streaming state is
+    bounded by the watermark (sessions older than it finalize and
+    evict). The batch equivalent of the gaps-and-islands SQL without
+    the two windowed passes."""
+    df = events
+    ntz = df.schema[ts_col].dataType.simpleString() == "timestamp_ntz"
+    if df.isStreaming:
+        if ntz:  # watermark needs LTZ; UTC session makes the cast identity
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    start = F.col("_w.start")
+    if ntz and df.isStreaming:
+        start = start.cast("timestamp_ntz")
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            *group_cols,
+            start.alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
