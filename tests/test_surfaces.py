@@ -541,3 +541,43 @@ def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM sess_counts").collect()
     }
     assert streamed == batch
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-key cumulative totals carried across
+    micro-batches converge to the batch groupBy totals, and intermediate
+    updates stream out (one per key per batch seen)."""
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.streaming.ingest import stateful_running_totals
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stateful_running_totals(events).collect()
+    }
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    src_dir = str(tmp_path / "ev4")
+    half = events.where(F.col("event_id") % 2 == 0)
+    rest = events.where(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.parquet(src_dir)
+    rest.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("run_totals")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM run_totals").collect()
+    assert len(rows) > len(batch)  # intermediate updates emitted too
+    # the LAST update per key must equal the batch totals
+    final = {}
+    for r in rows:  # memory sink appends updates in batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final == batch

@@ -1335,6 +1335,24 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_event_counts(_load(spark, sf_dir, "events"))
 
 
+@register(
+    "stateful_user_totals",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 2) AS total_value FROM events GROUP BY user_id"
+    ),
+)
+def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative ledger — the batch-degenerate form of the
+    applyInPandasWithState running-totals operator (cumulative == total
+    when everything is one batch). The streaming path (incremental
+    state, event-time timeout eviction, per-batch updates) is pinned by
+    tests/test_surfaces.py::test_stateful_running_totals."""
+    from weaviate_spark.streaming.ingest import stateful_running_totals
+
+    return stateful_running_totals(_load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # M7 — kNN classification, Explore, boost
 

@@ -167,3 +167,69 @@ def sessionized_event_counts(
             "total_value",
         )
     )
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str = "8 hours",
+):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    key, carry (n_events, total_value, last_ts) across micro-batches and
+    emit the UPDATED running totals every batch the key appears in —
+    the incremental per-user ledger an ingest-time quota/abuse check
+    needs, which windowed aggs can't express (state is cumulative, not
+    windowed). Idle keys expire via event-time timeout once the
+    watermark passes their last event (bounded state forever).
+
+    On a batch frame the same semantics degenerate to one groupBy
+    (cumulative == total when all data is in one batch) — used by the
+    equivalence test.
+
+    Scale: one shuffle on the key; state per live key is three scalars;
+    Arrow batches stream per group (iterator contract, nothing
+    materializes a partition)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"{k} long" for k in key_cols)
+        + ", n_events long, total_value double"
+    )
+    state_schema = "n long, total double"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame({
+            **{k: [key[i]] for i, k in enumerate(key_cols)},
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+        })
+
+    df = events
+    if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
