@@ -193,3 +193,33 @@ def test_tokenized_like(spark):
     # without tokenization: whole-field match only
     out2 = apply_where(df, Clause(operator="Like", path=["t"], value="qui*"))
     assert [r["t"] for r in out2.collect()] == ["quince jam"]
+
+
+def test_cjk_dict_segmentation(spark):
+    """gse_dict: forward maximum matching against the embedded lexicon;
+    longest word wins, OOV falls back to single codepoints; column and
+    python paths agree."""
+    from weaviate_spark.functions.text import (
+        segment_cjk_py, tokenize, tokenize_py,
+    )
+
+    # longest-match beats the 2-char prefix: 机器学习 is one word
+    assert segment_cjk_py("机器学习很好") == ["机器学习", "很好"]
+    # OOV codepoints fall back to singles
+    assert segment_cjk_py("犬猫") == ["犬", "猫"]
+    # mixed script routes only CJK runs through the lexicon
+    assert tokenize_py("今天天气很好 Hello 机器学习", "gse_dict") == [
+        "今天", "天气", "很好", "hello", "机器学习"]
+    # japanese particles split around lexicon words
+    assert tokenize_py("私たちは東京で勉強します", "gse_dict") == [
+        "私たち", "は", "東京", "で", "勉強", "し", "ます"]
+
+    df = spark.createDataFrame(
+        [(1, "今天天气很好 Hello 机器学习"), (2, "私たちは東京で勉強します")],
+        ["id", "t"],
+    )
+    import pyspark.sql.functions as F
+    got = {r["id"]: list(r["toks"]) for r in
+           df.select("id", tokenize(F.col("t"), "gse_dict").alias("toks")).collect()}
+    assert got[1] == tokenize_py("今天天气很好 Hello 机器学习", "gse_dict")
+    assert got[2] == tokenize_py("私たちは東京で勉強します", "gse_dict")

@@ -1353,6 +1353,78 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_running_totals(_load(spark, sf_dir, "events"))
 
 
+_CJK_SENTS = [
+    (1, "今天天气很好 we study 机器学习 in 北京大学"),
+    (2, "私たちは東京で勉強します"),
+    (3, "向量数据库支持搜索引擎和数据分析"),
+    (4, "データベースでベクトル検索を勉強します"),
+    (5, "plain english only"),
+]
+
+
+def _cjk_dict_oracle_sql() -> str:
+    from weaviate_spark.functions.text import CJK_MINI_LEXICON
+
+    maxw = max(len(w) for w in CJK_MINI_LEXICON)
+    dictvals = ", ".join(f"('{w}')" for w in sorted(CJK_MINI_LEXICON))
+    inputs = ", ".join(f"({i}, '{t.lower()}')" for i, t in _CJK_SENTS)
+    picks = ", ".join(
+        f"(SELECT w FROM dict WHERE w = substr(run, pos, {ln}))"
+        for ln in range(maxw, 1, -1)
+    )
+    cjk_re = (
+        "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
+        "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]"
+    )
+    return f"""
+WITH RECURSIVE dict(w) AS (VALUES {dictvals}),
+inputs(sid, s) AS (VALUES {inputs}),
+runs AS (SELECT sid, unnest(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+')) AS run,
+         generate_subscripts(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+'), 1) AS ridx FROM inputs),
+cjk AS (SELECT *, regexp_matches(run, '{cjk_re}') AS has_cjk FROM runs),
+seg(sid, ridx, run, pos, toks) AS (
+  SELECT sid, ridx, run, 1, []::VARCHAR[] FROM cjk WHERE has_cjk
+  UNION ALL
+  SELECT sid, ridx, run, pos + length(pick), list_append(toks, pick) FROM (
+    SELECT sid, ridx, run, pos, toks,
+      coalesce({picks}, substr(run, pos, 1)) AS pick
+    FROM seg WHERE pos <= length(run)) t
+),
+segged AS (SELECT sid, ridx, toks FROM seg WHERE pos = length(run) + 1),
+allt AS (
+  SELECT sid, ridx, toks FROM segged
+  UNION ALL
+  SELECT sid, ridx, [run] FROM cjk WHERE NOT has_cjk
+),
+flat AS (SELECT sid, unnest(toks) AS token,
+         generate_subscripts(toks, 1) + ridx * 1000 AS ord FROM allt)
+SELECT sid, CAST(row_number() OVER (PARTITION BY sid ORDER BY ord) - 1 AS BIGINT) AS pos, token
+FROM flat ORDER BY sid, pos
+"""
+
+
+@register("text_cjk_dict_segmentation", oracle=_cjk_dict_oracle_sql())
+def q_text_cjk_dict_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary CJK segmentation ('gse_dict': forward maximum matching
+    against the embedded lexicon — the structural analogue of the
+    reference's gse/kagome dictionary segmenters,
+    entities/tokenizer/tokenizer.go:414-424/472-485; divergence =
+    lexicon size, not algorithm). The oracle replays the greedy
+    longest-match as a recursive CTE over the identical lexicon, so the
+    segmentation is value-hash-checked token by token."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(_CJK_SENTS, "sid int, s string")
+    return (
+        df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_dict"))
+                  .alias("pos", "token"))
+        .select("sid", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("sid", "pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # M7 — kNN classification, Explore, boost
 

@@ -96,7 +96,7 @@ CJK_CLASS = "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in _CJK_RANGES) + "]
 
 TOKENIZATIONS = [
     "word", "lowercase", "whitespace", "field", "trigram",
-    "gse", "gse_ch", "kagome_ja", "kagome_kr",
+    "gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict",
 ]
 
 # ---------------------------------------------------------------------------
@@ -282,6 +282,8 @@ def tokenize(col: Column, mode: str = "word", fold: bool = False) -> Column:
         )
     if mode == "kagome_kr":
         return F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
+    if mode == "gse_dict":
+        return tokenize_cjk_dict(F.lower(col))
     raise ValueError(f"unknown tokenization mode {mode!r}")
 
 
@@ -328,6 +330,8 @@ def tokenize_py(text: str, mode: str = "word", fold: bool = False) -> list[str]:
         return out
     if mode == "kagome_kr":
         return word_runs(text.lower())
+    if mode == "gse_dict":
+        return tokenize_cjk_dict_py(text.lower())
     raise ValueError(f"unknown tokenization mode {mode!r}")
 
 
@@ -359,3 +363,74 @@ def sql_tokens(expr: str, mode: str = "word", fold: bool = False) -> str:
             f"ELSE [substr({base}, i, 3) FOR i IN range(1, length({base}) - 1)] END"
         )
     raise ValueError(f"no SQL mirror for tokenization mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Dictionary CJK segmentation (gse/kagome structural analogue)
+
+# Mini embedded lexicon — the reference loads gse (Chinese) and kagome
+# (Japanese MeCab) dictionaries with >100k entries
+# (entities/tokenizer/tokenizer.go:30-32, 414-424, 472-485); this is the
+# same forward maximum-matching structure over a COMPACT embedded
+# lexicon (documented divergence: lexicon coverage, not algorithm).
+# Out-of-lexicon CJK falls back to single codepoints, which the bigram
+# modes then cover for recall.
+CJK_MINI_LEXICON = frozenset([
+    # Chinese (simplified) common words
+    "今天", "天气", "很好", "我们", "他们", "你们", "什么", "可以",
+    "没有", "知道", "时候", "现在", "自己", "觉得", "喜欢", "学习",
+    "工作", "朋友", "中国", "北京", "上海", "大学", "学生", "老师",
+    "数据", "系统", "分析", "搜索", "引擎", "向量", "数据库", "查询",
+    "机器", "学习", "模型", "训练", "语言", "处理", "文本", "图像",
+    "机器学习", "数据分析", "人工智能", "深度学习",
+    # Japanese common words
+    "今日", "天気", "です", "ます", "私たち", "彼ら", "学生", "先生",
+    "日本", "東京", "大阪", "大学", "勉強", "仕事", "友達", "検索",
+    "データ", "システム", "分析", "言語", "処理", "画像", "学習",
+    "モデル", "データベース", "エンジン", "ベクトル", "人工知能",
+])
+
+_CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
+
+
+def segment_cjk_py(run: str) -> list[str]:
+    """Forward maximum matching: at each position take the LONGEST
+    lexicon word starting there, else one codepoint (the greedy
+    variant of gse's dictionary DP — deterministic and exactly
+    replayable as SQL string ops)."""
+    out: list[str] = []
+    pos = 0
+    n = len(run)
+    while pos < n:
+        pick = run[pos]
+        for ln in range(min(_CJK_MAX_WORD, n - pos), 1, -1):
+            cand = run[pos:pos + ln]
+            if cand in CJK_MINI_LEXICON:
+                pick = cand
+                break
+        out.append(pick)
+        pos += len(pick)
+    return out
+
+
+def tokenize_cjk_dict_py(text: str) -> list[str]:
+    """'gse_dict' mode: word runs; runs containing CJK segment by
+    forward maximum matching against the embedded lexicon, other runs
+    pass through lowercased (the dictionary analogue of the bigram
+    approximation modes)."""
+    out: list[str] = []
+    for t in tokenize_py(text, "word"):
+        if any(_is_cjk(ch) for ch in t):
+            out.extend(segment_cjk_py(t))
+        else:
+            out.append(t)
+    return out
+
+
+def tokenize_cjk_dict(col: Column) -> Column:
+    """Column variant of 'gse_dict' (Arrow-batched pandas_udf — greedy
+    matching is iterative, not expressible as a column expression; the
+    lexicon ships inside the closure, no broadcast needed)."""
+    from weaviate_spark.modules import cjk_dict_tokenize_udf
+
+    return cjk_dict_tokenize_udf()(col)

@@ -69,6 +69,19 @@ def text2vec_dummy(dim: int = 16):
     return _embed
 
 
+def cjk_dict_tokenize_udf():
+    """Arrow-batched 'gse_dict' tokenizer (defined here: this module has
+    no `from __future__ import annotations`, which pandas_udf's type-
+    hint introspection requires)."""
+    from weaviate_spark.functions.text import tokenize_cjk_dict_py
+
+    @pandas_udf("array<string>")
+    def _seg(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda t: tokenize_cjk_dict_py(t or ""))
+
+    return _seg
+
+
 def hash_embed_udf(dim: int = 16):
     """Double-precision variant of the dummy vectorizer: bit-exact with
     the oracle's md5 SQL mirror (array<float> truncation would round
