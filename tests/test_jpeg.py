@@ -155,3 +155,31 @@ def test_jpeg_flows_through_feature_pipeline(spark):
     assert out[0] == 1              # exact JPEG match first
     assert 4 not in out
     assert set(out) == {1, 2, 3}    # all decodable media compete
+
+
+def test_decoders_never_crash_on_corrupt_bytes():
+    """Robustness contract for the 100 TB media pass: arbitrary and
+    truncated inputs must decode to an image or None — never raise."""
+    import random
+
+    from weaviate_spark.operators.multimodal import solid_jpeg
+
+    rng = random.Random(99)
+    good = solid_jpeg(20, -12, 8)
+    samples = []
+    # truncations of a valid file at every marker-ish boundary
+    for cut in range(0, len(good), 7):
+        samples.append(good[:cut])
+    # random corruption of single bytes
+    for _ in range(200):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        samples.append(bytes(b))
+    # pure noise with codec magics prepended
+    for magic in (b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM", b"P6"):
+        for _ in range(50):
+            samples.append(magic + bytes(rng.randrange(256) for _ in range(rng.randrange(200))))
+    for s in samples:
+        img = decode_image_array(s)  # must not raise
+        assert img is None or img.ndim == 3

@@ -73,8 +73,20 @@ def decode_image_array(data: bytes):
     """REAL image decode: returns a numpy (height, width, 3) uint8 array
     for binary PPM (P6), uncompressed 24-bit BMP, baseline sequential
     JPEG, and 8-bit PNG bytes (pure-numpy decoders below); None if the
-    format is none of those (callers fall back to the stub or
-    raise)."""
+    format is none of those OR the bytes are truncated/corrupt — a
+    per-row codec failure must never kill a 100 TB pass (fuzz-tested:
+    tests/test_jpeg.py), so malformed structures surface as None, not
+    exceptions (callers fall back to the stub or raise)."""
+    import struct
+
+    try:
+        return _decode_image_array_strict(data)
+    except (IndexError, KeyError, ValueError, struct.error,
+            OverflowError, ZeroDivisionError):
+        return None
+
+
+def _decode_image_array_strict(data: bytes):
     import struct
 
     import numpy as np
