@@ -154,3 +154,78 @@ def test_muvera_query_encode_deterministic(vec):
     a = muvera_encode_query([vec], spec)
     b = muvera_encode_query([vec], spec)
     assert a == b and len(a) == spec.encoded_dim
+
+
+_DC_OK = sorted({0, 2, 3, -2, -3, 8, 9, 15, -8, -15, 16, 31, -16, -31})
+
+
+@given(st.sampled_from(_DC_OK), st.sampled_from(_DC_OK), st.sampled_from(_DC_OK))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_solid_roundtrip_property(y, cb, cr):
+    """Every valid DC triple round-trips through the hand-rolled writer +
+    decoder to the exact closed-form pixel values."""
+    import numpy as np
+
+    from weaviate_spark.operators.multimodal import decode_image_array, solid_jpeg
+
+    img = decode_image_array(solid_jpeg(y, cb, cr))
+    assert img is not None and img.shape == (16, 16, 3)
+    Y, Cb, Cr = 2 * y + 128.0, 2 * cb + 128.0, 2 * cr + 128.0
+    r = int(np.clip(round(Y + 1.402 * (Cr - 128)), 0, 255))
+    g = int(np.clip(round(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)), 0, 255))
+    b = int(np.clip(round(Y + 1.772 * (Cb - 128)), 0, 255))
+    assert (img == np.array([r, g, b], dtype=np.uint8)).all()
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.data())
+@settings(max_examples=100, deadline=None)
+def test_png_roundtrip_property(w, h, data):
+    """Arbitrary small RGB images written with stdlib zlib (filter 0)
+    decode to the identical pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from weaviate_spark.operators.multimodal import decode_image_array
+
+    px = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                            max_size=w * h * 3))
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + zlib.crc32(ctype + payload).to_bytes(4, "big"))
+
+    raw = b"".join(
+        bytes([0]) + bytes(px[y * w * 3:(y + 1) * w * 3]) for y in range(h)
+    )
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    img = decode_image_array(png)
+    assert img is not None
+    assert img.tolist() == np.array(px, dtype=np.uint8).reshape(h, w, 3).tolist()
+
+
+@given(st.text(alphabet="今天气很好我们机器学习数据分析北京大学犬猫鳥东京勉強します", max_size=24))
+@settings(max_examples=200, deadline=None)
+def test_cjk_segmentation_properties(s):
+    """gse_dict segmentation: tokens concatenate back to the input, every
+    multi-codepoint token is a lexicon word, and each pick is the
+    LONGEST lexicon match at its position (greedy invariant)."""
+    from weaviate_spark.functions.text import CJK_MINI_LEXICON, segment_cjk_py
+
+    toks = segment_cjk_py(s)
+    assert "".join(toks) == s
+    maxw = max(len(w) for w in CJK_MINI_LEXICON)
+    pos = 0
+    for t in toks:
+        if len(t) > 1:
+            assert t in CJK_MINI_LEXICON
+        best = s[pos]
+        for ln in range(min(maxw, len(s) - pos), 1, -1):
+            if s[pos:pos + ln] in CJK_MINI_LEXICON:
+                best = s[pos:pos + ln]
+                break
+        assert t == best, (s, pos, t, best)
+        pos += len(t)
