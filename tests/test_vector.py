@@ -253,3 +253,42 @@ def test_named_vectors_schema_emission():
     schema = coll.spark_schema()
     f = schema["_vectors"].dataType
     assert isinstance(f, T.StructType) and f.fieldNames() == ["full", "head"]
+
+
+def test_fusion_relative_score_reference_fixtures(spark):
+    """Ported verbatim from the reference's TestFusionRelativeScore
+    (usecases/traverser/hybrid/fusion_test.go:25-46): weights, per-leg
+    input scores, and the expected fused scores per doc id (InDelta
+    1e-4, like the reference). Doc id == index within each leg."""
+    from weaviate_spark.operators.hybrid import fuse
+
+    cases = [
+        ([0.5, 0.5], [[1, 2, 3], [0, 1, 2]], [1, 0.5, 0], [2, 1, 0]),
+        ([0.5, 0.5], [[0, 2, 0.1], [0, 0.2, 2]], [0.55, 0.525, 0], [1, 2, 0]),
+        ([0.75, 0.25], [[0.5, 0.5, 0], [0, 0.01, 0.001]],
+         [1, 0.75, 0.025], [1, 0, 2]),
+        ([0.75, 0.25], [[], []], [], []),
+        ([0.75, 0.25], [[1], []], [0.75], [0]),
+        ([0.75, 0.25], [[], [1]], [0.25], [0]),
+        ([0.75, 0.25], [[1, 2], []], [0.75, 0], [1, 0]),
+        ([0.75, 0.25], [[], [1, 2]], [0.25, 0], [1, 0]),
+        ([0.75, 0.25], [[1, 1], [1, 2]], [1, 0.75], [1, 0]),
+        ([1.0], [[1, 2, 3]], [1, 0.5, 0], [2, 1, 0]),
+        ([0.75, 0.25], [[1, 2, 3, 4], [1, 2, 3]],
+         [0.75, 0.75, 0.375, 0], [3, 2, 1, 0]),
+        ([0.75, 0.25, 0.1], [[1, 2, 3, 4], [1, 2, 3], [4, 5]],
+         [0.75, 0.75, 0.475, 0], [3, 2, 1, 0]),
+    ]
+    for weights, leg_scores, exp_scores, exp_order in cases:
+        legs = []
+        for scores, w in zip(leg_scores, weights):
+            df = spark.createDataFrame(
+                [(j, float(s)) for j, s in enumerate(scores)],
+                "id long, _secondary double",
+            )
+            legs.append((df, w))
+        got = {r["id"]: r["_score"] for r in fuse(legs, "id", "relativeScore").collect()}
+        expect = dict(zip(exp_order, exp_scores))
+        assert set(got) == set(expect), (weights, leg_scores, got)
+        for doc, s in expect.items():
+            assert got[doc] == pytest.approx(s, abs=1e-4), (weights, leg_scores, doc)
