@@ -292,3 +292,57 @@ def test_fusion_relative_score_reference_fixtures(spark):
         assert set(got) == set(expect), (weights, leg_scores, got)
         for doc, s in expect.items():
             assert got[doc] == pytest.approx(s, abs=1e-4), (weights, leg_scores, doc)
+
+
+def test_combiner_reference_fixtures(spark):
+    """Ported from the reference's TestCombiner
+    (adapters/repos/db/shard_combine_multi_target_test.go:37-185) —
+    the complete-legs subset (our legs are full distance frames, so the
+    backfill-provider cases don't arise): weighted sum, minimum, and
+    RelativeScore fusion with uniform and custom weights."""
+    from weaviate_spark.operators.vector import (
+        multi_target_combine,
+        multi_target_relative_score,
+    )
+
+    def leg(pairs):
+        return spark.createDataFrame(
+            [(i, float(d)) for i, d in pairs], "id long, _distance double")
+
+    l1 = leg([(0, 0.5), (1, 0.6)])
+    l2 = leg([(0, 0.5), (1, 0.6)])
+
+    # "simple join" (weights 1,1): summed distances
+    got = {r["id"]: r["_distance"] for r in multi_target_combine(
+        [l1, l2], "id", "manualWeights", weights=[1, 1]).collect()}
+    assert got[0] == pytest.approx(1.0) and got[1] == pytest.approx(1.2)
+
+    # "minimum"
+    got = {r["id"]: r["_distance"] for r in multi_target_combine(
+        [l1, l2], "id", "min").collect()}
+    assert got[0] == pytest.approx(0.5) and got[1] == pytest.approx(0.6)
+
+    # "score fusion" (0.5/0.5): doc0 is each leg's min -> 0, doc1 -> 1
+    got = {r["id"]: r["_score"] for r in multi_target_relative_score(
+        [l1, l2], "id", weights=[0.5, 0.5], leg_limit=10, limit=10).collect()}
+    assert got[0] == pytest.approx(0.0) and got[1] == pytest.approx(1.0)
+
+    # "score fusion with custom weights" (1/2): doc1 -> 3
+    got = {r["id"]: r["_score"] for r in multi_target_relative_score(
+        [l1, l2], "id", weights=[1, 2], leg_limit=10, limit=10).collect()}
+    assert got[0] == pytest.approx(0.0) and got[1] == pytest.approx(3.0)
+
+    # "many documents (score fusion)": four legs, weights 0.25 each,
+    # limit 3 -> ascending [1, 0, 2] with the reference's exact scores
+    m1 = leg([(0, 0.5), (1, 0.6), (2, 0.8), (3, 1.0)])
+    m2 = leg([(1, 0.2), (0, 0.3), (2, 0.5), (3, 0.6)])
+    m3 = leg([(1, 0.2), (2, 0.4), (3, 0.6), (0, 0.8)])
+    m4 = leg([(1, 0.1), (0, 0.3), (2, 0.7), (3, 0.9)])
+    rows = multi_target_relative_score(
+        [m1, m2, m3, m4], "id", weights=[0.25] * 4, leg_limit=10, limit=3,
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 0, 2]
+    got = {r["id"]: r["_score"] for r in rows}
+    assert got[1] == pytest.approx(0.05, abs=1e-4)
+    assert got[0] == pytest.approx(0.375, abs=1e-4)
+    assert got[2] == pytest.approx(0.60833, abs=1e-4)
