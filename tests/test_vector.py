@@ -346,3 +346,29 @@ def test_combiner_reference_fixtures(spark):
     assert got[1] == pytest.approx(0.05, abs=1e-4)
     assert got[0] == pytest.approx(0.375, abs=1e-4)
     assert got[2] == pytest.approx(0.60833, abs=1e-4)
+
+
+def test_named_vectors_relative_score(spark):
+    """Named-vector search with the RelativeScore combination routes
+    through the shared fusion path."""
+    from weaviate_spark.operators.vector import (
+        NamedTarget, named_multi_target_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ([1.0, 0.0], [0.0, 1.0])), (2, ([0.0, 1.0], [1.0, 0.0])),
+         (3, ([0.6, 0.8], [0.8, 0.6]))],
+        "id long, _vectors struct<a:array<float>,b:array<float>>",
+    )
+    out = named_multi_target_search(
+        df,
+        [NamedTarget("a", [1.0, 0.0], 0.5), NamedTarget("b", [1.0, 0.0], 0.5)],
+        "id", combination="relativeScore", limit=3,
+    ).collect()
+    got = {r["id"]: r["_score"] for r in out}
+    # leg a distances: 1->0, 2->1, 3->0.4 ; leg b: 1->1, 2->0, 3->0.2
+    # normalized: a: {1:0, 2:1, 3:0.4}; b: {1:1, 2:0, 3:0.2}
+    assert got[1] == pytest.approx(0.5 * 0 + 0.5 * 1, abs=1e-6)
+    assert got[2] == pytest.approx(0.5 * 1 + 0.5 * 0, abs=1e-6)
+    assert got[3] == pytest.approx(0.5 * 0.4 + 0.5 * 0.2, abs=1e-6)
+    assert [r["id"] for r in out] == [3, 1, 2]  # 0.3 < 0.5 == 0.5, tie id

@@ -284,9 +284,11 @@ def named_multi_target_search(
     each distance as a column expression — no per-leg shuffle, no join.
     Objects missing any searched vector drop out (the reference's inner
     join across target results). Combine: min (default) / sum / average
-    / manualWeights; then TakeOrderedAndProject top-k.
+    / manualWeights / relativeScore; then TakeOrderedAndProject top-k.
 
-    Returns (id_col, _distance, _distances{name: per-target distance}).
+    Returns (id_col, _distance, _distances{name: per-target distance})
+    (relativeScore returns (id_col, _score, _d0.._dN) via the shared
+    fusion path).
     """
     dcols = []
     for t in targets:
@@ -299,6 +301,16 @@ def named_multi_target_search(
     )
     for t, _ in dcols:
         out = out.where(F.col(f"_d_{t.name}").isNotNull())
+    if combination == "relativeScore":
+        legs = [
+            out.select(F.col(id_col), F.col(f"_d_{t.name}").alias("_distance"))
+            for t, _ in dcols
+        ]
+        return multi_target_relative_score(
+            legs, id_col,
+            weights=[float(t.weight) for t, _ in dcols],
+            limit=limit, round_digits=round_digits,
+        )
     cols = [F.col(f"_d_{t.name}") for t, _ in dcols]
     if combination == "min":
         combined = F.least(*cols) if len(cols) > 1 else cols[0]
