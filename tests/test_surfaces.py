@@ -581,3 +581,50 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for r in rows:  # memory sink appends updates in batch order
         final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final == batch
+
+
+def test_grouper_reference_fixtures():
+    """Ported from the reference's grouper tests
+    (usecases/traverser/grouper/grouper_test.go TestGrouper_ModeClosest
+    + TestGrouper_ModeMerge): same vectors, force 0.2, same expected
+    winners / merged property values."""
+    from weaviate_spark.operators.rerank import legacy_group
+
+    closest_in = [
+        {"name": "A1", "v": [0.1, 0.1, 0.98]},
+        {"name": "A2", "v": [0.1, 0.1, 0.96]},
+        {"name": "A3", "v": [0.1, 0.1, 0.93]},
+        {"name": "B1", "v": [0.1, 0.98, 0.1]},
+        {"name": "B2", "v": [0.1, 0.93, 0.1]},
+        {"name": "B3", "v": [0.1, 0.92, 0.1]},
+    ]
+    got = legacy_group(closest_in, "v", force=0.2, strategy="closest")
+    assert [g["name"] for g in got] == ["A1", "B1"]
+    assert [g["_group_size"] for g in got] == [3, 3]
+
+    merge_in = [
+        {"name": "A1", "count": 10.0, "illegal": True,
+         "location": {"latitude": 20.0, "longitude": 20.0},
+         "relatedTo": [{"id": "1", "foo": "bar1"}, {"id": "2", "foo": "bar2"}],
+         "v": [0.1, 0.1, 0.98]},
+        {"name": "A2", "count": 11.0, "illegal": True, "v": [0.1, 0.1, 0.96]},
+        {"name": "A2", "count": 11.0, "illegal": True,
+         "relatedTo": [{"id": "3", "foo": "bar3"}], "v": [0.1, 0.1, 0.96]},
+        {"name": "A3", "count": 12.0, "illegal": False,
+         "location": {"latitude": 22.0, "longitude": 18.0},
+         "relatedTo": [{"id": "2", "foo": "bar2"}], "v": [0.1, 0.1, 0.93]},
+        {"name": "B1", "v": [0.1, 0.98, 0.1]},
+        {"name": "B2", "v": [0.1, 0.93, 0.1]},
+        {"name": "B3", "v": [0.1, 0.92, 0.1]},
+    ]
+    merged = legacy_group(merge_in, "v", force=0.2, strategy="merge")
+    a, b = merged[0], merged[1]
+    # grouper_test.go expectations for the A group:
+    assert a["name"] == "A1 (A2, A3)"      # text dedup'd in order
+    assert a["count"] == pytest.approx(11.0)   # mean of 10,11,11,12
+    assert a["illegal"] is True            # majority (3 true, 1 false)
+    assert a["location"] == {"latitude": 21.0, "longitude": 19.0}  # centroid
+    assert [r["id"] for r in a["relatedTo"]] == ["1", "2", "3"]    # union by id
+    assert a["v"] == pytest.approx([0.1, 0.1, 0.9575], abs=1e-6)
+    assert b["name"] == "B1 (B2, B3)"
+    assert b["v"][1] == pytest.approx((0.98 + 0.93 + 0.92) / 3, abs=1e-6)

@@ -194,7 +194,7 @@ def legacy_group(
         if strategy == "merge" and len(g) > 1:
             dim = len(g[0][vector_key])
             centroid = [sum(m[vector_key][d] for m in g) / len(g) for d in range(dim)]
-            rep = dict(g[0])
+            rep = _merge_group_props(g, vector_key)
             rep[vector_key] = centroid
             rep["_group_size"] = len(g)
             out.append(rep)
@@ -203,6 +203,58 @@ def legacy_group(
             rep["_group_size"] = len(g)
             out.append(rep)
     return out
+
+
+def _merge_group_props(rows: list[dict], vector_key: str) -> dict:
+    """Property merge for the 'merge' strategy (merge_group.go:113-283):
+    text -> 'first (second, third)' dedup'd in order; numbers -> mean
+    (duplicates count, like the reference); bool -> majority with ties
+    true (countTrue >= countFalse); geo dict {latitude, longitude} ->
+    centroid; reference lists -> union dedup'd by element 'id' (falling
+    back to whole-element equality); unknown types are skipped."""
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k != vector_key and k not in keys:
+                keys.append(k)
+    merged: dict = {}
+    for k in keys:
+        vals = [r[k] for r in rows if k in r and r[k] is not None]
+        if not vals:
+            continue
+        v0 = vals[0]
+        if isinstance(v0, bool):
+            n_true = sum(1 for v in vals if v)
+            merged[k] = n_true >= len(vals) - n_true
+        elif isinstance(v0, str):
+            seen, ordered = set(), []
+            for v in vals:
+                if v not in seen:
+                    seen.add(v)
+                    ordered.append(v)
+            merged[k] = (
+                ordered[0] if len(ordered) == 1
+                else f"{ordered[0]} ({', '.join(ordered[1:])})"
+            )
+        elif isinstance(v0, (int, float)):
+            merged[k] = sum(float(v) for v in vals) / len(vals)
+        elif isinstance(v0, dict) and {"latitude", "longitude"} <= set(v0):
+            merged[k] = {
+                "latitude": sum(v["latitude"] for v in vals) / len(vals),
+                "longitude": sum(v["longitude"] for v in vals) / len(vals),
+            }
+        elif isinstance(v0, (list, tuple)):
+            seen_ids, union = set(), []
+            for v in vals:
+                for ref in v:
+                    rid = ref.get("id") if isinstance(ref, dict) else ref
+                    if rid in seen_ids:
+                        continue
+                    seen_ids.add(rid)
+                    union.append(ref)
+            merged[k] = union
+        # unknown types: skip (valueTypeOf -> unknown -> continue)
+    return merged
 
 
 # ---------------------------------------------------------------------------
