@@ -628,3 +628,48 @@ def test_grouper_reference_fixtures():
     assert a["v"] == pytest.approx([0.1, 0.1, 0.9575], abs=1e-6)
     assert b["name"] == "B1 (B2, B3)"
     assert b["v"][1] == pytest.approx((0.98 + 0.93 + 0.92) / 3, abs=1e-6)
+
+
+def test_diversify_results_reference_fixtures():
+    """Ported from the reference's TestDiversifyResults
+    (adapters/repos/db/selection_hybrid_test.go:65-160): same cluster
+    vectors, scores = n-i, same expected slot orders."""
+    from weaviate_spark.operators.rerank import diversify_results
+
+    A1, A2, A3 = [1.0, 0.0, 0.0], [0.99, 0.01, 0.0], [0.98, 0.02, 0.0]
+    B = [0.0, 0.0, 1.0]
+
+    def rows(vecs):
+        return [{"id": i, "v": v, "s": float(len(vecs) - i)}
+                for i, v in enumerate(vecs)]
+
+    def ids(out):
+        return [r["id"] for r in out]
+
+    # balance=0 pulls the diverse far candidate into the top results
+    out = diversify_results(rows([A1, A2, A3, B]), "v", "s", limit=2, balance=0)
+    assert len(out) == 4 and out[0]["id"] == 0 and out[1]["id"] == 3
+
+    # balance=1 preserves fused relevance order
+    out = diversify_results(rows([A1, A2, A3, B]), "v", "s", limit=3, balance=1)
+    assert ids(out) == [0, 1, 2, 3]
+
+    # vectorless candidate keeps its fused rank
+    out = diversify_results(rows([A1, None, A2, B]), "v", "s", limit=4, balance=0)
+    assert len(out) == 4 and out[1]["id"] == 1
+
+    # all candidates vectorless keeps fused order
+    out = diversify_results(rows([None, None, None]), "v", "s", limit=2, balance=0)
+    assert ids(out) == [0, 1, 2]
+
+    # empty input
+    assert diversify_results([], "v", "s", limit=5, balance=0) == []
+
+    # slots past the page keep relevance order
+    out = diversify_results(rows([A1, A2, A3, B]), "v", "s", limit=2, balance=0)
+    assert ids(out) == [0, 3, 1, 2]
+
+    # vectorless slots inside the page still get enough MMR candidates
+    out = diversify_results(rows([A1, None, A2, None, A3, B]), "v", "s",
+                            limit=3, balance=0)
+    assert ids(out[:4]) == [0, 1, 5, 3]

@@ -158,6 +158,44 @@ def mmr_select(
     return selected
 
 
+def diversify_results(
+    rows: list[dict],
+    vector_key: str,
+    score_key: str,
+    limit: int,
+    balance: float = 0.5,
+) -> list[dict]:
+    """Full MMR diversification pass (diversifyResults,
+    adapters/repos/db/selection_hybrid.go): returns the COMPLETE
+    ordering, not just the page —
+
+    * vectorless candidates (BM25-only hits) keep their original
+      relevance slots, inside or outside the page;
+    * the remaining page slots (first ``limit``) fill by greedy MMR over
+      the vectored candidates;
+    * every slot past the page keeps the unselected candidates in their
+      original relevance order.
+
+    Operates on the fetched window like the reference (driver-side)."""
+    n = len(rows)
+    out: list = [None] * n
+    vectorless = {i for i, r in enumerate(rows) if not r.get(vector_key)}
+    for i in vectorless:
+        out[i] = rows[i]
+    vectored = [r for i, r in enumerate(rows) if i not in vectorless]
+    page_slots = [i for i in range(min(limit, n)) if i not in vectorless]
+    picked = mmr_select(vectored, vector_key, score_key,
+                        k=len(page_slots), balance=balance)
+    for slot, r in zip(page_slots, picked):
+        out[slot] = r
+    picked_ids = {id(r) for r in picked}
+    remaining = iter(r for r in vectored if id(r) not in picked_ids)
+    for i in range(n):
+        if out[i] is None:
+            out[i] = next(remaining)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # legacy `group` merge (usecases/traverser/grouper/grouper.go:33-143)
 
