@@ -673,3 +673,26 @@ def test_diversify_results_reference_fixtures():
     out = diversify_results(rows([A1, None, A2, None, A3, B]), "v", "s",
                             limit=3, balance=0)
     assert ids(out[:4]) == [0, 1, 5, 3]
+
+
+def test_autocut_runs_before_selection_reference_semantics(spark):
+    """Ported semantics from TestHybridCombinerAutocutRunsBeforeSelection
+    (usecases/traverser/hybrid/searcher_test.go:376-441): autocut (n=1)
+    trims the fused set at the score gap BEFORE any selection pass
+    (MMR/diversify) sees it."""
+    from weaviate_spark.operators.rerank import diversify_results
+    from weaviate_spark.operators.search_post import apply_autocut
+
+    hits = spark.createDataFrame(
+        [(1, 1.0, [1.0, 0.0]), (2, 0.95, [0.9, 0.1]),
+         (3, 0.10, [0.0, 1.0]), (4, 0.05, [0.1, 0.9])],
+        "id long, _score double, v array<float>",
+    )
+    cut = apply_autocut(hits.orderBy(F.col("_score").desc()), "_score", 1)
+    rows = [r.asDict() for r in
+            cut.orderBy(F.col("_score").desc()).collect()]
+    # the gap after the top 2 trims the set to exactly those two
+    assert [r["id"] for r in rows] == [1, 2]
+    # selection only sees the trimmed window
+    out = diversify_results(rows, "v", "_score", limit=2, balance=0)
+    assert sorted(r["id"] for r in out) == [1, 2]
