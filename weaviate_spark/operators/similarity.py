@@ -213,3 +213,53 @@ def ivf_top_k(
         .limit(k)
         .select(id_col, "_distance")
     )
+
+
+def ivf_literal_topk(
+    spark,
+    sf_dir: str,
+    collection: str,
+    vector: Sequence[float],
+    centroids=None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    metric: str = "cosine",
+    table_key: tuple | None = None,
+):
+    """IVF search with PERSISTED coarse centroids (the offline-trained
+    artifact, tools/train_pq.py — a 1-segment PQ codebook over the full
+    normalized vector, so cell assignment reuses the PQ encode kernel
+    and the oracle mirrors the identical argmin arithmetic): probe the
+    nprobe cells whose centroids are closest to the query, exact-rescore
+    only their members.
+
+    Scale: assignment is an ingest-time cached column; the probe is a
+    literal IN over the cell id (partition-prunable if the table is
+    written partitioned by cell); rescore touches ~nprobe/k_cells of the
+    corpus."""
+    from weaviate_spark.operators.quantization import pq_lut_py, with_pq_index
+    from weaviate_spark.sources.tables import load_table
+
+    if centroids is None:
+        from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+        centroids = IVF_CENTROIDS
+    normalize = metric == "cosine"
+    base = load_table(spark, sf_dir, collection)
+    enc = with_pq_index(
+        base, id_col, vector_col, [centroids],
+        table_key if table_key is not None else (sf_dir, collection, "ivf"),
+        normalize=normalize,
+    )
+    lut = pq_lut_py(vector, [centroids], normalize=normalize)[0]
+    cells = sorted(range(len(lut)), key=lambda c: (lut[c], c))[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in vector])
+    cand = enc.where(F.element_at(F.col("_pq"), 1).isin(cells))
+    return (
+        cand.withColumn(
+            "_distance", F.round(distance(F.col("_v"), qcol, metric), 6))
+        .select(F.col("_id").alias(id_col), "_distance")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
