@@ -496,12 +496,17 @@ def _rq_encode_kernel(M, normalize: bool = True):
             upper = R.max(axis=1)
             step = (upper - lower) / 255.0
             safe = step > 0
-            codes = np.zeros_like(R, dtype=np.int32)
-            if safe.any():
-                codes[safe] = np.clip(
-                    np.floor((R[safe] - lower[safe, None]) / step[safe, None] + 0.5),
-                    0, 255,
-                ).astype(np.int32)
+            if not safe.all():
+                # degenerate vectors (constant after rotation, step == 0)
+                # cannot be 8-bit coded — drop them, mirroring the
+                # oracle's WHERE st > 0 and the BQ null-drop.
+                pdf = pdf[safe]
+                if pdf.empty:
+                    continue
+                R, lower, step = R[safe], lower[safe], step[safe]
+            codes = np.clip(
+                np.floor((R - lower[:, None]) / step[:, None] + 0.5), 0, 255,
+            ).astype(np.int32)
             yield pd.DataFrame({
                 "_id": pdf["_id"].to_numpy(),
                 "_v": pdf["_v"].to_numpy(),

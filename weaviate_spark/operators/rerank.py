@@ -443,13 +443,21 @@ def _bucket_knn_kernel(k: int, metric: str):
             d = -(Q @ L.T)
         else:  # pragma: no cover - guarded by knn_classify_lsh dispatch
             raise ValueError(f"unsupported kernel metric {metric!r}")
-        # round half-up at 6dp (matches F.round / duckdb round for the
-        # non-negative cosine and l2 distances used here)
-        dr = np.floor(d * 1e6 + 0.5) / 1e6
+        # round half-up at 6dp, sign-aware (HALF_UP = away from zero),
+        # matching F.round / duckdb round for cosine, l2 AND negative
+        # dot distances. Integer micro units are computed ONCE and reused
+        # for both the emitted distance and the sort key — a float
+        # round-trip (dr * 1e6).astype(int64) can truncate ~2% of values
+        # down by one micro and merge distinct tie buckets.
+        ki = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d).astype(np.int64)
+        dr = ki / 1e6
         tids = lab["_tid"].to_numpy(dtype=np.int64)
         labels = lab["_label"].to_numpy(dtype=np.int64)
-        # composite sort key: rounded distance (int micro units) then tid
-        key = (dr * 1e6).astype(np.int64) * np.int64(1_000_000_000) + tids
+        # composite sort key: rounded distance (int micro units) then tid.
+        # Packing assumes tid < 1e9 (synthetic ids are dense row numbers).
+        if tids.size and tids.max() >= 1_000_000_000:
+            raise ValueError("_bucket_knn_kernel requires candidate ids < 1e9")
+        key = ki * np.int64(1_000_000_000) + tids
         kk = min(k, key.shape[1])
         part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
         qids = qs["_qid"].to_numpy(dtype=np.int64)

@@ -169,6 +169,35 @@ def sessionized_event_counts(
     )
 
 
+def _make_running_totals_update(key_cols: tuple[str, ...]):
+    """Build the applyInPandasWithState update function for
+    stateful_running_totals (module-level so the timeout/eviction
+    contract is unit-testable with a fake GroupState)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # watermark passed the key's last event: evict state, emit
+            # nothing (a timeout invocation carries no data — re-saving
+            # state here would leak it forever and re-emit stale rows).
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # only data-bearing invocations re-arm the timeout
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame({
+            **{k: [key[i]] for i, k in enumerate(key_cols)},
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+        })
+
+    return update
+
+
 def stateful_running_totals(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("user_id",),
@@ -190,8 +219,6 @@ def stateful_running_totals(
     Scale: one shuffle on the key; state per live key is three scalars;
     Arrow batches stream per group (iterator contract, nothing
     materializes a partition)."""
-    import pandas as pd
-
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
@@ -209,18 +236,7 @@ def stateful_running_totals(
             )
         )
 
-    def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-        yield pd.DataFrame({
-            **{k: [key[i]] for i, k in enumerate(key_cols)},
-            "n_events": [n],
-            "total_value": [round(total, 2)],
-        })
+    update = _make_running_totals_update(key_cols)
 
     df = events
     if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
