@@ -155,3 +155,46 @@ class TestRqDegenerateDrop:
         gen = _rq_encode_kernel(eye, normalize=False)
         pdf = pd.DataFrame({"_id": [1], "_v": [[3.0, 3.0]]})
         assert list(gen(iter([pdf]))) == []
+
+
+class TestWritePathInvalidation:
+    def test_upsert_refreshes_bm25_stats(self, spark, tmp_path):
+        """A keyword query after an upsert must score against the NEW
+        corpus statistics (N, df, doclen) — the reference refreshes its
+        prop-length tracker on every write (shard_write_inverted.go).
+        Pin it by comparing the materialized-stats path against the
+        always-fresh recompute path after the write."""
+        from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
+        from weaviate_spark.sources.crud import upsert
+
+        sf_dir = str(tmp_path)
+        table = f"{sf_dir}/docs.parquet"
+        spark.createDataFrame(
+            [(1, "apple banana"), (2, "cherry date")], ["doc_id", "text"]
+        ).write.parquet(table)
+        spec = BM25Spec(
+            collection="docs", query="apple",
+            properties=[BM25Prop("text")], id_col="doc_id",
+        )
+        before = {r["doc_id"]: r["_score"]
+                  for r in bm25_search(spark, sf_dir, spec).collect()}
+        assert set(before) == {1}
+
+        upsert(
+            spark, table,
+            spark.createDataFrame(
+                [(3, "apple apple pie"), (4, "apple tart")],
+                ["doc_id", "text"],
+            ),
+            "doc_id",
+        )
+        cached = {r["doc_id"]: r["_score"]
+                  for r in bm25_search(spark, sf_dir, spec).collect()}
+        fresh = {r["doc_id"]: r["_score"]
+                 for r in bm25_search(
+                     spark, sf_dir, spec, use_stats_tables=False).collect()}
+        assert set(cached) == {1, 3, 4}
+        assert cached == fresh  # stale N/df would shift every score
+        # N went 2 -> 4 and df(apple) 1 -> 3: the idf (hence score of
+        # doc 1) must actually have changed, proving stats were rebuilt
+        assert cached[1] != before[1]

@@ -36,9 +36,31 @@ from pyspark.sql import functions as F
 from weaviate_spark.filters import Clause, apply_where, compile_where
 
 
+def invalidate_indexes() -> None:
+    """Drop every materialized derived structure after a write: BM25
+    corpus stats (N/df/doclen — the prop-length-tracker analogue, which
+    the reference refreshes on every write in shard_write_inverted.go),
+    dedup shingle/signature tables, BQ/PQ/RQ code tables, and joined
+    derived tables. The next query rebuilds them from the new data."""
+    from weaviate_spark.operators.bm25 import invalidate_stats
+    from weaviate_spark.operators.dedup import invalidate_dedup_index
+    from weaviate_spark.operators.quantization import (
+        invalidate_bq_index, invalidate_pq_index, invalidate_rq_index,
+    )
+    from weaviate_spark.sources.tables import invalidate_derived_tables
+
+    invalidate_stats()
+    invalidate_dedup_index()
+    invalidate_bq_index()
+    invalidate_pq_index()
+    invalidate_rq_index()
+    invalidate_derived_tables()
+
+
 def _rewrite(df: DataFrame, table_dir: str) -> None:
     """Write df to a staging dir then swap — readers never see a
-    half-written table."""
+    half-written table. Every write invalidates materialized index
+    state so no query scores against stale statistics."""
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(staging)
     backup = table_dir.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
@@ -47,6 +69,7 @@ def _rewrite(df: DataFrame, table_dir: str) -> None:
     os.rename(staging, table_dir)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+    invalidate_indexes()
 
 
 def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -> None:
@@ -120,6 +143,7 @@ def upsert_partitioned(
         if os.path.exists(backup):
             shutil.rmtree(backup)
     shutil.rmtree(staging)
+    invalidate_indexes()
 
 
 def patch(
@@ -183,6 +207,7 @@ def write_tenant_partitioned(df: DataFrame, table_dir: str, tenant_col: str) -> 
         .partitionBy(tenant_col)
         .parquet(table_dir)
     )
+    invalidate_indexes()
 
 
 def read_tenant(spark: SparkSession, table_dir: str, tenant_col: str, tenant) -> DataFrame:
@@ -271,4 +296,7 @@ def compact_table(
     # atomic-ish swap: recreate the table dir from the compacted copy
     shutil.rmtree(path)
     shutil.move(tmp, path)
+    # content is identical but cached/materialized frames reference the
+    # replaced files — drop them so nothing rescans deleted paths
+    invalidate_indexes()
     return files
