@@ -3303,3 +3303,52 @@ def q_knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
         k=10, overfetch=4, table_key=(sf_dir, "embeddings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M13 — serialized query front-end (SURVEY §3.1 lifecycle)
+
+@register(
+    "json_query_parsed",
+    oracle=(
+        "SELECT p_partkey, p_name, p_retailprice, p_size FROM part "
+        "WHERE p_type LIKE 'PROMO%' AND p_size >= 10 "
+        "ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15 OFFSET 5"
+    ),
+)
+def q_json_query_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full serialized-query lifecycle: a SearchRequest-shaped JSON
+    document (gRPC field names, grpc/proto/v1/search_get.proto:14-52)
+    -> parse_query -> GetSpec -> compile_get. Exercises the Filters
+    message oneof (value_text / value_int), the target.property path
+    form, the proto operator enum, SortBy{ascending, path}, offset
+    pagination, and the properties projection — proving parsed and
+    hand-built specs compile to the same Catalyst plan (Like-prefix
+    still pushes down as StartsWith)."""
+    from weaviate_spark.plans import compile_get, parse_query
+
+    spec = parse_query(
+        """
+        {
+          "collection": "part",
+          "filters": {
+            "operator": "OPERATOR_AND",
+            "filters": [
+              {"operator": "OPERATOR_LIKE",
+               "target": {"property": "p_type"}, "value_text": "PROMO*"},
+              {"operator": "OPERATOR_GREATER_THAN_EQUAL",
+               "path": ["p_size"], "value_int": 10}
+            ]
+          },
+          "sort_by": [
+            {"ascending": false, "path": ["p_retailprice"]},
+            {"ascending": true, "path": ["p_partkey"]}
+          ],
+          "offset": 5,
+          "limit": 15,
+          "properties": {"non_ref_properties":
+            ["p_partkey", "p_name", "p_retailprice", "p_size"]}
+        }
+        """
+    )
+    return compile_get(spark, sf_dir, spec)

@@ -1,2 +1,3 @@
 from weaviate_spark.plans.spec import GetSpec, SortKey  # noqa: F401
 from weaviate_spark.plans.compile import compile_get  # noqa: F401
+from weaviate_spark.plans.parse import parse_query  # noqa: F401
