@@ -2429,6 +2429,85 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_luma",
+    oracle=(
+        "WITH docs AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents "
+        "WHERE doc_id % 17 = 0), "
+        "s AS (SELECT doc_id, nf, u.s AS frame_idx FROM docs, "
+        "(SELECT unnest(generate_series(0, 5)) AS s) u "
+        "WHERE u.s * 200 < nf * 100) "
+        "SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(frame_idx * 200 AS BIGINT) AS frame_ts_ms, "
+        "CAST((doc_id * 7 + least(nf - 1, frame_idx * 2) * 31) % 256 AS BIGINT) "
+        "AS luma FROM s ORDER BY media_id, frame_idx"
+    ),
+)
+def q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: per doc a Y4M clip (3-6 solid frames at 10
+    fps, luma = (doc_id*7 + frame*31) % 256, neutral chroma) is encoded
+    executor-side, frame-sampled every 200 ms with the fps-aware Y4M
+    path of sample_frames (operators/multimodal.py), and each sampled
+    PPM frame is decoded back with the real image codec to recover its
+    luma. Neutral chroma makes YCbCr->RGB exact (RGB == Y), so the
+    DuckDB oracle mirrors the sampling+luma arithmetic analytically —
+    the whole encode -> container parse -> frame seek -> decode chain is
+    hash-checked, not just rows-only. Reference scope: multi2vec video
+    modules treat video as an ingest-time-vectorized blob; frame
+    sampling is the Spark-pipeline analogue. Scale: one narrow
+    Arrow-batched map per stage, no shuffle until the final sort."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multimodal import (
+        decode_image_array,
+        sample_frames,
+        solid_y4m,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+
+    def _make(it):
+        import pandas as pd
+
+        for pdf in it:
+            clips = [
+                solid_y4m(
+                    [((int(d) * 7 + f * 31) % 256, 128, 128)
+                     for f in range(3 + int(d) % 4)],
+                    width=4, height=4, fps=(10, 1),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "media": clips})
+
+    media = docs.mapInPandas(_make, "media_id long, media binary")
+    frames = sample_frames(media, "media_id", "media", every_ms=200)
+
+    def _luma(it):
+        import pandas as pd
+
+        for pdf in it:
+            lumas = [
+                int(decode_image_array(bytes(b))[0, 0, 0]) for b in pdf["frame"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "frame_ts_ms": pdf["frame_ts_ms"],
+                "luma": lumas,
+            })
+
+    return (
+        frames.mapInPandas(
+            _luma, "media_id long, frame_idx long, frame_ts_ms long, luma long"
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
     "pagination_offset",
     oracle=(
         "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey "

@@ -22,10 +22,13 @@ header parse + numpy pixel array, nearest-neighbor resize), and PCM WAV
 audio via the stdlib ``wave`` module (sample rate / channels / duration
 / RMS / zero-crossing features), plus baseline-sequential JPEG and
 8-bit PNG decoders written here in pure python/numpy (stdlib zlib for
-the PNG inflate). Formats that still require external codecs
-(progressive JPEG, 16-bit/interlaced PNG, MP3, video) raise
-NotImplementedError unless ``fake=True``,
-which substitutes a deterministic md5-seeded pseudo-decoder; the
+the PNG inflate), and Y4M (YUV4MPEG2) video (header parse, frame
+offset scan, planar-YUV -> RGB with the same JFIF matrix as the JPEG
+path, fps-aware frame sampling). Formats that still require external
+codecs (progressive JPEG, 16-bit/interlaced PNG, MP3, compressed video
+containers like MP4/WebM) raise NotImplementedError unless
+``fake=True``, which substitutes a deterministic md5-seeded
+pseudo-decoder (frame sampling instead skips unknown containers); the
 surrounding plumbing — schemas, batching, null handling, output shapes
 — is identical, so swapping in PIL/ffmpeg is a one-function change.
 """
@@ -429,6 +432,164 @@ def decode_wav_info(data: bytes) -> dict:
     }
 
 
+def _y4m_parse(data: bytes):
+    """Parse a YUV4MPEG2 (Y4M) stream — the public uncompressed video
+    interchange format (mjpegtools spec): ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> [I.] [A.:.] [C<cs>] [X..]\\n``
+    followed by ``FRAME[ params]\\n`` + planar YUV bytes per frame.
+
+    Returns ``(info, frame_offsets)`` where info has width/height/
+    fps_num/fps_den/colorspace/n_frames/duration_ms and each offset
+    points at the first plane byte of a complete frame, or ``None`` if
+    the bytes are not a well-formed Y4M stream. Truncated final frames
+    are dropped rather than erroring (per-row codec failures must never
+    kill a 100 TB pass)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"
+    try:
+        for tag in data[9:nl].split(b" "):
+            if not tag:
+                continue
+            k, v = tag[:1], tag[1:]
+            if k == b"W":
+                w = int(v)
+            elif k == b"H":
+                h = int(v)
+            elif k == b"F":
+                num, den = v.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif k == b"C":
+                colorspace = v.decode("ascii")
+            # I (interlace), A (aspect), X (extension) don't change layout
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not w or not h or w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
+        return None
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    if colorspace.startswith("420"):
+        chroma = (ch, cw)
+    elif colorspace.startswith("422"):
+        chroma = (h, cw)
+    elif colorspace.startswith("444"):
+        chroma = (h, w)
+    elif colorspace.startswith("mono"):
+        chroma = None
+    else:
+        return None
+    frame_size = w * h + (2 * chroma[0] * chroma[1] if chroma else 0)
+    offsets = []
+    pos = nl + 1
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            break  # garbage after last complete frame: keep what we have
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > len(data):
+            break  # truncated frame header or plane data
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+    info = {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": len(offsets),
+        "duration_ms": len(offsets) * 1000 * fps_den // fps_num,
+        "chroma": chroma,
+    }
+    return info, offsets
+
+
+def decode_y4m_info(data: bytes):
+    """Y4M header + frame-count metadata (the video analogue of
+    decode_wav_info), or None for non-Y4M bytes."""
+    parsed = _y4m_parse(data)
+    if parsed is None:
+        return None
+    info = dict(parsed[0])
+    info.pop("chroma")
+    return info
+
+
+def _y4m_frame_rgb(data: bytes, info: dict, offset: int):
+    """Decode one planar YUV frame at `offset` to an (h, w, 3) uint8 RGB
+    array. Chroma upsamples by pixel replication and YCbCr->RGB uses the
+    same full-range JFIF matrix as the JPEG decoder (C420jpeg is JFIF
+    chroma siting), so video frames land in the exact feature space the
+    image pipeline uses."""
+    import numpy as np
+
+    w, h, chroma = info["width"], info["height"], info["chroma"]
+    ysz = w * h
+    Y = np.frombuffer(data, dtype=np.uint8, count=ysz, offset=offset)
+    Y = Y.reshape(h, w).astype(np.float64)
+    if chroma is None:
+        g = Y.astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    csz = chroma[0] * chroma[1]
+    Cb = np.frombuffer(data, np.uint8, csz, offset + ysz).reshape(chroma)
+    Cr = np.frombuffer(data, np.uint8, csz, offset + ysz + csz).reshape(chroma)
+    Cb = np.repeat(np.repeat(Cb, (h + chroma[0] - 1) // chroma[0], axis=0),
+                   (w + chroma[1] - 1) // chroma[1], axis=1)[:h, :w].astype(np.float64)
+    Cr = np.repeat(np.repeat(Cr, (h + chroma[0] - 1) // chroma[0], axis=0),
+                   (w + chroma[1] - 1) // chroma[1], axis=1)[:h, :w].astype(np.float64)
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def decode_y4m_frame_rgb(data: bytes, frame_idx: int):
+    """Decode frame `frame_idx` of a Y4M stream to RGB, or None."""
+    parsed = _y4m_parse(data)
+    if parsed is None:
+        return None
+    info, offsets = parsed
+    if not 0 <= frame_idx < len(offsets):
+        return None
+    return _y4m_frame_rgb(data, info, offsets[frame_idx])
+
+
+def y4m_from_planes(planes, width: int, height: int,
+                    fps=(25, 1), colorspace: str = "444") -> bytes:
+    """Encode raw YCbCr plane tuples into Y4M bytes (test/fixture
+    helper, the video analogue of solid_jpeg). `planes` is a list of
+    frames; each frame is (Y,) for mono or (Y, Cb, Cr) byte-like planes
+    already at the colorspace's plane sizes."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
+    out = [head.encode("ascii")]
+    for frame in planes:
+        out.append(b"FRAME\n")
+        for p in frame:
+            out.append(bytes(p))
+    return b"".join(out)
+
+
+def solid_y4m(yccs, width: int = 8, height: int = 6, fps=(25, 1),
+              colorspace: str = "420jpeg") -> bytes:
+    """Y4M clip of solid-color frames: one (y, cb, cr) triple per frame."""
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    if colorspace.startswith("420"):
+        cdims = cw * ch
+    elif colorspace.startswith("422"):
+        cdims = cw * height
+    elif colorspace.startswith("444"):
+        cdims = width * height
+    else:
+        raise ValueError(colorspace)
+    frames = [
+        (bytes([y]) * (width * height), bytes([cb]) * cdims, bytes([cr]) * cdims)
+        for y, cb, cr in yccs
+    ]
+    return y4m_from_planes(frames, width, height, fps, colorspace)
+
+
 def _fake_decode(data: bytes, dim: int) -> list[float]:
     """Deterministic md5-seeded pseudo-feature — the stub decoder."""
     out = []
@@ -580,8 +741,17 @@ def sample_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
-    (media_id, frame_idx, frame_ts_ms, frame: binary). The stub emits
-    md5-derived 16-byte pseudo-frames for a fake 5-second clip."""
+    (media_id, frame_idx, frame_ts_ms, frame: binary).
+
+    Y4M (YUV4MPEG2) blobs decode for REAL: the clip's fps maps each
+    sample timestamp (every `every_ms` across the true duration) to its
+    source frame, which is decoded to RGB and re-emitted as PPM (P6)
+    binary — so sampled frames feed directly into decode_image_features
+    / resize_images / near-media search. Compressed containers (MP4/
+    WebM) would need ffmpeg (not in this container): those rows are
+    skipped, or with ``fake=True`` emit the legacy md5-derived
+    pseudo-frames for a fake 5-second clip (Y4M still decodes for real
+    under fake=True)."""
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -595,14 +765,27 @@ def sample_frames(
             for mid, data in zip(pdf[id_col], pdf[media_col]):
                 if data is None:
                     continue
+                data = bytes(data)
+                parsed = _y4m_parse(data)
+                if parsed is not None:
+                    info, offsets = parsed
+                    if not offsets:
+                        continue
+                    ppm_head = f"P6\n{info['width']} {info['height']}\n255\n".encode()
+                    for idx, ts in enumerate(range(0, info["duration_ms"], every_ms)):
+                        src = min(len(offsets) - 1,
+                                  ts * info["fps_num"] // (1000 * info["fps_den"]))
+                        rgb = _y4m_frame_rgb(data, info, offsets[src])
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_ts_ms"].append(ts)
+                        rows["frame"].append(ppm_head + rgb.tobytes())
+                    continue
                 if not fake:
-                    raise NotImplementedError(
-                        "video decode requires ffmpeg (not in this container); "
-                        "pass fake=True for the deterministic stub"
-                    )
+                    continue  # unknown container: skip, never kill the pass
                 duration_ms = 5000
                 for idx, ts in enumerate(range(0, duration_ms, every_ms)):
-                    frame = hashlib.md5(bytes(data) + ts.to_bytes(8, "little")).digest()
+                    frame = hashlib.md5(data + ts.to_bytes(8, "little")).digest()
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["frame_ts_ms"].append(ts)
@@ -616,12 +799,19 @@ def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
     """Query-side near-media (nearImage/nearAudio, modules/img2vec &
     multi2vec query path): decode the query blob with the REAL codecs
     and produce the same feature vector the ingest side computes, so
-    query and corpus share one space. BMP/PPM -> pooled-grayscale image
-    feature; WAV -> [sample_rate/48k, channels/2, log-duration, rms/2^15,
+    query and corpus share one space. BMP/PPM/JPEG/PNG -> pooled-
+    grayscale image feature; Y4M video -> image feature of the middle
+    frame (nearVideo, modules/multi2vec video path); WAV ->
+    [sample_rate/48k, channels/2, log-duration, rms/2^15,
     zero-crossing] padded to `dim`."""
     img = decode_image_array(data)
     if img is not None:
         return _image_feature(img, dim)
+    y4m = _y4m_parse(data)
+    if y4m is not None and y4m[1]:
+        info, offsets = y4m
+        mid = _y4m_frame_rgb(data, info, offsets[len(offsets) // 2])
+        return _image_feature(mid, dim)
     try:
         info = decode_wav_info(data)
     except Exception:
