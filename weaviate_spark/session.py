@@ -22,6 +22,17 @@ def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-coalesce the output partitioning of cached plans too:
+        # cached index tables (BM25 postings, ANN buckets) keep a
+        # data-size-appropriate partition count instead of inheriting the
+        # build's shuffle width — at local scale that is 1-2 partitions, on
+        # a cluster whatever the 64 MB advisory target yields.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Call-site capture for DataFrame error contexts costs 3+ extra py4j
+        # round trips per API call; with plans this size it dominates
+        # driver-side plan construction (~2x). Debuggability loss is only
+        # the enriched call-site line in error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Sized for local test scale; on a real cluster this scales with
         # executor count (rule of thumb: 2-3x total cores).
         .config("spark.sql.shuffle.partitions", str(cpus))
