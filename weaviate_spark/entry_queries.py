@@ -3388,6 +3388,94 @@ def q_knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M13 — serialized query front-end (SURVEY §3.1 lifecycle)
 
 @register(
+    "graphql_get_parsed",
+    oracle=(
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+        "WHERE s_acctbal > 1000 AND s_name LIKE '%9' "
+        "ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 12 OFFSET 3"
+    ),
+)
+def q_graphql_get_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY query surface: a GraphQL Get document
+    (adapters/handlers/graphql/local/get/get.go resolver shape) ->
+    parse_graphql -> the same GetSpec the JSON/gRPC front-end produces
+    -> compile_get. Exercises the where-object form (operator enums as
+    bare GraphQL names, value* keys, nested operands), sort objects
+    with order enums, offset pagination, and the selection-set
+    projection."""
+    from weaviate_spark.plans import compile_get, parse_graphql
+
+    spec = parse_graphql(
+        """
+        {
+          Get {
+            supplier(
+              where: {operator: And, operands: [
+                {path: ["s_acctbal"], operator: GreaterThan, valueNumber: 1000}
+                {path: ["s_name"], operator: Like, valueText: "*9"}
+              ]}
+              sort: [{path: ["s_acctbal"], order: desc},
+                     {path: ["s_suppkey"], order: asc}]
+              limit: 12, offset: 3
+            ) {
+              s_suppkey s_name s_acctbal
+            }
+          }
+        }
+        """
+    )
+    return compile_get(spark, sf_dir, spec)
+
+
+@register(
+    "graphql_aggregate_parsed",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS meta_count, "
+        "round(avg(o_totalprice), 6) AS o_totalprice_mean, "
+        "min(o_totalprice) AS o_totalprice_minimum, "
+        "max(o_totalprice) AS o_totalprice_maximum "
+        "FROM orders WHERE o_orderdate >= DATE '1996-01-01' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def q_graphql_aggregate_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL Aggregate document (graphql/local/aggregate resolver
+    shape: groupBy arg, meta{count}, per-property aggregator
+    selections) -> parse_graphql -> AggregateSpec -> the shared
+    aggregate() operator."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.aggregate import aggregate
+    from weaviate_spark.plans import parse_graphql
+
+    spec = parse_graphql(
+        """
+        {
+          Aggregate {
+            orders(
+              groupBy: {path: ["o_orderpriority"]}
+              where: {path: ["o_orderdate"], operator: GreaterThanEqual,
+                      valueDate: "1996-01-01T00:00:00Z"}
+            ) {
+              meta { count }
+              groupedBy { value }
+              o_totalprice { mean minimum maximum }
+            }
+          }
+        }
+        """
+    )
+    out = aggregate(spark, sf_dir, spec)
+    return out.select(
+        "o_orderpriority",
+        F.col("meta_count").cast("long").alias("meta_count"),
+        F.round("o_totalprice_mean", 6).alias("o_totalprice_mean"),
+        "o_totalprice_minimum",
+        "o_totalprice_maximum",
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "json_query_parsed",
     oracle=(
         "SELECT p_partkey, p_name, p_retailprice, p_size FROM part "
