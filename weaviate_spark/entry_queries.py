@@ -78,7 +78,7 @@ def q_filter_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT p_partkey, p_name, p_type, p_size FROM part "
         "WHERE p_type LIKE 'PROMO%' AND (p_size >= 30 OR p_size < 5) "
-        "ORDER BY p_partkey"
+        "ORDER BY p_partkey LIMIT 10000"
     ),
 )
 def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +109,7 @@ def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_like_wildcard",
     oracle=(
         "SELECT p_partkey, p_name FROM part "
-        "WHERE p_name LIKE '%wid%et%' ORDER BY p_partkey"
+        "WHERE p_name LIKE '%wid%et%' ORDER BY p_partkey LIMIT 10000"
     ),
 )
 def q_filter_like_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +129,7 @@ def q_filter_like_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
         "WHERE l_returnflag IN ('A','R') AND l_quantity < 5 "
-        "ORDER BY l_orderkey, l_linenumber"
+        "ORDER BY l_orderkey, l_linenumber LIMIT 10000"
     ),
 )
 def q_contains_any(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +156,7 @@ def q_contains_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         # has no nulls in testdata, but the COALESCE encodes the semantics.
         "SELECT event_id, event_type, value FROM events "
         "WHERE NOT COALESCE(event_type = 'purchase', FALSE) AND value > 150 "
-        "ORDER BY event_id"
+        "ORDER BY event_id LIMIT 10000"
     ),
 )
 def q_not(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +183,7 @@ def q_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01' "
-        "ORDER BY l_orderkey, l_linenumber"
+        "ORDER BY l_orderkey, l_linenumber LIMIT 10000"
     ),
 )
 def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,10 +781,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
   GROUP BY 1, 2
 ),""",
-        """cand AS (
+        # AllPairs prefix filtering, mirroring ngram_jaccard_pairs
+        # (dedup.py): exact — identical result set to the naive
+        # any-shared-shingle join, but candidates are bounded by the
+        # rarest-first prefix, so the oracle also survives sf1.
+        """freq AS (
+  SELECT _shingle, count(*) AS _df FROM sh GROUP BY _shingle
+),
+pref AS (
+  SELECT _doc, _shingle, _rank, _sz FROM (
+    SELECT s._doc, s._shingle,
+      row_number() OVER (PARTITION BY s._doc ORDER BY f._df, s._shingle) AS _rank,
+      count(*) OVER (PARTITION BY s._doc) AS _sz
+    FROM sh s JOIN freq f USING (_shingle)
+  ) WHERE _rank <= _sz - ceil(0.35 * _sz - 1e-9) + 1
+),
+cand AS (
   SELECT a._doc AS _a, b._doc AS _b
-  FROM sh a JOIN sh b ON a._shingle = b._shingle AND a._doc < b._doc
-  GROUP BY 1, 2
+  FROM pref a JOIN pref b ON a._shingle = b._shingle AND a._doc < b._doc
+    AND b._sz >= ceil(0.35 * a._sz - 1e-9) AND a._sz >= ceil(0.35 * b._sz - 1e-9)
+  GROUP BY 1, 2, a._sz, b._sz
+  HAVING 1 + least(a._sz - min(a._rank), b._sz - min(b._rank))
+         >= ceil(0.35::DOUBLE / 1.35::DOUBLE * (a._sz + b._sz) - 1e-9)
 ),""",
     ),
 )
@@ -1680,7 +1698,7 @@ def q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_len_property",
     oracle=(
         "SELECT p_partkey, p_name FROM part WHERE length(p_name) > 10 "
-        "ORDER BY p_partkey"
+        "ORDER BY p_partkey LIMIT 10000"
     ),
 )
 def q_filter_len(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,7 +1718,7 @@ def q_filter_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT p_partkey, p_name FROM part "
         "WHERE list_contains(regexp_extract_all(lower(p_name), '[\\p{L}\\p{N}]+'), 'widget') "
-        "ORDER BY p_partkey"
+        "ORDER BY p_partkey LIMIT 10000"
     ),
 )
 def q_filter_tokenized_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,8 +1933,13 @@ def q_knn_named_vectors_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_named_vectors_weighted",
+    # decimal-exact weighted sum, mirroring named_multi_target_search's
+    # manualWeights branch (vector.py): double arithmetic would sit one
+    # ulp below the exact 7th-decimal half for ~10% of rows and round
+    # the other way
     oracle=_NAMED_VECTORS_ORACLE.format(
-        combined="round(0.3 * d_full + 0.7 * d_head, 6)"),
+        combined="CAST(round(0.3 * CAST(d_full AS DECIMAL(20,6)) "
+                 "+ 0.7 * CAST(d_head AS DECIMAL(20,6)), 6) AS DOUBLE)"),
 )
 def q_knn_named_vectors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-vector multi-target search, ManualWeights combine

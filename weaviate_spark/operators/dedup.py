@@ -34,7 +34,7 @@ collision behavior; mirrored exactly in SQL via
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from weaviate_spark.cache import register_cache
@@ -247,8 +247,18 @@ def shingle_sets(sh: DataFrame) -> DataFrame:
     """(doc, shingle-set array) — the per-doc set view of the exploded
     shingle table. Shipped whole through candidate joins so the verify
     stage is two equi-joins plus a JVM-side array_intersect, instead of
-    an exploded (pair, shingle) shuffle join."""
-    return sh.groupBy("_doc").agg(F.collect_list("_shingle").alias("_ss"))
+    an exploded (pair, shingle) shuffle join.
+
+    Elements are xxhash64 of the shingle, not the string: the arrays
+    ride the candidate-pair shuffle twice per pair, and 8-byte longs cut
+    that payload ~3x vs ~25-char shingle strings (at 10x data the string
+    version moved >100 GB). |intersect| / |union| over the hashes equals
+    the string-set Jaccard unless xxhash64 collides inside one doc or
+    one candidate pair (~n_pairs * 53^2 / 2^64 ≈ 1e-8 at sf1 —
+    negligible; the DuckDB oracle stays on strings and hash-matches)."""
+    return sh.groupBy("_doc").agg(
+        F.collect_list(F.xxhash64("_shingle")).alias("_ss")
+    )
 
 
 def with_shingle_sets_table(sh: DataFrame, table_key: tuple) -> DataFrame:
@@ -301,9 +311,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     table_key: tuple | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold (candidate generation
-    by shared shingle — quadratic in worst case; LSH variant is the
-    scale path)."""
+    """Exact all-pairs n-gram Jaccard >= threshold.
+
+    Candidate generation uses AllPairs/PPJoin prefix filtering (Bayardo
+    et al., "Scaling Up All Pairs Similarity Search", WWW'07): order
+    each doc's shingles by ascending global document frequency (rarest
+    first, shingle value as tie-break) and emit only the first
+    s - ceil(t*s) + 1 as join keys — any pair with J >= t provably
+    shares one of these prefix shingles, so the filter is EXACT (the
+    result set is identical to the naive any-shared-shingle join).
+    Without it, one shingle common to k docs yields k^2/2 candidates:
+    at 10x data the naive join spilled a local disk; at 100 TB it is a
+    non-plan. Prefix shingles are rare by construction, so candidate
+    buckets stay small. The epsilon inside ceil() guards float
+    representation (0.35*20 = 7.000000000000001 would otherwise ceil
+    to 8 and shorten the prefix — a false-negative risk); it can only
+    lengthen the prefix, never drop a true pair."""
     if table_key is not None:
         # persisted shingle table (ingest-time artifact) — survives
         # across queries, refreshed via invalidate_dedup_index()
@@ -312,12 +335,59 @@ def ngram_jaccard_pairs(
     else:
         sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
         sets = None
-    a = sh.select(F.col("_doc").alias("_a"), "_shingle")
-    b = sh.select(F.col("_doc").alias("_b"), "_shingle")
-    pairs = (
-        a.join(b, "_shingle").where(F.col("_a") < F.col("_b"))
-        .select("_a", "_b").distinct()
+    freq = sh.groupBy("_shingle").agg(F.count("*").alias("_df"))
+    doc_win = Window.partitionBy("_doc")
+    ranked = (
+        sh.join(freq, "_shingle")
+        .withColumn(
+            "_rank",
+            F.row_number().over(doc_win.orderBy("_df", "_shingle")),
+        )
+        .withColumn("_sz", F.count("*").over(doc_win))
     )
+    prefix = ranked.where(
+        F.col("_rank")
+        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
+    )
+    a = prefix.select(
+        F.col("_doc").alias("_a"), "_shingle",
+        F.col("_rank").alias("_ra"), F.col("_sz").alias("_sza"),
+    )
+    b = prefix.select(
+        F.col("_doc").alias("_b"), "_shingle",
+        F.col("_rank").alias("_rb"), F.col("_sz").alias("_szb"),
+    )
+    # PPJoin-style size + positional filters (Xiao et al., WWW'08), both
+    # conservative (each engine prunes only provably-sub-threshold pairs
+    # under its own arithmetic, so oracle parity is unaffected):
+    #  * size: J >= t forces t*|x| <= |y| (and symmetrically);
+    #  * positional: all common shingles sort at-or-after the globally
+    #    first shared one, so overlap <= 1 + min(|x|-rank_x, |y|-rank_y)
+    #    at that token's per-doc ranks; J >= t needs overlap >=
+    #    t/(1+t)*(|x|+|y|).
+    t_over = threshold / (1.0 + threshold)
+    cand = (
+        a.join(b, "_shingle")
+        .where(
+            (F.col("_a") < F.col("_b"))
+            & (F.col("_szb")
+               >= F.ceil(F.lit(threshold) * F.col("_sza") - F.lit(1e-9)))
+            & (F.col("_sza")
+               >= F.ceil(F.lit(threshold) * F.col("_szb") - F.lit(1e-9)))
+        )
+        .groupBy("_a", "_b")
+        .agg(
+            F.min("_ra").alias("_ra"), F.min("_rb").alias("_rb"),
+            F.max("_sza").alias("_sza"), F.max("_szb").alias("_szb"),
+        )
+    )
+    pairs = cand.where(
+        F.lit(1)
+        + F.least(F.col("_sza") - F.col("_ra"), F.col("_szb") - F.col("_rb"))
+        >= F.ceil(
+            F.lit(t_over) * (F.col("_sza") + F.col("_szb")) - F.lit(1e-9)
+        )
+    ).select("_a", "_b")
     return (
         jaccard_for_pairs(pairs, sh, sets=sets)
         .where(F.col("jaccard") >= threshold)

@@ -319,15 +319,25 @@ def named_multi_target_search(
     elif combination == "average":
         combined = sum(cols[1:], cols[0]) / F.lit(float(len(cols)))
     elif combination == "manualWeights":
+        # Exact DECIMAL arithmetic, not double: w1*d1 + w2*d2 over
+        # 6dp-rounded distances with 1dp weights lands EXACTLY on a
+        # 7th-decimal half for ~1 row in 10, where double arithmetic
+        # (true value just below the half -> round down) and Java's
+        # BigDecimal.valueOf shortest-repr rounding (sees the exact
+        # "...5" -> HALF_UP) disagree. Decimal keeps the sum exact so
+        # the final HALF_UP is deterministic in any engine.
         ws = [float(t.weight) for t, _ in dcols]
-        combined = sum(
-            (c * F.lit(w) for c, w in list(zip(cols, ws))[1:]),
-            cols[0] * F.lit(ws[0]),
-        )
+        terms = [
+            c.cast("decimal(20,6)") * F.lit(w).cast("decimal(10,6)")
+            for c, w in zip(cols, ws)
+        ]
+        combined = sum(terms[1:], terms[0])
     else:
         raise ValueError(f"unknown combination {combination!r}")
     return (
-        out.withColumn("_distance", F.round(combined, round_digits))
+        out.withColumn(
+            "_distance", F.round(combined, round_digits).cast("double")
+        )
         .withColumn(
             "_distances",
             F.struct(*[F.col(f"_d_{t.name}").alias(t.name) for t, _ in dcols]),

@@ -41,6 +41,17 @@ def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> Spar
         # query-vector single rows, stats tables) should never shuffle-join.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # pair-listing queries (simhash/minhash near-dup) return result
+        # sets that grow with duplicate density; at 10x data the default
+        # 1g cap aborts the collect while executors are still healthy
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAXRESULT", "4g"))
+        # 32 MB input splits: a single-file local table (sf1 documents is
+        # one 59 MB parquet) still fans out across cores for CPU-heavy
+        # narrow stages (regex scoring, tokenization). On a cluster the
+        # same setting just makes more, smaller, scan tasks — AQE
+        # coalesces downstream anyway.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # weaviate dates are RFC3339 with ns precision (SURVEY §1.2); parquet
         # TIMESTAMP(NANOS) is read as long and converted to µs at load
         # (documented divergence: ns -> µs truncation).
