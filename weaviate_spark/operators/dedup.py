@@ -434,16 +434,31 @@ def embedding_neardup_pairs_lsh(
     seed: int = 42,
     probe: int = 2,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: candidate pairs come from
-    shared random-hyperplane LSH buckets (side A probes its own bucket
-    plus all Hamming-1 buckets when probe > 1), then exact rescore and
-    threshold — no cross join anywhere in the plan. Shuffles: one
-    equi-join on the hash-uniform bucket key + one pair dedup; both
-    scale with collisions per bucket, not n^2. `embedding_neardup_pairs`
-    (brute force) is the exactness/recall oracle
-    (tests/test_dedup_textstats.py)."""
-    from weaviate_spark.functions.distance import distance
-    from weaviate_spark.operators.rerank import _probe_buckets
+    """Scale path for embedding near-dup: candidate pairs are all pairs
+    whose random-hyperplane LSH signatures are within Hamming distance 1
+    (probe > 1) or equal (probe == 1), then exact rescore and threshold
+    — no cross join anywhere in the plan.
+
+    Candidate generation runs on the BUCKET-GRAPH EDGE, not on probed
+    buckets: every unordered signature pair {b1, b2} with Hamming <= 1
+    is one canonical edge key "min|max", the lower-bucket members land
+    on side 0 and the higher-bucket members on side 1, so each candidate
+    pair is generated EXACTLY ONCE. The previous probe-and-
+    dropDuplicates formulation generated every pair up to
+    2x(num_planes+1) times and shuffled the duplicated rows — vectors
+    attached — through the dedup exchange (~48 GB at 10x data, 4 min
+    wall). Here the only shuffle is the slim edge-keyed emission
+    (~(num_planes/2 + 1) rows per vector per side, ~90 MB at 10x data).
+
+    Rescoring is a per-edge numpy GEMM inside applyInPandas (the
+    _bucket_knn_kernel pattern, rerank.py): Arrow ships one row per
+    BUCKET MEMBER, never per pair, and the pairwise distance matrix for
+    an edge is one float64 matmul — the Catalyst higher-order-function
+    cosine (zip_with + aggregate, interpreted per element) costs
+    hundreds of µs per pair and dominated the old plan. Rounding is
+    half-up at 6dp on non-negative distances, matching F.round and the
+    DuckDB oracle. `embedding_neardup_pairs` (brute force) is the
+    exactness/recall oracle (tests/test_dedup_textstats.py)."""
     from weaviate_spark.operators.similarity import hyperplanes, signature_col
 
     planes = hyperplanes(num_planes, dim, seed)
@@ -451,24 +466,92 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"),
         signature_col(F.col(vector_col), planes).alias("_sig"),
     )
-    a = s.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-        F.explode(_probe_buckets(F.col("_sig"), num_planes, probe)).alias("_bucket"),
-    )
-    b = s.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-        F.col("_sig").alias("_bucket"),
-    )
-    pairs = (
-        a.join(b, "_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    d = F.round(distance(F.col("_va"), F.col("_vb"), metric), 6)
-    return (
-        pairs.withColumn("_distance", d)
-        .where(F.col("_distance") <= F.lit(max_distance))
-        .select("id_a", "id_b", "_distance")
+
+    def edge_keys(side: str) -> Column:
+        sig = F.col("_sig")
+        # self-edge: same-bucket pairs, both sides emit
+        edges = [F.concat(sig, F.lit("|"), sig)]
+        if probe > 1:
+            for i in range(num_planes):
+                bit = F.substring(sig, i + 1, 1)
+                flip = F.concat(
+                    F.substring(sig, 1, i),
+                    F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring(sig, i + 2, num_planes),
+                )
+                key = F.concat(
+                    F.least(sig, flip), F.lit("|"), F.greatest(sig, flip)
+                )
+                # a vector joins an edge from the LEFT iff its own bucket
+                # is the edge's lower endpoint (bit '0' flips upward)
+                cond = bit == F.lit("0" if side == "left" else "1")
+                edges.append(F.when(cond, key))
+        return F.array_compact(F.array(*edges))
+
+    left = s.select(
+        "_id", "_v", F.explode(edge_keys("left")).alias("_edge")
+    ).withColumn("_side", F.lit(0))
+    right = s.select(
+        "_id", "_v", F.explode(edge_keys("right")).alias("_edge")
+    ).withColumn("_side", F.lit(1))
+    frame = left.unionByName(right)
+
+    if metric not in ("cosine", "l2-squared", "l2"):
+        raise ValueError(
+            f"embedding_neardup_pairs_lsh: unsupported metric {metric!r} "
+            "(kernel rounding assumes non-negative distances)"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    md = float(max_distance)
+
+    def rescore(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "_distance": []})
+        A = pdf[pdf["_side"] == 0]
+        B = pdf[pdf["_side"] == 1]
+        if A.empty or B.empty:
+            return empty
+        # float32 parquet values widened to float64 — the same doubles
+        # the expression path and the DuckDB oracle compute with
+        VA = np.stack(A["_v"].to_numpy()).astype(np.float64)
+        VB = np.stack(B["_v"].to_numpy()).astype(np.float64)
+        dots = VA @ VB.T
+        if metric == "cosine":
+            na = np.sqrt(np.einsum("ij,ij->i", VA, VA))
+            nb = np.sqrt(np.einsum("ij,ij->i", VB, VB))
+            d = 1.0 - dots / (na[:, None] * nb[None, :])
+        else:  # l2 / l2-squared
+            sa = np.einsum("ij,ij->i", VA, VA)
+            sb = np.einsum("ij,ij->i", VB, VB)
+            d = sa[:, None] + sb[None, :] - 2.0 * dots
+            if metric == "l2":
+                d = np.sqrt(np.maximum(d, 0.0))
+        # half-up at 6dp on non-negative values — F.round/duckdb parity
+        d = np.floor(d * 1e6 + 0.5) / 1e6
+        ia_idx, ib_idx = np.nonzero(d <= md)
+        if ia_idx.size == 0:
+            return empty
+        ids_a = A["_id"].to_numpy()[ia_idx]
+        ids_b = B["_id"].to_numpy()[ib_idx]
+        dist = d[ia_idx, ib_idx]
+        edge = pdf["_edge"].iat[0]
+        b1, b2 = edge.split("|")
+        if b1 == b2:
+            # self edge: every pair appears in both orders -> keep one
+            keep = ids_a < ids_b
+            ids_a, ids_b, dist = ids_a[keep], ids_b[keep], dist[keep]
+        else:
+            # cross edge: each pair appears once, arbitrary order
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            ids_a, ids_b = lo, hi
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "_distance": dist})
+
+    return frame.groupBy("_edge").applyInPandas(
+        rescore,
+        schema=f"id_a {id_type}, id_b {id_type}, _distance double",
     )
 
 
