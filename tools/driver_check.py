@@ -3,6 +3,9 @@ queries()[name] at sf0.01 against oracle_sql()[name] via duckdb —
 row-count + schema + order-insensitive value-hash.
 
 Usage: python tools/driver_check.py [sf_dir] [query ...]
+Set DRIVER_CHECK_JSON=<path> to also write a CORRECTNESS-style JSON
+(per-query rows/schema/hash flags + timings) — used for the sf1
+scale-step evidence file.
 """
 
 from __future__ import annotations
@@ -54,37 +57,52 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     passed = failed = rows_only = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "spark_sec": None}
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"  FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+            rec["err"] = f"spark: {type(ex).__name__}: {ex}"[:300]
             failed += 1
             continue
         el = time.time() - t0
+        rec["spark_rows"] = len(sdf)
+        rec["spark_sec"] = round(el, 2)
         if name not in oracles:
             print(f"  rows-only {name}: {len(sdf)} rows ({el:.1f}s)")
+            rec["err"] = "rows-only (no oracle by design)"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
             rows_only += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"  FAIL {name}: oracle raised {ex}")
+            rec["err"] = f"oracle: {ex}"[:300]
             failed += 1
             continue
+        rec["oracle_rows"] = len(ddf)
         sc, dc = sorted(sdf.columns), sorted(ddf.columns)
+        rec["schema_match"] = sc == dc
         if sc != dc:
             print(f"  FAIL {name}: columns {sc} vs {dc}")
             failed += 1
             continue
+        rec["rows_match"] = len(sdf) == len(ddf)
         if len(sdf) != len(ddf):
             print(f"  FAIL {name}: rowcount {len(sdf)} vs {len(ddf)}")
             failed += 1
             continue
         hs, hd = value_hash(sdf), value_hash(ddf)
+        rec["hash_match"] = hs == hd
         if hs != hd:
             print(f"  FAIL {name}: value hash mismatch ({len(sdf)} rows)")
             # show a diff sample
@@ -99,6 +117,14 @@ def main() -> int:
         passed += 1
 
     print(f"== {passed} passed, {failed} failed, {rows_only} rows-only ==")
+    import json
+    import os
+    out = os.environ.get("DRIVER_CHECK_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "passed": passed, "failed": failed,
+                       "rows_only": rows_only, "queries": report}, f, indent=1)
+        print(f"wrote {out}")
     return 1 if failed else 0
 
 

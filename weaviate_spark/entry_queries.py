@@ -3542,3 +3542,143 @@ def q_json_query_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return compile_get(spark, sf_dir, spec)
+
+
+# ---------------------------------------------------------------------------
+# Result annotator module families (modules.py QNAS/SUMMARIZERS/NERS/
+# SPELLCHECKERS — reference modules/ listing: qna-*, sum-*,
+# ner-transformers, text-spellcheck). Shared deterministic base window:
+# the 50 lowest-id English documents.
+
+_ANNOTATE_BASE_SQL = (
+    "base AS (SELECT doc_id, text FROM documents WHERE lang = 'en' "
+    "ORDER BY doc_id LIMIT 50), "
+    "tk AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    "'[\\p{L}\\p{N}]+') AS tt FROM base)"
+)
+
+
+def _annotate_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "qna_extractive_answer",
+    oracle=(
+        "WITH " + _ANNOTATE_BASE_SQL + ", "
+        "ch AS (SELECT doc_id, len(tt) AS n, "
+        "list_sort(list_transform(range(0, greatest(ceil(len(tt)/10.0)::INT, 1)), "
+        "i -> {'_neg': -len(list_intersect(tt[i*10+1:i*10+10], "
+        "['join','performance','query','spark'])), "
+        "'_idx': i::INT, "
+        "'_ans': coalesce(array_to_string(tt[i*10+1:i*10+10], ' '), '')}))[1] AS b "
+        "FROM tk) "
+        "SELECT doc_id, b._ans AS answer, (-b._neg) > 0 AS has_answer, "
+        "round((-b._neg)::DOUBLE / 4.0, 6) AS certainty, "
+        "b._idx * 10 AS start_token, least(b._idx * 10 + 10, n) AS end_token "
+        "FROM ch"
+    ),
+)
+def q_qna_extractive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qna-dummy module (modules/qna-transformers additional-prop shape):
+    extractive answer = the 10-token window with the highest distinct
+    question-token overlap, earliest window on ties."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.modules import QNAS
+
+    base = _annotate_base(spark, sf_dir)
+    ans = QNAS["qna-dummy"](F.col("text"), "spark join query performance")
+    return base.withColumn("_a", ans).select(
+        "doc_id",
+        F.col("_a.answer").alias("answer"),
+        F.col("_a.has_answer").alias("has_answer"),
+        F.col("_a.certainty").alias("certainty"),
+        F.col("_a.start_token").alias("start_token"),
+        F.col("_a.end_token").alias("end_token"),
+    )
+
+
+@register(
+    "sum_top_tokens",
+    oracle=(
+        "WITH " + _ANNOTATE_BASE_SQL + " "
+        "SELECT doc_id, array_to_string(list_transform("
+        "list_sort(list_transform("
+        "list_filter(list_distinct(tt), t -> t NOT IN ('a','the')), "
+        "t -> {'_neg': -len(list_filter(tt, x -> x = t)), '_tok': t}))[1:5], "
+        "s -> s._tok), ' ') AS summary, 'text' AS property FROM tk"
+    ),
+)
+def q_sum_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum-dummy module (modules/sum-transformers summary{property,
+    result} shape): extractive summary = top-5 most frequent
+    non-stopword tokens, count-desc / token-asc."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.modules import SUMMARIZERS
+
+    base = _annotate_base(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        SUMMARIZERS["sum-dummy"](F.col("text")).alias("summary"),
+        F.lit("text").alias("property"),
+    )
+
+
+@register(
+    "ner_token_entities",
+    oracle=(
+        "WITH " + _ANNOTATE_BASE_SQL + ", "
+        "h AS (SELECT doc_id, tt, unnest(list_filter(list_distinct(tt), "
+        "t -> t IN ('spark','vector','stream','table','query','join'))) AS word "
+        "FROM tk) "
+        "SELECT doc_id, word, "
+        "CASE word WHEN 'spark' THEN 'TECH' WHEN 'vector' THEN 'ML' "
+        "WHEN 'stream' THEN 'INFRA' ELSE 'DB' END AS entity, "
+        "0.9 AS certainty, list_position(tt, word) - 1 AS start_token FROM h"
+    ),
+)
+def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ner-dummy module (modules/ner-transformers tokens{entity, word,
+    certainty, position} shape): gazetteer tagging, one row per distinct
+    recognized token with its first-occurrence token index."""
+    from weaviate_spark.modules import ner_dummy
+
+    return ner_dummy(_annotate_base(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "spellcheck_corrected_search",
+    oracle=(
+        "SELECT q.*, 'tabel qurey scann' AS original_text, "
+        "'table query scan' AS did_you_mean, 3 AS changes FROM ("
+        + bm25_oracle_sql("documents", "text", "doc_id",
+                          "table query scan", limit=15)
+        + ") q"
+    ),
+)
+def q_spellcheck_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text-spellcheck module lifecycle (modules/text-spellcheck): the
+    QUERY string is corrected against the dictionary before searching,
+    and the spellCheck additional-properties ride along with the hits —
+    the reference applies spellcheck to query input, then searches with
+    the corrected text."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.modules import SPELLCHECKERS
+
+    sc = SPELLCHECKERS["text-spellcheck-dummy"]("tabel qurey scann")
+    hits = bm25_search(spark, sf_dir, BM25Spec(
+        collection="documents", query=sc["corrected_text"],
+        properties=[BM25Prop("text")], id_col="doc_id", limit=15,
+    ))
+    return (
+        hits.withColumn("original_text", F.lit(sc["original_text"]))
+        .withColumn("did_you_mean", F.lit(sc["did_you_mean"]))
+        .withColumn("changes", F.lit(sc["changes"]))
+    )

@@ -154,6 +154,152 @@ def generative_dummy(prompt_template: str):
 GENERATIVES["generative-dummy"] = generative_dummy
 
 
+# ---------------------------------------------------------------------------
+# Result annotator module families (SURVEY §2.10; reference `modules/`
+# listing: qna-*, sum-*, ner-*, text-spellcheck). Like the vectorizer /
+# reranker / generative families above, the shipped implementations are
+# deterministic dummies with the REAL module plan shape — a model-backed
+# implementation registers a function with the same signature. All four
+# are pure Catalyst column expressions (no UDFs): annotators run over
+# top-k result windows, but expression-only stages also scale to
+# whole-corpus batch annotation.
+
+QNAS: dict[str, Callable] = {}
+SUMMARIZERS: dict[str, Callable] = {}
+NERS: dict[str, Callable] = {}
+SPELLCHECKERS: dict[str, Callable] = {}
+
+
+def qna_dummy(text_col: Column, question: str, window: int = 10) -> Column:
+    """qna-dummy: extractive answer = the `window`-token chunk of the
+    document with the highest distinct-token overlap with the question
+    (ties -> earliest chunk). Mirrors the qna-* additional-property
+    shape (modules/qna-transformers answer{result, hasAnswer,
+    certainty, startPosition, endPosition}); positions here are TOKEN
+    offsets, not byte offsets (documented divergence — the corpus is
+    token-joined text). Returns a struct column
+    (answer, has_answer, certainty, start_token, end_token)."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = tokenize(text_col, "word")
+    q = sorted(set(t.lower() for t in question.split()))
+    qarr = F.array(*[F.lit(t) for t in q])
+    n = F.size(toks)
+    chunk_count = F.greatest(F.ceil(n / F.lit(float(window))).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), chunk_count - 1),
+        lambda i: F.struct(
+            (-F.size(F.array_intersect(F.slice(toks, i * window + 1, window), qarr))
+             ).alias("_neg"),
+            i.alias("_idx"),
+            F.array_join(F.slice(toks, i * window + 1, window), " ").alias("_ans"),
+        ),
+    )
+    best = F.element_at(F.array_sort(chunks), 1)
+    score = -best["_neg"]
+    return F.struct(
+        best["_ans"].alias("answer"),
+        (score > 0).alias("has_answer"),
+        F.round(score / F.lit(float(len(q))), 6).alias("certainty"),
+        (best["_idx"] * window).alias("start_token"),
+        F.least(best["_idx"] * window + window, n).alias("end_token"),
+    )
+
+
+QNAS["qna-dummy"] = qna_dummy
+
+
+def sum_dummy(text_col: Column, top: int = 5,
+              stopwords: tuple = ("a", "the")) -> Column:
+    """sum-dummy: extractive summary = the `top` most frequent
+    non-stopword tokens, frequency-desc / token-asc, space-joined
+    (modules/sum-transformers summary{property, result} shape)."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = tokenize(text_col, "word")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    ranked = F.transform(
+        F.array_except(F.array_distinct(toks), sw),
+        lambda t: F.struct(
+            (-F.size(F.filter(toks, lambda x: x == t))).alias("_neg"),
+            t.alias("_tok"),
+        ),
+    )
+    return F.array_join(
+        F.transform(F.slice(F.array_sort(ranked), 1, top), lambda s: s["_tok"]),
+        " ",
+    )
+
+
+SUMMARIZERS["sum-dummy"] = sum_dummy
+
+
+# gazetteer for ner-dummy: token -> entity class
+NER_GAZETTEER = {
+    "spark": "TECH", "vector": "ML", "stream": "INFRA",
+    "table": "DB", "query": "DB", "join": "DB",
+}
+
+
+def ner_dummy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ner-dummy: dictionary (gazetteer) entity tagging — one output row
+    per distinct recognized token per document, with the entity class,
+    a fixed certainty, and the 0-based index of the token's first
+    occurrence (modules/ner-transformers tokens{entity, word,
+    startPosition, certainty} shape; token positions, not byte)."""
+    from weaviate_spark.functions.text import tokenize
+
+    ent = F.create_map(
+        *[F.lit(x) for kv in NER_GAZETTEER.items() for x in kv]
+    )
+    toks = tokenize(F.col(text_col), "word")
+    hits = F.filter(
+        F.array_distinct(toks), lambda t: ent.getItem(t).isNotNull()
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"),
+                  F.explode(hits).alias("word"))
+        .select(
+            id_col,
+            "word",
+            ent.getItem(F.col("word")).alias("entity"),
+            F.lit(0.9).alias("certainty"),
+            (F.array_position("_toks", F.col("word")) - 1).alias("start_token"),
+        )
+    )
+
+
+NERS["ner-dummy"] = ner_dummy
+
+
+# static correction dictionary for text-spellcheck-dummy
+SPELLCHECK_DICT = {
+    "tabel": "table", "qurey": "query", "scann": "scan", "jion": "join",
+}
+
+
+def spellcheck_dummy(query: str) -> dict:
+    """text-spellcheck dummy: token-wise correction of the QUERY against
+    a fixed dictionary, returning the spellCheck additional-property
+    shape (originalText, correctedText, didYouMean, changes). Runs
+    driver-side on the query string — exactly where the reference calls
+    its spellcheck module before searching (text-spellcheck checks
+    query input, not documents)."""
+    toks = (query or "").split()
+    fixed = [SPELLCHECK_DICT.get(t.lower(), t) for t in toks]
+    changes = sum(1 for a, b in zip(toks, fixed) if a != b)
+    corrected = " ".join(fixed)
+    return {
+        "original_text": query,
+        "corrected_text": corrected,
+        "did_you_mean": corrected if changes else None,
+        "changes": changes,
+    }
+
+
+SPELLCHECKERS["text-spellcheck-dummy"] = spellcheck_dummy
+
+
 def ref2vec_centroid(
     parents: DataFrame,
     parent_id: str,
