@@ -225,6 +225,40 @@ def test_registry_aliases():
         reg.resolve("Unknown")
 
 
+def test_registry_namespaces():
+    """Namespace level (cluster/namespaces/, usecases/schema/namespacing/):
+    '<ns>:<Class>' qualified resolution, lifecycle, validation parity."""
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.create_namespace("team-search")
+    reg.add(Collection("Article", [Property("title", "text")]),
+            namespace="team-search")
+    reg.add(Collection("Article", [Property("body", "text")]))  # root ns
+    # same class name resolves independently per namespace
+    assert reg.resolve("team-search:Article").properties[0].name == "title"
+    assert reg.resolve("Article").properties[0].name == "body"
+    # aliases are themselves namespace-qualified entities
+    reg.add_alias("team-search:News", "team-search:Article")
+    assert reg.resolve("team-search:News").properties[0].name == "title"
+    # unknown namespace is distinguished from unknown collection
+    with pytest.raises(KeyError, match="unknown namespace"):
+        reg.resolve("nope:Article")
+    # lifecycle: drop refuses while collections remain, then succeeds
+    with pytest.raises(ValueError, match="still holds"):
+        reg.drop_namespace("team-search")
+    assert reg.list_namespaces() == ["team-search"]
+    # validation parity with the reference
+    for bad in ("ab", "Upper", "-lead", "trail-", "a" * 37, "admin",
+                "default", "with:colon"):
+        with pytest.raises((ValueError,)):
+            reg.create_namespace(bad)
+    with pytest.raises(ValueError, match="already exists"):
+        reg.create_namespace("team-search")
+    with pytest.raises(KeyError, match="unknown namespace"):
+        reg.add(Collection("X", []), namespace="missing")
+
+
 def test_upsert_anti_join_no_key_collect(spark, tmp_path):
     """upsert's keep-set must be a LEFT ANTI join (no driver key
     materialization): probe the optimized plan of the exact frame upsert

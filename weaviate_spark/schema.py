@@ -220,16 +220,111 @@ def infer_collection(name: str, sample: dict) -> Collection:
 # ---------------------------------------------------------------------------
 # aliases (usecases/objects/alias/, entities/dto/dto.go:70): alternate
 # collection names resolved at the registry level.
+#
+# namespaces (cluster/namespaces/, usecases/schema/namespacing/, SURVEY
+# §1.1): a grouping level above collections — the Spark mapping is the
+# database/schema level of a catalog. Qualified names are
+# "<namespace>:<Class>" (entities/schema/validation.go:114
+# NamespaceSeparator); unqualified names live in the root namespace "".
+# Name rules mirror ValidateNamespaceNameSyntax (3-36 chars, lowercase
+# letters/digits/hyphens, no leading/trailing hyphen) and the reserved
+# list (usecases/namespaces/controller.go:93).
+
+import re as _re
+
+NAMESPACE_SEPARATOR = ":"
+NAMESPACE_MIN_LEN, NAMESPACE_MAX_LEN = 3, 36
+_NAMESPACE_RE = _re.compile(r"^[a-z0-9]([a-z0-9-]*[a-z0-9])?$")
+RESERVED_NAMESPACES = frozenset(
+    {"admin", "system", "default", "internal", "weaviate", "global", "public"}
+)
+
+
+def qualified_name(namespace: str, name: str) -> str:
+    """Join namespace and name (namespacing/resolver.go QualifiedName);
+    empty namespace returns the name unchanged."""
+    if not namespace:
+        return name
+    return namespace + NAMESPACE_SEPARATOR + name
+
+
+def namespace_from_qualified(name: str) -> str:
+    """Namespace portion of '<ns>:<entity>'; '' when unqualified."""
+    ns, sep, _ = name.partition(NAMESPACE_SEPARATOR)
+    return ns if sep else ""
+
+
+def strip_qualification(name: str) -> str:
+    """Entity portion of '<ns>:<entity>' (namespace-portable short form,
+    namespacing/resolver.go StripQualification)."""
+    _, sep, entity = name.partition(NAMESPACE_SEPARATOR)
+    return entity if sep else name
+
+
+def validate_namespace_name(name: str) -> None:
+    """Syntax + reserved-name check (ValidateNamespaceNameSyntax +
+    controller.go:422; reference splits them across layers, the policy
+    is identical)."""
+    if not (NAMESPACE_MIN_LEN <= len(name) <= NAMESPACE_MAX_LEN):
+        raise ValueError(
+            f"namespace name {name!r} must be "
+            f"{NAMESPACE_MIN_LEN}-{NAMESPACE_MAX_LEN} characters"
+        )
+    if not _NAMESPACE_RE.match(name):
+        raise ValueError(
+            f"namespace name {name!r} must contain only lowercase letters, "
+            "digits, and hyphens, must start and end with a letter or "
+            "digit, and must not contain ':'"
+        )
+    if name in RESERVED_NAMESPACES:
+        raise ValueError(f"namespace name {name!r} is reserved")
+
 
 class Registry:
-    """Collection registry with alias indirection (name -> table)."""
+    """Collection registry with namespace level and alias indirection.
+
+    Resolution order for a (possibly qualified) name: alias lookup on
+    the exact string first, then collection lookup — matching the
+    reference resolver, where aliases are themselves namespace-qualified
+    entities (usecases/schema/namespacing/resolver.go)."""
 
     def __init__(self) -> None:
         self._collections: dict[str, Collection] = {}
         self._aliases: dict[str, str] = {}
+        self._namespaces: set[str] = set()
 
-    def add(self, coll: Collection) -> None:
-        self._collections[coll.name] = coll
+    # -- namespace lifecycle (cluster/namespaces/namespaces.go Add /
+    # RemoveEntity / List)
+    def create_namespace(self, name: str) -> None:
+        validate_namespace_name(name)
+        if name in self._namespaces:
+            raise ValueError(f"namespace {name!r} already exists")
+        self._namespaces.add(name)
+
+    def drop_namespace(self, name: str) -> None:
+        if name not in self._namespaces:
+            raise KeyError(f"unknown namespace {name!r}")
+        held = [
+            c for c in self._collections
+            if namespace_from_qualified(c) == name
+        ]
+        if held:
+            raise ValueError(
+                f"namespace {name!r} still holds collections: {sorted(held)}"
+            )
+        self._namespaces.discard(name)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(self._namespaces)
+
+    # -- collections / aliases
+    def add(self, coll: Collection, namespace: str = "") -> None:
+        if namespace:
+            if namespace not in self._namespaces:
+                raise KeyError(f"unknown namespace {namespace!r}")
+            self._collections[qualified_name(namespace, coll.name)] = coll
+        else:
+            self._collections[coll.name] = coll
 
     def add_alias(self, alias: str, target: str) -> None:
         if target not in self._collections:
@@ -241,5 +336,8 @@ class Registry:
     def resolve(self, name: str) -> Collection:
         name = self._aliases.get(name, name)
         if name not in self._collections:
+            ns = namespace_from_qualified(name)
+            if ns and ns not in self._namespaces:
+                raise KeyError(f"unknown namespace {ns!r}")
             raise KeyError(f"unknown collection {name!r}")
         return self._collections[name]
