@@ -183,3 +183,110 @@ def test_decoders_never_crash_on_corrupt_bytes():
     for s in samples:
         img = decode_image_array(s)  # must not raise
         assert img is None or img.ndim == 3
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — hand-crafted multi-scan bitstreams, exact
+# expected values (T.81 G.2 successive approximation + spectral selection).
+
+def _prog_gray_header(w, h):
+    """SOF2 grayscale header with DC table 0 only (scans append their own
+    AC tables + SOS as needed)."""
+    data = b"\xff\xd8"
+    data += _seg(0xDB, bytes([0]) + bytes([16] * 64))
+    data += _seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                 + bytes([1, 1, 0x11, 0]))
+    data += _dht(0, 0, DC_COUNTS, DC_SYMS)
+    return data
+
+
+def _sos1(ss, se, ah, al, tables=0x00):
+    return _seg(0xDA, bytes([1, 1, tables, ss, se, (ah << 4) | al]))
+
+
+def test_progressive_dc_first_plus_refine_exact():
+    """DC 10 at Al=1 (-> 20), refinement bit 1 (-> 21): every pixel is
+    exactly 21*16/8 + 128 = 170."""
+    data = _prog_gray_header(8, 8)
+    data += _sos1(0, 0, 0, 1)
+    data += _bits_to_bytes(_dc_bits(10))          # no AC, no EOB in DC scan
+    data += _sos1(0, 0, 1, 0)
+    data += _bits_to_bytes("1")                   # refinement bit
+    data += b"\xff\xd9"
+    img = decode_image_array(data)
+    assert img is not None and img.shape == (8, 8, 3)
+    assert (img == 170).all()
+
+
+def test_progressive_ac_first_and_refine_exact():
+    """Spectral-selection AC scan sets zigzag-1 to 5 at Al=1 (-> 10); the
+    refinement scan's EOB + correction bit bumps it to 11. Pixels follow
+    the closed-form single-coefficient IDCT."""
+    data = _prog_gray_header(8, 8)
+    # scan 1: DC first, value 0
+    data += _sos1(0, 0, 0, 0)
+    data += _bits_to_bytes(_dc_bits(0))
+    # scan 2: AC first over band [1..5], Al=1; table: '00'->(0,3), '01'->EOB
+    data += _dht(1, 0, [0, 2] + [0] * 14, [0x03, 0x00])
+    data += _sos1(1, 5, 0, 1)
+    data += _bits_to_bytes("00" + "101" + "01")   # +5 at k=1, then EOB
+    # scan 3: AC refine same band, Al=0: EOB(run 1) then correction bit 1
+    data += _sos1(1, 5, 1, 0)
+    data += _bits_to_bytes("01" + "1")
+    data += b"\xff\xd9"
+    img = decode_image_array(data)
+    assert img is not None
+    coef = 11 * 16
+    for x in range(8):
+        expect = (coef * math.sqrt(0.5) * 0.5 * 0.5
+                  * math.cos((2 * x + 1) * math.pi / 16)) + 128
+        expect = int(np.clip(round(expect), 0, 255))
+        assert (img[:, x, 0] == expect).all(), (x, expect)
+
+
+def test_progressive_ac_refine_places_new_coefficient():
+    """AC refinement inserting a NEW +-1 coefficient behind a
+    zero-history run (the G.2.2 correction-bit walk): run 2 skips k=2,3,
+    lands +1 at k=4 while k=1's correction bit reads 0 (unchanged)."""
+    data = _prog_gray_header(8, 8)
+    data += _sos1(0, 0, 0, 0)
+    data += _bits_to_bytes(_dc_bits(0))
+    data += _dht(1, 0, [0, 2] + [0] * 14, [0x03, 0x00])
+    data += _sos1(1, 5, 0, 1)
+    data += _bits_to_bytes("00" + "101" + "01")   # k=1 := 5<<1 = 10
+    # refine table: '00'->(2,1), '01'->EOB
+    data += _dht(1, 1, [0, 2] + [0] * 14, [0x21, 0x00])
+    data += _sos1(1, 5, 1, 0, tables=0x01)
+    # (2,1): sign 1 -> +1; correction bit 0 for k=1; lands at k=4; EOB
+    data += _bits_to_bytes("00" + "1" + "0" + "01")
+    data += b"\xff\xd9"
+    img = decode_image_array(data)
+    assert img is not None
+    # expected: zigzag 1 -> natural (0,1) = 160; zigzag 4 -> natural (1,1) = 16
+    C = np.zeros((8, 8))
+    C[0, 1] = 10 * 16
+    C[1, 1] = 1 * 16
+    M = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    expect = np.clip(np.round(M.T @ C @ M + 128.0), 0, 255).astype(np.uint8)
+    assert (img[:, :, 0] == expect).all()
+
+
+def test_progressive_color_420_solid():
+    """Interleaved progressive DC scans on a 4:2:0 color image decode to
+    the exact solid color of the equivalent baseline fixture."""
+    from weaviate_spark.operators.multimodal import solid_jpeg_progressive
+
+    img = decode_image_array(solid_jpeg_progressive(20, -24, 24))
+    base = decode_image_array(solid_jpeg(20, -24, 24))
+    assert img is not None and img.shape == (16, 16, 3)
+    assert (img == base).all()
+    # odd DC values exercise the refinement low bit
+    img2 = decode_image_array(solid_jpeg_progressive(21, -23, 25))
+    assert img2 is not None
+    Y, Cb, Cr = 2 * 21 / 2 * 2 + 128.0, 128.0 + 2 * -23, 128.0 + 2 * 25
+    r = int(np.clip(round(Y + 1.402 * (Cr - 128)), 0, 255))
+    assert (img2[:, :, 0] == r).all()

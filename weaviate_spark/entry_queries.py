@@ -2392,17 +2392,23 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("near_image_topk")
 def q_near_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearImage search (near-media query surface): a MIXED-CODEC corpus
-    — 4x4 PPM images synthesized per doc plus real baseline JPEGs
-    (pure-numpy decoder) every 7th doc — query = a literal PPM blob,
-    cosine top-10 in the shared feature space. Rows-only: features come
-    from the python decoders (not SQL-expressible); decoder exactness is
-    pinned bit-level by tests/test_jpeg.py and tests/test_surfaces.py."""
+    — 4x4 PPM images synthesized per doc plus real JPEGs (pure-numpy
+    decoder) every 7th doc, one of the three variants PROGRESSIVE
+    (SOF2, multi-scan successive approximation) — query = a literal PPM
+    blob, cosine top-10 in the shared feature space. Rows-only:
+    features come from the python decoders (not SQL-expressible);
+    decoder exactness is pinned bit-level by tests/test_jpeg.py and
+    tests/test_surfaces.py."""
     from pyspark.sql import functions as F
-    from weaviate_spark.operators.multimodal import near_media_search, solid_jpeg
+    from weaviate_spark.operators.multimodal import (
+        near_media_search, solid_jpeg, solid_jpeg_progressive,
+    )
 
     docs = _load(spark, sf_dir, "documents").limit(300)
-    # deterministic JPEG variants (DC categories 2/4/5 only)
-    jpegs = [solid_jpeg(20, -12, 8), solid_jpeg(-8, 14, -3), solid_jpeg(3, 2, 26)]
+    # deterministic JPEG variants (DC categories 2/4/5 only; the
+    # progressive one uses even DCs so the halves stay in-category)
+    jpegs = [solid_jpeg(20, -12, 8), solid_jpeg_progressive(-6, 16, -4),
+             solid_jpeg(3, 2, 26)]
     jpeg_col = (
         F.when(F.col("doc_id") % 21 == 0, F.lit(jpegs[0]))
         .when(F.col("doc_id") % 21 == 7, F.lit(jpegs[1]))

@@ -235,6 +235,180 @@ def _extend(v: int, n: int) -> int:
     return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """First byte offset at/after `pos` holding a real marker (0xFF
+    followed by anything but 0x00 stuffing or an RSTn)."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_scan(data, pos, frame, scomps, Ss, Se, Ah, Al, huff, coefs,
+                 restart_interval):
+    """One entropy-coded scan into the per-component coefficient store
+    (zigzag order, int32). Handles the baseline full-band scan and all
+    four progressive passes (T.81 G.2 / the IJG jdphuff procedures):
+    DC first (<< Al), DC successive-approximation refinement, AC first
+    with EOB runs, AC refinement with correction bits."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << Al, -1 << Al
+
+    def dc_first(blk, ci, dc_t):
+        t = dc_t.decode(reader)
+        diff = _extend(reader.receive(t), t)
+        pred[ci] += diff
+        blk[0] = pred[ci] << Al
+
+    def full_band_ac(blk, ac_t):
+        # baseline AC loop (Al == 0, no EOB runs)
+        k = 1
+        while k <= Se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s)
+            k += 1
+
+    def ac_first(blk, ac_t):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = Ss
+        while k <= Se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s) << Al
+            k += 1
+
+    def ac_refine(blk, ac_t):
+        nonlocal eobrun
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = ac_t.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    s = p1 if reader.read_bit() else m1
+                while k <= Se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= Se:
+                    blk[k] = s
+                k += 1
+        if eobrun > 0:
+            while k <= Se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(blk, ci, dc_id, ac_id):
+        if Ss == 0:
+            if Ah == 0:
+                dc_first(blk, ci, huff[(0, dc_id)])
+                if Se > 0:
+                    full_band_ac(blk, huff[(1, ac_id)])
+            else:
+                if reader.read_bit():
+                    blk[0] = int(blk[0]) | p1
+        else:
+            if Ah == 0:
+                ac_first(blk, huff[(1, ac_id)])
+            else:
+                ac_refine(blk, huff[(1, ac_id)])
+
+    def restart(unit_count):
+        nonlocal pred, eobrun
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.align()
+            while (
+                data[reader.pos] == 0xFF
+                and 0xD0 <= data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            pred = [0] * len(comps)
+            eobrun = 0
+
+    if len(scomps) > 1:
+        # interleaved: MCU order, h*v blocks per component per MCU
+        units = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(units)
+                units += 1
+                for ci, dc_id, ac_id in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                ci, dc_id, ac_id,
+                            )
+    else:
+        # non-interleaved: the component's own block grid, one block per
+        # "MCU" (T.81 A.2.2 — NOT padded to interleave MCU boundaries)
+        ci, dc_id, ac_id = scomps[0]
+        c = comps[ci]
+        compw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        comph = (frame["h"] * c["v"] + vmax - 1) // vmax
+        wb = (compw + 7) // 8
+        hb = (comph + 7) // 8
+        units = 0
+        for by in range(hb):
+            for bx in range(wb):
+                restart(units)
+                units += 1
+                decode_block(coefs[ci][by, bx], ci, dc_id, ac_id)
+
+
 def _decode_jpeg(data: bytes):
     import numpy as np
 
@@ -244,14 +418,17 @@ def _decode_jpeg(data: bytes):
     huff: dict[tuple, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    coefs = None
+    got_scan = False
     i = 2
-    scan = None
     while i < len(data) - 1:
         if data[i] != 0xFF:
             return None
         marker = data[i + 1]
         i += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         ln = int.from_bytes(data[i:i + 2], "big")
         seg = data[i + 2:i + ln]
@@ -261,10 +438,10 @@ def _decode_jpeg(data: bytes):
                 prec, tid = seg[p] >> 4, seg[p] & 0xF
                 p += 1
                 if prec != 0:
-                    return None  # 16-bit tables: not baseline
+                    return None  # 16-bit tables: not 8-bit huffman JPEG
                 qt[tid] = np.array(list(seg[p:p + 64]), dtype=np.int32)
                 p += 64
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -273,9 +450,17 @@ def _decode_jpeg(data: bytes):
                 cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / extended / arithmetic
+            return None  # extended / lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -288,78 +473,62 @@ def _decode_jpeg(data: bytes):
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if frame is None or coefs is None:
+                return None
             ns = seg[0]
-            sel = {}
+            scomps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tables >> 4, tables & 0xF)
-            scan = (sel, i + ln)
-            break
+                ci = next(
+                    (idx for idx, cc in enumerate(frame["comps"])
+                     if cc["id"] == cs), None,
+                )
+                if ci is None:
+                    return None
+                scomps.append((ci, tables >> 4, tables & 0xF))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            A = seg[3 + 2 * ns]
+            try:
+                _decode_scan(
+                    data, i + ln, frame, scomps, Ss, Se, A >> 4, A & 0xF,
+                    huff, coefs, restart_interval,
+                )
+            except (StopIteration, IndexError, ValueError, KeyError):
+                return None  # truncated / corrupt entropy data
+            got_scan = True
+            i = _entropy_end(data, i + ln)
+            continue
         i += ln
-    if frame is None or scan is None:
+    if frame is None or coefs is None or not got_scan:
         return None
-    sel, pos = scan
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
     M = _idct_matrix()
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
-    reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    reader.align()
-                    # skip the RSTn marker
-                    while data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7:
-                        reader.pos += 2
-                    pred = [0] * len(comps)
-                mcu_count += 1
-                for ci, c in enumerate(comps):
-                    dc_t = huff[(0, sel[c["id"]][0])]
-                    ac_t = huff[(1, sel[c["id"]][1])]
-                    q = qt[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = np.zeros(64, dtype=np.int32)
-                            t = dc_t.decode(reader)
-                            diff = _extend(reader.receive(t), t)
-                            pred[ci] += diff
-                            zz[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = ac_t.decode(reader)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                zz[k] = _extend(reader.receive(s), s)
-                                k += 1
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[_ZIGZAG] = zz * q
-                            block = M.T @ coef.reshape(8, 8) @ M + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-    except (StopIteration, IndexError):
-        return None  # truncated / corrupt entropy data
-    # upsample to full resolution (pixel replication) and crop
+    # dequantize + de-zigzag + IDCT (same per-block arithmetic as the
+    # former single-pass baseline decoder — bit-identical output)
     h, w = frame["h"], frame["w"]
     out_planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]]
+        arr = coefs[ci]
+        vb, hb_ = arr.shape[:2]
+        plane = np.zeros((vb * 8, hb_ * 8))
+        for by in range(vb):
+            for bx in range(hb_):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = arr[by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    M.T @ coef.reshape(8, 8) @ M + 128.0
+                )
+        # upsample to full resolution (pixel replication) and crop
         if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(plane[:h, :w])
     if len(comps) == 1:
         g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
@@ -1032,3 +1201,47 @@ def solid_jpeg(y_dc: int, cb_dc: int, cr_dc: int) -> bytes:
         if b == 0xFF:
             out.append(0x00)
     return data + bytes(out) + b"\xff\xd9"
+
+
+def _jpeg_entropy_bytes(bits: str) -> bytes:
+    while len(bits) % 8:
+        bits += "1"
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i:i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def solid_jpeg_progressive(y_dc: int, cb_dc: int, cr_dc: int) -> bytes:
+    """16x16 4:2:0 PROGRESSIVE (SOF2) JPEG decoding to the same solid
+    color as solid_jpeg(y_dc, cb_dc, cr_dc): scan 1 is an interleaved
+    DC-first pass at successive-approximation Al=1 carrying v>>1, scan 2
+    is the DC refinement pass carrying the low bit (v & 1). DC halves
+    must fall in huffman categories {0,2,4,5}."""
+    data = b"\xff\xd8"
+    data += _jpeg_seg(0xDB, bytes([0]) + bytes([16] * 64))
+    data += _jpeg_seg(0xDB, bytes([1]) + bytes([16] * 64))
+    data += _jpeg_seg(
+        0xC2,
+        bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    data += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS))
+    # scan 1: DC first, all three components interleaved, Al=1
+    data += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    bits = _jpeg_dc_bits(y_dc >> 1)
+    for _ in range(3):
+        bits += _jpeg_dc_bits(0)             # Y blocks 2-4: diff 0
+    bits += _jpeg_dc_bits(cb_dc >> 1)
+    bits += _jpeg_dc_bits(cr_dc >> 1)
+    data += _jpeg_entropy_bytes(bits)
+    # scan 2: DC refinement (one raw bit per block, MCU order), Ah=1 Al=0
+    data += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    # every Y block holds the same (accumulated) DC, so each of the four
+    # needs the same low bit
+    refine = str(y_dc & 1) * 4 + str(cb_dc & 1) + str(cr_dc & 1)
+    data += _jpeg_entropy_bytes(refine)
+    return data + b"\xff\xd9"
