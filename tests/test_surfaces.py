@@ -730,3 +730,56 @@ def test_autocut_runs_before_selection_reference_semantics(spark):
     # selection only sees the trimmed window
     out = diversify_results(rows, "v", "_score", limit=2, balance=0)
     assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_tenant_lifecycle_states(spark, tmp_path):
+    """Tenant activity states (usecases/multitenancy/, tenant.go:34):
+    ACTIVE reads prune to the partition; INACTIVE/OFFLOADED refuse with
+    the reference's sentinel messages; OFFLOADED physically moves the
+    partition directory out of the hot table root and reactivation
+    restores it byte-identically."""
+    import os
+
+    from weaviate_spark.sources.crud import (
+        TenantRegistry, write_tenant_partitioned,
+    )
+
+    tdir = str(tmp_path / "mt")
+    df = spark.createDataFrame(
+        [(1, "t1", 1.0), (2, "t1", 2.0), (3, "t2", 3.0)],
+        ["id", "_tenant", "v"],
+    )
+    write_tenant_partitioned(df, tdir, "_tenant")
+    reg = TenantRegistry(tdir, "_tenant")
+    reg.create("t1")
+    reg.create("t2", status="COLD")  # deprecated name -> INACTIVE
+    assert reg.status("t2") == "INACTIVE"
+
+    assert {r["id"] for r in reg.read(spark, "t1").collect()} == {1, 2}
+    with pytest.raises(PermissionError, match="tenant not active"):
+        reg.read(spark, "t2")
+    with pytest.raises(KeyError, match="tenant not found"):
+        reg.read(spark, "nope")
+
+    # offload: partition directory leaves the hot root
+    reg.update("t1", "OFFLOADED")
+    assert not os.path.isdir(os.path.join(tdir, "_tenant=t1"))
+    assert os.path.isdir(tdir + "_offload/_tenant=t1")
+    with pytest.raises(PermissionError, match="tenant not active"):
+        reg.read(spark, "t1")
+    # hot scans no longer see the cold tenant at all
+    assert {r["id"] for r in spark.read.parquet(tdir).collect()} == {3}
+
+    # reactivate: data returns byte-identical
+    reg.update("t1", "ACTIVE")
+    rows = {r["id"]: r["v"] for r in reg.read(spark, "t1").collect()}
+    assert rows == {1: 1.0, 2: 2.0}
+
+    # rule parity: create only ACTIVE/INACTIVE; update rejects
+    # transitional states
+    with pytest.raises(ValueError, match="only allows ACTIVE or INACTIVE"):
+        reg.create("t9", status="OFFLOADED")
+    with pytest.raises(ValueError):
+        reg.update("t2", "OFFLOADING")
+    with pytest.raises(ValueError, match="invalid tenant"):
+        reg.create("t9", status="LUKEWARM")

@@ -216,6 +216,106 @@ def read_tenant(spark: SparkSession, table_dir: str, tenant_col: str, tenant) ->
     return spark.read.parquet(table_dir).where(F.col(tenant_col) == F.lit(tenant))
 
 
+# ---------------------------------------------------------------------------
+# tenant lifecycle states (usecases/multitenancy/, entities/models/
+# tenant.go:34-100): ACTIVE tenants are queryable on hot storage,
+# INACTIVE tenants keep local data but refuse queries, OFFLOADED
+# tenants' data moves to a cold backend. OFFLOADING/ONLOADING are the
+# server-set transitional states; deprecated names HOT/COLD/FROZEN/
+# FREEZING/UNFREEZING map to their modern equivalents. Spark mapping:
+# tenant = partition directory; offload physically moves the partition
+# out of the hot table root (→ cloud-tier bucket at scale), so hot
+# scans never list cold data.
+
+TENANT_STATUSES = ("ACTIVE", "INACTIVE", "OFFLOADED", "OFFLOADING", "ONLOADING")
+_TENANT_DEPRECATED = {
+    "HOT": "ACTIVE", "COLD": "INACTIVE", "FROZEN": "OFFLOADED",
+    "FREEZING": "OFFLOADING", "UNFREEZING": "ONLOADING",
+}
+
+
+def _canon_tenant_status(status: str) -> str:
+    s = _TENANT_DEPRECATED.get(status, status)
+    if s not in TENANT_STATUSES:
+        raise ValueError(f"invalid tenant activity status {status!r}")
+    return s
+
+
+class TenantRegistry:
+    """Tenant lifecycle over a tenant-partitioned parquet table.
+
+    Mirrors the reference's usage rules (entities/models/tenant.go): on
+    create the status is optional, defaults to ACTIVE, and only
+    ACTIVE/INACTIVE are allowed; on update the status is required and
+    ACTIVE/INACTIVE/OFFLOADED are allowed (transitional states are
+    server-set only). Reads raise the reference's sentinel messages
+    ("tenant not found" / "tenant not active",
+    entities/errors/errors_multitenancy.go:19-20)."""
+
+    def __init__(self, table_dir: str, tenant_col: str,
+                 offload_dir: str | None = None) -> None:
+        self.table_dir = table_dir
+        self.tenant_col = tenant_col
+        self.offload_dir = offload_dir or table_dir.rstrip("/") + "_offload"
+        self._status: dict[str, str] = {}
+
+    def _hot_path(self, tenant: str) -> str:
+        return os.path.join(self.table_dir, f"{self.tenant_col}={tenant}")
+
+    def _cold_path(self, tenant: str) -> str:
+        return os.path.join(self.offload_dir, f"{self.tenant_col}={tenant}")
+
+    def create(self, tenant: str, status: str = "ACTIVE") -> None:
+        s = _canon_tenant_status(status)
+        if s not in ("ACTIVE", "INACTIVE"):
+            raise ValueError(
+                f"tenant create only allows ACTIVE or INACTIVE, got {status!r}"
+            )
+        if tenant in self._status:
+            raise ValueError(f"tenant {tenant!r} already exists")
+        self._status[tenant] = s
+
+    def status(self, tenant: str) -> str:
+        if tenant not in self._status:
+            raise KeyError("tenant not found")
+        return self._status[tenant]
+
+    def list(self) -> dict[str, str]:
+        return dict(self._status)
+
+    def update(self, tenant: str, status: str) -> None:
+        s = _canon_tenant_status(status)
+        if s not in ("ACTIVE", "INACTIVE", "OFFLOADED"):
+            raise ValueError(
+                f"tenant update only allows ACTIVE, INACTIVE or OFFLOADED, "
+                f"got {status!r} (transitional states are server-set)"
+            )
+        cur = self.status(tenant)
+        if s == cur:
+            return
+        if s == "OFFLOADED":
+            # OFFLOADING: move the partition directory out of the hot root
+            self._status[tenant] = "OFFLOADING"
+            hot = self._hot_path(tenant)
+            if os.path.isdir(hot):
+                os.makedirs(self.offload_dir, exist_ok=True)
+                os.rename(hot, self._cold_path(tenant))
+            self._status[tenant] = "OFFLOADED"
+            return
+        if cur == "OFFLOADED":
+            # ONLOADING: bring the partition back before activation
+            self._status[tenant] = "ONLOADING"
+            cold = self._cold_path(tenant)
+            if os.path.isdir(cold):
+                os.rename(cold, self._hot_path(tenant))
+        self._status[tenant] = s
+
+    def read(self, spark: SparkSession, tenant: str) -> DataFrame:
+        if self.status(tenant) != "ACTIVE":
+            raise PermissionError("tenant not active")
+        return read_tenant(spark, self.table_dir, self.tenant_col, tenant)
+
+
 def make_beacon(class_name: str, target_id: Column) -> Column:
     """Beacon struct for a cref element (entities/schema/crossref/:
     weaviate://localhost/Class/uuid)."""
