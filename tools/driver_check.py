@@ -25,19 +25,25 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def value_hash(pdf) -> str:
+    """Order-insensitive value hash, floats at 6dp — same cell formatting
+    as the driver's per-row loop ("%.6f" for float cells, str() for the
+    rest), but vectorized per column: the itertuples version took tens
+    of minutes on multi-million-row scale-step results."""
+    import numpy as np
+
     cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    rows = []
-    for tup in pdf.itertuples(index=False):
-        cells = []
-        for v in tup:
-            if isinstance(v, float):
-                cells.append(f"{v:.6f}")
-            else:
-                cells.append(str(v))
-        rows.append("|".join(cells))
-    rows.sort()
-    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+    parts = []
+    for c in cols:
+        s = pdf[c]
+        if s.dtype.kind == "f":
+            parts.append(np.char.mod("%.6f", s.to_numpy()))
+        else:
+            parts.append(s.astype(str).to_numpy().astype("U"))
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = np.char.add(np.char.add(rows, "|"), p)
+    rows = np.sort(rows)
+    return hashlib.md5("\n".join(rows.tolist()).encode()).hexdigest()
 
 
 def main() -> int:
