@@ -888,8 +888,12 @@ def _simhash_oracle_sql(max_hamming: int = 12) -> str:
         f"(CASE WHEN _b{b} * 2 >= _n THEN (1::BIGINT << {b}) ELSE 0 END)"
         for b in range(60)
     )
+    # integer chunk keys + hamming filter BEFORE the pair-distinct,
+    # mirroring simhash_neardup_pairs (dedup.py): the chunk join's output
+    # is ~n^2/2^width rows, so deduping only post-filter pairs is the
+    # difference between seconds and tens of minutes at 10x scale
     chunk_list = ", ".join(
-        f"'{c}:' || CAST((simhash >> {c * width}) & {(1 << width) - 1} AS VARCHAR)"
+        f"((simhash >> {c * width}) & {(1 << width) - 1}) + {c << width}"
         for c in range(num_chunks)
     )
     return (
@@ -898,12 +902,11 @@ def _simhash_oracle_sql(max_hamming: int = 12) -> str:
         "h AS (SELECT _doc, ('0x' || substr(md5(_t), 1, 15))::BIGINT AS _h FROM toks), "
         f"votes AS (SELECT _doc, count(*) AS _n, {bit_sums} FROM h GROUP BY _doc), "
         f"sim AS (SELECT _doc, {sim_expr} AS simhash FROM votes), "
-        f"chunks AS (SELECT _doc, simhash, unnest([{chunk_list}]) AS _chunk FROM sim), "
-        "cand AS (SELECT DISTINCT a._doc AS _a, b._doc AS _b, "
-        "a.simhash AS sa, b.simhash AS sb "
-        "FROM chunks a JOIN chunks b USING (_chunk) WHERE a._doc < b._doc) "
-        "SELECT _a AS id_a, _b AS id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
-        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+        f"chunks AS (SELECT _doc, simhash, unnest([{chunk_list}]) AS _chunk FROM sim) "
+        "SELECT DISTINCT a._doc AS id_a, b._doc AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM chunks a JOIN chunks b USING (_chunk) "
+        f"WHERE a._doc < b._doc AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 

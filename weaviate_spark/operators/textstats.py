@@ -114,7 +114,16 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """All text stats in one narrow projection."""
+    """All text stats in one narrow projection.
+
+    Repartitions narrow inputs first (the shingle_df pattern, dedup.py):
+    the regex-heavy expressions are pure CPU, and a single-file local
+    table (one ~59 MB parquet at 10x bench scale = 2 input splits)
+    would otherwise serialize the scoring on 2 of 32 cores. On a real
+    cluster the scan already has >= parallelism splits and this no-ops."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
