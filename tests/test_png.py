@@ -88,7 +88,7 @@ def test_unsupported_png_returns_none():
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     bad = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     assert decode_image_array(bad) is None
-    # interlaced
+    # interlaced header with NO image data still declines cleanly
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     bad = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     assert decode_image_array(bad) is None
@@ -113,3 +113,91 @@ def test_png_feature_pipeline(spark):
     # channel means of a solid red image: feature[0]=1.0 (R), 0, 0
     assert abs(got[1][1][0] - 1.0) < 1e-6
     assert abs(got[1][1][1]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced decode: the test ENCODES a known image pass by pass
+# (each pass an independently filtered sub-image) and asserts the
+# decoder's deinterlaced output equals the original pixels exactly.
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_encode(px: np.ndarray, filters_by_pass=None) -> bytes:
+    """Serialize (h, w, c) uint8 pixels as an Adam7 IDAT stream with
+    per-pass filter type 0 (or Sub=1 when requested)."""
+    h, w, c = px.shape
+    raw = bytearray()
+    for pi, (x0, y0, xs, ys) in enumerate(_ADAM7):
+        sub = px[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        ft = (filters_by_pass or {}).get(pi, 0)
+        for y in range(ph):
+            line = sub[y].reshape(-1).astype(np.int32)
+            if ft == 1:  # Sub filter: d[x] = p[x] - p[x-bpp]
+                shifted = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+                enc = (line - shifted) & 0xFF
+            else:
+                enc = line
+            raw.append(ft)
+            raw.extend(int(v) for v in enc)
+    return bytes(raw)
+
+
+def _png_interlaced(px: np.ndarray, color=2, filters_by_pass=None) -> bytes:
+    h, w, c = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_adam7_encode(px, filters_by_pass)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_rgb_exact():
+    """9x9 RGB gradient (hits all seven passes, incl. edge-partial
+    ones): deinterlaced output must equal the source exactly."""
+    h = w = 9
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (y * 20 + x, 255 - x * 9, (x * y) % 256)
+    img = decode_image_array(_png_interlaced(px))
+    assert img is not None and img.shape == (9, 9, 3)
+    assert (img == px).all()
+
+
+def test_adam7_sub_filter_and_tiny_image():
+    """Sub-filtered passes decode exactly; a 1x1 image exercises the
+    six empty passes (which contribute zero bytes)."""
+    px = (np.arange(8 * 10 * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(8, 10, 3)
+    img = decode_image_array(_png_interlaced(px, filters_by_pass={i: 1 for i in range(7)}))
+    assert img is not None and (img == px).all()
+
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    img1 = decode_image_array(_png_interlaced(one))
+    assert img1 is not None and img1.shape == (1, 1, 3)
+    assert (img1[0, 0] == [7, 8, 9]).all()
+
+
+def test_adam7_gray_and_truncated():
+    """Grayscale Adam7 replicates to 3 channels; a truncated pass
+    stream returns None rather than a partial image."""
+    px = (np.arange(25, dtype=np.uint8) * 9).reshape(5, 5, 1)
+    img = decode_image_array(_png_interlaced(px, color=0))
+    assert img is not None and img.shape == (5, 5, 3)
+    assert (img[:, :, 0] == px[:, :, 0]).all() and (img[:, :, 1] == px[:, :, 0]).all()
+
+    full = _adam7_encode(np.repeat(px, 1, axis=2))
+    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 0, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(full[: len(full) // 2]))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image_array(bad) is None

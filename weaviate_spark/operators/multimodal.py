@@ -25,8 +25,8 @@ audio via the stdlib ``wave`` module (sample rate / channels / duration
 the PNG inflate), and Y4M (YUV4MPEG2) video (header parse, frame
 offset scan, planar-YUV -> RGB with the same JFIF matrix as the JPEG
 path, fps-aware frame sampling). Formats that still require external
-codecs (progressive JPEG, 16-bit/interlaced PNG, MP3, compressed video
-containers like MP4/WebM) raise NotImplementedError unless
+codecs (16-bit PNG, MP3, compressed video containers like MP4/WebM)
+raise NotImplementedError unless
 ``fake=True``, which substitutes a deterministic md5-seeded
 pseudo-decoder (frame sampling instead skips unknown containers); the
 surrounding plumbing — schemas, batching, null handling, output shapes
@@ -74,8 +74,9 @@ def attach_media_meta(df: DataFrame, mime: str = "application/octet-stream") -> 
 
 def decode_image_array(data: bytes):
     """REAL image decode: returns a numpy (height, width, 3) uint8 array
-    for binary PPM (P6), uncompressed 24-bit BMP, baseline sequential
-    JPEG, and 8-bit PNG bytes (pure-numpy decoders below); None if the
+    for binary PPM (P6), uncompressed 24-bit BMP, JPEG (baseline AND
+    progressive), and 8-bit PNG (incl. Adam7 interlaced) bytes
+    (pure-numpy decoders below); None if the
     format is none of those OR the bytes are truncated/corrupt — a
     per-row codec failure must never kill a 100 TB pass (fuzz-tested:
     tests/test_jpeg.py), so malformed structures surface as None, not
@@ -137,15 +138,17 @@ def _decode_image_array_strict(data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Baseline-sequential JPEG decode, pure python/numpy (public JFIF/ITU T.81).
-# Real corpora are JPEG-dominated; the container has no PIL/libjpeg, so this
-# implements the baseline path for real: marker parse, Huffman entropy
-# decode (with byte unstuffing + restart markers), dequantize, de-zigzag,
-# 8x8 IDCT as a numpy matrix product, nearest-neighbor chroma upsample
-# (documented divergence: libjpeg's default is a triangular "fancy"
-# upsample), JFIF YCbCr->RGB. Progressive (SOF2) / arithmetic coding /
-# 12-bit return None — callers skip or raise exactly as for other
-# unsupported codecs.
+# JPEG decode, pure python/numpy (public JFIF/ITU T.81). Real corpora are
+# JPEG-dominated; the container has no PIL/libjpeg, so this implements the
+# format for real: marker parse, Huffman entropy decode (with byte
+# unstuffing + restart markers) into a per-component coefficient store,
+# BOTH baseline-sequential (SOF0) and progressive (SOF2 — DC/AC first +
+# successive-approximation refinement scans with EOB runs, T.81 G.2),
+# then dequantize, de-zigzag, 8x8 IDCT as a numpy matrix product,
+# nearest-neighbor chroma upsample (documented divergence: libjpeg's
+# default is a triangular "fancy" upsample), JFIF YCbCr->RGB. Arithmetic
+# coding / 12-bit / lossless return None — callers skip or raise exactly
+# as for other unsupported codecs.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -816,11 +819,12 @@ def decode_image_features(
                         oks.append(False)
                         continue
                     raise NotImplementedError(
-                        "only BMP/PPM/baseline-JPEG/8-bit-PNG decode "
-                        "without external codecs; progressive JPEG and "
-                        "exotic PNG need PIL (not in this container) — "
-                        "pass fake=True for the deterministic stub or "
-                        "on_error='skip' to drop undecodable rows"
+                        "only BMP/PPM/JPEG (baseline + progressive)/"
+                        "8-bit-PNG (incl. Adam7) decode without external "
+                        "codecs; 16-bit PNG and arithmetic JPEG need PIL "
+                        "(not in this container) — pass fake=True for the "
+                        "deterministic stub or on_error='skip' to drop "
+                        "undecodable rows"
                     )
                 yield pd.DataFrame({
                     "media_id": chunk[id_col].values,
@@ -1057,55 +1061,25 @@ def near_media_search(
     )
 
 
-def _decode_png(data: bytes):
-    """PNG decode via stdlib zlib (public RFC 2083): chunk parse,
-    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), 8-bit
-    gray / RGB / palette / gray+alpha / RGBA, non-interlaced only
-    (Adam7 returns None). Alpha is dropped (media features read color
-    planes)."""
-    import struct
-    import zlib
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, channels: int):
+    """Unfilter one (sub-)image of `h` scanlines of `w` pixels starting
+    at `pos` in the inflated stream (RFC 2083 filters None/Sub/Up/
+    Average/Paeth). Returns ((h, w*channels) uint8 array, next pos);
+    raises ValueError on truncation or an unknown filter type."""
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos = 8
-    ihdr = None
-    palette = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        ln, ctype = struct.unpack_from(">I4s", data, pos)
-        chunk = data[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk)
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                return None
-            ihdr = (w, h, color)
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.extend(chunk)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        return None
-    w, h, color = ihdr
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None or (color == 3 and palette is None):
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
+    if len(raw) < pos + h * (stride + 1):
+        raise ValueError("truncated image data")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel (8-bit depth)
-    pos = 0
     for y in range(h):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
@@ -1132,8 +1106,71 @@ def _decode_png(data: bytes):
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     cur[x] = (line[x] + pred) & 0xFF
         else:
-            return None
+            raise ValueError(f"unknown filter type {ftype}")
         out[y] = cur.astype(np.uint8)
+    return out, pos
+
+
+def _decode_png(data: bytes):
+    """PNG decode via stdlib zlib (public RFC 2083): chunk parse,
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), 8-bit
+    gray / RGB / palette / gray+alpha / RGBA, both non-interlaced and
+    Adam7 interlaced (each of the seven passes is an independently
+    filtered sub-image scattered back on its pass grid). Alpha is
+    dropped (media features read color planes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, ctype = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+                return None
+            ihdr = (w, h, color, interlace)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, color, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or (color == 3 and palette is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    try:
+        if interlace == 0:
+            out, _ = _png_unfilter(raw, 0, w, h, channels)
+        else:  # Adam7
+            out = np.zeros((h, w * channels), dtype=np.uint8)
+            px_view = out.reshape(h, w, channels)
+            rpos = 0
+            for x0, y0, xs, ys in _ADAM7:
+                pw = (w - x0 + xs - 1) // xs
+                ph = (h - y0 + ys - 1) // ys
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass has no bytes at all
+                sub, rpos = _png_unfilter(raw, rpos, pw, ph, channels)
+                px_view[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+    except ValueError:
+        return None
     px = out.reshape(h, w, channels)
     if color == 0:
         return np.repeat(px, 3, axis=2)
