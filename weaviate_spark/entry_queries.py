@@ -3691,3 +3691,81 @@ def q_spellcheck_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("did_you_mean", F.lit(sc["did_you_mean"]))
         .withColumn("changes", F.lit(sc["changes"]))
     )
+
+
+@register(
+    "video_avi_mjpeg_frames",
+    oracle=(
+        "WITH docs AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents "
+        "WHERE doc_id % 23 = 0), "
+        "s AS (SELECT doc_id, nf, u.s AS frame_idx FROM docs, "
+        "(SELECT unnest(generate_series(0, 3)) AS s) u "
+        "WHERE u.s * 300 < nf * 200) "
+        "SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(frame_idx * 300 AS BIGINT) AS frame_ts_ms, "
+        "CAST(2 * (8 + (doc_id + least(nf - 1, frame_idx * 300 // 200)) % 24) "
+        "+ 128 AS BIGINT) AS gray FROM s ORDER BY media_id, frame_idx"
+    ),
+)
+def q_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-AVI decode, end-to-end hash-checked like
+    video_frame_luma: per doc an AVI wrapping 2-4 solid-gray JPEG frames
+    (y_dc = 8 + (doc+frame) % 24, neutral chroma -> RGB == 2*y_dc+128
+    exactly) is encoded executor-side with avi_from_jpegs, the RIFF walk
+    + fps math of sample_frames picks each 300 ms sample's source frame,
+    the '00dc' JPEG payload decodes through the in-repo JPEG codec, and
+    the sampled PPM's pixel recovers the gray level the oracle computes
+    analytically. Exercises container parse -> frame seek -> Huffman/IDCT
+    decode -> resample in one hash. Scale: narrow Arrow-batched maps,
+    no shuffle until the final sort."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.multimodal import (
+        avi_from_jpegs,
+        decode_image_array,
+        sample_frames,
+        solid_jpeg,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+    )
+
+    def _make(it):
+        import pandas as pd
+
+        for pdf in it:
+            clips = [
+                avi_from_jpegs(
+                    [solid_jpeg(8 + (int(d) + f) % 24, 0, 0)
+                     for f in range(2 + int(d) % 3)],
+                    16, 16, fps=(5, 1),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "media": clips})
+
+    media = docs.mapInPandas(_make, "media_id long, media binary")
+    frames = sample_frames(media, "media_id", "media", every_ms=300)
+
+    def _gray(it):
+        import pandas as pd
+
+        for pdf in it:
+            grays = [
+                int(decode_image_array(bytes(b))[0, 0, 0]) for b in pdf["frame"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "frame_ts_ms": pdf["frame_ts_ms"],
+                "gray": grays,
+            })
+
+    return (
+        frames.mapInPandas(
+            _gray, "media_id long, frame_idx long, frame_ts_ms long, gray long"
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -728,6 +728,137 @@ def decode_y4m_frame_rgb(data: bytes, frame_idx: int):
     return _y4m_frame_rgb(data, info, offsets[frame_idx])
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video: RIFF container walk (public AVI 1.0 / OpenDML
+# layout) + the in-repo JPEG decoder for Motion-JPEG frame data. The
+# second real video path next to Y4M — MJPEG-in-AVI is the common
+# "almost raw" capture format, and each '##dc' chunk is just a complete
+# JPEG (baseline or progressive), so the frame decode is free.
+
+def _avi_parse(data: bytes):
+    """Walk a RIFF-AVI container: returns (info, frames) where frames
+    is a list of (offset, size) spans of the FIRST video stream's
+    '##dc'/'##db' chunks inside 'movi', and info carries width/height/
+    fps/codec/frame count. None if the bytes are not a well-formed AVI.
+    Truncated trailing chunks are dropped, not fatal."""
+    import struct
+
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    codec = ""
+    video_stream = -1
+    stream_no = 0
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal width, height, fps_num, fps_den, codec, video_stream, stream_no
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if body + size > end:
+                break  # truncated chunk: keep what we have
+            if fourcc == b"LIST":
+                ltype = data[body:body + 4]
+                walk(body + 4, body + size, in_movi or ltype == b"movi")
+            elif fourcc == b"avih" and size >= 40:
+                (us_pf,) = struct.unpack_from("<I", data, body)
+                w, h = struct.unpack_from("<II", data, body + 32)
+                width, height = width or w, height or h
+                if us_pf and not fps_num:
+                    fps_num, fps_den = 1_000_000, us_pf
+            elif fourcc == b"strh" and size >= 28:
+                ftype = data[body:body + 4]
+                if ftype == b"vids" and video_stream < 0:
+                    video_stream = stream_no
+                    codec = data[body + 4:body + 8].decode("latin1").strip().upper()
+                    scale, rate = struct.unpack_from("<II", data, body + 20)
+                    if scale and rate:
+                        fps_num, fps_den = rate, scale
+                stream_no += 1
+            elif in_movi and len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
+                try:
+                    sno = int(fourcc[:2])
+                except ValueError:
+                    sno = -1
+                if sno == video_stream:
+                    frames.append((body, size))
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    try:
+        walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]), False)
+    except struct.error:
+        return None
+    if video_stream < 0 or not width or not height or not fps_num:
+        return None
+    info = {
+        "width": width, "height": height,
+        "fps_num": fps_num, "fps_den": fps_den,
+        "codec": codec, "n_frames": len(frames),
+        "duration_ms": len(frames) * 1000 * fps_den // fps_num if fps_num else 0,
+    }
+    return info, frames
+
+
+def _avi_frame_rgb(data: bytes, info: dict, span: tuple):
+    off, size = span
+    if info["codec"] in ("MJPG", "JPEG", ""):
+        return decode_image_array(data[off:off + size])
+    return None  # DIB/compressed handlers would need external codecs
+
+
+def decode_avi_info(data: bytes):
+    """AVI header + frame-count metadata (the container analogue of
+    decode_y4m_info), or None for non-AVI bytes."""
+    parsed = _avi_parse(data)
+    if parsed is None:
+        return None
+    return parsed[0]
+
+
+def decode_avi_frame_rgb(data: bytes, frame_idx: int):
+    """Decode frame `frame_idx` of an MJPEG-AVI to RGB, or None."""
+    parsed = _avi_parse(data)
+    if parsed is None:
+        return None
+    info, frames = parsed
+    if not 0 <= frame_idx < len(frames):
+        return None
+    return _avi_frame_rgb(data, info, frames[frame_idx])
+
+
+def avi_from_jpegs(jpegs, width: int, height: int, fps=(25, 1)) -> bytes:
+    """Fixture writer: wrap complete JPEG blobs as an MJPEG AVI (RIFF +
+    hdrl(avih, strl(strh vids/MJPG, strf)) + movi with '00dc' chunks)."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    us_pf = 1_000_000 * fps[1] // fps[0]
+    avih = struct.pack("<14I", us_pf, 0, 0, 0, len(jpegs), 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    # flags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+    # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<I2H8I", 0, 0, 0, 0, fps[1], fps[0],
+                          0, len(jpegs), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<I2i2H2I2i2I", 40, width, height, 1, 24,
+                       0x47504A4D, width * height * 3, 0, 0, 0, 0)  # 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def y4m_from_planes(planes, width: int, height: int,
                     fps=(25, 1), colorspace: str = "444") -> bytes:
     """Encode raw YCbCr plane tuples into Y4M bytes (test/fixture
@@ -940,15 +1071,23 @@ def sample_frames(
                     continue
                 data = bytes(data)
                 parsed = _y4m_parse(data)
-                if parsed is not None:
-                    info, offsets = parsed
+                avi = None if parsed is not None else _avi_parse(data)
+                if parsed is not None or (avi is not None and avi[1]):
+                    if parsed is not None:
+                        info, offsets = parsed
+                        frame_of = lambda i: _y4m_frame_rgb(data, info, offsets[i])  # noqa: E731
+                    else:
+                        info, offsets = avi
+                        frame_of = lambda i: _avi_frame_rgb(data, info, offsets[i])  # noqa: E731
                     if not offsets:
                         continue
                     ppm_head = f"P6\n{info['width']} {info['height']}\n255\n".encode()
                     for idx, ts in enumerate(range(0, info["duration_ms"], every_ms)):
                         src = min(len(offsets) - 1,
                                   ts * info["fps_num"] // (1000 * info["fps_den"]))
-                        rgb = _y4m_frame_rgb(data, info, offsets[src])
+                        rgb = frame_of(src)
+                        if rgb is None:
+                            continue  # undecodable frame: drop, never kill
                         rows["media_id"].append(mid)
                         rows["frame_idx"].append(idx)
                         rows["frame_ts_ms"].append(ts)
@@ -985,6 +1124,12 @@ def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
         info, offsets = y4m
         mid = _y4m_frame_rgb(data, info, offsets[len(offsets) // 2])
         return _image_feature(mid, dim)
+    avi = _avi_parse(data)
+    if avi is not None and avi[1]:
+        info, frames = avi
+        mid = _avi_frame_rgb(data, info, frames[len(frames) // 2])
+        if mid is not None:
+            return _image_feature(mid, dim)
     try:
         info = decode_wav_info(data)
     except Exception:
