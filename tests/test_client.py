@@ -1,0 +1,128 @@
+"""Client facade (client.py): the weaviate python-client-v4 usage shape
+driving the same engine paths the contract queries exercise — each
+facade call is checked against a directly-built spec or a hand
+computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.client import Filter, connect
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    return connect(spark, sf_dir)
+
+
+def test_fetch_objects_filter_builder_matches_spec(client, spark, sf_dir):
+    from weaviate_spark.plans.compile import compile_get
+    from weaviate_spark.plans.spec import GetSpec, SortKey
+    from weaviate_spark.filters import Clause
+
+    coll = client.collections.get("part")
+    got = coll.query.fetch_objects(
+        filters=Filter.all_of([
+            Filter.by_property("p_type").like("PROMO*"),
+            Filter.any_of([
+                Filter.by_property("p_size").greater_or_equal(30),
+                Filter.by_property("p_size").less_than(5),
+            ]),
+        ]),
+        sort=[("p_partkey", "asc")], limit=50,
+        select=["p_partkey", "p_name", "p_size"],
+    ).collect()
+    want = compile_get(spark, sf_dir, GetSpec(
+        collection="part",
+        where=Clause(operator="And", operands=[
+            Clause(operator="Like", path=["p_type"], value="PROMO*"),
+            Clause(operator="Or", operands=[
+                Clause(operator="GreaterThanEqual", path=["p_size"], value=30),
+                Clause(operator="LessThan", path=["p_size"], value=5),
+            ]),
+        ]),
+        sort=[SortKey(path=["p_partkey"])], limit=50,
+        select=["p_partkey", "p_name", "p_size"],
+    )).collect()
+    assert got == want and len(got) > 0
+
+
+def test_near_vector_and_near_object(client, spark, sf_dir):
+    emb = client.collections.get("embeddings").with_config(
+        id_col="vec_id", vector_col="embedding")
+    qv = [float(x) for x in
+          spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = emb.query.near_vector(qv, limit=5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["_distance"] == 0.0
+    assert len(top) == 5
+
+    via_obj = emb.query.near_object(7, limit=5).collect()
+    assert [r["vec_id"] for r in via_obj] == [r["vec_id"] for r in top]
+
+
+def test_bm25_and_hybrid_shapes(client):
+    docs = client.collections.get("documents").with_config(
+        id_col="doc_id", vector_col="embedding")
+    hits = docs.query.bm25("spark filter join", query_properties=["text"],
+                           limit=8).collect()
+    assert len(hits) == 8
+    scores = [r["_score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    # nearText routes through the module vectorizer into the vector path
+    emb = client.collections.get("docs_embedded").with_config(
+        id_col="doc_id", vector_col="embedding")
+    nt = emb.query.near_text("spark query", limit=3, dim=64).collect()
+    assert len(nt) == 3 and nt[0]["_distance"] <= nt[-1]["_distance"]
+
+    hy = docs.query.hybrid("spark filter join", alpha=0.0,
+                           query_properties=["text"], limit=5).collect()
+    assert len(hy) == 5
+
+
+def test_aggregate_over_all(client, spark, sf_dir, duck):
+    docs = client.collections.get("documents")
+    got = docs.aggregate.over_all(
+        metrics=[("n_chars", ["mean", "count"])], group_by="lang",
+        total_count=True,
+    ).orderBy("lang").collect()
+    want = duck.execute(
+        "SELECT lang, avg(n_chars) AS m, count(n_chars) AS c, count(*) AS n "
+        "FROM documents GROUP BY lang ORDER BY lang").fetchall()
+    assert len(got) == len(want)
+    for g, (lang, m, c, n) in zip(got, want):
+        assert g["lang"] == lang
+        assert abs(g["n_chars_mean"] - m) < 1e-9
+        assert g["n_chars_count"] == c
+
+
+def test_data_crud_roundtrip(client, spark, tmp_path):
+    wclient = connect(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "val"]
+    ).write.parquet(f"{tmp_path}/things.parquet")
+
+    things = wclient.collections.get("things")
+    things.data.insert_many(
+        spark.createDataFrame([(3, "c", 30.0)], ["id", "name", "val"]), key="id")
+    things.data.update("id", 1, {"val": 99.0})
+    n = things.data.delete_many(Filter.by_property("val").greater_than(25.0))
+    assert n == 2  # 99.0 and 30.0
+    left = {r["id"] for r in things.query.fetch_objects().collect()}
+    assert left == {2}
+    assert wclient.collections.exists("things")
+    assert "things" in wclient.collections.list_all()
+
+
+def test_registry_resolution_through_client(client, spark, sf_dir):
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.add(Collection("part", [Property("p_name", "text")]))
+    reg.add_alias("Parts", "part")
+    c2 = connect(spark, sf_dir, registry=reg)
+    assert c2.collections.get("Parts")._table == "part"
+    with pytest.raises(KeyError):
+        c2.collections.get("Nope")

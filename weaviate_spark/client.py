@@ -1,0 +1,346 @@
+"""Client facade: the weaviate python-client-v4 API shape over the
+Spark engine, so the public usage pattern carries over verbatim:
+
+    client = connect(spark, "/data/root")
+    coll = client.collections.get("Article")
+    df = coll.query.near_vector([...], limit=10)
+    df = coll.query.bm25("spark joins", query_properties=["text"])
+    df = coll.query.fetch_objects(
+        filters=Filter.by_property("p_size").greater_than(30)
+                & Filter.by_property("p_type").like("PROMO*"),
+        limit=20)
+    coll.aggregate.over_all(group_by="lang", metrics=[("n_chars", ["mean"])])
+    coll.data.insert_many(rows_df, key="doc_id")
+    coll.tenants.create("acme"); coll.tenants.update("acme", "OFFLOADED")
+
+Shape reference (PUBLIC client API): weaviate-python-client v4
+`client.collections.get(...)` / `.query.{fetch_objects, near_vector,
+near_object, near_text, bm25, hybrid}` / `.aggregate.over_all` /
+`.data.{insert_many, update, delete_many}` / `.tenants`; the `Filter`
+builder mirrors `weaviate.classes.query.Filter.by_property(...)`.
+Documented divergence: methods return Spark DataFrames (lazy plans),
+not materialized object lists — this is a Spark engine, and the caller
+chooses `.collect()`/`.write`/further composition.
+
+Names resolve through the schema Registry when one is attached
+(aliases, `ns:Class` qualification); otherwise the name maps straight
+to `<root>/<name>.parquet` like every contract query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from weaviate_spark.filters import Clause
+from weaviate_spark.plans.spec import BM25, GetSpec, Hybrid, NearVector, SortKey
+
+
+# ---------------------------------------------------------------------------
+# Filter builder (weaviate.classes.query.Filter shape)
+
+class _PropFilter:
+    def __init__(self, path: Sequence[str]):
+        self._path = list(path)
+
+    def _c(self, operator: str, value: Any = None, **kw) -> Clause:
+        return Clause(operator=operator, path=self._path, value=value, **kw)
+
+    def equal(self, value, tokenization: str | None = None) -> Clause:
+        if tokenization:
+            return Clause(operator="Equal", path=self._path, value=value,
+                          tokenization=tokenization)
+        return self._c("Equal", value)
+
+    def not_equal(self, value) -> Clause:
+        return self._c("NotEqual", value)
+
+    def greater_than(self, value) -> Clause:
+        return self._c("GreaterThan", value)
+
+    def greater_or_equal(self, value) -> Clause:
+        return self._c("GreaterThanEqual", value)
+
+    def less_than(self, value) -> Clause:
+        return self._c("LessThan", value)
+
+    def less_or_equal(self, value) -> Clause:
+        return self._c("LessThanEqual", value)
+
+    def like(self, pattern: str) -> Clause:
+        return self._c("Like", pattern)
+
+    def is_none(self, value: bool = True) -> Clause:
+        return self._c("IsNull", value)
+
+    def contains_any(self, values: Sequence) -> Clause:
+        return self._c("ContainsAny", list(values))
+
+    def contains_all(self, values: Sequence) -> Clause:
+        return self._c("ContainsAll", list(values))
+
+    def within_geo_range(self, latitude: float, longitude: float,
+                         distance_meters: float) -> Clause:
+        return self._c("WithinGeoRange", {
+            "geoCoordinates": {"latitude": latitude, "longitude": longitude},
+            "distance": {"max": distance_meters},
+        })
+
+
+class Filter:
+    """`weaviate.classes.query.Filter` analogue. Combine built clauses
+    with `Filter.all_of` / `Filter.any_of` (And/Or) and negate with
+    `Filter.not_`."""
+
+    @staticmethod
+    def by_property(name: str, *nested: str) -> _PropFilter:
+        return _PropFilter([name, *nested])
+
+    @staticmethod
+    def by_id() -> _PropFilter:
+        return _PropFilter(["_id"])
+
+    @staticmethod
+    def all_of(clauses: Sequence[Clause]) -> Clause:
+        return Clause(operator="And", operands=list(clauses))
+
+    @staticmethod
+    def any_of(clauses: Sequence[Clause]) -> Clause:
+        return Clause(operator="Or", operands=list(clauses))
+
+    @staticmethod
+    def not_(clause: Clause) -> Clause:
+        return Clause(operator="Not", operands=[clause])
+
+
+# ---------------------------------------------------------------------------
+# query namespace
+
+class _Query:
+    def __init__(self, handle: "CollectionHandle"):
+        self._h = handle
+
+    def _run(self, spec: GetSpec) -> DataFrame:
+        from weaviate_spark.plans.compile import compile_get
+
+        return compile_get(self._h._spark, self._h._root, spec)
+
+    def _base(self, filters, limit, offset, after, sort, select) -> GetSpec:
+        sort_keys = [
+            SortKey(path=[p], order=o) for p, o in (sort or [])
+        ]
+        return GetSpec(
+            collection=self._h._table, where=filters, sort=sort_keys,
+            limit=limit, offset=offset or 0, after=after,
+            select=tuple(select or ()), extra=dict(self._h._extra),
+        )
+
+    def fetch_objects(self, filters: Clause | None = None, limit: int | None = None,
+                      offset: int = 0, after: str | None = None,
+                      sort: Sequence[tuple] | None = None,
+                      select: Sequence[str] | None = None) -> DataFrame:
+        return self._run(self._base(filters, limit, offset, after, sort, select))
+
+    def fetch_object_by_id(self, object_id) -> DataFrame:
+        return self.fetch_objects(filters=Filter.by_id().equal(object_id), limit=1)
+
+    def near_vector(self, near_vector: Sequence[float], limit: int = 10,
+                    distance: float | None = None, certainty: float | None = None,
+                    filters: Clause | None = None, metric: str = "cosine",
+                    target_vector: str | None = None) -> DataFrame:
+        spec = self._base(filters, limit, 0, None, None, None)
+        spec = replace(spec, near_vector=NearVector(
+            vector=list(near_vector), distance=distance, certainty=certainty,
+            metric=metric, target_vector=target_vector,
+        ))
+        return self._run(spec)
+
+    def near_object(self, near_object, limit: int = 10,
+                    filters: Clause | None = None) -> DataFrame:
+        from weaviate_spark.operators.vector import NearVectorSpec
+        from weaviate_spark.operators.vector import near_object as _near_object
+
+        return _near_object(self._h._spark, self._h._root, NearVectorSpec(
+            collection=self._h._table, vector=[], limit=limit,
+            where=filters, **self._h._vector_kw(),
+        ), near_object)
+
+    def near_text(self, query: str | Sequence[str], limit: int = 10,
+                  move_to: Sequence[str] | None = None,
+                  move_away: Sequence[str] | None = None,
+                  force: float = 0.5, filters: Clause | None = None,
+                  dim: int = 16) -> DataFrame:
+        from weaviate_spark.modules import near_text_vector
+
+        concepts = [query] if isinstance(query, str) else list(query)
+        qv = near_text_vector(concepts, move_to=move_to, move_away=move_away,
+                              force=force, dim=dim)
+        return self.near_vector(qv, limit=limit, filters=filters)
+
+    def bm25(self, query: str, query_properties: Sequence[str] | None = None,
+             limit: int = 10, search_operator: str = "Or",
+             minimum_or_tokens_match: int = 0,
+             filters: Clause | None = None) -> DataFrame:
+        spec = self._base(filters, limit, 0, None, None, None)
+        spec = replace(spec, bm25=BM25(
+            query=query, properties=tuple(query_properties or ()),
+            search_operator=search_operator,
+            minimum_or_tokens_match=minimum_or_tokens_match,
+        ))
+        return self._run(spec)
+
+    def hybrid(self, query: str, vector: Sequence[float] | None = None,
+               alpha: float = 0.75, fusion_type: str = "relativeScore",
+               query_properties: Sequence[str] | None = None,
+               max_vector_distance: float | None = None,
+               limit: int = 10, filters: Clause | None = None) -> DataFrame:
+        spec = self._base(filters, limit, 0, None, None, None)
+        spec = replace(spec, hybrid=Hybrid(
+            query=query, vector=list(vector) if vector is not None else None,
+            alpha=alpha, fusion=fusion_type,
+            properties=tuple(query_properties or ()),
+            max_vector_distance=max_vector_distance,
+        ))
+        return self._run(spec)
+
+
+# ---------------------------------------------------------------------------
+# aggregate namespace
+
+class _Aggregate:
+    def __init__(self, handle: "CollectionHandle"):
+        self._h = handle
+
+    def over_all(self, metrics: Sequence[tuple] | None = None,
+                 group_by: str | None = None, filters: Clause | None = None,
+                 total_count: bool = False, limit: int | None = None) -> DataFrame:
+        """`collection.aggregate.over_all` analogue: metrics is a list of
+        (property, [aggregator, ...]) pairs."""
+        from weaviate_spark.operators.aggregate import (
+            AggregateSpec, PropertyAgg, aggregate,
+        )
+
+        spec = AggregateSpec(
+            collection=self._h._table,
+            properties=[PropertyAgg(p, list(aggs)) for p, aggs in (metrics or [])],
+            where=filters, group_by=group_by,
+            include_meta_count=total_count, limit=limit,
+        )
+        return aggregate(self._h._spark, self._h._root, spec)
+
+
+# ---------------------------------------------------------------------------
+# data namespace (writable roots only)
+
+class _Data:
+    def __init__(self, handle: "CollectionHandle"):
+        self._h = handle
+
+    def _dir(self) -> str:
+        return f"{self._h._root}/{self._h._table}.parquet"
+
+    def insert_many(self, rows: DataFrame, key: str) -> None:
+        from weaviate_spark.sources.crud import upsert
+
+        upsert(self._h._spark, self._dir(), rows, key=key)
+
+    def update(self, key: str, key_value, changes: dict) -> None:
+        from weaviate_spark.sources.crud import patch
+
+        patch(self._h._spark, self._dir(), key, key_value, changes)
+
+    def delete_many(self, filters: Clause, dry_run: bool = False) -> int:
+        from weaviate_spark.sources.crud import delete_where
+
+        return delete_where(self._h._spark, self._dir(), filters, dry_run=dry_run)
+
+
+# ---------------------------------------------------------------------------
+# collection handle + top-level client
+
+class CollectionHandle:
+    def __init__(self, client: "WeaviateSparkClient", table: str,
+                 extra: dict | None = None):
+        self._spark = client._spark
+        self._root = client._root
+        self._table = table
+        self._extra = extra or {}
+        self.query = _Query(self)
+        self.aggregate = _Aggregate(self)
+        self.data = _Data(self)
+        self._tenants = None
+
+    def _vector_kw(self) -> dict:
+        kw = {}
+        if "id_col" in self._extra:
+            kw["id_col"] = self._extra["id_col"]
+        if "vector_col" in self._extra:
+            kw["vector_col"] = self._extra["vector_col"]
+        return kw
+
+    def with_config(self, id_col: str | None = None,
+                    vector_col: str | None = None) -> "CollectionHandle":
+        """Bind non-default id/vector column names (the contract tables
+        use natural keys like doc_id rather than a `_id` uuid)."""
+        extra = dict(self._extra)
+        if id_col:
+            extra["id_col"] = id_col
+        if vector_col:
+            extra["vector_col"] = vector_col
+        h = CollectionHandle.__new__(CollectionHandle)
+        h.__dict__.update(self.__dict__)
+        h._extra = extra
+        h.query = _Query(h)
+        h.aggregate = _Aggregate(h)
+        h.data = _Data(h)
+        return h
+
+    @property
+    def tenants(self):
+        from weaviate_spark.sources.crud import TenantRegistry
+
+        if self._tenants is None:
+            self._tenants = TenantRegistry(
+                f"{self._root}/{self._table}", self._extra.get("tenant_col", "_tenant")
+            )
+        return self._tenants
+
+
+class _Collections:
+    def __init__(self, client: "WeaviateSparkClient"):
+        self._client = client
+
+    def get(self, name: str) -> CollectionHandle:
+        reg = self._client._registry
+        if reg is not None:
+            name = reg.resolve(name).name  # alias / ns:Class indirection
+        return CollectionHandle(self._client, name)
+
+    def list_all(self) -> list[str]:
+        import glob
+        import os
+
+        return sorted(
+            os.path.basename(p)[: -len(".parquet")]
+            for p in glob.glob(f"{self._client._root}/*.parquet")
+        )
+
+    def exists(self, name: str) -> bool:
+        return name in self.list_all()
+
+
+class WeaviateSparkClient:
+    def __init__(self, spark: SparkSession, root: str,
+                 registry: Optional[object] = None):
+        self._spark = spark
+        self._root = root.rstrip("/")
+        self._registry = registry
+        self.collections = _Collections(self)
+
+
+def connect(spark: SparkSession, root: str, registry=None) -> WeaviateSparkClient:
+    """`weaviate.connect_to_*` analogue: bind a SparkSession and a data
+    root (directory of `<collection>.parquet` tables)."""
+    return WeaviateSparkClient(spark, root, registry=registry)
