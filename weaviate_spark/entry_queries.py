@@ -3769,3 +3769,31 @@ def q_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "events_purchase_attribution",
+    oracle=(
+        "SELECT a.event_id AS purchase_id, b.event_id AS click_id, "
+        "a.user_id, a.ts AS purchase_ts, "
+        "CAST(date_diff('second', b.ts, a.ts) AS BIGINT) AS lag_sec "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND a.event_type = 'purchase' AND b.event_type = 'click' "
+        "AND b.ts >= a.ts - INTERVAL 240 MINUTE AND b.ts <= a.ts"
+    ),
+)
+def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch side of the unified model):
+    purchases attributed to same-user clicks within the preceding 4 h.
+    The streaming variant — both sides watermarked, state bounded by
+    the time-range predicate — is equivalence-tested in
+    tests/test_streaming_join.py."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.streaming.ingest import purchase_attribution_join
+
+    ev = _load(spark, sf_dir, "events")
+    return purchase_attribution_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        window_minutes=240,
+    )

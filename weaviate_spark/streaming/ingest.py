@@ -249,3 +249,55 @@ def stateful_running_totals(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def purchase_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 240,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream event-time interval join — Structured Streaming's
+    canonical two-stream pattern (not in the reference, which has no
+    streaming at all): attribute each purchase to every click by the
+    same user within the preceding `window_minutes`.
+
+    Unified model: on batch frames this is a plain equi+range join; on
+    streaming frames BOTH sides get event-time watermarks and the
+    time-range predicate lets Spark BOUND THE JOIN STATE — clicks are
+    dropped from state once no future purchase can reach back to them,
+    purchases once their window has passed the click watermark. Without
+    the range condition a stream-stream join would buffer both streams
+    forever; with it, state size is (events within one window), not
+    (events since job start) — the property that makes this run
+    indefinitely at production rates.
+
+    Returns (purchase_id, click_id, user_id, purchase_ts, lag_sec),
+    lag_sec = seconds from click to purchase.
+    """
+    def prep(df: DataFrame, role: str) -> DataFrame:
+        ts_type = df.schema[ts_col].dataType.simpleString()
+        if df.isStreaming:
+            if ts_type == "timestamp_ntz":
+                df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            df = df.withWatermark(ts_col, f"{window_minutes * 2} minutes")
+        return df.select(
+            F.col("event_id").alias(f"{role}_id"),
+            F.col("user_id").alias(f"{role}_user"),
+            F.col(ts_col).alias(f"{role}_ts"),
+        )
+
+    p = prep(purchases, "purchase")
+    c = prep(clicks, "click")
+    cond = (
+        (p["purchase_user"] == c["click_user"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (c["click_ts"] <= p["purchase_ts"])
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        (F.unix_timestamp(F.col("purchase_ts").cast("timestamp"))
+         - F.unix_timestamp(F.col("click_ts").cast("timestamp"))).alias("lag_sec"),
+    )
