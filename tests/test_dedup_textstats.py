@@ -327,3 +327,50 @@ def test_contamination_scores(spark):
     assert out[3]["score"] > 0.5           # near-verbatim inclusion
     assert out[2]["n_contaminated"] == 0
     assert out[1]["n_contaminated"] >= 1   # shared "the quick brown fox jumps"
+
+
+def test_semantic_dedup_keep_rule_and_cluster_scope(spark, sf_dir):
+    """semantic_dedup: every dropped item names its smallest-id
+    within-eps neighbor IN THE SAME CELL, and no two retained items in
+    one cell are within eps of each other... wait — keep-lowest-id can
+    retain eps-close items transitively (a-b close, b-c close, a-c far
+    drops both b and c against a). Assert the actual contract: drops
+    are exactly the items with a smaller-id within-eps same-cell
+    neighbor."""
+    import numpy as np
+
+    from weaviate_spark.operators.dedup import semantic_dedup
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+    from weaviate_spark.sources.tables import load_table
+
+    eps = 0.55
+    out = {
+        r["vec_id"]: (r["kept_by"], r["_distance"])
+        for r in semantic_dedup(
+            spark, sf_dir, "embeddings", eps=eps,
+            table_key=(sf_dir, "embeddings", "ivf"),
+        ).collect()
+    }
+
+    rows = load_table(spark, sf_dir, "embeddings").where(
+        "embedding is not null").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    n = np.sqrt((V * V).sum(1))
+    C = np.array(IVF_CENTROIDS)
+    # same assignment arithmetic: argmin of -2 x_n . c + |c|^2
+    Xn = V / n[:, None]
+    cell = np.argmin(-2 * Xn @ C.T + (C * C).sum(1)[None, :], axis=1)
+    D = np.floor((1 - (V @ V.T) / np.outer(n, n)) * 1e6 + 0.5) / 1e6
+
+    order = np.argsort(ids)
+    want = {}
+    for jj in order:
+        close = [
+            ii for ii in order
+            if ids[ii] < ids[jj] and cell[ii] == cell[jj] and D[ii, jj] <= eps
+        ]
+        if close:
+            i = min(close, key=lambda x: ids[x])
+            want[int(ids[jj])] = (int(ids[i]), D[i, jj])
+    assert out == want and len(want) > 0

@@ -3797,3 +3797,77 @@ def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.where(F.col("event_type") == "click"),
         window_minutes=240,
     )
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS INT) "
+        "AS n_tokens_word, "
+        "CAST(len(regexp_extract_all(text, "
+        "$$'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$, 0)) "
+        "AS INT) AS n_tokens_bpe FROM documents"
+    ),
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (BASELINE north star: 'whitespace + a
+    BPE-ish regex'): word-run counts next to GPT-2-pretokenizer-shaped
+    segment counts — the packing/budgeting unit of a training pipeline.
+    Narrow projection, zero shuffles; the identical regex runs in both
+    engines so the count is hash-exact."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.textstats import bpe_token_count, token_count
+
+    df = _load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_word"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def _semantic_dedup_oracle_sql(eps: float = 0.55) -> str:
+    """DuckDB mirror of q_semantic_dedup: identical centroid literals
+    and assignment argmin (the ann_ivf_topk arithmetic), within-cluster
+    pairs only, keep-lowest-id with min_by distance."""
+    import numpy as np
+
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"-2 * list_dot_product(nv, {dlist(c)}) + {float(np.dot(c, c))!r}"
+        for c in IVF_CENTROIDS
+    )
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "en AS (SELECT vec_id, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"assign AS (SELECT vec_id, ev, [{scores}] AS d FROM en), "
+        "cells AS (SELECT vec_id, ev, list_position(d, list_min(d)) - 1 AS _cell FROM assign), "
+        "pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "round(1 - list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS d "
+        "FROM cells a JOIN cells b ON a._cell = b._cell AND a.vec_id < b.vec_id) "
+        f"SELECT j AS vec_id, min(i) AS kept_by, min_by(d, i) AS _distance "
+        f"FROM pairs WHERE d <= {eps!r} GROUP BY j"
+    )
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv 2303.09540): persisted
+    k-means cells partition the corpus, near-dup pruning runs per cell
+    as a numpy GEMM, keep-lowest-id representative. The approximation
+    (within-cell pairs only) is itself hash-checked — assignment,
+    pairing, and keep rule all mirror in SQL."""
+    from weaviate_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        spark, sf_dir, "embeddings", eps=0.55,
+        table_key=(sf_dir, "embeddings", "ivf"),
+    )

@@ -618,3 +618,87 @@ def simhash_neardup_pairs(
     return ham.select(
         F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "hamming"
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+def semantic_dedup(
+    spark,
+    sf_dir: str,
+    collection: str,
+    eps: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroids=None,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public arXiv 2303.09540): k-means-partition the
+    embedding space with OFFLINE centroids (the persisted IVF/PQ
+    artifact, tools/train_pq.py), then find near-duplicate pairs ONLY
+    within each cluster and drop every member that has a lower-id
+    neighbor within cosine distance `eps` (keep-lowest-id
+    representative — deterministic stand-in for the paper's
+    keep-farthest-from-centroid rule).
+
+    Returns the DROP list: (id_col, kept_by, _distance) — one row per
+    pruned item, naming its smallest-id retained neighbor.
+
+    Scale shape: cluster assignment is the cached ingest-time PQ/IVF
+    encode (one narrow pass); the quadratic pair scan runs per cluster
+    as a numpy GEMM inside applyInPandas, so compute is
+    sum(cluster^2)/2 dots, never corpus^2, and the only shuffle is the
+    groupBy on the (16-way here, k-way in general) cluster key. Cluster
+    count is the knob that bounds per-task memory at 100 TB — SemDeDup
+    runs 50k clusters at web scale for exactly this reason. Missing
+    cross-cluster near-dups are the documented SemDeDup approximation;
+    the LSH path (embedding_neardup_pairs_lsh) is the recall-oriented
+    alternative."""
+    from weaviate_spark.operators.quantization import with_pq_index
+    from weaviate_spark.sources.tables import load_table
+
+    if centroids is None:
+        from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+        centroids = IVF_CENTROIDS
+    base = load_table(spark, sf_dir, collection)
+    enc = with_pq_index(
+        base, id_col, vector_col, [centroids],
+        table_key if table_key is not None else (sf_dir, collection, "ivf"),
+        normalize=True,
+    )
+    cells = enc.select(
+        "_id", "_v", F.element_at(F.col("_pq"), 1).alias("_cell")
+    )
+    eps_f = float(eps)
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"_id": [], "kept_by": [], "_distance": []})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        D = 1.0 - (V @ V.T) / (n[:, None] * n[None, :])
+        D = np.floor(D * 1e6 + 0.5) / 1e6  # half-up 6dp, oracle parity
+        out_id, out_keep, out_d = [], [], []
+        for j in range(1, len(ids)):
+            hits = np.nonzero(D[:j, j] <= eps_f)[0]
+            if hits.size:
+                i = hits[0]  # ids ascending -> first hit = smallest id
+                out_id.append(ids[j])
+                out_keep.append(ids[i])
+                out_d.append(D[i, j])
+        return pd.DataFrame({"_id": out_id, "kept_by": out_keep, "_distance": out_d})
+
+    id_type = dict(base.dtypes)[id_col]
+    return (
+        cells.groupBy("_cell")
+        .applyInPandas(prune, f"_id {id_type}, kept_by {id_type}, _distance double")
+        .withColumnRenamed("_id", id_col)
+    )

@@ -136,3 +136,22 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer regex, minus the `\s+(?!\S)` trailing-space
+# lookahead (RE2 — the DuckDB oracle engine — has no lookarounds; the
+# simplified pattern is identical in Java regex and RE2, so the count is
+# oracle-exact by construction). Splits contractions ('t/'s/...), keeps
+# the leading space attached to word/number/punct runs — the shape BPE
+# vocabularies are trained on, so len(matches) tracks real BPE token
+# counts far better than whitespace words on punctuation-heavy text.
+BPE_ISH_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: pretokenizer segments, the budgeting unit a
+    training pipeline actually packs against (token_count's word runs
+    undercount punctuation/contraction tokens)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0))
