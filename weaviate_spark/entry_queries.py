@@ -3871,3 +3871,41 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "embeddings", eps=0.55,
         table_key=(sf_dir, "embeddings", "ivf"),
     )
+
+
+@register(
+    "hybrid_explain_score",
+    oracle=hybrid_oracle_sql(
+        "spark filter join", QVEC, alpha=0.75, fusion="relativeScore",
+        limit=15, explain=True,
+    ),
+)
+def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explainScore additional property (hybrid_fusion.go:40-47,
+    139-146; search_get.proto MetadataRequest.explain_score): each fused
+    hit carries the reference-format per-leg contribution lines —
+    relativeScore chains the newest leg onto the previous accumulation
+    with " - ". Byte-assembled in BOTH engines (%.6f numbers both
+    sides), so the explanation string itself is hash-checked."""
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.75, fusion="relativeScore", limit=15, explain=True,
+    ))
+
+
+@register(
+    "hybrid_explain_score_rrf",
+    oracle=hybrid_oracle_sql(
+        "spark filter join", QVEC, alpha=0.5, fusion="ranked",
+        limit=15, explain=True,
+    ),
+)
+def q_hybrid_explain_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explainScore for rankedFusion: "contributed w/(rank+60)" lines
+    accumulated newline-joined in leg order (hybrid_fusion.go:40-47)."""
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="ranked", limit=15, explain=True,
+    ))

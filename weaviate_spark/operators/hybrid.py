@@ -62,6 +62,12 @@ class HybridSpec:
     max_vector_distance: Optional[float] = None
     where: Optional[Clause] = None
     round_digits: int = 6
+    # emit the reference's explainScore additional property
+    # (hybrid_fusion.go:40-47, 139-146): per-leg contribution lines,
+    # assembled newline-joined (ranked) / " - "-chained reverse-leg
+    # (relativeScore). Numbers print at 6dp (%.6f both engines), not
+    # Go's float32 shortest-repr — documented formatting divergence.
+    explain: bool = False
 
 
 def _leg_cap(spec: HybridSpec) -> int:
@@ -128,7 +134,9 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
         ), df=df).select(id_col, (F.lit(1.0) - F.col("_distance")).alias("_secondary"))
         legs.append((dense, spec.alpha))
 
-    fused = fuse(legs, id_col, spec.fusion, spec.round_digits)
+    names = ("keyword", "vector") if len(legs) == 2 else ("keyword",) if spec.alpha < 1 and spec.query else ("vector",)
+    fused = fuse(legs, id_col, spec.fusion, spec.round_digits,
+                 explain_names=names if spec.explain else None)
     return fused.orderBy(F.col("_score").desc(), F.col(id_col).asc()).limit(spec.limit)
 
 
@@ -137,8 +145,10 @@ def fuse(
     id_col: str,
     fusion: str = "relativeScore",
     round_digits: int = 6,
+    explain_names: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """Fuse (df[id,_secondary], weight) legs into (id, _score).
+    """Fuse (df[id,_secondary], weight) legs into (id, _score)
+    (+ explain_score when `explain_names` labels the legs).
 
     No single-partition windows: each leg is already capped at
     <= max(100, limit) rows, so the global leg rank is computed by
@@ -148,7 +158,7 @@ def fuse(
     replacements for `Window.orderBy()` with no partition key, which
     Spark would (rightly) flag."""
     contribs = []
-    for leg_df, weight in legs:
+    for li, (leg_df, weight) in enumerate(legs):
         # each leg is referenced more than once below (rank/min-max pass +
         # normalize pass); without a cache every reference re-executes the
         # whole leg subtree (corpus scan included). The legs are capped at
@@ -171,6 +181,7 @@ def fuse(
                 .select(
                     F.col("_row._id").alias(id_col),
                     (F.lit(weight) / (F.col("_rank") + 60)).alias("_contrib"),
+                    (-F.col("_row._k")).alias("_sec"),
                 )
             )
         elif fusion == "relativeScore":
@@ -188,17 +199,56 @@ def fuse(
                         * (F.col("_secondary") - F.col("_mn"))
                         / (F.col("_mx") - F.col("_mn"))
                     ).alias("_contrib"),
+                    F.col("_secondary").alias("_sec"),
                 )
             )
         else:
             raise ValueError(f"unknown fusion {fusion!r}")
+        if explain_names is not None:
+            name = explain_names[li]
+            # round BEFORE formatting: raw contributions land exactly on
+            # %.6f half boundaries (0.5/64 = 0.0078125), where Java's
+            # formatter (HALF_UP) and C printf (half-even) disagree; a
+            # 6dp-rounded double is never at a format boundary, so both
+            # engines print identically
+            if fusion == "ranked":
+                line = F.format_string(
+                    f"Hybrid (Result Set {name}) Document %d contributed "
+                    "%.6f to the score",
+                    F.col(id_col), F.round(F.col("_contrib"), 6),
+                )
+            else:
+                line = F.format_string(
+                    f"Hybrid (Result Set {name}) Document %d: original "
+                    "score %.6f, normalized score: %.6f",
+                    F.col(id_col), F.round(F.col("_sec"), 6),
+                    F.round(F.col("_contrib"), 6),
+                )
+            c = c.select(id_col, "_contrib", F.lit(li).alias("_leg"),
+                         line.alias("_line"))
+        else:
+            c = c.select(id_col, "_contrib")
         contribs.append(c)
 
     out = contribs[0]
     for c in contribs[1:]:
         out = out.unionByName(c)
-    out = out.groupBy(id_col).agg(F.round(F.sum("_contrib"), round_digits).alias("_score"))
-    return out
+    if explain_names is None:
+        return out.groupBy(id_col).agg(
+            F.round(F.sum("_contrib"), round_digits).alias("_score"))
+    grouped = out.groupBy(id_col).agg(
+        F.round(F.sum("_contrib"), round_digits).alias("_score"),
+        F.array_sort(F.collect_list(F.struct("_leg", "_line"))).alias("_lines"),
+    )
+    lines = F.transform(F.col("_lines"), lambda s: s["_line"])
+    if fusion == "ranked":
+        # hybrid_fusion.go:40-47: "{prev}\n{line}" accumulated in leg order
+        exp = F.concat(F.lit("\n"), F.array_join(lines, "\n"))
+    else:
+        # hybrid_fusion.go:139-146: latest leg first, " - " chained onto
+        # the previous accumulation (which carries its own leading \n)
+        exp = F.concat(F.lit("\n"), F.array_join(F.reverse(lines), " - \n"))
+    return grouped.select(id_col, "_score", exp.alias("explain_score"))
 
 
 def hybrid_oracle_sql(
@@ -209,6 +259,7 @@ def hybrid_oracle_sql(
     limit: int = 100,
     k1: float = 1.2,
     b: float = 0.75,
+    explain: bool = False,
 ) -> str:
     """DuckDB SQL reproducing hybrid_search over the docs_embedded shape
     (documents JOIN embeddings ON doc_id = vec_id), word tokenization,
@@ -223,23 +274,40 @@ def hybrid_oracle_sql(
     if fusion == "ranked":
         fuse_sql = f"""
 contribs AS (
-  SELECT id, {w_kw} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM bm
+  SELECT id, sec, 0 AS leg, {w_kw} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM bm
   UNION ALL
-  SELECT id, {w_vec} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM ve
+  SELECT id, sec, 1 AS leg, {w_vec} / ((row_number() OVER (ORDER BY sec DESC, id ASC)) - 1 + 60) AS c FROM ve
 )"""
     elif fusion == "relativeScore":
         fuse_sql = f"""
 contribs AS (
-  SELECT id, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_kw}
+  SELECT id, sec, 0 AS leg, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_kw}
     ELSE {w_kw} * (sec - min(sec) OVER ()) / (max(sec) OVER () - min(sec) OVER ()) END AS c
   FROM bm
   UNION ALL
-  SELECT id, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_vec}
+  SELECT id, sec, 1 AS leg, CASE WHEN max(sec) OVER () = min(sec) OVER () THEN {w_vec}
     ELSE {w_vec} * (sec - min(sec) OVER ()) / (max(sec) OVER () - min(sec) OVER ()) END AS c
   FROM ve
 )"""
     else:
         raise ValueError(f"unknown fusion {fusion!r}")
+
+    if explain:
+        if fusion == "ranked":
+            line = ("printf('Hybrid (Result Set %s) Document %d contributed "
+                    "%.6f to the score', CASE leg WHEN 0 THEN 'keyword' "
+                    "ELSE 'vector' END, id, round(c, 6))")
+            exp_sql = f"chr(10) || string_agg({line}, chr(10) ORDER BY leg)"
+        else:
+            line = ("printf('Hybrid (Result Set %s) Document %d: original "
+                    "score %.6f, normalized score: %.6f', CASE leg WHEN 0 "
+                    "THEN 'keyword' ELSE 'vector' END, id, round(sec, 6), "
+                    "round(c, 6))")
+            exp_sql = (f"chr(10) || string_agg({line}, ' - ' || chr(10) "
+                       "ORDER BY leg DESC)")
+        explain_col = f", {exp_sql} AS explain_score"
+    else:
+        explain_col = ""
 
     return f"""
 WITH corpus AS (
@@ -282,7 +350,7 @@ vd AS (
 ),
 ve AS (SELECT id, 1 - _distance AS sec FROM vd),
 {fuse_sql}
-SELECT id AS doc_id, round(sum(c), 6) AS _score
+SELECT id AS doc_id, round(sum(c), 6) AS _score{explain_col}
 FROM contribs GROUP BY id
 ORDER BY _score DESC, doc_id ASC LIMIT {limit}
 """
