@@ -1,0 +1,72 @@
+"""Remaining near-media modalities of search_get.proto (near_depth /
+near_thermal as single-channel P5 graymaps; near_imu as the canonical
+sensor blob) — exact-value decode + shared-feature-space routing."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from weaviate_spark.operators.multimodal import (
+    decode_image_array,
+    decode_imu_info,
+    imu_blob,
+    near_media_vector,
+)
+
+
+def _p5(w, h, vals):
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(vals)
+
+
+def test_p5_graymap_exact_and_comments():
+    img = decode_image_array(_p5(3, 2, [10, 20, 30, 40, 50, 60]))
+    assert img.shape == (2, 3, 3)
+    # grayscale replicates into all three channels
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert img[0].tolist() == [[10] * 3, [20] * 3, [30] * 3]
+    withc = b"P5\n# depth frame\n2 1\n255\n" + bytes([7, 9])
+    img2 = decode_image_array(withc)
+    assert img2[0, 0, 0] == 7 and img2[0, 1, 2] == 9
+    # truncated pixel data -> None, 16-bit maxval -> None
+    assert decode_image_array(b"P5\n4 4\n255\n\x01") is None
+    assert decode_image_array(b"P5\n1 1\n65535\n\x01\x01") is None
+
+
+def test_imu_blob_roundtrip_exact():
+    samples = [[1.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 2.0]]
+    info = decode_imu_info(imu_blob(samples, sample_rate=50))
+    assert info["sample_rate"] == 50 and info["n_samples"] == 3
+    assert info["duration_ms"] == 60
+    want_rms = [np.sqrt(1.0 / 3), np.sqrt(4.0 / 3), np.sqrt(4.0 / 3)]
+    assert np.allclose(info["rms"], want_rms)
+    assert np.isclose(info["mean_magnitude"], (1.0 + 2.0 + 2.0) / 3)
+    # non-IMU / truncated decline cleanly
+    assert decode_imu_info(b"IMU1\x00") is None
+    assert decode_imu_info(imu_blob(samples)[:20]) is None
+    assert decode_imu_info(b"WAVE....") is None
+
+
+def test_modalities_share_the_near_media_space():
+    depth = near_media_vector(_p5(2, 2, [0, 64, 128, 255]), dim=8)
+    thermal = near_media_vector(_p5(2, 2, [0, 64, 128, 255]), dim=8)
+    assert depth == thermal  # same bytes -> same feature (deterministic)
+    imu = near_media_vector(imu_blob([[0.1, 0.2, 0.3]] * 4), dim=8)
+    assert len(imu) == 8 and imu != depth
+
+
+def test_imu_near_media_search(spark):
+    """near_imu query path: a tiny IMU corpus ranked against an IMU
+    query blob through the shared near-media search."""
+    from weaviate_spark.operators.multimodal import near_media_search
+
+    blobs = [
+        (1, imu_blob([[1.0, 0.0, 0.0]] * 8, 100)),
+        (2, imu_blob([[0.9, 0.1, 0.0]] * 8, 100)),
+        (3, imu_blob([[0.0, 0.0, 5.0]] * 4, 10)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "media_id long, media binary")
+    q = imu_blob([[1.0, 0.0, 0.0]] * 8, 100)
+    top = near_media_search(df, "media_id", "media", q, limit=3, dim=8).collect()
+    assert top[0]["media_id"] == 1 and top[0]["_distance"] == 0.0
+    assert [r["media_id"] for r in top][:2] == [1, 2]

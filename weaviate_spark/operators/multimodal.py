@@ -95,8 +95,12 @@ def _decode_image_array_strict(data: bytes):
 
     import numpy as np
 
-    if data[:2] == b"P6":
-        # P6 <ws> width <ws> height <ws> maxval \n raw RGB
+    if data[:2] in (b"P6", b"P5"):
+        # P6/P5 <ws> width <ws> height <ws> maxval \n raw pixels
+        # (P5 = single-channel graymap: the storage shape of depth and
+        # thermal frames — replicated to 3 channels like grayscale
+        # JPEG/PNG, so depth/thermal blobs ride the shared image path)
+        nch = 3 if data[:2] == b"P6" else 1
         parts, i, vals = [], 2, []
         while len(vals) < 3:
             while i < len(data) and data[i : i + 1].isspace():
@@ -114,8 +118,11 @@ def _decode_image_array_strict(data: bytes):
         w, h, maxval = vals
         if maxval > 255:
             return None
-        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
-        return px.reshape(h, w, 3).copy()
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=i)
+        px = px.reshape(h, w, nch)
+        if nch == 1:
+            return np.repeat(px, 3, axis=2)
+        return px.copy()
     if data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1107,6 +1114,52 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(_sample, schema)
 
 
+IMU_MAGIC = b"IMU1"
+
+
+def decode_imu_info(data: bytes):
+    """Decode the canonical IMU blob: b"IMU1" + u32 sample_rate_hz +
+    u32 n_samples + n*3 float32 LE (ax, ay, az interleaved) — the
+    opaque-sensor-blob shape of the reference's near_imu input
+    (search_get.proto NearIMUSearch: base64 sensor payload; the bind
+    module treats it as an opaque modality). Returns sample-rate /
+    count / duration plus per-axis RMS and mean magnitude, or None for
+    non-IMU or truncated bytes."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != IMU_MAGIC or len(data) < 12:
+        return None
+    rate, n = struct.unpack_from("<II", data, 4)
+    if rate == 0 or n == 0 or len(data) < 12 + n * 12:
+        return None
+    arr = np.frombuffer(data, dtype="<f4", count=n * 3, offset=12)
+    xyz = arr.reshape(n, 3).astype(np.float64)
+    rms = np.sqrt((xyz * xyz).mean(axis=0))
+    mag = np.sqrt((xyz * xyz).sum(axis=1))
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "duration_ms": int(n * 1000 // rate),
+        "rms": [float(v) for v in rms],
+        "mean_magnitude": float(mag.mean()),
+    }
+
+
+def imu_blob(samples, sample_rate: int = 100) -> bytes:
+    """Fixture writer for the canonical IMU blob."""
+    import struct
+
+    import numpy as np
+
+    xyz = np.asarray(samples, dtype="<f4").reshape(-1, 3)
+    return (
+        IMU_MAGIC + struct.pack("<II", sample_rate, xyz.shape[0])
+        + xyz.tobytes()
+    )
+
+
 def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
     """Query-side near-media (nearImage/nearAudio, modules/img2vec &
     multi2vec query path): decode the query blob with the REAL codecs
@@ -1130,6 +1183,17 @@ def near_media_vector(data: bytes, dim: int = 8) -> list[float]:
         mid = _avi_frame_rgb(data, info, frames[len(frames) // 2])
         if mid is not None:
             return _image_feature(mid, dim)
+    imu = decode_imu_info(data)
+    if imu is not None:
+        import math
+
+        feat = [
+            imu["sample_rate"] / 1000.0,
+            math.log1p(imu["duration_ms"]) / 10.0,
+            *imu["rms"],
+            imu["mean_magnitude"],
+        ]
+        return [float(x) for x in (feat + [0.0] * dim)[:dim]]
     try:
         info = decode_wav_info(data)
     except Exception:
