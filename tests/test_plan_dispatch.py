@@ -118,3 +118,31 @@ def test_string_sort_case_insensitive(spark):
     # byte-order comparison would put the capitals first — pin that we
     # do NOT do that
     assert [r["id"] for r in df.orderBy(F.col("name").asc()).collect()] != out
+
+
+def test_query_profile_surface(spark, sf_dir):
+    """query_profile (search_get.proto MetadataRequest.query_profile
+    analogue): phase timings, hottest rules, plan node census, measured
+    wall time — over a real compiled Get query."""
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.plans.compile import compile_get
+    from weaviate_spark.plans.profile import query_profile
+    from weaviate_spark.plans.spec import GetSpec, SortKey
+
+    df = compile_get(spark, sf_dir, GetSpec(
+        collection="part",
+        where=Clause(operator="Like", path=["p_type"], value="PROMO*"),
+        sort=[SortKey(path=["p_partkey"])], limit=10,
+        select=["p_partkey", "p_type"],
+    ))
+    prof = query_profile(df)
+    assert prof["rows"] == 10 and prof["took_ms"] > 0
+    assert {"analysis", "optimization", "planning"} <= set(prof["phases"])
+    assert all(v >= 0 for v in prof["phases"].values())
+    assert prof["top_rules"] and all(ms >= 0 for _, ms in prof["top_rules"])
+    assert any("TakeOrderedAndProject" in n for n in prof["plan_nodes"])
+    assert prof["is_adaptive_final"] in (True, False)
+
+    planned_only = query_profile(df, execute=False)
+    assert planned_only["rows"] is None and planned_only["took_ms"] is None
+    assert planned_only["phases"]
