@@ -192,3 +192,23 @@ def test_compiled_parse_matches_handbuilt(spark, sf_dir):
     a = compile_get(spark, sf_dir, parsed).collect()
     b = compile_get(spark, sf_dir, built).collect()
     assert a == b
+
+
+def test_parsed_explain_score_metadata_flows_to_fusion(spark, sf_dir):
+    """MetadataRequest.explain_score in the JSON front-end turns on the
+    fusion explanation lines end-to-end."""
+    from weaviate_spark.plans import compile_get, parse_query
+
+    spec = parse_query("""
+    {
+      "collection": "docs_embedded",
+      "hybrid_search": {"query": "spark join", "alpha": 0.5,
+                        "fusion_type": "FUSION_TYPE_RANKED"},
+      "metadata": {"explain_score": true},
+      "limit": 5
+    }
+    """)
+    spec.extra["id_col"] = "doc_id"
+    rows = compile_get(spark, sf_dir, spec).collect()
+    assert len(rows) == 5
+    assert all("Hybrid (Result Set" in r["explain_score"] for r in rows)

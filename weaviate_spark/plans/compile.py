@@ -87,6 +87,9 @@ def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFram
         from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
 
         h = spec.hybrid
+        # MetadataRequest.explain_score (search_get.proto:85) flows from
+        # the parsed metadata block into the fusion's explain lines
+        meta = spec.extra.get("metadata") or {}
         out = hybrid_search(spark, sf_dir, HybridSpec(
             collection=spec.collection, query=h.query, vector=h.vector or [],
             properties=[BM25Prop(p) for p in (h.properties or ["text"])],
@@ -94,6 +97,7 @@ def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFram
             fusion="ranked" if h.fusion == "ranked" else "relativeScore",
             limit=limit, max_vector_distance=h.max_vector_distance,
             where=spec.where,
+            explain=bool(meta.get("explain_score")),
         ))
     elif spec.bm25 is not None:
         from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
