@@ -126,3 +126,62 @@ def test_registry_resolution_through_client(client, spark, sf_dir):
     assert c2.collections.get("Parts")._table == "part"
     with pytest.raises(KeyError):
         c2.collections.get("Nope")
+
+
+def test_client_tenants_share_the_data_path(spark, tmp_path):
+    """Review regression: tenant lifecycle must operate on the SAME
+    physical directory the data namespace writes (<root>/<t>.parquet) —
+    offload really removes the partition from hot scans."""
+    import os
+
+    from weaviate_spark.client import connect
+    from weaviate_spark.sources.crud import write_tenant_partitioned
+
+    c = connect(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "acme", 1.0), (2, "globex", 2.0)], ["id", "_tenant", "v"])
+    write_tenant_partitioned(df, f"{tmp_path}/accounts.parquet", "_tenant")
+    coll = c.collections.get("accounts")
+    coll.tenants.create("acme")
+    coll.tenants.create("globex")
+    assert {r["id"] for r in coll.tenants.read(spark, "acme").collect()} == {1}
+    coll.tenants.update("acme", "OFFLOADED")
+    # the partition physically left the hot table root
+    assert not os.path.isdir(f"{tmp_path}/accounts.parquet/_tenant=acme")
+    assert {r["id"] for r in coll.query.fetch_objects().collect()} == {2}
+    coll.tenants.update("acme", "ACTIVE")
+    assert {r["id"] for r in coll.tenants.read(spark, "acme").collect()} == {1}
+
+
+def test_client_namespaces_map_to_distinct_tables(spark, tmp_path):
+    """Review regression: ns:Class and root Class are DIFFERENT physical
+    tables; fetch_object_by_id honors the configured id column."""
+    from weaviate_spark.client import connect
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.create_namespace("team-a")
+    reg.add(Collection("Thing", [Property("name", "text")]), namespace="team-a")
+    reg.add(Collection("Thing", [Property("name", "text")]))
+    spark.createDataFrame([(1, "root")], ["tid", "name"]).write.parquet(
+        f"{tmp_path}/Thing.parquet")
+    spark.createDataFrame([(2, "teamed")], ["tid", "name"]).write.parquet(
+        f"{tmp_path}/team-a:Thing.parquet")
+
+    c = connect(spark, str(tmp_path), registry=reg)
+    root = c.collections.get("Thing").with_config(id_col="tid")
+    teamed = c.collections.get("team-a:Thing").with_config(id_col="tid")
+    assert root._table == "Thing" and teamed._table == "team-a:Thing"
+    assert root.query.fetch_objects().collect()[0]["name"] == "root"
+    assert teamed.query.fetch_objects().collect()[0]["name"] == "teamed"
+    assert root.query.fetch_object_by_id(1).collect()[0]["name"] == "root"
+    assert teamed.query.fetch_object_by_id(2).collect()[0]["name"] == "teamed"
+
+
+def test_client_near_object_default_id_matches_compile(spark, sf_dir):
+    """Review regression: near_object must use the handle's configured
+    id/vector columns, matching its sibling near_vector."""
+    emb = connect(spark, sf_dir).collections.get("embeddings").with_config(
+        id_col="vec_id", vector_col="embedding")
+    top = emb.query.near_object(3, limit=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["_distance"] == 0.0

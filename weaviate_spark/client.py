@@ -144,7 +144,9 @@ class _Query:
         return self._run(self._base(filters, limit, offset, after, sort, select))
 
     def fetch_object_by_id(self, object_id) -> DataFrame:
-        return self.fetch_objects(filters=Filter.by_id().equal(object_id), limit=1)
+        id_col = self._h._extra.get("id_col", "_id")
+        return self.fetch_objects(
+            filters=Filter.by_property(id_col).equal(object_id), limit=1)
 
     def near_vector(self, near_vector: Sequence[float], limit: int = 10,
                     distance: float | None = None, certainty: float | None = None,
@@ -162,9 +164,13 @@ class _Query:
         from weaviate_spark.operators.vector import NearVectorSpec
         from weaviate_spark.operators.vector import near_object as _near_object
 
+        # same id/vector column defaults as every compile_get-routed
+        # sibling method (extra overrides, else _id / embedding)
         return _near_object(self._h._spark, self._h._root, NearVectorSpec(
             collection=self._h._table, vector=[], limit=limit,
-            where=filters, **self._h._vector_kw(),
+            where=filters,
+            id_col=self._h._extra.get("id_col", "_id"),
+            vector_col=self._h._extra.get("vector_col", "embedding"),
         ), near_object)
 
     def near_text(self, query: str | Sequence[str], limit: int = 10,
@@ -302,8 +308,11 @@ class CollectionHandle:
         from weaviate_spark.sources.crud import TenantRegistry
 
         if self._tenants is None:
+            # same physical path every other namespace uses (the
+            # partitioned table IS the <table>.parquet directory)
             self._tenants = TenantRegistry(
-                f"{self._root}/{self._table}", self._extra.get("tenant_col", "_tenant")
+                f"{self._root}/{self._table}.parquet",
+                self._extra.get("tenant_col", "_tenant"),
             )
         return self._tenants
 
@@ -315,7 +324,10 @@ class _Collections:
     def get(self, name: str) -> CollectionHandle:
         reg = self._client._registry
         if reg is not None:
-            name = reg.resolve(name).name  # alias / ns:Class indirection
+            # alias / ns:Class indirection — keep the QUALIFIED storage
+            # key, not Collection.name: distinct namespaces must map to
+            # distinct physical tables ("ns:Class.parquet")
+            name = reg.resolve_key(name)
         return CollectionHandle(self._client, name)
 
     def list_all(self) -> list[str]:

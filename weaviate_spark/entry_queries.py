@@ -3806,7 +3806,8 @@ def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS INT) "
         "AS n_tokens_word, "
         "CAST(len(regexp_extract_all(text, "
-        "$$'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$, 0)) "
+        "$$'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+"
+        "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+$$, 0)) "
         "AS INT) AS n_tokens_bpe FROM documents"
     ),
 )

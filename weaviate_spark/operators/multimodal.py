@@ -106,8 +106,13 @@ def _decode_image_array_strict(data: bytes):
             while i < len(data) and data[i : i + 1].isspace():
                 i += 1
             if data[i : i + 1] == b"#":          # comment line
-                while data[i : i + 1] != b"\n":
+                while i < len(data) and data[i : i + 1] != b"\n":
                     i += 1
+                if i >= len(data):
+                    # unterminated comment at EOF: decline (the bounded
+                    # loop matters — an infinite header scan would pin
+                    # an executor core instead of yielding None)
+                    raise ValueError("truncated PNM header")
                 continue
             j = i
             while j < len(data) and not data[j : j + 1].isspace():

@@ -139,14 +139,18 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # GPT-2-style pretokenizer regex, minus the `\s+(?!\S)` trailing-space
-# lookahead (RE2 — the DuckDB oracle engine — has no lookarounds; the
-# simplified pattern is identical in Java regex and RE2, so the count is
-# oracle-exact by construction). Splits contractions ('t/'s/...), keeps
-# the leading space attached to word/number/punct runs — the shape BPE
-# vocabularies are trained on, so len(matches) tracks real BPE token
-# counts far better than whitespace words on punctuation-heavy text.
+# lookahead (RE2 — the DuckDB oracle engine — has no lookarounds) and
+# with whitespace spelled as an EXPLICIT class: Java's \s includes
+# vertical tab \x0B, RE2's does not, so a literal \s would diverge on
+# corpora containing VT. With the explicit class the pattern is
+# byte-identical in both engines. Splits contractions ('t/'s/...),
+# keeps the leading space attached to word/number/punct runs — the
+# shape BPE vocabularies are trained on, so len(matches) tracks real
+# BPE token counts far better than whitespace words on
+# punctuation-heavy text.
 BPE_ISH_REGEX = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
+    r"| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"
 )
 
 

@@ -333,11 +333,18 @@ class Registry:
             raise ValueError(f"alias {alias!r} shadows an existing collection")
         self._aliases[alias] = target
 
-    def resolve(self, name: str) -> Collection:
+    def resolve_key(self, name: str) -> str:
+        """Canonical storage key after alias indirection — the
+        namespace-QUALIFIED name for namespaced collections (distinct
+        namespaces keep distinct keys; Collection.name alone would
+        collapse them)."""
         name = self._aliases.get(name, name)
         if name not in self._collections:
             ns = namespace_from_qualified(name)
             if ns and ns not in self._namespaces:
                 raise KeyError(f"unknown namespace {ns!r}")
             raise KeyError(f"unknown collection {name!r}")
-        return self._collections[name]
+        return name
+
+    def resolve(self, name: str) -> Collection:
+        return self._collections[self.resolve_key(name)]
