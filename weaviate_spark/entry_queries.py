@@ -504,6 +504,89 @@ def q_ref_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_fact_join_agg_bucketed",
+    oracle=(
+        "SELECT n_name, "
+        "CAST(count(*) AS BIGINT) AS num_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+)
+def q_ref_fact_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ref_fact_join_agg, executed over the PHYSICAL
+    bucketed layout (sources/bucketed.py): orders and customer are both
+    written bucketed+sorted on custkey, so the fact join runs as a
+    SortMergeJoin with ZERO ShuffleExchange on either side — the 100-TB
+    plan, where neither fact table fits a broadcast. Plan proof:
+    tests/test_bucketed.py + PLANS.md. Reference analogue: key-ordered
+    LSM segments (adapters/repos/db/lsmkv/strategies.go:24-29)."""
+    import datetime
+    from weaviate_spark.sources.bucketed import bucketed_join, bucketed_table
+    from weaviate_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = bucketed_table(spark, sf_dir, "orders").where(  # o_custkey buckets
+        F.col("o_orderdate") >= datetime.datetime(1995, 1, 1)
+    )
+    cust = bucketed_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        bucketed_join(orders, cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "fact_fact_join_bucketed",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS line_count, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate > TIMESTAMP '1995-03-01' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def q_fact_fact_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reference resolution (lineitem -> orders) over the
+    bucketed layout: BOTH sides bucketed+sorted on orderkey, so the
+    biggest join in the schema is exchange-free. At 100 TB this is the
+    join that otherwise shuffles the whole lineitem table."""
+    import datetime
+    from weaviate_spark.sources.bucketed import bucketed_join, bucketed_table
+    from pyspark.sql import functions as F
+
+    li = bucketed_table(spark, sf_dir, "lineitem").where(  # l_orderkey buckets
+        F.col("l_shipdate") > datetime.datetime(1995, 3, 1)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = bucketed_table(spark, sf_dir, "orders", key="o_orderkey").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        bucketed_join(li, orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # M4 — BM25 keyword search (SURVEY §2.5)
 

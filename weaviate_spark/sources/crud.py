@@ -47,6 +47,7 @@ def invalidate_indexes() -> None:
     from weaviate_spark.operators.quantization import (
         invalidate_bq_index, invalidate_pq_index, invalidate_rq_index,
     )
+    from weaviate_spark.sources.bucketed import invalidate_bucketed
     from weaviate_spark.sources.tables import invalidate_derived_tables
 
     invalidate_stats()
@@ -55,6 +56,7 @@ def invalidate_indexes() -> None:
     invalidate_pq_index()
     invalidate_rq_index()
     invalidate_derived_tables()
+    invalidate_bucketed()
 
 
 def _rewrite(df: DataFrame, table_dir: str) -> None:
