@@ -2180,12 +2180,22 @@ def q_multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multivector_search(docs, "vec_id", "_toks", [QVEC[:21], QVEC[21:42]], limit=10)
 
 
-@register("multivector_muvera_topk")
+from weaviate_spark.media_oracles import (
+    image_features_oracle_sql,
+    muvera_oracle_sql,
+    near_image_oracle_sql,
+)
+
+
+@register("multivector_muvera_topk", oracle=muvera_oracle_sql(QVEC, _slice_sql))
 def q_multivector_muvera(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUVERA fixed-dim encoding + overfetch-2x + exact maxsim rescore
-    (muvera.go:114-205, hnsw/search.go:101-120). Rows-only: the FDE is
-    randomized-projection approximate by design; recall vs the exact
-    path is pinned in tests/test_filters_extended.py."""
+    (muvera.go:114-205, hnsw/search.go:101-120). Hash-checked: the FDE
+    parameters are pure functions of the fixed public seed, so the
+    oracle (media_oracles.muvera_oracle_sql) re-runs the ENTIRE
+    pipeline — SimHash clustering, mean+Hamming-fill aggregation, +-1
+    projection, float32 storage, FDE top-20, exact maxsim rescore — in
+    DuckDB with the parameter matrices inlined as literals."""
     from pyspark.sql import functions as F
     from weaviate_spark.operators.multivector import MuveraSpec, muvera_search
 
@@ -2475,22 +2485,23 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_image_topk")
+@register("near_image_topk", oracle=near_image_oracle_sql())
 def q_near_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearImage search (near-media query surface): a MIXED-CODEC corpus
     — 4x4 PPM images synthesized per doc plus real JPEGs (pure-numpy
     decoder) every 7th doc, one of the three variants PROGRESSIVE
     (SOF2, multi-scan successive approximation) — query = a literal PPM
-    blob, cosine top-10 in the shared feature space. Rows-only:
-    features come from the python decoders (not SQL-expressible);
-    decoder exactness is pinned bit-level by tests/test_jpeg.py and
-    tests/test_surfaces.py."""
+    blob, cosine top-10 in the shared feature space. Hash-checked: the
+    PPM pixels are md5-derivable and the solid-JPEG decoded colors are
+    bit-level-pinned constants (tests/test_jpeg.py), so the oracle
+    (media_oracles.near_image_oracle_sql) recomputes the full feature +
+    cosine pipeline analytically in DuckDB."""
     from pyspark.sql import functions as F
     from weaviate_spark.operators.multimodal import (
         near_media_search, solid_jpeg, solid_jpeg_progressive,
     )
 
-    docs = _load(spark, sf_dir, "documents").limit(300)
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     # deterministic JPEG variants (DC categories 2/4/5 only; the
     # progressive one uses even DCs so the halves stay in-category)
     jpegs = [solid_jpeg(20, -12, 8), solid_jpeg_progressive(-6, 16, -4),
@@ -2515,19 +2526,19 @@ def q_near_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_media_search(media, "media_id", "media", query_blob, limit=10)
 
 
-@register("multimodal_image_features")
+@register("multimodal_image_features", oracle=image_features_oracle_sql())
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode pipeline over binary media columns: 4x4 PPM
     images synthesized column-side (P6 header + md5-derived pixels, pure
     Catalyst), then decoded with the pure-numpy PPM codec and
     feature-extracted via Arrow-batched mapInPandas
-    (operators/multimodal.py). Rows-only: binary feature floats are not
-    portably hashable across engines; decoder exactness is pinned by
-    tests/test_surfaces.py on known images."""
+    (operators/multimodal.py). Hash-checked: the pixel buffer is
+    md5(text)-derived, so the oracle recomputes mean-R from the same
+    md5 hex in DuckDB, mirrored through float32 storage width."""
     from pyspark.sql import functions as F
     from weaviate_spark.operators.multimodal import decode_image_features
 
-    docs = _load(spark, sf_dir, "documents").limit(200)
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(
@@ -2539,7 +2550,8 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_image_features(media, "media_id", "media", dim=7)
     return out.where(F.col("decode_ok")).select(
-        "media_id", F.round(F.element_at("feature", 1), 6).alias("mean_r"),
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("mean_r"),
     ).orderBy("media_id")
 
 
