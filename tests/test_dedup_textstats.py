@@ -49,6 +49,45 @@ def test_simhash_near_dup(spark):
     assert (1, 2) in got and (1, 3) not in got
 
 
+def test_simhash_blocking_plan_levels():
+    """Low budgets keep single 12+-bit chunks; high budgets auto-step to
+    chunk-combination keys; out-of-range budgets error toward minhash."""
+    import pytest
+    from weaviate_spark.operators.dedup import _blocking_plan
+
+    assert _blocking_plan(60, 3) == (1, 4, 15)
+    assert _blocking_plan(60, 4) == (1, 5, 12)
+    t, m, base = _blocking_plan(60, 12)
+    assert (t, m, base) == (3, 15, 4) and t * base >= 12
+    with pytest.raises(ValueError, match="minhash"):
+        _blocking_plan(60, 20)
+
+
+def test_simhash_combination_blocking_recall(spark):
+    """Chunk-combination blocking is recall-lossless: blocked pairs ==
+    brute-force hamming join, at both a t=1 and a t=3 budget."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 120)
+    )
+    sims = {r["_doc"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    for budget in (3, 12):
+        expect = {
+            (a, b)
+            for a in sims
+            for b in sims
+            if a < b and bin(sims[a] ^ sims[b]).count("1") <= budget
+        }
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in simhash_neardup_pairs(docs, "doc_id", "text", budget).collect()
+        }
+        assert got == expect, f"budget={budget}"
+
+
 def test_ann_recall_on_clustered_data(spark):
     """LSH recall is only meaningful when near neighbors exist (the
     driver's uniform synthetic embeddings have min pairwise angle ~60°,

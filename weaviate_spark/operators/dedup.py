@@ -579,28 +579,64 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sim
 
 
+def _blocking_plan(
+    bits: int, max_hamming: int, min_key_bits: int = 12, max_level: int = 3
+) -> tuple[int, int, int]:
+    """(level t, num_chunks m, chunk_bits) for pigeonhole blocking.
+
+    Split `bits` into m = max_hamming + t chunks of `bits // m` bits
+    each (leftover high bits belong to no chunk — that only ADDS
+    recall, since errors there damage nothing). A pair within the
+    Hamming budget damages at most max_hamming chunks, so at least t
+    chunks agree — emitting every C(m, t) chunk-combination as a join
+    key is recall-lossless. t grows until the key is >= min_key_bits
+    wide, so high budgets (where single chunks degenerate to a handful
+    of bits and the chunk join silently becomes all-pairs — VERDICT r05
+    finding #1) automatically step up to chunk-pair / chunk-triple
+    keys instead."""
+    for t in range(1, max_level + 1):
+        m = max_hamming + t
+        base = bits // m
+        if base >= 1 and t * base >= min_key_bits:
+            return t, m, base
+    raise ValueError(
+        f"max_hamming={max_hamming} leaves <{min_key_bits} key bits even "
+        f"with chunk-{max_level}-combination blocking over {bits} bits — "
+        "this radius is outside SimHash LSH's useful range; use "
+        "minhash_neardup_pairs (Jaccard) for looser similarity"
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Pairs whose simhash Hamming distance <= max_hamming. Candidate
-    generation by pigeonhole blocking: split the 60 bits into
-    max_hamming+1 chunks — a pair within the distance budget must agree
-    on at least one chunk. Smaller chunks (higher budgets) mean more
-    bucket collisions and more rescoring; that is the LSH recall/cost
-    dial, same trade as minhash bands."""
-    num_chunks = min(max_hamming + 1, 15)
-    width = (60 + num_chunks - 1) // num_chunks
+    generation by pigeonhole blocking (_blocking_plan): split the 60
+    bits into max_hamming+t chunks — a pair within the budget must
+    agree on at least t chunks, so every t-combination of chunk values
+    is a candidate key. t=1 for production budgets (<=4 -> 12+ bit
+    chunks); higher budgets auto-step to combination keys so the join
+    key never collapses to a handful of bits."""
+    from itertools import combinations
+
+    t_level, num_chunks, width = _blocking_plan(60, max_hamming)
+    mask = (1 << width) - 1
     sim = register_cache(simhash64(df, id_col, text_col).cache())
-    # integer chunk key (chunk-id << width | value): an 8-byte join key
-    # instead of a "c:value" string — smaller shuffle, faster hash join
+
+    def chunk_val(c: int):
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
+    # integer combo key ((combo-id << t*width) | chunk values): an
+    # 8-byte join key instead of a "c:v1:v2" string — smaller shuffle
+    keys = []
+    for idx, combo in enumerate(combinations(range(num_chunks), t_level)):
+        expr = F.lit(idx)
+        for c in combo:
+            expr = F.shiftleft(expr, width) + chunk_val(c)
+        keys.append(expr)
     chunks = sim.select(
         "_doc", "simhash",
-        F.explode(F.array(*[
-            F.shiftright(F.col("simhash"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            + F.lit(c << width)
-            for c in range(num_chunks)
-        ])).alias("_chunk"),
+        F.explode(F.array(*keys)).alias("_chunk"),
     )
     a = chunks.select(F.col("_doc").alias("_a"), F.col("simhash").alias("_sa"), "_chunk")
     b = chunks.select(F.col("_doc").alias("_b"), F.col("simhash").alias("_sb"), "_chunk")
