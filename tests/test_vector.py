@@ -372,3 +372,49 @@ def test_named_vectors_relative_score(spark):
     assert got[2] == pytest.approx(0.5 * 1 + 0.5 * 0, abs=1e-6)
     assert got[3] == pytest.approx(0.5 * 0.4 + 0.5 * 0.2, abs=1e-6)
     assert [r["id"] for r in out] == [3, 1, 2]  # 0.3 < 0.5 == 0.5, tie id
+
+
+def test_near_vector_quantized_routing(spark, sf_dir):
+    """Unfiltered cosine top-k routes through the BQ compressed scan
+    above the corpus threshold (and only then): the executed plan of the
+    routed query carries the packed-word hamming stage; the exact path
+    never does. Below the threshold results are exact."""
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    exact = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="off",
+    )).select("vec_id", "_distance")
+    exact.collect()
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" not in exact_plan
+
+    # default auto route: sf0.001 corpus is far below the threshold ->
+    # identical to exact
+    auto = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10,
+    )).select("vec_id", "_distance")
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in exact.collect()]
+
+    # forced (or above-threshold) route: plan contains the packed-word
+    # hamming candidate stage and still rescores exactly
+    routed = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+    )).select("vec_id", "_distance")
+    rows = routed.collect()
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan and "TakeOrderedAndProject" in plan
+    assert len(rows) == 10
+
+
+def test_near_vector_quantized_threshold_trips(spark, sf_dir):
+    """quantize_threshold=1 makes the auto route take the BQ plan."""
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    routed = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize_threshold=1,
+    )).select("vec_id", "_distance")
+    routed.collect()
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan

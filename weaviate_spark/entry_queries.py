@@ -3524,6 +3524,35 @@ def q_knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_cosine_topk_quantized",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "enc AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        f"{_BQ_WORD_SQL.format(lo=0)} AS bq0, {_BQ_WORD_SQL.format(lo=32)} AS bq1 "
+        "FROM embeddings), "
+        "cand AS (SELECT vec_id, ev, "
+        f"bit_count(xor(bq0, CAST({_BQ_QW[0]} AS BIGINT))) + "
+        f"bit_count(xor(bq1, CAST({_BQ_QW[1]} AS BIGINT))) AS _hamming "
+        "FROM enc ORDER BY _hamming ASC, vec_id ASC LIMIT 40) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        "FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB default nearVector plan, reached through the public
+    near_vector API: above NearVectorSpec.quantize_threshold rows an
+    unfiltered cosine top-k automatically routes through the BQ
+    compressed scan + exact rescore (vector.py routing; forced here
+    with quantize=\"bq\" so the driver-scale corpus takes the same
+    plan). Oracle mirrors the deterministic hamming-overfetch candidate
+    set, like knn_bq_rescore; plan proof in tests/test_vector.py."""
+    out = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+    ))
+    return out.select("vec_id", "_distance")
+
+
 # ---------------------------------------------------------------------------
 # M13 — serialized query front-end (SURVEY §3.1 lifecycle)
 

@@ -43,6 +43,15 @@ from weaviate_spark.functions.distance import certainty_to_distance, distance
 from weaviate_spark.sources.tables import load_table
 
 
+# Above this corpus size, cosine nearVector defaults to the BQ
+# compressed-scan + exact-rescore plan (flat/index.go:60-131): the scan
+# does dim/32 integer xor/popcounts per row instead of dim float
+# multiplies, and the exact math touches only overfetch*k candidates.
+# Below it, the exact brute-force scan is already scan-bound and the
+# encoded column would not pay for itself.
+AUTO_QUANTIZE_MIN_ROWS = 200_000
+
+
 @dataclass
 class NearVectorSpec:
     collection: str
@@ -55,6 +64,28 @@ class NearVectorSpec:
     certainty: Optional[float] = None # cosine-only alternative
     where: Optional[Clause] = None
     round_digits: Optional[int] = 6
+    # quantized routing: "auto" switches to the BQ compressed scan when
+    # the corpus exceeds quantize_threshold rows; "bq" forces it;
+    # "off" always brute-forces exact floats
+    quantize: str = "auto"
+    quantize_threshold: int = AUTO_QUANTIZE_MIN_ROWS
+    quantize_overfetch: int = 4
+
+
+# (session, sf_dir, collection) -> row count (table-stats stand-in;
+# at real scale this is catalog metadata, not a count job)
+_corpus_rows_cache: dict[tuple, int] = {}
+
+
+def invalidate_corpus_stats() -> None:
+    _corpus_rows_cache.clear()
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str, collection: str, df: DataFrame) -> int:
+    key = (id(spark), sf_dir, collection)
+    if key not in _corpus_rows_cache:
+        _corpus_rows_cache[key] = df.count()
+    return _corpus_rows_cache[key]
 
 
 def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
@@ -68,8 +99,42 @@ def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
 def near_vector(
     spark: SparkSession, sf_dir: str, spec: NearVectorSpec, df: DataFrame | None = None
 ) -> DataFrame:
-    """Exact nearVector; pass a pre-loaded/pre-filtered ``df`` to reuse
-    a scan across legs (hybrid calls this with its shared input)."""
+    """nearVector; pass a pre-loaded/pre-filtered ``df`` to reuse
+    a scan across legs (hybrid calls this with its shared input).
+
+    Large unfiltered cosine top-k searches route through the BQ
+    compressed scan + exact rescore (quantization.bq_topk) — the
+    deterministic candidate set keeps results value-checkable; the
+    exact brute-force path remains for filtered / cutoff / custom-df /
+    small-corpus queries and as the recall oracle (quantize="off")."""
+    if (
+        df is None
+        and spec.where is None
+        and spec.metric == "cosine"
+        and spec.limit >= 0
+        and spec.distance is None
+        and spec.certainty is None
+        and spec.quantize in ("auto", "bq")
+    ):
+        base = load_table(spark, sf_dir, spec.collection)
+        if spec.quantize == "bq" or (
+            _corpus_rows(spark, sf_dir, spec.collection, base)
+            >= spec.quantize_threshold
+        ):
+            from weaviate_spark.operators.quantization import bq_topk
+
+            topk = bq_topk(
+                spark, sf_dir, spec.collection, spec.vector,
+                id_col=spec.id_col, vector_col=spec.vector_col,
+                k=spec.limit, overfetch=spec.quantize_overfetch,
+                metric=spec.metric,
+                round_digits=spec.round_digits if spec.round_digits is not None else 6,
+                table_key=(sf_dir, spec.collection),
+            )
+            return (
+                base.join(F.broadcast(topk), spec.id_col)
+                .orderBy(F.col("_distance").asc(), F.col(spec.id_col).asc())
+            )
     if df is None:
         df = apply_where(load_table(spark, sf_dir, spec.collection), spec.where)
     df = with_distance(df, spec)

@@ -47,9 +47,11 @@ def invalidate_indexes() -> None:
     from weaviate_spark.operators.quantization import (
         invalidate_bq_index, invalidate_pq_index, invalidate_rq_index,
     )
+    from weaviate_spark.operators.vector import invalidate_corpus_stats
     from weaviate_spark.sources.bucketed import invalidate_bucketed
     from weaviate_spark.sources.tables import invalidate_derived_tables
 
+    invalidate_corpus_stats()
     invalidate_stats()
     invalidate_dedup_index()
     invalidate_bq_index()
