@@ -1,0 +1,107 @@
+"""Optimistic concurrency for the COW table writes (VERDICT r05 ask #5:
+concurrent-writer safety without Delta's jars).
+
+Protocol = Delta's log on a filesystem with atomic O_EXCL create: every
+mutation snapshots the table version before reading, and the commit
+claims version+1 by exclusive marker creation. Of two racing writers
+exactly one claims the version; the loser gets ConcurrentWriteError and
+retries against the fresh snapshot (``transact``), so no update is
+ever lost."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from weaviate_spark.sources import crud
+
+
+def _write_table(spark, path, rows):
+    spark.createDataFrame(rows, ["k", "v"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stale_snapshot_write_is_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a"), (2, "b")])
+    assert crud.table_version(path) == 0
+
+    # writer A snapshots (and fully computes its output from the
+    # snapshot — the lost-update scenario)...
+    stale_version = crud.table_version(path)
+    stale_rows = spark.read.parquet(path).collect()
+    stale_out = spark.createDataFrame(stale_rows, ["k", "v"])
+
+    # ...writer B commits in between...
+    crud.upsert(spark, path, spark.createDataFrame([(3, "c")], ["k", "v"]), "k")
+    assert crud.table_version(path) == 1
+
+    # ...so A's commit against the stale snapshot must fail, not win
+    with pytest.raises(crud.ConcurrentWriteError):
+        crud._rewrite(stale_out, path, expected_version=stale_version)
+    # and B's write survived
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_transact_retries_and_converges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a")])
+
+    calls = {"n": 0}
+
+    def attempt():
+        calls["n"] += 1
+        v = crud.table_version(path)
+        if calls["n"] == 1:
+            # interleave: someone else commits after our snapshot
+            crud.upsert(
+                spark, path, spark.createDataFrame([(2, "b")], ["k", "v"]), "k"
+            )
+        out = spark.read.parquet(path)
+        crud._rewrite(out, path, expected_version=v)
+
+    crud.transact(attempt)
+    assert calls["n"] == 2  # first attempt lost, retry won
+    assert crud.table_version(path) == 2  # interleaved write = 1, retry = 2
+
+
+def test_concurrent_upserts_lose_no_update(spark, tmp_path):
+    """Two threads upserting different keys with retries: both rows are
+    present afterwards (the lost-update anomaly the COW path had)."""
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(0, "seed")])
+    errors = []
+
+    def worker(k):
+        def attempt():
+            crud.upsert(
+                spark, path,
+                spark.createDataFrame([(k, f"w{k}")], ["k", "v"]), "k",
+            )
+        try:
+            crud.transact(attempt, retries=10)
+        except Exception as exc:  # pragma: no cover - surfaced via assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[1] == "w1" and got[2] == "w2" and got[0] == "seed"
+    assert crud.table_version(path) >= 2
+
+
+def test_version_log_monotonic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a")])
+    for i in range(3):
+        crud.upsert(
+            spark, path,
+            spark.createDataFrame([(10 + i, "x")], ["k", "v"]), "k",
+        )
+    assert crud.table_version(path) == 3

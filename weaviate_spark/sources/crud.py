@@ -61,12 +61,90 @@ def invalidate_indexes() -> None:
     invalidate_bucketed()
 
 
-def _rewrite(df: DataFrame, table_dir: str) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this transaction's snapshot read
+    and its commit attempt. Re-read and retry (see ``transact``)."""
+
+
+def _txn_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".__txn__"
+
+
+def table_version(table_dir: str) -> int:
+    """Current committed version of a table (0 = never written through
+    the transactional path). The version log is the Delta-protocol
+    analogue: one ``<n>.commit`` marker per committed write, created
+    with O_EXCL so exactly one writer can claim each version."""
+    d = _txn_dir(table_dir)
+    if not os.path.isdir(d):
+        return 0
+    versions = [
+        int(name.split(".", 1)[0])
+        for name in os.listdir(d)
+        if name.endswith(".commit")
+    ]
+    return max(versions, default=0)
+
+
+def _claim_version(table_dir: str, expected_version: int, staging: str) -> None:
+    """Optimistic-concurrency gate: atomically create the marker for
+    ``expected_version + 1``. O_EXCL create is atomic on POSIX (and on
+    object stores with put-if-absent, which is how Delta's log works),
+    so of two racing writers exactly one claims the version; the loser
+    gets ConcurrentWriteError and must re-read + recompute. The marker
+    records the staging dir, so a crash between claim and swap is
+    diagnosable (the claimed version's staging never became live)."""
+    d = _txn_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, f"{expected_version + 1:010d}.commit")
+    try:
+        with open(marker, "x") as fh:
+            fh.write(staging)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {expected_version + 1} was committed by a "
+            "concurrent writer after this transaction's snapshot "
+            f"(expected base version {expected_version}); re-read and retry"
+        ) from None
+
+
+def _is_stale_snapshot_error(exc: Exception) -> bool:
+    """A concurrent swap can also surface as the snapshot's files
+    vanishing mid-recompute — logically the same conflict as a failed
+    version claim."""
+    s = str(exc)
+    return "FAILED_READ_FILE" in s or "FileNotFoundException" in s
+
+
+def transact(fn, retries: int = 5):
+    """Run a mutation closure with optimistic-concurrency retries: on
+    ConcurrentWriteError (or a vanished-snapshot read error caused by a
+    concurrent swap) the closure re-executes (it must re-read the
+    table — every mutation in this module does), Delta-style."""
+    for attempt in range(retries):
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if attempt == retries - 1:
+                raise
+        except Exception as exc:
+            if not _is_stale_snapshot_error(exc) or attempt == retries - 1:
+                raise
+
+
+def _rewrite(df: DataFrame, table_dir: str, expected_version: int | None = None) -> None:
     """Write df to a staging dir then swap — readers never see a
-    half-written table. Every write invalidates materialized index
-    state so no query scores against stale statistics."""
+    half-written table. ``expected_version`` (the version observed when
+    the mutation READ the table) enables optimistic concurrency: the
+    commit marker for expected_version+1 is claimed atomically BEFORE
+    the swap, so a concurrent writer that committed in between forces
+    ConcurrentWriteError instead of a lost update. Every write
+    invalidates materialized index state so no query scores against
+    stale statistics."""
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(staging)
+    if expected_version is not None:
+        _claim_version(table_dir, expected_version, staging)
     backup = table_dir.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(table_dir):
         os.rename(table_dir, backup)
@@ -84,9 +162,10 @@ def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -
     small, AQE turns the anti join into a broadcast automatically. For
     partitioned tables use ``upsert_partitioned`` (rewrites only the
     affected partitions)."""
+    base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir)
     kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
-    _rewrite(kept.unionByName(new_rows), table_dir)
+    _rewrite(kept.unionByName(new_rows), table_dir, expected_version=base_version)
 
 
 def upsert_partitioned(
@@ -113,6 +192,7 @@ def upsert_partitioned(
     the old partitions into the rewrite set, so the merge stays correct.
     Callers whose keys are partition-stable (the common append/update
     pattern) can pass ``check_moves=False`` to skip the scan."""
+    base_version = table_version(table_dir)
     parts = sorted(
         r[0] for r in new_rows.select(partition_col).distinct().collect()
     )
@@ -133,6 +213,7 @@ def upsert_partitioned(
 
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     out.write.partitionBy(partition_col).parquet(staging)
+    _claim_version(table_dir, base_version, staging)
     for p in affected:
         part_dir = f"{partition_col}={p}"
         src = os.path.join(staging, part_dir)
@@ -155,13 +236,14 @@ def patch(
 ) -> None:
     """PATCH: update only the provided columns of one object
     (usecases/objects/merge.go)."""
+    base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir)
     out = current
     for col, val in updates.items():
         out = out.withColumn(
             col, F.when(F.col(key) == F.lit(key_value), F.lit(val)).otherwise(F.col(col))
         )
-    _rewrite(out, table_dir)
+    _rewrite(out, table_dir, expected_version=base_version)
 
 
 def delete_where(
@@ -169,13 +251,14 @@ def delete_where(
 ) -> int:
     """Batch delete by filter; returns the matched count. dry_run
     reports without rewriting (batch_delete.go dryRun)."""
+    base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir).cache()
     pred = compile_where(current, where)
     matched = current.where(pred).count()
     if not dry_run and matched:
         # two-valued keep-set: rows where pred is null are KEPT
         kept = current.where(~F.coalesce(pred, F.lit(False)))
-        _rewrite(kept, table_dir)
+        _rewrite(kept, table_dir, expected_version=base_version)
     current.unpersist()
     return matched
 
@@ -194,10 +277,14 @@ def purge_expired(
     spark: SparkSession, table_dir: str, ttl_seconds: int, now_unix: int, created_col: str
 ) -> int:
     """The TTL background job: physically delete expired rows."""
+    base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir).cache()
     expired = ttl_expired(current, ttl_seconds, now_unix, created_col).count()
     if expired:
-        _rewrite(with_ttl_filter(current, ttl_seconds, now_unix, created_col), table_dir)
+        _rewrite(
+            with_ttl_filter(current, ttl_seconds, now_unix, created_col),
+            table_dir, expected_version=base_version,
+        )
     current.unpersist()
     return expired
 
