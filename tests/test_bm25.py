@@ -209,3 +209,52 @@ def test_hybrid_degenerate_alphas(spark, sf_dir):
     )).collect()]
     assert hybrid_ids(0.0) == kw
     assert hybrid_ids(1.0) == vec
+
+
+def test_written_stats_tables_prune_and_skip_tokenize(spark, sf_dir):
+    """The written inverted-index artifact: postings live on disk
+    partitioned by term hash-bucket, a query's lookup partition-prunes
+    to its terms' buckets, and the scoring plan tokenizes NO document
+    (VERDICT r05 ask #6)."""
+    import os
+
+    from weaviate_spark.operators.bm25 import (
+        BM25_ARTIFACT_ROOT, BM25Prop, BM25Spec, bm25_search, invalidate_stats,
+    )
+
+    invalidate_stats()
+    assert not os.path.exists(BM25_ARTIFACT_ROOT)
+    spec = BM25Spec(
+        collection="documents", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=20,
+    )
+    out = bm25_search(spark, sf_dir, spec)
+    rows = out.collect()
+    assert rows
+    # artifact written: postings partitioned by _tb, doclen by prop
+    roots = []
+    for dirpath, dirnames, _ in os.walk(BM25_ARTIFACT_ROOT):
+        if "postings" in dirnames:
+            roots.append(dirpath)
+    assert roots, "postings artifact not written"
+    tb_dirs = [d for d in os.listdir(os.path.join(roots[0], "postings")) if d.startswith("_tb=")]
+    assert tb_dirs, "postings not partitioned by term bucket"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on the term bucket reaches the postings scan
+    assert "PartitionFilters: [" in plan and "_tb" in plan, plan
+    # and no document tokenization appears anywhere in the query plan
+    # (the corpus-recompute path would show the regexp split + explode)
+    assert "explode" not in plan.lower(), plan
+
+    # the same query in a way that skips the session memo still reads
+    # the written tables (no rebuild: artifact commit marker unchanged)
+    marker = None
+    for dirpath, _, filenames in os.walk(BM25_ARTIFACT_ROOT):
+        for f in filenames:
+            if f == "_ALL_TABLES_COMMITTED":
+                marker = os.path.join(dirpath, f)
+    assert marker is not None
+    mtime = os.path.getmtime(marker)
+    bm25_search(spark, sf_dir, spec).collect()
+    assert os.path.getmtime(marker) == mtime
