@@ -124,13 +124,60 @@ def test_trigram_joins_word_runs():
 
 
 def test_cjk_approx_modes():
-    # bigram expansion for CJK runs, word tokens for Latin
-    assert tokenize_py("日本語 spark", "gse") == ["日本", "本語", "spark"]
-    assert tokenize_py("私", "gse") == ["私"]
-    # Korean: space-delimited word runs
+    # bigram expansion (explicit mode) for CJK runs, word tokens for Latin
+    assert tokenize_py("日本語 spark", "gse_bigram") == ["日本", "本語", "spark"]
+    assert tokenize_py("私", "gse_bigram") == ["私"]
+    # default gse now segments by dictionary: 日本 in lexicon, 語 falls out
+    assert tokenize_py("日本語 spark", "gse") == ["日本", "語", "spark"]
+    # Korean: dictionary morpheme split (space placement irrelevant)
     assert tokenize_py("한국어를 처리하는 예시입니다", "kagome_kr") == [
-        "한국어를", "처리하는", "예시입니다",
+        "한국어", "를", "처리", "하", "는", "예시", "입니다",
     ]
+
+
+def test_reference_tokenizer_fixtures():
+    """Fixtures ported from entities/tokenizer/tokenizer_test.go
+    (kagome_ja :140-141, kagome_kr :114-126, gse_ch :111-112) — the
+    dictionary segmentation reproduces the reference's token boundaries
+    bit-for-bit; divergence: the reference emits punctuation/whitespace
+    tokens (its segmenters keep them), our word-run split drops them, so
+    the zh expectation is compared punctuation-stripped."""
+    # kagome_ja: exact (tokenizer_test.go:140-141)
+    assert tokenize_py("素早い茶色の狐が怠けた犬を飛び越えた", "kagome_ja") == [
+        "素早い", "茶色", "の", "狐", "が", "怠け", "た", "犬", "を", "飛び越え", "た",
+    ]
+    # kagome_kr: exact, with and without spaces (:114-126)
+    assert tokenize_py("아버지가방에들어가신다", "kagome_kr") == [
+        "아버지", "가", "방", "에", "들어가", "신다",
+    ]
+    assert tokenize_py("아버지가 방에 들어가신다", "kagome_kr") == [
+        "아버지", "가", "방", "에", "들어가", "신다",
+    ]
+    assert tokenize_py("결정하겠다", "kagome_kr") == ["결정", "하", "겠", "다"]
+    assert tokenize_py("한국어를처리하는예시입니다", "kagome_kr") == [
+        "한국어", "를", "처리", "하", "는", "예시", "입니다",
+    ]
+    # gse_ch 施氏食狮史 (:111-112), reference expectation minus the
+    # punctuation tokens
+    expected_zh = [t for t in [
+        "施", "氏", "食", "狮", "史", "石室", "诗", "士", "施", "氏", "，", "嗜",
+        "狮", "，", "誓", "食", "十", "狮", "。", "氏", "时时", "适", "市", "视",
+        "狮", "。", "十时", "，", "适", "十", "狮", "适", "市", "。", "是", "时",
+        "，", "适", "施", "氏", "适", "市", "。", "氏", "视", "是", "十", "狮",
+        "，", "恃", "矢", "势", "，", "使", "是", "十", "狮", "逝世", "。", "氏",
+        "拾", "是", "十", "狮", "尸", "，", "适", "石室", "。", "石室", "湿",
+        "，", "氏", "使", "侍", "拭", "石室", "。", "石室", "拭", "，", "氏",
+        "始", "试", "食", "是", "十", "狮", "尸", "。", "食", "时", "，", "始",
+        "识", "是", "十", "狮", "尸", "，", "实", "十", "石狮", "尸", "。", "试",
+        "释", "是", "事", "。",
+    ] if t not in ("，", "。")]
+    text_zh = (
+        "施氏食狮史石室诗士施氏，嗜狮，誓食十狮。氏时时适市视狮。十时，适十狮适市。"
+        "是时，适施氏适市。氏视是十狮，恃矢势，使是十狮逝世。氏拾是十狮尸，适石室。"
+        "石室湿，氏使侍拭石室。石室拭，氏始试食是十狮尸。食时，始识是十狮尸，"
+        "实十石狮尸。试释是事。"
+    )
+    assert tokenize_py(text_zh, "gse_ch") == expected_zh
 
 
 def test_stopword_config():
@@ -143,7 +190,7 @@ def test_stopword_config():
         StopwordConfig(preset="xx").words()
 
 
-@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "field", "trigram", "gse"])
+@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "field", "trigram", "gse", "gse_bigram"])
 @pytest.mark.parametrize("fold", [False, True])
 def test_spark_python_parity(spark, mode, fold):
     df = spark.createDataFrame([(t,) for t in MULTI_SCRIPT], ["t"])

@@ -1491,8 +1491,8 @@ def _cjk_dict_oracle_sql() -> str:
     )
     cjk_re = (
         "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
-        "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]"
-    )
+        "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{AC00}-\\x{D7AF}]"
+    )  # keep in sync with text._SEG_RANGES (Hangul included for dict seg)
     return f"""
 WITH RECURSIVE dict(w) AS (VALUES {dictvals}),
 inputs(sid, s) AS (VALUES {inputs}),

