@@ -418,3 +418,21 @@ def test_near_vector_quantized_threshold_trips(spark, sf_dir):
     routed.collect()
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "bit_count" in plan
+
+
+def test_knn_classify_labeled_set_cap(spark):
+    """The numpy backend's driver collect is guarded: an oversized
+    labeled frame errors toward knn_classify_lsh instead of OOMing."""
+    import pytest
+
+    from weaviate_spark.operators.rerank import knn_classify
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(20)],
+        "id long, vec array<float>, label long",
+    )
+    with pytest.raises(ValueError, match="knn_classify_lsh"):
+        knn_classify(df, df, "id", "vec", "label", max_labeled_rows=5)
+    # under the cap the guard is inert
+    out = knn_classify(df, df.limit(3), "id", "vec", "label", max_labeled_rows=100)
+    assert out.count() == 3

@@ -329,6 +329,7 @@ def knn_classify(
     k: int = 5,
     metric: str = "cosine",
     backend: str = "numpy",
+    max_labeled_rows: int = 1_000_000,
 ) -> DataFrame:
     """For each unlabeled row: k nearest labeled rows vote; majority
     wins, ties -> smallest label (deterministic).
@@ -356,6 +357,18 @@ def knn_classify(
     import numpy as np
     import pandas as pd
 
+    # the numpy backend broadcasts the labeled matrix — guard the
+    # driver collect so an oversized labeled frame errors toward the
+    # distributed path instead of OOMing (VERDICT r05 finding #2)
+    n_labeled = labeled.count()
+    if n_labeled > max_labeled_rows:
+        raise ValueError(
+            f"knn_classify numpy backend collects the labeled set to the "
+            f"driver ({n_labeled} rows > max_labeled_rows="
+            f"{max_labeled_rows}); use knn_classify_lsh (bucketed "
+            "candidates, nothing collected) for large labeled sets, or "
+            "raise max_labeled_rows explicitly"
+        )
     lab = labeled.select(id_col, vector_col, label_col).collect()
     L = np.array([list(map(float, r[1])) for r in lab], dtype=np.float64)
     L_norm = L / np.linalg.norm(L, axis=1, keepdims=True)
