@@ -28,26 +28,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # family, sampling/PII/curation…) — every registered query keeps its oracle
 # either way; this only steers the sample toward unproven entries.
 _DRIVER_CHECKED = frozenset({
-    "filter_sort_limit", "filter_like_prefix", "filter_like_wildcard",
-    "filter_contains_any", "filter_not_two_valued", "filter_date_range",
-    "filter_len_property", "filter_tokenized_equal", "filter_geo_within_range",
-    "pagination_offset", "agg_pricing_summary", "agg_median_mode",
-    "agg_meta_count", "agg_type_pointing_to", "agg_boolean",
-    "agg_date_minmax", "agg_date_median_mode", "agg_top_occurrences",
-    "agg_group_limit", "agg_object_limit", "ref_resolve_2hop",
-    "ref_filter_semijoin", "ref_count", "ref_fact_join_agg", "bm25_topk",
-    "bm25_and_operator", "bm25_min_or", "bm25_autocut", "knn_cosine_topk",
-    "knn_l2_within_distance", "knn_filtered", "knn_near_object",
-    "knn_multi_target", "knn_named_vectors_min", "hybrid_rrf",
-    "hybrid_relative_score", "hybrid_distance_cutoff", "hybrid_group_by",
-    "search_group_by", "search_group_by_struct", "search_group_by_array",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_simhash", "text_quality_scores",
-    "text_tokens_by_lang", "text_cjk_dict_segmentation", "ann_lsh_topk",
-    "events_windowed_counts", "events_session_agg", "events_json_props",
-    "stateful_user_totals", "knn_classification", "zeroshot_classification",
-    "contextual_classification", "explore_cross_class", "boost_rerank",
-    "blob_hash",
+    "agg_array_elements", "agg_boolean", "agg_date_median_mode", "agg_date_minmax",
+    "agg_group_limit", "agg_hybrid_object_limit", "agg_median_mode", "agg_meta_count",
+    "agg_object_limit", "agg_pricing_summary", "agg_region_nation_rollup",
+    "agg_top_occurrences", "agg_top_occurrences_grouped", "agg_type_pointing_to",
+    "ann_ivf_topk", "ann_lsh_topk", "blob_hash", "bm25_and_operator", "bm25_autocut",
+    "bm25_min_or", "bm25_topk", "bm25_unicode_fold", "boost_rerank", "contextual_classification",
+    "decontaminate_overlap", "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "events_json_props", "events_purchase_attribution",
+    "events_session_agg", "events_windowed_counts", "explore_cross_class",
+    "filter_array_contains_all", "filter_contains_any", "filter_date_range",
+    "filter_geo_within_range", "filter_len_property", "filter_like_prefix",
+    "filter_like_wildcard", "filter_not_two_valued", "filter_sort_limit",
+    "filter_tokenized_equal", "filter_tokenized_equal_array", "filter_tokenized_like",
+    "graphql_aggregate_parsed", "graphql_get_parsed", "group_merge_closest",
+    "hybrid_distance_cutoff", "hybrid_explain_score", "hybrid_explain_score_rrf",
+    "hybrid_group_by", "hybrid_relative_score", "hybrid_rrf", "id_synthesis_cursor",
+    "json_query_parsed", "knn_bq_rescore", "knn_classification", "knn_cosine_topk",
+    "knn_filtered", "knn_l2_within_distance", "knn_multi_target", "knn_multi_target_relative",
+    "knn_named_vectors_min", "knn_named_vectors_weighted", "knn_near_object",
+    "knn_pq_rescore", "knn_rq_rescore", "mmr_rerank_topk", "multimodal_image_features",
+    "multivector_maxsim_topk", "multivector_muvera_topk", "near_image_topk",
+    "neartext_move_topk", "neartext_rerank_generate", "ner_token_entities",
+    "pack_sequences_budget", "pagination_offset", "pii_scrub_profile",
+    "pipeline_corpus_curation", "qna_extractive_answer", "ref_count", "ref_fact_join_agg",
+    "ref_filter_semijoin", "ref_resolve_2hop", "sample_hash_fraction",
+    "sample_stratified", "search_group_by", "search_group_by_array", "search_group_by_struct",
+    "semantic_dedup", "sort_multikey_supplier", "spellcheck_corrected_search",
+    "split_train_val", "stateful_user_totals", "sum_top_tokens", "tenant_scoped_read",
+    "text_bpe_token_counts", "text_cjk_dict_segmentation", "text_quality_scores",
+    "text_tokens_by_lang", "text_unicode_tokens", "video_avi_mjpeg_frames",
+    "video_frame_luma", "zeroshot_classification",
 })
 
 
