@@ -218,11 +218,15 @@ def test_written_stats_tables_prune_and_skip_tokenize(spark, sf_dir):
     (VERDICT r05 ask #6)."""
     import os
 
+    from weaviate_spark.operators import bm25 as bm25_mod
     from weaviate_spark.operators.bm25 import (
         BM25_ARTIFACT_ROOT, BM25Prop, BM25Spec, bm25_search, invalidate_stats,
     )
 
     invalidate_stats()
+    # disable the local memory cache so the executed plan shows the
+    # 100-TB shape: file-backed scans with term-bucket partition pruning
+    bm25_mod.CACHE_INDEX_TABLES = False
     assert not os.path.exists(BM25_ARTIFACT_ROOT)
     spec = BM25Spec(
         collection="documents", query="spark filter join",
@@ -258,3 +262,5 @@ def test_written_stats_tables_prune_and_skip_tokenize(spark, sf_dir):
     mtime = os.path.getmtime(marker)
     bm25_search(spark, sf_dir, spec).collect()
     assert os.path.getmtime(marker) == mtime
+    bm25_mod.CACHE_INDEX_TABLES = True
+    invalidate_stats()

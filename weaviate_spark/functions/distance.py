@@ -42,6 +42,22 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_distance_const_query(a: Column, qvec) -> Column:
+    """cosine_distance against a CONSTANT query vector: the query's own
+    norm folds to a driver-side literal instead of re-aggregating the
+    64-element dot(b,b) per row (a wasted third of the scan's
+    expression work — Catalyst does not fold aggregate() over array
+    literals). Bit-identical to cosine_distance: the python loop sums
+    left-to-right in double exactly like F.aggregate."""
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    acc = 0.0
+    for x in qvec:
+        acc += float(x) * float(x)
+    return F.lit(1.0) - dot(a, q) / (F.sqrt(dot(a, a)) * F.lit(math.sqrt(acc)))
+
+
 def dot_distance(a: Column, b: Column) -> Column:
     """Weaviate 'dot' distance = -dot(a,b) (dot_product.go)."""
     return -dot(a, b)

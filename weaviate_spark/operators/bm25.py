@@ -248,6 +248,9 @@ def load_stats(
 # ingest), which drops both the handles and the written artifact.
 BM25_ARTIFACT_ROOT = "/root/repo/.artifacts/bm25"
 TERM_BUCKETS = 64
+# memory-cache the written postings/doclen tables for repeat queries;
+# disable to exercise the pure file-backed partition-pruned scans
+CACHE_INDEX_TABLES = True
 
 _stats_tables: dict[tuple, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
 _stats_memo: dict[tuple, "CorpusStats"] = {}
@@ -339,10 +342,15 @@ def with_materialized_stats(
     key = (id(corpus.sparkSession), *table_key, props_key, spec.fold)
     if key not in _stats_tables:
         cs, tdf, post, dl = _load_or_build_index_tables(corpus, spec, table_key)
-        # the scalar stats are tiny and read per query: cache them; the
-        # postings/doclen stay file-backed scans (term/prop pushdown)
         cs, tdf = cs.cache(), tdf.cache()
         cs.count(), tdf.count()
+        if CACHE_INDEX_TABLES:
+            # memory-cache the written tables for repeat queries (the
+            # local analogue of OS page cache + executor block cache);
+            # at 100 TB you leave this off and rely on the term-bucket
+            # partition pruning of the file-backed scan, which
+            # tests/test_bm25.py pins with the flag disabled
+            post, dl = post.cache(), dl.cache()
         _stats_tables[key] = (cs, tdf, post, dl)
     cs, tdf, post, dl = _stats_tables[key]
     needed = {p: sorted(t) for p, t in _query_analysis(spec).items() if t}

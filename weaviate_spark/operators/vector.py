@@ -89,8 +89,13 @@ def _corpus_rows(spark: SparkSession, sf_dir: str, collection: str, df: DataFram
 
 
 def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in spec.vector])
-    d = distance(F.col(spec.vector_col), q, spec.metric)
+    if spec.metric == "cosine":
+        from weaviate_spark.functions.distance import cosine_distance_const_query
+
+        d = cosine_distance_const_query(F.col(spec.vector_col), spec.vector)
+    else:
+        q = F.array(*[F.lit(float(x)) for x in spec.vector])
+        d = distance(F.col(spec.vector_col), q, spec.metric)
     if spec.round_digits is not None:
         d = F.round(d, spec.round_digits)
     return df.withColumn("_distance", d)
