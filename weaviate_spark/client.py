@@ -34,6 +34,7 @@ from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from weaviate_spark import auth
 from weaviate_spark.filters import Clause
 from weaviate_spark.plans.spec import BM25, GetSpec, Hybrid, NearVector, SortKey
 
@@ -125,6 +126,7 @@ class _Query:
     def _run(self, spec: GetSpec) -> DataFrame:
         from weaviate_spark.plans.compile import compile_get
 
+        self._h._check(auth.READ)  # traverser_get.go:29 authz hook
         return compile_get(self._h._spark, self._h._root, spec)
 
     def _base(self, filters, limit, offset, after, sort, select) -> GetSpec:
@@ -166,6 +168,7 @@ class _Query:
 
         # same id/vector column defaults as every compile_get-routed
         # sibling method (extra overrides, else _id / embedding)
+        self._h._check(auth.READ)
         return _near_object(self._h._spark, self._h._root, NearVectorSpec(
             collection=self._h._table, vector=[], limit=limit,
             where=filters,
@@ -234,6 +237,7 @@ class _Aggregate:
             where=filters, group_by=group_by,
             include_meta_count=total_count, limit=limit,
         )
+        self._h._check(auth.READ)  # traverser aggregate authz hook
         return aggregate(self._h._spark, self._h._root, spec)
 
 
@@ -250,14 +254,17 @@ class _Data:
     def insert_many(self, rows: DataFrame, key: str) -> None:
         from weaviate_spark.sources.crud import upsert
 
+        self._h._check(auth.CREATE)  # batch_add.go authz
         upsert(self._h._spark, self._dir(), rows, key=key)
 
     def update(self, key: str, key_value, changes: dict) -> None:
         from weaviate_spark.sources.crud import patch
 
+        self._h._check(auth.UPDATE, key_value)  # merge.go authz
         patch(self._h._spark, self._dir(), key, key_value, changes)
 
     def delete_many(self, filters: Clause, dry_run: bool = False) -> int:
+        self._h._check(auth.DELETE)  # batch_delete.go authz
         from weaviate_spark.sources.crud import delete_where
 
         return delete_where(self._h._spark, self._dir(), filters, dry_run=dry_run)
@@ -273,10 +280,21 @@ class CollectionHandle:
         self._root = client._root
         self._table = table
         self._extra = extra or {}
+        self._authorizer = client._authorizer
+        self._principal = client._principal
         self.query = _Query(self)
         self.aggregate = _Aggregate(self)
         self.data = _Data(self)
         self._tenants = None
+
+    def _check(self, verb: str, object_id="*") -> None:
+        """Per-resource authorization (authorizer.go Authorize): the
+        data-domain resource path of this collection, reference grammar
+        (types.go:541)."""
+        self._authorizer.authorize(
+            self._principal, verb,
+            auth.objects_path(self._table, "*", object_id),
+        )
 
     def _vector_kw(self) -> dict:
         kw = {}
@@ -345,14 +363,23 @@ class _Collections:
 
 class WeaviateSparkClient:
     def __init__(self, spark: SparkSession, root: str,
-                 registry: Optional[object] = None):
+                 registry: Optional[object] = None,
+                 authorizer: Optional["auth.Authorizer"] = None,
+                 principal: str = "anonymous"):
         self._spark = spark
         self._root = root.rstrip("/")
         self._registry = registry
+        self._authorizer = authorizer or auth.DummyAuthorizer()
+        self._principal = principal
         self.collections = _Collections(self)
 
 
-def connect(spark: SparkSession, root: str, registry=None) -> WeaviateSparkClient:
+def connect(spark: SparkSession, root: str, registry=None,
+            authorizer=None, principal: str = "anonymous") -> WeaviateSparkClient:
     """`weaviate.connect_to_*` analogue: bind a SparkSession and a data
-    root (directory of `<collection>.parquet` tables)."""
-    return WeaviateSparkClient(spark, root, registry=registry)
+    root (directory of `<collection>.parquet` tables). Pass an
+    `auth.Authorizer` (Rbac/AdminList) + principal to enforce
+    per-collection CRUD authorization on every facade call; default is
+    the reference's DummyAuthorizer (allow everything)."""
+    return WeaviateSparkClient(spark, root, registry=registry,
+                               authorizer=authorizer, principal=principal)
