@@ -413,3 +413,43 @@ def test_semantic_dedup_keep_rule_and_cluster_scope(spark, sf_dir):
             i = min(close, key=lambda x: ids[x])
             want[int(ids[jj])] = (int(ids[i]), D[i, jj])
     assert out == want and len(want) > 0
+
+
+def test_repetition_profile_gopher_metrics(spark):
+    """Hand-computed repetition metrics (Gopher A1.1 semantics)."""
+    from weaviate_spark.operators.textstats import repetition_filter
+
+    rows = [
+        # 4 lines, "dup dup" twice -> dup_line_frac 1/4=0.25;
+        # dup chars = 7 of 7+7+5+5=24; top 2-gram "dup dup" c=2? grams:
+        # (dup,dup)x2 from the two lines + cross-line grams
+        (1, "dup dup\ndup dup\nalpha\nbravo"),
+        # no repetition at all
+        (2, "one two three\nfour five six"),
+        # pathological: one word repeated -> top 2-gram covers everything
+        (3, "spam spam spam spam spam spam"),
+        (4, ""),  # empty -> all zeros, keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_filter(df, "doc_id", "text").collect()}
+
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["dup_line_char_frac"] == round(7 / 24, 6)
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["keep"]
+    # doc 3: 6 words "spam", grams = 5x "spam spam", cover = 5*8=40 of 24
+    # word chars -> >1 cap is fine (overlapping grams), definitely dropped
+    assert got[3]["top_2gram_char_frac"] > 0.2 and not got[3]["keep"]
+    assert got[4] == {"doc_id": 4, "dup_line_frac": 0.0,
+                      "dup_line_char_frac": 0.0,
+                      "top_2gram_char_frac": 0.0, "keep": True}
+
+
+def test_repetition_profile_matches_oracle(spark, duck):
+    from tests.conftest import SF_DIR, assert_df_matches_sql
+    from weaviate_spark.entry_queries import ORACLES, QUERIES
+
+    assert_df_matches_sql(
+        QUERIES["text_repetition_filter"](spark, SF_DIR), duck,
+        ORACLES["text_repetition_filter"],
+    )

@@ -3965,6 +3965,65 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) <> ''),
+per_line AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+line_stats AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+    sum(c * length(line)) AS chars,
+    sum(CASE WHEN c > 1 THEN (c - 1) * length(line) ELSE 0 END) AS dup_chars
+  FROM per_line GROUP BY doc_id),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS w
+          FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2),
+grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+          length(w[i]) + length(w[i+1]) AS glen FROM idx),
+per_gram AS (SELECT doc_id, g, count(*) AS c, first(glen) AS glen
+             FROM grams GROUP BY doc_id, g),
+top AS (SELECT doc_id, c * glen AS cover,
+        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM per_gram WHERE c >= 2),
+wchars AS (SELECT doc_id,
+           coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wc
+           FROM words),
+prof AS (
+  SELECT d.doc_id,
+    round(CASE WHEN n_lines > 0
+      THEN CAST(n_lines - n_distinct AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+      AS dup_line_frac,
+    round(CASE WHEN chars > 0
+      THEN CAST(dup_chars AS DOUBLE) / chars ELSE 0.0 END, 6)
+      AS dup_line_char_frac,
+    round(CASE WHEN wc > 0
+      THEN CAST(coalesce(t.cover, 0) AS DOUBLE) / wc ELSE 0.0 END, 6)
+      AS top_2gram_char_frac
+  FROM documents d
+  LEFT JOIN line_stats USING (doc_id)
+  LEFT JOIN (SELECT doc_id, cover FROM top WHERE rn = 1) t USING (doc_id)
+  LEFT JOIN wchars USING (doc_id))
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+   AND top_2gram_char_frac <= 0.20) AS keep
+FROM prof ORDER BY doc_id
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal quality filters (Rae et al. 2021, arXiv
+    2112.11446 §A1.1): duplicate-line fraction, duplicate-line char
+    fraction, and top-2-gram char coverage per doc, with the published
+    keep thresholds. Plan: two explode->groupBy pyramids (lines and word
+    2-grams) joined per doc; every stage partial-aggregates map-side."""
+    from weaviate_spark.operators.textstats import repetition_filter
+
+    df = _load(spark, sf_dir, "documents")
+    return repetition_filter(df, "doc_id", "text").orderBy("doc_id")
+
+
 def _semantic_dedup_oracle_sql(eps: float = 0.55) -> str:
     """DuckDB mirror of q_semantic_dedup: identical centroid literals
     and assignment argmin (the ann_ivf_topk arithmetic), within-cluster

@@ -159,3 +159,142 @@ def bpe_token_count(text: Column) -> Column:
     training pipeline actually packs against (token_count's word runs
     undercount punctuation/contraction tokens)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0))
+
+
+# ---------------------------------------------------------------------------
+# repetition removal (Gopher quality filters: Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", arXiv 2112.11446 §A1.1 — the
+# duplicate-line / duplicate-n-gram filters every web-scale training
+# pipeline applies before packing)
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition metrics, 6dp:
+
+    * ``dup_line_frac``       — (lines - distinct lines) / lines
+    * ``dup_line_char_frac``  — chars in repeated line occurrences
+                                (count-1 per distinct repeated line) /
+                                total line chars
+    * ``top_2gram_char_frac`` — chars covered by the most frequent word
+                                2-gram (count * gram chars) / total word
+                                chars; ties -> lexicographically
+                                smallest gram
+
+    Plan shape: two explode -> groupBy(doc, unit) -> groupBy(doc)
+    pyramids (lines, 2-grams) joined on the id — every stage partial-
+    aggregates map-side; nothing leaves the executor but per-doc rows.
+    Empty docs (no lines / fewer than 2 words) score 0.0 everywhere.
+    """
+    from weaviate_spark.functions.text import tokenize
+
+    t = F.col(text_col)
+    doc = F.col(id_col).alias("_doc")
+
+    lines = df.select(
+        doc,
+        F.explode(
+            F.filter(
+                F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ).alias("_line"),
+    )
+    per_line = lines.groupBy("_doc", "_line").agg(F.count(F.lit(1)).alias("_c"))
+    line_stats = per_line.groupBy("_doc").agg(
+        F.sum("_c").alias("_n_lines"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.sum(F.col("_c") * F.length("_line")).alias("_chars"),
+        F.sum(
+            F.when(F.col("_c") > 1, (F.col("_c") - 1) * F.length("_line"))
+            .otherwise(F.lit(0))
+        ).alias("_dup_chars"),
+    )
+
+    words = df.select(doc, tokenize(t, "word").alias("_w"))
+    grams = words.select(
+        "_doc",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(" ", F.element_at("_w", i),
+                                    F.element_at("_w", i + 1)).alias("g"),
+                        (F.length(F.element_at("_w", i))
+                         + F.length(F.element_at("_w", i + 1))).alias("glen"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<g:string,glen:int>>"))
+        ).alias("_gr"),
+    )
+    per_gram = grams.groupBy("_doc", "_gr.g").agg(
+        F.count(F.lit(1)).alias("_c"), F.first("_gr.glen").alias("_glen")
+    )
+
+    word_chars = words.select(
+        "_doc",
+        F.aggregate(
+            F.transform(F.col("_w"), lambda w: F.length(w)),
+            F.lit(0), lambda a, x: a + x,
+        ).alias("_wchars"),
+    )
+
+    return (
+        df.select(doc)
+        .join(line_stats, "_doc", "left")
+        .join(_top_gram_cover(per_gram), "_doc", "left")
+        .join(word_chars, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.round(
+                F.when(F.col("_n_lines") > 0,
+                       (F.col("_n_lines") - F.col("_n_distinct"))
+                       / F.col("_n_lines")).otherwise(F.lit(0.0)), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(F.col("_chars") > 0,
+                       F.col("_dup_chars") / F.col("_chars"))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.when(F.col("_wchars") > 0,
+                       F.coalesce(F.col("_top_cover"), F.lit(0))
+                       / F.col("_wchars")).otherwise(F.lit(0.0)), 6
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+
+
+def _top_gram_cover(per_gram: DataFrame) -> DataFrame:
+    """(doc, _top_cover): chars covered by the most frequent 2-gram,
+    ties broken toward the lexicographically smallest gram. A gram must
+    occur at least twice to count — a unique top gram is not repetition
+    (otherwise every short doc trips the threshold)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_doc").orderBy(F.col("_c").desc(), F.col("g").asc())
+    return (
+        per_gram.where(F.col("_c") >= 2)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_doc", (F.col("_c") * F.col("_glen")).alias("_top_cover"))
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher §A1.1 keep/drop decision over repetition_profile (the
+    published thresholds are the defaults)."""
+    prof = repetition_profile(df, id_col, text_col)
+    return prof.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac),
+    )
