@@ -453,3 +453,24 @@ def test_repetition_profile_matches_oracle(spark, duck):
         QUERIES["text_repetition_filter"](spark, SF_DIR), duck,
         ORACLES["text_repetition_filter"],
     )
+
+
+def test_substring_fingerprint_pairs(spark):
+    """Docs sharing a verbatim >=40-char block are paired; unrelated
+    docs are not. Selection keeps only md5-prefix-'0' windows, so the
+    shared block must be long enough to contain selected windows."""
+    from weaviate_spark.operators.dedup import duplicated_substring_pairs
+
+    block = ("this exact licensing paragraph is repeated verbatim across "
+             "mirrored documents and should be detected by fingerprinting "
+             "regardless of where it appears in the page ") * 3
+    rows = [
+        (1, "intro text. " + block + " outro one"),
+        (2, "completely different lead-in. " + block + " and another tail"),
+        (3, "unrelated document about other things entirely with no reuse"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in duplicated_substring_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -4011,6 +4011,35 @@ FROM prof ORDER BY doc_id
 """
 
 
+@register(
+    "dedup_substring_pairs",
+    oracle=(
+        "WITH fps AS ("
+        " SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h"
+        " FROM (SELECT doc_id, text,"
+        "   unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS i"
+        "   FROM documents)"
+        " WHERE substr(md5(substr(text, CAST(i AS INT), 40)), 1, 1) = '0') "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS shared_fingerprints "
+        "FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"
+    ),
+)
+def q_dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-doc substring duplication (Lee et al. 2022, arXiv
+    2107.06499): doc pairs sharing >= 2 sampled 40-char windows
+    (Broder-style mod-p fingerprint selection, md5 hex prefix rule,
+    identical in both engines). One uniform-key equi-join shuffle; the
+    fingerprint table persists as an ingest artifact at scale."""
+    from weaviate_spark.operators.dedup import duplicated_substring_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return duplicated_substring_pairs(
+        df, "doc_id", "text", k=40, select_hex=1, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
 @register("text_repetition_filter", oracle=_REPETITION_ORACLE)
 def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal quality filters (Rae et al. 2021, arXiv

@@ -738,3 +738,60 @@ def semantic_dedup(
         .applyInPandas(prune, f"_id {id_type}, kept_by {id_type}, _distance double")
         .withColumnRenamed("_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", arXiv 2107.06499 — cross-doc
+# repeated substrings; selection = Karp-Rabin-style 1/m hash sampling,
+# Broder '97 "mod p" fingerprinting: deterministic, alignment-free)
+
+def substring_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 40, select_hex: int = 1
+) -> DataFrame:
+    """(id, _h): md5 fingerprints of every k-char window whose hash
+    falls in the selected 16^-select_hex fraction (md5 hex prefix of
+    `select_hex` zeros — the engine-portable "h mod p == 0" rule).
+    Narrow: explode(sequence) + filter, no shuffle; expected output is
+    chars/16^select_hex rows per doc. Distinct per (doc, hash) so a
+    substring repeated WITHIN a doc counts once toward any pair."""
+    t = F.col(text_col)
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(0))),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(win).alias("_h"))
+        .where(F.substring("_h", 1, select_hex) == "0" * select_hex)
+        .distinct()
+    )
+
+
+def duplicated_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    select_hex: int = 1,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Doc pairs sharing >= min_shared selected k-char windows —
+    verbatim cross-doc duplication (boilerplate, mirrored articles,
+    license blocks) that token-level MinHash underweights. One shuffle:
+    the equi-join on the md5 fingerprint (uniform key, no skew); a pair
+    is produced only per SHARED fingerprint so output is bounded by
+    duplication actually present. At 100 TB, persist the fingerprint
+    table as an ingest artifact (same lifecycle as the minhash
+    signature table) and raise select_hex to trade recall for volume;
+    winnowing (Schleimer et al. 2003) is the bounded-gap upgrade if
+    worst-case guarantees are needed."""
+    fps = substring_fingerprints(df, id_col, text_col, k, select_hex)
+    a = fps.select(F.col(id_col).alias("id_a"), "_h")
+    b = fps.select(F.col(id_col).alias("id_b"), "_h")
+    return (
+        a.join(b, "_h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
