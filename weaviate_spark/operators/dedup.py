@@ -608,7 +608,11 @@ def _blocking_plan(
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    min_key_bits: int = 12,
 ) -> DataFrame:
     """Pairs whose simhash Hamming distance <= max_hamming. Candidate
     generation by pigeonhole blocking (_blocking_plan): split the 60
@@ -616,10 +620,18 @@ def simhash_neardup_pairs(
     agree on at least t chunks, so every t-combination of chunk values
     is a candidate key. t=1 for production budgets (<=4 -> 12+ bit
     chunks); higher budgets auto-step to combination keys so the join
-    key never collapses to a handful of bits."""
+    key never collapses to a handful of bits.
+
+    Trade-off dial: combination keys cut the FALSE-candidate stream by
+    ~2^(t*base - base) (the sparse-duplicate 100 TB case, where
+    candidates dominate) but emit each TRUE pair once per agreeing
+    combo before the distinct (up to C(m, t) times). On duplicate-dense
+    corpora whose result set is itself quadratic, single-chunk blocking
+    can be cheaper — pass a small ``min_key_bits`` (e.g. 4) to force
+    t=1 there. Recall is lossless either way."""
     from itertools import combinations
 
-    t_level, num_chunks, width = _blocking_plan(60, max_hamming)
+    t_level, num_chunks, width = _blocking_plan(60, max_hamming, min_key_bits)
     mask = (1 << width) - 1
     sim = register_cache(simhash64(df, id_col, text_col).cache())
 
