@@ -474,3 +474,27 @@ def test_substring_fingerprint_pairs(spark):
              for r in duplicated_substring_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_global_line_dedup_c4(spark):
+    """C4 line filter: a line seen >= 3 times corpus-wide is dropped
+    from every doc; order and blank lines are preserved."""
+    from weaviate_spark.operators.curation import global_line_dedup
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbody a"),
+        (2, f"{boiler}\nbody b\n\ntail b"),
+        (3, f"body c\n{boiler}"),
+        (4, "standalone doc\nno boilerplate"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           global_line_dedup(df, "doc_id", "text", min_count=3).collect()}
+    assert got[1]["clean_text"] == "alpha one\nbody a"
+    assert got[1]["n_lines_dropped"] == 1
+    # blank line survives; order preserved
+    assert got[2]["clean_text"] == "body b\n\ntail b"
+    assert got[3]["clean_text"] == "body c"
+    assert got[4]["clean_text"] == "standalone doc\nno boilerplate"
+    assert got[4]["n_lines_dropped"] == 0

@@ -4040,6 +4040,51 @@ def q_dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "curation_line_dedup",
+    oracle=(
+        "WITH d AS (SELECT doc_id, substr(text, 1, 80) || chr(10) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter for updates' "
+        "ELSE 'unique middle ' || doc_id END) || chr(10) || "
+        "substr(text, 81, 120) AS t FROM documents), "
+        "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+        "generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM d), "
+        "counts AS (SELECT trim(line) AS k, count(*) AS n FROM lines "
+        "WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 3), "
+        "marked AS (SELECT l.doc_id, l.pos, l.line, "
+        "(c.k IS NOT NULL AND trim(l.line) <> '') AS dropped "
+        "FROM lines l LEFT JOIN counts c ON trim(l.line) = c.k) "
+        "SELECT doc_id, "
+        "coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) "
+        "ORDER BY pos), '') AS clean_text, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped "
+        "FROM marked GROUP BY doc_id ORDER BY doc_id"
+    ),
+)
+def q_curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (arXiv 1910.10683 §2.2: drop any
+    line occurring >= 3 times corpus-wide). The corpus synthesizes
+    3-line docs column-side (every even doc carries the same boilerplate
+    middle line -> dropped; odd docs carry unique middles -> kept), so
+    the operator's cross-doc counting, per-doc ordered reassembly, and
+    drop bookkeeping are all hash-checked."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import global_line_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("subscribe to our newsletter for updates"))
+        .otherwise(F.concat(F.lit("unique middle "), F.col("doc_id").cast("string"))),
+        F.lit("\n"),
+        F.substring("text", 81, 120),
+    )
+    return global_line_dedup(
+        docs.select("doc_id", synth.alias("t")), "doc_id", "t"
+    ).orderBy("doc_id")
 @register("text_repetition_filter", oracle=_REPETITION_ORACLE)
 def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal quality filters (Rae et al. 2021, arXiv

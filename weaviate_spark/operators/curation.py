@@ -86,3 +86,61 @@ def contamination_scores(
             ).alias("score"),
         )
     )
+
+
+def global_line_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 3
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning...", arXiv 1910.10683
+    §2.2: discard any line that occurs >= 3 times in the corpus —
+    navigation chrome, cookie banners, boilerplate footers).
+
+    Returns (id, clean_text, n_lines, n_lines_dropped): the doc rebuilt
+    from its surviving lines in original order. Lines are matched on
+    their trimmed form; blank lines pass through untouched (they carry
+    no boilerplate and dropping them would reflow paragraphs).
+
+    Scale shape: explode(lines) -> ONE groupBy on the md5(line) key for
+    corpus counts (uniform, no skew) -> count join back on the same key
+    -> per-doc ordered reassembly (groupBy doc, sort_array by position).
+    Three shuffles, all linear in corpus lines; the line-count table is
+    an ingest artifact candidate exactly like the BM25 postings."""
+    doc = F.col(id_col).alias("_doc")
+    lines = df.select(
+        doc,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_key", F.md5(F.trim(F.col("_line"))))
+    counts = (
+        lines.where(F.trim(F.col("_line")) != "")
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+    )
+    marked = lines.join(counts.select("_key", "_n"), "_key", "left")
+    kept = marked.withColumn(
+        "_drop", F.col("_n").isNotNull() & (F.trim(F.col("_line")) != "")
+    )
+    return (
+        kept.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_lines_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_drop"),
+                                   F.struct(F.col("_pos"), F.col("_line")))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_doc").alias(id_col), "clean_text",
+            "n_lines", "n_lines_dropped",
+        )
+    )
