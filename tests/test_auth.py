@@ -108,3 +108,39 @@ def test_client_facade_enforces_authz(spark, sf_dir):
     # default connect() = DummyAuthorizer: allow everything (reads)
     open_client = connect(spark, sf_dir)
     assert open_client.collections.get("documents").query.fetch_objects(limit=1).count() == 1
+
+
+def test_tenants_namespace_enforces_authz(spark, tmp_path):
+    """Tenant lifecycle mutations are authorized per verb (the r06
+    review finding: a viewer must not create/offload tenants)."""
+    from weaviate_spark.client import connect
+    from weaviate_spark.sources.crud import write_tenant_partitioned
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a", "t1"), (2, "b", "t2")], ["id", "v", "_tenant"]
+    )
+    write_tenant_partitioned(df, f"{root}/things.parquet", "_tenant")
+
+    ctrl = auth.RbacController()
+    ctrl.assign("bob", "viewer")
+    ctrl.assign("alice", "admin")
+    az = auth.RbacAuthorizer(ctrl)
+
+    # admin: full tenant lifecycle
+    alice = connect(spark, root, authorizer=az, principal="alice")
+    alice_t = alice.collections.get("things").tenants
+    alice_t.create("t1")
+    alice_t.create("t2")
+    alice_t.update("t2", "INACTIVE")
+    assert alice_t.list() == {"t1": "ACTIVE", "t2": "INACTIVE"}
+    assert alice_t.read(spark, "t1").count() == 1
+
+    # viewer: reads allowed, every mutation Forbidden
+    bob = connect(spark, root, authorizer=az, principal="bob")
+    bob_t = bob.collections.get("things").tenants
+    assert bob_t.list() == {}                          # READ allowed
+    with pytest.raises(auth.Forbidden):
+        bob_t.create("t3")
+    with pytest.raises(auth.Forbidden):
+        bob_t.update("t1", "INACTIVE")

@@ -223,44 +223,49 @@ def test_written_stats_tables_prune_and_skip_tokenize(spark, sf_dir):
         BM25_ARTIFACT_ROOT, BM25Prop, BM25Spec, bm25_search, invalidate_stats,
     )
 
+    import shutil
+
     invalidate_stats()
+    shutil.rmtree(BM25_ARTIFACT_ROOT, ignore_errors=True)
     # disable the local memory cache so the executed plan shows the
     # 100-TB shape: file-backed scans with term-bucket partition pruning
     bm25_mod.CACHE_INDEX_TABLES = False
-    assert not os.path.exists(BM25_ARTIFACT_ROOT)
-    spec = BM25Spec(
-        collection="documents", query="spark filter join",
-        properties=[BM25Prop("text")], id_col="doc_id", limit=20,
-    )
-    out = bm25_search(spark, sf_dir, spec)
-    rows = out.collect()
-    assert rows
-    # artifact written: postings partitioned by _tb, doclen by prop
-    roots = []
-    for dirpath, dirnames, _ in os.walk(BM25_ARTIFACT_ROOT):
-        if "postings" in dirnames:
-            roots.append(dirpath)
-    assert roots, "postings artifact not written"
-    tb_dirs = [d for d in os.listdir(os.path.join(roots[0], "postings")) if d.startswith("_tb=")]
-    assert tb_dirs, "postings not partitioned by term bucket"
+    try:
+        assert not os.path.exists(BM25_ARTIFACT_ROOT)
+        spec = BM25Spec(
+            collection="documents", query="spark filter join",
+            properties=[BM25Prop("text")], id_col="doc_id", limit=20,
+        )
+        out = bm25_search(spark, sf_dir, spec)
+        rows = out.collect()
+        assert rows
+        # artifact written: postings partitioned by _tb, doclen by prop
+        roots = []
+        for dirpath, dirnames, _ in os.walk(BM25_ARTIFACT_ROOT):
+            if "postings" in dirnames:
+                roots.append(dirpath)
+        assert roots, "postings artifact not written"
+        tb_dirs = [d for d in os.listdir(os.path.join(roots[0], "postings")) if d.startswith("_tb=")]
+        assert tb_dirs, "postings not partitioned by term bucket"
 
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # partition pruning on the term bucket reaches the postings scan
-    assert "PartitionFilters: [" in plan and "_tb" in plan, plan
-    # and no document tokenization appears anywhere in the query plan
-    # (the corpus-recompute path would show the regexp split + explode)
-    assert "explode" not in plan.lower(), plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # partition pruning on the term bucket reaches the postings scan
+        assert "PartitionFilters: [" in plan and "_tb" in plan, plan
+        # and no document tokenization appears anywhere in the query plan
+        # (the corpus-recompute path would show the regexp split + explode)
+        assert "explode" not in plan.lower(), plan
 
-    # the same query in a way that skips the session memo still reads
-    # the written tables (no rebuild: artifact commit marker unchanged)
-    marker = None
-    for dirpath, _, filenames in os.walk(BM25_ARTIFACT_ROOT):
-        for f in filenames:
-            if f == "_ALL_TABLES_COMMITTED":
-                marker = os.path.join(dirpath, f)
-    assert marker is not None
-    mtime = os.path.getmtime(marker)
-    bm25_search(spark, sf_dir, spec).collect()
-    assert os.path.getmtime(marker) == mtime
-    bm25_mod.CACHE_INDEX_TABLES = True
-    invalidate_stats()
+        # the same query in a way that skips the session memo still reads
+        # the written tables (no rebuild: artifact commit marker unchanged)
+        marker = None
+        for dirpath, _, filenames in os.walk(BM25_ARTIFACT_ROOT):
+            for f in filenames:
+                if f == "_ALL_TABLES_COMMITTED":
+                    marker = os.path.join(dirpath, f)
+        assert marker is not None
+        mtime = os.path.getmtime(marker)
+        bm25_search(spark, sf_dir, spec).collect()
+        assert os.path.getmtime(marker) == mtime
+    finally:
+        bm25_mod.CACHE_INDEX_TABLES = True
+        invalidate_stats()

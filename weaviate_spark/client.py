@@ -328,11 +328,47 @@ class CollectionHandle:
         if self._tenants is None:
             # same physical path every other namespace uses (the
             # partitioned table IS the <table>.parquet directory)
-            self._tenants = TenantRegistry(
+            self._tenants = _AuthorizedTenants(self, TenantRegistry(
                 f"{self._root}/{self._table}.parquet",
                 self._extra.get("tenant_col", "_tenant"),
-            )
+            ))
         return self._tenants
+
+
+class _AuthorizedTenants:
+    """Per-verb authorization in front of TenantRegistry — tenant
+    lifecycle mutations are resources of the tenants domain
+    (auth.tenants_path, types.go grammar), so a read-only principal can
+    list/read but never create/update tenant state."""
+
+    def __init__(self, handle: "CollectionHandle", registry):
+        self._h = handle
+        self._reg = registry
+
+    def _check(self, verb: str, tenant: str = "*") -> None:
+        self._h._authorizer.authorize(
+            self._h._principal, verb, auth.tenants_path(self._h._table, tenant)
+        )
+
+    def create(self, tenant: str, status: str = "ACTIVE") -> None:
+        self._check(auth.CREATE, tenant)
+        return self._reg.create(tenant, status)
+
+    def status(self, tenant: str) -> str:
+        self._check(auth.READ, tenant)
+        return self._reg.status(tenant)
+
+    def list(self) -> dict:
+        self._check(auth.READ)
+        return self._reg.list()
+
+    def update(self, tenant: str, status: str) -> None:
+        self._check(auth.UPDATE, tenant)
+        return self._reg.update(tenant, status)
+
+    def read(self, spark, tenant: str):
+        self._check(auth.READ, tenant)
+        return self._reg.read(spark, tenant)
 
 
 class _Collections:

@@ -257,8 +257,13 @@ _stats_memo: dict[tuple, "CorpusStats"] = {}
 
 
 def invalidate_stats() -> None:
-    import shutil
-
+    """Drop the session handles/memos. The WRITTEN artifacts stay:
+    their path embeds a source mtime+size fingerprint, so a rewritten
+    table naturally resolves to a NEW artifact dir and stale ones are
+    never served (deleting the whole root here would also destroy the
+    committed artifacts of every UNCHANGED collection — a single write
+    to one tmp table must not force a corpus-wide re-tokenize).
+    Superseded hash dirs are garbage-collected at build time."""
     for frames in _stats_tables.values():
         for frame in frames:
             try:
@@ -267,7 +272,6 @@ def invalidate_stats() -> None:
                 pass
     _stats_tables.clear()
     _stats_memo.clear()
-    shutil.rmtree(BM25_ARTIFACT_ROOT, ignore_errors=True)
 
 
 def _source_fingerprint(sf_dir: str, collection: str) -> str | None:
@@ -304,10 +308,20 @@ def _load_or_build_index_tables(
         # synthetic / in-memory corpus: session-scoped build, no artifact
         return build_bm25_index(corpus, spec.properties, spec.id_col, spec.fold)
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
-    h = hashlib.md5(repr((props_key, spec.fold, fp)).encode()).hexdigest()[:12]
-    root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}/{h}"
+    fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
+    props_h = hashlib.md5(repr((props_key, spec.fold)).encode()).hexdigest()[:12]
+    coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
+    root = f"{coll_root}/{fp_h}/{props_h}"
     done = f"{root}/_ALL_TABLES_COMMITTED"
     if not os.path.exists(done):
+        # GC artifacts of SUPERSEDED source fingerprints of this
+        # collection (other property sets on the live source survive)
+        import shutil
+
+        if os.path.isdir(coll_root):
+            for old in os.listdir(coll_root):
+                if old != fp_h:
+                    shutil.rmtree(os.path.join(coll_root, old), ignore_errors=True)
         cs, tdf, post, dl = build_bm25_index(
             corpus, spec.properties, spec.id_col, spec.fold
         )

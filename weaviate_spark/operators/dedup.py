@@ -768,9 +768,14 @@ def substring_fingerprints(
     chars/16^select_hex rows per doc. Distinct per (doc, hash) so a
     substring repeated WITHIN a doc counts once toward any pair."""
     t = F.col(text_col)
-    win = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(0))),
-        lambda i: F.md5(t.substr(i, F.lit(k))),
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # texts shorter than k must yield no windows (same pitfall the
+    # trigram tokenizer guards, functions/text.py)
+    win = F.when(F.length(t) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.md5(t.substr(i, F.lit(k))),
+        )
     )
     return (
         df.select(F.col(id_col), F.explode(win).alias("_h"))

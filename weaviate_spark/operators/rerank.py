@@ -359,15 +359,15 @@ def knn_classify(
 
     # the numpy backend broadcasts the labeled matrix — guard the
     # driver collect so an oversized labeled frame errors toward the
-    # distributed path instead of OOMing (VERDICT r05 finding #2)
-    n_labeled = labeled.count()
-    if n_labeled > max_labeled_rows:
+    # distributed path instead of OOMing (VERDICT r05 finding #2).
+    # limit(max+1) bounds the probe to max+1 rows instead of a full
+    # count over the labeled lineage.
+    if labeled.limit(max_labeled_rows + 1).count() > max_labeled_rows:
         raise ValueError(
             f"knn_classify numpy backend collects the labeled set to the "
-            f"driver ({n_labeled} rows > max_labeled_rows="
-            f"{max_labeled_rows}); use knn_classify_lsh (bucketed "
-            "candidates, nothing collected) for large labeled sets, or "
-            "raise max_labeled_rows explicitly"
+            f"driver (> max_labeled_rows={max_labeled_rows}); use "
+            "knn_classify_lsh (bucketed candidates, nothing collected) "
+            "for large labeled sets, or raise max_labeled_rows explicitly"
         )
     lab = labeled.select(id_col, vector_col, label_col).collect()
     L = np.array([list(map(float, r[1])) for r in lab], dtype=np.float64)

@@ -45,10 +45,43 @@ N_BUCKETS = 16
 
 # (session id, sf_dir, name, key, buckets) -> catalog table name
 _built: dict[tuple, str] = {}
+# every catalog table ever registered, per session id (for invalidation)
+_registered: dict[int, set[str]] = {}
 
 
 def invalidate_bucketed() -> None:
+    """Called on every CRUD write: forget the memo AND drop the catalog
+    tables, so the next bucketed read re-resolves against the source's
+    CURRENT fingerprint (the artifact path/table name embeds an
+    mtime+size fingerprint — a rewritten source can never be served
+    from the stale layout even across sessions)."""
+    from pyspark.sql import SparkSession
+
     _built.clear()
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        for tbl in _registered.get(id(spark), set()):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:
+                pass
+    _registered.clear()
+
+
+def _source_fingerprint(sf_dir: str, name: str) -> str:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path):
+        return "na"
+    if os.path.isdir(path):
+        stats = [os.stat(os.path.join(path, f)) for f in sorted(os.listdir(path))]
+    else:
+        stats = [os.stat(path)]
+    import hashlib
+
+    raw = str(sum(s.st_mtime_ns + s.st_size for s in stats))
+    return hashlib.md5(raw.encode()).hexdigest()[:10]
 
 
 def bucketed_table(
@@ -70,8 +103,10 @@ def bucketed_table(
         return spark.table(_built[cache_key])
 
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
-    tbl = f"ws_b{buckets}_{tag}_{name}_{key}"
-    path = f"{ARTIFACT_ROOT}/{tag}/b{buckets}/{name}_{key}"
+    fp = _source_fingerprint(sf_dir, name)
+    tbl = f"ws_b{buckets}_{tag}_{name}_{key}_{fp}"
+    path = f"{ARTIFACT_ROOT}/{tag}/b{buckets}/{name}_{key}_{fp}"
+    _registered.setdefault(id(spark), set()).add(tbl)
     if not spark.catalog.tableExists(tbl):
         df = load_table(spark, sf_dir, name)
         (

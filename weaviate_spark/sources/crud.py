@@ -71,10 +71,15 @@ def _txn_dir(table_dir: str) -> str:
 
 
 def table_version(table_dir: str) -> int:
-    """Current committed version of a table (0 = never written through
+    """Current COMMITTED version of a table (0 = never written through
     the transactional path). The version log is the Delta-protocol
-    analogue: one ``<n>.commit`` marker per committed write, created
-    with O_EXCL so exactly one writer can claim each version."""
+    analogue, two-phase: a ``<n>.claim`` marker (O_EXCL — exactly one
+    writer wins each version number) reserves the version BEFORE the
+    directory swap, and the ``<n>.commit`` marker lands AFTER the swap.
+    ``table_version`` counts commits only, so a snapshot that observes
+    version N is guaranteed to see N's data (the swap precedes the
+    count advancing) — closing the read-stale-data-at-new-version race
+    that counting claims would open."""
     d = _txn_dir(table_dir)
     if not os.path.isdir(d):
         return 0
@@ -87,25 +92,53 @@ def table_version(table_dir: str) -> int:
 
 
 def _claim_version(table_dir: str, expected_version: int, staging: str) -> None:
-    """Optimistic-concurrency gate: atomically create the marker for
-    ``expected_version + 1``. O_EXCL create is atomic on POSIX (and on
-    object stores with put-if-absent, which is how Delta's log works),
-    so of two racing writers exactly one claims the version; the loser
-    gets ConcurrentWriteError and must re-read + recompute. The marker
-    records the staging dir, so a crash between claim and swap is
-    diagnosable (the claimed version's staging never became live)."""
+    """Optimistic-concurrency gate: atomically create the claim marker
+    for ``expected_version + 1``. O_EXCL create is atomic on POSIX (and
+    on object stores with put-if-absent, which is how Delta's log
+    works), so of two racing writers exactly one claims the version;
+    the loser gets ConcurrentWriteError and must re-read + recompute —
+    including a writer whose snapshot predates an IN-FLIGHT winner
+    (claimed, not yet committed): the claim collision alone rejects it.
+    The marker records the staging dir; a claim with no matching commit
+    marks a crashed writer (see recover_orphaned_claims)."""
     d = _txn_dir(table_dir)
     os.makedirs(d, exist_ok=True)
-    marker = os.path.join(d, f"{expected_version + 1:010d}.commit")
+    marker = os.path.join(d, f"{expected_version + 1:010d}.claim")
     try:
         with open(marker, "x") as fh:
             fh.write(staging)
     except FileExistsError:
         raise ConcurrentWriteError(
-            f"{table_dir}: version {expected_version + 1} was committed by a "
+            f"{table_dir}: version {expected_version + 1} was claimed by a "
             "concurrent writer after this transaction's snapshot "
             f"(expected base version {expected_version}); re-read and retry"
         ) from None
+
+
+def _finish_commit(table_dir: str, expected_version: int) -> None:
+    """Phase two: the swap is live — advance the committed version."""
+    marker = os.path.join(
+        _txn_dir(table_dir), f"{expected_version + 1:010d}.commit"
+    )
+    with open(marker, "x") as fh:
+        fh.write("committed")
+
+
+def recover_orphaned_claims(table_dir: str) -> list[int]:
+    """Ops helper: remove claim markers whose commit never landed (a
+    writer crashed between claim and swap) so new writers can claim the
+    version again. Returns the recovered version numbers. Only run when
+    no writer is in flight."""
+    d = _txn_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    names = set(os.listdir(d))
+    recovered = []
+    for name in sorted(names):
+        if name.endswith(".claim") and name[:-6] + ".commit" not in names:
+            os.remove(os.path.join(d, name))
+            recovered.append(int(name.split(".", 1)[0]))
+    return recovered
 
 
 def _is_stale_snapshot_error(exc: Exception) -> bool:
@@ -144,13 +177,19 @@ def _rewrite(df: DataFrame, table_dir: str, expected_version: int | None = None)
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(staging)
     if expected_version is not None:
-        _claim_version(table_dir, expected_version, staging)
+        try:
+            _claim_version(table_dir, expected_version, staging)
+        except ConcurrentWriteError:
+            shutil.rmtree(staging, ignore_errors=True)  # no leak per conflict
+            raise
     backup = table_dir.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(table_dir):
         os.rename(table_dir, backup)
     os.rename(staging, table_dir)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+    if expected_version is not None:
+        _finish_commit(table_dir, expected_version)
     invalidate_indexes()
 
 
@@ -213,7 +252,11 @@ def upsert_partitioned(
 
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     out.write.partitionBy(partition_col).parquet(staging)
-    _claim_version(table_dir, base_version, staging)
+    try:
+        _claim_version(table_dir, base_version, staging)
+    except ConcurrentWriteError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     for p in affected:
         part_dir = f"{partition_col}={p}"
         src = os.path.join(staging, part_dir)
@@ -228,6 +271,7 @@ def upsert_partitioned(
         if os.path.exists(backup):
             shutil.rmtree(backup)
     shutil.rmtree(staging)
+    _finish_commit(table_dir, base_version)
     invalidate_indexes()
 
 
