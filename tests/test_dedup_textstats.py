@@ -498,3 +498,49 @@ def test_global_line_dedup_c4(spark):
     assert got[3]["clean_text"] == "body c"
     assert got[4]["clean_text"] == "standalone doc\nno boilerplate"
     assert got[4]["n_lines_dropped"] == 0
+
+
+def test_incremental_dedup_index_append(spark):
+    """append_to_dedup_index upserts new docs into the persisted
+    shingle/signature tables; the queried pairs equal a from-scratch
+    rebuild over the grown corpus (ingest-time incremental refresh)."""
+    from weaviate_spark.operators.dedup import (
+        append_to_dedup_index, invalidate_dedup_index, minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_a = spark.createDataFrame(
+        [(1, base), (3, "completely different words describing unrelated topics here")],
+        ["doc_id", "text"],
+    )
+    key = ("test-incremental", "docs")
+    invalidate_dedup_index()
+    pairs0 = minhash_lsh_pairs(
+        corpus_a, "doc_id", "text", jaccard_threshold=0.5, table_key=key
+    ).collect()
+    assert pairs0 == []
+
+    # ingest: doc 2 (near-dup of 1) arrives; doc 3 is REPLACED
+    new_docs = spark.createDataFrame(
+        [(2, base + " tomorrow"), (3, base + " yesterday")],
+        ["doc_id", "text"],
+    )
+    append_to_dedup_index(new_docs, "doc_id", "text", 3, key)
+    grown = corpus_a.where("doc_id != 3").unionByName(new_docs)
+    got = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            grown, "doc_id", "text", jaccard_threshold=0.5, table_key=key
+        ).collect()
+    )
+    # from-scratch rebuild over the same grown corpus
+    invalidate_dedup_index()
+    want = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            grown, "doc_id", "text", jaccard_threshold=0.5,
+            table_key=("fresh", "docs"),
+        ).collect()
+    )
+    assert got == want and (1, 2) in got and (1, 3) in got
+    invalidate_dedup_index()

@@ -153,6 +153,58 @@ def with_shingle_table(
     return _shingle_tables[key]
 
 
+def append_to_dedup_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    table_key: tuple,
+    num_hashes: int = 16,
+) -> None:
+    """INCREMENTAL index maintenance: upsert `new_docs` into the
+    session's shingle + signature tables instead of invalidating and
+    re-tokenizing the whole corpus (the ingest-time refresh a streaming
+    near-dup pipeline performs per micro-batch; the reference's
+    analogue is per-write inverted/LSM segment maintenance).
+
+    Upsert semantics: ids present in `new_docs` first drop their OLD
+    index rows (anti-join), then the fresh shingles/signatures append —
+    per-doc minhash signatures are independent, so appended rows are
+    exactly what a from-scratch rebuild would produce
+    (tests/test_dedup_textstats.py pins the equality). No-op for a
+    (key, n) that was never built: the next query builds the full
+    corpus table and sees the new docs anyway."""
+    spark = new_docs.sparkSession
+    ids = new_docs.select(F.col(id_col).alias("_doc")).distinct()
+    new_sh = shingle_df(new_docs, id_col, text_col, n)
+
+    def _upsert(key: tuple, fresh_rows: DataFrame) -> None:
+        if key not in _shingle_tables:
+            return
+        old = _shingle_tables[key]
+        merged = (
+            old.join(F.broadcast(ids), "_doc", "left_anti")
+            .unionByName(fresh_rows)
+            .cache()
+        )
+        merged.count()
+        old.unpersist()
+        _shingle_tables[key] = merged
+
+    _upsert((id(spark), *table_key, n), new_sh)
+    h1, h2 = _km_halves(F.col("_shingle"))
+    new_sig = (
+        new_sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        .groupBy("_doc")
+        .agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ])
+    )
+    _upsert((id(spark), *table_key, n, "sig", num_hashes), new_sig)
+    _upsert((id(spark), *table_key, n, "sets"), shingle_sets(new_sh))
+
+
 def with_signature_table(
     sh: DataFrame, num_hashes: int, table_key: tuple
 ) -> DataFrame:
