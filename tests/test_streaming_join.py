@@ -64,3 +64,55 @@ def test_stream_stream_join_state_is_bounded(spark, sf_dir, tmp_path):
     joined = purchase_attribution_join(mk("purchase"), mk("click"))
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2, plan
+
+
+def test_stream_ingest_maintains_dedup_index(spark, tmp_path):
+    """Per-micro-batch index maintenance: after the stream drains, the
+    PERSISTED shingle/signature tables already contain the new docs and
+    a minhash query finds the cross-batch near-dup pair — equal to a
+    from-scratch rebuild."""
+    from weaviate_spark.operators.dedup import (
+        invalidate_dedup_index, minhash_lsh_pairs, with_shingle_table,
+    )
+    from weaviate_spark.streaming.ingest import stream_ingest_with_dedup_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string"
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    key = ("stream-dedup", "docs")
+    invalidate_dedup_index()
+
+    # standing corpus: doc 1 (indexed at rest)
+    corpus0 = spark.createDataFrame([(1, base)], schema)
+    corpus0.write.parquet(tgt)
+    with_shingle_table(spark.read.parquet(tgt), "doc_id", "text", 3, key)
+
+    # stream in doc 2 (near-dup of 1) + unrelated doc 3
+    spark.createDataFrame(
+        [(2, base + " tomorrow"),
+         (3, "unrelated words describing entirely different topics")],
+        schema,
+    ).write.parquet(src)
+    q = stream_ingest_with_dedup_index(
+        spark, src, schema, tgt, "doc_id", "text", key,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    grown = spark.read.parquet(tgt)
+    got = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            grown, "doc_id", "text", jaccard_threshold=0.5, table_key=key
+        ).collect()
+    )
+    invalidate_dedup_index()
+    want = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            grown, "doc_id", "text", jaccard_threshold=0.5,
+            table_key=("fresh-stream", "docs"),
+        ).collect()
+    )
+    assert got == want == [(1, 2)]
+    invalidate_dedup_index()

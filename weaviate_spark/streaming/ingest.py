@@ -59,6 +59,44 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_ingest_with_dedup_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    id_col: str,
+    text_col: str,
+    index_key: tuple,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """stream_ingest + per-micro-batch near-dup index maintenance: each
+    batch appends to the table AND upserts the session's persisted
+    shingle/signature/shingle-set tables (dedup.append_to_dedup_index),
+    so minhash near-dup queries between batches never re-tokenize the
+    standing corpus — the streaming form of the reference's per-write
+    inverted-segment refresh."""
+    from weaviate_spark.operators.dedup import append_to_dedup_index
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target_dir)
+        append_to_dedup_index(
+            batch_df, id_col, text_col, shingle_n, index_key,
+            num_hashes=num_hashes,
+        )
+
+    writer = stream.writeStream.foreachBatch(_append)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
