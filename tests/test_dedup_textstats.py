@@ -544,3 +544,62 @@ def test_incremental_dedup_index_append(spark):
     )
     assert got == want and (1, 2) in got and (1, 3) in got
     invalidate_dedup_index()
+
+
+def test_incremental_index_variants_and_segments(spark):
+    """Sibling signature variants (different num_hashes) built under one
+    table_key are BOTH maintained through appends, and multiple pending
+    segments merge last-write-wins per doc id (a doc replaced twice
+    across segments indexes only its final text)."""
+    from weaviate_spark.operators.dedup import (
+        append_to_dedup_index, invalidate_dedup_index, minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words describing unrelated topics here")],
+        ["doc_id", "text"],
+    )
+    key = ("variants", "docs")
+    invalidate_dedup_index()
+    # build two signature variants under the same key
+    minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=16,
+                      jaccard_threshold=0.5, table_key=key).collect()
+    minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=8,
+                      jaccard_threshold=0.5, table_key=key).collect()
+
+    # two append segments: doc 3 arrives, then is REPLACED (and doc 2
+    # becomes a near-dup of 1) — with num_hashes=16 passed, yet the
+    # 32-hash sibling must not go stale
+    append_to_dedup_index(
+        spark.createDataFrame([(3, "interim text that will be replaced")],
+                              ["doc_id", "text"]),
+        "doc_id", "text", 3, key)
+    append_to_dedup_index(
+        spark.createDataFrame(
+            [(3, base + " yesterday"), (2, base + " tomorrow")],
+            ["doc_id", "text"]),
+        "doc_id", "text", 3, key)
+
+    logical = spark.createDataFrame(
+        [(1, base), (2, base + " tomorrow"), (3, base + " yesterday")],
+        ["doc_id", "text"],
+    )
+    for nh, bands in ((16, 4), (32, 8)):
+        got = sorted(
+            (p["id_a"], p["id_b"], p["jaccard"])
+            for p in minhash_lsh_pairs(
+                logical, "doc_id", "text", num_hashes=nh, bands=bands,
+                jaccard_threshold=0.5, table_key=key,
+            ).collect()
+        )
+        want = sorted(
+            (p["id_a"], p["id_b"], p["jaccard"])
+            for p in minhash_lsh_pairs(
+                logical, "doc_id", "text", num_hashes=nh, bands=bands,
+                jaccard_threshold=0.5, table_key=("fresh-variants", nh),
+            ).collect()
+        )
+        assert got == want, (nh, got, want)
+        assert {(a, b) for a, b, _ in got} == {(1, 2), (1, 3), (2, 3)}
+    invalidate_dedup_index()

@@ -39,7 +39,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         .format("memory").queryName("attrib")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = still running: timed out
     streamed = {
         (r["purchase_id"], r["click_id"], r["lag_sec"])
         for r in spark.sql("SELECT * FROM attrib").collect()
@@ -97,7 +97,7 @@ def test_stream_ingest_maintains_dedup_index(spark, tmp_path):
         spark, src, schema, tgt, "doc_id", "text", key,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
 
     grown = spark.read.parquet(tgt)
     got = sorted(
@@ -112,6 +112,62 @@ def test_stream_ingest_maintains_dedup_index(spark, tmp_path):
         for p in minhash_lsh_pairs(
             grown, "doc_id", "text", jaccard_threshold=0.5,
             table_key=("fresh-stream", "docs"),
+        ).collect()
+    )
+    assert got == want == [(1, 2)]
+    invalidate_dedup_index()
+
+
+def test_stream_ingest_upsert_sink_replaces_by_id(spark, tmp_path):
+    """upsert=True sink: a re-arrived id REPLACES its row in the table
+    (crud MERGE per batch) and the maintained index matches a rebuild
+    over the upserted table — table and index stay consistent for
+    update streams."""
+    from weaviate_spark.operators.dedup import (
+        invalidate_dedup_index, minhash_lsh_pairs, with_shingle_table,
+    )
+    from weaviate_spark.streaming.ingest import stream_ingest_with_dedup_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string"
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    key = ("stream-upsert", "docs")
+    invalidate_dedup_index()
+
+    # standing corpus: doc 1 + doc 2 (doc 2 unrelated), indexed at rest
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated words describing entirely different topics")],
+        schema,
+    ).write.parquet(tgt)
+    with_shingle_table(spark.read.parquet(tgt), "doc_id", "text", 3, key)
+
+    # stream UPDATES doc 2 into a near-dup of 1 and adds doc 3
+    spark.createDataFrame(
+        [(2, base + " tomorrow"), (3, "still unrelated filler content entirely")],
+        schema,
+    ).write.parquet(src)
+    q = stream_ingest_with_dedup_index(
+        spark, src, schema, tgt, "doc_id", "text", key,
+        checkpoint_dir=str(tmp_path / "ckpt"), upsert=True,
+    )
+    assert q.awaitTermination(120)  # False = still running: timed out
+
+    table = spark.read.parquet(tgt)
+    rows = {r["doc_id"]: r["text"] for r in table.collect()}
+    assert len(rows) == 3 and rows[2] == base + " tomorrow"  # replaced, not duplicated
+
+    got = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            table, "doc_id", "text", jaccard_threshold=0.5, table_key=key
+        ).collect()
+    )
+    invalidate_dedup_index()
+    want = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            table, "doc_id", "text", jaccard_threshold=0.5,
+            table_key=("fresh-upsert", "docs"),
         ).collect()
     )
     assert got == want == [(1, 2)]

@@ -27,7 +27,7 @@ def test_stream_ingest_replay(spark, sf_dir, tmp_path):
         transform=lambda df: df.withColumn("_ingested", F.lit(True)),
         checkpoint_dir=chk_dir,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
     out = spark.read.parquet(tgt_dir)
     assert out.count() == n_src
     assert out.where(~F.col("_ingested")).count() == 0
@@ -54,7 +54,7 @@ def test_windowed_counts_streaming_matches_batch(spark, sf_dir, tmp_path):
         .format("memory").queryName("win_counts")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
     streamed = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in spark.sql("SELECT * FROM win_counts").collect()
@@ -500,7 +500,7 @@ def test_stream_dedup_replay(spark, tmp_path):
         transform=lambda df: stream_dedup(df, ("k",), "ts", "1 hour"),
         checkpoint_dir=ckpt, available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert sorted(r["k"] for r in got.select("k").collect()) == [0, 1, 2, 3, 4]
@@ -569,7 +569,7 @@ def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
         .format("memory").queryName("sess_counts")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
     streamed = {
         (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
         for r in spark.sql("SELECT * FROM sess_counts").collect()
@@ -607,7 +607,7 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         .format("memory").queryName("run_totals")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running: timed out
     rows = spark.sql("SELECT * FROM run_totals").collect()
     assert len(rows) > len(batch)  # intermediate updates emitted too
     # the LAST update per key must equal the batch totals

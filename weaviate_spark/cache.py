@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame
 _live_caches: list[DataFrame] = []
 
 
+def session_key(spark) -> int:
+    """Stable identity for per-session registries: the SparkContext, not
+    the SparkSession wrapper. Structured Streaming runs foreachBatch
+    under a CLONED session (isolated SQL confs, shared context + cache
+    manager), and PySpark hands the batch a fresh wrapper object — so
+    ``id(sparkSession)`` silently misses registry entries built on the
+    main session. Cached/checkpointed state is context-scoped, which is
+    exactly the sharing cloned sessions should see."""
+    return id(spark.sparkContext)
+
+
 def register_cache(df: DataFrame) -> DataFrame:
     _live_caches.append(df)
     return df

@@ -77,7 +77,7 @@ AVGDL_FALLBACK = 40.0  # bm25_searcher.go:452-453
 
 # per-query scratch caches live in weaviate_spark.cache (released at every
 # top-level query entry); re-exported here for backward compatibility
-from weaviate_spark.cache import register_cache, release_caches  # noqa: E402,F401
+from weaviate_spark.cache import register_cache, release_caches, session_key  # noqa: E402,F401
 
 
 @dataclass
@@ -353,7 +353,7 @@ def with_materialized_stats(
     if spec.stats is not None:
         return spec
     props_key = tuple(sorted((p.name, p.tokenization) for p in spec.properties))
-    key = (id(corpus.sparkSession), *table_key, props_key, spec.fold)
+    key = (session_key(corpus.sparkSession), *table_key, props_key, spec.fold)
     if key not in _stats_tables:
         cs, tdf, post, dl = _load_or_build_index_tables(corpus, spec, table_key)
         cs, tdf = cs.cache(), tdf.cache()

@@ -34,10 +34,13 @@ collision behavior; mirrored exactly in SQL via
 
 from __future__ import annotations
 
+import threading
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache
+from weaviate_spark.cache import register_cache, session_key
 from weaviate_spark.functions.text import tokenize
 
 
@@ -125,32 +128,165 @@ def minhash_signatures(
     return hashed.groupBy("_doc", "_i").agg(F.min("_h").alias("_minhash"))
 
 
-# Session-level shingle tables, keyed by (session, corpus key, n) — the
-# persisted dedup-index analogue: an incremental near-dup pipeline keeps
-# per-doc shingle/signature tables and refreshes them on ingest, so the
-# tokenize+shingle pass is index maintenance, not query work. NOT in the
-# per-query cache registry (persists deliberately).
-_shingle_tables: dict[tuple, DataFrame] = {}
+# Session-level incremental near-dup index, keyed by
+# (session, *corpus key, shingle_n) — the persisted dedup-index
+# analogue: an incremental near-dup pipeline keeps per-doc
+# shingle/signature/set tables and refreshes them on ingest, so the
+# tokenize+shingle pass is index maintenance, not query work. NOT in
+# the per-query cache registry (persists deliberately).
+#
+# The maintenance is LSM-shaped (the reference's analogue is per-write
+# inverted/LSM segment flush + background compaction,
+# adapters/repos/db/lsmkv/): each append lands as a small immutable
+# SEGMENT — one localCheckpoint'ed shingle frame per micro-batch, O(batch)
+# work — and queries read a compacted generation. Compaction (segment
+# merge, last-write-wins per doc id) runs lazily at the next query, or
+# inside append once _MAX_SEGMENTS segments pile up (bounding plan
+# depth), and is the only O(corpus) step — amortized exactly like LSM
+# compaction. Every frame is localCheckpoint(eager=True): lineage is
+# truncated (plans never deepen with batch count, and segments built in
+# a defunct foreachBatch don't root in the dead stream), and replaced
+# generations are reclaimed by Spark's ContextCleaner when the last
+# reference drops — so a query still holding last generation's frames
+# never races an explicit unpersist. _dedup_lock serializes appends and
+# generation swaps; a resolver returns sh/sig/sets from ONE generation
+# (no torn reads across the three tables).
+_MAX_SEGMENTS = 16
+_dedup_lock = threading.RLock()
+_dedup_indexes: dict[tuple, "_DedupIndex"] = {}
+
+
+class _DedupIndex:
+    """One index generation for a (corpus key, n): the compacted shingle
+    table, the signature variants derived from it (keyed by num_hashes —
+    ALL variants are maintained through compaction, none go stale), the
+    shingle-set table, and the not-yet-merged append segments."""
+
+    __slots__ = ("sh", "sig", "sets", "pending")
+
+    def __init__(self, sh: DataFrame, sig=None, sets: DataFrame | None = None):
+        self.sh = sh                  # (_doc, _shingle), compacted
+        self.sig = dict(sig or {})    # num_hashes -> wide signature table
+        self.sets = sets              # (_doc, _ss) or None (built on demand)
+        self.pending = []             # [(ids, shingle frame), ...] arrival order
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def _sig_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Wide-form minhash signatures: ONE groupBy producing all K mins as
+    columns — no K-fold row blowup through the shuffle."""
+    h1, h2 = _km_halves(F.col("_shingle"))
+    return (
+        sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        .groupBy("_doc")
+        .agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ])
+    )
 
 
 def invalidate_dedup_index() -> None:
-    for frame in _shingle_tables.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    _shingle_tables.clear()
+    with _dedup_lock:
+        for idx in _dedup_indexes.values():
+            frames = [idx.sh, idx.sets, *idx.sig.values()]
+            frames += [f for seg in idx.pending for f in seg]
+            for frame in frames:
+                if frame is None:
+                    continue
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+        _dedup_indexes.clear()
+
+
+def _compact(key: tuple) -> "_DedupIndex":
+    """Merge pending segments into a new generation (caller holds
+    _dedup_lock). Last-write-wins per doc id: a doc takes its rows from
+    the latest segment that carries its id (matching the reference's
+    object-upsert semantics — a re-arrived id is a replacement), ids in
+    any segment drop their old-generation rows via a broadcast
+    anti-join, and every signature variant is re-derived for the
+    affected docs from the same merged shingle rows. The swap publishes
+    all three tables as one atomic generation."""
+    idx = _dedup_indexes[key]
+    if not idx.pending:
+        return idx
+    parts_ids, parts_sh = [], []
+    for seq, (ids, seg_sh) in enumerate(idx.pending):
+        parts_ids.append(ids.select("_doc", F.lit(seq).alias("_seq")))
+        parts_sh.append(seg_sh.select("_doc", "_shingle", F.lit(seq).alias("_seq")))
+    all_ids = reduce(DataFrame.unionByName, parts_ids)
+    all_sh = reduce(DataFrame.unionByName, parts_sh)
+    latest = all_ids.groupBy("_doc").agg(F.max("_seq").alias("_seq"))
+    # join on (doc, seq) keeps only each doc's latest version; a doc
+    # whose latest text is too short to shingle correctly ends up with
+    # zero rows (but its id still evicts the old rows below). The
+    # dropDuplicates guards a retried micro-batch re-appending an
+    # identical segment and duplicate ids within one batch.
+    new_sh = (
+        all_sh.join(latest, ["_doc", "_seq"])
+        .select("_doc", "_shingle")
+        .dropDuplicates(["_doc", "_shingle"])
+    )
+    ids = latest.select("_doc")
+
+    def _merge(old: DataFrame | None, fresh: DataFrame) -> DataFrame | None:
+        if old is None:
+            return None
+        return _ckpt(
+            old.join(F.broadcast(ids), "_doc", "left_anti").unionByName(fresh)
+        )
+
+    sh = _merge(idx.sh, new_sh)
+    sig = {k: _merge(old_sig, _sig_agg(new_sh, k)) for k, old_sig in idx.sig.items()}
+    sets = _merge(idx.sets, shingle_sets(new_sh))
+    new_idx = _DedupIndex(sh, sig, sets)
+    _dedup_indexes[key] = new_idx  # atomic generation swap
+    return new_idx
+
+
+def _resolve_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    table_key: tuple,
+    num_hashes: int | None = None,
+    want_sets: bool = False,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Return (shingle, signature, set) tables from ONE generation —
+    building, compacting, or extending (a new num_hashes variant, the
+    sets table) under the index lock, so a query never mixes tables
+    from two generations while a streaming append runs."""
+    key = (session_key(df.sparkSession), *table_key, n)
+    with _dedup_lock:
+        idx = _dedup_indexes.get(key)
+        if idx is None:
+            idx = _DedupIndex(_ckpt(shingle_df(df, id_col, text_col, n)))
+            _dedup_indexes[key] = idx
+        elif idx.pending:
+            idx = _compact(key)
+        if num_hashes is not None and num_hashes not in idx.sig:
+            idx.sig[num_hashes] = _ckpt(_sig_agg(idx.sh, num_hashes))
+        if want_sets and idx.sets is None:
+            idx.sets = _ckpt(shingle_sets(idx.sh))
+        return (
+            idx.sh,
+            idx.sig.get(num_hashes) if num_hashes is not None else None,
+            idx.sets if want_sets else None,
+        )
 
 
 def with_shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int, table_key: tuple
 ) -> DataFrame:
-    key = (id(df.sparkSession), *table_key, n)
-    if key not in _shingle_tables:
-        sh = shingle_df(df, id_col, text_col, n).cache()
-        sh.count()  # materialize now
-        _shingle_tables[key] = sh
-    return _shingle_tables[key]
+    sh, _, _ = _resolve_index(df, id_col, text_col, n, table_key)
+    return sh
 
 
 def append_to_dedup_index(
@@ -161,70 +297,36 @@ def append_to_dedup_index(
     table_key: tuple,
     num_hashes: int = 16,
 ) -> None:
-    """INCREMENTAL index maintenance: upsert `new_docs` into the
-    session's shingle + signature tables instead of invalidating and
-    re-tokenizing the whole corpus (the ingest-time refresh a streaming
-    near-dup pipeline performs per micro-batch; the reference's
-    analogue is per-write inverted/LSM segment maintenance).
+    """INCREMENTAL index maintenance: record `new_docs` as an append
+    segment for EVERY index built under `table_key` (all shingle_n
+    values; every signature variant merges at compaction — a sibling
+    built with a different num_hashes never goes silently stale).
 
-    Upsert semantics: ids present in `new_docs` first drop their OLD
-    index rows (anti-join), then the fresh shingles/signatures append —
-    per-doc minhash signatures are independent, so appended rows are
-    exactly what a from-scratch rebuild would produce
+    O(batch) per call: one tokenize+shingle pass per indexed n, written
+    to a localCheckpoint'ed segment; the O(corpus) merge is deferred to
+    compaction (next query, or segment cap). Semantics are the
+    reference's object upsert: a re-arrived id REPLACES its indexed
+    version, so after compaction the index equals a from-scratch
+    rebuild over the logical corpus — latest version per id
     (tests/test_dedup_textstats.py pins the equality). No-op for a
-    (key, n) that was never built: the next query builds the full
-    corpus table and sees the new docs anyway."""
+    table_key that was never built: the next query builds the full
+    corpus tables and sees the new docs anyway.
+
+    `n`/`num_hashes` are accepted for call-site symmetry but existing
+    indexes dictate which variants are maintained."""
     spark = new_docs.sparkSession
-    ids = new_docs.select(F.col(id_col).alias("_doc")).distinct()
-    new_sh = shingle_df(new_docs, id_col, text_col, n)
-
-    def _upsert(key: tuple, fresh_rows: DataFrame) -> None:
-        if key not in _shingle_tables:
+    prefix = (session_key(spark), *table_key)
+    with _dedup_lock:
+        keys = [k for k in _dedup_indexes if k[:-1] == prefix]
+        if not keys:
             return
-        old = _shingle_tables[key]
-        merged = (
-            old.join(F.broadcast(ids), "_doc", "left_anti")
-            .unionByName(fresh_rows)
-            .cache()
-        )
-        merged.count()
-        old.unpersist()
-        _shingle_tables[key] = merged
-
-    _upsert((id(spark), *table_key, n), new_sh)
-    h1, h2 = _km_halves(F.col("_shingle"))
-    new_sig = (
-        new_sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
-        .groupBy("_doc")
-        .agg(*[
-            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
-            for i in range(num_hashes)
-        ])
-    )
-    _upsert((id(spark), *table_key, n, "sig", num_hashes), new_sig)
-    _upsert((id(spark), *table_key, n, "sets"), shingle_sets(new_sh))
-
-
-def with_signature_table(
-    sh: DataFrame, num_hashes: int, table_key: tuple
-) -> DataFrame:
-    """Persisted wide-form minhash signatures — like the shingle table,
-    an ingest-time index artifact (a production near-dup pipeline stores
-    per-doc signatures and refreshes them on ingest; recomputing K mins
-    over every shingle per query is index work leaking into query time).
-    Wide form: ONE groupBy producing all K mins as columns — no K-fold
-    row blowup through the shuffle."""
-    key = (id(sh.sparkSession), *table_key, "sig", num_hashes)
-    if key not in _shingle_tables:
-        h1, h2 = _km_halves(F.col("_shingle"))
-        hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
-        sig = hashed.groupBy("_doc").agg(*[
-            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
-            for i in range(num_hashes)
-        ]).cache()
-        sig.count()  # materialize now
-        _shingle_tables[key] = sig
-    return _shingle_tables[key]
+        ids = _ckpt(new_docs.select(F.col(id_col).alias("_doc")).distinct())
+        for k in keys:
+            seg_sh = _ckpt(shingle_df(new_docs, id_col, text_col, k[-1]))
+            idx = _dedup_indexes[k]
+            idx.pending.append((ids, seg_sh))
+            if len(idx.pending) >= _MAX_SEGMENTS:
+                _compact(k)
 
 
 def minhash_lsh_pairs(
@@ -249,11 +351,14 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     if table_key is not None:
-        # persisted shingle + signature tables (ingest-time artifacts) —
-        # survive across queries, refreshed via invalidate_dedup_index()
-        sh = with_shingle_table(df, id_col, text_col, shingle_n, table_key)
-        sig = with_signature_table(sh, num_hashes, (*table_key, shingle_n))
-        sets = with_shingle_sets_table(sh, (*table_key, shingle_n))
+        # persisted shingle + signature + set tables (ingest-time
+        # artifacts) — survive across queries, refreshed incrementally by
+        # append_to_dedup_index, dropped by invalidate_dedup_index(). One
+        # resolver call = one generation (no torn reads vs streaming).
+        sh, sig, sets = _resolve_index(
+            df, id_col, text_col, shingle_n, table_key,
+            num_hashes=num_hashes, want_sets=True,
+        )
     else:
         sets = None
         sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
@@ -308,20 +413,13 @@ def shingle_sets(sh: DataFrame) -> DataFrame:
     the string-set Jaccard unless xxhash64 collides inside one doc or
     one candidate pair (~n_pairs * 53^2 / 2^64 ≈ 1e-8 at sf1 —
     negligible; the DuckDB oracle stays on strings and hash-matches)."""
+    # array_distinct guards a shingle table carrying duplicate
+    # (_doc, _shingle) rows — e.g. a rebuild over a raw append log where
+    # one id arrived twice; per-row shingles are already distinct, so on
+    # clean corpora this is a no-op pass over each array.
     return sh.groupBy("_doc").agg(
-        F.collect_list(F.xxhash64("_shingle")).alias("_ss")
+        F.array_distinct(F.collect_list(F.xxhash64("_shingle"))).alias("_ss")
     )
-
-
-def with_shingle_sets_table(sh: DataFrame, table_key: tuple) -> DataFrame:
-    """Persisted per-doc shingle-set arrays (ingest-time artifact, like
-    the exploded shingle table and the signature table)."""
-    key = (id(sh.sparkSession), *table_key, "sets")
-    if key not in _shingle_tables:
-        sets = shingle_sets(sh).cache()
-        sets.count()  # materialize now
-        _shingle_tables[key] = sets
-    return _shingle_tables[key]
 
 
 def jaccard_for_pairs(
@@ -380,10 +478,11 @@ def ngram_jaccard_pairs(
     to 8 and shorten the prefix — a false-negative risk); it can only
     lengthen the prefix, never drop a true pair."""
     if table_key is not None:
-        # persisted shingle table (ingest-time artifact) — survives
-        # across queries, refreshed via invalidate_dedup_index()
-        sh = with_shingle_table(df, id_col, text_col, shingle_n, table_key)
-        sets = with_shingle_sets_table(sh, (*table_key, shingle_n))
+        # persisted shingle + set tables (ingest-time artifacts) —
+        # survive across queries, resolved from one index generation
+        sh, _, sets = _resolve_index(
+            df, id_col, text_col, shingle_n, table_key, want_sets=True
+        )
     else:
         sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
         sets = None

@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from weaviate_spark.functions.distance import distance
 from weaviate_spark.sources.tables import load_table
 
+from weaviate_spark.cache import session_key
+
 BITS_PER_WORD = 32
 
 
@@ -102,7 +104,7 @@ def with_bq_index(
 ) -> DataFrame:
     """(id, vector, _bq0.._bqN) — encoded collection, built once per
     session (flat/index.go:60-78 compresses at ingest, not per query)."""
-    key = (id(df.sparkSession), *table_key, dim)
+    key = (session_key(df.sparkSession), *table_key, dim)
     if key not in _bq_tables:
         enc = df.select(
             id_col,
@@ -328,7 +330,7 @@ def with_pq_index(
     (the restored-codebook ingest artifact of pq_data.go). Null vectors
     are dropped (nothing to index); ``_v`` keeps the ORIGINAL vector for
     the exact rescore."""
-    key = (id(df.sparkSession), *table_key, "pq", normalize)
+    key = (session_key(df.sparkSession), *table_key, "pq", normalize)
     if key not in _pq_tables:
         enc = (
             df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
@@ -534,7 +536,7 @@ def with_rq_index(
     df: DataFrame, id_col: str, vector_col: str, M, table_key: tuple,
     normalize: bool = True,
 ) -> DataFrame:
-    key = (id(df.sparkSession), *table_key, "rq", normalize)
+    key = (session_key(df.sparkSession), *table_key, "rq", normalize)
     if key not in _rq_tables:
         enc = (
             df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))

@@ -38,6 +38,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import session_key
 from weaviate_spark.filters import Clause, apply_where
 from weaviate_spark.functions.distance import certainty_to_distance, distance
 from weaviate_spark.sources.tables import load_table
@@ -82,7 +83,7 @@ def invalidate_corpus_stats() -> None:
 
 
 def _corpus_rows(spark: SparkSession, sf_dir: str, collection: str, df: DataFrame) -> int:
-    key = (id(spark), sf_dir, collection)
+    key = (session_key(spark), sf_dir, collection)
     if key not in _corpus_rows_cache:
         _corpus_rows_cache[key] = df.count()
     return _corpus_rows_cache[key]
@@ -270,7 +271,7 @@ def multi_target_relative_score(
     # cand_ids / cand are tiny (<= legs*leg_limit rows) but referenced by
     # several downstream branches — scratch-cache them so each leg scans
     # exactly twice instead of once per branch
-    from weaviate_spark.cache import register_cache
+    from weaviate_spark.cache import register_cache, session_key
 
     cand_ids = register_cache(cand_ids.distinct().cache())
 

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from weaviate_spark.sources.tables import load_table
 
+from weaviate_spark.cache import session_key
+
 ARTIFACT_ROOT = "/root/repo/.artifacts/bucketed"
 
 # table -> default bucket key (the join key its ref-resolution uses)
@@ -60,7 +62,7 @@ def invalidate_bucketed() -> None:
     _built.clear()
     spark = SparkSession.getActiveSession()
     if spark is not None:
-        for tbl in _registered.get(id(spark), set()):
+        for tbl in _registered.get(session_key(spark), set()):
             try:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             except Exception:
@@ -98,7 +100,7 @@ def bucketed_table(
     from pyspark.sql import functions as F
 
     key = key or BUCKET_KEYS[name]
-    cache_key = (id(spark), sf_dir, name, key, buckets)
+    cache_key = (session_key(spark), sf_dir, name, key, buckets)
     if cache_key in _built:
         return spark.table(_built[cache_key])
 
@@ -106,7 +108,7 @@ def bucketed_table(
     fp = _source_fingerprint(sf_dir, name)
     tbl = f"ws_b{buckets}_{tag}_{name}_{key}_{fp}"
     path = f"{ARTIFACT_ROOT}/{tag}/b{buckets}/{name}_{key}_{fp}"
-    _registered.setdefault(id(spark), set()).add(tbl)
+    _registered.setdefault(session_key(spark), set()).add(tbl)
     if not spark.catalog.tableExists(tbl):
         df = load_table(spark, sf_dir, name)
         (

@@ -36,12 +36,19 @@ from pyspark.sql import functions as F
 from weaviate_spark.filters import Clause, apply_where, compile_where
 
 
-def invalidate_indexes() -> None:
+def invalidate_indexes(preserve_dedup_index: bool = False) -> None:
     """Drop every materialized derived structure after a write: BM25
     corpus stats (N/df/doclen — the prop-length-tracker analogue, which
     the reference refreshes on every write in shard_write_inverted.go),
     dedup shingle/signature tables, BQ/PQ/RQ code tables, and joined
-    derived tables. The next query rebuilds them from the new data."""
+    derived tables. The next query rebuilds them from the new data.
+
+    ``preserve_dedup_index`` keeps the incremental near-dup index: for
+    an id-keyed upsert whose caller maintains the index itself
+    (streaming ingest feeds the same batch to append_to_dedup_index,
+    whose replace-by-id semantics match the upsert exactly), dropping
+    and rebuilding the whole index per micro-batch would defeat the
+    incremental maintenance."""
     from weaviate_spark.operators.bm25 import invalidate_stats
     from weaviate_spark.operators.dedup import invalidate_dedup_index
     from weaviate_spark.operators.quantization import (
@@ -53,7 +60,8 @@ def invalidate_indexes() -> None:
 
     invalidate_corpus_stats()
     invalidate_stats()
-    invalidate_dedup_index()
+    if not preserve_dedup_index:
+        invalidate_dedup_index()
     invalidate_bq_index()
     invalidate_pq_index()
     invalidate_rq_index()
@@ -165,7 +173,12 @@ def transact(fn, retries: int = 5):
                 raise
 
 
-def _rewrite(df: DataFrame, table_dir: str, expected_version: int | None = None) -> None:
+def _rewrite(
+    df: DataFrame,
+    table_dir: str,
+    expected_version: int | None = None,
+    preserve_dedup_index: bool = False,
+) -> None:
     """Write df to a staging dir then swap — readers never see a
     half-written table. ``expected_version`` (the version observed when
     the mutation READ the table) enables optimistic concurrency: the
@@ -190,10 +203,16 @@ def _rewrite(df: DataFrame, table_dir: str, expected_version: int | None = None)
         shutil.rmtree(backup)
     if expected_version is not None:
         _finish_commit(table_dir, expected_version)
-    invalidate_indexes()
+    invalidate_indexes(preserve_dedup_index=preserve_dedup_index)
 
 
-def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -> None:
+def upsert(
+    spark: SparkSession,
+    table_dir: str,
+    new_rows: DataFrame,
+    key: str,
+    preserve_dedup_index: bool = False,
+) -> None:
     """MERGE: replace rows with matching key, append the rest.
 
     The keep-set comes from a LEFT ANTI join on the key — no driver-side
@@ -204,7 +223,11 @@ def upsert(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -
     base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir)
     kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
-    _rewrite(kept.unionByName(new_rows), table_dir, expected_version=base_version)
+    _rewrite(
+        kept.unionByName(new_rows), table_dir,
+        expected_version=base_version,
+        preserve_dedup_index=preserve_dedup_index,
+    )
 
 
 def upsert_partitioned(

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from weaviate_spark.ids import uuid_col
 
+from weaviate_spark.cache import session_key
+
 # table -> primary key expression used for `_id`
 TABLES: dict[str, str] = {
     "region": "r_regionkey",
@@ -86,7 +88,7 @@ def load_table(
         # synthesizes it by equi-join and materializes it once per
         # (session, sf_dir), so queries read the "stored collection"
         # instead of re-running the join (at scale: a written table)
-        key = (id(spark), sf_dir, "docs_embedded")
+        key = (session_key(spark), sf_dir, "docs_embedded")
         if key not in _derived_tables:
             docs = load_table(spark, sf_dir, "documents")
             emb = load_table(spark, sf_dir, "embeddings").select(

@@ -38,12 +38,16 @@ def stream_ingest(
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
+    sink: Optional[Callable[[DataFrame, int], None]] = None,
 ):
     """File-source streaming ingest into a parquet table via foreachBatch.
 
     With ``available_now`` the stream drains everything currently in
     `source_dir` and stops — the batch-replay mode used by tests and
-    backfills; without it the query keeps tailing the directory."""
+    backfills; without it the query keeps tailing the directory.
+    ``sink`` overrides the default append-to-parquet batch writer (one
+    place owns the reader/checkpoint/trigger wiring; variants supply a
+    sink instead of re-plumbing it)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if transform is not None:
         stream = transform(stream)
@@ -51,7 +55,7 @@ def stream_ingest(
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(target_dir)
 
-    writer = stream.writeStream.foreachBatch(_append)
+    writer = stream.writeStream.foreachBatch(sink or _append)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -69,32 +73,58 @@ def stream_ingest_with_dedup_index(
     index_key: tuple,
     shingle_n: int = 3,
     num_hashes: int = 16,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
+    upsert: bool = False,
 ):
     """stream_ingest + per-micro-batch near-dup index maintenance: each
-    batch appends to the table AND upserts the session's persisted
-    shingle/signature/shingle-set tables (dedup.append_to_dedup_index),
-    so minhash near-dup queries between batches never re-tokenize the
-    standing corpus — the streaming form of the reference's per-write
-    inverted-segment refresh."""
+    batch writes to the table AND records an append segment against the
+    session's persisted shingle/signature/shingle-set index
+    (dedup.append_to_dedup_index — O(batch); merging is deferred to
+    compaction), so minhash near-dup queries between batches never
+    re-tokenize the standing corpus — the streaming form of the
+    reference's per-write inverted-segment refresh.
+
+    Index semantics are the reference's object upsert: a re-arrived id
+    REPLACES its indexed version. Pick the sink to match:
+
+    * ``upsert=True`` — each batch MERGEs into the table by ``id_col``
+      (crud.upsert under optimistic-concurrency retry), so table and
+      index stay row-for-row consistent for update streams. COW cost:
+      the table rewrite is O(table) per batch — for low-rate update
+      streams; the dedup index itself is preserved across the write and
+      maintained incrementally.
+    * ``upsert=False`` (default) — plain parquet append, O(batch).
+      Correct for append-only id streams (the common ingest case); if
+      an id DOES re-arrive, the raw log keeps the superseded rows while
+      the index tracks only the latest version — read the table through
+      the crud/upsert path (or run with ``upsert=True``) when ids can
+      repeat.
+    """
+    import os
+
     from weaviate_spark.operators.dedup import append_to_dedup_index
+    from weaviate_spark.sources import crud
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target_dir)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if upsert and os.path.exists(target_dir):
+            crud.transact(lambda: crud.upsert(
+                spark, target_dir, batch_df, id_col,
+                preserve_dedup_index=True,
+            ))
+        else:
+            batch_df.write.mode("append").parquet(target_dir)
         append_to_dedup_index(
             batch_df, id_col, text_col, shingle_n, index_key,
             num_hashes=num_hashes,
         )
 
-    writer = stream.writeStream.foreachBatch(_append)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return stream_ingest(
+        spark, source_dir, schema, target_dir, transform=transform,
+        checkpoint_dir=checkpoint_dir, available_now=available_now,
+        sink=_sink,
+    )
 
 
 def windowed_event_counts(
