@@ -269,3 +269,73 @@ def test_written_stats_tables_prune_and_skip_tokenize(spark, sf_dir):
     finally:
         bm25_mod.CACHE_INDEX_TABLES = True
         invalidate_stats()
+
+
+def test_incremental_bm25_artifact_advance(spark, tmp_path):
+    """advance_bm25_artifacts: appending a batch advances the WRITTEN
+    inverted-index artifact in place (segment appends + delta stat rows
+    + O(1) fingerprint re-root) — scores over the grown corpus equal
+    the from-scratch recompute path, and the original build is never
+    re-run (commit marker survives the rename untouched)."""
+    import os
+
+    from weaviate_spark.operators import bm25 as bm25_mod
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, advance_bm25_artifacts, bm25_search,
+        invalidate_stats,
+    )
+
+    invalidate_stats()
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "spark filter join engine"), (2, "filter pushdown scan"),
+         (3, "entirely different topic words")],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/docs.parquet")
+
+    spec = BM25Spec(
+        collection="docs", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id", limit=20,
+    )
+    bm25_search(spark, sf, spec).collect()  # builds + writes the artifact
+
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf.strip("/"))
+    marker = None
+    for dirpath, _, filenames in os.walk(bm25_mod.BM25_ARTIFACT_ROOT):
+        for f in filenames:
+            if f == "_ALL_TABLES_COMMITTED" and tag in dirpath:
+                marker = os.path.join(dirpath, f)
+    assert marker is not None
+    mtime = os.path.getmtime(marker)
+
+    # append a batch: one doc extends the "spark filter" cluster, one is
+    # background — df/avgdl/N all shift
+    batch = spark.createDataFrame(
+        [(4, "spark join strategies and filter order"),
+         (5, "unrelated background noise")],
+        "doc_id long, text string",
+    )
+    fp_before = bm25_mod._source_fingerprint(sf, "docs")
+    batch.write.mode("append").parquet(f"{sf}/docs.parquet")
+    advance_bm25_artifacts(batch, sf, "docs", fp_before)
+
+    got = [(r["doc_id"], r["_score"])
+           for r in bm25_search(spark, sf, spec).collect()]
+    want = [(r["doc_id"], r["_score"])
+            for r in bm25_search(spark, sf, spec,
+                                 use_stats_tables=False).collect()]
+    assert got == want and {d for d, _ in got} >= {1, 4}
+
+    # the artifact advanced by rename + append — the original build's
+    # commit marker still exists with its original mtime (a rebuild
+    # would have recreated it under a fresh dir)
+    markers = []
+    for dirpath, _, filenames in os.walk(bm25_mod.BM25_ARTIFACT_ROOT):
+        for f in filenames:
+            if f == "_ALL_TABLES_COMMITTED" and tag in dirpath:
+                markers.append(os.path.join(dirpath, f))
+    assert len(markers) == 1 and os.path.getmtime(markers[0]) == mtime
+    invalidate_stats()

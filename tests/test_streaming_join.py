@@ -172,3 +172,84 @@ def test_stream_ingest_upsert_sink_replaces_by_id(spark, tmp_path):
     )
     assert got == want == [(1, 2)]
     invalidate_dedup_index()
+
+
+def test_stream_ingest_maintains_bm25_and_dedup(spark, tmp_path):
+    """stream_ingest_with_index_maintenance advances BOTH the near-dup
+    index and the written BM25 inverted-index artifact per micro-batch:
+    after the stream drains, BM25 scores over the grown table equal the
+    from-scratch recompute path WITHOUT a corpus rebuild, and the
+    near-dup index finds the cross-batch pair."""
+    import os
+    import re
+
+    from weaviate_spark.operators import bm25 as bm25_mod
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, bm25_search, invalidate_stats,
+    )
+    from weaviate_spark.operators.dedup import (
+        invalidate_dedup_index, minhash_lsh_pairs, with_shingle_table,
+    )
+    from weaviate_spark.streaming.ingest import (
+        stream_ingest_with_index_maintenance,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string"
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src, tgt = str(tmp_path / "src"), f"{sf}/docs.parquet"
+    key = ("stream-bm25", "docs")
+    invalidate_stats()
+    invalidate_dedup_index()
+
+    spark.createDataFrame([(1, base)], schema).write.parquet(tgt)
+    spec = BM25Spec(
+        collection="docs", query="quick brown fox", limit=20,
+        properties=[BM25Prop("text")], id_col="doc_id",
+    )
+    bm25_search(spark, sf, spec).collect()        # build + write artifact
+    with_shingle_table(spark.read.parquet(tgt), "doc_id", "text", 3, key)
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf.strip("/"))
+    markers = [os.path.join(dp, f)
+               for dp, _, fs in os.walk(bm25_mod.BM25_ARTIFACT_ROOT)
+               for f in fs if f == "_ALL_TABLES_COMMITTED" and tag in dp]
+    assert len(markers) == 1
+    mtime = os.path.getmtime(markers[0])
+
+    spark.createDataFrame(
+        [(2, base + " tomorrow"),
+         (3, "a quick note about brown paint and nothing else")],
+        schema,
+    ).write.parquet(src)
+    q = stream_ingest_with_index_maintenance(
+        spark, src, schema, tgt, "doc_id", text_col="text",
+        dedup_index_key=key, bm25=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)  # False = still running: timed out
+
+    got = [(r["doc_id"], r["_score"])
+           for r in bm25_search(spark, sf, spec).collect()]
+    want = [(r["doc_id"], r["_score"])
+            for r in bm25_search(spark, sf, spec,
+                                 use_stats_tables=False).collect()]
+    assert got == want and {d for d, _ in got} == {1, 2, 3}
+
+    # artifact advanced in place — the original commit marker survived
+    markers = [os.path.join(dp, f)
+               for dp, _, fs in os.walk(bm25_mod.BM25_ARTIFACT_ROOT)
+               for f in fs if f == "_ALL_TABLES_COMMITTED" and tag in dp]
+    assert len(markers) == 1 and os.path.getmtime(markers[0]) == mtime
+
+    grown = spark.read.parquet(tgt)
+    pairs = sorted(
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(
+            grown, "doc_id", "text", jaccard_threshold=0.5, table_key=key
+        ).collect()
+    )
+    assert pairs == [(1, 2)]
+    invalidate_stats()
+    invalidate_dedup_index()

@@ -152,7 +152,8 @@ def build_bm25_index(
     """Full inverted-index analogue, ONE tokenize pass per property over
     the UNFILTERED corpus:
 
-    corpus_stats: (prop, n_docs, n_docs_with_prop, avg_len)
+    corpus_stats: (prop, n_docs, n_docs_with_prop, sum_len) — mergeable
+                  sums, so incremental appends are delta rows
     term_df:      (prop, term, df) — one row per distinct term
     postings:     (prop, _doc, _term, _f) — per-doc term frequencies
     doclen:       (prop, _doc, _len) — per-doc token counts
@@ -180,9 +181,9 @@ def build_bm25_index(
         lens = per_doc.groupBy("_doc").agg(F.sum("_f").alias("_len"))
         len_frames.append(lens.select(F.lit(prop.name).alias("prop"), "_doc", "_len"))
         srow = lens.agg(
-            F.count(F.lit(1)).alias("nd"), F.avg("_len").alias("al")
+            F.count(F.lit(1)).alias("nd"), F.sum("_len").alias("sl")
         ).collect()[0]
-        stat_rows.append((prop.name, n_docs, srow["nd"], float(srow["al"] or 0.0)))
+        stat_rows.append((prop.name, n_docs, srow["nd"], int(srow["sl"] or 0)))
         term_frames.append(
             per_doc.groupBy("_term").agg(F.count(F.lit(1)).alias("df")).select(
                 F.lit(prop.name).alias("prop"), F.col("_term").alias("term"), "df"
@@ -190,7 +191,7 @@ def build_bm25_index(
         )
     spark = corpus.sparkSession
     corpus_stats = spark.createDataFrame(
-        stat_rows, "prop string, n_docs long, n_docs_with_prop long, avg_len double"
+        stat_rows, "prop string, n_docs long, n_docs_with_prop long, sum_len long"
     )
 
     def _union(frames):
@@ -221,10 +222,20 @@ def load_stats(
 ) -> CorpusStats:
     """Collect the (tiny) stats needed for a query from the materialized
     tables. `needed`: prop -> query terms; when given, only those term_df
-    rows move to the driver (a few rows, not the vocabulary)."""
-    rows = corpus_stats.collect()
-    n_docs = float(rows[0]["n_docs"]) if rows else 0.0
-    avg_len = {r["prop"]: float(r["avg_len"]) for r in rows}
+    rows move to the driver (a few rows, not the vocabulary).
+
+    Both tables may carry MULTIPLE rows per key — the base build plus
+    one delta row per incremental append (advance_bm25_artifacts); the
+    stored stats are mergeable sums (sum_len, not avg_len), so loading
+    is a per-key sum followed by one division for the mean."""
+    per: dict[str, list[int]] = {}
+    for r in corpus_stats.collect():
+        a = per.setdefault(r["prop"], [0, 0, 0])
+        a[0] += r["n_docs"]
+        a[1] += r["n_docs_with_prop"]
+        a[2] += r["sum_len"]
+    n_docs = float(next(iter(per.values()))[0]) if per else 0.0
+    avg_len = {p: (a[2] / a[1] if a[1] else 0.0) for p, a in per.items()}
     tdf = term_df
     if needed is not None:
         cond = None
@@ -232,7 +243,10 @@ def load_stats(
             c = (F.col("prop") == prop) & F.col("term").isin(list(terms))
             cond = c if cond is None else (cond | c)
         tdf = tdf.where(cond if cond is not None else F.lit(False))
-    term_n = {(r["prop"], r["term"]): float(r["df"]) for r in tdf.collect()}
+    term_n: dict[tuple[str, str], float] = {}
+    for r in tdf.collect():
+        k = (r["prop"], r["term"])
+        term_n[k] = term_n.get(k, 0.0) + float(r["df"])
     return CorpusStats(n_docs=n_docs, avg_len=avg_len, term_n=term_n)
 
 
@@ -248,6 +262,11 @@ def load_stats(
 # ingest), which drops both the handles and the written artifact.
 BM25_ARTIFACT_ROOT = "/root/repo/.artifacts/bm25"
 TERM_BUCKETS = 64
+# bump on any stored-table schema change: the version feeds the artifact
+# path hash, so readers never load a layout written by older code
+# (v2: corpus_stats stores mergeable sum_len instead of avg_len, and the
+# props.json manifest enables incremental advance)
+ARTIFACT_FORMAT = 2
 # memory-cache the written postings/doclen tables for repeat queries;
 # disable to exercise the pure file-backed partition-pruned scans
 CACHE_INDEX_TABLES = True
@@ -309,7 +328,9 @@ def _load_or_build_index_tables(
         return build_bm25_index(corpus, spec.properties, spec.id_col, spec.fold)
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
-    props_h = hashlib.md5(repr((props_key, spec.fold)).encode()).hexdigest()[:12]
+    props_h = hashlib.md5(
+        repr((props_key, spec.fold, ARTIFACT_FORMAT)).encode()
+    ).hexdigest()[:12]
     coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
     root = f"{coll_root}/{fp_h}/{props_h}"
     done = f"{root}/_ALL_TABLES_COMMITTED"
@@ -334,12 +355,109 @@ def _load_or_build_index_tables(
             .parquet(f"{root}/postings")
         )
         dl.write.partitionBy("prop").mode("overwrite").parquet(f"{root}/doclen")
+        # manifest: lets advance_bm25_artifacts rebuild THIS property
+        # set's delta frames for an appended batch (props_h is a hash —
+        # not invertible without it)
+        import json
+
+        with open(f"{root}/props.json", "w") as mf:
+            json.dump({
+                "properties": [[p.name, p.tokenization] for p in spec.properties],
+                "id_col": spec.id_col,
+                "fold": spec.fold,
+            }, mf)
         open(done, "w").close()
     cs = spark.read.parquet(f"{root}/corpus_stats")
     tdf = spark.read.parquet(f"{root}/term_df")
     post = spark.read.parquet(f"{root}/postings")
     dl = spark.read.parquet(f"{root}/doclen")
     return cs, tdf, post, dl
+
+
+def invalidate_stats_for(sf_dir: str, collection: str) -> None:
+    """Drop the session handles/memos of ONE collection (after its
+    artifact advanced in place, the cached frames point at re-rooted
+    paths); other collections' warm handles survive."""
+    def _hit(key: tuple) -> bool:
+        return len(key) >= 3 and key[1] == sf_dir and key[2] == collection
+
+    for k in [k for k in _stats_tables if _hit(k)]:
+        for frame in _stats_tables.pop(k):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+    for mk in [mk for mk in _stats_memo if _hit(mk[0])]:
+        _stats_memo.pop(mk)
+
+
+def advance_bm25_artifacts(
+    batch_df: DataFrame,
+    sf_dir: str,
+    collection: str,
+    fp_before: str | None,
+) -> None:
+    """INCREMENTAL inverted-index maintenance for an APPEND of
+    `batch_df` to `<sf_dir>/<collection>.parquet` — the reference
+    refreshes its prop-length tracker and writes new LSM inverted
+    segments per batch (adapters/repos/db/inverted/shard_write_
+    inverted.go) instead of re-tokenizing the shard; this is the same
+    move on the written artifact tables:
+
+    * postings/doclen: append the batch's rows (same term-bucket / prop
+      partitioning — new parquet segment files, O(batch))
+    * term_df / corpus_stats: append DELTA rows; the stored stats are
+      mergeable sums, load_stats sums per key at read (O(batch) write,
+      the per-query read stays a few rows)
+    * the artifact dir is renamed from the pre-write source fingerprint
+      to the post-write one (O(1)), so the next query resolves the
+      ADVANCED artifact instead of rebuilding the corpus from scratch.
+
+    ``fp_before`` is the source fingerprint captured BEFORE the batch
+    was appended to the table (the sink captures it; by call time the
+    live fingerprint already reflects the append). No-op when the
+    collection has no committed artifacts. Append-only contract: a
+    re-arrived id would double-count df/doclen — update streams must
+    invalidate instead (the upsert sink path does, via crud)."""
+    import hashlib
+    import json
+    import os
+    import re
+
+    if fp_before is None:
+        return
+    fp_after = _source_fingerprint(sf_dir, collection)
+    if fp_after is None or fp_after == fp_before:
+        return
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
+    old_root = f"{coll_root}/{hashlib.md5(fp_before.encode()).hexdigest()[:12]}"
+    new_root = f"{coll_root}/{hashlib.md5(fp_after.encode()).hexdigest()[:12]}"
+    if not os.path.isdir(old_root):
+        return
+    os.rename(old_root, new_root)
+    for props_h in os.listdir(new_root):
+        root = f"{new_root}/{props_h}"
+        manifest = f"{root}/props.json"
+        if not (os.path.exists(f"{root}/_ALL_TABLES_COMMITTED")
+                and os.path.exists(manifest)):
+            continue
+        with open(manifest) as mf:
+            m = json.load(mf)
+        props = [BM25Prop(name=p[0], tokenization=p[1]) for p in m["properties"]]
+        cs, tdf, post, dl = build_bm25_index(
+            batch_df, props, m["id_col"], m["fold"]
+        )
+        post = post.withColumn("_tb", F.crc32(F.col("_term")) % TERM_BUCKETS)
+        cs.write.mode("append").parquet(f"{root}/corpus_stats")
+        tdf.write.mode("append").parquet(f"{root}/term_df")
+        (
+            post.repartition(F.col("_tb"))
+            .write.partitionBy("_tb").mode("append")
+            .parquet(f"{root}/postings")
+        )
+        dl.write.partitionBy("prop").mode("append").parquet(f"{root}/doclen")
+    invalidate_stats_for(sf_dir, collection)
 
 
 def with_materialized_stats(

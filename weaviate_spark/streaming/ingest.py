@@ -63,6 +63,102 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_ingest_with_index_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    id_col: str,
+    text_col: Optional[str] = None,
+    dedup_index_key: Optional[tuple] = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bm25: bool = False,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+    upsert: bool = False,
+):
+    """stream_ingest + per-micro-batch index maintenance — the streaming
+    form of the reference's per-write index refresh (LSM inverted
+    segments in shard_write_inverted.go, the async vector-index queue in
+    vector_index_queue.go): each batch writes to the table AND advances
+    the derived index structures in O(batch), so queries between batches
+    never re-tokenize or re-scan the standing corpus.
+
+    * ``dedup_index_key`` — record an append segment against the
+      session's persisted shingle/signature/shingle-set near-dup index
+      (dedup.append_to_dedup_index; merge deferred to compaction).
+    * ``bm25=True`` — advance the written BM25 inverted-index artifacts
+      (bm25.advance_bm25_artifacts): postings/doclen gain the batch's
+      segment files, term_df/corpus_stats gain delta rows, and the
+      artifact re-roots to the new source fingerprint — no corpus
+      re-tokenize. Requires ``target_dir`` shaped
+      ``<sf_dir>/<collection>.parquet`` (the table-loader layout the
+      artifacts are keyed by) and an append-only id stream.
+
+    Dedup-index semantics are the reference's object upsert: a
+    re-arrived id REPLACES its indexed version. Pick the sink to match:
+
+    * ``upsert=True`` — each batch MERGEs into the table by ``id_col``
+      (crud.upsert under optimistic-concurrency retry), so table and
+      index stay row-for-row consistent for update streams. COW cost:
+      the table rewrite is O(table) per batch — for low-rate update
+      streams; the dedup index is preserved across the write and
+      maintained incrementally, while BM25 stats (df counts are not
+      replace-mergeable) invalidate and rebuild on next query.
+    * ``upsert=False`` (default) — plain parquet append, O(batch).
+      Correct for append-only id streams (the common ingest case); if
+      an id DOES re-arrive, the raw log keeps the superseded rows while
+      the dedup index tracks only the latest version — read the table
+      through the crud/upsert path (or run with ``upsert=True``) when
+      ids can repeat.
+    """
+    import os
+
+    from weaviate_spark.operators import bm25 as bm25_mod
+    from weaviate_spark.operators.dedup import append_to_dedup_index
+    from weaviate_spark.sources import crud
+
+    sf_dir = coll = None
+    if bm25:
+        if not target_dir.endswith(".parquet"):
+            raise ValueError(
+                "bm25 maintenance needs target_dir = <sf_dir>/<collection>.parquet"
+            )
+        sf_dir = os.path.dirname(target_dir)
+        coll = os.path.basename(target_dir)[: -len(".parquet")]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        fp_before = (
+            bm25_mod._source_fingerprint(sf_dir, coll) if bm25 and not upsert
+            else None
+        )
+        if upsert and os.path.exists(target_dir):
+            # invalidates BM25 session handles itself; the artifact's
+            # fingerprint key makes the next query rebuild from the
+            # merged table
+            crud.transact(lambda: crud.upsert(
+                spark, target_dir, batch_df, id_col,
+                preserve_dedup_index=True,
+            ))
+        else:
+            batch_df.write.mode("append").parquet(target_dir)
+        if dedup_index_key is not None:
+            append_to_dedup_index(
+                batch_df, id_col, text_col, shingle_n, dedup_index_key,
+                num_hashes=num_hashes,
+            )
+        if fp_before is not None:
+            bm25_mod.advance_bm25_artifacts(batch_df, sf_dir, coll, fp_before)
+
+    return stream_ingest(
+        spark, source_dir, schema, target_dir, transform=transform,
+        checkpoint_dir=checkpoint_dir, available_now=available_now,
+        sink=_sink,
+    )
+
+
 def stream_ingest_with_dedup_index(
     spark: SparkSession,
     source_dir: str,
@@ -78,52 +174,14 @@ def stream_ingest_with_dedup_index(
     available_now: bool = True,
     upsert: bool = False,
 ):
-    """stream_ingest + per-micro-batch near-dup index maintenance: each
-    batch writes to the table AND records an append segment against the
-    session's persisted shingle/signature/shingle-set index
-    (dedup.append_to_dedup_index — O(batch); merging is deferred to
-    compaction), so minhash near-dup queries between batches never
-    re-tokenize the standing corpus — the streaming form of the
-    reference's per-write inverted-segment refresh.
-
-    Index semantics are the reference's object upsert: a re-arrived id
-    REPLACES its indexed version. Pick the sink to match:
-
-    * ``upsert=True`` — each batch MERGEs into the table by ``id_col``
-      (crud.upsert under optimistic-concurrency retry), so table and
-      index stay row-for-row consistent for update streams. COW cost:
-      the table rewrite is O(table) per batch — for low-rate update
-      streams; the dedup index itself is preserved across the write and
-      maintained incrementally.
-    * ``upsert=False`` (default) — plain parquet append, O(batch).
-      Correct for append-only id streams (the common ingest case); if
-      an id DOES re-arrive, the raw log keeps the superseded rows while
-      the index tracks only the latest version — read the table through
-      the crud/upsert path (or run with ``upsert=True``) when ids can
-      repeat.
-    """
-    import os
-
-    from weaviate_spark.operators.dedup import append_to_dedup_index
-    from weaviate_spark.sources import crud
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if upsert and os.path.exists(target_dir):
-            crud.transact(lambda: crud.upsert(
-                spark, target_dir, batch_df, id_col,
-                preserve_dedup_index=True,
-            ))
-        else:
-            batch_df.write.mode("append").parquet(target_dir)
-        append_to_dedup_index(
-            batch_df, id_col, text_col, shingle_n, index_key,
-            num_hashes=num_hashes,
-        )
-
-    return stream_ingest(
-        spark, source_dir, schema, target_dir, transform=transform,
-        checkpoint_dir=checkpoint_dir, available_now=available_now,
-        sink=_sink,
+    """Near-dup-index-only form of stream_ingest_with_index_maintenance
+    (kept as the named entry point for the common case)."""
+    return stream_ingest_with_index_maintenance(
+        spark, source_dir, schema, target_dir, id_col,
+        text_col=text_col, dedup_index_key=index_key,
+        shingle_n=shingle_n, num_hashes=num_hashes,
+        transform=transform, checkpoint_dir=checkpoint_dir,
+        available_now=available_now, upsert=upsert,
     )
 
 
