@@ -299,3 +299,67 @@ def test_ivf_literal_recall_vs_exact(spark):
                   .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
                   .limit(10).collect()]
     assert approx == restricted
+
+
+def test_incremental_vector_index_append(spark):
+    """append_to_vector_indexes: a batch advances EVERY quantized index
+    built under the corpus key (here a BQ table and a PQ table) as
+    O(batch) segments; after compaction the indexes equal a from-scratch
+    encode of the grown corpus, with last-write-wins for re-arrived ids
+    — the async vector-index-queue analogue."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.pq_codebook import CODEBOOK
+    from weaviate_spark.operators.quantization import (
+        append_to_vector_indexes, bq_encode, invalidate_bq_index,
+        with_bq_index, with_pq_index,
+    )
+
+    rng = random.Random(11)
+    mk = lambda n, off: [  # noqa: E731
+        (off + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(n)
+    ]
+    invalidate_bq_index()
+    base_rows = mk(30, 0)
+    df = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    key = ("vec-incr", "emb")
+    with_bq_index(df, "vec_id", "embedding", 64, key)
+    with_pq_index(df, "vec_id", "embedding", CODEBOOK, key)
+
+    # batch replaces vec_id 3 and adds 30/31
+    batch_rows = [(3, [1.0] * 64)] + mk(2, 30)
+    batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
+    assert append_to_vector_indexes(batch, key) == 2
+
+    logical = {i: v for i, v in base_rows}
+    logical.update({i: v for i, v in batch_rows})
+    grown = spark.createDataFrame(sorted(logical.items()), ["vec_id", "embedding"])
+
+    got_bq = {
+        (r["vec_id"], r["_bq0"], r["_bq1"])
+        for r in with_bq_index(df, "vec_id", "embedding", 64, key).collect()
+    }
+    want_bq = {
+        (r["vec_id"], r["_bq0"], r["_bq1"])
+        for r in grown.select(
+            "vec_id",
+            *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col("embedding"), 64))],
+        ).collect()
+    }
+    assert got_bq == want_bq and len(got_bq) == 32
+
+    got_pq = {
+        (r["_id"], tuple(r["_pq"]))
+        for r in with_pq_index(df, "vec_id", "embedding", CODEBOOK, key).collect()
+    }
+    invalidate_bq_index()
+    want_pq = {
+        (r["_id"], tuple(r["_pq"]))
+        for r in with_pq_index(
+            grown, "vec_id", "embedding", CODEBOOK, ("fresh-vec", "emb")
+        ).collect()
+    }
+    assert got_pq == want_pq and len(got_pq) == 32
+    invalidate_bq_index()

@@ -253,3 +253,51 @@ def test_stream_ingest_maintains_bm25_and_dedup(spark, tmp_path):
     assert pairs == [(1, 2)]
     invalidate_stats()
     invalidate_dedup_index()
+
+
+def test_stream_ingest_maintains_vector_index(spark, tmp_path):
+    """vector_index_key: streamed vectors land in the session's BQ
+    index as append segments; a post-drain bq_topk over the grown table
+    serves the maintained index and ranks a streamed near-duplicate
+    vector first — equal to the no-index recompute."""
+    import random
+
+    from weaviate_spark.operators.quantization import (
+        bq_topk, invalidate_bq_index, with_bq_index,
+    )
+    from weaviate_spark.streaming.ingest import (
+        stream_ingest_with_index_maintenance,
+    )
+
+    rng = random.Random(5)
+    dim = 64
+    q = [rng.uniform(-1, 1) for _ in range(dim)]
+    schema = "vec_id long, embedding array<float>"
+    sf = str(tmp_path / "sf")
+    src, tgt = str(tmp_path / "src"), f"{sf}/vecs.parquet"
+    key = (sf, "vecs")
+    invalidate_bq_index()
+
+    base = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    spark.createDataFrame(base, schema).write.parquet(tgt)
+    with_bq_index(spark.read.parquet(tgt), "vec_id", "embedding", dim, key)
+
+    # stream a near-copy of the query vector (id 100) + one random vector
+    near = [x + 0.01 for x in q]
+    spark.createDataFrame(
+        [(100, near), (101, [rng.uniform(-1, 1) for _ in range(dim)])],
+        schema,
+    ).write.parquet(src)
+    stream = stream_ingest_with_index_maintenance(
+        spark, src, schema, tgt, "vec_id", vector_index_key=key,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert stream.awaitTermination(120)  # False = still running: timed out
+
+    got = [(r["vec_id"], r["_distance"])
+           for r in bq_topk(spark, sf, "vecs", q, k=5, table_key=key).collect()]
+    invalidate_bq_index()
+    want = [(r["vec_id"], r["_distance"])
+            for r in bq_topk(spark, sf, "vecs", q, k=5).collect()]
+    assert got == want and got[0][0] == 100
+    invalidate_bq_index()

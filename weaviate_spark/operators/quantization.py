@@ -42,6 +42,7 @@ from weaviate_spark.functions.distance import distance
 from weaviate_spark.sources.tables import load_table
 
 from weaviate_spark.cache import session_key
+from weaviate_spark.incremental import SegmentStore
 
 BITS_PER_WORD = 32
 
@@ -86,17 +87,26 @@ def hamming_col(word_cols: Sequence[Column], query_words: Sequence[int]) -> Colu
     return acc
 
 
-# session-persisted encoded tables (ingest-time artifact)
-_bq_tables: dict[tuple, DataFrame] = {}
+# session-persisted encoded tables (ingest-time artifact). Incremental:
+# streaming appends land as O(batch) segments via append_to_vector_indexes
+# (the async vector-index-queue analogue, vector_index_queue.go) and merge
+# at the next resolve — see weaviate_spark/incremental.py.
+_vector_tables = SegmentStore("quantized-vector-indexes")
 
 
 def invalidate_bq_index() -> None:
-    for frame in _bq_tables.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    _bq_tables.clear()
+    # the three quantized tables share one store; the per-family
+    # invalidators are kept as the documented API surface
+    _vector_tables.invalidate()
+
+
+def append_to_vector_indexes(batch_df: DataFrame, table_key: tuple) -> int:
+    """Record an append segment against EVERY quantized index (BQ/PQ/RQ,
+    any dim/codebook/normalization variant) built under ``table_key`` —
+    each entry re-encodes only the batch with its own stored encode
+    pipeline. Returns the number of indexes advanced (0 = none built)."""
+    base = (session_key(batch_df.sparkSession), *table_key)
+    return _vector_tables.append(base, batch_df)
 
 
 def with_bq_index(
@@ -105,15 +115,17 @@ def with_bq_index(
     """(id, vector, _bq0.._bqN) — encoded collection, built once per
     session (flat/index.go:60-78 compresses at ingest, not per query)."""
     key = (session_key(df.sparkSession), *table_key, dim)
-    if key not in _bq_tables:
-        enc = df.select(
+
+    def _encode(rows: DataFrame) -> DataFrame:
+        return rows.select(
             id_col,
             vector_col,
             *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col(vector_col), dim))],
-        ).cache()
-        enc.count()  # materialize now
-        _bq_tables[key] = enc
-    return _bq_tables[key]
+        )
+
+    return _vector_tables.resolve(
+        key, key[: len(table_key) + 1], id_col, lambda: _encode(df), _encode
+    )
 
 
 def bq_topk(
@@ -310,16 +322,10 @@ def _pq_encode_kernel(codebook, normalize: bool = True):
     return gen
 
 
-_pq_tables: dict[tuple, DataFrame] = {}
 
 
 def invalidate_pq_index() -> None:
-    for frame in _pq_tables.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    _pq_tables.clear()
+    _vector_tables.invalidate()
 
 
 def with_pq_index(
@@ -331,18 +337,18 @@ def with_pq_index(
     are dropped (nothing to index); ``_v`` keeps the ORIGINAL vector for
     the exact rescore."""
     key = (session_key(df.sparkSession), *table_key, "pq", normalize)
-    if key not in _pq_tables:
-        enc = (
-            df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
-            .mapInPandas(
-                _pq_encode_kernel(codebook, normalize),
-                "_id long, _v array<float>, _pq array<int>",
-            )
-            .cache()
+
+    def _encode(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+        ).mapInPandas(
+            _pq_encode_kernel(codebook, normalize),
+            "_id long, _v array<float>, _pq array<int>",
         )
-        enc.count()
-        _pq_tables[key] = enc
-    return _pq_tables[key]
+
+    return _vector_tables.resolve(
+        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode
+    )
 
 
 def pq_lut_py(vector: Sequence[float], codebook, round_digits: int = 6,
@@ -520,16 +526,10 @@ def _rq_encode_kernel(M, normalize: bool = True):
     return gen
 
 
-_rq_tables: dict[tuple, DataFrame] = {}
 
 
 def invalidate_rq_index() -> None:
-    for frame in _rq_tables.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    _rq_tables.clear()
+    _vector_tables.invalidate()
 
 
 def with_rq_index(
@@ -537,19 +537,20 @@ def with_rq_index(
     normalize: bool = True,
 ) -> DataFrame:
     key = (session_key(df.sparkSession), *table_key, "rq", normalize)
-    if key not in _rq_tables:
-        enc = (
-            df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
-            .mapInPandas(
-                _rq_encode_kernel([list(map(float, r)) for r in M], normalize),
-                "_id long, _v array<float>, _codes array<int>, "
-                "_lower double, _step double",
-            )
-            .cache()
+    rot = [list(map(float, r)) for r in M]
+
+    def _encode(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+        ).mapInPandas(
+            _rq_encode_kernel(rot, normalize),
+            "_id long, _v array<float>, _codes array<int>, "
+            "_lower double, _step double",
         )
-        enc.count()
-        _rq_tables[key] = enc
-    return _rq_tables[key]
+
+    return _vector_tables.resolve(
+        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode
+    )
 
 
 def rq_topk(

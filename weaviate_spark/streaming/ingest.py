@@ -74,6 +74,7 @@ def stream_ingest_with_index_maintenance(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bm25: bool = False,
+    vector_index_key: Optional[tuple] = None,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
@@ -96,6 +97,11 @@ def stream_ingest_with_index_maintenance(
       re-tokenize. Requires ``target_dir`` shaped
       ``<sf_dir>/<collection>.parquet`` (the table-loader layout the
       artifacts are keyed by) and an append-only id stream.
+    * ``vector_index_key`` — record an append segment against every
+      quantized vector index (BQ/PQ/RQ and the IVF cell assignment that
+      rides on PQ) built under the key
+      (quantization.append_to_vector_indexes — each index re-encodes
+      only the batch with its own stored pipeline).
 
     Dedup-index semantics are the reference's object upsert: a
     re-arrived id REPLACES its indexed version. Pick the sink to match:
@@ -118,6 +124,7 @@ def stream_ingest_with_index_maintenance(
 
     from weaviate_spark.operators import bm25 as bm25_mod
     from weaviate_spark.operators.dedup import append_to_dedup_index
+    from weaviate_spark.operators.quantization import append_to_vector_indexes
     from weaviate_spark.sources import crud
 
     sf_dir = coll = None
@@ -151,6 +158,8 @@ def stream_ingest_with_index_maintenance(
             )
         if fp_before is not None:
             bm25_mod.advance_bm25_artifacts(batch_df, sf_dir, coll, fp_before)
+        if vector_index_key is not None:
+            append_to_vector_indexes(batch_df, vector_index_key)
 
     return stream_ingest(
         spark, source_dir, schema, target_dir, transform=transform,
