@@ -49,6 +49,11 @@ def tenants_path(collection: str = "*", tenant: str = "*") -> str:
     return f"tenants/collections/{collection}/shards/{tenant}"
 
 
+def backups_path(collection: str = "*") -> str:
+    """types.go Backups() — backup create/restore resource."""
+    return f"backups/collections/{collection}"
+
+
 class Forbidden(PermissionError):
     """Raised when the principal lacks the (verb, resource) grant —
     errors/forbidden.go shape: names principal, verb, and resource."""

@@ -397,6 +397,49 @@ class _Collections:
         return name in self.list_all()
 
 
+class _Backup:
+    """`client.backup` namespace (v4 client shape: backup.create /
+    backup.restore / backup.get_create_status), delegating to
+    sources/backup.py; authorized on the backups resource
+    (authorization types.go Backups())."""
+
+    def __init__(self, client: "WeaviateSparkClient"):
+        self._c = client
+
+    def _check(self, verb: str) -> None:
+        self._c._authorizer.authorize(
+            self._c._principal, verb, auth.backups_path()
+        )
+
+    def create(self, backup_id: str, backend: str,
+               include_collections=None, exclude_collections=None) -> dict:
+        from weaviate_spark.sources.backup import backup_create
+
+        self._check(auth.CREATE)
+        return backup_create(
+            self._c._spark, backup_id, self._c._root, backend,
+            include=include_collections, exclude=exclude_collections,
+        )
+
+    def restore(self, backup_id: str, backend: str,
+                include_collections=None, exclude_collections=None,
+                overwrite: bool = False) -> dict:
+        from weaviate_spark.sources.backup import backup_restore
+
+        self._check(auth.CREATE)
+        return backup_restore(
+            self._c._spark, backup_id, backend, self._c._root,
+            include=include_collections, exclude=exclude_collections,
+            overwrite=overwrite,
+        )
+
+    def get_create_status(self, backup_id: str, backend: str) -> str:
+        from weaviate_spark.sources.backup import backup_status
+
+        self._check(auth.READ)
+        return backup_status(backend, backup_id)
+
+
 class WeaviateSparkClient:
     def __init__(self, spark: SparkSession, root: str,
                  registry: Optional[object] = None,
@@ -408,6 +451,7 @@ class WeaviateSparkClient:
         self._authorizer = authorizer or auth.DummyAuthorizer()
         self._principal = principal
         self.collections = _Collections(self)
+        self.backup = _Backup(self)
 
 
 def connect(spark: SparkSession, root: str, registry=None,

@@ -105,7 +105,12 @@ def append_to_vector_indexes(batch_df: DataFrame, table_key: tuple) -> int:
     any dim/codebook/normalization variant) built under ``table_key`` —
     each entry re-encodes only the batch with its own stored encode
     pipeline. Returns the number of indexes advanced (0 = none built)."""
+    from weaviate_spark.operators.vector import invalidate_corpus_stats
+
     base = (session_key(batch_df.sparkSession), *table_key)
+    # the memoized corpus row count (quantized-routing threshold) is
+    # stale after an append; next query re-counts
+    invalidate_corpus_stats()
     return _vector_tables.append(base, batch_df)
 
 
