@@ -603,3 +603,36 @@ def test_incremental_index_variants_and_segments(spark):
         assert got == want, (nh, got, want)
         assert {(a, b) for a, b, _ in got} == {(1, 2), (1, 3), (2, 3)}
     invalidate_dedup_index()
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """T=2 sampling shifts mass from the head domain toward the tail:
+    the head's kept share drops below its natural share, tail domains
+    cap at keep-everything (f_d = 1, no upsampling), and T=1 with
+    target 1.0 keeps the corpus intact."""
+    from weaviate_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(i + 1000, "de") for i in range(150)]
+        + [(i + 2000, "sw") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    out = temperature_sample(df, "doc_id", "lang", temperature=2.0,
+                             target_fraction=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # sw's smoothed quota (0.5*1000*p_sw ≈ 93) exceeds its 50 rows -> kept whole
+    assert got["sw"] == 50
+    # head flattened: en's kept share < natural 80%
+    total = sum(got.values())
+    assert got["en"] / total < 0.8
+    # determinism: same call -> same rows
+    again = {r["lang"]: r["n"] for r in
+             temperature_sample(df, "doc_id", "lang", 2.0, 0.5)
+             .groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert got == again
+
+    # T=1, target 1.0 -> every f_d = 1: identity
+    assert temperature_sample(df, "doc_id", "lang", 1.0, 1.0).count() == 1000

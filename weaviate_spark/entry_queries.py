@@ -2230,9 +2230,41 @@ def q_multivector_muvera(spark: SparkSession, sf_dir: str) -> DataFrame:
 from weaviate_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
+    temperature_sample,
     train_val_split,
     unit_hash_sql,
 )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=(
+        # same arithmetic as operators/sampling.py temperature_sample:
+        # w_d = (n_d/N)^(1/T), f_d = round(min(1, target*N*(w_d/Z)/n_d), 9)
+        "WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n "
+        "           FROM documents GROUP BY lang), "
+        "t AS (SELECT lang, n, "
+        "             pow(n / (SELECT sum(n) FROM c), 0.5) AS w FROM c), "
+        "f AS (SELECT lang, round(least(1.0, "
+        "             0.5 * (SELECT sum(n) FROM c) "
+        "             * (w / (SELECT sum(w) FROM t)) / n), 9) AS frac FROM t) "
+        "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled "
+        "FROM documents d JOIN f USING (lang) "
+        f"WHERE {unit_hash_sql('d.doc_id', 'temp')} < f.frac "
+        "GROUP BY d.lang"
+    ),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture (p_d ∝ (n_d/N)^(1/T), here
+    T=2 over languages at a 0.5 target): flattens head languages toward
+    the tail — the standard multilingual-corpus rebalancing pass. One
+    tiny per-domain count, then a narrow no-shuffle filter."""
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "doc_id", "lang", temperature=2.0,
+                             target_fraction=0.5)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
 @register(

@@ -108,6 +108,61 @@ def weighted_interleave(
     return out
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    temperature: float,
+    target_fraction: float,
+    salt: str = "temp",
+) -> DataFrame:
+    """Exponent-smoothed domain mixture: sample so the kept corpus
+    follows p_d ∝ (n_d/N)^(1/T) — the standard multilingual/domain
+    rebalancing move (T>1 flattens the mixture toward rare domains,
+    T=1 keeps natural proportions). `target_fraction` sets the overall
+    kept share; per-domain keep rates are f_d = min(1,
+    target·N·p_d/n_d), rounded to 9 decimals so the DuckDB oracle's
+    float arithmetic agrees bit-for-bit at the comparison.
+
+    Head domains can only be DOWN-sampled (Bernoulli keeps, no
+    duplication), so a tail domain whose quota exceeds its size caps at
+    f_d = 1 and the realized total lands slightly under target — the
+    honest behavior for a dedup-style curation pass (upsampling is a
+    training-loader concern, weighted_interleave's territory).
+
+    Scale: one tiny per-domain count (catalog-statistics stand-in),
+    then a narrow literal-CASE filter — the data path has no shuffle
+    and no join."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in [0, 1], got {target_fraction}")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(domain_col).count().collect()
+    }
+    n_total = float(sum(counts.values()))
+    if not n_total:
+        return df
+    alpha = 1.0 / float(temperature)
+    # fixed (sorted) iteration order keeps the float summation
+    # deterministic across runs
+    weights = {d: (counts[d] / n_total) ** alpha for d in sorted(counts)}
+    z = sum(weights[d] for d in sorted(weights))
+    fracs = {
+        d: round(
+            min(1.0, target_fraction * n_total * (weights[d] / z) / counts[d]), 9
+        )
+        for d in sorted(counts)
+    }
+    expr = None
+    for d, fr in sorted(fracs.items()):
+        cond = F.col(domain_col) == F.lit(d)
+        expr = F.when(cond, F.lit(fr)) if expr is None else expr.when(cond, F.lit(fr))
+    return df.where(
+        _unit_hash(F.col(id_col), salt) < (expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
