@@ -339,3 +339,56 @@ def test_incremental_bm25_artifact_advance(spark, tmp_path):
                 markers.append(os.path.join(dirpath, f))
     assert len(markers) == 1 and os.path.getmtime(markers[0]) == mtime
     invalidate_stats()
+
+
+def test_bm25_artifact_compaction(spark, tmp_path):
+    """compact_bm25_artifacts merges append deltas into single-segment
+    form: one stat row per key afterwards, identical scores before and
+    after (LSM-compaction value-identity)."""
+    import os
+
+    from weaviate_spark.operators import bm25 as bm25_mod
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, advance_bm25_artifacts, bm25_search,
+        compact_bm25_artifacts, invalidate_stats,
+    )
+
+    invalidate_stats()
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "spark filter join engine"), (2, "filter pushdown scan")],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/docs.parquet")
+    spec = BM25Spec(
+        collection="docs", query="spark filter", limit=20,
+        properties=[BM25Prop("text")], id_col="doc_id",
+    )
+    bm25_search(spark, sf, spec).collect()
+
+    # two appended batches -> three delta generations in the stat tables
+    for off, txt in ((3, "spark join order"), (4, "filter scan plans today")):
+        batch = spark.createDataFrame([(off, txt)], "doc_id long, text string")
+        fp = bm25_mod._source_fingerprint(sf, "docs")
+        batch.write.mode("append").parquet(f"{sf}/docs.parquet")
+        advance_bm25_artifacts(batch, sf, "docs", fp)
+
+    before = [(r["doc_id"], r["_score"])
+              for r in bm25_search(spark, sf, spec).collect()]
+    assert compact_bm25_artifacts(spark, sf, "docs") == 1
+    after = [(r["doc_id"], r["_score"])
+             for r in bm25_search(spark, sf, spec).collect()]
+    assert before == after
+
+    # stat tables are single-generation again: one row per key
+    import glob
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf.strip("/"))
+    ours = [r for r in glob.glob(
+        f"{bm25_mod.BM25_ARTIFACT_ROOT}/**/term_df", recursive=True
+    ) if tag in r]
+    assert len(ours) == 1
+    tdf = spark.read.parquet(ours[0]).toPandas()
+    assert not tdf.duplicated(subset=["prop", "term"]).any()
+    invalidate_stats()

@@ -374,6 +374,71 @@ def _load_or_build_index_tables(
     return cs, tdf, post, dl
 
 
+def compact_bm25_artifacts(
+    spark: SparkSession, sf_dir: str, collection: str
+) -> int:
+    """Rewrite a collection's advanced artifacts into single-segment
+    form: term_df/corpus_stats delta rows merge into one row per key,
+    postings/doclen small segment files rewrite into per-partition
+    files. The LSM-compaction step for the incremental path — run it
+    periodically on a heavily-appended collection so per-query reads
+    stay a few files per term bucket. Returns the number of property
+    sets compacted. Contents are value-identical before and after
+    (load_stats sums per key either way; tests pin score equality)."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    fp = _source_fingerprint(sf_dir, collection)
+    if fp is None:
+        return 0
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    fp_root = (
+        f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}/"
+        f"{hashlib.md5(fp.encode()).hexdigest()[:12]}"
+    )
+    if not os.path.isdir(fp_root):
+        return 0
+    n = 0
+    for props_h in os.listdir(fp_root):
+        root = f"{fp_root}/{props_h}"
+        if not os.path.exists(f"{root}/_ALL_TABLES_COMMITTED"):
+            continue
+        cs = (
+            spark.read.parquet(f"{root}/corpus_stats")
+            .groupBy("prop")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_docs_with_prop").alias("n_docs_with_prop"),
+                 F.sum("sum_len").alias("sum_len"))
+        )
+        tdf = (
+            spark.read.parquet(f"{root}/term_df")
+            .groupBy("prop", "term").agg(F.sum("df").alias("df"))
+        )
+        post = spark.read.parquet(f"{root}/postings")
+        dl = spark.read.parquet(f"{root}/doclen")
+        staging = f"{root}.compacting"
+        shutil.rmtree(staging, ignore_errors=True)
+        cs.write.parquet(f"{staging}/corpus_stats")
+        tdf.write.parquet(f"{staging}/term_df")
+        (
+            post.repartition(F.col("_tb"))
+            .write.partitionBy("_tb").parquet(f"{staging}/postings")
+        )
+        dl.repartition("prop").write.partitionBy("prop").parquet(f"{staging}/doclen")
+        shutil.copy(f"{root}/props.json", f"{staging}/props.json")
+        open(f"{staging}/_ALL_TABLES_COMMITTED", "w").close()
+        backup = f"{root}.old"
+        os.rename(root, backup)
+        os.rename(staging, root)
+        shutil.rmtree(backup)
+        n += 1
+    if n:
+        invalidate_stats_for(sf_dir, collection)
+    return n
+
+
 def invalidate_stats_for(sf_dir: str, collection: str) -> None:
     """Drop the session handles/memos of ONE collection (after its
     artifact advanced in place, the cached frames point at re-rooted
