@@ -309,7 +309,10 @@ def test_incremental_bm25_artifact_advance(spark, tmp_path):
             if f == "_ALL_TABLES_COMMITTED" and tag in dirpath:
                 marker = os.path.join(dirpath, f)
     assert marker is not None
-    mtime = os.path.getmtime(marker)
+    # sentinel: survives the advance's rename+append; a full rebuild
+    # would recreate the artifact dir without it
+    sentinel_name = "_SENTINEL_NOT_REBUILT"
+    open(os.path.join(os.path.dirname(marker), sentinel_name), "w").close()
 
     # append a batch: one doc extends the "spark filter" cluster, one is
     # background — df/avgdl/N all shift
@@ -329,15 +332,14 @@ def test_incremental_bm25_artifact_advance(spark, tmp_path):
                                  use_stats_tables=False).collect()]
     assert got == want and {d for d, _ in got} >= {1, 4}
 
-    # the artifact advanced by rename + append — the original build's
-    # commit marker still exists with its original mtime (a rebuild
-    # would have recreated it under a fresh dir)
-    markers = []
+    # the artifact advanced by rename + append — the sentinel written
+    # after the original build survived (a rebuild would have recreated
+    # the dir without it), and exactly one committed artifact exists
+    found = []
     for dirpath, _, filenames in os.walk(bm25_mod.BM25_ARTIFACT_ROOT):
-        for f in filenames:
-            if f == "_ALL_TABLES_COMMITTED" and tag in dirpath:
-                markers.append(os.path.join(dirpath, f))
-    assert len(markers) == 1 and os.path.getmtime(markers[0]) == mtime
+        if tag in dirpath and "_ALL_TABLES_COMMITTED" in filenames:
+            found.append((dirpath, sentinel_name in filenames))
+    assert found == [(found[0][0], True)]
     invalidate_stats()
 
 

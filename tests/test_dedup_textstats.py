@@ -636,3 +636,18 @@ def test_temperature_sample_flattens_mixture(spark):
 
     # T=1, target 1.0 -> every f_d = 1: identity
     assert temperature_sample(df, "doc_id", "lang", 1.0, 1.0).count() == 1000
+
+
+def test_temperature_sample_null_domain(spark):
+    """NULL domain values are their own domain: counted, sampled via an
+    isNull match, and never silently dropped (nor crash the sort)."""
+    from weaviate_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en") for i in range(200)] + [(i + 1000, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "doc_id", "lang", temperature=2.0,
+                             target_fraction=1.0)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # the null domain's smoothed quota exceeds its 40 rows -> kept whole
+    assert got.get(None) == 40 and got["en"] > 0

@@ -363,3 +363,32 @@ def test_incremental_vector_index_append(spark):
     }
     assert got_pq == want_pq and len(got_pq) == 32
     invalidate_bq_index()
+
+
+def test_vector_index_family_invalidation(spark):
+    """Per-family invalidation: dropping the BQ family must not discard
+    the PQ entry sharing the segment store (and vice versa)."""
+    import random
+
+    from weaviate_spark.operators.pq_codebook import CODEBOOK
+    from weaviate_spark.operators.quantization import (
+        _vector_tables, invalidate_bq_index, invalidate_pq_index,
+        invalidate_rq_index, with_bq_index, with_pq_index,
+    )
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    invalidate_bq_index(); invalidate_pq_index(); invalidate_rq_index()
+    key = ("fam", "emb")
+    with_bq_index(df, "vec_id", "embedding", 64, key)
+    with_pq_index(df, "vec_id", "embedding", CODEBOOK, key)
+    fams = sorted(st.family for st in _vector_tables._state.values())
+    assert fams == ["bq", "pq"]
+    invalidate_bq_index()
+    fams = sorted(st.family for st in _vector_tables._state.values())
+    assert fams == ["pq"]
+    invalidate_pq_index()
+    assert not _vector_tables._state

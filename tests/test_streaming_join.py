@@ -216,7 +216,10 @@ def test_stream_ingest_maintains_bm25_and_dedup(spark, tmp_path):
                for dp, _, fs in os.walk(bm25_mod.BM25_ARTIFACT_ROOT)
                for f in fs if f == "_ALL_TABLES_COMMITTED" and tag in dp]
     assert len(markers) == 1
-    mtime = os.path.getmtime(markers[0])
+    # sentinel: survives the per-batch advance (rename+append); a full
+    # rebuild would recreate the artifact dir without it
+    sentinel = os.path.join(os.path.dirname(markers[0]), "_SENTINEL_NOT_REBUILT")
+    open(sentinel, "w").close()
 
     spark.createDataFrame(
         [(2, base + " tomorrow"),
@@ -237,11 +240,12 @@ def test_stream_ingest_maintains_bm25_and_dedup(spark, tmp_path):
                                  use_stats_tables=False).collect()]
     assert got == want and {d for d, _ in got} == {1, 2, 3}
 
-    # artifact advanced in place — the original commit marker survived
-    markers = [os.path.join(dp, f)
-               for dp, _, fs in os.walk(bm25_mod.BM25_ARTIFACT_ROOT)
-               for f in fs if f == "_ALL_TABLES_COMMITTED" and tag in dp]
-    assert len(markers) == 1 and os.path.getmtime(markers[0]) == mtime
+    # artifact advanced in place — the sentinel survived and exactly
+    # one committed artifact exists (a rebuild would have dropped it)
+    found = [(dp, "_SENTINEL_NOT_REBUILT" in fs)
+             for dp, _, fs in os.walk(bm25_mod.BM25_ARTIFACT_ROOT)
+             if tag in dp and "_ALL_TABLES_COMMITTED" in fs]
+    assert found == [(found[0][0], True)]
 
     grown = spark.read.parquet(tgt)
     pairs = sorted(

@@ -273,6 +273,14 @@ CACHE_INDEX_TABLES = True
 
 _stats_tables: dict[tuple, tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = {}
 _stats_memo: dict[tuple, "CorpusStats"] = {}
+# serializes artifact-DIRECTORY mutations (build / advance / compact)
+# within the session: the advance's rename must not race a concurrent
+# build's mkdir for the same collection, and vice versa. Cross-process
+# writers are out of scope (single-writer deployment assumption, same
+# as the reference's per-shard write path).
+import threading  # noqa: E402
+
+_artifact_lock = threading.RLock()
 
 
 def invalidate_stats() -> None:
@@ -334,6 +342,26 @@ def _load_or_build_index_tables(
     coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
     root = f"{coll_root}/{fp_h}/{props_h}"
     done = f"{root}/_ALL_TABLES_COMMITTED"
+    if not os.path.exists(done):
+        # the artifact-dir lock serializes this build against an
+        # in-flight advance/compact for the same collection (the rename
+        # in advance_bm25_artifacts must not race the mkdir here)
+        with _artifact_lock:
+            return _build_index_artifact(corpus, spec, root, coll_root, fp_h, done)
+    cs = spark.read.parquet(f"{root}/corpus_stats")
+    tdf = spark.read.parquet(f"{root}/term_df")
+    post = spark.read.parquet(f"{root}/postings")
+    dl = spark.read.parquet(f"{root}/doclen")
+    return cs, tdf, post, dl
+
+
+def _build_index_artifact(
+    corpus: DataFrame, spec: "BM25Spec", root: str, coll_root: str,
+    fp_h: str, done: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    import os
+
+    spark = corpus.sparkSession
     if not os.path.exists(done):
         # GC artifacts of SUPERSEDED source fingerprints of this
         # collection (other property sets on the live source survive)
@@ -401,7 +429,24 @@ def compact_bm25_artifacts(
     if not os.path.isdir(fp_root):
         return 0
     n = 0
+    with _artifact_lock:
+        n = _compact_under(spark, sf_dir, collection, fp_root)
+    return n
+
+
+def _compact_under(spark, sf_dir: str, collection: str, fp_root: str) -> int:
+    import os
+    import shutil
+
+    n = 0
     for props_h in os.listdir(fp_root):
+        if "." in props_h:
+            # '<h>.compacting' / '<h>.old' leftovers from a crashed
+            # compaction are NOT property sets — clean them up (the
+            # committed '<h>' dir, when it survived, is authoritative;
+            # when it did not, the next query rebuilds from the table)
+            shutil.rmtree(f"{fp_root}/{props_h}", ignore_errors=True)
+            continue
         root = f"{fp_root}/{props_h}"
         if not os.path.exists(f"{root}/_ALL_TABLES_COMMITTED"):
             continue
@@ -429,6 +474,12 @@ def compact_bm25_artifacts(
         dl.repartition("prop").write.partitionBy("prop").parquet(f"{staging}/doclen")
         shutil.copy(f"{root}/props.json", f"{staging}/props.json")
         open(f"{staging}/_ALL_TABLES_COMMITTED", "w").close()
+        # drop cached handles BEFORE the swap so no query resolves a
+        # frame rooted in the dir being replaced; a crash between the
+        # two renames leaves only dotted dirs (cleaned above) and the
+        # next query rebuilds from the table — never a half-swapped
+        # committed-looking artifact
+        invalidate_stats_for(sf_dir, collection)
         backup = f"{root}.old"
         os.rename(root, backup)
         os.rename(staging, root)
@@ -498,31 +549,52 @@ def advance_bm25_artifacts(
     coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
     old_root = f"{coll_root}/{hashlib.md5(fp_before.encode()).hexdigest()[:12]}"
     new_root = f"{coll_root}/{hashlib.md5(fp_after.encode()).hexdigest()[:12]}"
-    if not os.path.isdir(old_root):
-        return
-    os.rename(old_root, new_root)
-    for props_h in os.listdir(new_root):
-        root = f"{new_root}/{props_h}"
-        manifest = f"{root}/props.json"
-        if not (os.path.exists(f"{root}/_ALL_TABLES_COMMITTED")
-                and os.path.exists(manifest)):
-            continue
-        with open(manifest) as mf:
-            m = json.load(mf)
-        props = [BM25Prop(name=p[0], tokenization=p[1]) for p in m["properties"]]
-        cs, tdf, post, dl = build_bm25_index(
-            batch_df, props, m["id_col"], m["fold"]
-        )
-        post = post.withColumn("_tb", F.crc32(F.col("_term")) % TERM_BUCKETS)
-        cs.write.mode("append").parquet(f"{root}/corpus_stats")
-        tdf.write.mode("append").parquet(f"{root}/term_df")
-        (
-            post.repartition(F.col("_tb"))
-            .write.partitionBy("_tb").mode("append")
-            .parquet(f"{root}/postings")
-        )
-        dl.write.partitionBy("prop").mode("append").parquet(f"{root}/doclen")
-    invalidate_stats_for(sf_dir, collection)
+    with _artifact_lock:
+        if not os.path.isdir(old_root):
+            return
+        if os.path.isdir(new_root):
+            # a build for the post-append fingerprint already happened
+            # (or is committed): it was built FROM the appended table,
+            # so it already covers the batch — just re-point the session
+            invalidate_stats_for(sf_dir, collection)
+            return
+        try:
+            os.rename(old_root, new_root)
+        except OSError:
+            # old_root vanished (GC by a concurrent build) — the next
+            # query rebuilds from the full table; nothing to advance
+            invalidate_stats_for(sf_dir, collection)
+            return
+        for props_h in os.listdir(new_root):
+            if "." in props_h:
+                continue  # crashed-compaction leftovers, not prop sets
+            root = f"{new_root}/{props_h}"
+            manifest = f"{root}/props.json"
+            done = f"{root}/_ALL_TABLES_COMMITTED"
+            if not (os.path.exists(done) and os.path.exists(manifest)):
+                continue
+            with open(manifest) as mf:
+                m = json.load(mf)
+            props = [BM25Prop(name=p[0], tokenization=p[1]) for p in m["properties"]]
+            cs, tdf, post, dl = build_bm25_index(
+                batch_df, props, m["id_col"], m["fold"]
+            )
+            post = post.withColumn("_tb", F.crc32(F.col("_term")) % TERM_BUCKETS)
+            # marker discipline: the commit marker is ABSENT while the
+            # four appends land, so a crash mid-append leaves an
+            # uncommitted artifact that the next query rebuilds instead
+            # of silently serving half-advanced stats
+            os.remove(done)
+            cs.write.mode("append").parquet(f"{root}/corpus_stats")
+            tdf.write.mode("append").parquet(f"{root}/term_df")
+            (
+                post.repartition(F.col("_tb"))
+                .write.partitionBy("_tb").mode("append")
+                .parquet(f"{root}/postings")
+            )
+            dl.write.partitionBy("prop").mode("append").parquet(f"{root}/doclen")
+            open(done, "w").close()
+        invalidate_stats_for(sf_dir, collection)
 
 
 def with_materialized_stats(

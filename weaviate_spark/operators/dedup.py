@@ -148,27 +148,31 @@ def minhash_signatures(
 # a defunct foreachBatch don't root in the dead stream), and replaced
 # generations are reclaimed by Spark's ContextCleaner when the last
 # reference drops — so a query still holding last generation's frames
-# never races an explicit unpersist. _dedup_lock serializes appends and
-# generation swaps; a resolver returns sh/sig/sets from ONE generation
-# (no torn reads across the three tables).
+# never races an explicit unpersist. Locking is PER INDEX: the global
+# lock guards only the registry dict (microseconds); each index's own
+# lock serializes its builds/appends/compactions and gives resolvers a
+# consistent sh/sig/sets generation — a long compaction of corpus A
+# never blocks the first query on corpus B.
 _MAX_SEGMENTS = 16
 _dedup_lock = threading.RLock()
 _dedup_indexes: dict[tuple, "_DedupIndex"] = {}
 
 
 class _DedupIndex:
-    """One index generation for a (corpus key, n): the compacted shingle
-    table, the signature variants derived from it (keyed by num_hashes —
-    ALL variants are maintained through compaction, none go stale), the
-    shingle-set table, and the not-yet-merged append segments."""
+    """One index for a (corpus key, n): the compacted shingle table, the
+    signature variants derived from it (keyed by num_hashes — ALL
+    variants are maintained through compaction, none go stale), the
+    shingle-set table, and the not-yet-merged append segments. All field
+    access happens under ``lock``."""
 
-    __slots__ = ("sh", "sig", "sets", "pending")
+    __slots__ = ("sh", "sig", "sets", "pending", "lock")
 
-    def __init__(self, sh: DataFrame, sig=None, sets: DataFrame | None = None):
-        self.sh = sh                  # (_doc, _shingle), compacted
-        self.sig = dict(sig or {})    # num_hashes -> wide signature table
-        self.sets = sets              # (_doc, _ss) or None (built on demand)
+    def __init__(self):
+        self.sh = None                # (_doc, _shingle), compacted
+        self.sig = {}                 # num_hashes -> wide signature table
+        self.sets = None              # (_doc, _ss) or None (built on demand)
         self.pending = []             # [(ids, shingle frame), ...] arrival order
+        self.lock = threading.RLock()
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -191,7 +195,10 @@ def _sig_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
 
 def invalidate_dedup_index() -> None:
     with _dedup_lock:
-        for idx in _dedup_indexes.values():
+        victims = list(_dedup_indexes.values())
+        _dedup_indexes.clear()
+    for idx in victims:
+        with idx.lock:
             frames = [idx.sh, idx.sets, *idx.sig.values()]
             frames += [f for seg in idx.pending for f in seg]
             for frame in frames:
@@ -201,21 +208,21 @@ def invalidate_dedup_index() -> None:
                     frame.unpersist()
                 except Exception:
                     pass
-        _dedup_indexes.clear()
+            idx.sh, idx.sig, idx.sets, idx.pending = None, {}, None, []
 
 
-def _compact(key: tuple) -> "_DedupIndex":
-    """Merge pending segments into a new generation (caller holds
-    _dedup_lock). Last-write-wins per doc id: a doc takes its rows from
-    the latest segment that carries its id (matching the reference's
-    object-upsert semantics — a re-arrived id is a replacement), ids in
-    any segment drop their old-generation rows via a broadcast
-    anti-join, and every signature variant is re-derived for the
-    affected docs from the same merged shingle rows. The swap publishes
-    all three tables as one atomic generation."""
-    idx = _dedup_indexes[key]
+def _compact(idx: "_DedupIndex") -> None:
+    """Merge pending segments into the next generation (caller holds
+    the INDEX's lock). Last-write-wins per doc id: a doc takes its rows
+    from the latest segment that carries its id (matching the
+    reference's object-upsert semantics — a re-arrived id is a
+    replacement), ids in any segment drop their old-generation rows via
+    a broadcast anti-join, and every signature variant is re-derived
+    for the affected docs from the same merged shingle rows. All three
+    tables advance together under the lock, so resolvers never see a
+    torn generation."""
     if not idx.pending:
-        return idx
+        return
     parts_ids, parts_sh = [], []
     for seq, (ids, seg_sh) in enumerate(idx.pending):
         parts_ids.append(ids.select("_doc", F.lit(seq).alias("_seq")))
@@ -245,9 +252,7 @@ def _compact(key: tuple) -> "_DedupIndex":
     sh = _merge(idx.sh, new_sh)
     sig = {k: _merge(old_sig, _sig_agg(new_sh, k)) for k, old_sig in idx.sig.items()}
     sets = _merge(idx.sets, shingle_sets(new_sh))
-    new_idx = _DedupIndex(sh, sig, sets)
-    _dedup_indexes[key] = new_idx  # atomic generation swap
-    return new_idx
+    idx.sh, idx.sig, idx.sets, idx.pending = sh, sig, sets, []
 
 
 def _resolve_index(
@@ -267,10 +272,13 @@ def _resolve_index(
     with _dedup_lock:
         idx = _dedup_indexes.get(key)
         if idx is None:
-            idx = _DedupIndex(_ckpt(shingle_df(df, id_col, text_col, n)))
+            idx = _DedupIndex()
             _dedup_indexes[key] = idx
+    with idx.lock:
+        if idx.sh is None:
+            idx.sh = _ckpt(shingle_df(df, id_col, text_col, n))
         elif idx.pending:
-            idx = _compact(key)
+            _compact(idx)
         if num_hashes is not None and num_hashes not in idx.sig:
             idx.sig[num_hashes] = _ckpt(_sig_agg(idx.sh, num_hashes))
         if want_sets and idx.sets is None:
@@ -317,16 +325,21 @@ def append_to_dedup_index(
     spark = new_docs.sparkSession
     prefix = (session_key(spark), *table_key)
     with _dedup_lock:
-        keys = [k for k in _dedup_indexes if k[:-1] == prefix]
-        if not keys:
-            return
-        ids = _ckpt(new_docs.select(F.col(id_col).alias("_doc")).distinct())
-        for k in keys:
-            seg_sh = _ckpt(shingle_df(new_docs, id_col, text_col, k[-1]))
-            idx = _dedup_indexes[k]
+        targets = [
+            (k[-1], idx) for k, idx in _dedup_indexes.items()
+            if k[:-1] == prefix
+        ]
+    if not targets:
+        return
+    ids = _ckpt(new_docs.select(F.col(id_col).alias("_doc")).distinct())
+    for seg_n, idx in targets:
+        seg_sh = _ckpt(shingle_df(new_docs, id_col, text_col, seg_n))
+        with idx.lock:
+            if idx.sh is None and not idx.pending:
+                continue  # invalidated since the snapshot
             idx.pending.append((ids, seg_sh))
             if len(idx.pending) >= _MAX_SEGMENTS:
-                _compact(k)
+                _compact(idx)
 
 
 def minhash_lsh_pairs(

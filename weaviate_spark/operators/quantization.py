@@ -95,9 +95,10 @@ _vector_tables = SegmentStore("quantized-vector-indexes")
 
 
 def invalidate_bq_index() -> None:
-    # the three quantized tables share one store; the per-family
-    # invalidators are kept as the documented API surface
-    _vector_tables.invalidate()
+    # the three quantized families share one store but invalidate
+    # independently: dropping a cheap BQ table must not discard an
+    # expensive mapInPandas-built PQ/RQ encode of another collection
+    _vector_tables.invalidate(family="bq")
 
 
 def append_to_vector_indexes(batch_df: DataFrame, table_key: tuple) -> int:
@@ -129,7 +130,8 @@ def with_bq_index(
         )
 
     return _vector_tables.resolve(
-        key, key[: len(table_key) + 1], id_col, lambda: _encode(df), _encode
+        key, key[: len(table_key) + 1], id_col, lambda: _encode(df), _encode,
+        family="bq",
     )
 
 
@@ -330,7 +332,7 @@ def _pq_encode_kernel(codebook, normalize: bool = True):
 
 
 def invalidate_pq_index() -> None:
-    _vector_tables.invalidate()
+    _vector_tables.invalidate(family="pq")
 
 
 def with_pq_index(
@@ -352,7 +354,8 @@ def with_pq_index(
         )
 
     return _vector_tables.resolve(
-        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode
+        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode,
+        family="pq",
     )
 
 
@@ -534,7 +537,7 @@ def _rq_encode_kernel(M, normalize: bool = True):
 
 
 def invalidate_rq_index() -> None:
-    _vector_tables.invalidate()
+    _vector_tables.invalidate(family="rq")
 
 
 def with_rq_index(
@@ -554,7 +557,8 @@ def with_rq_index(
         )
 
     return _vector_tables.resolve(
-        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode
+        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode,
+        family="rq",
     )
 
 

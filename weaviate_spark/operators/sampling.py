@@ -144,23 +144,27 @@ def temperature_sample(
     if not n_total:
         return df
     alpha = 1.0 / float(temperature)
-    # fixed (sorted) iteration order keeps the float summation
-    # deterministic across runs
-    weights = {d: (counts[d] / n_total) ** alpha for d in sorted(counts)}
-    z = sum(weights[d] for d in sorted(weights))
+    # NULL domain = its own domain (sampled like any other, matched with
+    # isNull below); fixed iteration order (None first, then sorted)
+    # keeps the float summation deterministic across runs
+    domains = sorted(counts, key=lambda d: (d is not None, d if d is not None else ""))
+    weights = {d: (counts[d] / n_total) ** alpha for d in domains}
+    z = sum(weights[d] for d in domains)
     fracs = {
         d: round(
             min(1.0, target_fraction * n_total * (weights[d] / z) / counts[d]), 9
         )
-        for d in sorted(counts)
+        for d in domains
     }
     expr = None
-    for d, fr in sorted(fracs.items()):
-        cond = F.col(domain_col) == F.lit(d)
-        expr = F.when(cond, F.lit(fr)) if expr is None else expr.when(cond, F.lit(fr))
-    return df.where(
-        _unit_hash(F.col(id_col), salt) < (expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0))
-    )
+    for d in domains:
+        cond = (
+            F.col(domain_col).isNull() if d is None
+            else F.col(domain_col) == F.lit(d)
+        )
+        fr = F.lit(fracs[d])
+        expr = F.when(cond, fr) if expr is None else expr.when(cond, fr)
+    return df.where(_unit_hash(F.col(id_col), salt) < expr.otherwise(F.lit(0.0)))
 
 
 def pack_sequences(

@@ -196,12 +196,24 @@ def backup_restore(
                 f"class {name!r} already exists at {target_sf_dir} "
                 "(pass overwrite=True to replace it)"
             )
+    from weaviate_spark.sources import crud
+
     restored = {}
     for name in names:
         src = os.path.join(backend_root, backup_id, name)
         dst = os.path.join(target_sf_dir, f"{name}.parquet")
         df = spark.read.parquet(src)
-        df.write.mode("overwrite").parquet(dst)
+
+        # route through crud's staged write + swap so concurrent readers
+        # never see a half-restored table, and through the OCC version
+        # claim so a concurrent transact() writer whose snapshot predates
+        # the restore conflicts instead of silently re-swapping
+        # pre-restore data over it. _rewrite also invalidates every
+        # derived index (the restored table is a new corpus).
+        def _do(df=df, dst=dst):
+            crud._rewrite(df, dst, expected_version=crud.table_version(dst))
+
+        crud.transact(_do)
         back = spark.read.parquet(dst)
         meta = desc["classes"][name]
         if back.count() != meta["rows"]:
@@ -209,8 +221,5 @@ def backup_restore(
         if back.schema.json() != meta["schema"]:
             raise BackupError(f"class {name!r}: restored schema mismatch")
         restored[name] = meta["rows"]
-    from weaviate_spark.sources.crud import invalidate_indexes
-
-    invalidate_indexes()
     return {"id": backup_id, "status": SUCCESS, "restored": restored,
             "target": target_sf_dir}

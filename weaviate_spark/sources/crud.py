@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 from weaviate_spark.filters import Clause, apply_where, compile_where
 
 
-def invalidate_indexes(preserve_dedup_index: bool = False) -> None:
+def invalidate_indexes(
+    preserve_dedup_index: bool = False,
+    preserve_vector_index: bool = False,
+) -> None:
     """Drop every materialized derived structure after a write: BM25
     corpus stats (N/df/doclen — the prop-length-tracker analogue, which
     the reference refreshes on every write in shard_write_inverted.go),
@@ -48,7 +51,10 @@ def invalidate_indexes(preserve_dedup_index: bool = False) -> None:
     (streaming ingest feeds the same batch to append_to_dedup_index,
     whose replace-by-id semantics match the upsert exactly), dropping
     and rebuilding the whole index per micro-batch would defeat the
-    incremental maintenance."""
+    incremental maintenance. ``preserve_vector_index`` is the same
+    contract for the quantized BQ/PQ/RQ segment store (its last-write-
+    wins compaction matches upsert semantics when the caller appends
+    the batch via append_to_vector_indexes)."""
     from weaviate_spark.operators.bm25 import invalidate_stats
     from weaviate_spark.operators.dedup import invalidate_dedup_index
     from weaviate_spark.operators.quantization import (
@@ -62,9 +68,10 @@ def invalidate_indexes(preserve_dedup_index: bool = False) -> None:
     invalidate_stats()
     if not preserve_dedup_index:
         invalidate_dedup_index()
-    invalidate_bq_index()
-    invalidate_pq_index()
-    invalidate_rq_index()
+    if not preserve_vector_index:
+        invalidate_bq_index()
+        invalidate_pq_index()
+        invalidate_rq_index()
     invalidate_derived_tables()
     invalidate_bucketed()
 
@@ -178,6 +185,7 @@ def _rewrite(
     table_dir: str,
     expected_version: int | None = None,
     preserve_dedup_index: bool = False,
+    preserve_vector_index: bool = False,
 ) -> None:
     """Write df to a staging dir then swap — readers never see a
     half-written table. ``expected_version`` (the version observed when
@@ -203,7 +211,8 @@ def _rewrite(
         shutil.rmtree(backup)
     if expected_version is not None:
         _finish_commit(table_dir, expected_version)
-    invalidate_indexes(preserve_dedup_index=preserve_dedup_index)
+    invalidate_indexes(preserve_dedup_index=preserve_dedup_index,
+                       preserve_vector_index=preserve_vector_index)
 
 
 def upsert(
@@ -212,6 +221,7 @@ def upsert(
     new_rows: DataFrame,
     key: str,
     preserve_dedup_index: bool = False,
+    preserve_vector_index: bool = False,
 ) -> None:
     """MERGE: replace rows with matching key, append the rest.
 
@@ -227,6 +237,7 @@ def upsert(
         kept.unionByName(new_rows), table_dir,
         expected_version=base_version,
         preserve_dedup_index=preserve_dedup_index,
+        preserve_vector_index=preserve_vector_index,
     )
 
 

@@ -69,6 +69,7 @@ def stream_ingest_with_index_maintenance(
     schema,
     target_dir: str,
     id_col: str,
+    *,
     text_col: Optional[str] = None,
     dedup_index_key: Optional[tuple] = None,
     shingle_n: int = 3,
@@ -144,10 +145,14 @@ def stream_ingest_with_index_maintenance(
         if upsert and os.path.exists(target_dir):
             # invalidates BM25 session handles itself; the artifact's
             # fingerprint key makes the next query rebuild from the
-            # merged table
+            # merged table. Each maintained index is preserved across
+            # the write ONLY when this sink maintains it (its replace-
+            # by-id semantics match the upsert); an unmaintained index
+            # must invalidate, or it would serve pre-merge state.
             crud.transact(lambda: crud.upsert(
                 spark, target_dir, batch_df, id_col,
-                preserve_dedup_index=True,
+                preserve_dedup_index=dedup_index_key is not None,
+                preserve_vector_index=vector_index_key is not None,
             ))
         else:
             batch_df.write.mode("append").parquet(target_dir)
@@ -178,13 +183,16 @@ def stream_ingest_with_dedup_index(
     index_key: tuple,
     shingle_n: int = 3,
     num_hashes: int = 16,
-    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     upsert: bool = False,
 ):
     """Near-dup-index-only form of stream_ingest_with_index_maintenance
-    (kept as the named entry point for the common case)."""
+    (kept as the named entry point for the common case). New options
+    (transform/upsert) come AFTER the original positional tail
+    (checkpoint_dir, available_now) so existing positional callers keep
+    their meaning."""
     return stream_ingest_with_index_maintenance(
         spark, source_dir, schema, target_dir, id_col,
         text_col=text_col, dedup_index_key=index_key,
