@@ -651,3 +651,50 @@ def test_temperature_sample_null_domain(spark):
            out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     # the null domain's smoothed quota exceeds its 40 rows -> kept whole
     assert got.get(None) == 40 and got["en"] > 0
+
+
+def test_unigram_xent_orders_quality(spark):
+    """Common-token boilerplate scores LOW (predictable under the
+    corpus unigram model), rare-token docs score HIGH."""
+    from weaviate_spark.operators.curation import unigram_logprob_scores
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    df = spark.createDataFrame(
+        [(1, common), (2, common.replace("rug", "mat")),
+         (3, "zyzzyva qoph jinxed vext blowzy frumps")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["cross_entropy"]
+           for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert got[3] > got[1] and got[3] > got[2]
+    # empty/absent-token docs drop out
+    df2 = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    out = unigram_logprob_scores(df2, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_dsir_weights_prefer_target_domain(spark):
+    """Docs sharing the target domain's bigram features weigh higher
+    than off-domain docs; the weighting is deterministic."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import dsir_importance_weights
+
+    tgt = "machine learning models train on curated text corpora daily"
+    off = "el gato duerme sobre la alfombra toda la tarde entera"
+    rows = (
+        [(i, tgt + f" variant {i}", "en") for i in range(5)]
+        + [(i + 100, off + f" numero {i}", "es") for i in range(5)]
+        + [(200, "machine learning models train on curated data", "xx"),
+           (201, "la alfombra entera sobre el gato", "xx")],
+    )
+    df = spark.createDataFrame(rows[0], ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r["weight"]
+           for r in dsir_importance_weights(
+               df, "doc_id", "text", F.col("lang") == "en").collect()}
+    # the unlabeled en-like doc outweighs the unlabeled es-like doc
+    assert got[200] > got[201]
+    again = {r["doc_id"]: r["weight"]
+             for r in dsir_importance_weights(
+                 df, "doc_id", "text", F.col("lang") == "en").collect()}
+    assert got == again

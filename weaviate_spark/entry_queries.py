@@ -4212,3 +4212,59 @@ def q_hybrid_explain_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties=[BM25Prop("text")], id_col="doc_id",
         alpha=0.5, fusion="ranked", limit=15, explain=True,
     ))
+
+
+@register(
+    "text_unigram_xent",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents), "
+        "c AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY t), "
+        "tot AS (SELECT sum(c) AS T FROM c) "
+        "SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(-avg(ln(c.c / (SELECT T FROM tot))), 6) AS cross_entropy "
+        "FROM toks JOIN c USING (t) GROUP BY toks.doc_id"
+    ),
+)
+def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy against the corpus's own distribution —
+    the model-free CCNet-style perplexity-bucket quality signal
+    (common-token boilerplate scores low, rare-token gibberish high)."""
+    from weaviate_spark.operators.curation import unigram_logprob_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang = 'en' AS is_t, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt FROM documents), "
+        "bg AS (SELECT doc_id, is_t, tt[i] || ' ' || tt[i + 1] AS g "
+        "FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 1, 0) + 1)) AS u(i)), "
+        "f AS (SELECT doc_id, is_t, "
+        "(('0x' || substr(md5('dsir:' || g), 1, 8))::BIGINT % 8192) AS b FROM bg), "
+        "bc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr, "
+        "CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS ct FROM f GROUP BY b), "
+        "tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bc), "
+        "r AS (SELECT b, ln((ct + 1) / ((SELECT tt FROM tots) + 8192)) "
+        "- ln((cr + 1) / ((SELECT tr FROM tots) + 8192)) AS lr FROM bc) "
+        "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features, "
+        "round(avg(lr), 6) AS weight FROM f JOIN r USING (b) GROUP BY f.doc_id"
+    ),
+)
+def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (hashed-bigram log-ratio vs the
+    'en' target domain, Xie et al. NeurIPS'23): rank documents by how
+    target-like their feature distribution is — the classifier-free
+    domain-upsampling signal for training-data curation."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import dsir_importance_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", buckets=8192
+    )

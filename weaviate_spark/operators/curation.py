@@ -144,3 +144,126 @@ def global_line_dedup(
             "n_lines", "n_lines_dropped",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# model-free quality scoring and importance resampling
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram distribution: score_d = -avg over tokens of ln(C(t)/T).
+    The model-free stand-in for the perplexity-bucket quality filters
+    of CCNet-style pipelines — documents of boilerplate/common tokens
+    score LOW (predictable), rare-token gibberish scores HIGH; filter
+    or bucket on the score. Deterministic (a pure function of corpus
+    counts, no trained LM), so the DuckDB oracle reproduces it.
+
+    Returns (id, n_tokens, cross_entropy rounded to 6dp); empty docs
+    drop out (no tokens to score).
+
+    Scale: one token explode (narrow), one vocabulary count groupBy
+    (token-key shuffle, vocab-sized result), one join of tokens to
+    counts (md5-uniform token keys, no skew beyond natural Zipf head —
+    AQE skew split applies), one per-doc groupBy. The vocabulary count
+    table is a natural ingest artifact (the BM25 term_df table is the
+    same statistic); at 100 TB the join reuses it instead of
+    recounting."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_tot"))
+    scored = (
+        toks.join(counts, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("_c") / F.col("_tot"))), 6)
+            .alias("cross_entropy"),
+        )
+    )
+    return scored.select(F.col("_doc").alias(id_col), "n_tokens", "cross_entropy")
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond,
+    buckets: int = 8192,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed-n-gram variant,
+    public method: Xie et al., 'Data Selection for Language Models via
+    Importance Resampling', NeurIPS'23): score every document by how
+    much more likely its hashed word-BIGRAM features are under a TARGET
+    domain's distribution than under the raw corpus distribution —
+    weight_d = avg over features of ln(p_target(b) / p_raw(b)), with
+    add-one smoothing over the bucket space so unseen buckets are
+    defined. Keep the top-weighted docs to shift the corpus mixture
+    toward the target domain without a trained classifier.
+
+    ``target_cond`` is a boolean Column selecting the target-domain
+    rows INSIDE df (e.g. F.col('source') == 'wiki'). Feature hashing is
+    md5-based (same construction as sampling._unit_hash), so the DuckDB
+    oracle reproduces bucket ids bit-for-bit.
+
+    Returns (id, n_features, weight rounded to 6dp); docs with no
+    bigram (≤1 token) drop out.
+
+    Scale: bigram explode is narrow; the two bucket-count aggregations
+    produce `buckets`-sized results (broadcastable); the feature→ratio
+    join is a broadcast join; one per-doc groupBy ends the plan. No
+    all-pairs anywhere; the bucket tables are ingest artifacts at
+    scale."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = tokenize(F.col(text_col), "word")
+    grams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    feats = df.select(
+        F.col(id_col).alias("_doc"),
+        target_cond.alias("_is_target"),
+        F.explode(grams).alias("_g"),
+    ).withColumn(
+        "_b",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("_g"))), 1, 8),
+            16, 10,
+        ).cast("long") % buckets,
+    )
+    bucket_counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("_cr").alias("_Tr"), F.sum("_ct").alias("_Tt")
+    )
+    ratio = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + 1) / (F.col("_Tt") + buckets))
+            - F.log((F.col("_cr") + 1) / (F.col("_Tr") + buckets))
+        ).alias("_lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.avg("_lr"), 6).alias("weight"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_features", "weight")
+    )
