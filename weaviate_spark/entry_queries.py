@@ -4252,7 +4252,7 @@ def q_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r AS (SELECT b, ln((ct + 1) / ((SELECT tt FROM tots) + 8192)) "
         "- ln((cr + 1) / ((SELECT tr FROM tots) + 8192)) AS lr FROM bc) "
         "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features, "
-        "round(avg(lr), 6) AS weight FROM f JOIN r USING (b) GROUP BY f.doc_id"
+        "round(avg(lr), 6) + 0.0 AS weight FROM f JOIN r USING (b) GROUP BY f.doc_id"
     ),
 )
 def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:

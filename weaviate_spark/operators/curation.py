@@ -263,7 +263,10 @@ def dsir_importance_weights(
         .groupBy("_doc")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
-            F.round(F.avg("_lr"), 6).alias("weight"),
+            # + 0.0 folds IEEE negative zero to +0.0 (DuckDB renders
+            # round(-1e-9, 6) as -0.0, Spark as 0.0 — same value,
+            # different %.6f string; both engines add the same zero)
+            (F.round(F.avg("_lr"), 6) + F.lit(0.0)).alias("weight"),
         )
         .select(F.col("_doc").alias(id_col), "n_features", "weight")
     )
