@@ -686,9 +686,9 @@ def test_dsir_weights_prefer_target_domain(spark):
         [(i, tgt + f" variant {i}", "en") for i in range(5)]
         + [(i + 100, off + f" numero {i}", "es") for i in range(5)]
         + [(200, "machine learning models train on curated data", "xx"),
-           (201, "la alfombra entera sobre el gato", "xx")],
+           (201, "la alfombra entera sobre el gato", "xx")]
     )
-    df = spark.createDataFrame(rows[0], ["doc_id", "text", "lang"])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     got = {r["doc_id"]: r["weight"]
            for r in dsir_importance_weights(
                df, "doc_id", "text", F.col("lang") == "en").collect()}

@@ -4223,7 +4223,7 @@ def q_hybrid_explain_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY t), "
         "tot AS (SELECT sum(c) AS T FROM c) "
         "SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-        "round(-avg(ln(c.c / (SELECT T FROM tot))), 6) AS cross_entropy "
+        "round(-avg(ln(c.c / (SELECT T FROM tot))), 6) + 0.0 AS cross_entropy "
         "FROM toks JOIN c USING (t) GROUP BY toks.doc_id"
     ),
 )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from weaviate_spark.operators.dedup import shingle_df
+from weaviate_spark.operators.sampling import md5_prefix_long
 
 # scrub order matters: emails before phones (digit runs inside
 # addresses), IPv4 before phones (dotted digit runs match the phone
@@ -184,7 +185,9 @@ def unigram_logprob_scores(
         .groupBy("_doc")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.avg(F.log(F.col("_c") / F.col("_tot"))), 6)
+            # + 0.0 folds IEEE negative zero (degenerate one-token
+            # corpora score exactly 0; both engines add the same zero)
+            (F.round(-F.avg(F.log(F.col("_c") / F.col("_tot"))), 6) + F.lit(0.0))
             .alias("cross_entropy"),
         )
     )
@@ -237,13 +240,7 @@ def dsir_importance_weights(
         F.col(id_col).alias("_doc"),
         target_cond.alias("_is_target"),
         F.explode(grams).alias("_g"),
-    ).withColumn(
-        "_b",
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("_g"))), 1, 8),
-            16, 10,
-        ).cast("long") % buckets,
-    )
+    ).withColumn("_b", md5_prefix_long(F.col("_g"), salt) % buckets)
     bucket_counts = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),

@@ -32,12 +32,21 @@ from pyspark.sql import functions as F
 _DENOM = float(0x100000000)
 
 
+def md5_prefix_long(key: Column, salt: str, chars: int = 8) -> Column:
+    """First `chars` hex digits of md5(salt ':' key) as a BIGINT — the
+    ONE home of the cross-engine hash construction (DuckDB mirror:
+    ('0x' || substr(md5('salt:' || key), 1, chars))::BIGINT). Everything
+    deterministic-sampling/bucketing shaped derives from this so the
+    Spark/oracle parity contract lives in a single place."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, chars), 16, 10).cast("long")
+
+
 def _unit_hash(key: Column, salt: str) -> Column:
     """Deterministic uniform in [0,1) from md5(salt ':' key) — the same
     construction the oracle reproduces via
     ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0."""
-    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+    return md5_prefix_long(key, salt).cast("double") / F.lit(_DENOM)
 
 
 def unit_hash_sql(key_expr: str, salt: str) -> str:
