@@ -305,3 +305,68 @@ def test_stream_ingest_maintains_vector_index(spark, tmp_path):
             for r in bq_topk(spark, sf, "vecs", q, k=5).collect()]
     assert got == want and got[0][0] == 100
     invalidate_bq_index()
+
+
+def test_stream_stream_left_outer_emits_unattributed(spark, sf_dir, tmp_path):
+    """left_outer interval join: the batch left join keeps EVERY
+    purchase (attributed rows carry click_id/lag_sec, organic purchases
+    NULLs); the streaming replay emits the identical attributed set,
+    and emits the NULL rows for every purchase old enough that the
+    final watermark PROVED no qualifying click can arrive — rows at the
+    watermark frontier are correctly withheld, never wrongly emitted."""
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.streaming.ingest import purchase_attribution_join
+
+    window = 240
+    events = load_table(spark, sf_dir, "events")
+    batch_rows = purchase_attribution_join(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "click"),
+        window_minutes=window, join_type="left_outer",
+    ).collect()
+    batch = {(r["purchase_id"], r["click_id"], r["lag_sec"]) for r in batch_rows}
+    purchase_ts = {r["purchase_id"]: r["purchase_ts"] for r in batch_rows}
+    # every purchase survives the batch left join
+    assert {p for p, _, _ in batch} == {
+        r["event_id"] for r in
+        events.where(F.col("event_type") == "purchase").collect()
+    }
+    assert any(c is None for _, c, _ in batch)      # organic purchases exist
+    assert any(c is not None for _, c, _ in batch)  # attributed ones too
+
+    src = str(tmp_path / "ev_lo")
+    events.write.parquet(src)
+    mk = lambda t: (  # noqa: E731
+        spark.readStream.schema(events.schema).parquet(src)
+        .where(F.col("event_type") == t)
+    )
+    joined = purchase_attribution_join(
+        mk("purchase"), mk("click"), window_minutes=window,
+        join_type="left_outer",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("attrib_lo")
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)  # False = still running: timed out
+    streamed = {
+        (r["purchase_id"], r["click_id"], r["lag_sec"])
+        for r in spark.sql("SELECT * FROM attrib_lo").collect()
+    }
+    # attributed (inner) results replay exactly; no spurious rows
+    assert {t for t in streamed if t[1] is not None} == {
+        t for t in batch if t[1] is not None
+    }
+    assert streamed <= batch
+    # NULL rows: emitted for every purchase the final watermark
+    # (max event time - 2*window delay) has provably passed; only the
+    # frontier tail may be withheld
+    import datetime
+
+    max_ts = max(r["ts"] for r in events.select("ts").collect())
+    cutoff = max_ts - datetime.timedelta(minutes=3 * window)
+    proven_nulls = {t for t in batch
+                    if t[1] is None and purchase_ts[t[0]] < cutoff}
+    assert proven_nulls and proven_nulls <= streamed

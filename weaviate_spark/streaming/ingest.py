@@ -399,6 +399,7 @@ def purchase_attribution_join(
     clicks: DataFrame,
     window_minutes: int = 240,
     ts_col: str = "ts",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join — Structured Streaming's
     canonical two-stream pattern (not in the reference, which has no
@@ -417,7 +418,17 @@ def purchase_attribution_join(
 
     Returns (purchase_id, click_id, user_id, purchase_ts, lag_sec),
     lag_sec = seconds from click to purchase.
+
+    ``join_type="left_outer"`` keeps UNattributed purchases too
+    (click_id/lag_sec NULL) — on a stream the null-matched row is
+    emitted only once the watermark proves no qualifying click can
+    still arrive, the other canonical stream-stream shape (outer
+    interval join with state-store expiry); on batch it is an ordinary
+    left join. Attribution reports need both: conversion rows AND the
+    organic-purchase remainder.
     """
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"join_type must be inner or left_outer, got {join_type!r}")
     def prep(df: DataFrame, role: str) -> DataFrame:
         ts_type = df.schema[ts_col].dataType.simpleString()
         if df.isStreaming:
@@ -437,7 +448,7 @@ def purchase_attribution_join(
         & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (c["click_ts"] <= p["purchase_ts"])
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, join_type).select(
         "purchase_id", "click_id",
         F.col("purchase_user").alias("user_id"),
         "purchase_ts",
