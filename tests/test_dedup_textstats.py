@@ -698,3 +698,29 @@ def test_dsir_weights_prefer_target_domain(spark):
              for r in dsir_importance_weights(
                  df, "doc_id", "text", F.col("lang") == "en").collect()}
     assert got == again
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    """Window arithmetic: stride = max-overlap, consecutive chunks share
+    exactly `overlap` tokens, the tail chunk is short, empty docs drop,
+    and sub-window docs yield one whole chunk."""
+    import pytest as _pytest
+
+    from weaviate_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts at tokens 1,3,5,7,9 (stride 2)
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w2 w3 w4 w5")
+    assert rows[(1, 4)] == (2, "w8 w9")  # short tail
+    assert rows[(2, 0)] == (3, "only three words")
+    assert not any(d == 3 for d, _ in rows)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)

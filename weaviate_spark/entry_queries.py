@@ -4268,3 +4268,27 @@ def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, "doc_id", "text", F.col("lang") == "en", buckets=8192
     )
+
+
+@register(
+    "curation_doc_chunks",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt FROM documents), "
+        "c AS (SELECT doc_id, i AS s, "
+        "list_slice(tt, i, least(i + 63, len(tt))) AS chunk "
+        "FROM toks, LATERAL unnest(range(1, len(tt) + 1, 48)) AS u(i) "
+        "WHERE len(tt) > 0) "
+        "SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx, "
+        "CAST(len(chunk) AS BIGINT) AS n_tokens, "
+        "array_to_string(chunk, ' ') AS chunk_text FROM c"
+    ),
+)
+def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap):
+    deterministic chunk ids, pure narrow explode — the long-document
+    split that precedes embedding/packing in a training pipeline."""
+    from weaviate_spark.operators.curation import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", max_tokens=64, overlap=16)

@@ -267,3 +267,52 @@ def dsir_importance_weights(
         )
         .select(F.col("_doc").alias(id_col), "n_features", "weight")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token-window chunks of ``max_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks (stride = max_tokens -
+    overlap) — the standard long-document preprocessing pass before
+    embedding or packing. Chunk ids are deterministic (0-based window
+    index), so reruns produce identical chunks and downstream joins on
+    (doc, chunk) are stable.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text); chunk_text is the
+    space-joined lowercase word tokens of the window (tokenize
+    normalizes case). Empty/sub-token docs produce no chunks.
+
+    Scale: pure narrow explode — one pass, no shuffle, no join; chunk
+    count ≈ corpus tokens / stride."""
+    from weaviate_spark.functions.text import tokenize
+
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    toks = tokenize(F.col(text_col), "word")
+    starts = F.when(
+        F.size(toks) < 1, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(toks), F.lit(stride)))
+    chunks = df.select(
+        F.col(id_col).alias("_doc"),
+        toks.alias("_tt"),
+        F.explode(starts).alias("_start"),
+    ).select(
+        "_doc",
+        (((F.col("_start") - 1) / stride).cast("long")).alias("chunk_idx"),
+        F.slice(F.col("_tt"), F.col("_start"), F.lit(max_tokens)).alias("_chunk"),
+    )
+    return chunks.select(
+        F.col("_doc").alias(id_col),
+        "chunk_idx",
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )
