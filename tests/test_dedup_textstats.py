@@ -724,3 +724,24 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert not any(d == 3 for d, _ in rows)
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds the right components on a chain
+    (worst-case diameter), a triangle, and an isolated pair; exactly
+    one keeper per component (the min id)."""
+    from weaviate_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4-5, triangle 10-11-12 (+edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_clusters(pairs).collect()}
+    assert {d for d, (c, _) in got.items() if c == 1} == {1, 2, 3, 4, 5}
+    assert {d for d, (c, _) in got.items() if c == 10} == {10, 11, 12}
+    assert {d for d, (c, _) in got.items() if c == 20} == {20, 21}
+    assert {d for d, (_, k) in got.items() if k} == {1, 10, 20}

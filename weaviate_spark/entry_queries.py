@@ -4292,3 +4292,38 @@ def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", max_tokens=64, overlap=16)
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=(
+        # connected components via recursive reachability: cluster_id =
+        # min id reachable from each node (genuinely independent of the
+        # engine's iterative min-label propagation)
+        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(src, dst) AS ("
+        "SELECT a, a FROM edges "
+        "UNION "
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) "
+        "SELECT src AS doc_id, min(dst) AS cluster_id, "
+        "(src = min(dst)) AS keep FROM reach GROUP BY src"
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> connected-component CLUSTERS + keep/drop: the
+    decision step of a dedup pipeline (one canonical survivor per
+    component, min id). Spark side: iterative min-label propagation
+    with checkpointed rounds; the oracle computes components by
+    recursive reachability — two entirely different algorithms must
+    agree on every component."""
+    from weaviate_spark.operators.dedup import dedup_clusters
+
+    df = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    )
+    return dedup_clusters(pairs)

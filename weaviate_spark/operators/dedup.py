@@ -976,3 +976,74 @@ def duplicated_substring_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS — the step that turns
+    pairwise dedup output into a keep/drop decision: every doc in a
+    component gets the component's minimum id as ``cluster_id``, and
+    ``keep`` marks the canonical survivor (doc_id == cluster_id). Docs
+    that appear in no pair are implicitly kept (they are absent here).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); labels only decrease, so
+    the total-sum is a strictly decreasing convergence witness (one
+    tiny agg action per round, no row-level diff join). Rounds needed =
+    graph diameter; near-dup components are dense (everything similar
+    to everything), so diameter is small — for adversarial chain-shaped
+    graphs switch to the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14), which converges in O(log n) rounds with the same
+    per-round shuffle shape. Each round's labels are
+    localCheckpoint(eager=True): plan depth stays O(1) across
+    iterations instead of growing a join-per-round lineage.
+
+    Per round: one shuffle join (edges ⋈ labels on the destination id)
+    + one groupBy(node) min — both on hash-uniform doc-id keys."""
+    edges = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("_src").alias("_node")).distinct()
+        .withColumn("_label", F.col("_node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("_label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["_dst"] == labels["_node"])
+            .groupBy(F.col("_src").alias("_n"))
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr, labels["_node"] == nbr["_n"], "left")
+            .select(
+                "_node",
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+                ).alias("_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("_label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "pathologically deep component; use large-star/small-star"
+        )
+    return labels.select(
+        F.col("_node").alias("doc_id"),
+        F.col("_label").alias("cluster_id"),
+        (F.col("_node") == F.col("_label")).alias("keep"),
+    )
