@@ -783,3 +783,32 @@ def test_tenant_lifecycle_states(spark, tmp_path):
         reg.update("t2", "OFFLOADING")
     with pytest.raises(ValueError, match="invalid tenant"):
         reg.create("t9", status="LUKEWARM")
+
+
+def test_audio_frame_features_closed_form(spark):
+    """Per-frame RMS/ZCR agree with the closed-form sine expectations:
+    RMS ≈ amp/√2 (normalized), ZCR ≈ 2f/sr, constant across full
+    frames; silence (zero batch) gives rms 0."""
+    import math
+
+    from weaviate_spark.operators.multimodal import audio_frame_features
+
+    sr, freq, amp = 8000, 400, 20000
+    wav = _make_wav(sr=sr, freq=freq, ms=200)  # amp 20000 builder above
+    silence = _make_wav(sr=sr, freq=0, ms=100)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(silence)), (3, bytearray(b"junk"))],
+        "media_id long, blob binary",
+    )
+    rows = audio_frame_features(df, "media_id", "blob", frame_samples=400).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r)
+    # undecodable row 3 yields no frames; sine has 4 full frames
+    assert 3 not in by and len(by[1]) == 4 and len(by[2]) == 2
+    for r in by[1]:
+        assert abs(r["rms"] - (amp / math.sqrt(2)) / 32768) < 0.01
+        assert abs(r["zcr"] - 2 * freq / sr) < 0.01
+        assert r["n_samples"] == 400
+    for r in by[2]:
+        assert r["rms"] == 0.0 and r["zcr"] == 0.0

@@ -4327,3 +4327,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_key=(sf_dir, "documents"),
     )
     return dedup_clusters(pairs)
+
+
+def _sine_wav(freq: int, sr: int = 8000, ms: int = 200, amp: int = 20000) -> bytes:
+    """Mono 16-bit PCM sine fixture — sample i = int(amp*sin(2πf·i/sr)),
+    the exact arithmetic the oracle regenerates in SQL."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        n = sr * ms // 1000
+        wf.writeframes(b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n)
+        ))
+    return buf.getvalue()
+
+
+@register(
+    "audio_frame_features",
+    oracle=(
+        # first-principles oracle: REGENERATE the sine fixtures in SQL
+        # (same sample arithmetic: trunc(20000*sin(2π·f·i/8000))/32768)
+        # and compute per-frame RMS/ZCR with window functions — the
+        # Spark side decodes actual WAV bytes; no codec in sight here
+        "WITH p(media_id, freq) AS (VALUES (1, 300), (2, 443), (3, 700)), "
+        "s AS (SELECT media_id, i, "
+        "trunc(20000 * sin(2 * pi() * freq * i / 8000)) / 32768 AS x "
+        "FROM p, LATERAL unnest(range(0, 1600)) AS u(i)), "
+        "f AS (SELECT media_id, CAST(i // 400 AS BIGINT) AS frame_idx, x, "
+        "lag(x) OVER (PARTITION BY media_id, i // 400 ORDER BY i) AS px "
+        "FROM s) "
+        "SELECT media_id, frame_idx, CAST(count(*) AS BIGINT) AS n_samples, "
+        "round(sqrt(avg(x * x)), 6) AS rms, "
+        "round(avg(CASE WHEN px IS NULL THEN NULL "
+        "WHEN (x < 0) != (px < 0) THEN 1.0 ELSE 0.0 END), 6) AS zcr "
+        "FROM f GROUP BY media_id, frame_idx"
+    ),
+)
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio RMS/ZCR over real PCM WAV decode (25ms frames
+    at 8kHz) — the silence-detection primitive; the oracle rebuilds the
+    identical sine signals from first principles in SQL and must agree
+    on every frame."""
+    from weaviate_spark.operators.multimodal import audio_frame_features
+
+    rows = [(k, bytearray(_sine_wav(f))) for k, f in ((1, 300), (2, 443), (3, 700))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    return audio_frame_features(df, "media_id", "blob", frame_samples=400)
