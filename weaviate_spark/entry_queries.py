@@ -4381,3 +4381,42 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(k, bytearray(_sine_wav(f))) for k, f in ((1, 300), (2, 443), (3, 700))]
     df = spark.createDataFrame(rows, "media_id long, blob binary")
     return audio_frame_features(df, "media_id", "blob", frame_samples=400)
+
+
+@register(
+    "ref_filter_chain_3hop",
+    oracle=(
+        # lineitems whose order's customer's nation is GERMANY, spring
+        # 1995 shipments — three cascaded semi-joins
+        "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1995-03-01' "
+        "AND l_shipdate < TIMESTAMP '1995-06-01' "
+        "AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN ("
+        "SELECT c_custkey FROM customer WHERE c_nationkey IN ("
+        "SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')))"
+    ),
+)
+def q_ref_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reference-path filter (lineitem -> order -> customer ->
+    nation): the reference's arbitrary-depth where-path as a cascade of
+    allowlist semi-joins, innermost-first."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.refs import ref_filter_chain
+
+    out = ref_filter_chain(
+        spark, sf_dir, "lineitem", ("ofOrder", "byCustomer", "inNation"),
+        target_where=Clause(operator="Equal", path=["n_name"], value="NATION_7"),
+        parent_where=Clause(operator="And", operands=[
+            Clause(operator="GreaterThanEqual", path=["l_shipdate"],
+                   value=datetime.datetime(1995, 3, 1)),
+            Clause(operator="LessThan", path=["l_shipdate"],
+                   value=datetime.datetime(1995, 6, 1)),
+        ]),
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+    )

@@ -29,6 +29,7 @@ disappears (Exchange reuse). Semi-joins keep only the parent's columns
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -128,6 +129,52 @@ def ref_filter(
     return pdf.join(
         tdf.select(ref.target_key),
         pdf[ref.fk] == tdf[ref.target_key],
+        "leftsemi",
+    )
+
+
+def ref_filter_chain(
+    spark: SparkSession,
+    sf_dir: str,
+    parent: str,
+    props: Sequence[str],
+    target_where: Clause,
+    parent_where: Clause | None = None,
+) -> DataFrame:
+    """MULTI-HOP reference-path filter: parents with at least one chain
+    of references whose FINAL target matches ``target_where`` — e.g.
+    lineitems whose order's customer's nation is GERMANY, path
+    ("ofOrder", "byCustomer", "inNation"). The reference's where-path
+    grammar allows arbitrary reference depth (filters/resolver
+    recursive sub-search: each hop runs a sub-filter and intersects the
+    allowlist); the Spark shape is the same cascade of LEFT SEMI joins,
+    built innermost-first so every hop prunes before the next join —
+    the filtered allowlist rides up the chain, never whole tables.
+
+    At scale each semi-join keys on the hop's FK; dimension-sized
+    allowlists broadcast (AQE), fact-sized hops shuffle on the
+    (bucketable) key — identical join shape to single-hop ref_filter,
+    repeated."""
+    chain = []
+    cur = parent
+    for prop in props:
+        ref = REFS[(cur, prop)]
+        chain.append(ref)
+        cur = ref.target
+    allow = apply_where(load_table(spark, sf_dir, cur), target_where)
+    for hop_idx in range(len(chain) - 1, 0, -1):
+        ref = chain[hop_idx]
+        src = load_table(spark, sf_dir, chain[hop_idx - 1].target)
+        allow = src.join(
+            allow.select(ref.target_key),
+            src[ref.fk] == allow[ref.target_key],
+            "leftsemi",
+        )
+    first = chain[0]
+    pdf = apply_where(load_table(spark, sf_dir, parent), parent_where)
+    return pdf.join(
+        allow.select(first.target_key),
+        pdf[first.fk] == allow[first.target_key],
         "leftsemi",
     )
 
