@@ -745,3 +745,41 @@ def test_dedup_clusters_components(spark):
     assert {d for d, (c, _) in got.items() if c == 10} == {10, 11, 12}
     assert {d for d, (c, _) in got.items() if c == 20} == {20, 21}
     assert {d for d, (_, k) in got.items() if k} == {1, 10, 20}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Randomized (seeded) graphs: min-label propagation must agree
+    with a plain union-find on every component assignment."""
+    import random
+
+    from weaviate_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    nodes = list(range(1, 201))
+    edges = [(a, b) for a, b in
+             ((rng.choice(nodes), rng.choice(nodes)) for _ in range(150))
+             if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in parent:
+        want[n] = find(n)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(
+        spark.createDataFrame(edges, ["id_a", "id_b"])).collect()}
+    assert got == want

@@ -990,21 +990,25 @@ def dedup_clusters(
     ``keep`` marks the canonical survivor (doc_id == cluster_id). Docs
     that appear in no pair are implicitly kept (they are absent here).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); labels only decrease, so
-    the total-sum is a strictly decreasing convergence witness (one
-    tiny agg action per round, no row-level diff join). Rounds needed =
-    graph diameter; near-dup components are dense (everything similar
-    to everything), so diameter is small — for adversarial chain-shaped
-    graphs switch to the alternating large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14), which converges in O(log n) rounds with the same
-    per-round shuffle shape. Each round's labels are
-    localCheckpoint(eager=True): plan depth stays O(1) across
-    iterations instead of growing a join-per-round lineage.
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes min(own label, neighbors' labels), then shortcuts
+    through its label's label (label[n] <- min(label[n],
+    label[label[n]])). Neighbor-min alone needs diameter-many rounds (a
+    chain of d dups takes d rounds); the shortcut doubles the jump
+    distance per round, so convergence is O(log n) — the same
+    round-compression idea as the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Labels only decrease and always name a node of
+    the same component, so the label total-sum is a strictly decreasing
+    convergence witness (one tiny agg action per round, no row-level
+    diff join), and the fixpoint is component-constant = the component
+    minimum. Each round's labels are localCheckpoint(eager=True): plan
+    depth stays O(1) across iterations instead of growing a
+    join-per-round lineage.
 
-    Per round: one shuffle join (edges ⋈ labels on the destination id)
-    + one groupBy(node) min — both on hash-uniform doc-id keys."""
+    Per round: two shuffle joins (edges ⋈ labels on the destination
+    id; labels ⋈ labels for the shortcut) + one groupBy(node) min —
+    all on hash-uniform doc-id keys."""
     edges = pairs.select(
         F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
     )
@@ -1023,12 +1027,23 @@ def dedup_clusters(
             .groupBy(F.col("_src").alias("_n"))
             .agg(F.min("_label").alias("_nbr"))
         )
+        stepped = labels.join(nbr, labels["_node"] == nbr["_n"], "left").select(
+            "_node",
+            F.least(
+                F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+            ).alias("_label"),
+        )
+        # pointer jump: follow the label's own label one hop
+        jump = stepped.select(
+            F.col("_node").alias("_j_node"), F.col("_label").alias("_j_label")
+        )
         labels = (
-            labels.join(nbr, labels["_node"] == nbr["_n"], "left")
+            stepped.join(jump, stepped["_label"] == jump["_j_node"], "left")
             .select(
                 "_node",
                 F.least(
-                    F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+                    F.col("_label"),
+                    F.coalesce(F.col("_j_label"), F.col("_label")),
                 ).alias("_label"),
             )
             .localCheckpoint(eager=True)
