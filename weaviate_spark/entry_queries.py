@@ -4420,3 +4420,90 @@ def q_ref_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("l_quantity").cast("double").alias("quantity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.) — percentile aggregators / cohort retention / as-of join /
+# sketches / tokenizer training / HTML extraction
+
+
+@register(
+    "agg_percentiles",
+    oracle=(
+        "SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.25) AS l_extendedprice_p25, "
+        "quantile_cont(l_extendedprice, 0.75) AS l_extendedprice_p75, "
+        "quantile_cont(l_extendedprice, 0.95) AS l_extendedprice_p95, "
+        "quantile_cont(l_extendedprice, 0.99) AS l_extendedprice_p99 "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_returnflag"
+    ),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p75/p95/p99) per group — the
+    reference stops at median (aggregator/numerical.go:208); this extends
+    the identical sorted-position machinery (position 1+q*(n-1), linear
+    interpolation — the same formula DuckDB's quantile_cont uses, so the
+    oracle matches bit-for-bit before the 6dp fold)."""
+    return aggregate(spark, sf_dir, AggregateSpec(
+        collection="lineitem",
+        group_by="l_returnflag",
+        properties=[PropertyAgg("l_extendedprice", ["p25", "p75", "p95", "p99"])],
+    ))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=(
+        "WITH p AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS period FROM events), "
+        "c AS (SELECT user_id, period, min(period) OVER (PARTITION BY user_id) AS cohort FROM p), "
+        "cells AS (SELECT cohort AS cohort_start, "
+        "CAST(date_diff('day', cohort, period) // 7 AS BIGINT) AS periods_since, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active FROM c GROUP BY 1, 2), "
+        "s AS (SELECT cohort_start, n_active AS sz FROM cells WHERE periods_since = 0) "
+        "SELECT cohort_start, periods_since, n_active, "
+        "n_active / CAST(sz AS DOUBLE) AS retention "
+        "FROM cells JOIN s USING (cohort_start)"
+    ),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-event week,
+    distinct-active counts per (cohort, weeks-since) cell, ratio vs the
+    week-0 cohort size. Two shuffles (user window + cell agg); the
+    cohort-size join is broadcast — one row per calendar week at any
+    scale."""
+    from weaviate_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_asof_click_attribution",
+    oracle=(
+        # DuckDB's NATIVE ASOF JOIN — a genuinely different algorithm
+        # from the engine's union + last-carried-forward window plan
+        "WITH cl AS (SELECT user_id, ts, event_id, value, "
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+        "FROM events WHERE event_type = 'click'), "
+        "c AS (SELECT user_id, ts, event_id, value FROM cl WHERE rn = 1), "
+        "p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') "
+        "SELECT p.event_id, p.user_id, p.ts, p.value, "
+        "c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the newest click at-or-before
+    it by the same user. Engine plan = ONE shuffle on user_id + ordered
+    window carry-forward (no range join, no per-key quadratic blowup);
+    oracle = DuckDB's native ASOF LEFT JOIN. Timestamp ties inside the
+    right side resolve to the largest event_id on both sides."""
+    from weaviate_spark.operators.analytics import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.where("event_type = 'click'")
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], right_tiebreak="event_id",
+    )

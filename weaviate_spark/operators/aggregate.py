@@ -48,6 +48,19 @@ from weaviate_spark.sources.tables import load_table
 _SIMPLE = {"count", "minimum", "maximum", "sum", "mean", "median",
            "totalTrue", "totalFalse", "percentageTrue", "percentageFalse"}
 
+# percentile aggregators: "p25", "p95", "p99.9" — exact interpolated
+# percentile (same definition as median: position 1+q*(n-1), linear
+# interpolation; DuckDB quantile_cont matches bit-for-bit on doubles).
+# Beyond the reference (which stops at median, numerical.go:208) but a
+# natural extension of the same sorted-values machinery.
+import re as _re
+
+_PCT_RE = _re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
+
+
+def _is_simple(a: str) -> bool:
+    return a in _SIMPLE or bool(_PCT_RE.match(a))
+
 
 @dataclass
 class PropertyAgg:
@@ -101,6 +114,12 @@ def _simple_agg_col(pa: PropertyAgg, agg: str, exact: bool) -> Column:
         if exact:
             return F.percentile(c, F.lit(0.5)).alias(alias)
         return F.expr(f"approx_percentile({pa.prop}, 0.5)").alias(alias)
+    m = _PCT_RE.match(agg)
+    if m:
+        q = float(m.group(1)) / 100.0
+        if exact:
+            return F.percentile(c, F.lit(q)).alias(alias)
+        return F.expr(f"approx_percentile({pa.prop}, {q})").alias(alias)
     if agg == "totalTrue":
         return F.sum(c.cast("int")).alias(alias)
     if agg == "totalFalse":
@@ -146,14 +165,14 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
     schema_cols: list[tuple[str, Column]] = []  # literal, schema-derived outputs
     for pa in spec.properties:
         arr = _is_array(pa.prop)
-        if arr and any(a in _SIMPLE or a == "mode" for a in pa.aggregators):
+        if arr and any(_is_simple(a) or a == "mode" for a in pa.aggregators):
             # array property: data aggregators run over the ELEMENTS
             # (unfiltered_type_specific.go array branches; acceptance
             # matrix counts e.g. 10 elements across 7 docs) — handled as
             # a per-prop exploded aggregation joined back below
             array_props.append(pa)
         for a in pa.aggregators:
-            if arr and (a in _SIMPLE or a == "mode"):
+            if arr and (_is_simple(a) or a == "mode"):
                 continue  # handled element-level above
             if a == "mode" or (a == "median" and spec.exact and gcols):
                 # grouped exact median and mode both derive from the same
@@ -162,7 +181,7 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
                 # per-group value collection
                 if pa not in mode_props:
                     mode_props.append(pa)
-            elif a in _SIMPLE:
+            elif _is_simple(a):
                 aggs.append(_simple_agg_col(pa, a, spec.exact))
             elif a in ("type", "pointingTo"):
                 # schema-level aggregators: the reference answers these
@@ -237,7 +256,7 @@ def aggregate(spark: SparkSession, sf_dir: str, spec: AggregateSpec) -> DataFram
         data_aggs = [
             _simple_agg_col(pa, a, spec.exact)
             for a in pa.aggregators
-            if a in _SIMPLE and not (a == "median" and freq_median)
+            if _is_simple(a) and not (a == "median" and freq_median)
         ]
         if data_aggs:
             parts.append(ex.groupBy(*gcols).agg(*data_aggs))

