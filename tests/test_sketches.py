@@ -1,0 +1,74 @@
+"""HLL / KMV sketch accuracy and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.operators.sketches import (
+    hll_distinct,
+    kmv_distinct,
+    kmv_set_overlap,
+)
+
+
+def test_hll_within_error_bound(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    est = hll_distinct(li, "l_partkey", p=12).collect()[0]["hll_estimate"]
+    # p=12 -> standard error 1.04/sqrt(4096) ~= 1.6%; allow 5 sigma
+    assert abs(est - exact) / exact < 0.08
+
+
+def test_kmv_within_error_bound(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    est = kmv_distinct(li, "l_partkey", k=256).collect()[0]["kmv_estimate"]
+    # k=256 -> standard error ~1/sqrt(256) ~= 6.25%; allow ~4 sigma
+    assert abs(est - exact) / exact < 0.25
+
+
+def test_kmv_small_set_is_exact(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["kmv_estimate"] == 7.0
+
+
+def test_hll_partition_invariant(spark, sf_dir):
+    """Same estimate at any parallelism — the DECIMAL harmonic sum makes
+    the result independent of reduction order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = hll_distinct(li.repartition(1), "l_partkey").collect()[0]["hll_estimate"]
+    b = hll_distinct(li.repartition(17), "l_partkey").collect()[0]["hll_estimate"]
+    assert a == b
+
+
+def test_kmv_overlap_identical_sets(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    row = kmv_set_overlap(df, df, "v", k=128).collect()[0]
+    assert row["jaccard_est"] == 1.0
+    assert row["union_est"] == pytest.approx(row["intersect_est"])
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(10_000, 10_500)], "v long")
+    row = kmv_set_overlap(a, b, "v", k=128).collect()[0]
+    assert row["jaccard_est"] == 0.0
+    assert row["intersect_est"] == 0.0
+    assert abs(row["union_est"] - 1000) / 1000 < 0.35
+
+
+def test_parameter_validation(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match=r"p must be"):
+        hll_distinct(df, "v", p=20)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "v", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_set_overlap(df, df, "v", k=1)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v long")
+    assert kmv_distinct(df, "v").collect()[0]["kmv_estimate"] == 2.0

@@ -4507,3 +4507,87 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
         right_cols=["event_id", "value"], right_tiebreak="event_id",
     )
+
+
+@register(
+    "sketch_distinct_hll_kmv",
+    oracle=(
+        # replay BOTH sketches' md5 arithmetic exactly: HLL p=12 with the
+        # integer harmonic sum (sum 2^(49-rho) in DECIMAL — exact, order
+        # independent), KMV k=256 on the same 60-bit hash space
+        "WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM lineitem WHERE l_partkey IS NOT NULL), "
+        "hh AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM lineitem WHERE l_partkey IS NOT NULL), "
+        "r AS (SELECT h >> 48 AS reg, "
+        "CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49 "
+        "ELSE 48 - length(bin(h & ((1::BIGINT << 48) - 1))) + 1 END AS rho FROM hh), "
+        "regs AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg), "
+        "a AS (SELECT sum(CAST(power(2.0, 49 - rho) AS DECIMAL(38,0))) AS osum, "
+        "count(*) AS nocc FROM regs), "
+        "hll AS (SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+        "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS est FROM ("
+        "SELECT 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 * power(2.0, 49) "
+        "/ CAST(osum + CAST(4096 - nocc AS DECIMAL(38,0)) * (1::BIGINT << 49) AS DOUBLE) AS raw, "
+        "CAST(4096 - nocc AS DOUBLE) AS zeros FROM a)), "
+        "kmv AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) "
+        "ELSE 255.0 * power(2.0, 60) / max(h) END AS est "
+        "FROM (SELECT h FROM h ORDER BY h LIMIT 256)) "
+        "SELECT round(hll.est, 4) AS hll_estimate, 4096::BIGINT AS n_registers, "
+        "kmv.est AS kmv_estimate, 256::BIGINT AS k, "
+        "(SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS exact_distinct "
+        "FROM hll, kmv"
+    ),
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL (p=12) + KMV (k=256) distinct-count sketches over
+    lineitem.l_partkey, alongside the exact count. Both estimates are
+    themselves hash-checked: the oracle replays the identical md5/bit
+    arithmetic, and the HLL harmonic sum is an exact DECIMAL integer sum
+    so no floating-point reduction order can split the engines."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import hll_distinct, kmv_distinct
+
+    li = _load(spark, sf_dir, "lineitem")
+    hll = hll_distinct(li, "l_partkey", p=12)
+    kmv = kmv_distinct(li, "l_partkey", k=256)
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"))
+    return hll.crossJoin(kmv).crossJoin(exact)
+
+
+@register(
+    "sketch_kmv_set_overlap",
+    oracle=(
+        # merged-KMV set algebra: k smallest hashes of A union B, overlap
+        # fraction -> jaccard, (k-1)/v_k -> union, product -> intersection
+        "WITH a AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM orders WHERE year(o_orderdate) = 1994), "
+        "b AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM orders WHERE year(o_orderdate) = 1995), "
+        "sa AS (SELECT h FROM a ORDER BY h LIMIT 256), "
+        "sb AS (SELECT h FROM b ORDER BY h LIMIT 256), "
+        "m AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM ("
+        "SELECT h, 1 AS ia, 0 AS ib FROM sa UNION ALL SELECT h, 0, 1 FROM sb) "
+        "GROUP BY h ORDER BY h LIMIT 256), "
+        "s AS (SELECT sum(ia * ib) / CAST(count(*) AS DOUBLE) AS jaccard_est, "
+        "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) "
+        "ELSE 255.0 * power(2.0, 60) / max(h) END AS union_est FROM m) "
+        "SELECT jaccard_est, union_est, jaccard_est * union_est AS intersect_est FROM s"
+    ),
+)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-KMV set algebra (Beyer et al. SIGMOD'07): Jaccard, union
+    and intersection cardinality estimates for 'customers ordering in
+    1994' vs 'in 1995' from two 256-hash sketches — the cross-corpus
+    overlap primitive (e.g. contamination screening between crawl
+    snapshots) at constant state per side."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import kmv_set_overlap
+
+    o = _load(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1994).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    return kmv_set_overlap(a, b, "o_custkey", k=256)

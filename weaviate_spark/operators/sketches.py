@@ -1,0 +1,179 @@
+"""Deterministic cardinality sketches: HyperLogLog and K-Minimum-Values.
+
+At 100 TB a ``count(distinct)`` over a high-cardinality key is a full
+shuffle of every distinct value; these sketches answer the same question
+from a bounded state (2^p registers / k hashes) with one map-side-
+combinable aggregation. Unlike Spark's built-in ``approx_count_distinct``
+(whose HLL++ register layout is opaque to other engines), both sketches
+here are built from md5 arithmetic that any SQL engine can replay exactly
+— so the ESTIMATES themselves are oracle-checkable, not just the exact
+counts they approximate. (Flajolet et al., "HyperLogLog: the analysis of
+a near-optimal cardinality estimation algorithm", AofA 2007; Bar-Yossef
+et al.'s KMV / "Counting distinct elements in a data stream", RANDOM
+2002.)
+
+Determinism notes:
+* The 60-bit hash is ``conv(substr(md5(v),1,15),16,10)`` — 15 hex chars
+  so the value fits a signed 64-bit int in both Spark and DuckDB.
+* The HLL harmonic sum Σ 2^-rho is computed as the INTEGER sum
+  Σ 2^(S-rho) (S=49) in DECIMAL — exact, order-independent, so the
+  final double estimate is bit-identical across engines and partition
+  counts (a double Σ 2^-rho would drift in the last bits with the
+  reduction order).
+* Empty registers participate with rho=0, as the raw-estimate formula
+  requires; the linear-counting small-range correction uses their count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60  # 15 hex chars of md5 -> fits bigint in Spark AND DuckDB
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. §4, figure 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One row: (hll_estimate, n_registers) for ``count(distinct col)``.
+
+    Register = top ``p`` hash bits; rho = leading-zero run of the
+    remaining ``60-p`` bits + 1 (computed as bit-length arithmetic via
+    ``bin()``, no floating log). Includes the standard small-range
+    linear-counting correction. State is 2^p registers regardless of
+    input size; the aggregation is a plain groupBy(register).max —
+    map-side combined, one tiny shuffle.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    tail_bits = _HASH_BITS - p
+    s = tail_bits + 1  # rho <= tail_bits + 1 = s, so 2^(s - rho) >= 1
+
+    # pure bit ops — a double division here would corrupt registers for
+    # hashes above 2^53
+    h = _hash60(F.col(col))
+    reg = F.shiftright(h, tail_bits).alias("_reg")
+    w = h.bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("_w")
+    rho = (
+        F.when(F.col("_w") == 0, F.lit(tail_bits + 1))
+        .otherwise(F.lit(tail_bits) - F.length(F.bin(F.col("_w"))) + 1)
+    ).alias("_rho")
+
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(reg, w)
+        .select("_reg", rho)
+        .groupBy("_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    # exact integer harmonic sum: empty registers contribute 2^(s-0)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(s) - F.col("_rho")).cast("decimal(38,0)"))
+        .alias("_occupied_sum"),
+        F.count(F.lit(1)).alias("_n_occupied"),
+    )
+    alpha = hll_alpha(m)
+    total = (
+        F.col("_occupied_sum")
+        + (F.lit(m) - F.col("_n_occupied")).cast("decimal(38,0)") * F.lit(1 << s)
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << s)) / total
+    zeros = (F.lit(m) - F.col("_n_occupied")).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.round(est, 4).alias("hll_estimate"),
+        F.lit(m).cast("bigint").alias("n_registers"),
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row: (kmv_estimate, k) — (k-1)/v_k scaled to the 60-bit hash
+    space. The k smallest DISTINCT hashes arrive via TakeOrdered (no
+    global sort); with fewer than k distinct values the estimate falls
+    back to the exact distinct count.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(_hash60(F.col(col)).alias("_h"))
+        .distinct()
+    )
+    topk = hashes.orderBy("_h").limit(k)
+    return topk.agg(
+        F.when(
+            F.count(F.lit(1)) < k,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(1 << _HASH_BITS)) / F.max("_h")
+        )
+        .alias("kmv_estimate"),
+        F.lit(k).cast("bigint").alias("k"),
+    )
+
+
+def kmv_set_overlap(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates for two keyed sets from
+    their merged KMV sketch (Beyer et al., SIGMOD'07 multi-set KMV):
+    take the k smallest hashes of A ∪ B, count how many fall in both
+    sides; jaccard = c/k, union = (k-1)/v_k, intersection = jaccard ×
+    union. Each side is sketched independently (k smallest per side —
+    the only state that would ship across a cluster), so the merge sees
+    at most 2k rows.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def sketch(d: DataFrame, tag: str) -> DataFrame:
+        return (
+            d.where(F.col(col).isNotNull())
+            .select(_hash60(F.col(col)).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+            .withColumn("_src", F.lit(tag))
+        )
+
+    merged = (
+        sketch(df_a, "a").unionByName(sketch(df_b, "b"))
+        .groupBy("_h")
+        .agg(
+            F.max(F.when(F.col("_src") == "a", 1).otherwise(0)).alias("_in_a"),
+            F.max(F.when(F.col("_src") == "b", 1).otherwise(0)).alias("_in_b"),
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    return merged.agg(
+        (F.sum(F.col("_in_a") * F.col("_in_b")) / F.count(F.lit(1)).cast("double"))
+        .alias("jaccard_est"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(1 << _HASH_BITS)) / F.max("_h")
+        )
+        .alias("union_est"),
+    ).select(
+        "jaccard_est",
+        "union_est",
+        (F.col("jaccard_est") * F.col("union_est")).alias("intersect_est"),
+    )
