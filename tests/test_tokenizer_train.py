@@ -1,0 +1,91 @@
+"""BPE training semantics vs an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from weaviate_spark.operators.tokenizer_train import apply_bpe, train_bpe
+
+
+def _py_bpe(texts, num_merges):
+    """Reference implementation (Sennrich ACL'16 pseudocode, overlapping
+    pair counts, greedy left-to-right merge application)."""
+    words = Counter()
+    for t in texts:
+        for w in re.findall(r"[^\W_]+", t.lower(), re.UNICODE):
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((rank, l, r, l + r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wider wide widest wider",
+    "aaaa aaaa baaa",
+]
+
+
+def test_train_matches_python_reference(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in train_bpe(docs, num_merges=8, min_pair_count=1)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == _py_bpe(TEXTS, 8)
+
+
+def test_greedy_overlap_semantics(spark):
+    """'aaaa' counts 3 overlapping (a,a) pairs but merges to exactly
+    [aa, aa]; 'baaa' to [b, aa, a]."""
+    docs = spark.createDataFrame([(0, "aaaa baaa")], "doc_id long, text string")
+    m = train_bpe(docs, num_merges=1, min_pair_count=1).collect()
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("a", "a", 5)
+    out = apply_bpe(docs, [("a", "a")]).collect()[0]["bpe_tokens"]
+    assert out == ["aa", "aa", "b", "aa", "a"]
+
+
+def test_apply_chains_merges_in_rank_order(spark):
+    docs = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    out = apply_bpe(docs, [("a", "b"), ("ab", "ab")]).collect()[0]["bpe_tokens"]
+    assert out == ["abab"]
+
+
+def test_min_pair_count_stops_early(spark):
+    docs = spark.createDataFrame([(0, "xy")], "doc_id long, text string")
+    m = train_bpe(docs, num_merges=5, min_pair_count=2).collect()
+    assert m == []
+
+
+def test_num_merges_validation(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(docs, num_merges=0)

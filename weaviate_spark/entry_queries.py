@@ -4591,3 +4591,56 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.year("o_orderdate") == 1994).select("o_custkey")
     b = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
     return kmv_set_overlap(a, b, "o_custkey", k=256)
+
+
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Unrolled BPE training in pure DuckDB SQL: per iteration, a pair-count
+    CTE, an argmax CTE, and a word-update CTE whose list_reduce fold applies
+    the merge greedily left-to-right (symbols ride in a chr(31)-joined string
+    because DuckDB's fold accumulator must be scalar)."""
+    sp = "chr(31)"
+    acc_l = f"string_split(acc, {sp})"
+    parts = [
+        "WITH w1 AS (SELECT word, count(*) AS cnt, string_split(word, '') AS syms "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word "
+        "FROM documents) GROUP BY word)"
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c "
+            f"FROM w{i}, LATERAL unnest(range(1, len(syms))) AS u(i) "
+            f"WHERE len(syms) > 1 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if i < num_merges:
+            parts.append(
+                f"w{i+1} AS (SELECT word, cnt, "
+                f"CASE WHEN len(syms) <= 1 THEN syms "
+                f"ELSE string_split(list_reduce(syms, (acc, x) -> CASE "
+                f"WHEN list_extract({acc_l}, len({acc_l})) = b.l AND x = b.r "
+                f"THEN CASE WHEN len({acc_l}) = 1 THEN b.l || b.r "
+                f"ELSE array_to_string(list_slice({acc_l}, 1, len({acc_l}) - 1), {sp}) "
+                f"|| {sp} || b.l || b.r END "
+                f"ELSE acc || {sp} || x END), {sp}) END AS syms "
+                f"FROM w{i}, b{i} b)"
+            )
+    selects = [
+        f"SELECT {i}::BIGINT AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, c::BIGINT AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    ]
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@register("tokenizer_bpe_train", oracle=_bpe_oracle_sql(6))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich ACL'16): 6 merges
+    learned from the documents corpus. Spark folds symbol arrays with a
+    Catalyst `aggregate` over the distinct-word frame; the oracle unrolls
+    the same training loop as chained CTEs with a string-accumulator
+    list_reduce — every learned (pair, count) must agree at every rank."""
+    from weaviate_spark.operators.tokenizer_train import train_bpe
+
+    return train_bpe(_load(spark, sf_dir, "documents"), num_merges=6)

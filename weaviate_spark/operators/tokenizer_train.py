@@ -1,0 +1,144 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016).
+
+Learns byte-pair-encoding merges from a corpus the way a training-data
+pipeline does before tokenizing at scale:
+
+1. The corpus collapses to the DISTINCT-WORD frame (word, count) — one
+   shuffle; at 100 TB the distinct vocabulary is millions of rows, not
+   trillions, so every later iteration works on a frame ~6 orders of
+   magnitude smaller than the corpus.
+2. Each merge iteration: count adjacent symbol pairs weighted by word
+   frequency (overlapping occurrences included, as in the reference
+   algorithm), pick the argmax with a deterministic (count desc, left
+   asc, right asc) tie-break, and apply the merge greedily
+   left-to-right via a Catalyst ``aggregate`` fold — a higher-order
+   expression, no Python UDF on the data path.
+3. Only the single best (pair, count) row ever reaches the driver per
+   iteration; the words frame is localCheckpoint'ed each round so plan
+   depth stays O(1) instead of O(iterations).
+
+``train_bpe`` returns the learned merge table; ``apply_bpe`` re-tokenizes
+text with a learned merge list (fold per merge rank, again JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[\\p{L}\\p{N}]+"
+# inside a Spark SQL string literal the backslash needs its own escape
+_TOKEN_RE_SQL = TOKEN_RE.replace("\\", "\\\\")
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE_SQL}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_expr(left: str, right: str) -> str:
+    """Greedy left-to-right non-overlapping merge of (left,right) over the
+    symbol array, as a pure Catalyst fold."""
+    l = left.replace("'", "''")
+    r = right.replace("'", "''")
+    return f"""
+    CASE WHEN size(syms) <= 1 THEN syms ELSE
+      aggregate(
+        slice(syms, 2, size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, x) -> CASE
+          WHEN element_at(acc, -1) = '{l}' AND x = '{r}'
+            THEN concat(slice(acc, 1, size(acc) - 1),
+                        array(concat('{l}', '{r}')))
+          ELSE concat(acc, array(x)) END)
+    END"""
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns (merge_rank, left, right,
+    merged, pair_count), rank 1 = first merge learned."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    spark: SparkSession = docs.sparkSession
+    words = (
+        _word_counts(docs, text_col)
+        .withColumn("syms", F.expr("split(word, '')"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            words.where(F.size("syms") > 1)
+            .select(
+                F.col("cnt"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        words = (
+            words.withColumn("syms", F.expr(_merge_expr(l, r)))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (in rank order) —
+    every word becomes its fully-merged symbol sequence. Pure fold chain,
+    JVM-side end to end."""
+    expr = (
+        f"transform(regexp_extract_all(lower({text_col}), '{_TOKEN_RE_SQL}', 0), "
+        "word -> split(word, ''))"
+    )
+    tokens = F.expr(expr)
+    df = docs.withColumn("_words", tokens)
+    # fold each merge over every word's symbol array
+    body = "w"
+    for l, r in merges:
+        le, re_ = l.replace("'", "''"), r.replace("'", "''")
+        body = f"""
+        CASE WHEN size({body}) <= 1 THEN {body} ELSE
+          aggregate(
+            slice({body}, 2, size({body}) - 1),
+            array(element_at({body}, 1)),
+            (acc, x) -> CASE
+              WHEN element_at(acc, -1) = '{le}' AND x = '{re_}'
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(concat('{le}', '{re_}')))
+              ELSE concat(acc, array(x)) END)
+        END"""
+    return df.withColumn(
+        out_col, F.expr(f"flatten(transform(_words, w -> {body}))")
+    ).drop("_words")
