@@ -108,3 +108,48 @@ def test_percentile_rejects_bad_name(spark, sf_dir):
             collection="lineitem",
             properties=[PropertyAgg("l_quantity", ["p200"])],
         )).collect()
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+
+
+def _extract(spark, html, **kw):
+    from weaviate_spark.operators.curation import extract_html_text
+
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    return extract_html_text(df, "html", **kw).collect()[0]
+
+
+def test_html_blocks_do_not_leak(spark):
+    row = _extract(spark, (
+        '<SCRIPT type="text/javascript">secret()</SCRIPT>'
+        "<Style>body{}</Style><!-- note --><p>kept line with words</p>"
+    ))
+    assert row["extracted"] == "kept line with words"
+    assert row["extracted_lines"] == 1
+
+
+def test_html_entity_decode_order(spark):
+    # double-encoded &amp;lt; decodes exactly one level -> &lt;
+    row = _extract(spark, "<p>a &amp;lt; b stays literal here</p>")
+    assert "&lt;" in row["extracted"]
+    row2 = _extract(spark, "<p>x &lt; y &amp; z &quot;q&quot; ok</p>")
+    assert row2["extracted"] == 'x < y & z "q" ok'
+
+
+def test_html_short_line_boilerplate_drops(spark):
+    row = _extract(spark, (
+        "<div>Home</div><div>About us</div>"
+        "<p>this line has enough words to keep</p>"
+    ))
+    assert row["extracted"] == "this line has enough words to keep"
+    keep_all = _extract(spark, "<div>Home</div><p>one two three</p>",
+                        min_line_words=1)
+    assert keep_all["extracted_lines"] == 2
+
+
+def test_html_inline_tags_do_not_split_lines(spark):
+    row = _extract(spark, "<p>a <b>bold</b> and <i>italic</i> run</p>")
+    assert row["extracted"] == "a bold and italic run"
+    assert row["extracted_lines"] == 1

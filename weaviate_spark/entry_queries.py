@@ -4644,3 +4644,57 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.tokenizer_train import train_bpe
 
     return train_bpe(_load(spark, sf_dir, "documents"), num_merges=6)
+
+
+_HTML_SYNTH_SQL = (
+    "'<html><!-- generated --><head><script>var x=1;</script>"
+    "<style>p{color:red}</style></head><body><h1>' || source || "
+    "'</h1><p>' || replace(text, ' value ', ' &amp; ') || "
+    "'</p><div>nav menu</div></body></html>'"
+)
+
+
+@register(
+    "curation_html_extract",
+    oracle=(
+        "WITH h AS (SELECT doc_id, " + _HTML_SYNTH_SQL + " AS html FROM documents), "
+        "c AS (SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "html, '(?s)<!--.*?-->', '', 'g'), "
+        "'(?is)<script[^>]*>.*?</script>', '', 'g'), "
+        "'(?is)<style[^>]*>.*?</style>', '', 'g'), "
+        "'(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer)[^>]*>', chr(10), 'g'), "
+        "'<[^>]+>', ' ', 'g') AS t FROM h), "
+        "e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace("
+        "t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', chr(39)), '&amp;', '&') AS t FROM c), "
+        "w AS (SELECT doc_id, regexp_replace(t, '[ \\t\\r]+', ' ', 'g') AS t FROM e), "
+        "k AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), "
+        "x -> trim(x)), x -> len(regexp_extract_all(x, '[\\p{L}\\p{N}]+')) >= 3) AS kept FROM w) "
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS extracted, "
+        "CAST(len(kept) AS BIGINT) AS extracted_lines, "
+        "CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS extracted_chars FROM k"
+    ),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction with line-level boilerplate removal (the
+    crawl-to-corpus front door): deterministic HTML synthesized around
+    each document (script/style/comment blocks, entities, nav cruft),
+    then the full strip + decode + C4-style short-line filter. Both
+    engines run the identical chained-regex pipeline — single codegen'd
+    map pass, no UDF."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import extract_html_text
+
+    docs = _load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><!-- generated --><head><script>var x=1;</script>'
+              '<style>p{color:red}</style></head><body><h1>'),
+        F.col("source"),
+        F.lit('</h1><p>'),
+        F.replace(F.col("text"), F.lit(' value '), F.lit(' &amp; ')),
+        F.lit('</p><div>nav menu</div></body></html>'),
+    )
+    out = extract_html_text(docs.withColumn("_html", html), "_html")
+    return out.select("doc_id", "extracted", "extracted_lines", "extracted_chars")

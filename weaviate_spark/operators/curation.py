@@ -316,3 +316,69 @@ def chunk_documents(
         F.size("_chunk").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction
+
+# order matters: comments/script/style removed as BLOCKS before any tag
+# stripping (their content must not leak); entity decode runs &amp; LAST
+# so double-encoded text resolves one level per pass, same in both
+# engines.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer"
+)
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?is)<script[^>]*>.*?</script>", ""),
+    (r"(?is)<style[^>]*>.*?</style>", ""),
+    (rf"(?i)</?(?:{_HTML_BLOCK_TAGS})[^>]*>", "\n"),
+    (r"<[^>]+>", " "),
+]
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+_WORD_RE_SQL = "[\\\\p{L}\\\\p{N}]+"
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str,
+    out_col: str = "extracted",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """HTML -> clean text + line-level boilerplate removal.
+
+    Strip comments/script/style blocks, turn block-level tags into line
+    breaks, drop remaining tags, decode the common entities, then keep
+    only lines with >= ``min_line_words`` words (the C4-style length
+    heuristic, 1910.10683 §2.2 — short nav/footer fragments die here).
+    Adds ``out_col`` (kept lines joined by newline), ``{out_col}_lines``
+    (kept-line count) and ``{out_col}_chars``. Pure chained regex/replace
+    column expressions — single codegen'd pass, no UDF, and the regex
+    subset (inline (?is), non-greedy blocks, char classes) behaves
+    identically in Java regex and RE2.
+    """
+    c = F.col(html_col)
+    for pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    df = df.withColumn("_clean", c)
+    kept = F.expr(
+        "filter(transform(split(_clean, '\\n'), x -> trim(x)), "
+        f"x -> size(regexp_extract_all(x, '{_WORD_RE_SQL}', 0)) >= {int(min_line_words)})"
+    )
+    return (
+        df.withColumn("_kept", kept)
+        .withColumn(out_col, F.array_join("_kept", "\n"))
+        .withColumn(f"{out_col}_lines", F.size("_kept").cast("bigint"))
+        .withColumn(f"{out_col}_chars", F.length(out_col).cast("bigint"))
+        .drop("_clean", "_kept")
+    )
