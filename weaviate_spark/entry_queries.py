@@ -4698,3 +4698,133 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_html_text(docs.withColumn("_html", html), "_html")
     return out.select("doc_id", "extracted", "extracted_lines", "extracted_chars")
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=(
+        "WITH tt AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents WHERE len(regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+')) >= 2), "
+        "bg AS (SELECT doc_id, tt[i] AS v, tt[i + 1] AS w FROM tt, "
+        "LATERAL unnest(range(1, len(tt))) AS u(i)), "
+        "bi AS (SELECT v, w, CAST(count(*) AS DOUBLE) AS cb FROM bg GROUP BY v, w), "
+        "ctx AS (SELECT v, sum(cb) AS cv FROM bi GROUP BY v), "
+        "uni AS (SELECT t AS w, CAST(count(*) AS DOUBLE) AS cu FROM (SELECT "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents) GROUP BY t), "
+        "tot AS (SELECT sum(cu) AS T FROM uni), "
+        "h AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "-avg(ln(0.7 * (cb / cv) + (1.0 - 0.7) * (cu / (SELECT T FROM tot)))) AS h "
+        "FROM bg JOIN bi USING (v, w) JOIN ctx USING (v) "
+        "JOIN uni ON uni.w = bg.w GROUP BY bg.doc_id) "
+        "SELECT doc_id, n_bigrams, round(h, 6) + 0.0 AS cross_entropy, "
+        "round(exp(h), 6) + 0.0 AS perplexity FROM h"
+    ),
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM perplexity against the corpus's own
+    counts (Jelinek-Mercer lam=0.7) — the deterministic stand-in for
+    CCNet's trained-KenLM perplexity filter, one signal up from
+    text_unigram_xent: predictable word ORDER scores low, shuffled-word
+    spam scores high even with normal unigrams. Bigrams explode via
+    zip_with on slices (no self-join); stats are reusable ingest
+    artifacts at scale."""
+    from weaviate_spark.operators.curation import bigram_interp_xent
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_interp_xent(docs, "doc_id", "text", lam=0.7)
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t), "
+        "dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t), "
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM toks), "
+        "s AS (SELECT doc_id, t, tf, df, "
+        "round(tf * (ln((1.0 + (SELECT n FROM n)) / (1.0 + df)) + 1.0), 6) + 0.0 "
+        "AS score FROM tf JOIN dfq USING (t)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, t ASC) AS rk FROM s) "
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rank, t AS term, "
+        "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score "
+        "FROM r WHERE rk <= 3"
+    ),
+)
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed sklearn idf) — the
+    model-free document-tagging signal; the term-df side is the
+    statistic the BM25 artifact already persists, so at scale this is
+    one explode + one artifact join + a per-doc top-k window."""
+    from weaviate_spark.operators.textstats import tfidf_keywords
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=(
+        "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN v USING (user_id) WHERE e.event_type = 'click' AND e.ts > v.t1 "
+        "GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN c USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > c.t2 "
+        "GROUP BY e.user_id), "
+        "s AS (SELECT 0 AS stage_idx, 'all' AS stage, "
+        "count(DISTINCT user_id) AS n_users FROM events "
+        "UNION ALL SELECT 1, 'view', count(*) FROM v "
+        "UNION ALL SELECT 2, 'click', count(*) FROM c "
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM p) "
+        "SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, "
+        "CAST(n_users AS BIGINT) AS n_users, "
+        "round(CAST(n_users AS DOUBLE) / coalesce(lag(n_users) "
+        "OVER (ORDER BY stage_idx), n_users), 6) + 0.0 AS conversion FROM s"
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, each stage strictly
+    after the user's previous-stage completion): per-stage user counts
+    and step conversion rates. Cascaded min-ts groupBys all keyed on
+    user — co-partitioned after the first shuffle, no full-stream
+    window, stages shrink monotonically."""
+    from weaviate_spark.operators.analytics import funnel_conversion
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=(
+        "WITH d AS (SELECT event_type, "
+        "CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n "
+        "FROM events GROUP BY event_type, day), "
+        "s AS (SELECT event_type, day, n, "
+        "avg(n) OVER w AS m, "
+        "stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd, "
+        "count(*) OVER w AS hist FROM d "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type, day, CAST(n AS BIGINT) AS n, "
+        "round(CASE WHEN hist >= 3 AND sd > 0 THEN (n - m) / sd END, 6) + 0.0 "
+        "AS z FROM s"
+    ),
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly detection per event type: z-score of each
+    day's count against its trailing-7-day window (NULL until 3 days
+    of history). One groupBy reduction then a tiny per-type window —
+    the window partitions hold one row per day regardless of corpus
+    size."""
+    from weaviate_spark.operators.analytics import daily_count_zscores
+
+    ev = _load(spark, sf_dir, "events")
+    return daily_count_zscores(ev)

@@ -156,3 +156,107 @@ def asof_join(
         F.col("_m._rts").alias("asof_ts"),
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rcols],
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed each stage IN
+    ORDER (each stage's event strictly after the user's previous-stage
+    completion time). Returns one row per stage plus a stage-0 "all"
+    row: (stage_idx, stage, n_users, conversion), conversion = this
+    stage's users / previous stage's (1.0 for the "all" row).
+
+    Implementation: per-stage cascaded min-timestamp groupBys — stage
+    k keeps min(ts) over the user's stage-k events that are > the
+    user's stage-(k-1) completion. Every groupBy and join is keyed on
+    the user column, so after the first shuffle all later stages
+    co-partition (AQE reuses the exchange); no window over the full
+    event stream, no per-user collect. The stage tables shrink
+    monotonically, so the later joins broadcast under AQE at any
+    scale where the funnel actually narrows."""
+    cur = None  # (user, completion ts) of the previous stage
+    counts = [
+        events.agg(
+            F.count_distinct(F.col(user_col)).cast("long").alias("n_users")
+        ).select(
+            F.lit(0).cast("long").alias("stage_idx"),
+            F.lit("all").alias("stage"),
+            "n_users",
+        )
+    ]
+    for i, stage in enumerate(stages):
+        leg = events.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if cur is not None:
+            leg = leg.join(cur, "_u").where(F.col("_ts") > F.col("_prev"))
+        cur = leg.groupBy("_u").agg(F.min("_ts").alias("_prev"))
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("stage_idx")
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        (
+            F.round(
+                F.col("n_users")
+                / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("conversion"),
+    )
+
+
+def daily_count_zscores(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing: int = 7,
+    min_history: int = 3,
+) -> DataFrame:
+    """Volume-anomaly detection: per (event_type, day) counts scored
+    against the trailing ``trailing``-day window (rows between
+    -trailing and -1): z = (n - mean) / stddev_samp. Days with fewer
+    than ``min_history`` preceding days in frame, or zero variance,
+    emit NULL z. The streaming-adjacent ops signal (error-rate spikes,
+    traffic cliffs) as one batch plan: a single (type, day) groupBy
+    then a per-type ordered window — the window key is the low-
+    cardinality type column, but each partition holds only one row
+    per DAY (the heavy reduction happened in the groupBy), so the
+    window stage is trivially small at any corpus scale."""
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = events.groupBy(F.col(type_col).alias("event_type"), day).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg("n").over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    hist = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (hist >= min_history) & (sd > 0), (F.col("n") - mean) / sd
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("date").alias("day"),
+        "n",
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

@@ -382,3 +382,80 @@ def extract_html_text(
         .withColumn(f"{out_col}_chars", F.length(out_col).cast("bigint"))
         .drop("_clean", "_kept")
     )
+
+
+def bigram_interp_xent(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document interpolated-bigram cross-entropy (and perplexity)
+    against the corpus's own language model — the step up from
+    ``unigram_logprob_scores`` toward the trained-KenLM perplexity
+    filters of CCNet-style pipelines, still fully deterministic (the
+    "model" is the corpus's bigram/unigram counts, no training run):
+
+        H(d) = -avg over bigrams (v,w) of
+               ln( lam * C(v,w)/C(v,.) + (1-lam) * C(w)/T )
+
+    with Jelinek-Mercer interpolation weight ``lam``. C(v,.) is the
+    count of bigrams whose context is v, so P_bi rows sum to 1 per
+    context; docs with fewer than 2 tokens drop out (nothing to score).
+    Boilerplate with predictable word order scores LOW, shuffled-word
+    spam scores HIGH even when its unigrams look normal — exactly the
+    signal the unigram score misses.
+
+    Scale: bigrams explode narrowly from the token array (zip_with on
+    two slices — no self-join, no window); corpus stats are two
+    groupBys (bigram-key and context-key shuffles, vocab-sized
+    results); scoring is three hash joins on md5-uniform-ish token
+    keys (Zipf head skew handled by AQE skew split) plus one per-doc
+    groupBy. Like the unigram table, the bigram count table is a
+    natural ingest artifact at 100 TB — count once, score many."""
+    from weaviate_spark.functions.text import tokenize
+
+    tt = df.select(
+        F.col(id_col).alias("_doc"),
+        tokenize(F.col(text_col), "word").alias("_tt"),
+    ).where(F.size("_tt") >= 2)
+    bg = tt.select(
+        "_doc",
+        F.explode(
+            F.zip_with(
+                F.slice("_tt", 1, F.size("_tt") - 1),
+                F.slice("_tt", 2, F.size("_tt") - 1),
+                lambda a, b: F.struct(a.alias("_v"), b.alias("_w")),
+            )
+        ).alias("_b"),
+    ).select("_doc", F.col("_b._v").alias("_v"), F.col("_b._w").alias("_w"))
+
+    bi = bg.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = bi.groupBy("_v").agg(F.sum("_cb").alias("_cv"))
+    toks = df.select(
+        F.explode(tokenize(F.col(text_col), "word")).alias("_w")
+    )
+    uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_tot"))
+
+    p = (
+        F.lit(lam) * (F.col("_cb") / F.col("_cv"))
+        + F.lit(1.0 - lam) * (F.col("_cu") / F.col("_tot"))
+    )
+    scored = (
+        bg.join(bi, ["_v", "_w"])
+        .join(ctx, "_v")
+        .join(uni, "_w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(F.log(p))).alias("_h"),
+        )
+    )
+    return scored.select(
+        F.col("_doc").alias(id_col),
+        "n_bigrams",
+        (F.round("_h", 6) + F.lit(0.0)).alias("cross_entropy"),
+        (F.round(F.exp("_h"), 6) + F.lit(0.0)).alias("perplexity"),
+    )

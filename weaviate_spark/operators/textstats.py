@@ -298,3 +298,68 @@ def repetition_filter(
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
         & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: the classic extractive
+    keyword / document-tagging primitive for corpus triage (what is
+    this doc about, without a model). Smoothed sklearn-style idf
+    (ln((1+N)/(1+df)) + 1, N = docs with at least one token), score =
+    tf * idf ROUNDED to 6dp before ranking so the cross-engine order
+    is decided on the exact values both engines hash; ties break on
+    the term string.
+
+    Scale: one narrow token explode, one (doc, term) groupBy for tf,
+    one term groupBy for df (both map-side-combined), a broadcast of
+    the scalar N, and one per-doc top-k window. The df table is the
+    same statistic BM25 already persists at ingest — at 100 TB the
+    join reuses that artifact instead of recounting the corpus."""
+    from pyspark.sql import Window
+
+    from weaviate_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = toks.select("_doc").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("_n")) / (1.0 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score").desc(), F.col("_t").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_rk").cast("long").alias("rank"),
+            F.col("_t").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
