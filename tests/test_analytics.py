@@ -153,3 +153,95 @@ def test_html_inline_tags_do_not_split_lines(spark):
     row = _extract(spark, "<p>a <b>bold</b> and <i>italic</i> run</p>")
     assert row["extracted"] == "a bold and italic run"
     assert row["extracted_lines"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Weighted graph with a dangling node and parallel edges, pinned
+    against an independent dense numpy power iteration."""
+    from weaviate_spark.operators.graph import pagerank
+
+    # nodes 0..3; node 3 is dangling; (0,1) appears twice -> weight 2
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0),
+         (2, 0, 1.0), (2, 3, 3.0)],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, "src", "dst", "w", iterations=10).collect()
+    }
+
+    n, d = 4, 0.85
+    p = np.zeros((n, n))
+    p[0, 1] = 2 / 4
+    p[0, 2] = 2 / 4
+    p[1, 2] = 1.0
+    p[2, 0] = 1 / 4
+    p[2, 3] = 3 / 4
+    r = np.full(n, 1 / n)
+    for _ in range(10):
+        dangling = r[3]  # node 3 has no out-edges
+        r = (1 - d) / n + d * (r @ p + dangling / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is rank-uniform at every iteration count."""
+    from weaviate_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = [r["pagerank"] for r in pagerank(edges, iterations=3).collect()]
+    assert got == pytest.approx([1 / 3] * 3, rel=1e-12)
+
+
+def test_funnel_ordering_is_strict(spark):
+    """A click BEFORE the user's first view must not count toward the
+    click stage."""
+    from weaviate_spark.operators.analytics import funnel_conversion
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", "view", _ts(1)), ("u1", "click", _ts(2)),
+            ("u1", "purchase", _ts(3)),
+            # u2 clicked before viewing: stops at the view stage
+            ("u2", "click", _ts(1)), ("u2", "view", _ts(2)),
+            # u3 never viewed
+            ("u3", "click", _ts(1)), ("u3", "purchase", _ts(2)),
+        ],
+        "user_id string, event_type string, ts timestamp",
+    )
+    out = {
+        r["stage"]: (r["n_users"], r["conversion"])
+        for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out["all"] == (3, 1.0)
+    assert out["view"] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert out["click"] == (1, 0.5)
+    assert out["purchase"] == (1, 1.0)
+
+
+def test_daily_zscores_null_until_history(spark):
+    """z is NULL until 3 days of trailing history and when variance is 0."""
+    from weaviate_spark.operators.analytics import daily_count_zscores
+
+    rows = []
+    # 5 days of stable counts then a spike: 2,2,2,2,10
+    counts = [2, 2, 2, 2, 10]
+    for day, c in enumerate(counts, start=1):
+        for i in range(c):
+            rows.append(("e1", "x", _ts(day, hour=i)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, user string, ts timestamp")
+    out = {r["day"].day: r["z"] for r in daily_count_zscores(ev).collect()}
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] is None  # 3 days history but stddev == 0
+    assert out[5] is None or out[5] > 0  # spike day: 4 identical -> sd 0?
+    # trailing window for day 5 is [2,2,2,2] -> sd 0 -> NULL
+    assert out[5] is None

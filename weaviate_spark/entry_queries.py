@@ -4828,3 +4828,83 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")
     return daily_count_zscores(ev)
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled-CTE mirror of operators/graph.pagerank over the
+    nation-level trade graph: the same damped recurrence evaluated as
+    `iterations` chained CTEs (no recursive-CTE aggregation quirks —
+    genuinely the same fixed-step computation, independently run)."""
+    # every CTE is MATERIALIZED: DuckDB otherwise inlines each CTE
+    # reference, re-opening the parquet views once per mention — the
+    # unrolled recurrence references them O(iterations) times and
+    # blows the open-file limit
+    head = (
+        "WITH e AS MATERIALIZED (SELECT c_nationkey AS s, s_nationkey AS d, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), "
+        "ow AS MATERIALIZED (SELECT s, sum(w) AS ow FROM e GROUP BY s), "
+        "p AS MATERIALIZED (SELECT e.s, e.d, e.w / ow.ow AS p "
+        "FROM e JOIN ow USING (s)), "
+        "nodes AS MATERIALIZED (SELECT s AS n FROM e UNION SELECT d FROM e), "
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes), "
+        "dang AS MATERIALIZED (SELECT n FROM nodes "
+        "WHERE n NOT IN (SELECT s FROM ow)), "
+        "r0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT nn FROM nn) AS r "
+        "FROM nodes)"
+    )
+    steps = []
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        steps.append(
+            f", r{k} AS MATERIALIZED (SELECT nodes.n, "
+            f"(1.0 - 0.85) / (SELECT nn FROM nn) "
+            f"+ 0.85 * (coalesce(c.c, 0.0) + (SELECT coalesce(sum(r), 0.0) "
+            f"FROM {prev} JOIN dang USING (n)) / (SELECT nn FROM nn)) AS r "
+            f"FROM nodes LEFT JOIN (SELECT p.d AS n, sum(p.p * q.r) AS c "
+            f"FROM p JOIN {prev} q ON p.s = q.n GROUP BY p.d) c USING (n))"
+        )
+    tail = (
+        f" SELECT nation.n_name AS nation, round(r, 6) + 0.0 AS pagerank "
+        f"FROM r{iterations} JOIN nation ON r{iterations}.n = nation.n_nationkey"
+    )
+    return head + "".join(steps) + tail
+
+
+@register("graph_pagerank_trade", oracle=_pagerank_oracle_sql(10))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 damped power steps, d=0.85, dangling mass
+    redistributed) over the nation-level trade graph — customer nation
+    -> supplier nation, edge weight = lineitem count. The Pregel-join
+    superstep pattern: edge normalization once, per step one co-keyed
+    join + groupBy and two broadcast scalars, localCheckpoint lineage
+    truncation. The heavy part at 100 TB is the one-time edge
+    aggregation (fact-fact join co-keyed on orderkey); iterations run
+    on the aggregated graph."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import pagerank
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, "src", "dst", iterations=10, damping=0.85)
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        (F.round("pagerank", 6) + F.lit(0.0)).alias("pagerank"),
+    )

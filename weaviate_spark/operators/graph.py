@@ -1,0 +1,118 @@
+"""Graph analytics over reference/edge tables: weighted PageRank.
+
+The reference's data model is a reference GRAPH (beacons between
+classes, entities/models/references.go); its query layer only ever
+walks it (resolve/filter hops). For the analytics/training-pipeline
+workloads this engine targets, graph centrality over those edges is
+the missing aggregate: which entities does the corpus's link mass
+concentrate on (domain authority for crawl curation, entity salience
+for dataset balancing).
+
+``pagerank`` is the standard damped power iteration expressed as
+DataFrame joins — the Pregel superstep pattern:
+
+* edge normalization once: out-weight sums, transition probability
+  p(u→v) = w(u,v) / Σ_v w(u,v);
+* per iteration: one join of ranks to the transition table on the
+  source key + one groupBy on the destination key (both map-side
+  combined, co-keyed across iterations so AQE reuses exchanges), a
+  broadcast of the two scalars (node count, dangling mass);
+* ``localCheckpoint`` after each superstep truncates the lineage —
+  the iterative-plan idiom that keeps plan size O(1) in iterations.
+
+Determinism: ranks are pure functions of the edge multiset; float
+summation order varies with partitioning but stays ~1e-15 relative,
+well inside the 6dp oracle rounding. The DuckDB oracle unrolls the
+same fixed number of iterations as chained CTEs — genuinely
+independent evaluation of the same recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.cache import register_cache
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, pagerank) after ``iterations`` damped power steps.
+
+    Handles parallel edges (summed), weighted edges, and dangling
+    nodes (mass redistributed uniformly each step, the standard
+    convention). Ranks sum to 1 at every step.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+        )
+        .groupBy("_s", "_d")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    nodes = register_cache(
+        e.select(F.col("_s").alias("_n"))
+        .union(e.select(F.col("_d")))
+        .distinct()
+        .cache()
+    )
+    out = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    p = register_cache(
+        e.join(out, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .cache()
+    )
+    # nodes with no out-edges: their rank mass redistributes uniformly
+    dangling_nodes = register_cache(
+        nodes.join(
+            out.select(F.col("_s").alias("_n")), "_n", "left_anti"
+        ).cache()
+    )
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("_nn"))
+
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "_n", (F.lit(1.0) / F.col("_nn")).alias("_r")
+    )
+    base = F.lit(1.0 - damping) / F.col("_nn")
+    for _ in range(iterations):
+        contrib = (
+            p.join(ranks, p["_s"] == ranks["_n"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_p") * F.col("_r")).alias("_c"))
+        )
+        dang = dangling_nodes.join(ranks, "_n").agg(
+            F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dg")
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("_d").alias("_n"), "_c"), "_n", "left"
+            )
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "_n",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dg") / F.col("_nn")
+                    )
+                ).alias("_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("_n").alias("node"), F.col("_r").alias("pagerank"))
