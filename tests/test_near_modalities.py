@@ -70,3 +70,67 @@ def test_imu_near_media_search(spark):
     top = near_media_search(df, "media_id", "media", q, limit=3, dim=8).collect()
     assert top[0]["media_id"] == 1 and top[0]["_distance"] == 0.0
     assert [r["media_id"] for r in top][:2] == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (image_dhash / dhash_neardup_pairs)
+
+
+def _ppm(pixels):
+    """pixels: list of rows of (r,g,b) tuples -> P6 bytes."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for px in row for v in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_image_dhash_bits_and_brightness_invariance(spark):
+    from weaviate_spark.operators.multimodal import image_dhash
+
+    # 1x3 image with gray sums 10 < 20 > 15 -> bits [1, 0] -> hash 1
+    img = _ppm([[(10, 0, 0), (20, 0, 0), (5, 5, 5)]])
+    # +50 brightness, no clipping: orderings (and the hash) unchanged
+    bright = _ppm([[(60, 50, 50), (70, 50, 50), (55, 55, 55)]])
+    # saturated: first two pixels collapse equal -> strict < -> bit 0 is 0
+    clipped = _ppm([[(255, 255, 255), (255, 255, 255), (0, 0, 0)]])
+    df = spark.createDataFrame(
+        [(1, img), (2, bright), (3, clipped), (4, None), (5, b"notanimage")],
+        "media_id long, media binary",
+    )
+    got = {r["media_id"]: r for r in image_dhash(df, "media_id", "media").collect()}
+    assert got[1]["dhash"] == 1 and got[1]["n_bits"] == 2
+    assert got[2]["dhash"] == 1
+    assert got[3]["dhash"] == 0
+    assert got[4]["decode_ok"] is False and got[4]["dhash"] is None
+    assert got[5]["decode_ok"] is False
+
+
+def test_dhash_banding_matches_brute_force(spark):
+    """Pigeonhole banding must find EVERY pair within budget."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from weaviate_spark.operators.multimodal import dhash_neardup_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(20)
+    rows = [(0, base)]
+    # neighbors at hamming 1, 2, 3 and random strangers
+    rows.append((1, base ^ 0b1))
+    rows.append((2, base ^ 0b101))
+    rows.append((3, base ^ 0b10101))
+    for i in range(4, 40):
+        rows.append((i, rng.getrandbits(20)))
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(df, n_bits=20, max_hamming=2).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 2:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    assert (0, 3) not in got

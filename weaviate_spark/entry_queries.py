@@ -4908,3 +4908,60 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         (F.round("pagerank", 6) + F.lit(0.0)).alias("pagerank"),
     )
+
+
+@register(
+    "image_dhash_neardup",
+    oracle=__import__(
+        "weaviate_spark.media_oracles", fromlist=["image_dhash_oracle_sql"]
+    ).image_dhash_oracle_sql(2000, 2),
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: per doc TWO 4x6 PPM variants
+    (raw md5 pixels + a +8 brightness edit with 255 clipping — the
+    classic edited-copy near-dup), REAL decode -> integer-gray dHash
+    (operators/multimodal.image_dhash), then pigeonhole-banded LSH
+    pairing at Hamming <= 2 (recall-exact: 3 disjoint bands, 2 flips
+    can't touch all 3). The oracle rebuilds every pixel analytically
+    from the md5 hex and runs the quadratic ground-truth join — band
+    join and all-pairs must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    hexs = F.concat(
+        F.md5(F.col("text")),
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(str(i))))
+            for i in range(2, 6)
+        ],
+    )
+    d = docs.select(F.col("doc_id"), hexs.alias("_hex"))
+
+    def pix(bright: int):
+        return F.unhex(
+            F.expr(
+                "concat_ws('', transform(sequence(0, 71), i -> "
+                "lpad(hex(least(cast(conv(substring(_hex, i * 2 + 1, 2), "
+                f"16, 10) as bigint) + {bright}, 255)), 2, '0')))"
+            )
+        )
+
+    header = F.lit(b"P6\n6 4\n255\n")
+    media = d.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.concat(header, pix(0)).alias("media"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("media_id"),
+            F.concat(header, pix(8)).alias("media"),
+        )
+    )
+    hashes = image_dhash(media, "media_id", "media")
+    return dhash_neardup_pairs(
+        hashes, "media_id", "dhash", n_bits=20, max_hamming=2
+    )

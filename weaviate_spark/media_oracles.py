@@ -234,3 +234,50 @@ SELECT vec_id, round(
   6) AS _score
 FROM e CROSS JOIN qq ORDER BY _score DESC, vec_id ASC LIMIT 10
 """
+
+
+def image_dhash_oracle_sql(max_doc: int = 2000, max_hamming: int = 2) -> str:
+    """Oracle for `image_phash_neardup`: the 4x6 PPM corpus (two
+    variants per doc: raw md5 pixels and a +8 brightness shift with
+    255 clipping) rebuilt analytically — 72 pixel bytes per variant
+    from md5(text)..md5(text||'5') hex, integer gray sums, the 20
+    dHash comparison bits, then an ALL-PAIRS join with exact Hamming
+    (the corpus is doc-capped, so the quadratic oracle stays small
+    while the Spark side exercises the banded-LSH plan; banding is
+    recall-exact for the budget, so the two must agree exactly)."""
+
+    def byte(i: int, bright: int) -> str:
+        b = _hexbyte(f"h{i // 16 + 1}", i % 16)
+        if bright == 0:
+            return b
+        return f"least({b} + {bright}, 255)"
+
+    def gray(r: int, c: int, bright: int) -> str:
+        p = 3 * (r * 6 + c)
+        return "(" + " + ".join(byte(p + ch, bright) for ch in range(3)) + ")"
+
+    def hash_expr(bright: int) -> str:
+        terms = []
+        for r in range(4):
+            for c in range(5):
+                k = r * 5 + c
+                terms.append(
+                    f"(CASE WHEN {gray(r, c, bright)} < "
+                    f"{gray(r, c + 1, bright)} THEN {1 << k} ELSE 0 END)"
+                )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return (
+        "WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS h1, "
+        "md5(text || '2') AS h2, md5(text || '3') AS h3, "
+        "md5(text || '4') AS h4, md5(text || '5') AS h5 "
+        f"FROM documents WHERE doc_id < {max_doc}), "
+        "img AS MATERIALIZED ("
+        f"SELECT CAST(doc_id * 2 AS BIGINT) AS id, {hash_expr(0)} AS h FROM d "
+        "UNION ALL "
+        f"SELECT CAST(doc_id * 2 + 1 AS BIGINT), {hash_expr(8)} FROM d) "
+        "SELECT a.id AS media_a, b.id AS media_b, "
+        "CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming "
+        "FROM img a JOIN img b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"
+    )

@@ -1577,3 +1577,130 @@ def audio_frame_features(
         df.select(F.col(id_col).alias(id_col), F.col(media_col))
         .mapInPandas(_frames, AUDIO_FRAME_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash)
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("dhash", T.LongType()),
+    T.StructField("n_bits", T.IntegerType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Difference hash over REAL image decode: per image, one bit per
+    horizontally adjacent pixel pair — bit = 1 iff the left pixel's
+    integer gray sum (r+g+b) is LESS than its right neighbor's. Pure
+    integer comparisons, so the hash is exactly reproducible from the
+    pixel bytes by any engine (no float gray conversion). For an h x w
+    image the hash has h*(w-1) bits, row-major, bit k = row*(w-1)+col.
+
+    The standard perceptual-hash near-dup primitive for image corpora
+    (brightness/contrast shifts preserve most orderings, so edited
+    copies land within a small Hamming distance). Arrow-batched
+    mapInPandas over the binary column; undecodable rows emit
+    decode_ok=False rather than failing the pass."""
+
+    def _hash(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in iterator:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                hashes, nbits, oks = [], [], []
+                for data in chunk[media_col]:
+                    img = (
+                        decode_image_array(bytes(data))
+                        if data is not None and len(data) > 0
+                        else None
+                    )
+                    if img is None:
+                        hashes.append(None)
+                        nbits.append(None)
+                        oks.append(False)
+                        continue
+                    gs = img.astype(np.int64).sum(axis=2)  # (h, w) gray sums
+                    bits = (gs[:, :-1] < gs[:, 1:]).ravel()  # row-major
+                    h = 0
+                    for k, b in enumerate(bits):
+                        if b:
+                            h |= 1 << k
+                    hashes.append(h)
+                    nbits.append(int(bits.size))
+                    oks.append(True)
+                yield pd.DataFrame({
+                    "media_id": chunk[id_col].values,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "n_bits": pd.array(nbits, dtype="Int32"),
+                    "decode_ok": oks,
+                })
+
+    return df.select(id_col, media_col).mapInPandas(_hash, DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_bits: int = 20,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(media_a, media_b, hamming) for every pair within ``max_hamming``
+    bit flips — EXACT, via pigeonhole LSH banding: the hash splits into
+    ``max_hamming + 1`` disjoint bit bands, and any pair within budget
+    must agree on at least one band, so the band-equality join has
+    recall 1 (no probabilistic miss, unlike minhash banding). Bucket
+    join + exact Hamming rescore + distinct — one shuffle on the
+    (band, value) key, never all-pairs; uniform hashes spread buckets,
+    and the same ``max_bucket_size``-style skew logic as simhash
+    applies if a degenerate corpus (all-identical images) ever
+    concentrates one bucket."""
+    bands = max_hamming + 1
+    width = -(-n_bits // bands)  # ceil
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    parts = []
+    for b in range(bands):
+        lo = b * width
+        w = min(width, n_bits - lo)
+        if w <= 0:
+            break
+        parts.append(
+            h.select(
+                "_id",
+                "_h",
+                F.lit(b).alias("_band"),
+                F.shiftright(F.col("_h"), lo).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                ).alias("_key"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("media_a"),
+            F.col("b._id").alias("media_b"),
+            F.expr("bit_count(a._h ^ b._h)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
