@@ -783,3 +783,82 @@ def test_dedup_clusters_matches_union_find(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(
         spark.createDataFrame(edges, ["id_a", "id_b"])).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine top-k (operators/similarity.py)
+
+
+def test_tfidf_cosine_topk_identical_docs_score_one(spark):
+    from weaviate_spark.operators.similarity import tfidf_cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "quantum entanglement physics experiment"),
+            (2, "quantum entanglement physics experiment"),
+            (3, "gardening tomato seeds compost watering"),
+            (4, "tomato compost gardening advice"),
+            (5, "completely unrelated finance report"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_topk(df, "doc_id", "text", m_terms=10, k=2,
+                            max_df_frac=0.9)
+    rows = {(r["doc_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in out.collect()}
+    # identical docs: cosine exactly 1 at rank 1, both directions
+    assert rows[(1, 1)][0] == 2 and rows[(1, 1)][1] == 1.0
+    assert rows[(2, 1)][0] == 1 and rows[(2, 1)][1] == 1.0
+    # topical overlap ranks first for the gardening pair
+    assert rows[(3, 1)][0] == 4
+    assert rows[(4, 1)][0] == 3
+    assert 0 < rows[(3, 1)][1] < 1
+
+
+def test_tfidf_cosine_df_pruning_drops_stopword_pairs(spark):
+    """Terms above max_df_frac contribute nothing to pairing."""
+    from weaviate_spark.operators.similarity import tfidf_cosine_topk
+
+    # 'the' appears in all docs; each doc's other term is unique
+    df = spark.createDataFrame(
+        [(i, f"the unique{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_topk(df, "doc_id", "text", k=3, max_df_frac=0.2)
+    assert out.count() == 0
+
+
+def test_audio_band_energy_sine_lights_its_own_bin(spark):
+    import io
+    import math
+    import struct
+    import wave
+
+    from weaviate_spark.operators.multimodal import audio_band_energy
+
+    def sine_wav(freq, sr=8000, ms=100, amp=20000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            n = sr * ms // 1000
+            wf.writeframes(b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * freq * i / sr)))
+                for i in range(n)))
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(sine_wav(400))), (2, None), (3, b"junk")],
+        "media_id long, blob binary",
+    )
+    out = audio_band_energy(df, "media_id", "blob",
+                            freqs_hz=[400.0, 1200.0], frame_samples=400)
+    rows = {(r["media_id"], r["frame_idx"], r["freq_hz"]): r["energy"]
+            for r in out.collect()}
+    # 100ms @ 8kHz = 800 samples = 2 frames; bad rows dropped
+    assert set(k[0] for k in rows) == {1}
+    own = (20000 / 32768 / 2) ** 2  # ~0.0932
+    for fi in (0, 1):
+        assert abs(rows[(1, fi, 400.0)] - own) < 0.002
+        assert rows[(1, fi, 1200.0)] < 1e-4

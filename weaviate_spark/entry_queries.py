@@ -4965,3 +4965,85 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(
         hashes, "media_id", "dhash", n_bits=20, max_hamming=2
     )
+
+
+@register(
+    "text_tfidf_cosine_topk",
+    oracle=(
+        "WITH toks AS (SELECT doc_id AS d, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents), "
+        "tf AS (SELECT d, t, count(*) AS tf FROM toks GROUP BY d, t), "
+        "dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t), "
+        "n AS (SELECT CAST(count(DISTINCT d) AS DOUBLE) AS n FROM toks), "
+        "w AS (SELECT d, t, "
+        "round(tf * (ln((1.0 + (SELECT n FROM n)) / (1.0 + df)) + 1.0), 6) AS w "
+        "FROM tf JOIN dfq USING (t) "
+        "WHERE df <= (SELECT n FROM n) * 0.2), "
+        "kept AS (SELECT d, t, w FROM (SELECT d, t, w, row_number() OVER "
+        "(PARTITION BY d ORDER BY w DESC, t ASC) AS rk FROM w) WHERE rk <= 10), "
+        "nm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM kept GROUP BY d), "
+        "p AS (SELECT d, t, w / nm AS wn FROM kept JOIN nm USING (d)), "
+        "pc AS (SELECT a.d AS da, b.d AS db, sum(a.wn * b.wn) AS c "
+        "FROM p a JOIN p b ON a.t = b.t AND a.d < b.d GROUP BY a.d, b.d), "
+        "bo AS (SELECT da AS src, db AS nbr, round(c, 6) + 0.0 AS c6 FROM pc "
+        "UNION ALL SELECT db, da, round(c, 6) + 0.0 FROM pc), "
+        "r AS (SELECT src, nbr, c6, row_number() OVER (PARTITION BY src "
+        "ORDER BY c6 DESC, nbr ASC) AS rk FROM bo) "
+        "SELECT src AS doc_id, CAST(rk AS BIGINT) AS rank, "
+        "nbr AS neighbor_id, c6 AS cosine FROM r WHERE rk <= 5"
+    ),
+)
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity search: top-5 nearest docs per doc by
+    cosine over pruned TF-IDF vectors (10 heaviest terms per doc,
+    stopword-like terms with df > 20% of corpus dropped from pairing),
+    via an inverted-index self-join — the no-model doc-to-doc
+    similarity path; postings per doc are bounded so the term-key
+    shuffle never degenerates to all-pairs."""
+    from weaviate_spark.operators.similarity import tfidf_cosine_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_cosine_topk(docs, "doc_id", "text", m_terms=10, k=5)
+
+
+@register(
+    "audio_band_energy",
+    oracle=(
+        # regenerate the sine fixtures and evaluate the SAME DFT-bin
+        # sums in SQL — frame-local index, header sample rate
+        "WITH p(media_id, freq) AS (VALUES (1, 300), (2, 443), (3, 700)), "
+        "pr(pf) AS (VALUES (300.0), (443.0), (700.0)), "
+        "s AS (SELECT media_id, i, "
+        "trunc(20000 * sin(2 * pi() * freq * i / 8000)) / 32768 AS x "
+        "FROM p, LATERAL unnest(range(0, 1600)) AS u(i)), "
+        "g AS (SELECT media_id, CAST(i // 400 AS BIGINT) AS frame_idx, pf, "
+        "sum(x * cos(2 * pi() * pf * (i % 400) / 8000)) AS c, "
+        "sum(x * sin(2 * pi() * pf * (i % 400) / 8000)) AS sn, "
+        "count(*) AS n FROM s, pr GROUP BY media_id, i // 400, pf) "
+        "SELECT media_id, frame_idx, pf AS freq_hz, "
+        "CAST(n AS BIGINT) AS n_samples, "
+        "round((c * c + sn * sn) / (n * n), 6) + 0.0 AS energy FROM g"
+    ),
+)
+def q_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band energy over real WAV decode: per 25ms frame the
+    normalized DFT-bin power at probe frequencies 300/443/700 Hz —
+    each sine fixture lights up exactly its own bin (~(20000/32768/2)^2
+    ~ 0.093) and stays near zero elsewhere. The oracle rebuilds the
+    signal from first principles and evaluates the identical weighted
+    sums in SQL."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multimodal import audio_band_energy
+
+    rows = [(k, bytearray(_sine_wav(f))) for k, f in ((1, 300), (2, 443), (3, 700))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = audio_band_energy(
+        df, "media_id", "blob", freqs_hz=[300.0, 443.0, 700.0],
+        frame_samples=400,
+    )
+    return out.select(
+        "media_id", "frame_idx", "freq_hz", "n_samples",
+        (F.col("energy") + F.lit(0.0)).alias("energy"),
+    )

@@ -263,3 +263,99 @@ def ivf_literal_topk(
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_terms: int = 10,
+    k: int = 5,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """Sparse document-to-document similarity: top-k neighbors per doc
+    by cosine over pruned TF-IDF vectors, via an inverted-index join —
+    the lexical sibling of the embedding ANN paths (no model needed,
+    catches paraphrase/near-topic pairs BM25-style retrieval misses
+    when there's no short query).
+
+    Pruning (both deterministic, both part of the contract semantics):
+    * terms appearing in more than ``max_df_frac`` of docs are dropped
+      from PAIRING (stopword-like postings are where an inverted-index
+      self-join degenerates toward n^2);
+    * each doc keeps only its ``m_terms`` heaviest terms (weight
+      rounded to 6dp, ties on the term string), so each doc contributes
+      a bounded number of postings regardless of length.
+
+    Cosine is exact over the pruned vectors (L2-normalized kept
+    weights). Scale: tf/df are map-side-combined groupBys (df is the
+    BM25 artifact statistic); the pair join shuffles on the term key
+    with bucket sizes capped by the df filter; per-doc top-k is a
+    bounded window. Postings per doc <= m_terms, so candidate pairs
+    are O(sum_term df_term^2) with df capped — never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    from weaviate_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = toks.select("_doc").distinct().agg(F.count(F.lit(1)).alias("_n"))
+
+    w = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(ndocs))
+        .where(F.col("_df") <= F.col("_n") * F.lit(max_df_frac))
+        .withColumn(
+            "_w",
+            F.round(
+                F.col("_tf")
+                * (F.log((1.0 + F.col("_n")) / (1.0 + F.col("_df"))) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    top = Window.partitionBy("_doc").orderBy(F.col("_w").desc(), F.col("_t").asc())
+    kept = (
+        w.withColumn("_rk", F.row_number().over(top))
+        .where(F.col("_rk") <= m_terms)
+        .select("_doc", "_t", "_w")
+    )
+    norm = kept.groupBy("_doc").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
+    postings = kept.join(norm, "_doc").select(
+        "_doc", "_t", (F.col("_w") / F.col("_nm")).alias("_wn")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_cos = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._doc") < F.col("b._doc")),
+        )
+        .groupBy(F.col("a._doc").alias("_da"), F.col("b._doc").alias("_db"))
+        .agg(F.sum(F.col("a._wn") * F.col("b._wn")).alias("_cos"))
+    )
+    both = pair_cos.select(
+        F.col("_da").alias("_src"), F.col("_db").alias("_nbr"), "_cos"
+    ).unionByName(
+        pair_cos.select(
+            F.col("_db").alias("_src"), F.col("_da").alias("_nbr"), "_cos"
+        )
+    ).withColumn("_c6", F.round("_cos", 6) + F.lit(0.0))
+    wk = Window.partitionBy("_src").orderBy(
+        F.col("_c6").desc(), F.col("_nbr").asc()
+    )
+    return (
+        both.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("_src").alias(id_col),
+            F.col("_rk").cast("long").alias("rank"),
+            F.col("_nbr").alias("neighbor_id"),
+            F.col("_c6").alias("cosine"),
+        )
+    )
