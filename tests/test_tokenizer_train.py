@@ -89,3 +89,43 @@ def test_num_merges_validation(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="num_merges"):
         train_bpe(docs, num_merges=0)
+
+
+def test_bpe_encode_docs_matches_apply_bpe(spark):
+    """The vocabulary-join encode path must produce exactly the token
+    stream of the direct per-occurrence fold (apply_bpe)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.tokenizer_train import (
+        apply_bpe,
+        bpe_encode_docs,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest, the lowly low!"),
+            (2, "newer newest new; the widow's widest view"),
+            (3, ""),
+            (4, "low low low"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, num_merges=4).orderBy("merge_rank").collect()
+    ]
+    fast = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["bpe_text"])
+        for r in bpe_encode_docs(docs, merges).collect()
+    }
+    slow = {
+        r["doc_id"]: r["toks"]
+        for r in apply_bpe(docs, merges, out_col="_bpe")
+        .select("doc_id", F.array_join("_bpe", " ").alias("toks"))
+        .collect()
+    }
+    assert 3 not in fast  # wordless docs drop
+    for did in (1, 2, 4):
+        assert fast[did][2] == slow[did]
+        assert fast[did][1] == len(slow[did].split())

@@ -5047,3 +5047,79 @@ def q_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", "freq_hz", "n_samples",
         (F.col("energy") + F.lit(0.0)).alias("energy"),
     )
+
+
+def _bpe_encode_oracle_sql(num_merges: int) -> str:
+    """Unrolled BPE train + ENCODE in pure DuckDB SQL: the training
+    chain of _bpe_oracle_sql extended one step (w{n+1} = vocabulary
+    after the last merge), then every document's word sequence joins to
+    its fully-merged symbol list and reassembles in word order."""
+    sp = "chr(31)"
+    acc_l = f"string_split(acc, {sp})"
+    parts = [
+        "WITH w1 AS (SELECT word, count(*) AS cnt, string_split(word, '') AS syms "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word "
+        "FROM documents) GROUP BY word)"
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c "
+            f"FROM w{i}, LATERAL unnest(range(1, len(syms))) AS u(i) "
+            f"WHERE len(syms) > 1 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{i+1} AS (SELECT word, cnt, "
+            f"CASE WHEN len(syms) <= 1 THEN syms "
+            f"ELSE string_split(list_reduce(syms, (acc, x) -> CASE "
+            f"WHEN list_extract({acc_l}, len({acc_l})) = b.l AND x = b.r "
+            f"THEN CASE WHEN len({acc_l}) = 1 THEN b.l || b.r "
+            f"ELSE array_to_string(list_slice({acc_l}, 1, len({acc_l}) - 1), {sp}) "
+            f"|| {sp} || b.l || b.r END "
+            f"ELSE acc || {sp} || x END), {sp}) END AS syms "
+            f"FROM w{i}, b{i} b)"
+        )
+    final = f"w{num_merges + 1}"
+    parts.append(
+        "dw AS (SELECT doc_id, tt[i] AS word, i FROM "
+        "(SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents), LATERAL unnest(range(1, len(tt) + 1)) AS u(i))"
+    )
+    parts.append(
+        f"enc AS (SELECT dw.doc_id, dw.i, v.syms FROM dw JOIN {final} v USING (word))"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens, "
+        "string_agg(array_to_string(syms, ' '), ' ' ORDER BY i) AS bpe_text "
+        "FROM enc GROUP BY doc_id"
+    )
+
+
+@register("tokenizer_bpe_encode", oracle=_bpe_encode_oracle_sql(6))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with corpus-trained merges: train 6 merges
+    (tokenizer_bpe_train's algorithm), then tokenize every document —
+    per doc the word count, fully-merged token count, and the merged
+    token string. Spark side: the 6-row merge table is the ONLY thing
+    collected; the Catalyst fold encodes the DISTINCT-WORD vocabulary
+    (checkpointed per merge so the expression stays linear in merge
+    count) and docs reassemble via one word-key join — no Python on
+    the data path. Oracle: the identical train+apply recurrence
+    unrolled in SQL."""
+    from weaviate_spark.operators.tokenizer_train import (
+        bpe_encode_docs,
+        train_bpe,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_encode_docs(docs, merges, "doc_id", "text")

@@ -142,3 +142,47 @@ def apply_bpe(
     return df.withColumn(
         out_col, F.expr(f"flatten(transform(_words, w -> {body}))")
     ).drop("_words")
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a learned merge list, the scalable
+    way: the fold runs over the DISTINCT-WORD vocabulary (millions of
+    rows at 100 TB, not trillions of token occurrences), one merge per
+    step with a localCheckpoint between steps — the chained Catalyst
+    fold otherwise inlines ~3x per merge and the expression tree (and
+    task binary, and codegen time) grows exponentially with merge
+    count. Documents then re-assemble by joining their word sequence
+    to the encoded vocabulary (md5-uniform-ish word key, Zipf head
+    handled by AQE skew split).
+
+    Returns (id, n_words, n_bpe_tokens, bpe_text); wordless docs drop.
+    """
+    words = (
+        _word_counts(docs, text_col)
+        .select("word")
+        .withColumn("syms", F.expr("split(word, '')"))
+        .localCheckpoint()
+    )
+    for l, r in merges:
+        words = words.withColumn("syms", F.expr(_merge_expr(l, r))).localCheckpoint()
+
+    dw = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE_SQL}', 0)")
+        ).alias("_pos", "word"),
+    )
+    enc = dw.join(words, "word")
+    per_word = F.array_sort(F.collect_list(F.struct("_pos", "syms")))
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+        F.array_join(
+            F.flatten(F.transform(per_word, lambda x: x["syms"])), " "
+        ).alias("bpe_text"),
+    )
