@@ -436,3 +436,49 @@ def test_knn_classify_labeled_set_cap(spark):
     # under the cap the guard is inert
     out = knn_classify(df, df.limit(3), "id", "vec", "label", max_labeled_rows=100)
     assert out.count() == 3
+
+
+def test_hard_negative_mining_semantics(spark, tmp_path):
+    """Negatives never share the anchor's label; ranking is by rounded
+    distance then id; anchors whose cell has no other label drop."""
+    import numpy as np
+
+    from weaviate_spark.operators.similarity import hard_negative_mining
+
+    # two obvious clusters on orthogonal axes; labels mixed in cluster A,
+    # uniform in cluster B
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.99, 0.01, 0.0], "b"),
+        (3, [0.98, 0.02, 0.0], "a"),
+        (4, [0.0, 1.0, 0.0], "c"),
+        (5, [0.0, 0.99, 0.01], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+    # centroids: the two axes -> vectors split into two cells
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = hard_negative_mining(
+        spark, str(tmp_path), "emb", m=2, centroids=cents,
+        table_key=(str(tmp_path), "emb", "test"),
+    ).collect()
+    got = {(r["vec_id"], r["rank"]): r["negative_id"] for r in out}
+    lbl = {i: l for i, _, l in rows}
+    for r in out:
+        assert lbl[r["vec_id"]] != lbl[r["negative_id"]]
+        assert r["distance"] >= 0
+    # anchor 1 ('a'): only different-label in its cell is 2 ('b')
+    assert got[(1, 1)] == 2 and (1, 2) not in got
+    # anchor 2 ('b'): both 1 and 3 qualify; 1 is nearer? dist(2,1) vs dist(2,3)
+    v = {i: np.array(e) for i, e, _ in rows}
+
+    def cos_d(a, b):
+        x = 1 - v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b]))
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    first = min((cos_d(2, 1), 1), (cos_d(2, 3), 3))[1]
+    assert got[(2, 1)] == first
+    # cluster B is label-uniform: anchors 4 and 5 emit nothing
+    assert not any(r["vec_id"] in (4, 5) for r in out)

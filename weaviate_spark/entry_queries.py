@@ -5123,3 +5123,60 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bpe_encode_docs(docs, merges, "doc_id", "text")
+
+
+def _hard_negative_oracle_sql(m: int = 3) -> str:
+    """Mirror of q_hard_negatives: semantic_dedup's cell-assignment
+    arithmetic (identical centroid literals), within-cell pairs with
+    differing labels, per-anchor top-m by (rounded distance, id)."""
+    import numpy as np
+
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"-2 * list_dot_product(nv, {dlist(c)}) + {float(np.dot(c, c))!r}"
+        for c in IVF_CENTROIDS
+    )
+    return (
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+        "en AS (SELECT vec_id, label, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"assign AS (SELECT vec_id, label, ev, [{scores}] AS d FROM en), "
+        "cells AS (SELECT vec_id, label, ev, "
+        "list_position(d, list_min(d)) - 1 AS _cell FROM assign), "
+        "pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "round(1 - list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS d "
+        "FROM cells a JOIN cells b ON a._cell = b._cell "
+        "AND a.vec_id != b.vec_id AND a.label != b.label), "
+        "r AS (SELECT i, j, d, row_number() OVER (PARTITION BY i "
+        "ORDER BY d, j) AS rk FROM pairs) "
+        f"SELECT i AS vec_id, CAST(rk AS BIGINT) AS rank, j AS negative_id, "
+        f"d + 0.0 AS distance FROM r WHERE rk <= {m}"
+    )
+
+
+@register("embedding_hard_negatives", oracle=_hard_negative_oracle_sql(3))
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor the 3 nearest
+    different-label embeddings within its IVF cell (persisted-centroid
+    assignment, per-cell numpy GEMM — SemDeDup's scale shape applied to
+    training-pair generation). Assignment, pairing, label filter, and
+    ranking all mirror in SQL."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.similarity import hard_negative_mining
+
+    out = hard_negative_mining(
+        spark, sf_dir, "embeddings", m=3,
+        table_key=(sf_dir, "embeddings", "ivf"),
+    )
+    return out.select(
+        "vec_id", "rank", "negative_id",
+        (F.col("distance") + F.lit(0.0)).alias("distance"),
+    )

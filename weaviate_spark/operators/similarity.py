@@ -359,3 +359,91 @@ def tfidf_cosine_topk(
             F.col("_c6").alias("cosine"),
         )
     )
+
+
+def hard_negative_mining(
+    spark,
+    sf_dir: str,
+    collection: str,
+    m: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    centroids=None,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    ``m`` nearest DIFFERENT-label vectors within its IVF cell — the
+    training-pair generator for contrastive/metric learning (the
+    hardest negatives live nearest the anchor; random negatives are
+    too easy to carry gradient). Same scale shape as semantic_dedup
+    (SemDeDup, arXiv 2303.09540): assignment is the cached ingest-time
+    IVF encode (narrow pass over the persisted centroid artifact), the
+    quadratic scan runs per cell as a numpy GEMM inside applyInPandas
+    (sum(cell^2), never corpus^2), one shuffle on the cell key. The
+    within-cell restriction is the documented approximation — cells
+    are exactly where near-anchor negatives concentrate.
+
+    Returns (id, rank, negative_id, distance): cosine distance rounded
+    half-up to 6dp BEFORE ranking (oracle parity), ties on negative
+    id."""
+    from weaviate_spark.operators.quantization import with_pq_index
+    from weaviate_spark.sources.tables import load_table
+
+    if centroids is None:
+        from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+        centroids = IVF_CENTROIDS
+    base = load_table(spark, sf_dir, collection)
+    enc = with_pq_index(
+        base.where(F.col(label_col).isNotNull()),
+        id_col, vector_col, [centroids],
+        table_key if table_key is not None else (sf_dir, collection, "ivf"),
+        normalize=True,
+    )
+    labels = base.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    )
+    cells = enc.select(
+        "_id", "_v", F.element_at(F.col("_pq"), 1).alias("_cell")
+    ).join(labels, "_id")
+
+    mm = int(m)
+
+    def mine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"_id": [], "rank": [], "negative_id": [], "distance": []}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        ids = pdf["_id"].to_numpy()
+        lbl = pdf["_lbl"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        D = 1.0 - (V @ V.T) / (n[:, None] * n[None, :])
+        D = np.floor(D * 1e6 + 0.5) / 1e6  # half-up 6dp, oracle parity
+        out = {"_id": [], "rank": [], "negative_id": [], "distance": []}
+        for a in range(len(ids)):
+            cand = np.nonzero(lbl != lbl[a])[0]
+            if not cand.size:
+                continue
+            order = cand[np.lexsort((ids[cand], D[a, cand]))]
+            for rk, b in enumerate(order[:mm], start=1):
+                out["_id"].append(ids[a])
+                out["rank"].append(rk)
+                out["negative_id"].append(ids[b])
+                out["distance"].append(D[a, b])
+        return pd.DataFrame(out)
+
+    id_type = dict(base.dtypes)[id_col]
+    return (
+        cells.groupBy("_cell")
+        .applyInPandas(
+            mine,
+            f"_id {id_type}, rank long, negative_id {id_type}, distance double",
+        )
+        .withColumnRenamed("_id", id_col)
+    )
