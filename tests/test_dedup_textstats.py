@@ -862,3 +862,44 @@ def test_audio_band_energy_sine_lights_its_own_bin(spark):
     for fi in (0, 1):
         assert abs(rows[(1, fi, 400.0)] - own) < 0.002
         assert rows[(1, fi, 1200.0)] < 1e-4
+
+
+def test_readability_flesch_hand_computed(spark):
+    from weaviate_spark.operators.textstats import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences, 6 syl
+            (2, "..."),                         # no words -> dropped
+            (3, "extraordinary bureaucracy"),   # no sentence marks -> 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(df, "doc_id", "text").collect()}
+    assert 2 not in rows
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)
+    r3 = rows[3]
+    # extraordinary: e-o-a-i-a... vowel groups: e,ao,i,a,y -> 5; bureaucracy: ueauc? u,eau,a,y -> 4
+    assert r3["n_sentences"] == 1 and r3["n_words"] == 2
+    assert r3["n_syllables"] == 9
+
+
+def test_profile_columns_exact_stats(spark):
+    from weaviate_spark.operators.analytics import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (3.0, 2.0), (4.0, 6.0)],
+        "a double, b double",
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    a = rows["a"]
+    assert (a["n"], a["n_null"], a["n_distinct"]) == (4, 0, 4)
+    assert (a["min"], a["max"], a["mean"]) == (1.0, 4.0, 2.5)
+    import statistics
+    assert a["std"] == round(statistics.stdev([1, 2, 3, 4]), 6)
+    b = rows["b"]
+    assert (b["n"], b["n_null"], b["n_distinct"]) == (4, 1, 2)
+    assert b["null_frac"] == 0.25
+    assert b["mean"] == round(10 / 3, 6)

@@ -5180,3 +5180,73 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "rank", "negative_id",
         (F.col("distance") + F.lit(0.0)).alias("distance"),
     )
+
+
+def _profile_oracle_sql(cols: list[str], table: str = "lineitem") -> str:
+    legs = []
+    for c in cols:
+        legs.append(
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / "
+            f"CAST(count(*) AS DOUBLE), 6) + 0.0 AS null_frac, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"round(min(CAST({c} AS DOUBLE)), 6) + 0.0 AS min, "
+            f"round(max(CAST({c} AS DOUBLE)), 6) + 0.0 AS max, "
+            f"round(CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count({c}), 6) + 0.0 AS mean, "
+            f"round(sqrt((CAST(sum(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) "
+            f"- CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) * "
+            f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count({c})) "
+            f"/ (count({c}) - 1)), 6) + 0.0 AS std "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle=_profile_oracle_sql(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric data profiling (pre-ingest triage): per column the row /
+    null / exact-distinct counts and min/max/mean/std in ONE
+    full-table aggregate pass, means and stds from order-independent
+    DECIMAL sums (2dp-exact money columns), rows unpivoted via
+    stack()."""
+    from weaviate_spark.operators.analytics import profile_columns
+
+    li = _load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt, "
+        "greatest(len(list_filter(list_transform("
+        "regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), "
+        "x -> x != '')), 1) AS nsent FROM documents), "
+        "s AS (SELECT doc_id, len(tt) AS nw, nsent, "
+        "list_sum(list_transform(tt, w -> "
+        "greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS nsyl "
+        "FROM t WHERE len(tt) > 0) "
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+        "CAST(nsent AS BIGINT) AS n_sentences, "
+        "CAST(nsyl AS BIGINT) AS n_syllables, "
+        "round(206.835 - 1.015 * (CAST(nw AS DOUBLE) / nsent) "
+        "- 84.6 * (CAST(nsyl AS DOUBLE) / nw), 6) + 0.0 AS flesch FROM s"
+    ),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (vowel-group syllable heuristic, sentence
+    split on [.!?]+): the classic readability quality axis — one
+    codegen'd narrow map, identical arithmetic mirrored in SQL."""
+    from weaviate_spark.operators.textstats import readability_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")

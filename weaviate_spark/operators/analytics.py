@@ -260,3 +260,66 @@ def daily_count_zscores(
         "n",
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-profiling pass over numeric columns: one output row per
+    column with count / null count+fraction / exact distinct / min /
+    max / mean / sample stddev — the pre-ingest triage a pipeline runs
+    before trusting a new 100 TB drop (nulls where there shouldn't be,
+    constant columns, range drift).
+
+    One full-table aggregate computes every per-column statistic in a
+    single pass (map-side partial agg, no per-column rescan); the
+    exact-distinct counts are the only shuffle-expander (Spark rewrites
+    multi-distinct aggregates via expand) — swap in approx_count_
+    distinct at scale if 2% error is acceptable. Rows materialize via
+    a stack() unpivot of the single aggregate row.
+
+    Mean and stddev come from DECIMAL(18,2)-exact sums of x and x*x
+    (TPC-H-style money/quantity columns are 2dp-exact, so the casts
+    lose nothing) — a double sum's low bits vary with partition order
+    and would drift the 6dp contract hash at scale; decimal sums are
+    order-independent, and the final sqrt/divide runs on identical
+    exact inputs in every engine."""
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        dec = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count(col).alias(f"{c}__nn"),
+            F.count_distinct(col).alias(f"{c}__distinct"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.sum(dec).cast("double").alias(f"{c}__s1"),
+            F.sum(dec * dec).cast("double").alias(f"{c}__s2"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__nn, {c}__distinct, "
+        f"{c}__min, {c}__max, {c}__s1, {c}__s2"
+        for c in cols
+    )
+    rows = one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n, n_null, nn, n_distinct, min, max, s1, s2)"
+        )
+    )
+    mean = F.col("s1") / F.col("nn")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nn")) / (
+        F.col("nn") - 1
+    )
+    return rows.select(
+        "column_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        (F.round(F.col("n_null") / F.col("n"), 6) + F.lit(0.0)).alias("null_frac"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.round("min", 6) + F.lit(0.0)).alias("min"),
+        (F.round("max", 6) + F.lit(0.0)).alias("max"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std"),
+    )

@@ -363,3 +363,52 @@ def tfidf_keywords(
             "score",
         )
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document with the classic vowel-group
+    syllable heuristic (every word counts at least one syllable;
+    sentences split on [.!?]+ runs, at least one per doc):
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    The third deterministic quality axis next to quality_score
+    (length/punct shape) and the LM scores (token predictability):
+    flags run-on boilerplate (low score via sentence length) and
+    jargon-dense text (low score via syllable density). Pure codegen
+    column expressions — one narrow map, no shuffle, and the identical
+    arithmetic evaluates in any SQL engine."""
+    words = tokenize(F.col(text_col), "word")
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sentences = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("_nw"),
+        n_syll.alias("_nsyl"),
+        F.greatest(F.size(sentences), F.lit(1)).alias("_nsent"),
+    ).where(F.col("_nw") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("_nw").cast("double") / F.col("_nsent"))
+        - F.lit(84.6) * (F.col("_nsyl").cast("double") / F.col("_nw"))
+    )
+    return base.select(
+        id_col,
+        F.col("_nw").cast("long").alias("n_words"),
+        F.col("_nsent").cast("long").alias("n_sentences"),
+        F.col("_nsyl").cast("long").alias("n_syllables"),
+        (F.round(flesch, 6) + F.lit(0.0)).alias("flesch"),
+    )
