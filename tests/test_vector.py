@@ -482,3 +482,23 @@ def test_hard_negative_mining_semantics(spark, tmp_path):
     assert got[(2, 1)] == first
     # cluster B is label-uniform: anchors 4 and 5 emit nothing
     assert not any(r["vec_id"] in (4, 5) for r in out)
+
+
+def test_label_outlier_scores_flags_planted_mislabel(spark):
+    from weaviate_spark.operators.curation import label_outlier_scores
+
+    # two tight clusters; item 5 carries cluster-B geometry but label 'a'
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a"), (3, [0.0, 0.1], "a"),
+        (4, [5.0, 5.0], "b"), (6, [5.1, 5.0], "b"), (7, [5.0, 5.1], "b"),
+        (5, [5.05, 5.05], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {r["vec_id"]: r for r in
+           label_outlier_scores(df, "vec_id", "embedding", "label").collect()}
+    assert out[5]["likely_mislabeled"] is True
+    assert out[5]["nearest_other_label"] == "b"
+    assert out[5]["margin"] < 0
+    for i in (1, 2, 3, 4, 6, 7):
+        assert out[i]["likely_mislabeled"] is False
+        assert out[i]["margin"] > 0

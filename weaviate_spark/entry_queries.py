@@ -5250,3 +5250,47 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return readability_scores(docs, "doc_id", "text")
+
+
+@register(
+    "embedding_label_outliers",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+        "it AS (SELECT vec_id, label, i - 1 AS dim, ev[i] AS val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), "
+        "c AS (SELECT label AS lbl, dim, avg(val) AS mu "
+        "FROM it GROUP BY label, dim), "
+        "down AS (SELECT vec_id, label, "
+        "sqrt(sum((val - mu) * (val - mu))) AS d FROM it "
+        "JOIN c ON it.label = c.lbl AND it.dim = c.dim "
+        "GROUP BY vec_id, label), "
+        "doth AS (SELECT vec_id, c.lbl AS olbl, "
+        "round(sqrt(sum((val - mu) * (val - mu))), 6) + 0.0 AS d6 FROM it "
+        "JOIN c ON it.dim = c.dim AND it.label != c.lbl "
+        "GROUP BY vec_id, c.lbl), "
+        "best AS (SELECT vec_id, olbl, d6 FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY d6, olbl) AS rk FROM doth) "
+        "WHERE rk = 1) "
+        "SELECT down.vec_id, down.label, round(down.d, 6) + 0.0 AS d_own, "
+        "best.olbl AS nearest_other_label, best.d6 AS d_other, "
+        "round(best.d6 - round(down.d, 6), 6) + 0.0 AS margin, "
+        "best.d6 < round(down.d, 6) + 0.0 AS likely_mislabeled "
+        "FROM down JOIN best USING (vec_id)"
+    ),
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (confident-learning triage): per item the
+    euclidean distance to its own label centroid vs the nearest other
+    label's centroid; negative margin flags likely mislabels. Two
+    joins against a broadcast-sized centroid statistic — no item-item
+    pairs at any scale."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import label_outlier_scores
+
+    emb = _load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    return label_outlier_scores(emb, "vec_id", "embedding", "label")

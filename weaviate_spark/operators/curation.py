@@ -459,3 +459,82 @@ def bigram_interp_xent(
         (F.round("_h", 6) + F.lit(0.0)).alias("cross_entropy"),
         (F.round(F.exp("_h"), 6) + F.lit(0.0)).alias("perplexity"),
     )
+
+
+def label_outlier_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Label-noise / outlier detection over an embedding column: for
+    every item, the euclidean distance to its OWN label's centroid and
+    to the NEAREST OTHER label's centroid; a negative margin
+    (d_other < d_own) flags a likely mislabel — the confident-learning
+    triage a training pipeline runs before trusting a labeled corpus.
+
+    Plan shape: one posexplode to (id, label, dim, val) — narrow; one
+    (label, dim) groupBy for centroids (tiny result: labels x dims);
+    d_own joins items to their own centroid on (label, dim) and
+    reduces per id; d_other crosses each item with the BROADCAST
+    centroid table restricted to other labels (items x labels x dims
+    rows, labels is small by definition of a label space) and takes
+    the min with a deterministic label tie-break. No item-item pairs
+    anywhere — at 100 TB this is two joins against a broadcast-sized
+    statistic, the same shape as the IVF assignment pass."""
+    items = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    cent = items.groupBy("_lbl", "_dim").agg(F.avg("_val").alias("_mu"))
+
+    d_own = (
+        items.join(cent, ["_lbl", "_dim"])
+        .groupBy("_id", "_lbl")
+        .agg(
+            F.sqrt(F.sum((F.col("_val") - F.col("_mu")) * (F.col("_val") - F.col("_mu")))).alias("_down")
+        )
+    )
+    other = cent.select(
+        F.col("_lbl").alias("_olbl"),
+        F.col("_dim").alias("_odim"),
+        F.col("_mu").alias("_omu"),
+    )
+    d_other = (
+        items.join(
+            F.broadcast(other),
+            (F.col("_dim") == F.col("_odim")) & (F.col("_lbl") != F.col("_olbl")),
+        )
+        .groupBy("_id", "_olbl")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("_val") - F.col("_omu")) * (F.col("_val") - F.col("_omu")))
+            ).alias("_d")
+        )
+    )
+    # nearest other label: min distance at 6dp, deterministic label tie-break
+    best = d_other.groupBy("_id").agg(
+        F.min(
+            F.struct(
+                (F.round("_d", 6) + F.lit(0.0)).alias("_d6"),
+                F.col("_olbl").alias("_l"),
+            )
+        ).alias("_b")
+    )
+    return (
+        d_own.join(best, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lbl").alias(label_col),
+            (F.round("_down", 6) + F.lit(0.0)).alias("d_own"),
+            F.col("_b._l").alias("nearest_other_label"),
+            F.col("_b._d6").alias("d_other"),
+            (F.round(F.col("_b._d6") - F.round("_down", 6), 6) + F.lit(0.0)).alias(
+                "margin"
+            ),
+            (F.col("_b._d6") < F.round("_down", 6) + F.lit(0.0)).alias(
+                "likely_mislabeled"
+            ),
+        )
+    )
