@@ -179,3 +179,29 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_video_scene_cuts_y4m_and_avi(spark):
+    from weaviate_spark.operators.multimodal import (
+        avi_from_jpegs,
+        solid_jpeg,
+        solid_y4m,
+        video_scene_cuts,
+    )
+
+    # Y4M: lumas 10, 20, 200 -> diffs 10 (no cut), 180 (cut)
+    y4m = solid_y4m([(10, 128, 128), (20, 128, 128), (200, 128, 128)],
+                    width=4, height=4, fps=(10, 1))
+    # AVI: two solid JPEG frames with identical DCs -> MAD 0, no cut
+    j = solid_jpeg(20, 0, 0)
+    avi = avi_from_jpegs([j, j], width=16, height=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m)), (2, bytearray(avi)), (3, b"junk"), (4, None)],
+        "media_id long, media binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in video_scene_cuts(df, "media_id", "media", 48.0).collect()}
+    assert rows[(1, 1)]["mad"] == 10.0 and rows[(1, 1)]["scene_cut"] is False
+    assert rows[(1, 2)]["mad"] == 180.0 and rows[(1, 2)]["scene_cut"] is True
+    assert rows[(2, 1)]["mad"] == 0.0 and rows[(2, 1)]["scene_cut"] is False
+    assert not any(k[0] in (3, 4) for k in rows)

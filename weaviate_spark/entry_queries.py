@@ -5294,3 +5294,58 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
     return label_outlier_scores(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "video_scene_cuts",
+    oracle=(
+        # regenerate the luma series analytically: solid neutral-chroma
+        # frames make RGB == Y exactly, so MAD(frame f, f-1) =
+        # |luma_f - luma_{f-1}| with luma = (doc*7 + f*31) % 256
+        "WITH docs AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents "
+        "WHERE doc_id % 17 = 0), "
+        "f AS (SELECT doc_id, nf, u.f AS fi, "
+        "CAST((doc_id * 7 + u.f * 31) % 256 AS DOUBLE) AS luma "
+        "FROM docs, LATERAL unnest(range(0, 6)) AS u(f) WHERE u.f < nf), "
+        "d AS (SELECT doc_id, fi, abs(luma - lag(luma) OVER "
+        "(PARTITION BY doc_id ORDER BY fi)) AS mad FROM f) "
+        "SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, "
+        "round(mad, 6) + 0.0 AS mad, mad > 48.0 AS scene_cut "
+        "FROM d WHERE fi >= 1"
+    ),
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL Y4M decode: per consecutive
+    frame pair the mean absolute pixel difference, cut when > 48. The
+    fixture lumas step by 31 (no cut) except at the mod-256 wraparound
+    (a 225-step cut) — container parse, frame decode, and the MAD
+    arithmetic are all hash-checked against the analytic series."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multimodal import (
+        solid_y4m,
+        video_scene_cuts,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+
+    def _make(it):
+        import pandas as pd
+
+        for pdf in it:
+            clips = [
+                solid_y4m(
+                    [((int(d) * 7 + f * 31) % 256, 128, 128)
+                     for f in range(3 + int(d) % 4)],
+                    width=4, height=4, fps=(10, 1),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "media": clips})
+
+    media = docs.mapInPandas(_make, "media_id long, media binary")
+    return video_scene_cuts(media, "media_id", "media", threshold=48.0)

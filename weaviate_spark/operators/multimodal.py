@@ -1779,3 +1779,78 @@ def audio_band_energy(
         df.select(F.col(id_col).alias(id_col), F.col(media_col))
         .mapInPandas(_bands, AUDIO_BAND_SCHEMA)
     )
+
+
+SCENE_CUT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("mad", T.DoubleType()),
+    T.StructField("scene_cut", T.BooleanType()),
+])
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    threshold: float = 48.0,
+) -> DataFrame:
+    """Shot-boundary detection over real video decode: for every
+    consecutive frame pair the mean absolute pixel difference (MAD,
+    over all RGB samples), flagged as a scene cut when it exceeds
+    ``threshold`` — the frame-sampling pipeline's segmentation step (a
+    training pipeline samples per SHOT, not per fixed stride, so one
+    long static shot doesn't dominate). Y4M and MJPEG-AVI containers
+    route by magic bytes to the same pure-numpy codecs the rest of the
+    video path uses. Arrow-batched mapInPandas, narrow; rows start at
+    frame_idx 1 (the diff against the previous frame); undecodable
+    blobs contribute no rows."""
+    import numpy as np
+
+    thr = float(threshold)
+
+    def _cuts(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = {k.name: [] for k in SCENE_CUT_SCHEMA.fields}
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    blob = bytes(data) if data else None
+                    if not blob:
+                        continue
+                    if blob[:9] == b"YUV4MPEG2":
+                        info = decode_y4m_info(blob)
+                        frames = [
+                            decode_y4m_frame_rgb(blob, i)
+                            for i in range(info["n_frames"])
+                        ]
+                    elif blob[:4] == b"RIFF":
+                        info = decode_avi_info(blob)
+                        frames = [
+                            decode_avi_frame_rgb(blob, i)
+                            for i in range(info["n_frames"])
+                        ]
+                    else:
+                        continue
+                except Exception:
+                    continue
+                prev = None
+                for fi, img in enumerate(frames):
+                    if img is None:
+                        prev = None
+                        continue
+                    cur = img.astype(np.int64)
+                    if prev is not None and prev.shape == cur.shape:
+                        mad = round(
+                            float(np.abs(cur - prev).mean()), 6
+                        )
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(fi)
+                        out["mad"].append(mad)
+                        out["scene_cut"].append(mad > thr)
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col).alias(id_col), F.col(media_col))
+        .mapInPandas(_cuts, SCENE_CUT_SCHEMA)
+    )
