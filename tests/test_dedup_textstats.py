@@ -903,3 +903,46 @@ def test_profile_columns_exact_stats(spark):
     assert (b["n"], b["n_null"], b["n_distinct"]) == (4, 1, 2)
     assert b["null_frac"] == 0.25
     assert b["mean"] == round(10 / 3, 6)
+
+
+def test_hash_embed_knn_exact_duplicate_ranks_first(spark):
+    from weaviate_spark.operators.similarity import (
+        hash_embed_knn,
+        hash_embed_query,
+    )
+
+    q = "alpha beta gamma"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # identical -> cosine 1.0
+            (2, "alpha beta gamma delta"),    # superset -> high
+            (3, "zeta eta theta"),            # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = hash_embed_knn(df, "doc_id", "text", q, dim=16, k=3).collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["cosine"] == 1.0
+    assert rows[1]["doc_id"] == 2 and 0 < rows[1]["cosine"] < 1
+    # driver-side embed agrees with itself and is unit-consistent
+    v = hash_embed_query(q)
+    assert sum(abs(x) for x in v) == 3.0
+
+
+def test_quality_percentiles_rank_semantics(spark):
+    from weaviate_spark.operators.textstats import quality_percentiles_by_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a solid sentence with reasonable words here"),
+            (2, "en", "!!!! ???? ;;;;"),
+            (3, "en", "another decent piece of text for scoring"),
+            (4, "de", "ein einziges dokument"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            quality_percentiles_by_group(df, "doc_id", "text", "lang").collect()}
+    assert rows[2]["rank_in_group"] == 3  # punct junk ranks last in en
+    assert rows[2]["pct"] == 1.0
+    assert rows[4]["pct"] == 0.0  # singleton group
+    assert rows[1]["pct"] in (0.0, 0.5) and rows[1]["quality"] >= rows[2]["quality"]

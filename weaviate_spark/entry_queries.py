@@ -5349,3 +5349,73 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_make, "media_id long, media binary")
     return video_scene_cuts(media, "media_id", "media", threshold=48.0)
+
+
+
+_QUALITY_PCT_SQL = (
+    "WITH qx AS (" + _TEXT_PROFILE_SQL + "), "
+    "j AS (SELECT d.lang, qx.doc_id, qx.quality FROM qx "
+    "JOIN documents d USING (doc_id)), "
+    "r AS (SELECT lang, doc_id, quality, "
+    "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn, "
+    "count(*) OVER (PARTITION BY lang) AS n, "
+    "ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS dec "
+    "FROM j) "
+    "SELECT lang, doc_id, quality, CAST(rn AS BIGINT) AS rank_in_group, "
+    "round(CASE WHEN n > 1 THEN (rn - 1) / CAST(n - 1 AS DOUBLE) "
+    "ELSE 0.0 END, 6) + 0.0 AS pct, CAST(dec AS BIGINT) AS decile FROM r"
+)
+
+
+@register("text_quality_percentiles", oracle=_QUALITY_PCT_SQL)
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized quality per language: per-group rank, [0,1]
+    percentile, and decile bucket — balanced corpus filtering keeps
+    the top X percent PER LANGUAGE rather than a global threshold that
+    a punctuation-convention shift would bias. One scoring map + one
+    window on the group key."""
+    from weaviate_spark.operators.textstats import quality_percentiles_by_group
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_percentiles_by_group(docs, "doc_id", "text", "lang")
+
+
+def _hash_embed_oracle_sql(query: str, dim: int = 16, k: int = 10) -> str:
+    from weaviate_spark.operators.similarity import hash_embed_query
+
+    qv = hash_embed_query(query, dim)
+    qnorm = sum(x * x for x in qv) ** 0.5
+    qlist = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return (
+        "WITH toks AS (SELECT doc_id AS d, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents), "
+        "hh AS (SELECT d, md5('emb:' || t) AS h FROM toks), "
+        f"sp AS (SELECT d, ('0x' || substr(h, 1, 8))::BIGINT % {dim} AS b, "
+        "sum(CASE WHEN ('0x' || substr(h, 9, 1))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END) AS v FROM hh GROUP BY d, b), "
+        f"q AS (SELECT {qlist}::DOUBLE[] AS qa), "
+        "sc AS (SELECT d, sum(v * qa[b + 1]) AS dot, "
+        "sqrt(sum(v * v)) AS nm FROM sp, q GROUP BY d) "
+        f"SELECT d AS doc_id, round(dot / (nm * {qnorm!r}), 6) + 0.0 AS cosine "
+        f"FROM sc WHERE nm > 0 ORDER BY cosine DESC, doc_id LIMIT {k}"
+    )
+
+
+@register(
+    "text_hash_embed_knn",
+    oracle=_hash_embed_oracle_sql("distributed filter join engine"),
+)
+def q_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text-to-vector retrieval in one plan: docs embed by
+    signed feature hashing (md5 bucket + parity sign, Weinberger ICML
+    2009), the query embeds identically driver-side, cosine top-10.
+    Token explode -> bounded (doc, bucket) groupBy -> broadcast query
+    dot -> TakeOrdered; the text-to-vector bridge when no trained
+    embedder exists."""
+    from weaviate_spark.operators.similarity import hash_embed_knn
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_embed_knn(
+        docs, "doc_id", "text", "distributed filter join engine", dim=16, k=10
+    )

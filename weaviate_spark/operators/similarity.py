@@ -447,3 +447,84 @@ def hard_negative_mining(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def _hash_embed_params(token: str, dim: int) -> tuple[int, float]:
+    """(bucket, sign) for a token under the md5 feature-hashing scheme —
+    the driver-side twin of the Catalyst/SQL arithmetic (parity is
+    hash-checked by the contract oracle)."""
+    h = hashlib.md5(f"emb:{token}".encode()).hexdigest()
+    return int(h[:8], 16) % dim, 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+
+
+def hash_embed_query(text: str, dim: int = 16) -> list[float]:
+    """Embed a query string with signed feature hashing (Weinberger et
+    al. 2009) — deterministic, model-free, reproducible in any engine."""
+    import re
+
+    v = [0.0] * dim
+    for t in re.findall(r"[^\W_]+", text.lower(), re.UNICODE):
+        b, s = _hash_embed_params(t, dim)
+        v[b] += s
+    return v
+
+
+def hash_embed_knn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    dim: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Model-free text-to-vector search, end to end in one plan: every
+    document embeds by SIGNED FEATURE HASHING its tokens (bucket =
+    md5 % dim, sign = md5 parity — Weinberger et al., ICML 2009), the
+    query embeds with the identical scheme driver-side, and cosine
+    top-k returns the nearest docs. The bridge between the text
+    operators and the vector stack when no trained embedder exists
+    (cold-start retrieval, embedding-pipeline smoke checks).
+
+    Plan: token explode (narrow) -> (doc, bucket) groupBy (map-side
+    combined, at most ``dim`` rows per doc) -> per-doc norm -> dot
+    against the broadcast query literal -> TakeOrdered top-k. No
+    all-pairs, no UDF."""
+    from weaviate_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    h = F.md5(F.concat(F.lit("emb:"), F.col("_t")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim).alias("_b")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sparse = (
+        toks.select("_doc", bucket, sign.alias("_s"))
+        .groupBy("_doc", "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    qv = hash_embed_query(query, dim)
+    qnorm = sum(x * x for x in qv) ** 0.5
+    if qnorm == 0:
+        raise ValueError("query embeds to the zero vector")
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        sparse.withColumn("_q", F.element_at(qarr, (F.col("_b") + 1).cast("int")))
+        .groupBy("_doc")
+        .agg(
+            F.sum(F.col("_v") * F.col("_q")).alias("_dot"),
+            F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_nm"),
+        )
+        .where(F.col("_nm") > 0)
+        .select(
+            F.col("_doc").alias(id_col),
+            (
+                F.round(F.col("_dot") / (F.col("_nm") * F.lit(float(qnorm))), 6)
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

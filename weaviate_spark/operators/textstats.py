@@ -412,3 +412,41 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("_nsyl").cast("long").alias("n_syllables"),
         (F.round(flesch, 6) + F.lit(0.0)).alias("flesch"),
     )
+
+
+def quality_percentiles_by_group(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """Rank-normalized quality within a grouping (language, source,
+    domain): raw quality scores are not comparable across languages —
+    different punctuation conventions and token lengths shift the
+    scale — so balanced filtering keeps the top X PERCENT per group,
+    not a global threshold. Emits the per-group rank (quality desc,
+    id tie-break), the [0,1] percentile position, and the decile
+    bucket. One narrow scoring map + one window over the group key;
+    group partitions are corpus-sized but the window needs only rank
+    state (no buffering of the frame)."""
+    from pyspark.sql import Window
+
+    scored = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    pct = F.when(n > 1, (rn - F.lit(1)) / (n - F.lit(1)).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return scored.select(
+        group_col,
+        id_col,
+        "quality",
+        rn.cast("long").alias("rank_in_group"),
+        (F.round(pct, 6) + F.lit(0.0)).alias("pct"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
