@@ -72,3 +72,41 @@ def test_parameter_validation(spark):
 def test_nulls_ignored(spark):
     df = spark.createDataFrame([(1,), (2,), (None,)], "v long")
     assert kmv_distinct(df, "v").collect()[0]["kmv_estimate"] == 2.0
+
+
+def test_cms_estimate_is_one_sided_and_exact_when_sparse(spark):
+    """CMS never underestimates; with few distinct items vs counters it
+    is exact."""
+    from weaviate_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["item"]: r for r in
+           cms_heavy_hitters(df, "v", width=512, depth=4, k=10).collect()}
+    for item, true in (("a", 50), ("b", 30), ("c", 5)):
+        assert got[item]["true_count"] == true
+        assert got[item]["cms_estimate"] >= true
+        assert got[item]["cms_estimate"] == true  # sparse -> no collisions
+    order = sorted(got.values(), key=lambda r: (-r["cms_estimate"], r["item"]))
+    assert [r["item"] for r in order] == ["a", "b", "c"]
+
+
+def test_weighted_sample_is_weight_biased_and_deterministic(spark):
+    from weaviate_spark.operators.sampling import weighted_sample
+
+    # 200 light items (w=1) and 20 heavy items (w=100)
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 100.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", k=30).collect()
+    assert len(got) == 30
+    assert [r["rank"] for r in got] == list(range(1, 31))
+    heavy = sum(1 for r in got if r["id"] >= 1000)
+    # E[heavy] ~ 20 * P(heavy in top); with 10:1 total weight ratio the
+    # heavies dominate — demand a clear majority, not an exact law
+    assert heavy >= 15
+    again = weighted_sample(df, "id", "w", k=30).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    only = weighted_sample(df2, "id", "w", k=5).collect()
+    assert [r["id"] for r in only] == [3]

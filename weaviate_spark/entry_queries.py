@@ -5419,3 +5419,57 @@ def q_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed_knn(
         docs, "doc_id", "text", "distributed filter join engine", dim=16, k=10
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=(
+        "WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, "
+        "((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT + 1) / 4294967297.0) AS u FROM documents WHERE n_chars > 0), "
+        "kk AS (SELECT doc_id, weight, -ln(u) / weight AS key FROM s), "
+        "r AS (SELECT doc_id, weight, key, row_number() OVER "
+        "(ORDER BY key, doc_id) AS rk FROM kk) "
+        "SELECT CAST(rk AS BIGINT) AS rank, doc_id, weight, "
+        "round(key, 6) + 0.0 AS sample_key FROM r WHERE rk <= 25"
+    ),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential clocks, md5-uniform u): 25 docs with inclusion
+    probability proportional to length — the quality/length-weighted
+    corpus subsample. One narrow key map + TakeOrdered."""
+    from weaviate_spark.operators.sampling import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=25)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=(
+        "WITH v AS (SELECT CAST(l_suppkey AS VARCHAR) AS s FROM lineitem), "
+        "rows_ AS (SELECT d, ('0x' || substr(md5('cms' || d || ':' || s), 1, 8))"
+        "::BIGINT % 512 AS b, count(*) AS c FROM v, "
+        "(SELECT unnest(range(0, 4)) AS d) GROUP BY d, b), "
+        "items AS (SELECT s, count(*) AS t FROM v GROUP BY s), "
+        "probes AS (SELECT s, t, d, "
+        "('0x' || substr(md5('cms' || d || ':' || s), 1, 8))::BIGINT % 512 AS b "
+        "FROM items, (SELECT unnest(range(0, 4)) AS d)), "
+        "est AS (SELECT s, t, min(c) AS e FROM probes "
+        "JOIN rows_ USING (d, b) GROUP BY s, t) "
+        "SELECT s AS item, CAST(e AS BIGINT) AS cms_estimate, "
+        "CAST(t AS BIGINT) AS true_count FROM est "
+        "ORDER BY cms_estimate DESC, item ASC LIMIT 20"
+    ),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over lineitem supplier keys
+    (4 md5 hash rows x 512 counters): top-20 by one-sided CMS estimate
+    with the true count alongside. The sketch table is the mergeable
+    streaming trending-counter artifact; the whole build + readout is
+    deterministic and re-derived in SQL."""
+    from weaviate_spark.operators.sketches import cms_heavy_hitters
+
+    li = _load(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_suppkey", width=512, depth=4, k=20)

@@ -257,3 +257,45 @@ def pack_sequences_greedy(
         return pdf
 
     return dfb.groupBy("_bucket").applyInPandas(_pack, out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, exponential-clocks form): item i gets key
+    -ln(u_i)/w_i with u_i the md5-uniform in (0,1], and the k SMALLEST
+    keys win — inclusion probability proportional to weight, no
+    sequential pass, no RNG state, stable under growth and partition
+    count like every md5-keyed sampler here (u_i depends only on the
+    item id). The quality-weighted corpus subsampling primitive (weight
+    = quality score or token count).
+
+    One narrow key map + TakeOrdered(k); ties (astronomically unlikely
+    for continuous keys) break on the id. Non-positive weights are
+    excluded (their key would be infinite/undefined)."""
+    u = (md5_prefix_long(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
+        4294967297.0
+    )
+    keyed = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            (-F.log(u) / F.col(weight_col).cast("double")).alias("_key"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy(F.col("_key").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        "weight",
+        (F.round("_key", 6) + F.lit(0.0)).alias("sample_key"),
+    )

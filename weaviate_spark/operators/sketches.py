@@ -177,3 +177,82 @@ def kmv_set_overlap(
         "union_est",
         (F.col("jaccard_est") * F.col("union_est")).alias("intersect_est"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) + heavy-hitters
+    readout, deterministic end to end: ``depth`` independent md5 hash
+    rows of ``width`` counters each; an item's estimate is the MIN of
+    its ``depth`` counters (always >= true count — one-sided error).
+    The readout re-hashes each DISTINCT item against the sketch and
+    returns the top-``k`` by (estimate desc, item asc), with the true
+    count alongside so tests (and the contract oracle) can pin the
+    overestimate structurally.
+
+    Why on a batch engine: the sketch table (depth x width counter
+    rows) is the MERGEABLE per-micro-batch artifact a streaming
+    trending-terms pipeline maintains — counters add across batches
+    and across partitions, so the same groupBy builds it incrementally
+    at any scale. Plan: one explode-free pass per stage — (row, bucket)
+    groupBy sized depth*width regardless of corpus, a distinct-item
+    frame, and a broadcast-sized sketch join."""
+    vals = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    rows = []
+    for d in range(depth):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), F.col("_v"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        rows.append(
+            vals.select(F.lit(d).alias("_row"), h.alias("_bucket"))
+        )
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    sketch = allrows.groupBy("_row", "_bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+
+    items = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_true"))
+    probes = []
+    for d in range(depth):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), F.col("_v"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        probes.append(
+            items.select("_v", "_true", F.lit(d).alias("_row"), h.alias("_bucket"))
+        )
+    allprobes = probes[0]
+    for p in probes[1:]:
+        allprobes = allprobes.unionByName(p)
+    est = (
+        allprobes.join(F.broadcast(sketch), ["_row", "_bucket"])
+        .groupBy("_v", "_true")
+        .agg(F.min("_c").alias("_est"))
+    )
+    return (
+        est.select(
+            F.col("_v").alias("item"),
+            F.col("_est").cast("long").alias("cms_estimate"),
+            F.col("_true").cast("long").alias("true_count"),
+        )
+        .orderBy(F.col("cms_estimate").desc(), F.col("item").asc())
+        .limit(k)
+    )
