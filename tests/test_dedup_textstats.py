@@ -946,3 +946,25 @@ def test_quality_percentiles_rank_semantics(spark):
     assert rows[2]["pct"] == 1.0
     assert rows[4]["pct"] == 0.0  # singleton group
     assert rows[1]["pct"] in (0.0, 0.5) and rows[1]["quality"] >= rows[2]["quality"]
+
+
+def test_fuzzy_name_pairs_blocking_and_band(spark):
+    from weaviate_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"), (2, "red widgets"), (3, "red wadget"),
+            (4, "blue widget"),              # different block
+            (5, "red extraordinarily long"), # same block, length band fails
+            (6, "red widget"),               # duplicate occurrence
+            (7, None),
+        ],
+        "id long, name string",
+    )
+    rows = {(r["name_a"], r["name_b"]): r
+            for r in fuzzy_name_pairs(df, "id", "name", max_edit=3).collect()}
+    assert rows[("red widget", "red widgets")]["distance"] == 1
+    assert rows[("red wadget", "red widget")]["distance"] == 1
+    assert rows[("red widget", "red widgets")]["n_a"] == 2  # two occurrences
+    assert not any("blue" in a or "blue" in b for a, b in rows)
+    assert not any("extraordinarily" in a or "extraordinarily" in b for a, b in rows)

@@ -5473,3 +5473,79 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _load(spark, sf_dir, "lineitem")
     return cms_heavy_hitters(li, "l_suppkey", width=512, depth=4, k=20)
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=(
+        "WITH names AS (SELECT p_name AS n, count(*) AS c FROM part "
+        "WHERE p_name IS NOT NULL GROUP BY p_name), "
+        "k AS (SELECT n, c, split_part(n, ' ', 1) AS blk, length(n) AS l "
+        "FROM names) "
+        "SELECT a.n AS name_a, b.n AS name_b, "
+        "CAST(levenshtein(a.n, b.n) AS BIGINT) AS distance, "
+        "CAST(a.c AS BIGINT) AS n_a, CAST(b.c AS BIGINT) AS n_b "
+        "FROM k a JOIN k b ON a.blk = b.blk AND a.n < b.n "
+        "AND abs(a.l - b.l) <= 3 "
+        "WHERE levenshtein(a.n, b.n) <= 3"
+    ),
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution over part names: distinct-name
+    frame, first-token blocking, lossless length-band prefilter, then
+    Levenshtein <= 3 — the short-string variant-spelling dedup the
+    hash/shingle families can't see. Vocabulary-sized join, never
+    corpus-sized."""
+    from weaviate_spark.operators.dedup import fuzzy_name_pairs
+
+    part = _load(spark, sf_dir, "part")
+    return fuzzy_name_pairs(part, "p_partkey", "p_name", max_edit=3)
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle=(
+        "SELECT r_name AS region, n_name AS nation, "
+        "CAST(grouping(r_name) AS BIGINT) AS g_region, "
+        "CAST(grouping(n_name) AS BIGINT) AS g_nation, "
+        "CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)"
+    ),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (GROUPING SETS / ROLLUP): per-nation,
+    per-region subtotal, and grand-total rows in ONE pass with
+    GROUPING indicator columns — the drill-down rollup a reporting
+    layer runs; money sums DECIMAL-exact so subtotals are partition-
+    order independent. Spark expands grouping sets map-side; dims
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    cust = _load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = _load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = _load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    j = j.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "c_acctbal",
+    )
+    return (
+        j.rollup("region", "nation")
+        .agg(
+            F.grouping("region").cast("long").alias("g_region"),
+            F.grouping("nation").cast("long").alias("g_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+    )

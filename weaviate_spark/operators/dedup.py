@@ -1062,3 +1062,59 @@ def dedup_clusters(
         F.col("_label").alias("cluster_id"),
         (F.col("_node") == F.col("_label")).alias("keep"),
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance: DISTINCT
+    name strings pair when they share a blocking key (first token),
+    differ in length by at most ``max_edit`` (a provably lossless
+    Levenshtein prefilter — fewer than that many edits cannot change
+    the length more), and sit within ``max_edit`` Levenshtein edits.
+    Returns (name_a, name_b, distance, n_a, n_b) with per-name
+    occurrence counts — the typo/variant-spelling dedup that hash and
+    shingle families miss on short strings.
+
+    Scale: the corpus collapses to the distinct-name frame first (the
+    same move as BPE training — vocabulary-sized, not corpus-sized),
+    the pair join runs per blocking bucket, the length band prunes
+    before the quadratic-cost levenshtein evaluates, and levenshtein
+    itself is a JVM built-in (unit costs, identical in any engine).
+    Skew guard: a degenerate bucket (every name sharing one first
+    token) is vocabulary-bounded, not corpus-bounded."""
+    names = (
+        df.select(F.col(name_col).alias("_n"))
+        .where(F.col("_n").isNotNull())
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_blk", F.split(F.col("_n"), " ").getItem(0))
+        .withColumn("_len", F.length("_n"))
+    )
+    a = names.select(
+        F.col("_n").alias("name_a"), F.col("_c").alias("n_a"),
+        F.col("_blk").alias("_ba"), F.col("_len").alias("_la"),
+    )
+    b = names.select(
+        F.col("_n").alias("name_b"), F.col("_c").alias("n_b"),
+        F.col("_blk").alias("_bb"), F.col("_len").alias("_lb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ba") == F.col("_bb"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_edit),
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("distance") <= max_edit)
+        .select(
+            "name_a", "name_b",
+            F.col("distance").cast("long").alias("distance"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
