@@ -110,3 +110,69 @@ def test_weighted_sample_is_weight_biased_and_deterministic(spark):
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
     only = weighted_sample(df2, "id", "w", k=5).collect()
     assert [r["id"] for r in only] == [3]
+
+
+def test_histogram_quantiles_brackets_exact(spark):
+    from weaviate_spark.operators.sketches import histogram_quantiles
+
+    import numpy as np
+    vals = [float(x) for x in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["quantile"]: r for r in
+            histogram_quantiles(df, "x", bins=50, quantiles=(0.5, 0.9)).collect()}
+    width = (1000.0 - 1.0) / 50
+    for q in (0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        est = rows[q]["estimate"]
+        assert abs(est - exact) <= width + 1e-9  # one-bucket error bound
+        assert rows[q]["n"] == 1000
+
+
+def test_bloom_membership_one_sided(spark):
+    from weaviate_spark.operators.sketches import bloom_membership
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog today"),  # contained
+            (3, "completely different words making novel shingles here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bloom_membership(bench, probe, "doc_id", "text").collect()}
+    # exact duplicate: every shingle exact-hits, bloom must agree (no misses)
+    assert rows[2]["n_exact"] == rows[2]["n_shingles"]
+    assert rows[2]["n_bloom_pos"] == rows[2]["n_shingles"]
+    # disjoint doc: zero exact; bloom may only OVERcount
+    assert rows[3]["n_exact"] == 0
+    assert rows[3]["n_false_pos"] == rows[3]["n_bloom_pos"] >= 0
+    for r in rows.values():
+        assert r["n_bloom_pos"] >= r["n_exact"]
+
+
+def test_gap_fill_locf_fills_missing_days(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import gap_fill_daily
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    ev = spark.createDataFrame(
+        [("a", ts(1)), ("a", ts(1, 5)), ("a", ts(4)),  # gap on 2, 3
+         ("b", ts(2))],
+        "event_type string, ts timestamp",
+    )
+    rows = {(r["event_type"], r["day"].day): r
+            for r in gap_fill_daily(ev).collect()}
+    assert rows[("a", 1)]["n"] == 2 and rows[("a", 1)]["was_gap"] is False
+    assert rows[("a", 2)]["n"] == 0 and rows[("a", 2)]["was_gap"] is True
+    assert rows[("a", 2)]["locf"] == 2  # carried from day 1
+    assert rows[("a", 3)]["locf"] == 2
+    assert rows[("a", 4)]["n"] == 1 and rows[("a", 4)]["locf"] == 1
+    assert ("b", 1) not in rows and rows[("b", 2)]["n"] == 1
+    assert len(rows) == 5  # a: days 1-4, b: day 2

@@ -5549,3 +5549,125 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acctbal_sum"),
         )
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle=(
+        "WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) "
+        "AS day, count(*) AS n FROM events GROUP BY 1, 2), "
+        "sp AS (SELECT event_type, min(day) AS lo, max(day) AS hi "
+        "FROM d GROUP BY 1), "
+        "cal AS (SELECT event_type, CAST(u.d AS DATE) AS day FROM sp, "
+        "LATERAL unnest(generate_series(CAST(lo AS TIMESTAMP), "
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)), "
+        "f AS (SELECT cal.event_type, cal.day, coalesce(d.n, 0) AS n "
+        "FROM cal LEFT JOIN d USING (event_type, day)) "
+        "SELECT event_type, day, CAST(n AS BIGINT) AS n, n = 0 AS was_gap, "
+        "CAST(last_value(CASE WHEN n > 0 THEN n END IGNORE NULLS) OVER "
+        "(PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS locf FROM f"
+    ),
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per event type every calendar day in its
+    observed span materializes (zero-count days flagged) with
+    last-observation-carried-forward — the resample step before any
+    rolling statistic; calendar frame is span-days x types regardless
+    of corpus size."""
+    from weaviate_spark.operators.analytics import gap_fill_daily
+
+    ev = _load(spark, sf_dir, "events")
+    return gap_fill_daily(ev)
+
+
+def _hist_quantile_oracle_sql(
+    col: str = "l_extendedprice", bins: int = 64,
+    quantiles=(0.5, 0.9, 0.99), table: str = "lineitem",
+) -> str:
+    base = (
+        f"WITH st AS (SELECT min(CAST({col} AS DOUBLE)) AS lo, "
+        f"max(CAST({col} AS DOUBLE)) AS hi, count({col}) AS n FROM {table}), "
+        f"bx AS (SELECT least(CAST(floor((CAST({col} AS DOUBLE) - lo) / "
+        f"((hi - lo) / {float(bins)!r})) AS BIGINT), {bins - 1}) AS b "
+        f"FROM {table}, st WHERE {col} IS NOT NULL), "
+        "h AS (SELECT b, count(*) AS c FROM bx GROUP BY b), "
+        "cm AS (SELECT b, c, sum(c) OVER (ORDER BY b ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h)"
+    )
+    legs = []
+    for q in quantiles:
+        legs.append(
+            f"SELECT {float(q)!r} AS quantile, "
+            f"round(lo + b * ((hi - lo) / {float(bins)!r}), 6) + 0.0 AS estimate, "
+            "CAST(b AS BIGINT) AS bucket_idx, CAST(c AS BIGINT) AS bucket_count, "
+            f"CAST(n AS BIGINT) AS n FROM cm, st WHERE cum >= {float(q)!r} * n "
+            "ORDER BY b LIMIT 1"
+        )
+    return base + " " + " UNION ALL ".join(f"({leg})" for leg in legs)
+
+
+@register("sketch_histogram_quantiles", oracle=_hist_quantile_oracle_sql())
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass approximate quantiles (p50/p90/p99 of l_extendedprice)
+    from a 64-bucket equi-width histogram — the mergeable single-pass
+    alternative to the exact percentile sort at 100 TB; error bounded
+    by one bucket width, every arithmetic step identical in SQL."""
+    from weaviate_spark.operators.sketches import histogram_quantiles
+
+    li = _load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", bins=64, quantiles=(0.5, 0.9, 0.99)
+    )
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents), "
+        "sh AS (SELECT doc_id AS _doc, "
+        "list_distinct([array_to_string(tt[i:i+4], ' ') "
+        "FOR i IN range(1, greatest(len(tt) - 4, 0) + 1)]) AS shs "
+        "FROM toks WHERE len(tt) >= 5), "
+        "ex AS (SELECT _doc, unnest(shs) AS _shingle FROM sh), "
+        "bench AS (SELECT DISTINCT _shingle FROM ex WHERE _doc % 97 = 0), "
+        "docs AS (SELECT * FROM ex WHERE _doc % 97 <> 0), "
+        "bits AS (SELECT DISTINCT ('0x' || substr(md5('bloom' || j || ':' "
+        "|| _shingle), 1, 8))::BIGINT % 8192 AS _bit FROM bench, "
+        "(SELECT unnest(range(0, 3)) AS j)), "
+        "pb AS (SELECT _doc, _shingle, j, ('0x' || substr(md5('bloom' || j "
+        "|| ':' || _shingle), 1, 8))::BIGINT % 8192 AS _bit FROM docs, "
+        "(SELECT unnest(range(0, 3)) AS j)), "
+        "hits AS (SELECT _doc, count(*) AS n_bloom_pos FROM "
+        "(SELECT _doc, _shingle, count(*) AS st FROM pb "
+        "SEMI JOIN bits USING (_bit) GROUP BY _doc, _shingle) "
+        "WHERE st = 3 GROUP BY _doc), "
+        "exact AS (SELECT _doc, count(*) AS n_exact FROM docs "
+        "SEMI JOIN bench USING (_shingle) GROUP BY _doc), "
+        "tot AS (SELECT _doc, count(*) AS n_shingles FROM docs GROUP BY _doc) "
+        "SELECT t._doc AS doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(h.n_bloom_pos, 0) AS BIGINT) AS n_bloom_pos, "
+        "CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact, "
+        "CAST(coalesce(h.n_bloom_pos, 0) - coalesce(e.n_exact, 0) AS BIGINT) "
+        "AS n_false_pos FROM tot t LEFT JOIN hits h USING (_doc) "
+        "LEFT JOIN exact e USING (_doc)"
+    ),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (8192 bits, 3 md5 hashes) over word
+    5-gram shingles, with the exact semi-join count alongside so the
+    one-sided error is visible per doc (n_false_pos >= 0, never a
+    miss). The bits table broadcasts at any holdout size — the bloom-
+    pushdown replacement for the billion-shingle shuffle semi-join."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import bloom_membership
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    rest = docs.where(F.col("doc_id") % 97 != 0)
+    return bloom_membership(
+        bench, rest, "doc_id", "text", n=5, m_bits=8192, k_hashes=3
+    )

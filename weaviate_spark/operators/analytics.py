@@ -323,3 +323,54 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
         (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std"),
     )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-series regularization: per (event_type, day) counts with
+    MISSING DAYS materialized (count 0) across each type's observed
+    span, plus last-observation-carried-forward of the most recent
+    non-zero day — the resample step before any rolling statistic or
+    anomaly model (gaps otherwise silently shrink trailing windows,
+    cf. daily_count_zscores).
+
+    Plan: one (type, day) groupBy reduction; per type the day span
+    explodes from a sequence() — the calendar frame is
+    span-days x types rows regardless of corpus size; one left join
+    back on (type, day) and one ordered window for the carry-forward.
+    All keyed on the same (type, day) pair, so AQE reuses the
+    exchange."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    daily = events.groupBy(F.col(type_col).alias("event_type"), day).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    calendar = spans.select(
+        "event_type",
+        F.explode(F.sequence("_lo", "_hi")).alias("day"),
+    )
+    filled = calendar.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("n") > 0, F.col("n")), ignorenulls=True
+    ).over(w)
+    return filled.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") == 0).alias("was_gap"),
+        carried.cast("long").alias("locf"),
+    )

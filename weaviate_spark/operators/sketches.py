@@ -26,7 +26,9 @@ Determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_BITS = 60  # 15 hex chars of md5 -> fits bigint in Spark AND DuckDB
@@ -255,4 +257,155 @@ def cms_heavy_hitters(
         )
         .orderBy(F.col("cms_estimate").desc(), F.col("item").asc())
         .limit(k)
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    bins: int = 64,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-pass approximate quantiles from an equi-width histogram:
+    span = [min, max] from the data, ``bins`` buckets, and each
+    requested quantile reads the first bucket whose cumulative count
+    reaches q*N, answering with the bucket's LEFT EDGE — a
+    deterministic, mergeable approximation with error bounded by one
+    bucket width. The scale story next to the exact percentile
+    aggregators: exact quantiles need a sort (or two-pass
+    selection); the histogram is a single groupBy of width ``bins``
+    whose counter rows add across partitions, micro-batches, and
+    cluster sizes — the same mergeable-artifact shape as the CMS/HLL
+    sketches here.
+
+    Returns (quantile, estimate, bucket_idx, bucket_count, n). The
+    max value clamps into the last bucket (the standard closed right
+    edge)."""
+    stats = df.select(
+        F.min(F.col(col).cast("double")).alias("_lo"),
+        F.max(F.col(col).cast("double")).alias("_hi"),
+        F.count(F.col(col)).alias("_n"),
+    )
+    vals = df.select(F.col(col).cast("double").alias("_x")).where(
+        F.col("_x").isNotNull()
+    )
+    b = vals.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("_x") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+            ).cast("bigint"),
+            F.lit(bins - 1),
+        ).alias("_b")
+    )
+    hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    out = None
+    for q in quantiles:
+        pick = (
+            cum.crossJoin(F.broadcast(stats))
+            .where(F.col("_cum") >= F.lit(float(q)) * F.col("_n"))
+            .orderBy("_b")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("quantile"),
+                (
+                    F.round(
+                        F.col("_lo")
+                        + F.col("_b")
+                        * ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins))),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("estimate"),
+                F.col("_b").cast("long").alias("bucket_idx"),
+                F.col("_c").cast("long").alias("bucket_count"),
+                F.col("_n").cast("long").alias("n"),
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out
+
+
+def bloom_membership(
+    build: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination: build an ``m_bits``-bit filter
+    (``k_hashes`` md5 hash functions) over the BUILD corpus's word
+    n-gram shingles, probe every PROBE doc's shingles against it, and
+    report per doc the bloom-positive count NEXT TO the exact-join
+    count — so the one-sided error is visible in the result (bloom can
+    only overcount: n_false_pos = bloom - exact >= 0, never misses).
+
+    Why next to the exact semi-join (contamination_scores): the bloom
+    bits table is <= m_bits rows no matter how big the holdout corpus
+    is — it BROADCASTS at any scale, replacing the shuffle semi-join
+    against a billion-shingle benchmark with a map-side filter (the
+    classic bloom-pushdown shape). The filter is mergeable (bitwise OR
+    = union of set-bit rows), so it maintains incrementally like the
+    other sketch artifacts here."""
+    from weaviate_spark.operators.dedup import shingle_df
+
+    def bit(j: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}:"), F.col("_shingle"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+
+    bsh = shingle_df(build, id_col, text_col, n).select("_shingle").distinct()
+    bits = None
+    for j in range(k_hashes):
+        part = bsh.select(bit(j).alias("_bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+
+    psh = shingle_df(probe, id_col, text_col, n)
+    probe_bits = None
+    for j in range(k_hashes):
+        part = psh.select("_doc", "_shingle", bit(j).alias("_bit"))
+        probe_bits = (
+            part if probe_bits is None else probe_bits.unionByName(part)
+        )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "_bit", "left_semi")
+        .groupBy("_doc", "_shingle")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .where(F.col("_set") == k_hashes)
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_bloom_pos"))
+    )
+    exact = (
+        psh.join(bsh, "_shingle", "left_semi")
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    totals = psh.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "_doc", "left")
+        .join(exact, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_bloom_pos", F.lit(0)).cast("long").alias("n_bloom_pos"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            (
+                F.coalesce("n_bloom_pos", F.lit(0))
+                - F.coalesce("n_exact", F.lit(0))
+            ).cast("long").alias("n_false_pos"),
+        )
     )
