@@ -968,3 +968,23 @@ def test_fuzzy_name_pairs_blocking_and_band(spark):
     assert rows[("red widget", "red widgets")]["n_a"] == 2  # two occurrences
     assert not any("blue" in a or "blue" in b for a, b in rows)
     assert not any("extraordinarily" in a or "extraordinarily" in b for a, b in rows)
+
+
+def test_keep_best_quality_selects_argmax_per_cluster(spark):
+    from weaviate_spark.operators.dedup import keep_best_quality
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id long, quality double",
+    )
+    rows = {r["doc_id"]: r for r in
+            keep_best_quality(clusters, scores).collect()}
+    # cluster 1: quality tie 0.9 between 2 and 3 -> lower id 2 wins
+    assert rows[2]["keep"] is True
+    assert rows[1]["keep"] is False and rows[3]["keep"] is False
+    # cluster 10: tie -> id 10
+    assert rows[10]["keep"] is True and rows[11]["keep"] is False

@@ -5671,3 +5671,45 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership(
         bench, rest, "doc_id", "text", n=5, m_bits=8192, k_hashes=3
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(src, dst) AS ("
+        "SELECT a, a FROM edges "
+        "UNION "
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+        "comp AS (SELECT src AS doc_id, min(dst) AS cluster_id "
+        "FROM reach GROUP BY src), "
+        "qual AS (SELECT doc_id, quality FROM (" + _TEXT_PROFILE_SQL + ")), "
+        "j AS (SELECT comp.doc_id, comp.cluster_id, qual.quality "
+        "FROM comp JOIN qual USING (doc_id)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id) AS rk FROM j) "
+        "SELECT doc_id, cluster_id, quality, rk = 1 AS keep FROM r"
+    ),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup policy end to end: minhash-LSH pairs ->
+    connected components (pointer-jumping label propagation) -> keep
+    the HIGHEST-QUALITY member per cluster (composite quality score,
+    id tie-break) instead of the arbitrary min-id survivor. The oracle
+    recomputes components by recursive reachability and the same
+    quality formula — three independent subsystems must agree row for
+    row."""
+    from weaviate_spark.operators.dedup import dedup_clusters, keep_best_quality
+    from weaviate_spark.operators.textstats import text_profile
+
+    df = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    )
+    clusters = dedup_clusters(pairs)
+    quality = text_profile(df, "doc_id", "text").select("doc_id", "quality")
+    return keep_best_quality(clusters, quality, "doc_id", "quality")

@@ -1118,3 +1118,36 @@ def fuzzy_name_pairs(
             F.col("n_b").cast("long").alias("n_b"),
         )
     )
+
+
+def keep_best_quality(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-survivor selection by QUALITY instead of min-id: given
+    the connected-component output (``dedup_clusters``) and a per-doc
+    score table, keep the highest-quality member of every cluster
+    (score desc, id asc tie-break) — the production dedup policy (the
+    min-id rule is reproducible but keeps an arbitrary member; real
+    pipelines keep the best-quality copy and drop its near-dups).
+
+    One join on the doc id + one bounded per-cluster window."""
+    from pyspark.sql import Window
+
+    j = clusters.select(id_col, "cluster_id").join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            score_col,
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )
