@@ -856,9 +856,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=_MINHASH_SQL.format(thr=0.35).replace(
+# exact all-pairs >= 0.35 via AllPairs/PPJoin prefix filtering -- shared by
+# dedup_ngram_jaccard and the LSH recall audit
+_NGRAM_EXACT_SQL = _MINHASH_SQL.format(thr=0.35).replace(
         """cand AS (
   SELECT a._doc AS _a, b._doc AS _b
   FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
@@ -887,7 +887,12 @@ cand AS (
   HAVING 1 + least(a._sz - min(a._rank), b._sz - min(b._rank))
          >= ceil(0.35::DOUBLE / 1.35::DOUBLE * (a._sz + b._sz) - 1e-9)
 ),""",
-    ),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_EXACT_SQL,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= 0.35 (candidates = any shared
@@ -5713,3 +5718,59 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     quality = text_profile(df, "doc_id", "text").select("doc_id", "quality")
     return keep_best_quality(clusters, quality, "doc_id", "quality")
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=(
+        "WITH lsh AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "ex AS (" + _NGRAM_EXACT_SQL + "), "
+        "hit AS (SELECT count(*) AS n FROM lsh SEMI JOIN ex "
+        "USING (id_a, id_b)) "
+        "SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact, "
+        "CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh, "
+        "CAST((SELECT n FROM hit) AS BIGINT) AS n_hits, "
+        "round((SELECT n FROM hit) / CAST((SELECT count(*) FROM ex) "
+        "AS DOUBLE), 6) + 0.0 AS recall, "
+        "round((SELECT n FROM hit) / CAST((SELECT count(*) FROM lsh) "
+        "AS DOUBLE), 6) + 0.0 AS precision_"
+    ),
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine audits its own approximation: MinHash-LSH pairs vs
+    the exact PPJoin all-pairs ground truth at the same threshold —
+    pair counts, hits, recall, precision in one row (precision is 1 by
+    construction because LSH candidates are exact-Jaccard rescored;
+    recall < 1 only from banding misses). Both sides are themselves
+    independently hash-checked queries; this composes them."""
+    from pyspark.sql import functions as F
+
+    df = _load(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    ).select("id_a", "id_b")
+    ex = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.35,
+        table_key=(sf_dir, "documents"),
+    ).select("id_a", "id_b")
+    hits = lsh.join(ex, ["id_a", "id_b"], "left_semi")
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_ex.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.round(F.col("n_hits") / F.col("n_exact"), 6) + F.lit(0.0)).alias(
+                "recall"
+            ),
+            (F.round(F.col("n_hits") / F.col("n_lsh"), 6) + F.lit(0.0)).alias(
+                "precision_"
+            ),
+        )
+    )
