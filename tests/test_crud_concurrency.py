@@ -105,3 +105,39 @@ def test_version_log_monotonic(spark, tmp_path):
             spark.createDataFrame([(10 + i, "x")], ["k", "v"]), "k",
         )
     assert crud.table_version(path) == 3
+
+
+def test_time_travel_reads_and_history(spark, tmp_path):
+    """Every transactional write archives the replaced state; versioned
+    reads return exactly the pre-write contents; vacuum bounds it."""
+    from weaviate_spark.filters import Clause
+
+    path = str(tmp_path / "tt")
+    _write_table(spark, path, [(1, "a"), (2, "b")])
+
+    def rows_at(v=None):
+        return sorted(
+            (r["k"], r["v"])
+            for r in crud.read_table_version(spark, path, v).collect()
+        )
+
+    # v0 -> v1: change v of k 2
+    crud.upsert(spark, path, spark.createDataFrame([(2, "B")], "k long, v string"), "k")
+    # v1 -> v2: delete k 1
+    crud.delete_where(spark, path, Clause(operator="Equal", path=["k"], value=1))
+    h = crud.table_history(path)
+    assert h["current_version"] == 2
+    assert h["archived_versions"] == [0, 1]
+    assert rows_at() == [(2, "B")]
+    assert rows_at(2) == [(2, "B")]        # current by number
+    assert rows_at(1) == [(1, "a"), (2, "B")]
+    assert rows_at(0) == [(1, "a"), (2, "b")]
+
+    # one more write, then vacuum to the last snapshot only
+    crud.upsert(spark, path, spark.createDataFrame([(3, "c")], "k long, v string"), "k")
+    dropped = crud.vacuum_table(path, keep_last=1)
+    assert dropped == [0, 1]
+    assert crud.table_history(path)["archived_versions"] == [2]
+    assert rows_at(2) == [(2, "B")]
+    with pytest.raises(FileNotFoundError):
+        crud.read_table_version(spark, path, 0)

@@ -269,6 +269,28 @@ class _Data:
 
         return delete_where(self._h._spark, self._dir(), filters, dry_run=dry_run)
 
+    def read_version(self, version: int | None = None) -> DataFrame:
+        """Time-travel read: the collection as of a committed version
+        (None = current)."""
+        from weaviate_spark.sources.crud import read_table_version
+
+        self._h._check(auth.READ)
+        return read_table_version(self._h._spark, self._dir(), version)
+
+    def history(self) -> dict:
+        """Commit log: current / committed / archived version numbers."""
+        from weaviate_spark.sources.crud import table_history
+
+        self._h._check(auth.READ)
+        return table_history(self._dir())
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop archived snapshots beyond the newest ``keep_last``."""
+        from weaviate_spark.sources.crud import vacuum_table
+
+        self._h._check(auth.DELETE)
+        return vacuum_table(self._dir(), keep_last=keep_last)
+
 
 # ---------------------------------------------------------------------------
 # collection handle + top-level client

@@ -85,6 +85,67 @@ def _txn_dir(table_dir: str) -> str:
     return table_dir.rstrip("/") + ".__txn__"
 
 
+def _version_dir(table_dir: str, version: int) -> str:
+    """Archive location of the table state AS OF ``version`` (the state
+    a later commit replaced). Lives under the sibling __txn__ dir, so
+    parquet readers of the live table never see it."""
+    return os.path.join(_txn_dir(table_dir), "versions", f"{version:010d}")
+
+
+def read_table_version(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the table as of ``version`` (None/current =
+    the live directory). Historical states exist for every version a
+    TRANSACTIONAL write replaced, until ``vacuum_table`` drops them —
+    the Delta `versionAsOf` analogue for the COW store. Raises with
+    the available versions when the requested one was never archived
+    or has been vacuumed."""
+    cur = table_version(table_dir)
+    if version is None or version == cur:
+        return spark.read.parquet(table_dir)
+    d = _version_dir(table_dir, version)
+    if not os.path.isdir(d):
+        avail = sorted(table_history(table_dir)["archived_versions"])
+        raise FileNotFoundError(
+            f"{table_dir}: version {version} is not available "
+            f"(current={cur}, archived={avail}) — written non-"
+            "transactionally, or removed by vacuum_table"
+        )
+    return spark.read.parquet(d)
+
+
+def table_history(table_dir: str) -> dict:
+    """{'current_version', 'committed_versions', 'archived_versions'} —
+    the inspectable commit log (DESCRIBE HISTORY analogue)."""
+    d = _txn_dir(table_dir)
+    commits: list[int] = []
+    if os.path.isdir(d):
+        commits = sorted(
+            int(n.split(".", 1)[0]) for n in os.listdir(d) if n.endswith(".commit")
+        )
+    vdir = os.path.join(d, "versions")
+    archived: list[int] = []
+    if os.path.isdir(vdir):
+        archived = sorted(int(n) for n in os.listdir(vdir))
+    return {
+        "current_version": max(commits, default=0),
+        "committed_versions": commits,
+        "archived_versions": archived,
+    }
+
+
+def vacuum_table(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop archived snapshots older than the newest ``keep_last`` —
+    bounds time-travel storage exactly like Delta VACUUM. Returns the
+    removed version numbers."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    archived = table_history(table_dir)["archived_versions"]
+    drop = archived[: max(0, len(archived) - keep_last)]
+    for v in drop:
+        shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+    return drop
+
+
 def table_version(table_dir: str) -> int:
     """Current COMMITTED version of a table (0 = never written through
     the transactional path). The version log is the Delta-protocol
@@ -208,7 +269,19 @@ def _rewrite(
         os.rename(table_dir, backup)
     os.rename(staging, table_dir)
     if os.path.exists(backup):
-        shutil.rmtree(backup)
+        if expected_version is not None:
+            # transactional path: RETAIN the replaced state as the
+            # archived snapshot of `expected_version` (time travel /
+            # rollback — the Delta-log analogue of keeping old files
+            # until VACUUM). Non-OCC writes keep the old fast-delete.
+            dst = _version_dir(table_dir, expected_version)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):  # idempotent crash-retry
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, dst)
+        else:
+            shutil.rmtree(backup)
     if expected_version is not None:
         _finish_commit(table_dir, expected_version)
     invalidate_indexes(preserve_dedup_index=preserve_dedup_index,
