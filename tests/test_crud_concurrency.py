@@ -141,3 +141,34 @@ def test_time_travel_reads_and_history(spark, tmp_path):
     assert rows_at(2) == [(2, "B")]
     with pytest.raises(FileNotFoundError):
         crud.read_table_version(spark, path, 0)
+
+
+def test_restore_version_is_a_new_commit(spark, tmp_path):
+    path = str(tmp_path / "rb")
+    _write_table(spark, path, [(1, "a")])
+    crud.upsert(spark, path, spark.createDataFrame([(2, "b")], "k long, v string"), "k")
+    crud.upsert(spark, path, spark.createDataFrame([(3, "c")], "k long, v string"), "k")
+    assert crud.table_version(path) == 2
+
+    new_v = crud.restore_version(spark, path, 1)
+    assert new_v == 3
+    rows = sorted((r["k"], r["v"]) for r in
+                  crud.read_table_version(spark, path).collect())
+    assert rows == [(1, "a"), (2, "b")]  # state as of version 1
+    # the pre-restore state is itself archived and still readable
+    pre = sorted((r["k"], r["v"]) for r in
+                 crud.read_table_version(spark, path, 2).collect())
+    assert pre == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_upsert_schema_evolution_fills_nulls(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    _write_table(spark, path, [(1, "a")])
+    crud.upsert(
+        spark, path,
+        spark.createDataFrame([(2, "b", 7.5)], "k long, v string, score double"),
+        "k",
+    )
+    rows = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 7.5
+    assert rows[1]["v"] == "a"

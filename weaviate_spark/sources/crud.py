@@ -133,6 +133,22 @@ def table_history(table_dir: str) -> dict:
     }
 
 
+def restore_version(spark: SparkSession, table_dir: str, version: int) -> int:
+    """Roll the table back to an archived snapshot — as a NEW commit
+    (Delta RESTORE semantics: history moves forward, the rolled-back
+    states stay archived and time-travelable). Returns the new current
+    version. Concurrent-writer safe: the restore claims the next
+    version like any transactional write."""
+    snap = read_table_version(spark, table_dir, version)
+    base_version = table_version(table_dir)
+    # materialize through the normal staging path; localCheckpoint
+    # first so the read of the archived files completes before any
+    # directory shuffling
+    _rewrite(snap.localCheckpoint(eager=True), table_dir,
+             expected_version=base_version)
+    return table_version(table_dir)
+
+
 def vacuum_table(table_dir: str, keep_last: int = 2) -> list[int]:
     """Drop archived snapshots older than the newest ``keep_last`` —
     bounds time-travel storage exactly like Delta VACUUM. Returns the
@@ -306,8 +322,11 @@ def upsert(
     base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir)
     kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
+    # schema evolution (autoschema analogue / Delta mergeSchema): new
+    # columns in either side fill NULL on the other — adding a property
+    # never requires a manual migration
     _rewrite(
-        kept.unionByName(new_rows), table_dir,
+        kept.unionByName(new_rows, allowMissingColumns=True), table_dir,
         expected_version=base_version,
         preserve_dedup_index=preserve_dedup_index,
         preserve_vector_index=preserve_vector_index,
