@@ -502,3 +502,32 @@ def test_label_outlier_scores_flags_planted_mislabel(spark):
     for i in (1, 2, 3, 4, 6, 7):
         assert out[i]["likely_mislabeled"] is False
         assert out[i]["margin"] > 0
+
+
+def test_matryoshka_recall_vs_exact(spark):
+    """With overfetch = corpus size the cascade equals exact search; at
+    modest overfetch the top-1 still survives on this corpus."""
+    import numpy as np
+
+    from weaviate_spark.operators.similarity import matryoshka_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 32).astype(float)
+    q = rng.randn(32).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    full = matryoshka_topk(df, "vec_id", "embedding", [float(x) for x in q],
+                           prefix_dim=8, overfetch=80, k=5).collect()
+    # exact ground truth on float32-stored vectors
+    v32 = vecs.astype(np.float32).astype(float)
+    d = 1 - v32 @ q / (np.linalg.norm(v32, axis=1) * np.linalg.norm(q))
+    exact = list(np.argsort(np.round(d, 6), kind="stable")[:5])
+    assert [r["vec_id"] for r in full] == exact
+    # pruned cascade keeps ordering among survivors consistent
+    pruned = matryoshka_topk(df, "vec_id", "embedding", [float(x) for x in q],
+                             prefix_dim=8, overfetch=20, k=5).collect()
+    assert all(r["_distance"] >= full[0]["_distance"] for r in pruned)
+    got = [r["vec_id"] for r in pruned]
+    assert sorted(set(got)) == sorted(got)  # no dup ids

@@ -5774,3 +5774,55 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _matryoshka_oracle_sql(prefix: int = 16, overfetch: int = 50, k: int = 10) -> str:
+    import math
+
+    def qnorm(vals):
+        acc = 0.0
+        for x in vals:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    qp = QVEC[:prefix]
+    qp_sql = "[" + ", ".join(str(x) for x in qp) + "]::DOUBLE[]"
+    np_, nf = qnorm(qp), qnorm(QVEC)
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"p AS (SELECT vec_id, ev, round(1 - "
+        f"list_dot_product(ev[1:{prefix}], {qp_sql}) / "
+        f"(sqrt(list_dot_product(ev[1:{prefix}], ev[1:{prefix}])) * {np_!r}), 6) "
+        "+ 0.0 AS pd FROM e), "
+        f"c AS (SELECT * FROM p ORDER BY pd, vec_id LIMIT {overfetch}), "
+        f"f AS (SELECT vec_id, pd, round(1 - "
+        f"list_dot_product(ev, {_QVEC_SQL}) / "
+        f"(sqrt(list_dot_product(ev, ev)) * {nf!r}), 6) + 0.0 AS d FROM c) "
+        f"SELECT vec_id, pd AS prefix_distance, d AS _distance FROM f "
+        f"ORDER BY d, vec_id LIMIT {k}"
+    )
+
+
+@register("knn_matryoshka_topk", oracle=_matryoshka_oracle_sql())
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-phase retrieval (MRL, NeurIPS'22): coarse scan on
+    the first 16 of 64 dimensions (4x fewer multiply-adds per row),
+    top-50 candidates, exact full-dim cosine rescore to top-10 — the
+    index-free pruning family next to LSH/IVF and PQ/BQ; the entire
+    cascade incl. candidate selection is deterministic and mirrored in
+    SQL."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.similarity import matryoshka_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = matryoshka_topk(
+        emb, "vec_id", "embedding", QVEC, prefix_dim=16, overfetch=50, k=10
+    )
+    return out.select(
+        "vec_id",
+        (F.col("prefix_distance") + F.lit(0.0)).alias("prefix_distance"),
+        (F.col("_distance") + F.lit(0.0)).alias("_distance"),
+    )

@@ -528,3 +528,67 @@ def hash_embed_knn(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    prefix_dim: int = 16,
+    overfetch: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style two-phase retrieval (MRL, Kusupati et al.
+    NeurIPS'22 — public): phase 1 scans only the FIRST ``prefix_dim``
+    dimensions (4x fewer multiply-adds per row here; with
+    MRL-trained embeddings the prefix is a faithful coarse space),
+    keeps ``overfetch`` candidates, phase 2 rescores just those with
+    the full-dimension exact cosine. The third pruning family next to
+    LSH/IVF bucketing and PQ/BQ byte scans: no index artifact at all,
+    just column arithmetic — the right tool when embeddings were
+    trained matryoshka-style and the corpus changes too fast to keep
+    an index fresh.
+
+    Both phases are deterministic (distances rounded to 6dp before
+    ranking, id tie-breaks) so the whole cascade — including WHICH
+    candidates survive phase 1 — is reproducible in SQL."""
+    from weaviate_spark.functions.distance import cosine_distance_const_query
+
+    qp = [float(x) for x in query[:prefix_dim]]
+    qf = [float(x) for x in query]
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), ev.alias("_ev")
+    )
+    pre = base.select(
+        id_col,
+        "_ev",
+        (
+            F.round(
+                cosine_distance_const_query(
+                    F.slice("_ev", 1, prefix_dim), qp
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("_pd"),
+    )
+    cand = pre.orderBy(F.col("_pd").asc(), F.col(id_col).asc()).limit(overfetch)
+    full = cand.select(
+        id_col,
+        "_pd",
+        (
+            F.round(cosine_distance_const_query(F.col("_ev"), qf), 6)
+            + F.lit(0.0)
+        ).alias("_distance"),
+    )
+    return (
+        full.orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.col("_pd").alias("prefix_distance"),
+            "_distance",
+        )
+    )
