@@ -298,13 +298,20 @@ def tfidf_cosine_topk(
 
     from weaviate_spark.functions.text import tokenize
 
+    from weaviate_spark.cache import register_cache
+
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
     )
-    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    # tf feeds df-counts, the kept-terms window, AND (via postings) both
+    # sides of the pair join — cache it or the token explode re-executes
+    # per consumer
+    tf = register_cache(
+        toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf")).cache()
+    )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    ndocs = toks.select("_doc").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    ndocs = tf.select("_doc").distinct().agg(F.count(F.lit(1)).alias("_n"))
 
     w = (
         tf.join(dfreq, "_t")
@@ -326,8 +333,10 @@ def tfidf_cosine_topk(
         .select("_doc", "_t", "_w")
     )
     norm = kept.groupBy("_doc").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
-    postings = kept.join(norm, "_doc").select(
-        "_doc", "_t", (F.col("_w") / F.col("_nm")).alias("_wn")
+    postings = register_cache(
+        kept.join(norm, "_doc")
+        .select("_doc", "_t", (F.col("_w") / F.col("_nm")).alias("_wn"))
+        .cache()
     )
     a, b = postings.alias("a"), postings.alias("b")
     pair_cos = (
