@@ -245,3 +245,125 @@ def test_daily_zscores_null_until_history(spark):
     assert out[5] is None or out[5] > 0  # spike day: 4 identical -> sd 0?
     # trailing window for day 5 is [2,2,2,2] -> sd 0 -> NULL
     assert out[5] is None
+
+
+# --- round-6 third-session additions -----------------------------------------
+
+
+def test_triangle_counts_hand_graph(spark):
+    from weaviate_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5,
+    # a self-loop, a parallel edge, and a reversed duplicate
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (3, 3), (2, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["triangles"]
+           for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from weaviate_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+             if rng.random() < 0.2]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+def test_pareto_frontier_bruteforce(spark):
+    import random
+
+    from weaviate_spark.operators.analytics import pareto_frontier
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 20), rng.randint(0, 20))
+            for i in range(120)]
+    # inject exact duplicates and same-x ties
+    rows += [(200, 0, 20), (201, 0, 20), (202, 0, 5)]
+    df = spark.createDataFrame(rows, "id int, price int, size int")
+    keep = set()
+    for i, p, s in rows:
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s)) for _, q, t in rows
+        )
+        if not dominated:
+            keep.add(i)
+    got = {r["id"] for r in
+           pareto_frontier(df, "price", "size").collect()}
+    assert got == keep
+    assert {200, 201} <= got and 202 not in got
+
+
+def test_scd2_intervals_collapse_and_nulls(spark):
+    from weaviate_spark.operators.analytics import scd2_intervals
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, None),
+        (1, 5, None), (1, 6, "a"),
+        (2, 1, None), (2, 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = scd2_intervals(df, key="k", ts="t", attr="v", tiebreak="t")
+    got = sorted(
+        (r["k"], r["valid_from"], r["v"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, "a", 3, False),
+        (1, 3, "b", 4, False),
+        (1, 4, None, 6, False),
+        (1, 6, "a", None, True),
+        (2, 1, None, 2, False),
+        (2, 2, "x", None, True),
+    ]
+
+
+def test_radius_pairs_bruteforce(spark):
+    import math
+    import random
+
+    from weaviate_spark.operators.analytics import radius_pairs
+
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(40, 60), rng.uniform(-10, 30))
+           for i in range(80)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+
+    def hav(a, b):
+        la1, lo1 = a
+        la2, lo2 = b
+        h = (math.sin(math.radians(la2 - la1) / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+        return 2 * 6371000.0 * math.asin(math.sqrt(h))
+
+    radius = 300_000.0
+    expected = set()
+    for i, la1, lo1 in pts:
+        for j, la2, lo2 in pts:
+            if i < j and hav((la1, lo1), (la2, lo2)) <= radius:
+                expected.add((i, j))
+    out = radius_pairs(df, key="id", lat="lat", lon="lon", radius_m=radius)
+    rows = out.collect()
+    got = {(r["key_1"], r["key_2"]) for r in rows}
+    assert got == expected
+    assert len(rows) == len(got)  # each pair exactly once
+    for r in rows:
+        assert r["distance_m"] <= radius

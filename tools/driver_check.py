@@ -31,6 +31,8 @@ def value_hash(pdf) -> str:
     of minutes on multi-million-row scale-step results."""
     import numpy as np
 
+    if len(pdf) == 0:
+        return hashlib.md5(b"").hexdigest()
     cols = sorted(pdf.columns)
     parts = []
     for c in cols:

@@ -5826,3 +5826,196 @@ def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("prefix_distance") + F.lit(0.0)).alias("prefix_distance"),
         (F.col("_distance") + F.lit(0.0)).alias("_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation (third session): graph/skyline/SCD2/geo-pair/CUBE
+# analytics depth
+
+@register(
+    "graph_triangle_count",
+    oracle=(
+        # independent evaluation: sorted-triple enumeration (x<y<z),
+        # not the engine's degree-ordered orientation
+        "WITH raw AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
+        "e AS (SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b "
+        "FROM raw WHERE cn <> sn), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "v AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) "
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS triangles "
+        "FROM v JOIN nation ON n_nationkey = node GROUP BY n_name"
+    ),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected nation trade graph
+    (same edge derivation as graph_pagerank_trade). Degree-ordered
+    orientation generates each triangle exactly once with O(m^1.5)
+    wedge work — the hub-safe shape at 100 TB; the oracle re-counts by
+    sorted-triple enumeration, a genuinely different algorithm."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import triangle_counts
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    tri = triangle_counts(edges, "src", "dst")
+    return tri.join(
+        F.broadcast(nation), tri["node"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), "triangles")
+
+
+@register(
+    "part_skyline_pareto",
+    oracle=(
+        # independent evaluation: quadratic NOT-EXISTS dominance test,
+        # not the engine's sort-sweep
+        "SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size "
+        "FROM part p WHERE NOT EXISTS ("
+        "SELECT 1 FROM part q "
+        "WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+        "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"
+    ),
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi et al. ICDE'01):
+    parts where no other part is cheaper-or-equal AND larger-or-equal
+    with one strict. The engine sweeps a running max over the collapsed
+    distinct-price frame (never an all-pairs dominance join); the
+    oracle IS the quadratic dominance definition."""
+    from weaviate_spark.operators.analytics import pareto_frontier
+
+    part = _load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(part, minimize="p_retailprice", maximize="p_size")
+
+
+@register(
+    "scd2_event_type_history",
+    oracle=(
+        "WITH c AS (SELECT user_id, event_type, ts, event_id, "
+        "lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS pe, "
+        "row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+        "ch AS (SELECT user_id, event_type, ts, event_id FROM c "
+        "WHERE rn = 1 OR pe IS DISTINCT FROM event_type) "
+        "SELECT user_id, event_type, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS valid_to, "
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "IS NULL AS is_current FROM ch"
+    ),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event stream: per user,
+    consecutive same-type events collapse and each change point opens a
+    half-open validity interval; the open row is flagged current. One
+    exchange (both windows share key+sort); the warehouse pattern for
+    maintaining dimension history out of a CDC/event feed."""
+    from weaviate_spark.operators.analytics import scd2_intervals
+
+    ev = _load(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, key="user_id", ts="ts", attr="event_type", tiebreak="event_id"
+    )
+
+
+@register(
+    "geo_neighbor_pairs",
+    oracle=(
+        # independent evaluation: brute-force all-pairs haversine
+        "WITH geo AS (SELECT c_custkey, "
+        "  35 + (c_custkey % 30) + 0.5 AS lat, (c_custkey % 60) - 15 + 0.5 AS lon "
+        "FROM customer WHERE c_custkey % 37 = 0) "
+        "SELECT a.c_custkey AS key_1, b.c_custkey AS key_2, "
+        "round(2 * 6371000.0 * asin(sqrt("
+        "  pow(sin(radians(b.lat - a.lat) / 2), 2) + "
+        "  cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "  pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS distance_m "
+        "FROM geo a JOIN geo b ON a.c_custkey < b.c_custkey "
+        "WHERE 2 * 6371000.0 * asin(sqrt("
+        "  pow(sin(radians(b.lat - a.lat) / 2), 2) + "
+        "  cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "  pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 400000"
+    ),
+)
+def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius geo self-join over the deterministic
+    synthetic coordinates of a 1-in-37 customer sample (400 km): grid-cell
+    blocking sized from the corpus's max |lat| guarantees every
+    within-radius partner is in the 3x3 cell neighborhood, so
+    candidates are O(n·density) — the oracle runs the O(n²) brute
+    force the engine must never plan."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import radius_pairs
+
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 37 == 0)
+        .select(
+            "c_custkey",
+            (35 + (F.col("c_custkey") % 30) + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") % 60) - 15 + 0.5).cast("double").alias("lon"),
+        )
+    )
+    out = radius_pairs(cust, key="c_custkey", lat="lat", lon="lon", radius_m=400_000.0)
+    return out.select(
+        "key_1", "key_2",
+        (F.round("distance_m", 3) + F.lit(0.0)).alias("distance_m"),
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle=(
+        "SELECT o_orderstatus AS status, o_orderpriority AS priority, "
+        "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, "
+        "CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_sum "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (status × priority): all four
+    grouping combinations in one pass with GROUPING indicators —
+    completes the grouping-sets family next to agg_rollup_region_nation;
+    money sums DECIMAL-exact so every subtotal is partition-order
+    independent."""
+    from pyspark.sql import functions as F
+
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return orders.cube("status", "priority").agg(
+        F.grouping("status").cast("long").alias("g_status"),
+        F.grouping("priority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_sum"),
+    )

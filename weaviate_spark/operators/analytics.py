@@ -27,6 +27,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import register_cache
+
 
 def retention_cohorts(
     events: DataFrame,
@@ -373,4 +375,157 @@ def gap_fill_daily(
         "n",
         (F.col("n") == 0).alias("was_gap"),
         carried.cast("long").alias("locf"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame, minimize: str, maximize: str
+) -> DataFrame:
+    """Rows on the 2-D Pareto frontier (the skyline operator,
+    Börzsönyi et al. ICDE'01): keep a row iff no other row is <= on
+    ``minimize`` AND >= on ``maximize`` with at least one strict.
+
+    Scale shape: dominance only ever depends on the VALUE pair, so the
+    sweep runs on the collapsed frame — max(maximize) per distinct
+    ``minimize`` value (one map-side-combined shuffle on the base
+    table), then a running-max window ordered by ``minimize``. The
+    single-partition window touches at most one row per distinct
+    ``minimize`` value, never the base table; survivors broadcast back
+    as a semi-join. No all-pairs dominance join at any size.
+    """
+    cand = df.groupBy(minimize).agg(F.max(maximize).alias(maximize))
+    w = (
+        Window.orderBy(F.col(minimize).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        cand.withColumn("_rm", F.max(maximize).over(w))
+        .where(F.col("_rm").isNull() | (F.col("_rm") < F.col(maximize)))
+        .drop("_rm")
+    )
+    return df.join(F.broadcast(sky), [minimize, maximize], "left_semi")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event stream:
+    per ``key``, collapse consecutive rows with an unchanged ``attr``
+    and emit one validity interval per change point —
+    (key, attr, valid_from, valid_to, is_current) with half-open
+    [valid_from, valid_to) intervals and valid_to NULL on the open row.
+
+    One shuffle: both windows share partitionBy(key) + the same sort
+    key, so Catalyst plans a single exchange + sort. The lag is taken
+    over a struct so a NULL ``attr`` value is distinguishable from
+    "first row of the key" (null-safe change detection).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    prev = F.lag(F.struct(F.col(attr).alias("v"))).over(w)
+    changed = (
+        df.select(key, ts, attr, tiebreak)
+        .withColumn("_p", prev)
+        .where(
+            F.col("_p").isNull()
+            | ~F.col("_p.v").eqNullSafe(F.col(attr))
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    return (
+        changed.withColumn("valid_to", F.lead(F.col(ts)).over(w2))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def radius_pairs(
+    df: DataFrame,
+    key: str,
+    lat: str,
+    lon: str,
+    radius_m: float,
+) -> DataFrame:
+    """All unordered pairs of rows within ``radius_m`` meters
+    (haversine): (key_1, key_2, distance_m), key_1 < key_2.
+
+    Grid-cell blocking: each point lands in one square cell sized so
+    that any within-radius partner is in the 3×3 neighborhood; the left
+    side explodes its 9 candidate cells and the pair join runs on the
+    cell key — candidates are O(n · density), never the O(n²) cross
+    join a naive distance self-join plans. The cell edge uses the
+    worst-case longitude shrink at the corpus's max |lat| so the 3×3
+    guarantee holds without per-row trig. Exact haversine verifies
+    every candidate; each surviving pair is emitted exactly once
+    (explode on the left only + key_1 < key_2).
+    """
+    from weaviate_spark.filters import haversine_meters
+
+    pts = df.select(
+        F.col(key).alias("_k"),
+        F.col(lat).cast("double").alias("_lat"),
+        F.col(lon).cast("double").alias("_lon"),
+    )
+    lat_deg = radius_m / 111_195.0  # meters per degree latitude
+    max_lat = (
+        pts.agg(F.max(F.abs(F.col("_lat"))).alias("m")).collect()[0]["m"]
+    )
+    import math
+
+    shrink = max(math.cos(math.radians(min(abs(max_lat or 0.0) + lat_deg, 89.0))), 1e-3)
+    lon_deg = lat_deg / shrink
+    cells = register_cache(
+        pts.withColumn("_ci", F.floor(F.col("_lat") / F.lit(lat_deg)))
+        .withColumn("_cj", F.floor(F.col("_lon") / F.lit(lon_deg)))
+        .cache()
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    left = cells.select(
+        F.col("_k").alias("_k1"),
+        F.col("_lat").alias("_lat1"),
+        F.col("_lon").alias("_lon1"),
+        F.explode(offsets).alias("_o"),
+        "_ci",
+        "_cj",
+    ).select(
+        "_k1",
+        "_lat1",
+        "_lon1",
+        (F.col("_ci") + F.col("_o.di")).alias("_ci"),
+        (F.col("_cj") + F.col("_o.dj")).alias("_cj"),
+    )
+    right = cells.select(
+        F.col("_k").alias("_k2"),
+        F.col("_lat").alias("_lat2"),
+        F.col("_lon").alias("_lon2"),
+        "_ci",
+        "_cj",
+    )
+    d = haversine_meters(
+        F.col("_lat1"), F.col("_lon1"), F.col("_lat2"), F.col("_lon2")
+    )
+    return (
+        left.join(right, ["_ci", "_cj"])
+        .where(F.col("_k1") < F.col("_k2"))
+        .withColumn("_d", d)
+        .where(F.col("_d") <= F.lit(float(radius_m)))
+        .select(
+            F.col("_k1").alias("key_1"),
+            F.col("_k2").alias("key_2"),
+            F.col("_d").alias("distance_m"),
+        )
     )

@@ -116,3 +116,69 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("_n").alias("node"), F.col("_r").alias("pagerank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, triangles): per-node triangle participation counts over the
+    UNDIRECTED simple graph induced by ``edges`` (direction, weights,
+    parallel edges and self-loops dropped). Nodes in no triangle are
+    omitted.
+
+    Degree-ordered orientation (the standard MapReduce triangle-count
+    shape, Suri & Vassilvitskii WWW'11): every edge is oriented toward
+    its higher-(degree, id) endpoint, so each triangle has exactly one
+    pivot with two out-edges and is generated once. The wedge join's
+    size is Σ_u outdeg(u)², and orientation bounds outdeg by O(√m) on
+    any graph — O(m^1.5) total work instead of the Θ(Σ deg²) a naive
+    neighbor join pays on skewed degree distributions (the hub problem
+    at 100 TB). Three shuffles: degree agg, wedge self-join on the
+    pivot, closing-edge join on the canonical pair.
+    """
+    e = register_cache(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .union(e.select(F.col("_b")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_deg").alias("_db"))
+    # canonical edges have _a < _b, so on (deg, id) ties the id decides
+    low_first = F.col("_da") <= F.col("_db")
+    oriented = register_cache(
+        e.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(low_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+            F.when(low_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        )
+        .cache()
+    )
+    wedges = (
+        oriented.select("_u", F.col("_v").alias("_x"))
+        .join(oriented.select("_u", F.col("_v").alias("_y")), "_u")
+        .where(F.col("_x") < F.col("_y"))
+    )
+    # _x < _y, so the closing edge is already in canonical form
+    tri = wedges.join(
+        e.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+        ["_x", "_y"],
+    )
+    verts = (
+        tri.select(F.col("_u").alias("_n"))
+        .union(tri.select(F.col("_x")))
+        .union(tri.select(F.col("_y")))
+    )
+    return verts.groupBy("_n").agg(
+        F.count(F.lit(1)).alias("triangles")
+    ).select(F.col("_n").alias("node"), "triangles")
