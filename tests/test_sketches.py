@@ -176,3 +176,29 @@ def test_gap_fill_locf_fills_missing_days(spark):
     assert rows[("a", 4)]["n"] == 1 and rows[("a", 4)]["locf"] == 1
     assert ("b", 1) not in rows and rows[("b", 2)]["n"] == 1
     assert len(rows) == 5  # a: days 1-4, b: day 2
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import (
+        hll_estimate_registers,
+        hll_group_registers,
+    )
+
+    rows = [(i % 7, f"u{i % 400}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "part int, val string")
+    # sketch each partition separately, merge to one global register set
+    per_part = hll_group_registers(df, "val", F.col("part"), "part", p=10)
+    merged = (
+        per_part.withColumn("all", F.lit(1))
+        .groupBy("all", "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    m = hll_estimate_registers(merged, "all", p=10).collect()[0]
+    direct = hll_estimate_registers(
+        hll_group_registers(df, "val", F.lit(1), "all", p=10), "all", p=10
+    ).collect()[0]
+    assert m["hll_estimate"] == direct["hll_estimate"]
+    # estimate is in a sane band around the true 400
+    assert 300 <= m["hll_estimate"] <= 500

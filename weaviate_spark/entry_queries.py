@@ -6019,3 +6019,136 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_sum"),
     )
+
+
+@register(
+    "sketch_hll_daily_merge",
+    oracle=(
+        # weekly registers computed once; merged-from-daily and direct
+        # estimates coincide BY ALGEBRA (max-merge of daily maxima ==
+        # weekly maxima), which is the mergeability property under test
+        "WITH hh AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week, "
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "r AS (SELECT week, h >> 48 AS reg, "
+        "CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49 "
+        "ELSE 48 - length(bin(h & ((1::BIGINT << 48) - 1))) + 1 END AS rho "
+        "FROM hh), "
+        "regs AS (SELECT week, reg, max(rho) AS rho FROM r GROUP BY 1, 2), "
+        "a AS (SELECT week, "
+        "sum(CAST(power(2.0, 49 - rho) AS DECIMAL(38,0))) AS osum, "
+        "count(*) AS nocc FROM regs GROUP BY week), "
+        "e AS (SELECT week, CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+        "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS est FROM ("
+        "SELECT week, 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 "
+        "* power(2.0, 49) / CAST(osum + CAST(4096 - nocc AS DECIMAL(38,0)) "
+        "* (1::BIGINT << 49) AS DOUBLE) AS raw, "
+        "CAST(4096 - nocc AS DOUBLE) AS zeros FROM a)), "
+        "x AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week, "
+        "count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1) "
+        "SELECT e.week AS week, round(e.est, 4) AS merged_estimate, "
+        "round(e.est, 4) AS direct_estimate, "
+        "CAST(x.exact_users AS BIGINT) AS exact_users "
+        "FROM e JOIN x ON e.week = x.week"
+    ),
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL: per-DAY register sketches of distinct users are
+    max-merged into weekly estimates and must equal the direct weekly
+    sketch — the sketch-at-ingest / merge-at-query shape that answers
+    any-period distinct counts at 100 TB from tiny register tables
+    instead of event rescans. Exact weekly distincts ride along for
+    error visibility."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import (
+        hll_estimate_registers,
+        hll_group_registers,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    daily = hll_group_registers(
+        ev, "user_id", F.to_date(F.col("ts")), "day", p=12
+    )
+    merged_regs = (
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        )
+        .groupBy("week", "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    merged = hll_estimate_registers(
+        merged_regs, "week", p=12, out="merged_estimate"
+    )
+    direct = hll_estimate_registers(
+        hll_group_registers(
+            ev, "user_id", F.date_trunc("week", F.col("ts")).cast("date"),
+            "week", p=12,
+        ),
+        "week", p=12, out="direct_estimate",
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.join(direct, "week").join(exact, "week").select(
+        "week", "merged_estimate", "direct_estimate", "exact_users"
+    )
+
+
+@register(
+    "mv_incremental_pricing",
+    oracle=(
+        # full one-pass recompute — the incremental fold must match it
+        # bit-for-bit (DECIMAL accumulators make merge order immaterial)
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS sum_base_price, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+        "/ count(*), 6) + 0.0 AS avg_qty, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained aggregate view (Gupta & Mumick '95): lineitem
+    arrives as four insert batches; each folds O(batch) partial state
+    into the view (merge = groupBy over two STATE frames, O(groups)),
+    lineage checkpoint-truncated per fold. The finalized view — avg
+    derived from DECIMAL sum/count — must equal the oracle's full
+    recompute exactly; no history rescan ever happens on the read
+    path."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.matview import merge_state, partial_state
+
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "sum_qty": ("sum", "CAST(l_quantity AS DECIMAL(18,2))"),
+        "sum_base_price": ("sum", "CAST(l_extendedprice AS DECIMAL(18,2))"),
+        "n_rows": ("count", "1"),
+        "min_ship": ("min", "l_shipdate"),
+        "max_ship": ("max", "l_shipdate"),
+    }
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_orderkey",
+    )
+    state = None
+    for i in range(4):
+        batch = li.where(F.pmod(F.col("l_orderkey"), F.lit(4)) == i)
+        state = merge_state(
+            state, partial_state(batch, keys, measures), keys, measures
+        )
+    return state.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        (
+            F.round(F.col("sum_qty").cast("double") / F.col("n_rows"), 6)
+            + F.lit(0.0)
+        ).alias("avg_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "min_ship", "max_ship",
+    )

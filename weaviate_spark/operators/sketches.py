@@ -409,3 +409,59 @@ def bloom_membership(
             ).cast("long").alias("n_false_pos"),
         )
     )
+
+
+def hll_group_registers(
+    df: DataFrame, col: str, group_expr: Column, group_name: str, p: int = 12
+) -> DataFrame:
+    """Occupied HLL registers per group: (group, _reg, _rho) with
+    rho = max over the group's values — the MERGEABLE sketch state.
+    At most 2^p rows per group regardless of group size; register
+    tables for different partitions of the data merge by
+    groupBy(_reg).max(_rho), which is what makes HLL the right
+    distinct-count structure for 100 TB: sketch each day/segment once
+    at ingest, answer any period by merging tiny register tables
+    instead of rescanning events."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4,16], got {p}")
+    tail_bits = _HASH_BITS - p
+    h = _hash60(F.col(col))
+    reg = F.shiftright(h, tail_bits).alias("_reg")
+    w = h.bitwiseAND(F.lit((1 << tail_bits) - 1)).alias("_w")
+    rho = (
+        F.when(F.col("_w") == 0, F.lit(tail_bits + 1))
+        .otherwise(F.lit(tail_bits) - F.length(F.bin(F.col("_w"))) + 1)
+    ).alias("_rho")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(group_expr.alias(group_name), reg, w)
+        .select(group_name, "_reg", rho)
+        .groupBy(group_name, "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+
+
+def hll_estimate_registers(
+    regs: DataFrame, group_name: str, p: int = 12, out: str = "hll_estimate"
+) -> DataFrame:
+    """(group, estimate) from a register table produced by
+    ``hll_group_registers`` (or any max-merge of such tables). Same
+    arithmetic as ``hll_distinct``: exact DECIMAL harmonic sum +
+    small-range linear counting."""
+    m = 1 << p
+    s = _HASH_BITS - p + 1
+    agg = regs.groupBy(group_name).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(s) - F.col("_rho")).cast("decimal(38,0)"))
+        .alias("_osum"),
+        F.count(F.lit(1)).alias("_nocc"),
+    )
+    alpha = hll_alpha(m)
+    total = (
+        F.col("_osum")
+        + (F.lit(m) - F.col("_nocc")).cast("decimal(38,0)") * F.lit(1 << s)
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << s)) / total
+    zeros = (F.lit(m) - F.col("_nocc")).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(group_name, F.round(est, 4).alias(out))
