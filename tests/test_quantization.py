@@ -392,3 +392,45 @@ def test_vector_index_family_invalidation(spark):
     assert fams == ["pq"]
     invalidate_pq_index()
     assert not _vector_tables._state
+
+
+def test_ivfpq_topk_recall_and_pruning(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS, CODEBOOK
+    from weaviate_spark.operators.quantization import (
+        ivfpq_topk, with_ivfpq_index,
+    )
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.sources.tables import load_table
+    from weaviate_spark.entry_queries import QVEC
+
+    out = ivfpq_topk(
+        spark, sf_dir, "embeddings", QVEC, k=10, nprobe=3,
+        table_key=(sf_dir, "embeddings", "t_ivfpq"),
+    ).collect()
+    assert len(out) == 10
+    ds = [r["_distance"] for r in out]
+    assert ds == sorted(ds)
+
+    # exact brute-force cosine top-10 for recall comparison
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(float(x)) for x in QVEC])
+    exact = (
+        emb.withColumn("_d", F.round(distance(F.col("embedding"), qv, "cosine"), 6))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    got = {r["vec_id"] for r in out}
+    want = {r["vec_id"] for r in exact}
+    assert len(got & want) >= 5  # nprobe=3/16 keeps most true neighbors
+
+    # index table carries both pruning columns; cells within range
+    enc = with_ivfpq_index(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, CODEBOOK,
+        (sf_dir, "embeddings", "t_ivfpq"),
+    )
+    row = enc.limit(1).collect()[0]
+    assert 0 <= row["_cell"] < len(IVF_CENTROIDS)
+    assert len(row["_pq"]) == len(CODEBOOK)

@@ -6152,3 +6152,78 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         "min_ship", "max_ship",
     )
+
+
+def _ivfpq_oracle_sql(k: int = 10, nprobe: int = 3, overfetch: int = 4) -> str:
+    """DuckDB mirror of q_ann_ivfpq_topk: the _ivf_oracle_sql cell
+    assignment/probe composed with the _pq_oracle_sql ADC — identical
+    6dp centroid/LUT literals at every stage."""
+    import numpy as np
+
+    from weaviate_spark.operators.pq_codebook import (
+        CODEBOOK, IVF_CENTROIDS, SEG_DIM,
+    )
+    from weaviate_spark.operators.quantization import pq_lut_py
+
+    def dlist(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    cell_scores = ", ".join(
+        f"-2 * list_dot_product(nv, {dlist(c)}) + {float(np.dot(c, c))!r}"
+        for c in IVF_CENTROIDS
+    )
+    cell_lut = pq_lut_py(QVEC, [IVF_CENTROIDS])[0]
+    cells = sorted(range(len(cell_lut)), key=lambda c: (cell_lut[c], c))[:nprobe]
+    in_list = ", ".join(str(c) for c in cells)
+
+    seg_parts = []
+    for s, C in enumerate(CODEBOOK):
+        lo, hi = s * SEG_DIM + 1, (s + 1) * SEG_DIM
+        scores = ", ".join(
+            f"-2 * list_dot_product(nv[{lo}:{hi}], {dlist(c)}) + "
+            f"{float(np.dot(c, c))!r}"
+            for c in C
+        )
+        seg_parts.append((s, f"[{scores}]"))
+    lut = pq_lut_py(QVEC, CODEBOOK)
+    darr_cols = ", ".join(f"{arr} AS d{s}" for s, arr in seg_parts)
+    code_list = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) - 1" for s, _ in seg_parts
+    )
+    adc = " + ".join(
+        f"({dlist(lut[s])})[pq[{s + 1}] + 1]" for s in range(len(lut))
+    )
+    return (
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "en AS (SELECT vec_id, ev, "
+        "list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM e), "
+        f"assign AS (SELECT vec_id, ev, nv, [{cell_scores}] AS cd FROM en), "
+        "probed AS (SELECT vec_id, ev, nv FROM assign "
+        f"WHERE list_position(cd, list_min(cd)) - 1 IN ({in_list})), "
+        f"dists AS (SELECT vec_id, ev, {darr_cols} FROM probed), "
+        f"codes AS (SELECT vec_id, ev, [{code_list}] AS pq FROM dists), "
+        f"cand AS (SELECT vec_id, ev, {adc} AS _adc FROM codes "
+        f"ORDER BY _adc ASC, vec_id ASC LIMIT {overfetch * k}) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        f"FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (the IVFADC shape, Jégou et al. TPAMI'11;
+    the reference pairs its coarse index with PQ compression the same
+    way): one persisted table carries coarse cell + PQ codes, search
+    probes 3 of 16 cells, ADC-ranks only their members (8 lookups/row),
+    exact cosine rescore of 40 candidates. Both pruning dimensions
+    compound — cells cut what is scanned, codes cut what a scan costs —
+    and the entire cascade is hash-checked against the composed
+    oracle."""
+    from weaviate_spark.operators.quantization import ivfpq_topk
+
+    return ivfpq_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, nprobe=3, overfetch=4, table_key=(sf_dir, "embeddings"),
+    )

@@ -618,3 +618,127 @@ def rq_topk(
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (coarse cells + PQ codes in one persisted table —
+# the IVFADC shape, Jégou et al. TPAMI'11): probe a few cells, ADC-scan
+# only their members' codes, exact-rescore only the overfetch set.
+# At 100 TB this is the route where BOTH pruning dimensions compound:
+# nprobe/k_cells of the corpus is scanned at all, and what is scanned
+# costs 8 array lookups per row instead of dim float multiplies.
+
+
+def _ivfpq_encode_kernel(ivf_centroids, codebook, normalize: bool = True):
+    """One-pass corpus encoder: coarse cell (argmin over the full-dim
+    IVF centroids) + per-segment PQ codes, one numpy GEMM each per
+    batch — a single ingest scan materializes both pruning columns."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        ivf = np.asarray(ivf_centroids, dtype=np.float64)
+        books = [np.asarray(C, dtype=np.float64) for C in codebook]
+        seg_dim = books[0].shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["_v"].notna()]
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if normalize:
+                X = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            cell = _pq_assign_scores(X, ivf).argmin(axis=1).astype(np.int32)
+            codes = np.zeros((len(pdf), len(books)), dtype=np.int32)
+            for s, C in enumerate(books):
+                Xs = X[:, s * seg_dim:(s + 1) * seg_dim]
+                codes[:, s] = _pq_assign_scores(Xs, C).argmin(axis=1)
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "_v": pdf["_v"].to_numpy(),
+                "_cell": cell,
+                "_pq": list(codes),
+            })
+
+    return gen
+
+
+def invalidate_ivfpq_index() -> None:
+    _vector_tables.invalidate(family="ivfpq")
+
+
+def with_ivfpq_index(
+    df: DataFrame, id_col: str, vector_col: str, ivf_centroids, codebook,
+    table_key: tuple, normalize: bool = True,
+) -> DataFrame:
+    """(_id, _v, _cell, _pq) — the session-persisted IVF-PQ table. At
+    real scale this is written partitionBy(_cell) so a probe is a
+    partition-pruned directory read, exactly like the tenant routing."""
+    key = (session_key(df.sparkSession), *table_key, "ivfpq", normalize)
+
+    def _encode(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+        ).mapInPandas(
+            _ivfpq_encode_kernel(ivf_centroids, codebook, normalize),
+            "_id long, _v array<float>, _cell int, _pq array<int>",
+        )
+
+    return _vector_tables.resolve(
+        key, key[: len(table_key) + 1], "_id", lambda: _encode(df), _encode,
+        family="ivfpq",
+    )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    vector: Sequence[float],
+    ivf_centroids=None,
+    codebook=None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    overfetch: int = 4,
+    metric: str = "cosine",
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` cells nearest the query
+    (driver-side over the tiny centroid artifact), ADC-rank ONLY those
+    cells' codes, exact-``metric`` rescore of the overfetch*k
+    candidates. Every stage deterministic (6dp literals, id ties), so
+    the full cascade mirrors in oracle SQL."""
+    if ivf_centroids is None:
+        from weaviate_spark.operators.pq_codebook import IVF_CENTROIDS
+        ivf_centroids = IVF_CENTROIDS
+    if codebook is None:
+        from weaviate_spark.operators.pq_codebook import CODEBOOK
+        codebook = CODEBOOK
+    normalize = metric == "cosine"
+    base = load_table(spark, sf_dir, collection)
+    enc = with_ivfpq_index(
+        base, id_col, vector_col, ivf_centroids, codebook,
+        table_key if table_key is not None else (sf_dir, collection),
+        normalize=normalize,
+    )
+    cell_lut = pq_lut_py(vector, [ivf_centroids], normalize=normalize)[0]
+    cells = sorted(range(len(cell_lut)), key=lambda c: (cell_lut[c], c))[:nprobe]
+    lut = pq_lut_py(vector, codebook, normalize=normalize)
+    candidates = (
+        enc.where(F.col("_cell").isin(cells))
+        .withColumn("_adc", pq_adc_col(F.col("_pq"), lut))
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(overfetch * k)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in vector])
+    return (
+        candidates.withColumn(
+            "_distance", F.round(distance(F.col("_v"), qv, metric), 6)
+        )
+        .select(F.col("_id").alias(id_col), "_distance")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
