@@ -129,3 +129,44 @@ def test_bpe_encode_docs_matches_apply_bpe(spark):
     for did in (1, 2, 4):
         assert fast[did][2] == slow[did]
         assert fast[did][1] == len(slow[did].split())
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from weaviate_spark.operators.tokenizer_train import wordpiece_encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "unwanted unhappy un"), (2, "wanted")],
+        "doc_id int, text string",
+    )
+    # hand vocab: greedy must prefer 'unwa' over 'un' at word start,
+    # and continuation matches use the 'c' form
+    vocab = {
+        ("i", "un"), ("i", "unwa"), ("c", "nte"), ("c", "ed"),
+        ("c", "want"), ("c", "appy"),
+    }
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_wp_tokens"], r["wp_text"])
+        for r in wordpiece_encode_docs(docs, vocab, max_len=4).collect()
+    }
+    # unwanted -> unwa ##nte ##d ; unhappy -> un ##h ##appy ; un -> un
+    assert out[1] == (3, 7, "unwa ##nte ##d un ##h ##appy un")
+    # wanted: no initial multi-char match -> w ##a ##nte ##d
+    assert out[2] == (1, 4, "w ##a ##nte ##d")
+
+
+def test_wordpiece_vocab_threshold(spark):
+    from weaviate_spark.operators.tokenizer_train import wordpiece_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab bbbb")], "doc_id int, text string",
+    )
+    got = {
+        (r["form"], r["tok"])
+        for r in wordpiece_vocab(docs, max_len=3, min_frac=0.5).collect()
+    }
+    # 'aaa' initial occurs in 3 of 4 word occurrences (weight 3 >= 2);
+    # initial 'bbb' (weight 1, single 'bbbb' occurrence) stays out, but
+    # continuation 'bb' appears at two positions of that word (weight 2)
+    assert ("i", "aaa") in got and ("i", "aa") in got
+    assert ("i", "bbb") not in got and ("i", "bb") not in got
+    assert ("c", "bb") in got

@@ -6227,3 +6227,93 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
         k=10, nprobe=3, overfetch=4, table_key=(sf_dir, "embeddings"),
     )
+
+
+def _wordpiece_oracle_sql(steps: int = 12, max_len: int = 4) -> str:
+    """Unrolled greedy WordPiece in pure DuckDB SQL: the same
+    frequency-threshold vocab, then ``steps`` max-munch steps over the
+    distinct-word frame (each step = longest vocab match via length-
+    ordered LEFT JOINs, single-char fallback), then doc reassembly.
+    ``steps`` bounds word length; the corpus tokenizer regex yields
+    words <= 8 chars at every SF."""
+    vjoin = " ".join(
+        f"LEFT JOIN vocab v{l} ON v{l}.tl = {l} AND "
+        f"v{l}.form = CASE WHEN e.pos = 1 THEN 'i' ELSE 'c' END AND "
+        f"v{l}.tok = substr(e.word, e.pos, {l})"
+        for l in range(max_len, 1, -1)
+    )
+    adv = "CASE " + " ".join(
+        f"WHEN v{l}.tok IS NOT NULL THEN {l}" for l in range(max_len, 1, -1)
+    ) + " ELSE 1 END"
+    piece = "coalesce(" + ", ".join(
+        f"v{l}.tok" for l in range(max_len, 1, -1)
+    ) + ", substr(e.word, e.pos, 1))"
+    parts = [
+        "WITH wc AS (SELECT word, count(*) AS cnt FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word "
+        "FROM documents) GROUP BY word)",
+        "tot AS (SELECT sum(cnt) AS t FROM wc)",
+        "subs AS (SELECT CASE WHEN i = 1 THEN 'i' ELSE 'c' END AS form, "
+        "substr(word, i, l) AS tok, sum(cnt) AS c "
+        "FROM wc, LATERAL unnest(range(1, len(word) + 1)) AS u(i), "
+        f"LATERAL unnest(range(2, {max_len + 1})) AS v(l) "
+        "WHERE i + l - 1 <= len(word) GROUP BY 1, 2)",
+        "vocab AS (SELECT form, tok, len(tok) AS tl FROM subs, tot "
+        "WHERE c >= 0.01 * t)",
+        "s0 AS (SELECT word, 1 AS pos, ''::VARCHAR AS toks FROM wc)",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"s{k} AS (SELECT e.word, "
+            f"CASE WHEN e.pos > len(e.word) THEN e.pos "
+            f"ELSE e.pos + {adv} END AS pos, "
+            f"CASE WHEN e.pos > len(e.word) THEN e.toks "
+            f"ELSE e.toks || CASE WHEN e.pos = 1 THEN '' ELSE ' ##' END || "
+            f"CASE WHEN e.pos = 1 THEN {piece} ELSE "
+            f"CASE WHEN {adv} = 1 THEN substr(e.word, e.pos, 1) ELSE {piece} END END "
+            f"END AS toks "
+            f"FROM s{k-1} e {vjoin})"
+        )
+    parts.append(
+        f"wpv AS (SELECT word, toks, len(string_split(toks, ' ')) AS ntoks "
+        f"FROM s{steps})"
+    )
+    parts.append(
+        "dw AS (SELECT doc_id, tt[i] AS word, i FROM "
+        "(SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents), LATERAL unnest(range(1, len(tt) + 1)) AS u(i))"
+    )
+    parts.append(
+        "enc AS (SELECT dw.doc_id, dw.i, v.toks, v.ntoks FROM dw "
+        "JOIN wpv v USING (word))"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(ntoks) AS BIGINT) AS n_wp_tokens, "
+        "string_agg(toks, ' ' ORDER BY i) AS wp_text "
+        "FROM enc GROUP BY doc_id"
+    )
+
+
+@register("tokenizer_wordpiece_encode", oracle=_wordpiece_oracle_sql())
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match encode (Wu et al. 2016; the
+    max-munch family next to the BPE merge-fold): vocabulary =
+    frequency-thresholded word substrings in initial / '##'-
+    continuation forms, derived from the corpus itself; every document
+    re-tokenizes via the distinct-word domain (Arrow-batched greedy
+    over thousands of words, never per-token-occurrence Python) and one
+    word-key join. Oracle unrolls the identical max-munch recurrence in
+    SQL."""
+    from weaviate_spark.operators.tokenizer_train import (
+        wordpiece_encode_docs,
+        wordpiece_vocab,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    vocab = {
+        (r["form"], r["tok"])
+        for r in wordpiece_vocab(docs, max_len=4, min_frac=0.01).collect()
+    }
+    return wordpiece_encode_docs(docs, vocab, "doc_id", "text", max_len=4)

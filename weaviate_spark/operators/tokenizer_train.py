@@ -186,3 +186,110 @@ def bpe_encode_docs(
             F.flatten(F.transform(per_word, lambda x: x["syms"])), " "
         ).alias("bpe_text"),
     )
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    min_frac: float = 0.01,
+) -> DataFrame:
+    """Corpus-derived WordPiece vocabulary: (form, tok) where form 'i'
+    = word-initial, 'c' = continuation. A substring of length
+    2..max_len enters the vocab when its occurrence-weighted count (per
+    position, per word occurrence) reaches ``min_frac`` of total word
+    occurrences — a deterministic, scale-invariant rule (no iterative
+    likelihood training) that both engines derive from the same counts.
+    Single characters are implicitly always in the vocab (the encoder's
+    fallback), so encoding never needs [UNK] on text the tokenizer
+    regex produced."""
+    wc = _word_counts(docs, text_col)
+    total = wc.agg(F.sum("cnt").alias("_t"))
+    subs = (
+        wc.select(
+            "word", "cnt",
+            F.explode(
+                F.expr("sequence(1, length(word))")
+            ).alias("_i"),
+        )
+        .select(
+            "word", "cnt", "_i",
+            F.explode(F.expr(f"sequence(2, {max_len})")).alias("_l"),
+        )
+        .where(F.col("_i") + F.col("_l") - 1 <= F.length("word"))
+        .select(
+            F.when(F.col("_i") == 1, F.lit("i")).otherwise(F.lit("c")).alias("form"),
+            F.expr("substring(word, _i, _l)").alias("tok"),
+            "cnt",
+        )
+        .groupBy("form", "tok")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    return (
+        subs.crossJoin(F.broadcast(total))
+        .where(F.col("c") >= F.lit(min_frac) * F.col("_t"))
+        .select("form", "tok", "c")
+    )
+
+
+def wordpiece_encode_docs(
+    docs: DataFrame,
+    vocab: set,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+) -> DataFrame:
+    """Greedy longest-match-first (max-munch) WordPiece encode — the
+    standard WordPiece inference algorithm (Wu et al. 2016 §4.1;
+    continuation pieces carry the '##' prefix). Same scale shape as
+    bpe_encode_docs: the Arrow-batched greedy loop runs over the
+    DISTINCT-WORD vocabulary only (the bounded domain), documents
+    reassemble via one word-key join; ``vocab`` is the tiny collected
+    (form, tok) artifact, broadcast with the closure.
+
+    Returns (id, n_words, n_wp_tokens, wp_text); wordless docs drop.
+    """
+    vocab_fs = frozenset(vocab)
+
+    def _wp_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for w in pdf["word"]:
+                pos, parts = 0, []
+                while pos < len(w):
+                    form = "i" if pos == 0 else "c"
+                    ln = min(max_len, len(w) - pos)
+                    while ln > 1 and (form, w[pos:pos + ln]) not in vocab_fs:
+                        ln -= 1
+                    piece = w[pos:pos + ln]
+                    parts.append(piece if pos == 0 else "##" + piece)
+                    pos += ln
+                out.append(" ".join(parts))
+            pdf = pdf.copy()
+            pdf["_toks"] = out
+            yield pdf
+
+    words = (
+        _word_counts(docs, text_col)
+        .select("word")
+        .mapInPandas(_wp_batches, "word string, _toks string")
+        .withColumn("_n", F.size(F.split(F.col("_toks"), " ")))
+        .localCheckpoint()
+    )
+    dw = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE_SQL}', 0)")
+        ).alias("_pos", "word"),
+    )
+    enc = dw.join(words, "word")
+    per_word = F.array_sort(F.collect_list(F.struct("_pos", "_toks")))
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_n").cast("long").alias("n_wp_tokens"),
+        F.array_join(
+            F.transform(per_word, lambda x: x["_toks"]), " "
+        ).alias("wp_text"),
+    )
