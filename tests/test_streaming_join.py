@@ -370,3 +370,46 @@ def test_stream_stream_left_outer_emits_unattributed(spark, sf_dir, tmp_path):
     proven_nulls = {t for t in batch
                     if t[1] is None and purchase_ts[t[0]] < cutoff}
     assert proven_nulls and proven_nulls <= streamed
+
+
+def test_stream_ingest_maintains_hll_sketch(spark, tmp_path):
+    """distinct_sketch upkeep: after the stream drains, the maintained
+    register store answers the running distinct count without touching
+    the table — and equals a from-scratch sketch of the full corpus."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.sketches import (
+        hll_estimate_registers, hll_group_registers, hll_sketch_estimate,
+        invalidate_hll_sketches,
+    )
+    from weaviate_spark.streaming.ingest import (
+        stream_ingest_with_index_maintenance,
+    )
+
+    schema = "doc_id long, author string"
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    key = ("stream-hll", "docs")
+    invalidate_hll_sketches()
+
+    rows = [(i, f"author-{i % 57}") for i in range(300)]
+    # two files -> at least one micro-batch each with maxFilesPerTrigger
+    spark.createDataFrame(rows[:150], schema).write.parquet(src)
+    spark.createDataFrame(rows[150:], schema).write.mode("append").parquet(src)
+
+    q = stream_ingest_with_index_maintenance(
+        spark, src, schema, tgt, "doc_id",
+        distinct_sketch=(key, "author"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    est = hll_sketch_estimate(spark, key).collect()[0]["hll_estimate"]
+    direct = hll_estimate_registers(
+        hll_group_registers(
+            spark.read.parquet(tgt), "author", F.lit(1), "_all"
+        ),
+        "_all",
+    ).collect()[0]["hll_estimate"]
+    invalidate_hll_sketches()
+    assert est == direct
+    assert 40 <= est <= 75  # 57 true distinct authors

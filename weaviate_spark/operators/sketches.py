@@ -465,3 +465,65 @@ def hll_estimate_registers(
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
     return agg.select(group_name, F.round(est, 4).alias(out))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained HLL register stores: the distinct-count analogue
+# of the BM25/vector index upkeep — each ingest batch folds its O(batch)
+# register sketch into a <= 2^p-row state, so "how many distinct X so
+# far" never rescans the table. Registries are keyed by SparkContext id
+# (cache.session_key) because foreachBatch hands sinks a cloned session
+# wrapper.
+
+import threading as _threading
+
+_hll_lock = _threading.RLock()
+_hll_stores: dict = {}
+
+
+def invalidate_hll_sketches() -> None:
+    with _hll_lock:
+        _hll_stores.clear()
+
+
+def append_to_hll_sketch(
+    batch_df: DataFrame,
+    col: str,
+    key: tuple,
+    group_col: str | None = None,
+    p: int = 12,
+) -> None:
+    """Fold one batch into the session's HLL register store for ``key``
+    (optionally per ``group_col``). O(batch) sketch + O(registers)
+    max-merge, lineage checkpoint-truncated per fold."""
+    from weaviate_spark.cache import session_key
+
+    gname = group_col if group_col is not None else "_all"
+    gexpr = F.col(group_col) if group_col is not None else F.lit(1)
+    regs = hll_group_registers(batch_df, col, gexpr, gname, p=p)
+    skey = (session_key(batch_df.sparkSession), *key, gname, p)
+    with _hll_lock:
+        old = _hll_stores.get(skey)
+        if old is not None:
+            regs = (
+                old.unionByName(regs)
+                .groupBy(gname, "_reg")
+                .agg(F.max("_rho").alias("_rho"))
+            )
+        _hll_stores[skey] = regs.localCheckpoint(eager=True)
+
+
+def hll_sketch_estimate(
+    spark, key: tuple, group_col: str | None = None, p: int = 12
+) -> DataFrame:
+    """(group, hll_estimate) from the maintained register store — the
+    read path touches only the register state, never the table."""
+    from weaviate_spark.cache import session_key
+
+    gname = group_col if group_col is not None else "_all"
+    skey = (session_key(spark), *key, gname, p)
+    with _hll_lock:
+        regs = _hll_stores.get(skey)
+    if regs is None:
+        raise KeyError(f"no HLL sketch maintained under {key!r}")
+    return hll_estimate_registers(regs, gname, p=p)

@@ -76,6 +76,7 @@ def stream_ingest_with_index_maintenance(
     num_hashes: int = 16,
     bm25: bool = False,
     vector_index_key: Optional[tuple] = None,
+    distinct_sketch: Optional[tuple] = None,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
@@ -103,6 +104,11 @@ def stream_ingest_with_index_maintenance(
       rides on PQ) built under the key
       (quantization.append_to_vector_indexes — each index re-encodes
       only the batch with its own stored pipeline).
+    * ``distinct_sketch=(key, col[, group_col])`` — fold each batch's
+      HLL registers into the session's register store
+      (sketches.append_to_hll_sketch): running distinct-of-``col``
+      estimates (optionally per group) readable at any time via
+      sketches.hll_sketch_estimate without rescanning the table.
 
     Dedup-index semantics are the reference's object upsert: a
     re-arrived id REPLACES its indexed version. Pick the sink to match:
@@ -165,6 +171,12 @@ def stream_ingest_with_index_maintenance(
             bm25_mod.advance_bm25_artifacts(batch_df, sf_dir, coll, fp_before)
         if vector_index_key is not None:
             append_to_vector_indexes(batch_df, vector_index_key)
+        if distinct_sketch is not None:
+            from weaviate_spark.operators.sketches import append_to_hll_sketch
+
+            skey, scol = distinct_sketch[0], distinct_sketch[1]
+            sgroup = distinct_sketch[2] if len(distinct_sketch) > 2 else None
+            append_to_hll_sketch(batch_df, scol, skey, group_col=sgroup)
 
     return stream_ingest(
         spark, source_dir, schema, target_dir, transform=transform,
