@@ -988,3 +988,32 @@ def test_keep_best_quality_selects_argmax_per_cluster(spark):
     assert rows[1]["keep"] is False and rows[3]["keep"] is False
     # cluster 10: tie -> id 10
     assert rows[10]["keep"] is True and rows[11]["keep"] is False
+
+
+def test_minhash_bbit_superset_recall_and_estimator(spark, sf_dir):
+    from weaviate_spark.operators.dedup import (
+        minhash_bbit_pairs, minhash_lsh_pairs,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", jaccard_threshold=0.35,
+            max_bucket_size=1_000_000,
+        ).collect()
+    }
+    rows = minhash_bbit_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.35,
+        max_bucket_size=1_000_000,
+    ).collect()
+    bbit = {(r["id_a"], r["id_b"]) for r in rows}
+    # collisions only merge buckets: candidates (hence verified pairs)
+    # are a superset of the full-width LSH result
+    assert bbit >= full
+    for r in rows:
+        assert 0 <= r["bbit_match"] <= 16
+        # the corrected estimator tracks exact jaccard within the
+        # K=16 sampling noise band
+        assert abs(r["jaccard_bbit_est"] - r["jaccard"]) <= 0.35

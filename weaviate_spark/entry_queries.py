@@ -6317,3 +6317,81 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in wordpiece_vocab(docs, max_len=4, min_frac=0.01).collect()
     }
     return wordpiece_encode_docs(docs, vocab, "doc_id", "text", max_len=4)
+
+
+_BBIT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
+  FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
+  WHERE len(tt) >= 3
+),
+km AS (
+  SELECT _doc,
+    ('0x' || substr(md5(_shingle), 1, 14))::BIGINT AS _h1,
+    ('0x' || substr(md5(_shingle), 15, 14))::BIGINT AS _h2
+  FROM sh
+),
+mh AS (
+  SELECT _doc, i AS _i, min(_h1 + i * _h2) % 256 AS _v
+  FROM km, LATERAL unnest(range(0, 16)) AS t(i)
+  GROUP BY _doc, i
+),
+bands AS (
+  SELECT _doc, CAST(_i // 4 AS INT) AS _band,
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || CAST(_v AS VARCHAR), ',' ORDER BY _i)) AS _bucket
+  FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
+),
+cand AS (
+  SELECT a._doc AS _a, b._doc AS _b
+  FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
+  GROUP BY 1, 2
+),
+sizes AS (SELECT _doc, count(*) AS _sz FROM sh GROUP BY _doc),
+inter AS (
+  SELECT c._a, c._b, count(*) AS _inter
+  FROM cand c
+  JOIN sh sa ON sa._doc = c._a
+  JOIN sh sb ON sb._doc = c._b AND sb._shingle = sa._shingle
+  GROUP BY c._a, c._b
+),
+jac AS (
+  SELECT i._a, i._b,
+    round(CAST(i._inter AS DOUBLE) / (sa._sz + sb._sz - i._inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa._doc = i._a
+  JOIN sizes sb ON sb._doc = i._b
+  WHERE CAST(i._inter AS DOUBLE) / (sa._sz + sb._sz - i._inter) >= {thr}
+),
+m AS (
+  SELECT j._a, j._b, count(*) FILTER (va._v = vb._v) AS _m
+  FROM jac j
+  JOIN mh va ON va._doc = j._a
+  JOIN mh vb ON vb._doc = j._b AND vb._i = va._i
+  GROUP BY j._a, j._b
+)
+SELECT j._a AS id_a, j._b AS id_b, j.jaccard,
+  CAST(m._m AS INT) AS bbit_match,
+  round((m._m / 16.0 - 1.0/256) / (1.0 - 1.0/256), 6) + 0.0 AS jaccard_bbit_est
+FROM jac j JOIN m ON m._a = j._a AND m._b = j._b
+"""
+
+
+@register("dedup_minhash_bbit", oracle=_BBIT_SQL.format(thr=0.35))
+def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König WWW'10): banding and matching
+    run entirely on the low 8 bits of each of 16 minhashes — an 8x
+    smaller signature table through every shuffle, recall >= the
+    full-width LSH by construction (collisions only merge buckets) —
+    with the paper's collision-corrected similarity estimator emitted
+    next to the exact verify. md5 arithmetic bit-identical in SQL."""
+    from weaviate_spark.operators.dedup import minhash_bbit_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return minhash_bbit_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        b_bits=8, jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    )

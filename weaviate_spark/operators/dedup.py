@@ -1151,3 +1151,110 @@ def keep_best_quality(
             (F.col("_rk") == 1).alias("keep"),
         )
     )
+
+
+def minhash_bbit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    b_bits: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """b-bit minwise hashing (Li & König WWW'10): keep only the low
+    ``b_bits`` of each minhash. Signature storage drops 64/b-fold —
+    at 100 TB the K×8-byte signature column is itself a major table,
+    and the b-bit form (K bytes at b=8) is what ships through the band
+    shuffle. Banding over b-bit values only ADDS candidates vs the
+    full-width LSH (collisions merge buckets), so recall never drops;
+    the exact-Jaccard verify keeps precision. Alongside the exact
+    jaccard, emits the paper's collision-corrected estimator
+    Ĵ = (m/K − C)/(1 − C) with C = 2^-b, computable from the b-bit
+    signatures alone.
+
+    Returns (id_a, id_b, jaccard, bbit_match, jaccard_bbit_est).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    mod = 1 << b_bits
+
+    if table_key is not None:
+        sh, sig, sets = _resolve_index(
+            df, id_col, text_col, shingle_n, table_key,
+            num_hashes=num_hashes, want_sets=True,
+        )
+    else:
+        sets = None
+        sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
+        h1, h2 = _km_halves(F.col("_shingle"))
+        hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        sig = hashed.groupBy("_doc").agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ])
+    # the b-bit signature: all downstream stages read ONLY these columns
+    bsig = register_cache(sig.select(
+        "_doc",
+        *[(F.col(f"_mh{i}") % mod).alias(f"_bb{i}") for i in range(num_hashes)],
+    ).cache())
+    band_cols = []
+    for bd in range(bands):
+        entry = F.concat_ws(",", *[
+            F.concat(F.lit(f"{i}:"), F.col(f"_bb{i}").cast("string"))
+            for i in range(bd * rows_per_band, (bd + 1) * rows_per_band)
+        ])
+        band_cols.append(
+            F.struct(F.lit(bd).alias("_band"), F.md5(entry).alias("_bucket"))
+        )
+    buckets = (
+        bsig.select("_doc", F.explode(F.array(*band_cols)).alias("_bb"))
+        .select("_doc", F.col("_bb._band").alias("_band"),
+                F.col("_bb._bucket").alias("_bucket"))
+    )
+    sized = buckets.groupBy("_band", "_bucket").agg(
+        F.collect_list("_doc").alias("_docs"), F.count(F.lit(1)).alias("_n")
+    ).where((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+    pairs = (
+        sized.select(F.explode("_docs").alias("_a"), F.col("_docs"))
+        .select("_a", F.explode("_docs").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    va = bsig.select(
+        F.col("_doc").alias("_a"),
+        F.array(*[F.col(f"_bb{i}") for i in range(num_hashes)]).alias("_va"),
+    )
+    vb = bsig.select(
+        F.col("_doc").alias("_b"),
+        F.array(*[F.col(f"_bb{i}") for i in range(num_hashes)]).alias("_vb"),
+    )
+    match = F.size(
+        F.filter(
+            F.zip_with("_va", "_vb", lambda x, y: x == y), lambda z: z
+        )
+    )
+    c = 1.0 / mod
+    verified = jaccard_for_pairs(pairs, sh, sets=sets)
+    est = (
+        F.round(
+            (F.col("bbit_match") / F.lit(float(num_hashes)) - F.lit(c))
+            / F.lit(1.0 - c),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        verified.where(F.col("jaccard") >= jaccard_threshold)
+        .join(va, "_a").join(vb, "_b")
+        .withColumn("bbit_match", match)
+        .withColumn("jaccard_bbit_est", est)
+        .select(
+            F.col("_a").alias("id_a"), F.col("_b").alias("id_b"),
+            "jaccard", "bbit_match", "jaccard_bbit_est",
+        )
+    )
