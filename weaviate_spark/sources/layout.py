@@ -1,0 +1,82 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+row-group skipping.
+
+The bucketed write path (sources/bucketed.py) co-locates JOIN keys;
+this module handles the other big layout lever at 100 TB — FILTER
+locality across multiple columns. Sorting a fact table by one column
+gives parquet row-group min/max stats that prune scans on that column
+only; interleaving the bits of several rank-normalized columns into one
+Morton key (Morton 1966; the OPTIMIZE ZORDER BY of lakehouse table
+formats) bounds EVERY participating column's value range within each
+row group, so the parquet reader's predicate pushdown skips row groups
+for range predicates on ANY of them. Pure open-source Spark mechanics:
+a narrow key expression + repartitionByRange + sortWithinPartitions,
+then plain parquet; the skipping itself is the stock
+spark.sql.parquet.filterPushdown row-group pruning.
+
+``tests/test_layout.py`` asserts the claim directly against the
+written parquet footers: the fraction of row groups whose [min, max]
+intersects a second-column range predicate — exactly the set the
+reader must touch — drops several-fold vs a single-column sort of the
+same data into the same file count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> Column:
+    """Morton key interleaving ``bits`` bits of each column,
+    range-normalized against the frame's own min/max (collected once —
+    two scalars per column, the same tiny-driver-artifact pattern as
+    the IVF centroids). Works for any numeric/date-castable columns;
+    ties inside one normalization bucket are harmless (they just share
+    a key)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    scale = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = float(stats[f"_lo_{c}"]), float(stats[f"_hi_{c}"])
+        span = hi - lo if hi > lo else 1.0
+        norm = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) * F.lit(scale / span)
+        ).cast("long")
+        # clamp fp edge of the max value
+        norm = F.least(norm, F.lit(scale).cast("long"))
+        for b in range(bits):
+            bit = F.shiftright(norm, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + ci)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of ``cols``:
+    range-partition on the key (contiguous z-ranges per file = bounded
+    hyper-rectangles per row group), sort within partitions so row
+    groups inside each file stay tight too. One extra shuffle at write
+    time buys row-group skipping on every clustered column for the
+    life of the table."""
+    (
+        df.withColumn("_z", zorder_key(df, cols, bits))
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
