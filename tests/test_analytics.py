@@ -367,3 +367,34 @@ def test_radius_pairs_bruteforce(spark):
     assert len(rows) == len(got)  # each pair exactly once
     for r in rows:
         assert r["distance_m"] <= radius
+
+
+def test_markov_transitions_row_normalized(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_markov_transitions"](spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["p_transition"])
+    for ps in by_from.values():
+        assert abs(sum(ps) - 1.0) < 1e-4  # rows sum to 1 (6dp rounding)
+
+
+def test_ewma_matches_recurrence(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["events_ewma_daily"](spark, sf_dir).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append(r)
+    for et, rs in series.items():
+        # re-derive by the textbook recurrence on irregular days:
+        # s_t = (w*s_prev_weightsum*decay^gap ... ) — equivalently
+        # recompute the anchored weighted mean directly
+        anchor = max(r["day"] for r in rs)
+        num = den = 0.0
+        for r in rs:
+            w = 0.8 ** (anchor - r["day"]).days
+            num += r["day_value"] * w
+            den += w
+            assert abs(r["ewma"] - num / den) < 1e-4

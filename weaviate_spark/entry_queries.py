@@ -6395,3 +6395,101 @@ def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_bits=8, jaccard_threshold=0.35, max_bucket_size=1_000_000,
         table_key=(sf_dir, "documents"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS next_type FROM events), "
+        "c AS (SELECT event_type, next_type, count(*) AS n FROM seq "
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2), "
+        "t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1) "
+        "SELECT c.event_type AS from_type, c.next_type AS to_type, "
+        "CAST(c.n AS BIGINT) AS n_transitions, "
+        "round(c.n / CAST(t.tot AS DOUBLE), 6) AS p_transition "
+        "FROM c JOIN t ON t.event_type = c.event_type"
+    ),
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current) — the behavioral model behind
+    next-action prediction and funnel anomaly scoring. One exchange on
+    user for the lag, one tiny groupBy on the (from, to) pairs; row
+    normalization joins against the 5x5 margin, broadcast at any
+    scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "events_ewma_daily",
+    oracle=(
+        "WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) "
+        "AS day, sum(value) AS v FROM events GROUP BY 1, 2), "
+        "anch AS (SELECT event_type, max(day) AS mx FROM d GROUP BY 1), "
+        "wd AS (SELECT d.event_type, d.day, d.v, "
+        "power(0.8, date_diff('day', d.day, a.mx)) AS wt "
+        "FROM d JOIN anch a USING (event_type)), "
+        "a AS (SELECT event_type, day, v, "
+        "sum(v * wt) OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num, "
+        "sum(wt) OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den "
+        "FROM wd) "
+        "SELECT event_type, day, round(v, 6) + 0.0 AS day_value, "
+        "round(num / den, 6) + 0.0 AS ewma "
+        "FROM a"
+    ),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event value per
+    type (decay 0.8/day): the time-decay smoother behind trend lines
+    and alerting baselines. The recurrence is re-anchored as
+    weight = decay^(anchor - day), so EWMA = running weighted sum /
+    running weight sum — two cumulative windows over the same
+    partition+sort (one exchange), no iterative fold, numerically
+    identical across partitionings at 6dp."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    anchor = F.max("day").over(Window.partitionBy("event_type"))
+    wgt = F.pow(F.lit(0.8), F.datediff(anchor, F.col("day")))
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = (
+        d.withColumn("_w", wgt)
+        .withColumn("_num", F.sum(F.col("v") * F.col("_w")).over(cum))
+        .withColumn("_den", F.sum("_w").over(cum))
+    )
+    return a.select(
+        "event_type", "day",
+        (F.round("v", 6) + F.lit(0.0)).alias("day_value"),
+        (F.round(F.col("_num") / F.col("_den"), 6) + F.lit(0.0)).alias("ewma"),
+    )
