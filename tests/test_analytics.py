@@ -398,3 +398,14 @@ def test_ewma_matches_recurrence(spark, sf_dir):
             num += r["day_value"] * w
             den += w
             assert abs(r["ewma"] - num / den) < 1e-4
+
+
+def test_sssp_hand_graph(spark):
+    from weaviate_spark.operators.graph import sssp
+
+    # 0 -1-> 1 -1-> 2 ; 0 -5-> 2 ; 3 unreachable from 0
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (3, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {r["node"]: r["distance"]
+           for r in sssp(df, source=0, iterations=4).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}  # 3 absent: unreachable

@@ -6493,3 +6493,68 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("v", 6) + F.lit(0.0)).alias("day_value"),
         (F.round(F.col("_num") / F.col("_den"), 6) + F.lit(0.0)).alias("ewma"),
     )
+
+
+def _sssp_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled Bellman-Ford over the nation trade graph (MATERIALIZED
+    per step — DuckDB inlines CTE references otherwise and the edge
+    derivation would re-run per mention)."""
+    parts = [
+        "WITH raw AS MATERIALIZED (SELECT c.c_nationkey AS cn, "
+        "s.s_nationkey AS sn, count(*) AS cnt "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT cn AS s, sn AS d, 1.0 / cnt AS w FROM raw)",
+        "d0 AS MATERIALIZED (SELECT 0 AS n, 0.0 AS dist)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, min(dist) AS dist FROM ("
+            f"SELECT n, dist FROM d{i-1} "
+            f"UNION ALL "
+            f"SELECT e.d AS n, p.dist + e.w AS dist "
+            f"FROM d{i-1} p JOIN e ON e.s = p.n) GROUP BY n)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT n_name AS nation, round(dist, 6) + 0.0 AS distance "
+        f"FROM d{iterations} JOIN nation ON n_nationkey = n"
+    )
+
+
+@register("graph_sssp_trade", oracle=_sssp_oracle_sql(4))
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from nation 0 over the
+    trade graph (edge weight = 1/trade-count, so heavy trade = short
+    hop): 4 Bellman-Ford rounds — the min-plus Pregel loop next to
+    pagerank's sum-times loop; the heavy work at 100 TB is the one-time
+    edge aggregation, each round then touches only the 25-node frame.
+    Oracle unrolls the identical relaxation as MATERIALIZED CTEs."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import sssp
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
+    )
+    d = sssp(e, "src", "dst", "w", source=0, iterations=4)
+    return d.join(
+        F.broadcast(nation), d["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+    )

@@ -182,3 +182,41 @@ def triangle_counts(
     return verts.groupBy("_n").agg(
         F.count(F.lit(1)).alias("triangles")
     ).select(F.col("_n").alias("node"), "triangles")
+
+
+def sssp(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    source: int | str = 0,
+    iterations: int = 4,
+) -> DataFrame:
+    """(node, distance): single-source shortest paths after
+    ``iterations`` Bellman-Ford relaxation rounds — exact once
+    ``iterations`` >= the graph's hop diameter. The min-plus semiring
+    sibling of ``pagerank``'s sum-times loop: per round one join of the
+    tentative-distance frame to the edge table on the source key + one
+    min-groupBy on the destination (both map-side combined, co-keyed
+    across rounds), ``localCheckpoint`` keeping the plan O(1) in
+    rounds. Unreachable nodes are absent (infinite distance)."""
+    e = register_cache(
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"),
+            F.col(weight_col).cast("double").alias("_w"),
+        ).cache()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "_n long, _dist double")
+    for _ in range(iterations):
+        relaxed = (
+            dist.join(e, dist["_n"] == e["_s"])
+            .select(F.col("_d").alias("_n"), (F.col("_dist") + F.col("_w")).alias("_dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("_n")
+            .agg(F.min("_dist").alias("_dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("distance"))
