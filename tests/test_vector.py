@@ -531,3 +531,47 @@ def test_matryoshka_recall_vs_exact(spark):
     assert all(r["_distance"] >= full[0]["_distance"] for r in pruned)
     got = [r["vec_id"] for r in pruned]
     assert sorted(set(got)) == sorted(got)  # no dup ids
+
+
+def test_multiprobe_sequence_orders_by_margin(spark):
+    from weaviate_spark.operators.similarity import (
+        hyperplanes, multiprobe_sequence, _sig_py,
+    )
+
+    q = [0.1] * 64
+    planes = hyperplanes(8, 64)
+    seq = multiprobe_sequence(q, planes, n_probes=6)
+    qsig = _sig_py(q, planes)
+    assert seq[0] == qsig and len(seq) == 6 and len(set(seq)) == 6
+    margins = [
+        abs(sum(v * p for v, p in zip(q, plane))) for plane in planes
+    ]
+    weakest = min(range(8), key=lambda i: (margins[i], i))
+    # the first perturbation flips exactly the weakest-margin plane
+    flip1 = [i for i in range(8) if seq[1][i] != qsig[i]]
+    assert flip1 == [weakest]
+
+
+def test_multiprobe_recall_vs_hamming_ball(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.operators.similarity import (
+        ann_top_k, build_lsh_index, multiprobe_topk,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, "vec_id", "embedding", num_planes=8, dim=64)
+    mp = {r["vec_id"] for r in multiprobe_topk(
+        idx, QVEC, "vec_id", "embedding", k=10, n_probes=8).collect()}
+    ball = {r["vec_id"] for r in ann_top_k(
+        idx, QVEC, "vec_id", "embedding", k=10, probe=2).collect()}
+    qv = F.array(*[F.lit(float(x)) for x in QVEC])
+    exact = {r["vec_id"] for r in (
+        emb.withColumn("_d", distance(F.col("embedding"), qv, "cosine"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc()).limit(10)
+    ).collect()}
+    # 8 targeted probes keep recall within one hit of the 9-bucket ball
+    assert len(mp & exact) >= len(ball & exact) - 1

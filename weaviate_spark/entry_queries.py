@@ -6558,3 +6558,55 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
     )
+
+
+def _ann_multiprobe_oracle_sql(k: int = 10, num_planes: int = 8,
+                               n_probes: int = 8, dim: int = 64,
+                               seed: int = 42) -> str:
+    """Mirror of q_ann_lsh_multiprobe: identical plane constants and
+    signature arithmetic; the query-directed probe sequence is a
+    deterministic function of the query and inlines as literals."""
+    from weaviate_spark.operators.similarity import (
+        hyperplanes, multiprobe_sequence,
+    )
+
+    planes = hyperplanes(num_planes, dim, seed)
+    seq = multiprobe_sequence(QVEC, planes, n_probes)
+    bucket_list = ", ".join(f"'{b}'" for b in seq)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_expr = " || ".join(
+        f"(CASE WHEN list_dot_product(ev, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings), "
+        f"s AS (SELECT vec_id, ev, {sig_expr} AS _sig FROM e), "
+        f"cand AS (SELECT * FROM s WHERE _sig IN ({bucket_list})), "
+        f"q AS (SELECT {_QVEC_SQL} AS qv) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        "FROM cand CROSS JOIN q "
+        f"ORDER BY _distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+@register("ann_lsh_multiprobe", oracle=_ann_multiprobe_oracle_sql())
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed multi-probe LSH (Lv et al. VLDB'07): probe the
+    8 buckets ranked by summed |margin| of their flipped planes instead
+    of the whole Hamming-1 ball — the planes the query barely cleared
+    are where true neighbors hide, so recall holds at a fraction of the
+    probed buckets. Probe sequence, signatures, and rescore all
+    hash-checked."""
+    from weaviate_spark.operators.similarity import (
+        build_lsh_index, multiprobe_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, "vec_id", "embedding", num_planes=8, dim=64)
+    return multiprobe_topk(
+        idx, QVEC, "vec_id", "embedding", k=10, num_planes=8, n_probes=8
+    )

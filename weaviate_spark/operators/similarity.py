@@ -601,3 +601,78 @@ def matryoshka_topk(
             "_distance",
         )
     )
+
+
+def multiprobe_sequence(
+    query_vector: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    n_probes: int = 8,
+    max_flips: int = 2,
+) -> list[str]:
+    """Query-directed probe sequence (multi-probe LSH, Lv et al.
+    VLDB'07): perturb the planes whose decision margin |q·p| is
+    smallest first — those are the bits a true neighbor most likely
+    landed on the other side of. Buckets are ranked by the summed
+    |margin| of their flipped planes (the paper's score), base bucket
+    first; ties broken by the flip set for determinism. Driver-side
+    over the tiny plane artifact; the sequence inlines into the oracle
+    as literals."""
+    from itertools import combinations
+
+    margins = [
+        sum(float(v) * p for v, p in zip(query_vector, plane))
+        for plane in planes
+    ]
+    qsig = "".join("1" if m >= 0 else "0" for m in margins)
+
+    def flip(sig: str, idxs: tuple[int, ...]) -> str:
+        out = list(sig)
+        for i in idxs:
+            out[i] = "0" if out[i] == "1" else "1"
+        return "".join(out)
+
+    scored = [(0.0, (), qsig)]
+    for r in range(1, max_flips + 1):
+        for idxs in combinations(range(len(planes)), r):
+            scored.append(
+                (sum(abs(margins[i]) for i in idxs), idxs, flip(qsig, idxs))
+            )
+    scored.sort(key=lambda t: (t[0], t[1]))
+    seen, seq = set(), []
+    for _, _, sig in scored:
+        if sig not in seen:
+            seen.add(sig)
+            seq.append(sig)
+        if len(seq) >= n_probes:
+            break
+    return seq
+
+
+def multiprobe_topk(
+    index_df: DataFrame,
+    query_vector: Sequence[float],
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 8,
+    seed: int = 42,
+    n_probes: int = 8,
+) -> DataFrame:
+    """ann_top_k with the query-directed probe sequence instead of the
+    blanket Hamming-1 ball: the same recall at a fraction of the probed
+    buckets (n_probes vs 1+num_planes), which at 100 TB is the
+    difference between touching 8 and 9+ bucket partitions per
+    query."""
+    planes = hyperplanes(num_planes, len(query_vector), seed)
+    seq = multiprobe_sequence(query_vector, planes, n_probes)
+    cand = index_df.where(F.col("_bucket").isin(seq))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        cand.withColumn(
+            "_distance", F.round(distance(F.col(vector_col), q, metric), 6)
+        )
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "_distance")
+    )
