@@ -6610,3 +6610,69 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiprobe_topk(
         idx, QVEC, "vec_id", "embedding", k=10, num_planes=8, n_probes=8
     )
+
+
+@register(
+    "market_basket_brand_lift",
+    oracle=(
+        "WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+        "n AS (SELECT count(DISTINCT o) AS total FROM ob), "
+        "sup AS (SELECT b, count(*) AS nb FROM ob GROUP BY b), "
+        "pairs AS (SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_ab "
+        "FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2), "
+        "f AS (SELECT brand_a, brand_b, n_ab FROM pairs WHERE n_ab >= 50) "
+        "SELECT f.brand_a, f.brand_b, CAST(f.n_ab AS BIGINT) AS n_ab, "
+        "round(CAST(f.n_ab AS DOUBLE) / n.total, 6) AS support, "
+        "round(CAST(f.n_ab AS DOUBLE) * n.total / (sa.nb * sb.nb), 6) AS lift "
+        "FROM f JOIN sup sa ON sa.b = f.brand_a "
+        "JOIN sup sb ON sb.b = f.brand_b CROSS JOIN n"
+    ),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (the A-Priori support/
+    confidence family): brand pairs sharing an order, min-support
+    pruned. Scale shape: the distinct (order, brand) frame bounds the
+    pair explosion to C(brands-per-order, 2) per order — never a
+    catalog-level cross join — and the brand dimension (margin counts)
+    broadcasts; one shuffle on the order key builds every pair."""
+    from pyspark.sql import functions as F
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    from weaviate_spark.cache import register_cache
+
+    ob = register_cache(ob.cache())
+    total = ob.agg(F.count_distinct("o").alias("total"))
+    sup = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select(F.col("o"), F.col("b").alias("brand_a"))
+    c = ob.select(F.col("o"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, "o")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 50)
+    )
+    sa = sup.select(F.col("b").alias("brand_a"), F.col("nb").alias("_na"))
+    sb = sup.select(F.col("b").alias("brand_b"), F.col("nb").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a", "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("n_ab").cast("double") / F.col("total"), 6).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("total")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
