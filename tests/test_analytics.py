@@ -409,3 +409,120 @@ def test_sssp_hand_graph(spark):
     got = {r["node"]: r["distance"]
            for r in sssp(df, source=0, iterations=4).collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}  # 3 absent: unreachable
+
+
+def test_sessionize_hand_case(spark):
+    from datetime import datetime
+
+    from weaviate_spark.operators.analytics import sessionize
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 40-min
+        # gap (new session)
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0), 2.00),
+        (2, 1, datetime(2024, 1, 1, 10, 10, 0), 3.00),
+        (3, 1, datetime(2024, 1, 1, 10, 50, 0), 4.00),
+        # user 2: single event
+        (4, 2, datetime(2024, 1, 1, 9, 0, 0), 1.50),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["duration_s"] == 600.0
+    assert s11["total_value"] == 5.0
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(1, 2)]["duration_s"] == 0.0
+    assert got[(2, 1)]["total_value"] == 1.5
+
+
+def test_sessionize_boundary_is_strict_gap(spark):
+    from datetime import datetime
+
+    from weaviate_spark.operators.analytics import sessionize
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        # exactly 30 min later: NOT a new session (> gap, not >=)
+        (2, 1, datetime(2024, 1, 1, 10, 30, 0), 1.0),
+        # 30 min + 1 microsecond: new session
+        (3, 1, datetime(2024, 1, 1, 11, 0, 0, 1), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = sessionize(df, gap_minutes=30).collect()
+    by_idx = {r["session_idx"]: r["n_events"] for r in got}
+    assert by_idx == {1: 2, 2: 1}
+
+
+def test_numeric_correlations_known_values(spark):
+    import math
+
+    from weaviate_spark.operators.analytics import numeric_correlations
+
+    # y = 2x exactly -> r = 1; z anti-correlates with x -> r = -1
+    rows = [(float(x), float(2 * x), float(10 - x)) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in numeric_correlations(df, ["x", "y", "z"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+
+    # against numpy on a non-degenerate case (2dp inputs)
+    import numpy as np
+
+    xs = [1.25, 2.5, 2.75, 4.0, 5.5, 5.75, 7.25, 9.0]
+    ys = [2.0, 1.75, 3.5, 3.25, 5.0, 6.25, 6.0, 8.5]
+    df2 = spark.createDataFrame(list(zip(xs, ys)), "a double, b double")
+    r = numeric_correlations(df2, ["a", "b"]).collect()[0]["pearson_r"]
+    expect = np.corrcoef(xs, ys)[0, 1]
+    assert math.isclose(r, round(expect, 6), abs_tol=1e-6)
+
+
+def test_ols_trend_exact_line(spark):
+    from datetime import datetime
+
+    from weaviate_spark.operators.analytics import ols_trend_forecast
+
+    # value = 100 + 10*day_offset exactly -> slope 10, intercept 100
+    rows = [
+        ("g", datetime(2024, 1, 1 + d), 100.0 + 10.0 * d) for d in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, d timestamp_ntz, v double")
+    out = ols_trend_forecast(df, "g", "d", "v", horizon_days=7).collect()[0]
+    assert out["slope"] == 10.0
+    assert out["intercept"] == 100.0
+    assert out["n_days"] == 5
+    # forecast at x = 4 + 7 = 11 -> 100 + 110 = 210
+    assert out["forecast_value"] == 210.0
+    assert str(out["forecast_date"]) == "2024-01-12"
+
+
+def test_validate_expectations_counts(spark):
+    from weaviate_spark.operators.analytics import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (-3, "B"), (4, "ZZ")], "k int, s string"
+    )
+    rules = [
+        ("k_positive", "k > 0"),
+        ("s_not_null", "s IS NOT NULL"),
+        ("s_single_char", "length(s) = 1"),
+    ]
+    got = {r["rule"]: r for r in validate_expectations(df, rules).collect()}
+    assert got["k_positive"]["n_violations"] == 1
+    assert got["k_positive"]["passed"] is False
+    assert got["s_not_null"]["n_violations"] == 1
+    # NULL predicate result counts as a violation (strict 3VL fold)
+    assert got["s_single_char"]["n_violations"] == 2
+    assert got["s_single_char"]["violation_frac"] == 0.5

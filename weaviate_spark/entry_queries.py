@@ -6676,3 +6676,168 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "events_sessionize_gap",
+    oracle=(
+        "WITH r AS (SELECT user_id, ts, event_id, "
+        "CAST(value AS DECIMAL(18,2)) AS v, epoch_us(ts) AS t, "
+        "lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev "
+        "FROM events), "
+        "f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000 "
+        "THEN 1 ELSE 0 END AS nw FROM r), "
+        "s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
+        "SELECT user_id, CAST(sess AS BIGINT) AS session_idx, "
+        "min(ts) AS session_start, max(ts) AS session_end, "
+        "round((max(t) - min(t)) / 1000000.0, 6) + 0.0 AS duration_s, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(v) AS DOUBLE) AS total_value "
+        "FROM s GROUP BY user_id, sess"
+    ),
+)
+def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (30-min idle boundary): the batch twin
+    of the streaming session window, lag+running-sum over one user-key
+    shuffle. Session boundaries, durations, and DECIMAL-exact value
+    totals all hash-checked; time arithmetic is integer microseconds
+    end-to-end."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.analytics import sessionize
+
+    out = sessionize(_load(spark, sf_dir, "events"), gap_minutes=30)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle_sql() -> str:
+    cols = _CORR_COLS
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}"
+        )
+        aggs.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) "
+            f"AS DOUBLE) AS q_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) "
+            f"AS DOUBLE) AS p_{a}__{b}"
+        )
+    sel = []
+    for a, b in pairs:
+        num = f"(CAST(n AS DOUBLE) * p_{a}__{b} - s_{a} * s_{b})"
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * q_{a} - s_{a} * s_{a}) * "
+            f"(CAST(n AS DOUBLE) * q_{b} - s_{b} * s_{b}))"
+        )
+        sel.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"CAST(n AS BIGINT) AS n, "
+            f"round({num} / {den}, 6) + 0.0 AS pearson_r FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@register("profile_numeric_correlations", oracle=_corr_oracle_sql())
+def q_profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem money/
+    quantity columns: every co-moment from ONE single-pass aggregate
+    (map-side combined), unpivoted to pair rows. DECIMAL-exact sums
+    make the closed-form r bit-identical across engines."""
+    from weaviate_spark.operators.analytics import numeric_correlations
+
+    return numeric_correlations(_load(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+@register(
+    "forecast_ols_trend",
+    oracle=(
+        "WITH daily AS (SELECT c_nationkey AS g, CAST(o_orderdate AS DATE) AS d, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), "
+        "series AS (SELECT g, d, y, min(d) OVER (PARTITION BY g) AS d0 FROM daily), "
+        "xs AS (SELECT g, y, CAST(d - d0 AS BIGINT) AS x, d FROM series), "
+        "fit AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days, "
+        "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+        "CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+        "max(x) AS xmax, max(d) AS dmax FROM xs GROUP BY g), "
+        "sl AS (SELECT *, (CAST(n_days AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n_days AS DOUBLE) * sxx - sx * sx) AS slope FROM fit), "
+        "ic AS (SELECT *, (sy - slope * sx) / CAST(n_days AS DOUBLE) AS icept FROM sl) "
+        "SELECT g AS c_nationkey, n_days, round(slope, 6) + 0.0 AS slope, "
+        "round(icept, 6) + 0.0 AS intercept, "
+        "dmax + 7 AS forecast_date, "
+        "round(icept + slope * CAST(xmax + 7 AS DOUBLE), 6) + 0.0 AS forecast_value "
+        "FROM ic"
+    ),
+)
+def q_forecast_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend over daily order revenue with a 7-day-out
+    point forecast: two shuffles total (daily series, then the five
+    OLS sufficient statistics per group) — closed-form regression, no
+    iteration, exact decimal/integer sums feeding identical double
+    math in both engines."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.analytics import ols_trend_forecast
+
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    out = ols_trend_forecast(
+        joined, "c_nationkey", "o_orderdate", "o_totalprice", horizon_days=7
+    )
+    return out
+
+
+@register(
+    "validate_expectations",
+    oracle=(
+        "WITH agg AS (SELECT count(*) AS n, "
+        "sum(CASE WHEN o_orderkey > 0 THEN 0 ELSE 1 END) AS v_orderkey_positive, "
+        "sum(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 "
+        "THEN 0 ELSE 1 END) AS v_totalprice_range, "
+        "sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) "
+        "AS v_status_domain, "
+        "sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') "
+        "THEN 0 ELSE 1 END) AS v_priority_format, "
+        "sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) "
+        "AS v_orderdate_not_null FROM orders) "
+        "SELECT rule, CAST(n AS BIGINT) AS n_rows, "
+        "CAST(v AS BIGINT) AS n_violations, "
+        "round(CAST(v AS DOUBLE) / n, 6) + 0.0 AS violation_frac, "
+        "v = 0 AS passed FROM (SELECT 'orderkey_positive' AS rule, "
+        "v_orderkey_positive AS v, n FROM agg "
+        "UNION ALL SELECT 'totalprice_range', v_totalprice_range, n FROM agg "
+        "UNION ALL SELECT 'status_domain', v_status_domain, n FROM agg "
+        "UNION ALL SELECT 'priority_format', v_priority_format, n FROM agg "
+        "UNION ALL SELECT 'orderdate_not_null', v_orderdate_not_null, n FROM agg)"
+    ),
+)
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation over orders: five expectations (key
+    positivity, price range, status domain, priority format, date
+    non-null) folded into ONE full-table aggregate — adding a rule
+    adds a column, never a rescan."""
+    from weaviate_spark.operators.analytics import validate_expectations
+
+    rules = [
+        ("orderkey_positive", "o_orderkey > 0"),
+        ("totalprice_range", "o_totalprice > 0 AND o_totalprice < 1000000"),
+        ("status_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+        ("priority_format", "o_orderpriority RLIKE '^[1-5]-'"),
+        ("orderdate_not_null", "o_orderdate IS NOT NULL"),
+    ]
+    return validate_expectations(_load(spark, sf_dir, "orders"), rules)

@@ -529,3 +529,223 @@ def radius_pairs(
             F.col("_d").alias("distance_m"),
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts whenever a
+    user is idle longer than ``gap_minutes``. One row per session with
+    start/end, duration, event count, and DECIMAL-exact value total.
+
+    This is the batch mirror of the streaming session window
+    (streaming/ingest.py sessionized_event_counts) — identical session
+    boundaries, derived the classic way: lag the previous timestamp
+    within (user ORDER BY ts, id), flag gaps, and running-sum the flags
+    into a per-user session index. ONE shuffle on the user key serves
+    both window passes and the final per-session aggregate (same
+    partitioning, Catalyst reuses the exchange); nothing is quadratic
+    in events-per-user, and sessions never span partitions because the
+    user key is the partition key — the same property the reference's
+    per-shard execution relies on for its grouped scans
+    (adapters/repos/db/aggregator/grouped.go).
+
+    All time arithmetic runs on integer epoch-microseconds (the
+    corpus's timestamps are microsecond-grained); a float epoch would
+    round differently across engines and drift session boundaries.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("_u").orderBy("_t", "_i")
+    rows = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            # NTZ->TZ cast is identity under the UTC session (session.py)
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(id_col).alias("_i"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .withColumn("_prev", F.lag("_t").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | ((F.col("_t") - F.col("_prev")) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        rows.groupBy(F.col("_u").alias("user_id"), F.col("_sess").alias("session_idx"))
+        .agg(
+            F.min("_ts").alias("session_start"),
+            F.max("_ts").alias("session_end"),
+            (
+                F.round((F.max("_t") - F.min("_t")) / F.lit(1_000_000.0), 6)
+                + F.lit(0.0)
+            ).alias("duration_s"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_v").cast("double").alias("total_value"),
+        )
+    )
+
+
+def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    profiling step after profile_columns: which fields move together
+    (price vs quantity, discount vs tax) before a model ever sees them.
+
+    One single-pass aggregate computes every pairwise co-moment
+    (map-side partial agg; no per-pair rescan of a 100 TB table), then
+    a stack() unpivot emits one row per unordered pair. All five sums
+    per pair run in DECIMAL (the inputs are 2dp-exact money/quantity
+    columns), so they are partition-order-independent and the closed
+    form r = (n·Σxy − ΣxΣy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) evaluates
+    on bit-identical inputs in any engine — the same determinism
+    argument as profile_columns, extended to cross-moments.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    sums: dict[str, object] = {}
+    for c in cols:
+        dec = F.col(c).cast("decimal(18,2)")
+        aggs.append(F.sum(dec).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum(dec * dec).cast("double").alias(f"_q_{c}"))
+    for a, b in pairs:
+        da = F.col(a).cast("decimal(18,2)")
+        db = F.col(b).cast("decimal(18,2)")
+        aggs.append(F.sum(da * db).cast("double").alias(f"_p_{a}__{b}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', _s_{a}, _q_{a}, _s_{b}, _q_{b}, _p_{a}__{b}"
+        for a, b in pairs
+    )
+    rows = one.select(
+        "_n",
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_a, col_b, sx, qx, sy, qy, pxy)"
+        ),
+    )
+    n = F.col("_n").cast("double")
+    num = n * F.col("pxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("qx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("qy") - F.col("sy") * F.col("sy"))
+    )
+    return rows.select(
+        "col_a",
+        "col_b",
+        F.col("_n").cast("long").alias("n"),
+        (F.round(num / den, 6) + F.lit(0.0)).alias("pearson_r"),
+    )
+
+
+def ols_trend_forecast(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend over a daily series, plus
+    a point forecast ``horizon_days`` past each group's last day — the
+    capacity-planning primitive (is this nation's order volume growing,
+    and where will it be next week?).
+
+    Two shuffles total at any scale: one groupBy on (group, day) builds
+    the DECIMAL-exact daily series, one on group folds the five OLS
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — x is the integer day
+    offset from the group's own first day (via a min-window on the same
+    partitioning, exchange reused), so the sums stay exact integers ×
+    exact decimals and the closed-form slope/intercept divides
+    bit-identical inputs in every engine. No per-group iteration, no
+    driver-side fitting — OLS has a closed form, so a 100 TB series
+    fits in the same two aggregates as a count.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("_g"),
+            F.to_date(F.col(date_col)).alias("_d"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y"))
+    )
+    w = Window.partitionBy("_g")
+    series = (
+        daily.withColumn("_d0", F.min("_d").over(w))
+        .withColumn("_x", F.datediff(F.col("_d"), F.col("_d0")).cast("long"))
+    )
+    fit = series.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.max("_x").alias("_xmax"),
+        F.max("_d").alias("_dmax"),
+    )
+    n = F.col("n_days").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    fit = fit.withColumn("_slope", slope)
+    intercept = (F.col("_sy") - F.col("_slope") * F.col("_sx")) / n
+    fit = fit.withColumn("_icept", intercept)
+    xf = (F.col("_xmax") + F.lit(int(horizon_days))).cast("double")
+    return fit.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        (F.round("_slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("_icept", 6) + F.lit(0.0)).alias("intercept"),
+        F.date_add(F.col("_dmax"), int(horizon_days)).alias("forecast_date"),
+        (F.round(F.col("_icept") + F.col("_slope") * xf, 6) + F.lit(0.0)).alias(
+            "forecast_value"
+        ),
+    )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Data-contract validation: each rule is (name, SQL predicate that
+    every row is EXPECTED to satisfy); returns one row per rule with
+    the violation count and fraction — the pre-ingest gate a pipeline
+    runs before promoting a new drop (the Delta Live Tables
+    "expectations" shape, model-free).
+
+    Every rule folds into ONE full-table aggregate (sum of per-row
+    0/1 indicators, map-side combined) — adding a rule adds a column,
+    not a scan, so a 50-rule contract over 100 TB still costs exactly
+    one pass. NULL predicate results count as violations (a rule that
+    cannot be evaluated did not pass), matching SQL three-valued logic
+    folded to the strict interpretation.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules:
+        ind = F.when(F.expr(pred), 0).otherwise(1)
+        aggs.append(F.sum(ind).alias(f"_v_{name}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', _v_{name}" for name, _ in rules)
+    rows = one.select(
+        "_n", F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)")
+    )
+    return rows.select(
+        "rule",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.round(F.col("n_violations") / F.col("_n"), 6) + F.lit(0.0)).alias(
+            "violation_frac"
+        ),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
