@@ -6841,3 +6841,211 @@ def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orderdate_not_null", "o_orderdate IS NOT NULL"),
     ]
     return validate_expectations(_load(spark, sf_dir, "orders"), rules)
+
+
+_RECO_INTERACTIONS_SQL = (
+    "SELECT o_custkey AS u, p_brand AS i, "
+    "CAST(count(*) AS DECIMAL(18,2)) AS r "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2"
+)
+
+_RECO_NEIGHBORS_SQL = (
+    f"r AS MATERIALIZED ({_RECO_INTERACTIONS_SQL}), "
+    "norms AS (SELECT i, sum(r * r) AS sq FROM r GROUP BY i), "
+    "num AS (SELECT a.i AS item_a, b.i AS item_b, "
+    "CAST(count(*) AS BIGINT) AS n_co_users, sum(a.r * b.r) AS dot "
+    "FROM r a JOIN r b ON a.u = b.u AND a.i <> b.i "
+    "GROUP BY 1, 2 HAVING count(*) >= 2), "
+    "cos AS (SELECT item_a, item_b, n_co_users, "
+    "round(CAST(dot AS DOUBLE) / sqrt(CAST(na.sq AS DOUBLE) "
+    "* CAST(nb.sq AS DOUBLE)), 6) + 0.0 AS cosine "
+    "FROM num JOIN norms na ON na.i = item_a "
+    "JOIN norms nb ON nb.i = item_b), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY item_a "
+    "ORDER BY cosine DESC, item_b ASC) AS nrank FROM cos), "
+    "nb5 AS (SELECT item_a, item_b, n_co_users, cosine, nrank "
+    "FROM rk WHERE nrank <= 5)"
+)
+
+
+@register(
+    "reco_item_item_cosine",
+    oracle=(
+        f"WITH {_RECO_NEIGHBORS_SQL} "
+        'SELECT item_a, item_b, n_co_users, cosine, '
+        'CAST(nrank AS BIGINT) AS "rank" FROM nb5'
+    ),
+)
+def q_reco_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 most-similar brands per
+    brand by cosine over sparse per-customer interaction counts. The
+    pair numerator self-joins on the USER key (bounded by items-per-
+    user, never |catalog|²); norms broadcast; DECIMAL-exact co-moments
+    make the cosine bit-identical cross-engine."""
+    from weaviate_spark.operators.reco import item_item_cosine
+
+    inter = _reco_interactions(spark, sf_dir)
+    return item_item_cosine(inter, "u", "i", "r", k=5, min_co_users=2)
+
+
+def _reco_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("i"))
+        .agg(F.count(F.lit(1)).cast("decimal(18,2)").alias("r"))
+    )
+
+
+@register(
+    "reco_user_topn",
+    oracle=(
+        f"WITH {_RECO_NEIGHBORS_SQL}, "
+        "hist AS (SELECT * FROM r WHERE u % 50 = 0), "
+        "scored AS (SELECT hist.u, nb5.item_b AS j, "
+        "round(sum(nb5.cosine * CAST(hist.r AS DOUBLE)), 6) AS score "
+        "FROM hist JOIN nb5 ON hist.i = nb5.item_a GROUP BY 1, 2), "
+        "fresh AS (SELECT scored.* FROM scored LEFT JOIN hist "
+        "ON scored.u = hist.u AND scored.j = hist.i WHERE hist.u IS NULL), "
+        "urk AS (SELECT *, row_number() OVER (PARTITION BY u "
+        "ORDER BY score DESC, j ASC) AS nrank FROM fresh) "
+        "SELECT u, j AS recommended_item, score + 0.0 AS score, "
+        'CAST(nrank AS BIGINT) AS "rank" FROM urk WHERE nrank <= 3'
+    ),
+)
+def q_reco_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User top-3 recommendations from the pruned item-item neighbor
+    table: score(u, j) = Σ_{i∈history} cos(i, j)·r_ui over unseen
+    items only (left-anti on the history). Neighbor table broadcasts
+    (k·|items| rows); one shuffle on the user key. Scored users
+    subsampled u%50=0 to bound output."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.reco import item_item_cosine, recommend_items
+
+    inter = _reco_interactions(spark, sf_dir)
+    from weaviate_spark.cache import register_cache
+
+    inter = register_cache(inter.cache())
+    nb = item_item_cosine(inter, "u", "i", "r", k=5, min_co_users=2)
+    hist = inter.where(F.col("u") % 50 == 0)
+    return recommend_items(hist, nb, "u", "i", "r", n=3)
+
+
+def _mi_oracle_sql() -> str:
+    """Per-pair MI blocks generated from the same closed formulas as
+    categorical_mutual_information; each pair gets its own contingency
+    CTE chain (no synthetic row ids — cells come straight from a
+    GROUP BY on the joint key)."""
+    pairs = [
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderpriority", "o_month"),
+        ("o_orderstatus", "o_month"),
+    ]
+    blocks = []
+    sels = []
+    for idx, (x, y) in enumerate(pairs):
+        blocks.append(
+            f"c{idx} AS (SELECT {x} AS x, {y} AS y, "
+            f"CAST(count(*) AS DOUBLE) AS c FROM src GROUP BY 1, 2), "
+            f"t{idx} AS (SELECT sum(c) AS n FROM c{idx}), "
+            f"mx{idx} AS (SELECT x, sum(c) AS cx FROM c{idx} GROUP BY x), "
+            f"my{idx} AS (SELECT y, sum(c) AS cy FROM c{idx} GROUP BY y), "
+            f"mi{idx} AS (SELECT sum((c / n) * ln((c * n) / (cx * cy))) "
+            f"AS misum FROM c{idx} CROSS JOIN t{idx} "
+            f"JOIN mx{idx} USING (x) JOIN my{idx} USING (y)), "
+            f"hx{idx} AS (SELECT sum(-(cx / n) * ln(cx / n)) AS h "
+            f"FROM mx{idx} CROSS JOIN t{idx}), "
+            f"hy{idx} AS (SELECT sum(-(cy / n) * ln(cy / n)) AS h "
+            f"FROM my{idx} CROSS JOIN t{idx})"
+        )
+        sels.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"round(misum, 6) + 0.0 AS mi_nats, "
+            f"round(hx{idx}.h, 6) + 0.0 AS h_x, "
+            f"round(hy{idx}.h, 6) + 0.0 AS h_y, "
+            f"round(misum / sqrt(hx{idx}.h * hy{idx}.h), 6) + 0.0 AS nmi "
+            f"FROM mi{idx} CROSS JOIN hx{idx} CROSS JOIN hy{idx}"
+        )
+    return (
+        "WITH src AS MATERIALIZED (SELECT o_orderpriority, o_orderstatus, "
+        "CAST(month(o_orderdate) AS VARCHAR) AS o_month FROM orders), "
+        + ", ".join(blocks)
+        + " "
+        + " UNION ALL ".join(sels)
+    )
+
+
+@register("profile_mutual_information", oracle=_mi_oracle_sql())
+def q_profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI between categorical column
+    pairs of orders (priority/status/order-month): one counting
+    shuffle per pair builds the contingency cells; marginals and
+    entropies derive from those cells. The feature-redundancy screen
+    of a training pipeline."""
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.analytics import categorical_mutual_information
+
+    src = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.month("o_orderdate").cast("string").alias("o_month"),
+    )
+    return categorical_mutual_information(
+        src,
+        [
+            ("o_orderpriority", "o_orderstatus"),
+            ("o_orderpriority", "o_month"),
+            ("o_orderstatus", "o_month"),
+        ],
+    )
+
+
+@register(
+    "corpus_js_divergence",
+    oracle=(
+        "WITH toks AS (SELECT lang AS g, "
+        "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS t "
+        "FROM documents), "
+        "counts AS MATERIALIZED (SELECT g, t, count(*) AS c "
+        "FROM toks GROUP BY 1, 2), "
+        "totals AS (SELECT g, sum(c) AS tot FROM counts GROUP BY g), "
+        "base AS (SELECT t, c AS cb FROM counts WHERE g = 'en'), "
+        "btot AS (SELECT tot AS totb FROM totals WHERE g = 'en'), "
+        "others AS (SELECT * FROM counts WHERE g != 'en'), "
+        "in_g AS (SELECT others.g, others.t, others.c AS cg, "
+        "coalesce(base.cb, 0) AS cb FROM others LEFT JOIN base "
+        "ON others.t = base.t), "
+        "base_only AS (SELECT gs.g, base.t, 0 AS cg, base.cb "
+        "FROM (SELECT DISTINCT g FROM others) gs CROSS JOIN base "
+        "LEFT JOIN others ON others.g = gs.g AND others.t = base.t "
+        "WHERE others.t IS NULL), "
+        "rows_ AS (SELECT * FROM in_g UNION ALL SELECT * FROM base_only), "
+        "terms AS (SELECT rows_.g, "
+        "CAST(cg AS DOUBLE) / tot AS p, CAST(cb AS DOUBLE) / totb AS q, "
+        "cg, cb FROM rows_ JOIN totals ON rows_.g = totals.g CROSS JOIN btot) "
+        "SELECT g AS lang, round(sum("
+        "CASE WHEN cg > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END "
+        "+ CASE WHEN cb > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END"
+        "), 6) + 0.0 AS js_nats, "
+        "CAST(sum(CASE WHEN cg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_group, "
+        "CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_base, "
+        "CAST(sum(CASE WHEN cg > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_terms_shared FROM terms GROUP BY g"
+    ),
+)
+def q_corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each language's unigram
+    distribution vs the English slice — the corpus-drift monitor for
+    new data drops. One (group, term) counting shuffle; union
+    vocabulary via left + anti joins on the term key; JS bounded in
+    [0, ln 2]."""
+    from weaviate_spark.operators.textstats import js_divergence_by_group
+
+    docs = _load(spark, sf_dir, "documents")
+    return js_divergence_by_group(docs, "doc_id", "text", "lang", "en")

@@ -749,3 +749,74 @@ def validate_expectations(
         ),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def categorical_mutual_information(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Mutual information (nats) between categorical column pairs, with
+    marginal entropies and the normalized coefficient
+    MI/√(H(x)·H(y)) — the dependence screen a feature-selection pass
+    runs before training (which fields carry redundant signal?).
+
+    Per pair: ONE groupBy on the joint key builds the contingency
+    cells; marginals and the grand total come from window sums over
+    that cells frame (a few dozen rows at any corpus size — the heavy
+    lifting is the single counting shuffle, everything after is
+    driver-trivial but stays distributed). 0·ln(0) terms vanish
+    because absent cells simply aren't rows. Counts are exact
+    integers, so both engines feed identical doubles into the log.
+    """
+    outs = []
+    for x, y in pairs:
+        # the cells frame feeds four legs (joint, two marginals, total)
+        # — cache it or each leg re-runs the counting shuffle
+        cells = register_cache(
+            df.groupBy(F.col(x).alias("_x"), F.col(y).alias("_y"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .cache()
+        )
+        wx = Window.partitionBy("_x")
+        wy = Window.partitionBy("_y")
+        wall = Window.partitionBy()
+        c = F.col("_c").cast("double")
+        cx = F.sum("_c").over(wx).cast("double")
+        cy = F.sum("_c").over(wy).cast("double")
+        n = F.sum("_c").over(wall).cast("double")
+        agg = cells.select(
+            ((c / n) * F.log((c * n) / (cx * cy))).alias("_mi")
+        ).agg(F.sum("_mi").alias("_misum"))
+        total = cells.agg(F.sum("_c").alias("_n"))
+
+        def _entropy(key: str, out: str):
+            marg = cells.groupBy(key).agg(F.sum("_c").alias("_m"))
+            p = F.col("_m").cast("double") / F.col("_n")
+            return (
+                marg.crossJoin(F.broadcast(total))
+                .select((-p * F.log(p)).alias("_h"))
+                .agg(F.sum("_h").alias(out))
+            )
+
+        row = (
+            agg.crossJoin(_entropy("_x", "_hx"))
+            .crossJoin(_entropy("_y", "_hy"))
+            .select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                (F.round("_misum", 6) + F.lit(0.0)).alias("mi_nats"),
+                (F.round("_hx", 6) + F.lit(0.0)).alias("h_x"),
+                (F.round("_hy", 6) + F.lit(0.0)).alias("h_y"),
+                (
+                    F.round(
+                        F.col("_misum") / F.sqrt(F.col("_hx") * F.col("_hy")), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("nmi"),
+            )
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

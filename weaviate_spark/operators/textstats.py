@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import register_cache
 from weaviate_spark.functions.text import EN_STOPWORDS, tokenize
 
 # tiny per-language function-word lists for the n-gram/stopword-vote
@@ -449,4 +450,87 @@ def quality_percentiles_by_group(
         rn.cast("long").alias("rank_in_group"),
         (F.round(pct, 6) + F.lit(0.0)).alias("pct"),
         F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    base_group: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each group's unigram
+    distribution and ``base_group``'s — the corpus-drift monitor a
+    pipeline runs when a new language/source/time slice lands: how far
+    is this slice's vocabulary usage from the reference distribution?
+
+    Per group g: JS(P_g ‖ Q_base) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q),
+    over the UNION of both vocabularies (0·ln 0 terms are simply absent
+    rows). Scale shape: one token-count shuffle on the (group, term)
+    key builds every distribution in one pass; the per-group union
+    vocabulary comes from a left join against the base distribution
+    plus an anti-join for base-only terms — both keyed on the term,
+    both linear in vocabulary size, never |vocab|² and never a
+    collect. Bounded JS ∈ [0, ln 2] makes the scores comparable
+    across slices.
+    """
+    from weaviate_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    counts = register_cache(
+        toks.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")).cache()
+    )
+    totals = counts.groupBy("_g").agg(F.sum("_c").alias("_tot"))
+
+    base = counts.where(F.col("_g") == base_group).select(
+        F.col("_t"), F.col("_c").alias("_cb")
+    )
+    base_tot = totals.where(F.col("_g") == base_group).select(
+        F.col("_tot").alias("_totb")
+    )
+    others = counts.where(F.col("_g") != base_group)
+
+    # terms present in g (base count 0 when absent)
+    in_g = others.join(base, "_t", "left").select(
+        "_g", "_t", F.col("_c").alias("_cg"), F.coalesce("_cb", F.lit(0)).alias("_cb")
+    )
+    # terms only in the base vocabulary, replicated per group
+    groups = others.select("_g").distinct()
+    base_only = (
+        groups.crossJoin(base)
+        .join(others.select("_g", "_t"), ["_g", "_t"], "left_anti")
+        .select("_g", "_t", F.lit(0).alias("_cg"), F.col("_cb"))
+    )
+    rows = in_g.unionByName(base_only)
+
+    joined = (
+        rows.join(F.broadcast(totals.where(F.col("_g") != base_group)), "_g")
+        .crossJoin(F.broadcast(base_tot))
+    )
+    p = F.col("_cg").cast("double") / F.col("_tot")
+    q = F.col("_cb").cast("double") / F.col("_totb")
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(F.col("_cg") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("_cb") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        joined.select(
+            "_g",
+            contrib.alias("_j"),
+            (F.col("_cg") > 0).cast("int").alias("_ing"),
+            (F.col("_cb") > 0).cast("int").alias("_inb"),
+            ((F.col("_cg") > 0) & (F.col("_cb") > 0)).cast("int").alias("_shared"),
+        )
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            (F.round(F.sum("_j"), 6) + F.lit(0.0)).alias("js_nats"),
+            F.sum("_ing").cast("long").alias("n_terms_group"),
+            F.sum("_inb").cast("long").alias("n_terms_base"),
+            F.sum("_shared").cast("long").alias("n_terms_shared"),
+        )
     )
