@@ -526,3 +526,97 @@ def test_validate_expectations_counts(spark):
     # NULL predicate result counts as a violation (strict 3VL fold)
     assert got["s_single_char"]["n_violations"] == 2
     assert got["s_single_char"]["violation_frac"] == 0.5
+
+
+def test_kcore_hand_graph(spark):
+    from weaviate_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 (2-core) + pendant 4 hanging off 1
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # k=3: nothing survives (triangle degrees are 2)
+    assert kcore_peel(df, k=3, rounds=4).count() == 0
+
+
+def test_kcore_trade_fixpoint(spark, sf_dir):
+    """8 rounds is a fixpoint for the registered corpus query: one
+    more round changes nothing."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from weaviate_spark.operators.graph import kcore_peel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    # k scaled to the test fixture's sf (the registered query's k=25
+    # matches sf0.01+; at the fixture's sf0.001 the degrees are ~10)
+    r8 = {(r["node"], r["degree"]) for r in kcore_peel(edges, k=8, rounds=8).collect()}
+    r9 = {(r["node"], r["degree"]) for r in kcore_peel(edges, k=8, rounds=9).collect()}
+    assert r8 == r9 and len(r8) > 0
+
+
+def test_label_centroid_medoids_hand_case(spark):
+    from weaviate_spark.operators.curation import label_centroid_medoids
+
+    rows = [
+        (1, [0.0, 0.0], "a"),
+        (2, [2.0, 0.0], "a"),
+        (3, [1.0, 0.9], "a"),   # centroid (1.0, 0.3); 3 is closest
+        (4, [5.0, 5.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r["label"]: r for r in label_centroid_medoids(df, "vec_id", "embedding", "label").collect()}
+    assert got["a"]["n_vecs"] == 3
+    assert got["a"]["medoid_id"] == 3
+    assert got["a"]["medoid_distance"] == 0.6
+    assert got["b"]["medoid_id"] == 4
+    assert got["b"]["medoid_distance"] == 0.0
+    import math
+    assert got["b"]["centroid_norm"] == round(math.sqrt(50.0), 6)
+
+
+def test_near_vector_batch_matches_per_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from weaviate_spark.functions.distance import cosine_distance
+    from weaviate_spark.operators.vector import near_vector_batch
+    from weaviate_spark.entry_queries import QVEC_BATCH
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = near_vector_batch(
+        emb, "vec_id", "embedding", list(enumerate(QVEC_BATCH[:2])), k=5
+    ).collect()
+    for qid, qv in enumerate(QVEC_BATCH[:2]):
+        single = (
+            emb.withColumn(
+                "_d",
+                F.round(
+                    cosine_distance(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in qv]),
+                    ),
+                    6,
+                ),
+            )
+            .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .collect()
+        )
+        got = sorted(
+            [(r["vec_id"], r["_distance"]) for r in batch if r["query_id"] == qid]
+        )
+        want = sorted([(r["vec_id"], r["_d"]) for r in single])
+        assert got == want

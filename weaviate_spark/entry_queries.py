@@ -7049,3 +7049,139 @@ def q_corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return js_divergence_by_group(docs, "doc_id", "text", "lang", "en")
+
+
+def _kcore_oracle_sql(k: int = 25, rounds: int = 8) -> str:
+    """Unrolled peel mirror of graph.kcore_peel over the
+    customer-supplier co-trade bipartite graph (suppliers offset by
+    10_000_000 into the shared node space). MATERIALIZED per round —
+    DuckDB otherwise re-inlines the shrinking edge CTE per mention."""
+    head = (
+        "WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, "
+        "l_suppkey + 10000000 AS b FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey), "
+        "e0 AS MATERIALIZED (SELECT a, b FROM raw "
+        "UNION SELECT b, a FROM raw)"
+    )
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        steps.append(
+            f", k{r} AS MATERIALIZED (SELECT a FROM {prev} "
+            f"GROUP BY a HAVING count(*) >= {k})"
+            f", e{r} AS MATERIALIZED (SELECT {prev}.a, {prev}.b FROM {prev} "
+            f"JOIN k{r} USING (a) "
+            f"JOIN (SELECT a AS b FROM k{r}) kb USING (b))"
+        )
+    tail = (
+        f" SELECT a AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM e{rounds} GROUP BY a HAVING count(*) >= {k}"
+    )
+    return head + "".join(steps) + tail
+
+
+@register("graph_kcore_trade", oracle=_kcore_oracle_sql(25, 8))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=25, 8 peel rounds — fixpoint for this
+    corpus, pinned by test) of the customer-supplier co-trade graph:
+    the dense-engagement subgraph a marketplace-analytics pass
+    extracts. Per round one degree groupBy + two semi-joins on the
+    shrinking edge list; localCheckpoint keeps the plan O(1) in
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import kcore_peel
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=25, rounds=8)
+
+
+@register(
+    "embedding_group_centroids",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+        "it AS (SELECT vec_id, label, i - 1 AS dim, ev[i] AS val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), "
+        "c AS (SELECT label AS lbl, dim, avg(val) AS mu "
+        "FROM it GROUP BY label, dim), "
+        "norms AS (SELECT lbl, round(sqrt(sum(mu * mu)), 6) + 0.0 AS cn "
+        "FROM c GROUP BY lbl), "
+        "d AS (SELECT vec_id, label, "
+        "round(sqrt(sum((val - mu) * (val - mu))), 6) + 0.0 AS dd FROM it "
+        "JOIN c ON it.label = c.lbl AND it.dim = c.dim "
+        "GROUP BY vec_id, label), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY label "
+        "ORDER BY dd ASC, vec_id ASC) AS r, "
+        "count(*) OVER (PARTITION BY label) AS n FROM d) "
+        "SELECT rk.label, CAST(rk.n AS BIGINT) AS n_vecs, "
+        "norms.cn AS centroid_norm, rk.vec_id AS medoid_id, "
+        "rk.dd AS medoid_distance "
+        "FROM rk JOIN norms ON rk.label = norms.lbl WHERE rk.r = 1"
+    ),
+)
+def q_embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + medoid exemplar (nearest member to
+    centroid, 6dp + id tie-break): the representative-selection /
+    class-geometry probe. Centroid table is labels×dims (broadcast);
+    no item-item pairs."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import label_centroid_medoids
+
+    emb = _load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    return label_centroid_medoids(emb, "vec_id", "embedding", "label")
+
+
+QVEC_BATCH = [
+    [round(((j * 37 + 11 + 13 * i) % 97) / 97.0 - 0.5, 6) for j in range(64)]
+    for i in range(5)
+]
+
+
+def _knn_batch_oracle_sql(k: int = 10) -> str:
+    vals = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(str(x) for x in q)
+        + "]::DOUBLE[])"
+        for i, q in enumerate(QVEC_BATCH)
+    )
+    return (
+        f"WITH q(query_id, qv) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        "d AS (SELECT query_id, vec_id, "
+        f"{_COS_SQL} + 0.0 AS _distance FROM e CROSS JOIN q), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY _distance ASC, vec_id ASC) AS r FROM d) "
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, _distance "
+        f"FROM rk WHERE r <= {k}"
+    )
+
+
+@register("knn_query_batch", oracle=_knn_batch_oracle_sql())
+def q_knn_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact kNN: 5 query vectors share ONE corpus scan (the
+    batch broadcasts, per-query top-10 via bounded window) — the
+    query-throughput serving shape; at 100 TB the batch costs one scan
+    of I/O instead of five."""
+    from weaviate_spark.operators.vector import near_vector_batch
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return near_vector_batch(
+        emb, "vec_id", "embedding",
+        list(enumerate(QVEC_BATCH)), k=10,
+    )

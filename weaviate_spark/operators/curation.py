@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import register_cache
 from weaviate_spark.operators.dedup import shingle_df
 from weaviate_spark.operators.sampling import md5_prefix_long
 
@@ -536,5 +537,72 @@ def label_outlier_scores(
             (F.col("_b._d6") < F.round("_down", 6) + F.lit(0.0)).alias(
                 "likely_mislabeled"
             ),
+        )
+    )
+
+
+def label_centroid_medoids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label centroid summary + medoid: (label, n_vecs,
+    centroid_norm, medoid_id, medoid_distance) where the medoid is the
+    member vector closest (euclidean, 6dp, id tie-break) to its
+    label's centroid — the exemplar-selection step of a curation
+    pipeline (one representative document/image per cluster) and the
+    sanity probe on label geometry (a tiny centroid_norm means the
+    label's members cancel out — an incoherent class).
+
+    Same plan skeleton as label_outlier_scores: one posexplode, one
+    (label, dim) centroid groupBy (labels × dims rows — broadcastable
+    at any corpus size), one join back on (label, dim) + per-item
+    reduce, then a per-label min-struct argmin. No item-item pairs.
+    """
+    items = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    cent = register_cache(
+        items.groupBy("_lbl", "_dim").agg(F.avg("_val").alias("_mu")).cache()
+    )
+
+    norms = cent.groupBy("_lbl").agg(
+        (F.round(F.sqrt(F.sum(F.col("_mu") * F.col("_mu"))), 6) + F.lit(0.0)).alias(
+            "centroid_norm"
+        )
+    )
+    dists = (
+        items.join(cent, ["_lbl", "_dim"])
+        .groupBy("_id", "_lbl")
+        .agg(
+            (
+                F.round(
+                    F.sqrt(
+                        F.sum(
+                            (F.col("_val") - F.col("_mu"))
+                            * (F.col("_val") - F.col("_mu"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("_d")
+        )
+    )
+    best = dists.groupBy("_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min(F.struct(F.col("_d"), F.col("_id"))).alias("_m"),
+    )
+    return (
+        best.join(F.broadcast(norms), "_lbl")
+        .select(
+            F.col("_lbl").alias(label_col),
+            "n_vecs",
+            "centroid_norm",
+            F.col("_m._id").alias("medoid_id"),
+            F.col("_m._d").alias("medoid_distance"),
         )
     )

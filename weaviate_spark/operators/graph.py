@@ -220,3 +220,48 @@ def sssp(
             .localCheckpoint(eager=False)
         )
     return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("distance"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) of the k-core after ``rounds`` peeling passes:
+    repeatedly drop nodes of degree < k (and their edges). Exact
+    k-core once ``rounds`` >= the peel depth — each pass strictly
+    shrinks the graph or is a no-op, so extra rounds are idempotent
+    and a fixpoint test can pin convergence for a given corpus.
+
+    Per round: one degree groupBy + two semi-joins pruning edges to
+    surviving endpoints — all keyed on node ids, map-side combined,
+    never materializing anything but the (shrinking) edge list;
+    ``localCheckpoint`` truncates the lineage so the plan stays O(1)
+    in rounds (the pagerank/sssp superstep discipline). The input is
+    treated as undirected: edges are symmetrized and deduplicated
+    before the first peel.
+    """
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(rounds)):
+        deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.where(F.col("_deg") >= int(k)).select("_a")
+        und = (
+            und.join(keep, "_a", "left_semi")
+            .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.groupBy(F.col("_a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .where(F.col("degree") >= int(k))
+    )
