@@ -620,3 +620,48 @@ def test_near_vector_batch_matches_per_query(spark, sf_dir):
         )
         want = sorted([(r["vec_id"], r["_d"]) for r in single])
         assert got == want
+
+
+def test_ohlc_daily_hand_case(spark):
+    from datetime import datetime
+
+    from weaviate_spark.operators.analytics import ohlc_daily
+
+    rows = [
+        (1, datetime(2024, 3, 1, 9, 0, 0), 1, "buy", 10.0),
+        (2, datetime(2024, 3, 1, 12, 0, 0), 1, "buy", 30.0),
+        (3, datetime(2024, 3, 1, 16, 0, 0), 1, "buy", 20.0),
+        # equal-ts tie: event 5 has the higher id -> it is the close
+        (4, datetime(2024, 3, 2, 9, 0, 0), 1, "buy", 5.0),
+        (5, datetime(2024, 3, 2, 9, 0, 0), 1, "buy", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    got = {str(r["day"]): r for r in ohlc_daily(df).collect()}
+    d1 = got["2024-03-01"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert d1["n_events"] == 3 and d1["total_value"] == 60.0
+    d2 = got["2024-03-02"]
+    assert (d2["open"], d2["close"]) == (5.0, 7.0)
+
+
+def test_leakage_safe_split_components_stay_together(spark):
+    from weaviate_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # components {1,2,3} and {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, val_fraction=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 7
+    # every member of a component shares cluster and split
+    for comp in ([1, 2, 3], [5, 6]):
+        assert len({by_id[i]["cluster_id"] for i in comp}) == 1
+        assert len({by_id[i]["split"] for i in comp}) == 1
+    assert by_id[4]["cluster_id"] == 4
+    assert by_id[7]["cluster_id"] == 7

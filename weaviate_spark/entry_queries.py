@@ -7185,3 +7185,69 @@ def q_knn_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         list(enumerate(QVEC_BATCH)), k=10,
     )
+
+
+@register(
+    "events_ohlc_daily",
+    oracle=(
+        "WITH r AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, "
+        "epoch_us(ts) AS t, event_id AS i, value AS v FROM events), "
+        "w AS (SELECT *, row_number() OVER (PARTITION BY g, day "
+        "ORDER BY t, i) AS ra, row_number() OVER (PARTITION BY g, day "
+        "ORDER BY t DESC, i DESC) AS rd FROM r) "
+        "SELECT g AS event_type, day, "
+        "max(CASE WHEN ra = 1 THEN v END) AS open, max(v) AS high, "
+        "min(v) AS low, max(CASE WHEN rd = 1 THEN v END) AS close, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+        "FROM w GROUP BY 1, 2"
+    ),
+)
+def q_events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type: first/last by (ts, id) within
+    the day (deterministic under timestamp ties), min/max/count/
+    DECIMAL-exact totals — one shuffle on the (type, day) key serves
+    both ordering windows and the aggregate."""
+    from weaviate_spark.operators.analytics import ohlc_daily
+
+    return ohlc_daily(_load(spark, sf_dir, "events"))
+
+
+from weaviate_spark.operators.sampling import unit_hash_sql as _unit_hash_sql  # noqa: E402
+
+
+@register(
+    "split_leakage_safe",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(src, dst) AS ("
+        "SELECT a, a FROM edges "
+        "UNION "
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+        "cl AS (SELECT src AS doc_id, min(dst) AS cluster_id "
+        "FROM reach GROUP BY src), "
+        "lab AS (SELECT d.doc_id, "
+        "coalesce(cl.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN cl USING (doc_id)) "
+        "SELECT doc_id, cluster_id, "
+        "CASE WHEN " + _unit_hash_sql("cluster_id", "split") + " < 0.2 "
+        "THEN 'val' ELSE 'train' END AS split FROM lab"
+    ),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split: whole MinHash-LSH connected
+    components assigned by the hash of their canonical member, so a
+    near-copy of a training document can never leak into validation.
+    Oracle re-derives components by recursive reachability — a
+    different algorithm than the engine's pointer jumping."""
+    df = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    )
+    from weaviate_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(df, "doc_id", pairs, val_fraction=0.2, salt="split")

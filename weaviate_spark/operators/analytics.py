@@ -820,3 +820,51 @@ def categorical_mutual_information(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ohlc_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily OHLC bars per group: open/high/low/close, event count and
+    DECIMAL-exact value total — the downsampling step that turns a raw
+    event stream into an analytics-ready bar series.
+
+    Open/close are the first/last value by (ts, id) within the
+    (group, day) partition — the id tie-break makes the bar
+    deterministic under equal timestamps in any engine. ONE shuffle on
+    the (group, day) key serves both ordering windows and the final
+    aggregate (same partitioning, exchange reused); high/low/totals
+    are plain min/max/sum on the same pass.
+    """
+    w = Window.partitionBy("_g", "_d").orderBy("_t", "_i")
+    wd = Window.partitionBy("_g", "_d").orderBy(
+        F.col("_t").desc(), F.col("_i").desc()
+    )
+    rows = (
+        events.select(
+            F.col(group_col).alias("_g"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(id_col).alias("_i"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .withColumn("_ra", F.row_number().over(w))
+        .withColumn("_rd", F.row_number().over(wd))
+    )
+    return (
+        rows.groupBy(F.col("_g").alias(group_col), F.col("_d").alias("day"))
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("_v").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

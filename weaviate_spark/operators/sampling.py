@@ -299,3 +299,45 @@ def weighted_sample(
         "weight",
         (F.round("_key", 6) + F.lit(0.0)).alias("sample_key"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    val_fraction: float,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val split that cannot leak near-duplicates across the
+    boundary: documents are first grouped into near-dup connected
+    components (``pairs`` = the output of any *_pairs dedup variant),
+    then the WHOLE component is assigned by the hash of its canonical
+    (min) member id — a near-copy of a training document can never
+    land in validation, the classic eval-contamination bug that
+    per-document hashing invites.
+
+    Returns (id, cluster_id, split). Scale shape: component formation
+    is the O(log n) pointer-jumping pass (dedup.dedup_clusters);
+    singleton docs skip it entirely via a left join (cluster_id
+    defaults to the doc's own id); the split itself is a narrow
+    md5 map on the cluster key — growth-stable, partition-invariant.
+    """
+    if not 0.0 <= float(val_fraction) <= 1.0:
+        raise ValueError("val_fraction must be in [0, 1]")
+    from weaviate_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("_id"), F.col("cluster_id").alias("_cl")
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    labeled = ids.join(clusters, "_id", "left").select(
+        "_id", F.coalesce("_cl", F.col("_id")).alias("_cl")
+    )
+    u = _unit_hash(F.col("_cl"), salt)
+    return labeled.select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").alias("cluster_id"),
+        F.when(u < F.lit(float(val_fraction)), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
