@@ -665,3 +665,84 @@ def test_leakage_safe_split_components_stay_together(spark):
         assert len({by_id[i]["split"] for i in comp}) == 1
     assert by_id[4]["cluster_id"] == 4
     assert by_id[7]["cluster_id"] == 7
+
+
+def test_mad_outliers_hand_case(spark):
+    from weaviate_spark.operators.analytics import mad_outlier_profile
+
+    # group 'a': values 1..9 plus a wild 1000 -> median 5.5 of the 10,
+    # MAD = median(|x-5.5|) over {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5} = 2.5
+    # modified z of 1000 = 0.6745*994.5/2.5 ~ 268 -> 1 outlier
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outlier_profile(df, "g", "v").collect()[0]
+    assert out["median_value"] == 5.5
+    assert out["mad"] == 2.5
+    assert out["n_outliers"] == 1
+    assert out["outlier_share"] == 0.1
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    from weaviate_spark.operators.analytics import mad_outlier_profile
+
+    # constant group: MAD = 0 -> no outliers flagged (guard, no div-by-0)
+    df = spark.createDataFrame(
+        [("c", 7.0)] * 5, "g string, v double"
+    )
+    out = mad_outlier_profile(df, "g", "v").collect()[0]
+    assert out["mad"] == 0.0 and out["n_outliers"] == 0
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    from weaviate_spark.operators.analytics import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", i, float(100 + (i % 7))) for i in range(200)],
+        "g string, i long, v double",
+    )
+    a = poisson_bootstrap_ci(df, "g", "v", "i", replicates=20).collect()[0]
+    b = poisson_bootstrap_ci(
+        df.repartition(13), "g", "v", "i", replicates=20
+    ).collect()[0]
+    # deterministic under repartitioning (md5 uniforms + DECIMAL sums)
+    assert a == b
+    assert a["n_replicates"] == 20
+    # CI brackets the true mean and is ordered
+    assert a["ci_lo"] <= a["boot_median"] <= a["ci_hi"]
+    assert a["ci_lo"] <= 103.1 <= a["ci_hi"] or a["ci_hi"] - a["ci_lo"] < 2.0
+
+
+def test_assortativity_hand_graph(spark):
+    from weaviate_spark.operators.graph import degree_assortativity_exact
+
+    # star: hub -> 3 leaves. out-deg(hub)=3 on every edge; in-deg(leaf)=1
+    # -> x constant -> r undefined (NULL variance); use a mixed graph
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "src int, dst int"
+    )
+    row = degree_assortativity_exact(edges, "src", "dst").collect()[0]
+    assert row["n_edges"] == 4 and row["n_nodes"] == 6
+    # per-edge x = (2,2,1,1), y = (2,1,2,1): n*Sxy - Sx*Sy = 4*9 - 36 = 0
+    assert row["assortativity"] == 0.0
+
+
+def test_containment_subset_doc(spark):
+    from weaviate_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8,
+        threshold=0.9,
+    ).collect()
+    pairs = {(r["src_id"], r["dst_id"]): r["containment"] for r in out}
+    # doc 1 fully contained in doc 2; reverse direction under threshold
+    assert pairs.get((1, 2)) == 1.0
+    assert (2, 1) not in pairs and (3, 1) not in pairs and (1, 3) not in pairs

@@ -7251,3 +7251,195 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.sampling import leakage_safe_split
 
     return leakage_safe_split(df, "doc_id", pairs, val_fraction=0.2, salt="split")
+
+
+@register(
+    "profile_mad_outliers",
+    oracle=(
+        "WITH r AS (SELECT l_returnflag AS g, "
+        "CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL), "
+        "med AS (SELECT g, median(v) AS m FROM r GROUP BY g), "
+        "dev AS (SELECT r.g, r.v, med.m, abs(r.v - med.m) AS d "
+        "FROM r JOIN med USING (g)), "
+        "mad AS (SELECT g, median(d) AS md FROM dev GROUP BY g) "
+        "SELECT dev.g AS l_returnflag, "
+        "round(max(dev.m) + 0.0, 6) AS median_value, "
+        "round(max(mad.md) + 0.0, 6) AS mad, "
+        "CAST(sum(CASE WHEN mad.md > 0 AND 0.6745 * dev.d / mad.md > 3.5 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        "round(CAST(sum(CASE WHEN mad.md > 0 AND "
+        "0.6745 * dev.d / mad.md > 3.5 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) + 0.0, 6) AS outlier_share "
+        "FROM dev JOIN mad USING (g) GROUP BY 1"
+    ),
+)
+def q_profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile (modified z-score: 0.6745 *
+    |x - median| / MAD > 3.5) over lineitem prices by return flag —
+    the heavy-tail-safe fence mean/stddev rules get wrong on price
+    columns. Two group-key shuffles (one per exact percentile pass),
+    stat frames broadcast back; no full-table window."""
+    from weaviate_spark.operators.analytics import mad_outlier_profile
+
+    return mad_outlier_profile(
+        _load(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_POISSON_CASE = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0 "
+    "WHEN u < 0.7357588823428847 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 "
+    "WHEN u < 0.9994058151824183 THEN 5 "
+    "WHEN u < 0.9999167588507119 THEN 6 ELSE 7 END"
+)
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=(
+        "WITH r AS (SELECT event_type AS g, event_id AS i, value AS v "
+        "FROM events WHERE value IS NOT NULL), "
+        "x AS (SELECT g, v, t.rr, "
+        "(('0x' || substr(md5('boot:' || CAST(i AS VARCHAR) || ':' || "
+        "CAST(t.rr AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) AS u "
+        "FROM r, LATERAL unnest(range(0, 40)) AS t(rr)), "
+        "wt AS (SELECT g, rr, CAST(v AS DECIMAL(18,6)) AS dv, "
+        + _POISSON_CASE + " AS w FROM x), "
+        "reps AS (SELECT g, rr, "
+        "CAST(sum(dv * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m "
+        "FROM wt GROUP BY g, rr) "
+        "SELECT g AS event_type, "
+        "round(quantile_cont(m, 0.5) + 0.0, 6) AS boot_median, "
+        "round(quantile_cont(m, 0.025) + 0.0, 6) AS ci_lo, "
+        "round(quantile_cont(m, 0.975) + 0.0, 6) AS ci_hi, "
+        "CAST(count(*) AS BIGINT) AS n_replicates "
+        "FROM reps GROUP BY 1"
+    ),
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of the mean event value per type: 40
+    deterministic replicates (weight = Poisson(1) inverse CDF of the
+    md5 uniform on (event_id, replicate)), replicate means from
+    DECIMAL-exact weighted sums, interpolated quantiles over the 40
+    means. The streaming-friendly resampling scheme large-scale A/B
+    systems use — no global N, rows independent, one shuffle to
+    (group, replicate) partials."""
+    from weaviate_spark.operators.analytics import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        _load(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        replicates=40, alpha=0.05, salt="boot",
+    )
+
+
+@register(
+    "graph_assortativity",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "od AS (SELECT s, count(*) AS odeg FROM e GROUP BY s), "
+        "idg AS (SELECT d, count(*) AS ideg FROM e GROUP BY d), "
+        "nn AS (SELECT count(*) AS n_nodes FROM "
+        "(SELECT s AS x FROM e UNION SELECT d FROM e)), "
+        "mom AS (SELECT count(*) AS n, "
+        "sum(CAST(odeg AS HUGEINT)) AS sx, sum(CAST(ideg AS HUGEINT)) AS sy, "
+        "sum(CAST(odeg AS HUGEINT) * odeg) AS sxx, "
+        "sum(CAST(ideg AS HUGEINT) * ideg) AS syy, "
+        "sum(CAST(odeg AS HUGEINT) * ideg) AS sxy "
+        "FROM e JOIN od USING (s) JOIN idg USING (d)) "
+        "SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes, "
+        "CAST(mom.n AS BIGINT) AS n_edges, "
+        "round(CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE) / "
+        "(sqrt(CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)) * "
+        "sqrt(CAST(mom.n * mom.syy - mom.sy * mom.sy AS DOUBLE))) + 0.0, 6) "
+        "AS assortativity FROM mom, nn"
+    ),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity (Newman's r, out/in flavour) of
+    the customer -> supplier trade graph: do high-fan-out buyers trade
+    with high-fan-in suppliers? Exact integer moment sums (DECIMAL /
+    HUGEINT — no float accumulation-order drift), one distinct-edge
+    shuffle + two broadcast degree joins."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import degree_assortativity_exact
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return degree_assortativity_exact(edges, "src", "dst")
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
+  FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
+  WHERE len(tt) >= 3
+),
+km AS (
+  SELECT _doc,
+    ('0x' || substr(md5(_shingle), 1, 14))::BIGINT AS _h1,
+    ('0x' || substr(md5(_shingle), 15, 14))::BIGINT AS _h2
+  FROM sh
+),
+mh AS (
+  SELECT _doc, i AS _i, min(_h1 + i * _h2) AS _minhash
+  FROM km, LATERAL unnest(range(0, 16)) AS t(i)
+  GROUP BY _doc, i
+),
+bands AS (
+  SELECT _doc, CAST(_i // 4 AS INT) AS _band,
+    md5(string_agg(CAST(_i AS VARCHAR) || ':' || CAST(_minhash AS VARCHAR), ',' ORDER BY _i)) AS _bucket
+  FROM mh GROUP BY _doc, CAST(_i // 4 AS INT)
+),
+cand AS (
+  SELECT a._doc AS _a, b._doc AS _b
+  FROM bands a JOIN bands b ON a._band = b._band AND a._bucket = b._bucket AND a._doc < b._doc
+  GROUP BY 1, 2
+),
+sizes AS (SELECT _doc, count(*) AS _sz FROM sh GROUP BY _doc),
+inter AS (
+  SELECT c._a, c._b, count(*) AS _inter
+  FROM cand c
+  JOIN sh sa ON sa._doc = c._a
+  JOIN sh sb ON sb._doc = c._b AND sb._shingle = sa._shingle
+  GROUP BY c._a, c._b
+),
+dir AS (
+  SELECT i._a AS src_id, i._b AS dst_id,
+    CAST(i._inter AS DOUBLE) / sa._sz AS c
+  FROM inter i JOIN sizes sa ON sa._doc = i._a
+  UNION ALL
+  SELECT i._b, i._a, CAST(i._inter AS DOUBLE) / sb._sz
+  FROM inter i JOIN sizes sb ON sb._doc = i._b
+)
+SELECT src_id, dst_id, round(c + 0.0, 6) AS containment
+FROM dir WHERE c >= {thr}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL.format(thr=0.6))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's coefficient |A∩B|/|A|):
+    directed pairs where >= 60% of the source's shingles appear in the
+    target — catches subset duplication (a doc pasted inside a longer
+    one) that symmetric Jaccard misses. Candidates from the shared
+    persisted MinHash band index; verify = one array_intersect per
+    pair over shingle-set arrays."""
+    from weaviate_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, threshold=0.6,
+        max_bucket_size=1_000_000, table_key=(sf_dir, "documents"),
+    )

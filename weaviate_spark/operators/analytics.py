@@ -868,3 +868,133 @@ def ohlc_daily(
             ),
         )
     )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via the MAD rule: a row is an
+    outlier when 0.6745 * |x - median| / MAD > ``z_cut`` (Iglewicz &
+    Hoaglin's modified z-score; 0.6745 rescales MAD to sigma under
+    normality). Returns one row per group with the median, the MAD,
+    outlier count, and outlier share.
+
+    Scale shape: two shuffles on the group key (one per exact
+    interpolated percentile pass) plus broadcast joins of the tiny
+    per-group stat frames back onto the fact rows — no window over the
+    full data, no sort of the whole table. Robust to the exact heavy
+    tails that make mean/stddev fences useless on price-like columns.
+    """
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    med = rows.groupBy("_g").agg(
+        F.percentile(F.col("_v"), F.lit(0.5)).alias("_med")
+    )
+    dev = rows.join(F.broadcast(med), "_g").withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = dev.groupBy("_g").agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "_g").withColumn(
+        "_out",
+        F.when(
+            (F.col("_mad") > 0)
+            & (F.lit(0.6745) * F.col("_dev") / F.col("_mad") > F.lit(z_cut)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.round(F.max("_med") + F.lit(0.0), 6).alias("median_value"),
+            F.round(F.max("_mad") + F.lit(0.0), 6).alias("mad"),
+            F.sum("_out").cast("long").alias("n_outliers"),
+            F.round(
+                F.sum("_out") / F.count(F.lit(1)) + F.lit(0.0), 6
+            ).alias("outlier_share"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities for
+# k = 0..6); weights above the table cap at 7. Shared verbatim with the
+# DuckDB oracle so the bootstrap replicates match bit-for-bit.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    replicates: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    Poisson bootstrap: each row enters replicate r with weight
+    w = PoissonInv(1, unit_hash(id ':' r)) — the streaming-friendly
+    resampling scheme (no global N needed, rows independent), exactly
+    the construction large-scale A/B systems use. Replicate means are
+    sum(w*v)/sum(w); the CI is the interpolated (alpha/2, 1-alpha/2)
+    quantile pair of the R means.
+
+    Deterministic (md5-derived uniforms, same table -> same CI) and
+    one-pass distributed: rows explode xR, one shuffle to (group,
+    replicate) partial means, then a tiny R-row-per-group percentile.
+    At 100 TB the xR blowup stays map-side (projected columns only) and
+    the first combine collapses it to |groups| x R rows.
+    """
+    from weaviate_spark.operators.sampling import _unit_hash
+
+    u = _unit_hash(
+        F.concat(F.col("_i").cast("string"), F.lit(":"), F.col("_r").cast("string")),
+        salt,
+    )
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rows = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_i"),
+            # DECIMAL-exact weighted sums: the replicate mean must be
+            # independent of partial-aggregation order (and match the
+            # DECIMAL oracle bit-for-bit), so the float value is fixed
+            # to 6dp decimal BEFORE the sum, not after
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))))
+        .withColumn("_w", w.cast("long"))
+    )
+    reps = rows.groupBy("_g", "_r").agg(
+        (
+            F.sum(F.col("_v") * F.col("_w")).cast("double")
+            / F.sum("_w").cast("double")
+        ).alias("_m")
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    return (
+        reps.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.round(F.percentile(F.col("_m"), F.lit(0.5)) + F.lit(0.0), 6).alias("boot_median"),
+            F.round(F.percentile(F.col("_m"), F.lit(lo)) + F.lit(0.0), 6).alias("ci_lo"),
+            F.round(F.percentile(F.col("_m"), F.lit(hi)) + F.lit(0.0), 6).alias("ci_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        )
+    )

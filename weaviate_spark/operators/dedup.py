@@ -385,6 +385,20 @@ def minhash_lsh_pairs(
             F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
             for i in range(num_hashes)
         ])
+    pairs = _band_candidates(sig, bands, rows_per_band, max_bucket_size)
+    verified = jaccard_for_pairs(pairs, sh, sets=sets)
+    return verified.where(F.col("jaccard") >= jaccard_threshold).select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard"
+    )
+
+
+def _band_candidates(
+    sig: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
+) -> DataFrame:
+    """LSH band buckets -> distinct candidate pairs (_a < _b). Bucket
+    key = md5 of the band's minhash slice; degenerate boilerplate
+    buckets (> max_bucket_size members) are dropped — the skew guard
+    that keeps the pair explosion bounded at corpus scale."""
     band_cols = []
     for b in range(bands):
         entry = F.concat_ws(",", *[
@@ -401,15 +415,77 @@ def minhash_lsh_pairs(
         F.collect_list("_doc").alias("_docs"), F.count(F.lit(1)).alias("_n")
     ).where((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
 
-    pairs = (
+    return (
         sized.select(F.explode("_docs").alias("_a"), F.col("_docs"))
         .select("_a", F.explode("_docs").alias("_b"))
         .where(F.col("_a") < F.col("_b"))
         .distinct()
     )
-    verified = jaccard_for_pairs(pairs, sh, sets=sets)
-    return verified.where(F.col("jaccard") >= jaccard_threshold).select(
-        F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "jaccard"
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """Asymmetric containment dedup: directed (src_id, dst_id,
+    containment) rows where C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)|
+    >= threshold — the subset-duplication detector (a paragraph pasted
+    into a longer page scores ~1.0 toward the page while its Jaccard
+    stays low). Broder's containment coefficient; the reference's dedup
+    surface stops at symmetric resemblance, this is the pipeline-grade
+    companion.
+
+    Candidates come from the same MinHash band buckets as
+    ``minhash_lsh_pairs`` (recall note: banding is tuned for Jaccard,
+    so oracle and engine share the exact same candidate set by
+    construction — the score, not the blocking, is what differs). Each
+    undirected candidate emits up to two directed rows. Verify stage =
+    one array_intersect per pair over the persisted shingle-set
+    arrays; no exploded (pair, shingle) shuffle.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    if table_key is not None:
+        sh, sig, sets = _resolve_index(
+            df, id_col, text_col, shingle_n, table_key,
+            num_hashes=num_hashes, want_sets=True,
+        )
+    else:
+        sh = register_cache(shingle_df(df, id_col, text_col, shingle_n).cache())
+        h1, h2 = _km_halves(F.col("_shingle"))
+        hashed = sh.select("_doc", h1.alias("_h1"), h2.alias("_h2"))
+        sig = hashed.groupBy("_doc").agg(*[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ])
+        sets = shingle_sets(sh)
+    pairs = _band_candidates(sig, bands, rows_per_band, max_bucket_size)
+    a = sets.select(F.col("_doc").alias("_a"), F.col("_ss").alias("_sa"))
+    b = sets.select(F.col("_doc").alias("_b"), F.col("_ss").alias("_sb"))
+    inter = (
+        pairs.join(a, "_a").join(b, "_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .select(
+            "_a", "_b", "_inter",
+            F.size("_sa").alias("_na"), F.size("_sb").alias("_nb"),
+        )
+    )
+    directed = inter.select(
+        F.col("_a").alias("src_id"), F.col("_b").alias("dst_id"),
+        (F.col("_inter") / F.col("_na")).alias("_c"),
+    ).union(inter.select(
+        F.col("_b"), F.col("_a"), (F.col("_inter") / F.col("_nb")).alias("_c"),
+    ))
+    return directed.where(F.col("_c") >= threshold).select(
+        "src_id", "dst_id", F.round(F.col("_c") + F.lit(0.0), 6).alias("containment")
     )
 
 
