@@ -746,3 +746,67 @@ def test_containment_subset_doc(spark):
     # doc 1 fully contained in doc 2; reverse direction under threshold
     assert pairs.get((1, 2)) == 1.0
     assert (2, 1) not in pairs and (3, 1) not in pairs and (1, 3) not in pairs
+
+
+def test_cusum_detects_level_shift(spark):
+    from weaviate_spark.operators.analytics import cusum_changepoints
+    import datetime
+
+    # 10 days at 10.0, then 10 days at 20.0 -> changepoint at the last
+    # low day boundary; max S+ is the peak cumulative positive drift
+    rows = []
+    for d in range(20):
+        day = datetime.datetime(2024, 3, 1 + d)
+        val = 10.0 if d < 10 else 20.0
+        rows += [("a", day, val), ("a", day, val)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cusum_changepoints(df, "g", "ts", "v").collect()[0]
+    assert out["n_days"] == 20
+    assert out["mu"] == 15.0
+    # S+ peaks on the final day: sum of (20-15)*10 = 50
+    assert out["max_s_pos"] == 50.0
+    assert out["max_s_neg"] == 50.0
+    assert out["changepoint_day"] == datetime.date(2024, 3, 20)
+
+
+def test_roc_auc_hand_cases(spark):
+    from weaviate_spark.operators.analytics import roc_auc
+    from pyspark.sql import functions as F
+
+    # perfect separation -> 1.0
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True)],
+        "s double, y boolean",
+    )
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    # all scores tied -> 0.5 exactly (average ranks)
+    tied = spark.createDataFrame(
+        [(5.0, True), (5.0, False), (5.0, True), (5.0, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+    # anti-predictive -> 0.0
+    inv = spark.createDataFrame(
+        [(4.0, False), (3.0, False), (2.0, True), (1.0, True)],
+        "s double, y boolean",
+    )
+    row = roc_auc(inv, "s", F.col("y")).collect()[0]
+    assert row["auc"] == 0.0 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_kmeans_deterministic_and_separates(spark):
+    from weaviate_spark.operators.curation import kmeans_clusters
+
+    # two tight blobs far apart; k=2 must recover them exactly
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+    rows += [(100 + i, [50.0 + i * 0.01, 50.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_clusters(df, "vec_id", "embedding", k=2, iterations=3)
+    got = {r["cluster_id"]: r for r in out.collect()}
+    assert len(got) == 2
+    assert sorted(r["n_members"] for r in got.values()) == [10, 10]
+    # deterministic under repartitioning
+    again = kmeans_clusters(
+        df.repartition(7), "vec_id", "embedding", k=2, iterations=3
+    ).collect()
+    assert {r["cluster_id"]: r for r in again} == got

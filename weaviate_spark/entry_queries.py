@@ -7443,3 +7443,206 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3, num_hashes=16, bands=4, threshold=0.6,
         max_bucket_size=1_000_000, table_key=(sf_dir, "documents"),
     )
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle=(
+        "WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, "
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) "
+        "AS DECIMAL(18,6)) AS dm6 "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        "mu AS (SELECT g, CAST(sum(dm6) AS DOUBLE) / count(*) AS mu "
+        "FROM daily GROUP BY g), "
+        "s AS (SELECT daily.g, day, mu.mu, "
+        "CAST(dm6 AS DOUBLE) - mu.mu AS d FROM daily JOIN mu USING (g)), "
+        "c AS (SELECT g, day, mu, "
+        "sum(d) OVER (PARTITION BY g ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM s), "
+        "sc AS (SELECT g, day, mu, "
+        "cum - least(0.0, min(cum) OVER (PARTITION BY g ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING)) AS spos, "
+        "greatest(0.0, max(cum) OVER (PARTITION BY g ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING)) - cum AS sneg FROM c), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY g "
+        "ORDER BY round(spos, 6) DESC, day ASC) AS r FROM sc) "
+        "SELECT g AS event_type, "
+        "max(CASE WHEN r = 1 THEN day END) AS changepoint_day, "
+        "round(max(spos) + 0.0, 6) AS max_s_pos, "
+        "round(max(sneg) + 0.0, 6) AS max_s_neg, "
+        "round(max(mu) + 0.0, 6) AS mu, "
+        "CAST(count(*) AS BIGINT) AS n_days "
+        "FROM rk GROUP BY 1"
+    ),
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type over the daily-mean value
+    series: S+/S- computed closed-form as cumsum-minus-running-min (two
+    ordered windows, no recursion); reports the argmax day (the CUSUM
+    location estimate) and drift magnitudes. DECIMAL-exact daily means
+    keep it partition-invariant."""
+    from weaviate_spark.operators.analytics import cusum_changepoints
+
+    return cusum_changepoints(
+        _load(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+@register(
+    "events_roc_auc",
+    oracle=(
+        "WITH r AS (SELECT CAST(value AS DOUBLE) AS s, "
+        "(event_type = 'purchase') AS y FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+        "rk AS (SELECT y, 2 * rank() OVER (ORDER BY s) "
+        "+ count(*) OVER (PARTITION BY s) - 1 AS r2 FROM r), "
+        "a AS (SELECT CAST(sum(CASE WHEN y THEN r2 END) AS BIGINT) AS sr2, "
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np, "
+        "CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn "
+        "FROM rk) "
+        "SELECT np AS n_pos, nn AS n_neg, "
+        "round((CAST(sr2 AS DOUBLE) / 2.0 "
+        "- CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) "
+        "/ (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) + 0.0, 6) AS auc "
+        "FROM a"
+    ),
+)
+def q_events_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney rank identity, ties as average
+    ranks) of event value as a predictor of the purchase type — the
+    model-eval primitive. All rank arithmetic in exact BIGINTs; one
+    global rank window + scalar aggregate."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import roc_auc
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    return roc_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+@register(
+    "pareto_revenue_share",
+    oracle=(
+        "WITH rev AS (SELECT n_name AS nation, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), "
+        "tot AS (SELECT sum(r) AS t FROM rev), "
+        "w AS (SELECT nation, r, t, "
+        "row_number() OVER (ORDER BY r DESC, nation ASC) AS rnk, "
+        "sum(r) OVER (ORDER BY r DESC, nation ASC "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM rev, tot) "
+        "SELECT nation, CAST(rnk AS BIGINT) AS rnk, "
+        "CAST(r AS DOUBLE) AS revenue, "
+        "round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE) + 0.0, 6) AS share, "
+        "round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) + 0.0, 6) AS cum_share, "
+        "(cum * 10 <= t * 8) AS in_top80 FROM w"
+    ),
+)
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration by customer nation:
+    DECIMAL-exact revenue, rank + cumulative share via one ordered
+    window over the 25-row nation aggregate (all the heavy lifting is
+    the fact join + groupBy; the window runs on dimension-sized data).
+    in_top80 is decided on exact decimals (cum*10 <= total*8), not
+    rounded floats."""
+    from pyspark.sql import Window, functions as F
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
+        F.col("l_discount").cast("decimal(18,2)").alias("_d"),
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("_p") * (F.lit(1) - F.col("_d"))).alias("_r"))
+    )
+    tot = rev.agg(F.sum("_r").alias("_t"))
+    w = Window.orderBy(F.col("_r").desc(), F.col("nation").asc())
+    cumw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("_cum", F.sum("_r").over(cumw))
+        .select(
+            "nation",
+            "rnk",
+            F.col("_r").cast("double").alias("revenue"),
+            F.round(
+                F.col("_r").cast("double") / F.col("_t").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("_t").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("cum_share"),
+            (F.col("_cum") * 10 <= F.col("_t") * 8).alias("in_top80"),
+        )
+    )
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 5) -> str:
+    seed_hash = "('0x' || substr(md5('km:' || CAST(_id AS VARCHAR)), 1, 8))::BIGINT"
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id AS _id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), ",
+        "it AS MATERIALIZED (SELECT _id, i - 1 AS _dim, ev[i] AS _val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), ",
+        "sd AS MATERIALIZED (SELECT _id, row_number() OVER "
+        f"(ORDER BY {seed_hash}, _id) - 1 AS _c FROM e), ",
+        "c0 AS MATERIALIZED (SELECT sd._c, it._dim, round(it._val, 6) AS _mu "
+        f"FROM it JOIN sd USING (_id) WHERE sd._c < {k}), ",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT it._id, c._c, "
+            "round(sum((it._val - c._mu) * (it._val - c._mu)), 6) AS _dd "
+            f"FROM it JOIN c{i - 1} c ON it._dim = c._dim "
+            "GROUP BY it._id, c._c), "
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT _id, _c, _dd FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY _id "
+            f"ORDER BY _dd ASC, _c ASC) AS _r FROM d{i}) WHERE _r = 1), "
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT a._c, it._dim, "
+            "round(avg(it._val), 6) AS _mu "
+            f"FROM it JOIN a{i} a USING (_id) GROUP BY a._c, it._dim), "
+        )
+    parts.append(
+        f"norms AS (SELECT _c, round(sqrt(sum(_mu * _mu)) + 0.0, 6) "
+        f"AS centroid_norm FROM c{iterations} GROUP BY _c) "
+        f"SELECT CAST(a._c AS INT) AS cluster_id, "
+        "CAST(count(*) AS BIGINT) AS n_members, norms.centroid_norm, "
+        "round(CAST(sum(CAST(a._dd AS DECIMAL(18,6))) AS DOUBLE) + 0.0, 6) "
+        f"AS inertia FROM a{iterations} a JOIN norms USING (_c) "
+        "GROUP BY a._c, norms.centroid_norm"
+    )
+    return "".join(parts)
+
+
+@register("embedding_kmeans", oracle=_kmeans_oracle_sql(4, 5))
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 5 rounds) over the embedding
+    corpus: hash-seeded init, 6dp-fixed iteration state so a DuckDB
+    oracle replays every round, broadcast k x d centroid joins (no
+    all-pairs, no driver collect). The clustering primitive under
+    IVF index build and semantic dedup, surfaced as its own operator."""
+    from weaviate_spark.operators.curation import kmeans_clusters
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, "vec_id", "embedding", k=4, iterations=5)

@@ -998,3 +998,121 @@ def poisson_bootstrap_ci(
             F.count(F.lit(1)).cast("long").alias("n_replicates"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group CUSUM changepoint scan over the daily-mean series:
+    S+_t = max(0, S+_{t-1} + (x_t - mu)), S-_t symmetric, computed
+    closed-form as (cumsum - running-min) / (running-max - cumsum) —
+    two ordered windows, no recursion, no driver loop. The reported
+    changepoint day is the argmax of S+ (the standard CUSUM location
+    estimate); max_s_pos / max_s_neg are the drift magnitudes.
+
+    Determinism: daily means and the per-group mu come from
+    DECIMAL-exact sums (no float accumulation-order drift); the window
+    prefix sums run in day order, which is a total order per group.
+    One shuffle to (group, day), one to group for the windows.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            day.alias("_day"),
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy("_g", "_day")
+        .agg(
+            (F.sum("_v").cast("double") / F.count(F.lit(1))).alias("_dm")
+        )
+        # fix the daily mean to 6dp decimal so the per-group mu below is
+        # an exact sum too (and matches the oracle bit-for-bit)
+        .withColumn("_dm6", F.col("_dm").cast("decimal(18,6)"))
+    )
+    mu = daily.groupBy("_g").agg(
+        (F.sum("_dm6").cast("double") / F.count(F.lit(1))).alias("_mu")
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        daily.join(F.broadcast(mu), "_g")
+        .withColumn("_d", F.col("_dm6").cast("double") - F.col("_mu"))
+        .withColumn("_cum", F.sum("_d").over(w))
+        .withColumn(
+            "_spos",
+            F.col("_cum") - F.least(F.lit(0.0), F.min("_cum").over(w)),
+        )
+        .withColumn(
+            "_sneg",
+            F.greatest(F.lit(0.0), F.max("_cum").over(w)) - F.col("_cum"),
+        )
+    )
+    rk = Window.partitionBy("_g").orderBy(
+        F.round(F.col("_spos"), 6).desc(), F.col("_day").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(rk))
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max(F.when(F.col("_r") == 1, F.col("_day"))).alias("changepoint_day"),
+            F.round(F.max("_spos") + F.lit(0.0), 6).alias("max_s_pos"),
+            F.round(F.max("_sneg") + F.lit(0.0), 6).alias("max_s_neg"),
+            F.round(F.max("_mu") + F.lit(0.0), 6).alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact ROC-AUC of a numeric score against a boolean label via the
+    Mann-Whitney rank identity: AUC = (sum of positive average ranks -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg), ties carried as average ranks.
+    All rank arithmetic stays in exact integers (2*rank_min + tie_count
+    - 1 summed as BIGINT, divided by 2 only in the final expression) so
+    the result is partition-invariant to the last bit — no sort of
+    probabilities into float accumulators.
+
+    One row out. Plan: one global rank window (a single total sort of
+    the score column — the unavoidable cost of exact AUC; sample or
+    bucket upstream for the approximate variant) + a scalar aggregate.
+    """
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rows = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        lab.cast("boolean").alias("_y"),
+    ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    wv = Window.orderBy("_s")
+    tie = Window.partitionBy("_s")
+    ranked = rows.select(
+        "_y",
+        # 2 * average-rank = 2*rank_min + (ties - 1), kept integral
+        (F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(tie) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_y"), F.col("_r2"))).cast("long").alias("_sr2"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_np"),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).cast("long").alias("_nn"),
+    )
+    auc = (
+        (F.col("_sr2").cast("double") / 2.0)
+        - (F.col("_np").cast("double") * (F.col("_np") + 1).cast("double") / 2.0)
+    ) / (F.col("_np").cast("double") * F.col("_nn").cast("double"))
+    return agg.select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.round(auc + F.lit(0.0), 6).alias("auc"),
+    )

@@ -606,3 +606,105 @@ def label_centroid_medoids(
             F.col("_m._d").alias("medoid_distance"),
         )
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 5,
+    salt: str = "km",
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over an embedding column:
+    seeds are the k vectors with the smallest (md5(salt:id), id) — a
+    partition-invariant stand-in for random init — then ``iterations``
+    assign/update rounds. Returns one row per cluster: (cluster_id,
+    n_members, centroid_norm, inertia).
+
+    Determinism contract (what lets a DuckDB oracle replay it): every
+    iteration's distances are rounded to 6dp before the argmin (ties ->
+    lower cluster id) and every updated centroid coordinate is rounded
+    to 6dp, so the iteration state is a fixed-point-like value both
+    engines agree on; the final inertia is a DECIMAL-exact sum of the
+    6dp member distances.
+
+    Scale shape: vectors live in long form (id, dim, val); the centroid
+    table is k x d rows and always broadcasts, so each iteration is one
+    broadcast join + two keyed aggregations — no all-pairs, no driver
+    collect (centroids stay a DataFrame; lineage is cut per round with
+    localCheckpoint so ``iterations`` never compounds the plan).
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).where(F.col("_vec").isNotNull())
+    it = register_cache(
+        base.select(
+            "_id", F.posexplode("_vec").alias("_dim", "_val")
+        ).withColumn("_val", F.col("_val").cast("double")).cache()
+    )
+    from pyspark.sql import Window
+
+    seed_w = Window.orderBy(md5_prefix_long(F.col("_id"), salt), F.col("_id"))
+    seeds = (
+        base.select("_id")
+        .withColumn("_c", F.row_number().over(seed_w) - 1)
+        .where(F.col("_c") < k)
+    )
+    cent = (
+        it.join(F.broadcast(seeds), "_id")
+        .select("_c", "_dim", F.round("_val", 6).alias("_mu"))
+    ).localCheckpoint()
+    assign = None
+    for _ in range(iterations):
+        dists = (
+            it.join(F.broadcast(cent), "_dim")
+            .groupBy("_id", "_c")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("_val") - F.col("_mu"))
+                        * (F.col("_val") - F.col("_mu"))
+                    ),
+                    6,
+                ).alias("_dd")
+            )
+        )
+        pick = Window.partitionBy("_id").orderBy(
+            F.col("_dd").asc(), F.col("_c").asc()
+        )
+        assign = (
+            dists.withColumn("_r", F.row_number().over(pick))
+            .where(F.col("_r") == 1)
+            .select("_id", "_c", "_dd")
+        )
+        cent = (
+            it.join(assign.select("_id", "_c"), "_id")
+            .groupBy("_c", "_dim")
+            .agg(F.round(F.avg("_val"), 6).alias("_mu"))
+        ).localCheckpoint()
+    norms = cent.groupBy("_c").agg(
+        F.round(F.sqrt(F.sum(F.col("_mu") * F.col("_mu"))) + F.lit(0.0), 6).alias(
+            "centroid_norm"
+        )
+    )
+    return (
+        assign.groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("_dd").cast("decimal(18,6)")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("inertia"),
+        )
+        .join(F.broadcast(norms), "_c")
+        .select(
+            F.col("_c").cast("int").alias("cluster_id"),
+            "n_members",
+            "centroid_norm",
+            "inertia",
+        )
+    )
