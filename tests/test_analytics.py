@@ -810,3 +810,80 @@ def test_kmeans_deterministic_and_separates(spark):
         df.repartition(7), "vec_id", "embedding", k=2, iterations=3
     ).collect()
     assert {r["cluster_id"]: r for r in again} == got
+
+
+def test_gini_extremes(spark):
+    from weaviate_spark.operators.analytics import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame(
+        [(i, 10.0) for i in range(5)], "k long, x double"
+    )
+    assert gini_coefficient(eq, "x", "k").collect()[0]["gini"] == 0.0
+    # one entity owns everything among n=4: G = (n-1)/n = 0.75
+    conc = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0), (4, 100.0)], "k long, x double"
+    )
+    row = gini_coefficient(conc, "x", "k").collect()[0]
+    assert row["gini"] == 0.75 and row["total_value"] == 100.0
+
+
+def test_quantile_bins_balanced(spark):
+    from weaviate_spark.operators.analytics import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    out = {r["bin"]: r for r in quantile_bins(df, "v", ["id"], 10).collect()}
+    assert len(out) == 10
+    assert all(out[b]["n_rows"] == 10 for b in out)
+    assert out[1]["lo"] == 0.0 and out[1]["hi"] == 9.0
+    assert out[10]["lo"] == 90.0 and out[10]["hi"] == 99.0
+
+
+def test_temporal_neighbors_bucket_edges(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import temporal_neighbor_counts
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(t(0),), (t(1000),)], "ts timestamp")
+    # neighbors: exactly at the +/-300s boundary (inclusive), one inside,
+    # one just outside, one in a different bucket but within range
+    right = spark.createDataFrame(
+        [(t(300),), (t(-300),), (t(5),), (t(301),), (t(-299),)],
+        "ts timestamp",
+    )
+    out = {
+        r["neighbor_count"]: r["n_left_events"]
+        for r in temporal_neighbor_counts(left, right, "ts", 300).collect()
+    }
+    # left@0 sees 300, -300, 5, -299 -> 4; left@1000 sees none -> 0
+    assert out == {4: 1, 0: 1}
+
+
+def test_collocations_pmi_hand_corpus(spark):
+    import math
+
+    from weaviate_spark.operators.textstats import collocations_pmi
+
+    # "new york" always together (5x); "the cat"/"the dog" split the
+    # marginal of "the"
+    docs = spark.createDataFrame(
+        [(1, "new york " * 5 + "the cat " * 5 + "the dog " * 5)],
+        "id long, text string",
+    )
+    rows = collocations_pmi(docs, "text", min_count=2, top_k=50).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    ny = by_pair[("new", "york")]
+    assert ny["n_pair"] == 5
+    # corpus bigram count N = 29 (one doc, 30 tokens); "new" as-first = 5,
+    # "york" as-second = 5 -> PMI = ln(5*29/(5*5))
+    assert ny["pmi"] == round(math.log(5 * 29 / 25), 6)
+    # "the cat": c12=5, the-as-first=10, cat-as-second=5
+    tc = by_pair[("the", "cat")]
+    assert tc["pmi"] == round(math.log(5 * 29 / 50), 6)

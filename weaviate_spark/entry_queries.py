@@ -7646,3 +7646,141 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     return kmeans_clusters(emb, "vec_id", "embedding", k=4, iterations=5)
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle=(
+        "WITH rev AS (SELECT o_custkey AS ck, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS x "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1), "
+        "rk AS (SELECT x, row_number() OVER (ORDER BY x ASC, ck ASC) AS i "
+        "FROM rev), "
+        "a AS (SELECT count(*) AS n, sum(x) AS s0, sum(x * i) AS s1 FROM rk) "
+        "SELECT CAST(n AS BIGINT) AS n_entities, "
+        "CAST(s0 AS DOUBLE) AS total_value, "
+        "round((2.0 * CAST(s1 AS DOUBLE) "
+        "- CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) + 0.0, 6) AS gini "
+        "FROM a"
+    ),
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across customers — the
+    inequality/concentration primitive (pairs with pareto_revenue_share).
+    Per-customer revenue is a DECIMAL-exact fact aggregate; the index
+    itself is exact integer/decimal moments with one dimension-sized
+    rank window."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import gini_coefficient
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
+        F.col("l_discount").cast("decimal(18,2)").alias("_d"),
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.col("_p") * (F.lit(1) - F.col("_d")))
+            .cast("decimal(28,4)")
+            .alias("x")
+        )
+    )
+    return gini_coefficient(rev, "x", "ck")
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=(
+        "WITH toks AS (SELECT regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+') AS tt FROM documents), "
+        "bg AS (SELECT tt[i] AS w1, tt[i + 1] AS w2 FROM toks, "
+        "LATERAL unnest(range(1, len(tt))) AS u(i) WHERE len(tt) >= 2), "
+        "p12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), "
+        "p1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), "
+        "p2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1), "
+        "nn AS (SELECT count(*) AS n FROM bg), "
+        "s AS (SELECT p12.w1, p12.w2, p12.c12, "
+        "round(ln(CAST(p12.c12 AS DOUBLE) * CAST(nn.n AS DOUBLE) "
+        "/ (CAST(p1.c1 AS DOUBLE) * CAST(p2.c2 AS DOUBLE))) + 0.0, 6) AS pmi "
+        "FROM p12 JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN nn "
+        "WHERE p12.c12 >= 5) "
+        "SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair, pmi FROM s "
+        "ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20"
+    ),
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent word bigrams
+    (Church & Hanks): positional marginals, min-count 5 guard against
+    the low-frequency PMI explosion, 6dp + lexicographic tie-break.
+    One explode, three keyed counts, marginals join back (AQE
+    broadcasts when they fit)."""
+    from weaviate_spark.operators.textstats import collocations_pmi
+
+    return collocations_pmi(
+        _load(spark, sf_dir, "documents"), "text", min_count=5, top_k=20
+    )
+
+
+@register(
+    "feature_quantile_binning",
+    oracle=(
+        "WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, "
+        "l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL), "
+        "b AS (SELECT v, ntile(10) OVER (ORDER BY v ASC, l_orderkey ASC, "
+        "l_linenumber ASC) AS bin FROM r) "
+        "SELECT CAST(bin AS INT) AS bin, round(min(v) + 0.0, 6) AS lo, "
+        "round(max(v) + 0.0, 6) AS hi, CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM b GROUP BY 1"
+    ),
+)
+def q_feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of the price column (ntile with a
+    deterministic tie-break) — the feature-engineering / quantile-sketch
+    primitive; bin edges + populations out."""
+    from weaviate_spark.operators.analytics import quantile_bins
+
+    return quantile_bins(
+        _load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        n_bins=10,
+    )
+
+
+@register(
+    "events_temporal_neighbors",
+    oracle=(
+        "WITH l AS (SELECT event_id, epoch_us(ts) AS lt FROM events "
+        "WHERE event_type = 'error'), "
+        "r AS (SELECT epoch_us(ts) AS rt FROM events "
+        "WHERE event_type = 'purchase'), "
+        "cnt AS (SELECT l.event_id, count(r.rt) AS neighbor_count "
+        "FROM l LEFT JOIN r ON abs(l.lt - r.rt) <= 300000000 GROUP BY 1) "
+        "SELECT CAST(neighbor_count AS BIGINT) AS neighbor_count, "
+        "CAST(count(*) AS BIGINT) AS n_left_events FROM cnt GROUP BY 1"
+    ),
+)
+def q_events_temporal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded temporal neighborhood join: for every error event, count
+    purchases within +/- 5 minutes, returned as a histogram. Engine uses
+    window-sized time-bucket equi-joins (each right event lands in 3
+    buckets, each left probes 1 — never a range join); the oracle is the
+    naive interval join, a genuinely different algorithm."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import temporal_neighbor_counts
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal_neighbor_counts(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "purchase"),
+        "ts",
+        window_seconds=300,
+    )

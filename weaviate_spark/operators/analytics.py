@@ -1116,3 +1116,125 @@ def roc_auc(
         F.col("_nn").alias("n_neg"),
         F.round(auc + F.lit(0.0), 6).alias("auc"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact Gini concentration index over one value per entity:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted
+    ascending (rank ties broken by ``tiebreak_col`` — any permutation
+    inside a tie group yields the same sum, so the index itself is
+    tie-stable). Values are carried as DECIMAL(28,4), the two moment
+    sums stay exact integers/decimals, and only the final ratio touches
+    floating point — partition-invariant to the last bit.
+
+    Intended for entity-level aggregates (revenue per customer, tokens
+    per document): the global rank window sorts |entities| rows, not
+    the fact table. One row out: (n, total, gini).
+    """
+    rows = df.select(
+        F.col(value_col).cast("decimal(28,4)").alias("_x"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).where(F.col("_x").isNotNull())
+    w = Window.orderBy(F.col("_x").asc(), F.col("_tb").asc())
+    ranked = rows.select(
+        "_x", F.row_number().over(w).cast("long").alias("_i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").alias("_s0"),
+        F.sum(F.col("_x") * F.col("_i")).alias("_s1"),
+    )
+    g = (
+        F.lit(2.0) * F.col("_s1").cast("double")
+        - (F.col("_n") + 1).cast("double") * F.col("_s0").cast("double")
+    ) / (F.col("_n").cast("double") * F.col("_s0").cast("double"))
+    return agg.select(
+        F.col("_n").alias("n_entities"),
+        F.col("_s0").cast("double").alias("total_value"),
+        F.round(g + F.lit(0.0), 6).alias("gini"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency binning (the feature-engineering primitive):
+    ntile(n) over the value with a deterministic tie-break, one output
+    row per bin with its [lo, hi] value range and population. The bin
+    edges double as a quantile sketch of the column.
+
+    ntile's count arithmetic is pure integers, so the binning is
+    engine-portable; the single global sort is over the projected
+    (value, tiebreak) columns only.
+    """
+    order = [F.col("_v").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.orderBy(*order)
+    binned = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c) for c in tiebreak_cols],
+    ).where(F.col("_v").isNotNull()).withColumn(
+        "_bin", F.ntile(n_bins).over(w)
+    )
+    return (
+        binned.groupBy(F.col("_bin").cast("int").alias("bin"))
+        .agg(
+            F.round(F.min("_v") + F.lit(0.0), 6).alias("lo"),
+            F.round(F.max("_v") + F.lit(0.0), 6).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def temporal_neighbor_counts(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Bounded temporal neighborhood join, aggregated to a histogram:
+    for every left event, count right events within +/- window_seconds,
+    then return (neighbor_count, n_left_events) — e.g. "how many errors
+    had k purchases within 5 minutes". Left events with no neighbor in
+    range are kept (count 0).
+
+    Scale shape: NOT a range join (O(|L|*|R|) per key and the classic
+    100 TB killer). Each right event lands in one window-sized time
+    bucket and each left event probes its own bucket plus both
+    neighbors — any pair within the window differs by at most one
+    bucket — so the join is a plain 3-way equi-join on bucket id whose
+    fan-in is bounded by local event density, then an exact |dt| filter.
+    Timestamps compare in integer microseconds (no float epochs).
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    win_us = int(window_seconds) * 1_000_000
+    lt = left.select(
+        F.monotonically_increasing_id().alias("_lid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_lt"),
+    )
+    rb = F.expr(f"_rt div {win_us}")
+    rt = right.select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rt")
+    ).withColumn("_b", F.explode(F.array(rb - 1, rb, rb + 1)))
+    probes = lt.withColumn("_b", F.expr(f"_lt div {win_us}"))
+    hits = (
+        probes.join(rt, "_b", "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.abs(F.col("_lt") - F.col("_rt")) <= win_us, 1
+            ).otherwise(0),
+        )
+        .groupBy("_lid")
+        .agg(F.sum("_hit").cast("long").alias("neighbor_count"))
+    )
+    return hits.groupBy("neighbor_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_left_events")
+    )

@@ -534,3 +534,74 @@ def js_divergence_by_group(
             F.sum("_shared").cast("long").alias("n_terms_shared"),
         )
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top collocations (adjacent word bigrams) ranked by pointwise
+    mutual information: PMI = ln(c12 * N / (c1 * c2)) with c1/c2 the
+    positional marginals (count as-first-word / as-second-word) and N
+    the corpus bigram total — the classic collocation-extraction
+    statistic (Church & Hanks 1990). ``min_count`` suppresses the
+    low-frequency PMI explosion; ties on the 6dp score break
+    lexicographically so the top-k set is deterministic.
+
+    Scale shape: one explode to bigram rows, three keyed counts (pair,
+    first-word, second-word), two equi-joins back (marginal tables are
+    vocabulary-sized — AQE broadcasts them when they fit), a scalar N,
+    and a top-k sort over the >= min_count survivors only.
+    """
+    toks = tokenize(F.col(text_col), "word")
+    bg = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+    pairs = register_cache(
+        df.select(F.explode(bg).alias("_b"))
+        .select(F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+        .cache()
+    )
+    c12 = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c2 = pairs.groupBy("_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    n = pairs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        c12.where(F.col("_c12") >= min_count)
+        .join(c1, "_w1")
+        .join(c2, "_w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_pmi",
+            F.round(
+                F.log(
+                    F.col("_c12").cast("double") * F.col("_n").cast("double")
+                    / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+                )
+                + F.lit(0.0),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("_pmi").desc(), F.col("_w1").asc(), F.col("_w2").asc()
+        )
+        .limit(top_k)
+        .select(
+            F.col("_w1").alias("w1"),
+            F.col("_w2").alias("w2"),
+            F.col("_c12").cast("long").alias("n_pair"),
+            F.col("_pmi").alias("pmi"),
+        )
+    )
