@@ -887,3 +887,71 @@ def test_collocations_pmi_hand_corpus(spark):
     # "the cat": c12=5, the-as-first=10, cat-as-second=5
     tc = by_pair[("the", "cat")]
     assert tc["pmi"] == round(math.log(5 * 29 / 50), 6)
+
+
+def test_kaplan_meier_hand_case(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import kaplan_meier_survival
+
+    def t(day):
+        return datetime.datetime(2024, 1, day)
+
+    # 4 users, entry day 1. u1 purchase day 3 (dur 2), u2 purchase day 5
+    # (dur 4), u3/u4 censored at horizon day 11 (dur 10)
+    rows = [
+        (1, t(1), "view"), (1, t(3), "purchase"),
+        (2, t(1), "view"), (2, t(5), "purchase"),
+        (3, t(1), "view"), (3, t(11), "view"),
+        (4, t(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["t_days"]: r for r in kaplan_meier_survival(
+        df, "user_id", "ts", "event_type", "purchase").collect()}
+    assert set(out) == {2, 4}
+    # day 2: n=4, d=1 -> S=0.75 ; day 4: n=3, d=1 -> S=0.75*(2/3)=0.5
+    assert out[2]["n_at_risk"] == 4 and out[2]["survival"] == 0.75
+    assert out[4]["n_at_risk"] == 3 and out[4]["survival"] == 0.5
+
+
+def test_kaplan_meier_terminal_zero(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import kaplan_meier_survival
+
+    def t(day):
+        return datetime.datetime(2024, 2, day)
+
+    # both subjects purchase on the SAME final day -> survival hits 0,
+    # must not NULL out via log(0)
+    rows = [
+        (1, t(1), "view"), (1, t(4), "purchase"),
+        (2, t(1), "view"), (2, t(4), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = kaplan_meier_survival(df, "user_id", "ts", "event_type", "purchase").collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2 and out[0]["survival"] == 0.0
+
+
+def test_calibration_bins_exact(spark):
+    from weaviate_spark.operators.analytics import calibration_bins
+
+    rows = [(0.05, True), (0.05, False), (0.15, True), (0.95, False),
+            (1.2, True), (-0.1, False)]  # last two out of [0,1) -> dropped
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n_rows"] == 2 and out[0]["pos_rate"] == 0.5
+    assert out[0]["mean_score"] == 0.05
+    assert out[1]["pos_rate"] == 1.0 and out[9]["pos_rate"] == 0.0
+
+
+def test_psi_no_drift_is_zero(spark):
+    from weaviate_spark.operators.analytics import psi_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = psi_drift(a, a, "v", n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["n_a"] == r["n_b"] for r in out)

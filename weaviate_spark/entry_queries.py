@@ -7784,3 +7784,131 @@ def q_events_temporal_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         window_seconds=300,
     )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=(
+        "WITH base AS (SELECT user_id AS u, ts, event_type FROM events "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "entry AS (SELECT u, min(ts) AS t0 FROM base GROUP BY u), "
+        "h AS (SELECT max(ts) AS hz FROM base), "
+        "ev AS (SELECT b.u, min(b.ts) AS te FROM base b "
+        "JOIN entry e ON b.u = e.u "
+        "WHERE b.event_type = 'purchase' AND b.ts > e.t0 GROUP BY b.u), "
+        "subj AS (SELECT e.u, "
+        "CASE WHEN ev.te IS NOT NULL THEN 1 ELSE 0 END AS obs, "
+        "datediff('day', CAST(e.t0 AS DATE), "
+        "CAST(coalesce(ev.te, h.hz) AS DATE)) AS dur "
+        "FROM entry e LEFT JOIN ev ON e.u = ev.u CROSS JOIN h), "
+        "pd AS (SELECT dur, sum(obs) AS d, count(*) AS lv "
+        "FROM subj GROUP BY dur), "
+        "km AS (SELECT dur, d, sum(lv) OVER (ORDER BY dur "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n FROM pd), "
+        "km2 AS (SELECT dur, d, n, "
+        "sum(CASE WHEN d > 0 AND n > d "
+        "THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "ELSE 0.0 END) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lnsum, "
+        "max(CASE WHEN d > 0 AND d >= n THEN 1 ELSE 0 END) "
+        "OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS hit0 FROM km) "
+        "SELECT CAST(dur AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk, "
+        "CAST(d AS BIGINT) AS n_events, "
+        "CASE WHEN hit0 = 1 THEN 0.0 "
+        "ELSE round(exp(lnsum) + 0.0, 6) END AS survival "
+        "FROM km2 WHERE d > 0"
+    ),
+)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve for time-to-first-purchase:
+    subjects enter at their first event, right-censored at the corpus
+    horizon; survival from an ordered running sum of exact-ratio ln
+    terms (deterministic; ln(0) terminal days handled by a flag, not
+    -inf). Two subject-key shuffles + dimension-sized day windows."""
+    from weaviate_spark.operators.analytics import kaplan_meier_survival
+
+    return kaplan_meier_survival(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "purchase",
+    )
+
+
+@register(
+    "score_calibration_bins",
+    oracle=(
+        "WITH r AS (SELECT CAST(value / 100 AS DECIMAL(18,6)) AS p, "
+        "(event_type = 'purchase') AS y FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+        "f AS (SELECT p, y FROM r WHERE p >= 0 AND p < 1), "
+        "b AS (SELECT CAST(floor(CAST(p AS DOUBLE) * 10) AS INT) AS bin, "
+        "p, y FROM f) "
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(CAST(sum(p) AS DOUBLE) / count(*) + 0.0, 6) AS mean_score, "
+        "round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) + 0.0, 6) AS pos_rate FROM b GROUP BY 1"
+    ),
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (calibration curve): event value / 100
+    as a pseudo-probability of the purchase label, 10 fixed-width bins,
+    DECIMAL-exact mean score vs exact empirical positive rate per bin.
+    One shuffle."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import calibration_bins
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("value") / 100).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return calibration_bins(scored, "p", "y", n_bins=10)
+
+
+@register(
+    "drift_psi_value",
+    oracle=(
+        "WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events "
+        "WHERE value IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-15'), "
+        "b AS (SELECT CAST(value AS DOUBLE) AS v FROM events "
+        "WHERE value IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'), "
+        "e AS (SELECT ["
+        + ", ".join(
+            f"round(quantile_cont(v, {i / 10}), 6)" for i in range(1, 10)
+        )
+        + "] AS edges FROM a), "
+        "na AS (SELECT count(*) AS n FROM a), "
+        "nb AS (SELECT count(*) AS n FROM b), "
+        "ca AS (SELECT len(list_filter(e.edges, x -> v > x)) AS bin, "
+        "count(*) AS n_a FROM a, e GROUP BY 1), "
+        "cb AS (SELECT len(list_filter(e.edges, x -> v > x)) AS bin, "
+        "count(*) AS n_b FROM b, e GROUP BY 1), "
+        "j AS (SELECT coalesce(ca.bin, cb.bin) AS bin, "
+        "coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b "
+        "FROM ca FULL JOIN cb ON ca.bin = cb.bin) "
+        "SELECT CAST(bin AS INT) AS bin, CAST(n_a AS BIGINT) AS n_a, "
+        "CAST(n_b AS BIGINT) AS n_b, "
+        "round(CAST(n_a AS DOUBLE) / na.n + 0.0, 6) AS p_a, "
+        "round(CAST(n_b AS DOUBLE) / nb.n + 0.0, 6) AS p_b, "
+        "round((CAST(n_b AS DOUBLE) / nb.n - CAST(n_a AS DOUBLE) / na.n) "
+        "* ln((CAST(n_b AS DOUBLE) / nb.n) / (CAST(n_a AS DOUBLE) / na.n)) "
+        "+ 0.0, 6) AS psi_term "
+        "FROM j, na, nb"
+    ),
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value column between the first
+    and second half of the event window — the production drift monitor.
+    Bin edges = reference-period exact deciles (6dp-pinned); per-bin
+    exact counts; psi_term sums to the headline index. Edges broadcast;
+    binning is a map-side array scan."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import psi_drift
+
+    ev = _load(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    a = ev.where(day <= F.lit("2024-01-15").cast("date"))
+    b = ev.where(day > F.lit("2024-01-15").cast("date"))
+    return psi_drift(a, b, "value", n_bins=10)

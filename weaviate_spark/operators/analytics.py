@@ -1238,3 +1238,192 @@ def temporal_neighbor_counts(
     return hits.groupBy("neighbor_count").agg(
         F.count(F.lit(1)).cast("long").alias("n_left_events")
     )
+def kaplan_meier_survival(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    event_type: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-first-``event_type``:
+    each subject enters at their first event of any kind, experiences
+    the event at their first ``event_type`` strictly after entry, or is
+    right-censored at the corpus horizon (global max timestamp). One
+    row per event day t: (t_days, n_at_risk, n_events, survival) with
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) — the standard product-limit
+    estimator, computed as exp of an ordered running sum of ln terms
+    (each factor is an exact small-integer ratio; the ordered window
+    makes the accumulation deterministic).
+
+    Scale shape: two shuffles on the subject key (entry time, first
+    event time), one tiny shuffle to per-day counts, windows over the
+    day-indexed table (|distinct days| rows, dimension-sized at any
+    corpus scale).
+    """
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(type_col).alias("_ty"),
+    ).where(F.col("_u").isNotNull() & F.col("_t").isNotNull())
+    entry = base.groupBy("_u").agg(F.min("_t").alias("_t0"))
+    horizon = base.agg(F.max("_t").alias("_h"))
+    ev = (
+        base.where(F.col("_ty") == event_type)
+        .join(entry, "_u")
+        .where(F.col("_t") > F.col("_t0"))
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_te"))
+    )
+    subjects = (
+        entry.join(ev, "_u", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "_u",
+            F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("_obs"),
+            F.datediff(
+                F.coalesce(F.col("_te"), F.col("_h")), F.col("_t0")
+            ).cast("long").alias("_dur"),
+        )
+    )
+    per_day = subjects.groupBy("_dur").agg(
+        F.sum("_obs").cast("long").alias("_d"),
+        F.count(F.lit(1)).cast("long").alias("_leave"),
+    )
+    w_after = (
+        Window.orderBy("_dur").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_upto = Window.orderBy("_dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km = (
+        per_day.withColumn("_n", F.sum("_leave").over(w_after))
+        # a terminal day where every at-risk subject has the event
+        # (n == d) sends the product to exactly 0 — flag it instead of
+        # feeding ln(0) into the sum (Spark's log(0) is NULL, not -inf)
+        .withColumn(
+            "_lnterm",
+            F.when(
+                (F.col("_d") > 0) & (F.col("_n") > F.col("_d")),
+                F.log(
+                    (F.col("_n") - F.col("_d")).cast("double")
+                    / F.col("_n").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_hit0",
+            F.max(
+                F.when(
+                    (F.col("_d") > 0) & (F.col("_d") >= F.col("_n")), 1
+                ).otherwise(0)
+            ).over(w_upto),
+        )
+        .withColumn("_lnsum", F.sum("_lnterm").over(w_upto))
+        .where(F.col("_d") > 0)
+    )
+    return km.select(
+        F.col("_dur").alias("t_days"),
+        F.col("_n").alias("n_at_risk"),
+        F.col("_d").alias("n_events"),
+        F.when(F.col("_hit0") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_lnsum")) + F.lit(0.0), 6))
+        .alias("survival"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1) score against a boolean
+    label: fixed-width bins, per bin the DECIMAL-exact mean predicted
+    probability vs the exact empirical positive rate (the calibration
+    curve + ECE ingredients). Pure one-shuffle groupBy."""
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rows = df.select(
+        F.col(score_col).cast("decimal(18,6)").alias("_p"),
+        lab.cast("boolean").alias("_y"),
+    ).where(
+        F.col("_p").isNotNull() & (F.col("_p") >= 0) & (F.col("_p") < 1)
+        & F.col("_y").isNotNull()
+    )
+    binned = rows.withColumn(
+        "_bin", F.floor(F.col("_p").cast("double") * n_bins).cast("int")
+    )
+    return (
+        binned.groupBy(F.col("_bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum("_p").cast("double") / F.count(F.lit(1)) + F.lit(0.0), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.0),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference window (A) and a
+    comparison window (B): bin edges are A's exact interpolated inner
+    deciles (rounded 6dp so both engines agree on the boundary set),
+    both populations are counted per bin, and each bin contributes
+    (pb - pa) * ln(pb / pa). One row per bin plus exact counts — sum
+    psi_term for the headline index.
+
+    Scale shape: edges are one percentile aggregate over A (k-1
+    doubles, broadcast); binning is a map-side array scan; counts are
+    one shuffle per side on a k-valued key.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    a = df_a.select(F.col(value_col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    b = df_b.select(F.col(value_col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    edges = a.agg(
+        F.array(
+            *[F.round(F.percentile(F.col("_v"), F.lit(q)), 6) for q in qs]
+        ).alias("_edges")
+    )
+
+    def binned(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(edges))
+            .select(
+                F.size(
+                    F.filter("_edges", lambda e: F.col("_v") > e)
+                ).cast("int").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    na = a.count()
+    nb = b.count()
+    ca = binned(a).withColumnRenamed("n", "n_a")
+    cb = binned(b).withColumnRenamed("n", "n_b")
+    joined = ca.join(cb, "bin", "full").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    pa = F.col("n_a").cast("double") / F.lit(float(na))
+    pb = F.col("n_b").cast("double") / F.lit(float(nb))
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa + F.lit(0.0), 6).alias("p_a"),
+        F.round(pb + F.lit(0.0), 6).alias("p_b"),
+        F.round((pb - pa) * F.log(pb / pa) + F.lit(0.0), 6).alias("psi_term"),
+    )
