@@ -955,3 +955,65 @@ def test_psi_no_drift_is_zero(spark):
     assert len(out) == 10
     assert all(r["psi_term"] == 0.0 for r in out)
     assert all(r["n_a"] == r["n_b"] for r in out)
+
+
+def test_trimmed_mean_hand_case(spark):
+    from weaviate_spark.operators.analytics import trimmed_mean
+
+    # 1..20 -> k = floor(20*0.1) = 2 each side -> mean of 3..18 = 10.5
+    df = spark.createDataFrame(
+        [("a", float(i), i) for i in range(1, 21)], "g string, v double, id long"
+    )
+    row = trimmed_mean(df, "g", "v", "id", trim_frac=0.1).collect()[0]
+    assert row["n_kept"] == 16 and row["n_trimmed_each_side"] == 2
+    assert row["trimmed_mean"] == 10.5
+    # degenerate frac validation
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        trimmed_mean(df, "g", "v", "id", trim_frac=0.5)
+
+
+def test_chisq_independent_is_zero(spark):
+    from weaviate_spark.operators.analytics import chisq_independence
+
+    # perfectly independent 2x2 with equal cells -> chi2 = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chisq_independence(df, "a", "b").collect()[0]
+    assert out["chi2"] == 0.0 and out["dof"] == 1 and out["n_rows"] == 40
+    # perfectly dependent: a == b mapping -> chi2 = n, cramers_v = 1
+    dep = spark.createDataFrame(
+        [("x", "u")] * 10 + [("y", "v")] * 10, "a string, b string"
+    )
+    d = chisq_independence(dep, "a", "b").collect()[0]
+    assert d["chi2"] == 20.0 and d["cramers_v"] == 1.0
+
+
+def test_rolling_features_support_and_mean(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import rolling_daily_features
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, d), float(d)) for d in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["day"].day: r for r in rolling_daily_features(
+        df, "g", "ts", "v", window_days=3).collect()}
+    assert out[1]["window_support"] == 1 and out[1]["rolling_mean"] == 1.0
+    assert out[3]["window_support"] == 3 and out[3]["rolling_mean"] == 2.0
+    assert out[10]["window_support"] == 3 and out[10]["rolling_mean"] == 9.0
+    assert out[1]["rolling_std"] == 0.0
+
+
+def test_benford_digit_extraction_edges(spark):
+    from weaviate_spark.operators.analytics import benford_first_digit
+
+    # exact powers of 10 and sub-1 values hit the right digit buckets
+    df = spark.createDataFrame(
+        [(1000.0,), (0.02,), (999.99,), (0.5,), (-3.0,), (0.0,)],
+        "v double",
+    )
+    out = {r["digit"]: r["n"] for r in benford_first_digit(df, "v").collect()}
+    # -3 and 0 dropped; 1000 -> 1, 0.02 -> 2, 999.99 -> 9, 0.5 -> 5
+    assert out == {1: 1, 2: 1, 9: 1, 5: 1}

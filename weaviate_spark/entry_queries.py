@@ -7912,3 +7912,133 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(day <= F.lit("2024-01-15").cast("date"))
     b = ev.where(day > F.lit("2024-01-15").cast("date"))
     return psi_drift(a, b, "value", n_bins=10)
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=(
+        "WITH r AS (SELECT l_returnflag AS g, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS v, "
+        "l_orderkey * 10 + l_linenumber AS tb FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL), "
+        "rk AS (SELECT g, v, "
+        "row_number() OVER (PARTITION BY g ORDER BY v ASC, tb ASC) AS ra, "
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC, tb DESC) AS rd, "
+        "count(*) OVER (PARTITION BY g) AS n FROM r), "
+        "kept AS (SELECT g, v, CAST(floor(n * 0.05) AS BIGINT) AS k FROM rk "
+        "WHERE ra > floor(n * 0.05) AND rd > floor(n * 0.05)) "
+        "SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n_kept, "
+        "max(k) AS n_trimmed_each_side, "
+        "round(CAST(sum(v) AS DOUBLE) / count(*) + 0.0, 6) AS trimmed_mean "
+        "FROM kept GROUP BY 1"
+    ),
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of price per return flag: rank-based
+    trimming (exact integer cut counts, deterministic tie-break) +
+    DECIMAL-exact survivor sums — the robust location estimate."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import trimmed_mean
+
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "_rowkey", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return trimmed_mean(
+        li, "l_returnflag", "l_extendedprice", "_rowkey", trim_frac=0.05
+    )
+
+
+@register(
+    "profile_chisq_independence",
+    oracle=(
+        "WITH r AS (SELECT CAST(source AS VARCHAR) AS a, "
+        "CAST(lang AS VARCHAR) AS b FROM documents "
+        "WHERE source IS NOT NULL AND lang IS NOT NULL), "
+        "c AS (SELECT a, b, count(*) AS o FROM r GROUP BY 1, 2), "
+        "ma AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1), "
+        "mb AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1), "
+        "nn AS (SELECT sum(o) AS n FROM c), "
+        "s AS (SELECT sum(CAST(c.o AS DOUBLE) * c.o * nn.n "
+        "/ (CAST(ma.ra AS DOUBLE) * mb.cb)) AS s, max(nn.n) AS n, "
+        "count(DISTINCT c.a) AS ka, count(DISTINCT c.b) AS kb "
+        "FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn) "
+        "SELECT CAST(n AS BIGINT) AS n_rows, "
+        "CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof, "
+        "round(s - n + 0.0, 6) AS chi2, "
+        "round(sqrt((s - n) / CAST(n * (least(ka, kb) - 1) AS DOUBLE)) "
+        "+ 0.0, 6) AS cramers_v FROM s"
+    ),
+)
+def q_profile_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramer's V for the
+    (source, lang) contingency of the document corpus — the categorical
+    association profiler (complements mutual information). Exact counts,
+    one float op per cell via the sum(o^2 n / (ra cb)) - n identity."""
+    from weaviate_spark.operators.analytics import chisq_independence
+
+    return chisq_independence(
+        _load(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+@register(
+    "events_rolling_features",
+    oracle=(
+        "WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, "
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) "
+        "AS DECIMAL(18,6)) AS dm FROM events WHERE value IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT g, day, dm, count(*) OVER w AS cnt, "
+        "sum(dm) OVER w AS s1, sum(dm * dm) OVER w AS s2 FROM daily "
+        "WINDOW w AS (PARTITION BY g ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+        "SELECT g AS event_type, day, CAST(dm AS DOUBLE) AS daily_mean, "
+        "CAST(cnt AS BIGINT) AS window_support, "
+        "round(CAST(s1 AS DOUBLE) / cnt + 0.0, 6) AS rolling_mean, "
+        "round(sqrt(greatest(CAST(s2 AS DOUBLE) / cnt "
+        "- (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt), 0.0)) "
+        "+ 0.0, 6) AS rolling_std FROM r"
+    ),
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling mean/std per event type over the
+    daily-mean series — the feature-engineering window pass. Daily
+    means fixed to 6dp DECIMAL so the sliding sums are exact and
+    order-independent; one (group, day) shuffle + one window."""
+    from weaviate_spark.operators.analytics import rolling_daily_features
+
+    return rolling_daily_features(
+        _load(spark, sf_dir, "events"), "event_type", "ts", "value",
+        window_days=7,
+    )
+
+
+@register(
+    "profile_benford_digits",
+    oracle=(
+        "WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+        "AND l_extendedprice > 0), "
+        "d AS (SELECT CAST(regexp_extract(CAST(v AS VARCHAR), '[1-9]', 0) "
+        "AS INT) AS digit FROM r), "
+        "c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), "
+        "t AS (SELECT sum(n) AS t FROM c) "
+        "SELECT digit, CAST(n AS BIGINT) AS n, "
+        "round(CAST(n AS DOUBLE) / t + 0.0, 6) AS observed_share, "
+        "round(log10(1.0 + 1.0 / digit) + 0.0, 6) AS benford_share, "
+        "round((CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / digit)) "
+        "* (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / digit)) "
+        "/ log10(1.0 + 1.0 / digit) * CAST(t AS DOUBLE) + 0.0, 6) "
+        "AS chi2_term FROM c, t"
+    ),
+)
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of the price column:
+    observed vs log10(1+1/d) shares with per-digit chi-square terms —
+    the fraud / synthetic-data smell test. Digit from the fixed-scale
+    DECIMAL string (no log10 ulp hazard); map-side extract + 9-key
+    aggregate."""
+    from weaviate_spark.operators.analytics import benford_first_digit
+
+    return benford_first_digit(_load(spark, sf_dir, "lineitem"), "l_extendedprice")

@@ -1427,3 +1427,205 @@ def psi_drift(
         F.round(pb + F.lit(0.0), 6).alias("p_b"),
         F.round((pb - pa) * F.log(pb / pa) + F.lit(0.0), 6).alias("psi_term"),
     )
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    trim_frac: float = 0.05,
+) -> DataFrame:
+    """Per-group trimmed (truncated) mean: drop the k lowest and k
+    highest rows by (value, tiebreak) rank with k = floor(trim_frac*n),
+    then average the survivors with DECIMAL-exact sums — the
+    outlier-robust location estimate feature pipelines use on price-like
+    columns. Rank-based trimming (not percentile-threshold) keeps the
+    kept-set an exact integer count, so the result is engine- and
+    partition-exact.
+
+    One shuffle on the group key serves both rank windows; the mean is
+    a second pass over the survivors.
+    """
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).where(F.col("_v").isNotNull())
+    asc = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_tb").asc())
+    desc = Window.partitionBy("_g").orderBy(F.col("_v").desc(), F.col("_tb").desc())
+    cnt = Window.partitionBy("_g")
+    ranked = (
+        rows.withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(desc))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .withColumn("_k", F.floor(F.col("_n") * F.lit(float(trim_frac))).cast("long"))
+    )
+    kept = ranked.where(
+        (F.col("_ra") > F.col("_k")) & (F.col("_rd") > F.col("_k"))
+    )
+    return kept.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("_k").cast("long").alias("n_trimmed_each_side"),
+        F.round(
+            F.sum("_v").cast("double") / F.count(F.lit(1)) + F.lit(0.0), 6
+        ).alias("trimmed_mean"),
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns, plus the contingency entropy terms: one row out with the
+    statistic, degrees of freedom, and Cramer's V effect size. Observed
+    and marginal counts are exact integers; expected counts and the
+    statistic are assembled from them in one final double expression.
+
+    Plan: one shuffle for the contingency cells, two tiny marginal
+    aggregates joined back broadcast — the cell table is
+    |A| x |B| rows (dimension-sized).
+    """
+    rows = df.select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = register_cache(
+        rows.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o")).cache()
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    mb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    n = cells.agg(F.sum("_o").alias("_n"))
+    joined = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(n))
+    )
+    # chi2 = sum over cells of (o - e)^2 / e with e = ra*cb/n; summed as
+    # sum(o^2 * n / (ra*cb)) - n, which needs only ONE float op per cell
+    term = (
+        F.col("_o").cast("double") * F.col("_o").cast("double")
+        * F.col("_n").cast("double")
+        / (F.col("_ra").cast("double") * F.col("_cb").cast("double"))
+    )
+    stat = joined.agg(
+        F.sum(term).alias("_s"),
+        F.max("_n").cast("long").alias("n_rows"),
+        F.countDistinct("_a").cast("long").alias("_ka"),
+        F.countDistinct("_b").cast("long").alias("_kb"),
+    )
+    chi2 = F.col("_s") - F.col("n_rows").cast("double")
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    minkm1 = F.least(F.col("_ka"), F.col("_kb")) - 1
+    return stat.select(
+        "n_rows",
+        dof.cast("long").alias("dof"),
+        F.round(chi2 + F.lit(0.0), 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n_rows") * minkm1).cast("double"))
+            + F.lit(0.0),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def rolling_daily_features(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-group rolling features over the daily-mean series: centered
+    nothing, trailing ``window_days``-row mean and population stddev
+    plus the day count actually in the window (ramp-up rows report
+    their true support). Daily means come from DECIMAL-exact sums; the
+    rolling moments are assembled from exact 6dp-decimal daily means so
+    the sliding sums are order-independent.
+
+    One shuffle to (group, day), one group-key window pass.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            day.alias("_day"),
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy("_g", "_day")
+        .agg(
+            (F.sum("_v").cast("double") / F.count(F.lit(1)))
+            .cast("decimal(18,6)")
+            .alias("_dm")
+        )
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    # decimal sliding sums: exact regardless of the engine's
+    # add/subtract evaluation order inside the frame
+    rolled = (
+        daily.withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .withColumn("_s1", F.sum("_dm").over(w))
+        .withColumn("_s2", F.sum(F.col("_dm") * F.col("_dm")).over(w))
+    )
+    mean = F.col("_s1").cast("double") / F.col("_cnt")
+    var = (
+        F.col("_s2").cast("double") / F.col("_cnt") - mean * mean
+    )
+    return rolled.select(
+        F.col("_g").alias(group_col),
+        F.col("_day").alias("day"),
+        F.col("_dm").cast("double").alias("daily_mean"),
+        F.col("_cnt").cast("long").alias("window_support"),
+        F.round(mean + F.lit(0.0), 6).alias("rolling_mean"),
+        F.round(
+            F.sqrt(F.greatest(var, F.lit(0.0))) + F.lit(0.0), 6
+        ).alias("rolling_std"),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column vs Benford's law: per digit 1-9 the observed count, observed
+    share, Benford expectation log10(1 + 1/d), and the chi-square
+    contribution — the classic fraud / synthetic-data smell test.
+
+    The digit is extracted from the value's fixed-scale DECIMAL string
+    (first nonzero character) — pure integer/string work, immune to the
+    log10-at-a-power-of-10 ulp flip the arithmetic extraction risks; one
+    9-key shuffle aggregates.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    rows = df.select(v.alias("_v")).where(v.isNotNull() & (v > 0))
+    digit = F.regexp_extract(
+        F.col("_v").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counted = (
+        rows.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("_t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs + F.lit(0.0), 6).alias("observed_share"),
+        F.round(expected + F.lit(0.0), 6).alias("benford_share"),
+        F.round(
+            (obs - expected) * (obs - expected) / expected
+            * F.col("_t").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("chi2_term"),
+    )
