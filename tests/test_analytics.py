@@ -1017,3 +1017,65 @@ def test_benford_digit_extraction_edges(spark):
     out = {r["digit"]: r["n"] for r in benford_first_digit(df, "v").collect()}
     # -3 and 0 dropped; 1000 -> 1, 0.02 -> 2, 999.99 -> 9, 0.5 -> 5
     assert out == {1: 1, 2: 1, 9: 1, 5: 1}
+
+
+def test_dow_seasonality_index(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import dow_seasonality
+
+    # Mondays value 20, Tuesdays value 10 -> overall mean 15,
+    # indexes 4/3 and 2/3
+    rows = []
+    for wk in range(3):
+        rows.append(("a", datetime.datetime(2024, 1, 1 + 7 * wk), 20.0))
+        rows.append(("a", datetime.datetime(2024, 1, 2 + 7 * wk), 10.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["iso_dow"]: r for r in dow_seasonality(df, "g", "ts", "v").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["dow_mean"] == 20.0 and out[2]["dow_mean"] == 10.0
+    assert out[1]["seasonal_index"] == round(20 / 15, 6)
+    assert out[2]["seasonal_index"] == round(10 / 15, 6)
+
+
+def test_referential_integrity_counts_orphans(spark):
+    from weaviate_spark.operators.analytics import referential_integrity
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = referential_integrity([("c->p", child, "fk", parent, "pk")]).collect()
+    assert out[0]["relation"] == "c->p"
+    assert out[0]["n_rows"] == 3 and out[0]["n_orphans"] == 1
+
+
+def test_top_paths_ordering_and_completeness(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import top_event_paths
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    # user 1: a,b,c,d -> paths a>b>c, b>c>d ; user 2: a,b,c -> a>b>c
+    rows = [
+        (1, t(1), 1, "a"), (1, t(2), 2, "b"), (1, t(3), 3, "c"), (1, t(4), 4, "d"),
+        (2, t(1), 5, "a"), (2, t(2), 6, "b"), (2, t(3), 7, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, i long, e string")
+    out = top_event_paths(df, "u", "ts", "e", "i").collect()
+    assert out[0]["path"] == "a>b>c" and out[0]["n"] == 2
+    assert out[1]["path"] == "b>c>d" and out[1]["n"] == 1
+
+
+def test_two_proportion_z_hand_case(spark):
+    import math
+
+    from weaviate_spark.operators.analytics import two_proportion_ztest
+
+    a = spark.createDataFrame([(True,)] * 30 + [(False,)] * 70, "s boolean")
+    b = spark.createDataFrame([(True,)] * 20 + [(False,)] * 80, "s boolean")
+    row = two_proportion_ztest(a, b, "s").collect()[0]
+    assert (row["n_a"], row["x_a"], row["n_b"], row["x_b"]) == (100, 30, 100, 20)
+    pool = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert row["z_score"] == round(z, 6)

@@ -8042,3 +8042,170 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.analytics import benford_first_digit
 
     return benford_first_digit(_load(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "events_dow_seasonality",
+    oracle=(
+        "WITH r AS (SELECT event_type AS g, isodow(CAST(ts AS DATE)) AS dow, "
+        "CAST(value AS DECIMAL(18,6)) AS v FROM events "
+        "WHERE value IS NOT NULL), "
+        "pd AS (SELECT g, dow, count(*) AS n, sum(v) AS s "
+        "FROM r GROUP BY 1, 2), "
+        "pg AS (SELECT g, CAST(sum(v) AS DOUBLE) / count(*) AS gm "
+        "FROM r GROUP BY 1) "
+        "SELECT pd.g AS event_type, CAST(pd.dow AS INT) AS iso_dow, "
+        "CAST(pd.n AS BIGINT) AS n_events, "
+        "round(CAST(pd.s AS DOUBLE) / pd.n + 0.0, 6) AS dow_mean, "
+        "round(CAST(pd.s AS DOUBLE) / pd.n / pg.gm + 0.0, 6) "
+        "AS seasonal_index "
+        "FROM pd JOIN pg ON pd.g = pg.g"
+    ),
+)
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-weekday seasonality per event type: exact per-cell means and
+    the weekday/overall seasonal index — the calendar-effect profiler."""
+    from weaviate_spark.operators.analytics import dow_seasonality
+
+    return dow_seasonality(
+        _load(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+@register(
+    "validate_referential_integrity",
+    oracle=(
+        "SELECT 'lineitem.l_orderkey->orders' AS relation, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_orphans "
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "UNION ALL "
+        "SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT), "
+        "CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "UNION ALL "
+        "SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT), "
+        "CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+        "UNION ALL "
+        "SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT), "
+        "CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+    ),
+)
+def q_validate_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the star schema: per relation the row
+    count and orphan count (child keys with no parent) — the first
+    post-ingest data-quality gate. Key-only deduplicated parent sides,
+    aggregate-only output."""
+    from weaviate_spark.operators.analytics import referential_integrity
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    return referential_integrity([
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey",
+         _load(spark, sf_dir, "customer"), "c_custkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         _load(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         _load(spark, sf_dir, "supplier"), "s_suppkey"),
+    ])
+
+
+@register(
+    "events_top_paths",
+    oracle=(
+        "WITH r AS (SELECT user_id AS u, ts, event_id AS i, event_type AS e0 "
+        "FROM events), "
+        "w AS (SELECT u, e0, "
+        "lead(e0, 1) OVER (PARTITION BY u ORDER BY ts, i) AS e1, "
+        "lead(e0, 2) OVER (PARTITION BY u ORDER BY ts, i) AS e2 FROM r), "
+        "p AS (SELECT e0 || '>' || e1 || '>' || e2 AS path FROM w "
+        "WHERE e2 IS NOT NULL) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1 "
+        "ORDER BY n DESC, path ASC LIMIT 10"
+    ),
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (event-type trigram paths over
+    per-user timelines, deterministic (ts, id) ordering) — the
+    journey-mining primitive behind funnels and next-step prediction."""
+    from weaviate_spark.operators.analytics import top_event_paths
+
+    return top_event_paths(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id", path_len=3, top_k=10,
+    )
+
+
+@register(
+    "abtest_two_proportion_z",
+    oracle=(
+        "WITH a AS (SELECT (event_type = 'purchase') AS s FROM events "
+        "WHERE event_type IS NOT NULL "
+        "AND CAST(ts AS DATE) <= DATE '2024-01-15'), "
+        "b AS (SELECT (event_type = 'purchase') AS s FROM events "
+        "WHERE event_type IS NOT NULL "
+        "AND CAST(ts AS DATE) > DATE '2024-01-15'), "
+        "ca AS (SELECT count(*) AS n_a, "
+        "sum(CASE WHEN s THEN 1 ELSE 0 END) AS x_a FROM a), "
+        "cb AS (SELECT count(*) AS n_b, "
+        "sum(CASE WHEN s THEN 1 ELSE 0 END) AS x_b FROM b) "
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a, "
+        "CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b, "
+        "round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) + 0.0, 6) AS p_a, "
+        "round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) + 0.0, 6) AS p_b, "
+        "round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) "
+        "- CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) "
+        "/ sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) "
+        "+ 0.0, 6) AS z_score "
+        "FROM ca, cb"
+    ),
+)
+def q_abtest_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase rate, first half vs second
+    half of the event window — the A/B significance primitive. Exact
+    counts, pooled variance, one double expression."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import two_proportion_ztest
+
+    ev = _load(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    day = F.col("ts").cast("timestamp").cast("date")
+    return two_proportion_ztest(
+        ev.where(day <= F.lit("2024-01-15").cast("date")),
+        ev.where(day > F.lit("2024-01-15").cast("date")),
+        F.col("event_type") == "purchase",
+    )
+
+
+@register(
+    "orders_value_percentiles_by_priority",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) + 0.0, 6) "
+        "AS p50, "
+        "round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) + 0.0, 6) "
+        "AS p90, "
+        "round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) + 0.0, 6) "
+        "AS p99 "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def q_orders_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value p50/p90/p99 per priority class — exact interpolated
+    percentiles per group (one shuffle, sort only within groups)."""
+    from pyspark.sql import functions as F
+
+    o = _load(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    return o.where(v.isNotNull()).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.percentile(v, F.lit(0.5)) + F.lit(0.0), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)) + F.lit(0.0), 6).alias("p90"),
+        F.round(F.percentile(v, F.lit(0.99)) + F.lit(0.0), 6).alias("p99"),
+    )

@@ -1629,3 +1629,142 @@ def benford_first_digit(
             6,
         ).alias("chi2_term"),
     )
+
+
+def dow_seasonality(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile per group: event count, the
+    DECIMAL-exact mean value per (group, ISO weekday), and the seasonal
+    index (weekday mean / group mean — 1.0 means flat). Two group-key
+    aggregates, group totals broadcast back; ISO weekday (Mon=1) so the
+    bucketing is calendar-standard and engine-portable."""
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.expr(
+            f"extract(DAYOFWEEK_ISO FROM CAST(CAST({ts_col} AS TIMESTAMP) AS DATE))"
+        ).cast("int").alias("_dow"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    per_dow = rows.groupBy("_g", "_dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_v").alias("_s"),
+    )
+    per_g = rows.groupBy("_g").agg(
+        (F.sum("_v").cast("double") / F.count(F.lit(1))).alias("_gm")
+    )
+    dow_mean = F.col("_s").cast("double") / F.col("n_events")
+    return per_dow.join(F.broadcast(per_g), "_g").select(
+        F.col("_g").alias(group_col),
+        F.col("_dow").alias("iso_dow"),
+        "n_events",
+        F.round(dow_mean + F.lit(0.0), 6).alias("dow_mean"),
+        F.round(dow_mean / F.col("_gm") + F.lit(0.0), 6).alias("seasonal_index"),
+    )
+
+
+def referential_integrity(
+    checks: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key audit: for each (name, child, fk, parent, pk) check,
+    count child rows and child rows whose key has no parent (orphans) —
+    the first query a data platform runs after any ingest. Each check is
+    a left-anti-shaped aggregate: one join per check, parent side
+    deduplicated to keys only (broadcast when it fits), never a row-level
+    materialization of the orphans themselves."""
+    outs = []
+    for name, child, fk, parent, pk in checks:
+        keys = parent.select(F.col(pk).alias("_k")).distinct()
+        c = child.select(F.col(fk).alias("_k"))
+        joined = c.join(keys.withColumn("_hit", F.lit(1)), "_k", "left")
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def top_event_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    path_len: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Most frequent length-``path_len`` event-type paths across user
+    timelines (the user-journey mining primitive): per user, order
+    events by (ts, id) and slide a lead() window; count each path
+    corpus-wide and keep the top-k (count desc, path asc — fully
+    deterministic). One user-key shuffle for the window, one path-key
+    count, a top-k sort over the distinct-path table."""
+    w = Window.partitionBy("_u").orderBy(F.col("_t").asc(), F.col("_i").asc())
+    rows = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.col(type_col).alias("_e0"),
+    )
+    for j in range(1, path_len):
+        rows = rows.withColumn(f"_e{j}", F.lead("_e0", j).over(w))
+    path = F.concat_ws(">", *[F.col(f"_e{j}") for j in range(path_len)])
+    complete = rows.where(
+        F.col(f"_e{path_len - 1}").isNotNull()
+    ).select(path.alias("path"))
+    return (
+        complete.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )
+
+
+def two_proportion_ztest(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test between two cohorts (the A/B-test
+    primitive): exact success/total counts per side, pooled-variance
+    z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)). Counts are exact BIGINTs;
+    the statistic is one final double expression — partition-invariant.
+    One row out: (n_a, x_a, n_b, x_b, p_a, p_b, z_score)."""
+    def side(d: DataFrame, tag: str) -> DataFrame:
+        s = success_col if not isinstance(success_col, str) else F.col(success_col)
+        return d.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(s.cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"x_{tag}"),
+        )
+    j = side(df_a, "a").crossJoin(side(df_b, "b"))
+    pa = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(pa + F.lit(0.0), 6).alias("p_a"),
+        F.round(pb + F.lit(0.0), 6).alias("p_b"),
+        F.round(z + F.lit(0.0), 6).alias("z_score"),
+    )
