@@ -1079,3 +1079,71 @@ def test_two_proportion_z_hand_case(spark):
     pool = 50 / 200
     z = (0.3 - 0.2) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
     assert row["z_score"] == round(z, 6)
+
+
+def test_pca_recovers_dominant_axis(spark):
+    from weaviate_spark.operators.curation import pca_top_component
+
+    # vectors stretched along dim 2: dominant eigenvector ~ e2
+    rows = [(i, [0.1 * (i % 3), 0.1, 10.0 + i * 0.01]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in pca_top_component(
+        df, "vec_id", "embedding", iterations=5).collect()}
+    loads = [abs(out[d]["loading"]) for d in range(3)]
+    assert loads[2] > 0.99 and loads[0] < 0.1 and loads[1] < 0.1
+    assert out[0]["eigenvalue"] > 0
+
+
+def test_lag_correlation_shifted_series(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import lag_correlation
+
+    # series b = series a shifted forward 2 days -> corr 1.0 at lag +2
+    rows = []
+    for d in range(10):
+        v = float((d * 37) % 11)
+        rows.append(("a", datetime.datetime(2024, 1, 1 + d), v))
+        rows.append(("b", datetime.datetime(2024, 1, 3 + d), v))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["lag_days"]: r for r in lag_correlation(
+        df, "g", "ts", "v", "a", "b", max_lag=3).collect()}
+    assert out[2]["corr"] == 1.0 and out[2]["n_days"] == 10
+
+
+def test_order_reconciliation_flags_mismatch(spark):
+    from weaviate_spark.operators.analytics import order_total_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, "O", 110.0), (2, "O", 999.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.10, 0.0), (2, 100.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_tax double, l_discount double",
+    )
+    row = order_total_reconciliation(orders, li).collect()[0]
+    # order 1 reconciles (100*1.1=110); order 2 off by 899
+    assert row["n_orders"] == 2 and row["n_mismatched"] == 1
+    assert row["max_abs_diff"] == 899.0
+
+
+def test_rolling_active_users_window(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import rolling_active_users
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1)),
+        (2, datetime.datetime(2024, 1, 1)),
+        (1, datetime.datetime(2024, 1, 5)),
+        (3, datetime.datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {r["day"].day: r for r in rolling_active_users(
+        df, "u", "ts", window_days=7).collect()}
+    # day 1: dau 2, wau 2; day 5: dau 1, wau {1,2}=2;
+    # day 10: dau 1, wau {1 (from day 5), 3} = 2 (day-1 actives expired)
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2
+    assert out[5]["dau"] == 1 and out[5]["wau"] == 2
+    assert out[10]["dau"] == 1 and out[10]["wau"] == 2

@@ -8209,3 +8209,147 @@ def q_orders_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(v, F.lit(0.9)) + F.lit(0.0), 6).alias("p90"),
         F.round(F.percentile(v, F.lit(0.99)) + F.lit(0.0), 6).alias("p99"),
     )
+
+
+def _pca_oracle_sql(iterations: int = 5) -> str:
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id AS _id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), ",
+        "it AS MATERIALIZED (SELECT _id, i - 1 AS _dim, ev[i] AS _val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), ",
+        "g AS MATERIALIZED (SELECT a._dim AS _i, b._dim AS _j, "
+        "sum(a._val * b._val) AS _g FROM it a JOIN it b ON a._id = b._id "
+        "GROUP BY 1, 2), ",
+        "dd AS (SELECT max(_dim) + 1 AS d FROM it), ",
+        "v0 AS MATERIALIZED (SELECT _dim AS _j, "
+        "round(1.0 / sqrt((SELECT d FROM dd)), 6) AS _v "
+        "FROM (SELECT DISTINCT _dim FROM it)), ",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT g._i, sum(g._g * v._v) AS _w "
+            f"FROM g JOIN v{k - 1} v ON g._j = v._j GROUP BY 1), "
+        )
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(sum(_w * _w)) AS _nm FROM w{k}), "
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT _i AS _j, "
+            f"round(_w / (SELECT _nm FROM n{k}), 6) AS _v FROM w{k}), "
+        )
+    parts.append(
+        f"fin AS (SELECT _j, _v FROM v{iterations}) "
+        f"SELECT CAST(_j AS INT) AS dim, _v AS loading, "
+        f"round((SELECT _nm FROM n{iterations}) + 0.0, 6) AS eigenvalue "
+        "FROM fin"
+    )
+    return "".join(parts)
+
+
+@register("embedding_pca_top_component", oracle=_pca_oracle_sql(5))
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus (power
+    iteration on the Gram matrix, 5 rounds, 6dp-fixed state) — the
+    anisotropy / common-direction diagnostic behind All-but-the-Top
+    style embedding post-processing. Corpus-sized work = one Gram
+    aggregate; iterations run on the d x d table with broadcast
+    vectors."""
+    from weaviate_spark.operators.curation import pca_top_component
+
+    return pca_top_component(
+        _load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        iterations=5,
+    )
+
+
+@register(
+    "events_lag_correlation",
+    oracle=(
+        "WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, "
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) "
+        "AS DECIMAL(18,6)) AS dm FROM events WHERE value IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "a AS (SELECT day AS da, dm AS x FROM daily WHERE g = 'error'), "
+        "b AS (SELECT day AS db, dm AS y FROM daily WHERE g = 'purchase'), "
+        "l AS (SELECT a.da, a.x, t.lag, a.da + CAST(t.lag AS INT) AS db "
+        "FROM a, LATERAL unnest(range(-7, 8)) AS t(lag)), "
+        "j AS (SELECT l.lag, l.x, b.y FROM l JOIN b USING (db)), "
+        "m AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy "
+        "FROM j GROUP BY 1) "
+        "SELECT CAST(lag AS INT) AS lag_days, CAST(n AS BIGINT) AS n_days, "
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+        "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+        "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.0, 6) AS corr "
+        "FROM m"
+    ),
+)
+def q_events_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (error vs purchase daily means, lags
+    -7..+7): exact decimal moment sums, no float accumulation — the
+    'does an error spike precede a purchase dip' diagnostic."""
+    from weaviate_spark.operators.analytics import lag_correlation
+
+    return lag_correlation(
+        _load(spark, sf_dir, "events"), "event_type", "ts", "value",
+        "error", "purchase", max_lag=7,
+    )
+
+
+@register(
+    "validate_order_totals",
+    oracle=(
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,4)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS line "
+        "FROM lineitem), "
+        "c AS (SELECT l_orderkey, CAST(sum(line) AS DECIMAL(28,6)) AS calc "
+        "FROM li GROUP BY 1), "
+        "j AS (SELECT o.o_orderstatus, "
+        "CAST(o.o_totalprice AS DECIMAL(28,6)) AS hdr, c.calc FROM orders o "
+        "LEFT JOIN c ON o.o_orderkey = c.l_orderkey), "
+        "d AS (SELECT o_orderstatus, "
+        "abs(hdr - coalesce(calc, CAST(0 AS DECIMAL(28,6)))) AS diff FROM j) "
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CASE WHEN diff > CAST(0.01 AS DECIMAL(28,6)) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched, "
+        "CAST(max(diff) AS DOUBLE) AS max_abs_diff FROM d GROUP BY 1"
+    ),
+)
+def q_validate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: per order status, how many header
+    totals disagree (beyond 1 cent) with the DECIMAL-exact recomputed
+    line-item total, and the worst discrepancy — the billing audit."""
+    from weaviate_spark.operators.analytics import order_total_reconciliation
+
+    return order_total_reconciliation(
+        _load(spark, sf_dir, "orders"), _load(spark, sf_dir, "lineitem"),
+        tolerance=0.01,
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "dau AS (SELECT day, count(DISTINCT u) AS dau FROM ud GROUP BY 1), "
+        "sp AS (SELECT u, day + CAST(t.i AS INT) AS e FROM ud, "
+        "LATERAL unnest(range(0, 7)) AS t(i)), "
+        "wau AS (SELECT e AS day, count(DISTINCT u) AS wau FROM sp "
+        "GROUP BY 1) "
+        "SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, "
+        "CAST(wau.wau AS BIGINT) AS wau FROM dau JOIN wau ON dau.day = wau.day"
+    ),
+)
+def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing 7-day WAU per day via the bounded
+    forward-explode plan (distinct (user, day) first, then x7 spread +
+    distinct count) — no sketch, no 7-way self-join."""
+    from weaviate_spark.operators.analytics import rolling_active_users
+
+    return rolling_active_users(
+        _load(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )

@@ -1768,3 +1768,157 @@ def two_proportion_ztest(
         F.round(pb + F.lit(0.0), 6).alias("p_b"),
         F.round(z + F.lit(0.0), 6).alias("z_score"),
     )
+
+
+def lag_correlation(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    series_a: str,
+    series_b: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two groups' daily-mean series:
+    for each lag in [-max_lag, max_lag], Pearson r between a(day) and
+    b(day + lag) over the days where both exist. Daily means are
+    6dp-DECIMAL-exact; r is assembled from exact decimal moment sums
+    (the same no-float-accumulation trick as degree assortativity), so
+    the whole curve is partition-invariant. The "does an error spike
+    precede a purchase dip" diagnostic.
+
+    Plan: one (group, day) aggregate, a lag explode on the (tiny) daily
+    table, one day-key join, one lag-key moment aggregate.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            day.alias("_day"),
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy("_g", "_day")
+        .agg(
+            (F.sum("_v").cast("double") / F.count(F.lit(1)))
+            .cast("decimal(18,6)")
+            .alias("_dm")
+        )
+    )
+    a = daily.where(F.col("_g") == series_a).select(
+        F.col("_day").alias("_da"), F.col("_dm").alias("_x")
+    )
+    b = daily.where(F.col("_g") == series_b).select(
+        F.col("_day").alias("_db"), F.col("_dm").alias("_y")
+    )
+    lagged = a.withColumn(
+        "_lag", F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+    ).withColumn("_db", F.date_add(F.col("_da"), F.col("_lag")))
+    joined = lagged.join(b, "_db")
+    mom = joined.groupBy("_lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return mom.select(
+        F.col("_lag").cast("int").alias("lag_days"),
+        "n_days",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)) + F.lit(0.0), 6).alias("corr"),
+    )
+
+
+def order_total_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Financial reconciliation: recompute each order's total from its
+    line items (extendedprice * (1 + tax) * (1 - discount), all DECIMAL
+    — exact to the cent) and compare against the order header. One row
+    per order status: order count, mismatch count beyond ``tolerance``,
+    and the maximum absolute discrepancy. The audit query every billing
+    pipeline runs; entirely DECIMAL so zero float drift.
+    """
+    # stepwise casts keep every intermediate inside DECIMAL(18,x) so
+    # neither engine hits its precision cap (Spark rescales with
+    # rounding past precision 38; 2dp x 2dp products are exact at 4dp)
+    with_tax = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    li = lineitem.select(
+        "l_orderkey",
+        (with_tax * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(18,6)")
+        .alias("_line"),
+    )
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum("_line").cast("decimal(28,6)").alias("_calc")
+    )
+    j = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,6)").alias("_hdr"),
+    ).join(computed, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    diff = F.abs(F.col("_hdr") - F.coalesce(F.col("_calc"), F.lit(0).cast("decimal(28,6)")))
+    tol = F.lit(tolerance).cast("decimal(28,6)")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(diff > tol, 1).otherwise(0)).cast("long").alias(
+                "n_mismatched"
+            ),
+            F.max(diff).cast("double").alias("max_abs_diff"),
+        )
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact DAU and trailing WAU per day: a user active on day d
+    contributes to the rolling window of every end-day in
+    [d, d + window_days - 1]; both counts are exact distinct counts
+    (no sketch). Only end-days that actually occur in the data are
+    reported.
+
+    Scale shape: distinct (user, day) first (one shuffle, collapses raw
+    event volume), then a bounded explode x window_days and a second
+    distinct-count shuffle — the standard exact-WAU plan; swap in the
+    HLL sketch variant when approximate is acceptable.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    ud = df.select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).where(F.col("_u").isNotNull()).distinct()
+    ud = register_cache(ud.cache())
+    dau = ud.groupBy("_day").agg(
+        F.countDistinct("_u").cast("long").alias("dau")
+    )
+    spread = ud.withColumn(
+        "_end",
+        F.explode(
+            F.sequence(
+                F.col("_day"), F.date_add(F.col("_day"), window_days - 1)
+            )
+        ),
+    )
+    wau = (
+        spread.groupBy("_end")
+        .agg(F.countDistinct("_u").cast("long").alias("wau"))
+        .withColumnRenamed("_end", "_day")
+    )
+    return (
+        dau.join(wau, "_day")
+        .select(F.col("_day").alias("day"), "dau", "wau")
+    )

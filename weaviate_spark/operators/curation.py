@@ -708,3 +708,71 @@ def kmeans_clusters(
             "inertia",
         )
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iterations: int = 5,
+) -> DataFrame:
+    """Dominant principal direction of an embedding corpus via power
+    iteration on the (uncentered) d x d Gram matrix: G = X^T X built
+    once as a distributed aggregate, then ``iterations`` rounds of
+    w = G v / ||G v|| with the unit vector re-fixed to 6dp each round
+    (the same 6dp-state trick the k-means oracle uses, so a SQL replay
+    agrees bit-for-bit). Uniform deterministic init (1/sqrt(d)).
+
+    Returns one row per dimension: (dim, loading, eigenvalue) —
+    eigenvalue is the final Rayleigh-quotient-style ||G v|| estimate.
+
+    Scale shape: the only corpus-sized work is the Gram aggregation
+    (a per-vector d^2 outer-product fan-out, shuffled on the (i, j)
+    dim-pair key — d^2 cells total, independent of corpus size); every
+    iteration then runs on the d x d table with a broadcast of the
+    d-row vector. The anisotropy/ABTT diagnostic ("All-but-the-Top",
+    Mu 2018) for embedding corpora.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    it = register_cache(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .where(F.col("_vec").isNotNull())
+        .select("_id", F.posexplode("_vec").alias("_dim", "_val"))
+        .withColumn("_val", F.col("_val").cast("double"))
+        .cache()
+    )
+    a = it.select(F.col("_id"), F.col("_dim").alias("_i"), F.col("_val").alias("_vi"))
+    b = it.select(F.col("_id"), F.col("_dim").alias("_j"), F.col("_val").alias("_vj"))
+    gram = register_cache(
+        a.join(b, "_id")
+        .groupBy("_i", "_j")
+        .agg(F.sum(F.col("_vi") * F.col("_vj")).alias("_g"))
+        .cache()
+    )
+    d = it.agg(F.max("_dim")).collect()[0][0] + 1
+    v = gram.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("_j"),
+        F.round(F.lit(1.0 / float(d) ** 0.5), 6).alias("_v"),
+    ).localCheckpoint()
+    last_norm = None
+    for _ in range(iterations):
+        w = (
+            gram.join(F.broadcast(v), "_j")
+            .groupBy("_i")
+            .agg(F.sum(F.col("_g") * F.col("_v")).alias("_w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
+        last_norm = norm
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("_i").alias("_j"),
+                F.round(F.col("_w") / F.col("_nm"), 6).alias("_v"),
+            )
+        ).localCheckpoint()
+    return v.crossJoin(F.broadcast(last_norm)).select(
+        F.col("_j").alias("dim"),
+        F.col("_v").alias("loading"),
+        F.round(F.col("_nm") + F.lit(0.0), 6).alias("eigenvalue"),
+    )
