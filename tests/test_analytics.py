@@ -1147,3 +1147,56 @@ def test_rolling_active_users_window(spark):
     assert out[1]["dau"] == 2 and out[1]["wau"] == 2
     assert out[5]["dau"] == 1 and out[5]["wau"] == 2
     assert out[10]["dau"] == 1 and out[10]["wau"] == 2
+
+
+def test_interarrival_poisson_vs_regular(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import interarrival_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    # perfectly regular gaps -> cv 0, burstiness -1
+    rows = [("reg", base + datetime.timedelta(seconds=10 * i), i)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i long")
+    out = interarrival_stats(df, "g", "ts", "i").collect()[0]
+    assert out["n_gaps"] == 19
+    assert out["mean_gap_s"] == 10.0
+    assert out["cv"] == 0.0 and out["burstiness"] == -1.0
+
+
+def test_activity_streaks_islands(spark):
+    import datetime
+
+    from weaviate_spark.operators.analytics import activity_streaks
+
+    def t(day):
+        return datetime.datetime(2024, 1, day)
+
+    # user 1: days 1,2,3 then 5,6 -> streaks 3 and 2
+    # user 2: day 4 only -> streak 1
+    rows = [(1, t(1)), (1, t(2)), (1, t(3)), (1, t(5)), (1, t(6)), (2, t(4)),
+            (1, t(1))]  # duplicate same-day event must not break runs
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {r["streak_days"]: r for r in activity_streaks(df, "u", "ts").collect()}
+    assert out[3]["n_streaks"] == 1 and out[3]["n_users"] == 1
+    assert out[2]["n_streaks"] == 1
+    assert out[1]["n_streaks"] == 1 and out[1]["n_users"] == 1
+
+
+def test_langid_confusion_shares(spark):
+    from weaviate_spark.operators.textstats import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and is of quality data with the features", "en"),
+            (2, "the and is with more of the data", "en"),
+            (3, "der und die das ist mit von", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["actual"], r["predicted"]): r for r in
+           langid_confusion(docs, "text", "lang").collect()}
+    assert out[("en", "en")]["n"] == 2
+    assert out[("en", "en")]["share_of_actual"] == 1.0
+    assert out[("de", "de")]["n"] == 1

@@ -8353,3 +8353,89 @@ def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(
         _load(spark, sf_dir, "events"), "user_id", "ts", window_days=7
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle=(
+        "WITH r AS (SELECT event_type AS g, epoch_us(ts) AS t, event_id AS i "
+        "FROM events), "
+        "lg AS (SELECT g, t - lag(t) OVER (PARTITION BY g ORDER BY t, i) AS d "
+        "FROM r), "
+        "gaps AS (SELECT g, CAST(d AS HUGEINT) AS d FROM lg "
+        "WHERE d IS NOT NULL), "
+        "m AS (SELECT g, count(*) AS n, sum(d) AS s1, sum(d * d) AS s2 "
+        "FROM gaps GROUP BY 1) "
+        "SELECT g AS event_type, CAST(n AS BIGINT) AS n_gaps, "
+        "round(CAST(s1 AS DOUBLE) / n / 1000000.0 + 0.0, 6) AS mean_gap_s, "
+        "round(sqrt(greatest(CAST(s2 AS DOUBLE) / n "
+        "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) "
+        "/ (CAST(s1 AS DOUBLE) / n) + 0.0, 6) AS cv, "
+        "round((sqrt(greatest(CAST(s2 AS DOUBLE) / n "
+        "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) "
+        "/ (CAST(s1 AS DOUBLE) / n) - 1) "
+        "/ (sqrt(greatest(CAST(s2 AS DOUBLE) / n "
+        "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) "
+        "/ (CAST(s1 AS DOUBLE) / n) + 1) + 0.0, 6) AS burstiness "
+        "FROM m"
+    ),
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics + Goh-Barabasi burstiness per event
+    type: exact integer-microsecond gaps over (ts, id) order,
+    DECIMAL(38,0)/HUGEINT moment sums — partition-invariant."""
+    from weaviate_spark.operators.analytics import interarrival_stats
+
+    return interarrival_stats(
+        _load(spark, sf_dir, "events"), "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "events_activity_streaks",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "isl AS (SELECT u, datediff('day', DATE '1970-01-01', day) "
+        "- row_number() OVER (PARTITION BY u ORDER BY day) AS grp FROM ud), "
+        "st AS (SELECT u, grp, count(*) AS streak_days FROM isl "
+        "GROUP BY 1, 2) "
+        "SELECT CAST(streak_days AS BIGINT) AS streak_days, "
+        "CAST(count(*) AS BIGINT) AS n_streaks, "
+        "CAST(count(DISTINCT u) AS BIGINT) AS n_users "
+        "FROM st GROUP BY 1"
+    ),
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streak distribution (gaps-and-islands:
+    epoch-day minus row_number island keys) — exact integer plan, one
+    user-key window."""
+    from weaviate_spark.operators.analytics import activity_streaks
+
+    return activity_streaks(_load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "text_langid_confusion",
+    oracle=(
+        "WITH toks AS (SELECT lang, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt "
+        "FROM documents WHERE lang IS NOT NULL), "
+        f"feat AS (SELECT lang, {_HITS} FROM toks), "
+        f"pred AS (SELECT lang AS actual, {_BEST} AS predicted FROM feat), "
+        "cells AS (SELECT actual, predicted, count(*) AS n FROM pred "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT actual, sum(n) AS t FROM cells GROUP BY 1) "
+        "SELECT cells.actual, cells.predicted, CAST(cells.n AS BIGINT) AS n, "
+        "round(CAST(cells.n AS DOUBLE) / CAST(tot.t AS DOUBLE) + 0.0, 6) "
+        "AS share_of_actual "
+        "FROM cells JOIN tot ON cells.actual = tot.actual"
+    ),
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier vs the
+    labeled lang column (per-cell count + within-actual recall share) —
+    the language-router eval harness."""
+    from weaviate_spark.operators.textstats import langid_confusion
+
+    return langid_confusion(_load(spark, sf_dir, "documents"), "text", "lang")

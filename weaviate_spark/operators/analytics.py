@@ -1922,3 +1922,80 @@ def rolling_active_users(
         dau.join(wau, "_day")
         .select(F.col("_day").alias("day"), "dau", "wau")
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group inter-arrival statistics: gap count, mean gap seconds,
+    coefficient of variation, and the burstiness index B = (cv - 1) /
+    (cv + 1) (Goh & Barabasi 2008: B < 0 regular, 0 Poisson, > 0
+    bursty). Gaps are exact integer microsecond differences over the
+    deterministic (ts, id) order; moment sums ride in DECIMAL(38,0) so
+    the statistics are partition-invariant.
+
+    One group-key shuffle for the lag window, one aggregate."""
+    w = Window.partitionBy("_g").orderBy(F.col("_t").asc(), F.col("_i").asc())
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(id_col).alias("_i"),
+    )
+    gaps = (
+        rows.withColumn("_prev", F.lag("_t").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select("_g", (F.col("_t") - F.col("_prev")).alias("_d"))
+    )
+    dec = "decimal(38,0)"
+    mom = gaps.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("_d").cast(dec)).alias("_s1"),
+        F.sum(F.col("_d").cast(dec) * F.col("_d")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean_us = F.col("_s1").cast("double") / n
+    var_us = F.col("_s2").cast("double") / n - mean_us * mean_us
+    cv = F.sqrt(F.greatest(var_us, F.lit(0.0))) / mean_us
+    return mom.select(
+        group_col,
+        "n_gaps",
+        F.round(mean_us / F.lit(1_000_000.0) + F.lit(0.0), 6).alias("mean_gap_s"),
+        F.round(cv + F.lit(0.0), 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1) + F.lit(0.0), 6).alias("burstiness"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Distribution of consecutive-day activity streak lengths across
+    users (gaps-and-islands): a streak is a maximal run of consecutive
+    active days; returns (streak_days, n_streaks, n_users) — how many
+    runs of each length exist and how many distinct users own one.
+
+    Plan: distinct (user, day) collapse, one user-key window
+    (row_number), island key = epoch-day minus row_number (constant
+    within a run), then two exact aggregates. All integer arithmetic.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    ud = df.select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).where(F.col("_u").isNotNull()).distinct()
+    w = Window.partitionBy("_u").orderBy("_day")
+    islands = ud.withColumn(
+        "_grp",
+        F.datediff(F.col("_day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("_u", "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days")
+    )
+    return streaks.groupBy("streak_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.countDistinct("_u").cast("long").alias("n_users"),
+    )

@@ -605,3 +605,33 @@ def collocations_pmi(
             F.col("_pmi").alias("pmi"),
         )
     )
+
+
+def langid_confusion(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Confusion matrix of the built-in heuristic language identifier
+    against a labeled column: per (actual, predicted) cell the exact
+    count and the within-actual recall share — the eval harness for the
+    curation pipeline's language router. One classify map (pure column
+    expressions) + one cell shuffle; actual-class totals broadcast."""
+    pred = df.select(
+        F.col(label_col).alias("actual"),
+        lang_id(F.col(text_col)).alias("predicted"),
+    ).where(F.col("actual").isNotNull())
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("actual").agg(F.sum("n").alias("_tot"))
+    return cells.join(F.broadcast(totals), "actual").select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("share_of_actual"),
+    )
