@@ -1200,3 +1200,66 @@ def test_langid_confusion_shares(spark):
     assert out[("en", "en")]["n"] == 2
     assert out[("en", "en")]["share_of_actual"] == 1.0
     assert out[("de", "de")]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test / KS two-sample / RFM segmentation
+
+
+def test_welch_ttest_known_values(spark):
+    """a=[1,2,3,4] vs b=[2,4,6,8,10]: hand-derived Welch t and df."""
+    from weaviate_spark.operators.analytics import welch_ttest
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [
+        ("b", float(v)) for v in [2, 4, 6, 8, 10]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (4, 5)
+    assert out["mean_a"] == 2.5 and out["mean_b"] == 6.0
+    assert out["t_stat"] == -2.251436
+    assert out["welch_df"] == 5.520788
+
+
+def test_ks_two_sample_exact_argmax(spark):
+    """a={1,2,3}, b={2,3,4}: D = 1/3, achieved first at the smallest
+    value (deterministic tie-break at v=1)."""
+    from weaviate_spark.operators.analytics import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (3, 3)
+    assert out["ks_stat"] == 0.333333
+    assert out["at_value"] == 1.0
+
+
+def test_ks_identical_distributions_zero(spark):
+    from weaviate_spark.operators.analytics import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert out["ks_stat"] == 0.0
+
+
+def test_rfm_segments_bins_and_cube(spark):
+    """5 customers, one clear best (recent + frequent + big spend) and
+    one clear worst; bins=5 puts them at (5,5,5) and (1,1,1)."""
+    from weaviate_spark.operators.analytics import rfm_segments
+
+    rows = []
+    # customer c: c orders, latest day c, each order value 100*c
+    for c in range(1, 6):
+        for i in range(c):
+            rows.append((c, datetime.datetime(2024, 1, c - i or 1), 100.0 * c))
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, amt double")
+    out = rfm_segments(df, "cust", "ts", "amt", bins=5)
+    got = {(r["r_bin"], r["f_bin"], r["m_bin"]): r["n_customers"]
+           for r in out.collect()}
+    assert sum(got.values()) == 5
+    assert got.get((5, 5, 5)) == 1  # customer 5: most recent/frequent/spend
+    assert got.get((1, 1, 1)) == 1  # customer 1
+    total_rows = out.count()
+    assert total_rows <= 125  # bounded segment cube

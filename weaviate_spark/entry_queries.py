@@ -8439,3 +8439,115 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.textstats import langid_confusion
 
     return langid_confusion(_load(spark, sf_dir, "documents"), "text", "lang")
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=(
+        "WITH s AS (SELECT event_type AS g, "
+        "CAST(value AS DECIMAL(18,6)) AS v FROM events "
+        "WHERE value IS NOT NULL "
+        "AND event_type IN ('purchase', 'click')), "
+        "a AS (SELECT count(*) AS n_a, sum(v) AS s1, sum(v * v) AS s2 "
+        "FROM s WHERE g = 'purchase'), "
+        "b AS (SELECT count(*) AS n_b, sum(v) AS s1, sum(v * v) AS s2 "
+        "FROM s WHERE g = 'click'), "
+        "m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+        "CAST(a.s1 AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma, "
+        "CAST(b.s1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb, "
+        "((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) "
+        "/ CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) "
+        "/ CAST(n_a AS DOUBLE) AS vna, "
+        "((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) "
+        "/ CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) "
+        "/ CAST(n_b AS DOUBLE) AS vnb "
+        "FROM a, b) "
+        "SELECT n_a, n_b, round(ma + 0.0, 6) AS mean_a, "
+        "round(mb + 0.0, 6) AS mean_b, "
+        "round((ma - mb) / sqrt(vna + vnb) + 0.0, 6) AS t_stat, "
+        "round(((vna + vnb) * (vna + vnb)) "
+        "/ (vna * vna / (CAST(n_a AS DOUBLE) - 1.0) "
+        "+ vnb * vnb / (CAST(n_b AS DOUBLE) - 1.0)) + 0.0, 6) AS welch_df "
+        "FROM m"
+    ),
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the event value metric,
+    purchase vs click cohorts: per-side exact DECIMAL moment sums, then
+    fixed-order double expressions for t and the Welch-Satterthwaite
+    df — the continuous-metric A/B primitive."""
+    from weaviate_spark.operators.analytics import welch_ttest
+
+    return welch_ttest(
+        _load(spark, sf_dir, "events"), "event_type", "value",
+        "purchase", "click",
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=(
+        "WITH s AS (SELECT CAST(value AS DECIMAL(18,6)) AS v, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia, "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_type IN ('purchase', 'click')), "
+        "pv AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY v), "
+        "cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, "
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM pv), "
+        "tot AS (SELECT CAST(sum(ia) AS BIGINT) AS na, "
+        "CAST(sum(ib) AS BIGINT) AS nb FROM s), "
+        "d AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum, na, nb "
+        "FROM cum, tot) "
+        "SELECT na AS n_a, nb AS n_b, "
+        "round(CAST(dnum AS DOUBLE) "
+        "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 0.0, 6) AS ks_stat, "
+        "CAST(v AS DOUBLE) AS at_value "
+        "FROM d ORDER BY dnum DESC, v ASC LIMIT 1"
+    ),
+)
+def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between purchase and
+    click value distributions — integer-exact numerator max over the
+    distinct-value table, so statistic AND argmax location are
+    partition-invariant."""
+    from weaviate_spark.operators.analytics import ks_two_sample
+
+    return ks_two_sample(
+        _load(spark, sf_dir, "events"), "event_type", "value",
+        "purchase", "click",
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=(
+        "WITH pc AS (SELECT o_custkey AS c, "
+        "max(CAST(o_orderdate AS DATE)) AS last_d, count(*) AS freq, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon "
+        "FROM orders GROUP BY 1), "
+        "r AS (SELECT max(CAST(o_orderdate AS DATE)) AS refd FROM orders), "
+        "sc AS (SELECT c, datediff('day', last_d, refd) AS rec, freq, mon "
+        "FROM pc, r), "
+        "b AS (SELECT CAST(ntile(5) OVER (ORDER BY rec DESC, c ASC) AS INT) "
+        "AS r_bin, "
+        "CAST(ntile(5) OVER (ORDER BY freq ASC, c ASC) AS INT) AS f_bin, "
+        "CAST(ntile(5) OVER (ORDER BY mon ASC, c ASC) AS INT) AS m_bin, "
+        "mon FROM sc) "
+        "SELECT r_bin, f_bin, m_bin, "
+        "CAST(count(*) AS BIGINT) AS n_customers, "
+        "round(CAST(sum(mon) AS DOUBLE) / count(*) + 0.0, 6) AS avg_monetary "
+        "FROM b GROUP BY 1, 2, 3"
+    ),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency / frequency /
+    DECIMAL-exact monetary, each ntile(5)-scored with deterministic
+    (metric, custkey) tie-breaks; output is the bounded segment cube
+    with population and average spend per cell."""
+    from weaviate_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(
+        _load(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", bins=5,
+    )

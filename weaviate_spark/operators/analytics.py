@@ -1999,3 +1999,170 @@ def activity_streaks(
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.countDistinct("_u").cast("long").alias("n_users"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups' metric
+    distributions (the continuous-metric A/B primitive next to
+    ``two_proportion_ztest``): per-side exact moment sums (values fixed
+    to DECIMAL(18,6) per row, so the sums are partition-invariant),
+    then t = (ma - mb) / sqrt(va/na + vb/nb) and the Welch-Satterthwaite
+    degrees of freedom — each a single fixed-order double expression
+    over the exact moments. One row out:
+    (n_a, n_b, mean_a, mean_b, t_stat, welch_df)."""
+    v = F.col(value_col).cast("decimal(18,6)")
+
+    def side(tag: str, key) -> DataFrame:
+        return (
+            df.where((F.col(group_col) == key) & v.isNotNull())
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+                F.sum(v).alias(f"_s1_{tag}"),
+                F.sum(v * v).alias(f"_s2_{tag}"),
+            )
+        )
+
+    j = side("a", group_a).crossJoin(side("b", group_b))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s1 = F.col(f"_s1_{tag}").cast("double")
+        s2 = F.col(f"_s2_{tag}").cast("double")
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+        return mean, var / n
+
+    ma, vna = stats("a")
+    mb, vnb = stats("b")
+    t = (ma - mb) / F.sqrt(vna + vnb)
+    dfw = ((vna + vnb) * (vna + vnb)) / (
+        vna * vna / (F.col("n_a").cast("double") - F.lit(1.0))
+        + vnb * vnb / (F.col("n_b").cast("double") - F.lit(1.0))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma + F.lit(0.0), 6).alias("mean_a"),
+        F.round(mb + F.lit(0.0), 6).alias("mean_b"),
+        F.round(t + F.lit(0.0), 6).alias("t_stat"),
+        F.round(dfw + F.lit(0.0), 6).alias("welch_df"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two groups'
+    metric distributions: D = max_x |F_a(x) - F_b(x)|, evaluated at
+    every distinct value. ENTIRELY integer-exact until the final
+    division — the max is taken over |ca*nb - cb*na| (BIGINT), so the
+    argmax value and the statistic are partition-invariant with no
+    float-comparison hazard. Values are fixed to DECIMAL(18,6) keys.
+
+    Plan: one groupBy on the value key (per-side counts), one ordered
+    window over the DISTINCT-VALUE table (bounded by the value domain,
+    not the row count), one argmax. One row out:
+    (n_a, n_b, ks_stat, at_value)."""
+    v = F.col(value_col).cast("decimal(18,6)")
+    sided = df.where(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(
+        v.alias("_v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("_ib"),
+    )
+    per_v = sided.groupBy("_v").agg(
+        F.sum("_ia").cast("long").alias("_ca"),
+        F.sum("_ib").cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "_v",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    tot = sided.agg(
+        F.sum("_ia").cast("long").alias("n_a"),
+        F.sum("_ib").cast("long").alias("n_b"),
+    )
+    dnum = F.abs(
+        F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")
+    ).alias("_dnum")
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("_v", "n_a", "n_b", dnum)
+        .orderBy(F.col("_dnum").desc(), F.col("_v").asc())
+        .limit(1)
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_dnum").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            + F.lit(0.0),
+            6,
+        ).alias("ks_stat"),
+        F.col("_v").cast("double").alias("at_value"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str,
+    ts_col: str,
+    amount_col: str,
+    bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: per
+    customer, days since last order (relative to the corpus max date),
+    order count, and DECIMAL-exact spend; each scored into `bins`
+    quantile bins via ntile with a deterministic (metric, custkey)
+    tie-break — bin `bins` is always the best (most recent / most
+    frequent / highest spend). Output is the segment cube:
+    (r_bin, f_bin, m_bin, n_customers, avg_monetary) — at most bins^3
+    rows at any scale.
+
+    Plan: one customer-key aggregate, three ntile windows over the
+    customer-sized frame, one segment-key aggregate. The reference has
+    no analytics layer; this sits with the cohort/funnel family."""
+    amt = F.col(amount_col).cast("decimal(18,2)")
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    per_c = orders.groupBy(F.col(cust_col).alias("_c")).agg(
+        F.max(day).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum(amt).alias("_mon"),
+    )
+    ref = orders.agg(F.max(day).alias("_ref"))
+    scored = per_c.crossJoin(F.broadcast(ref)).withColumn(
+        "_rec", F.datediff(F.col("_ref"), F.col("_last"))
+    )
+    wr = Window.orderBy(F.col("_rec").desc(), F.col("_c").asc())
+    wf = Window.orderBy(F.col("_freq").asc(), F.col("_c").asc())
+    wm = Window.orderBy(F.col("_mon").asc(), F.col("_c").asc())
+    binned = scored.select(
+        F.ntile(bins).over(wr).alias("r_bin"),
+        F.ntile(bins).over(wf).alias("f_bin"),
+        F.ntile(bins).over(wm).alias("m_bin"),
+        F.col("_mon"),
+    )
+    return (
+        binned.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("_mon").cast("double") / F.count(F.lit(1)) + F.lit(0.0),
+                6,
+            ).alias("avg_monetary"),
+        )
+    )
