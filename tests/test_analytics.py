@@ -1263,3 +1263,49 @@ def test_rfm_segments_bins_and_cube(spark):
     assert got.get((1, 1, 1)) == 1  # customer 1
     total_rows = out.count()
     assert total_rows <= 125  # bounded segment cube
+
+
+def test_jaccard_link_prediction_small(spark):
+    """Hubs {h1:{a,b,c}, h2:{a,b}}; true edge (a,b). Candidates are
+    (a,c) and (b,c) with jaccard 1/3 each ((a,b) excluded)."""
+    from weaviate_spark.operators.graph import jaccard_link_prediction
+
+    wedge = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")],
+        "h long, n string",
+    )
+    true_e = spark.createDataFrame([("a", "b")], "x string, y string")
+    out = jaccard_link_prediction(wedge, true_e, top_k=10).collect()
+    got = {(r["node_a"], r["node_b"]): (r["common_hubs"], r["union_hubs"],
+                                        r["jaccard"]) for r in out}
+    assert got == {("a", "c"): (1, 2, 0.5), ("b", "c"): (1, 2, 0.5)}
+
+
+def test_silhouette_separated_and_confused(spark):
+    """Two tight, well-separated 1-hot clusters give silhouette ~1;
+    a point placed AT the other centroid scores negative."""
+    from weaviate_spark.operators.curation import silhouette_by_label
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.0, 0.2], 0),
+        (3, [10.0, 0.0], 1), (4, [10.0, 0.2], 1),
+        (5, [10.0, 0.1], 0),  # labeled 0 but sits in cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in
+           silhouette_by_label(df, "vec_id", "embedding", "label").collect()}
+    assert out[1]["n_vecs"] == 2 and out[1]["mean_silhouette"] > 0.9
+    assert out[0]["n_vecs"] == 3 and out[0]["n_negative"] == 1
+
+
+def test_embedding_dim_profile_exact(spark):
+    from weaviate_spark.operators.curation import embedding_dim_profile
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, -4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["dim"]: r for r in embedding_dim_profile(df, "embedding").collect()}
+    assert out[0]["n"] == 2 and out[0]["mean"] == 2.0
+    assert out[0]["std"] == 1.414214  # sqrt(2) at 6dp
+    assert out[1]["min_val"] == -4.0 and out[1]["max_val"] == -2.0

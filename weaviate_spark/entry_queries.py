@@ -8551,3 +8551,124 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
         "o_totalprice", bins=5,
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=(
+        "WITH cs AS (SELECT DISTINCT o_custkey AS h, l_partkey AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "deg AS (SELECT n, count(*) AS d FROM cs GROUP BY 1), "
+        "cm AS (SELECT a.n AS na, b.n AS nb, count(*) AS c FROM cs a "
+        "JOIN cs b ON a.h = b.h AND a.n < b.n GROUP BY 1, 2), "
+        "osup AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS n "
+        "FROM lineitem), "
+        "te AS (SELECT DISTINCT a.n AS na, b.n AS nb FROM osup a "
+        "JOIN osup b ON a.o = b.o AND a.n < b.n), "
+        "cand AS (SELECT cm.na, cm.nb, cm.c FROM cm "
+        "ANTI JOIN te ON cm.na = te.na AND cm.nb = te.nb), "
+        "sc AS (SELECT cand.na, cand.nb, cand.c, "
+        "da.d + db.d - cand.c AS u FROM cand "
+        "JOIN deg da ON cand.na = da.n JOIN deg db ON cand.nb = db.n) "
+        "SELECT na AS node_a, nb AS node_b, CAST(c AS BIGINT) "
+        "AS common_hubs, CAST(u AS BIGINT) AS union_hubs, "
+        "round(CAST(c AS DOUBLE) / CAST(u AS DOUBLE) + 0.0, 6) AS jaccard "
+        "FROM sc ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT 20"
+    ),
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the part co-purchase graph:
+    candidates = part pairs bought by a shared CUSTOMER (co-customer
+    wedges, cost bounded by per-customer degree), existing links =
+    pairs already co-occurring in an ORDER; survivors ranked by
+    customer-set Jaccard — the 'next-basket' affinity prediction."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import jaccard_link_prediction
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    wedge = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("o_custkey", "l_partkey")
+    osup = li.select("l_orderkey", "l_partkey").distinct()
+    a = osup.select("l_orderkey", F.col("l_partkey").alias("_pa"))
+    b = osup.select("l_orderkey", F.col("l_partkey").alias("_pb"))
+    true_edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("_pa") < F.col("_pb"))
+        .select("_pa", "_pb")
+        .distinct()
+    )
+    return jaccard_link_prediction(wedge, true_edges, top_k=20)
+
+
+@register(
+    "embedding_silhouette_labels",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+        "it AS (SELECT vec_id, label, i - 1 AS dim, ev[i] AS val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), "
+        "c AS (SELECT label AS clbl, dim, avg(val) AS mu "
+        "FROM it GROUP BY 1, 2), "
+        "d AS (SELECT it.vec_id, it.label, c.clbl, "
+        "round(sqrt(sum((val - mu) * (val - mu))), 6) + 0.0 AS dd "
+        "FROM it JOIN c ON it.dim = c.dim GROUP BY 1, 2, 3), "
+        "ab AS (SELECT vec_id, label, "
+        "max(CASE WHEN clbl = label THEN dd END) AS a, "
+        "min(CASE WHEN clbl <> label THEN dd END) AS b "
+        "FROM d GROUP BY 1, 2), "
+        "s AS (SELECT label, CASE WHEN greatest(a, b) = 0 THEN 0.0 "
+        "ELSE round((b - a) / greatest(a, b), 6) + 0.0 END AS sv FROM ab) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "round(CAST(sum(CAST(sv AS DECIMAL(10,6))) AS DOUBLE) / count(*) "
+        "+ 0.0, 6) AS mean_silhouette, "
+        "CAST(sum(CASE WHEN sv < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_negative FROM s GROUP BY 1"
+    ),
+)
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-form) silhouette per label over the
+    embedding corpus: label-coherence score + count of points sitting
+    closer to a foreign centroid — the annotation-quality audit."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import silhouette_by_label
+
+    emb = _load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    return silhouette_by_label(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=(
+        "WITH e AS (SELECT list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS ev FROM embeddings "
+        "WHERE embedding IS NOT NULL), "
+        "it AS (SELECT i - 1 AS dim, "
+        "CAST(round(ev[i], 6) AS DECIMAL(18,6)) AS v "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), "
+        "m AS (SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2, "
+        "min(v) AS mn, max(v) AS mx FROM it GROUP BY 1) "
+        "SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n, "
+        "round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) + 0.0, 6) AS mean, "
+        "round(sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) - 1.0), 0.0)) + 0.0, 6) AS std, "
+        "CAST(mn AS DOUBLE) AS min_val, CAST(mx AS DOUBLE) AS max_val "
+        "FROM m"
+    ),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/std/min/max from exact
+    6dp-DECIMAL moment sums) — the dead-dimension / feature-drift
+    audit; output is dims rows at any corpus size."""
+    from weaviate_spark.operators.curation import embedding_dim_profile
+
+    return embedding_dim_profile(
+        _load(spark, sf_dir, "embeddings"), "embedding"
+    )

@@ -776,3 +776,125 @@ def pca_top_component(
         F.col("_v").alias("loading"),
         F.round(F.col("_nm") + F.lit(0.0), 6).alias("eigenvalue"),
     )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Simplified silhouette per label (centroid form, Hruschka et al.):
+    a(i) = distance to the OWN label centroid, b(i) = min distance to
+    any OTHER label centroid, s(i) = (b - a) / max(a, b). Returns one
+    row per label: (label, n_vecs, mean_silhouette, n_negative) —
+    the label-coherence / annotation-quality probe (negative s means
+    the point sits closer to a foreign class centroid).
+
+    Same scale skeleton as label_centroid_medoids: one posexplode, a
+    (label x dim) centroid table that always broadcasts, one dim-keyed
+    join fanning each item out to ALL label centroids (labels x rows —
+    bounded by the label vocabulary, never item pairs). Distances are
+    rounded to 6dp before the a/b comparison and s is fixed to 6dp
+    DECIMAL before the per-label mean, so the whole statistic is
+    partition-invariant and oracle-replayable.
+    """
+    items = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    items = register_cache(items.cache())
+    cent = items.groupBy(
+        F.col("_lbl").alias("_clbl"), F.col("_dim")
+    ).agg(F.avg("_val").alias("_mu"))
+    dists = (
+        items.join(F.broadcast(cent), "_dim")
+        .groupBy("_id", "_lbl", "_clbl")
+        .agg(
+            (
+                F.round(
+                    F.sqrt(
+                        F.sum(
+                            (F.col("_val") - F.col("_mu"))
+                            * (F.col("_val") - F.col("_mu"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("_d")
+        )
+    )
+    ab = dists.groupBy("_id", "_lbl").agg(
+        F.max(F.when(F.col("_clbl") == F.col("_lbl"), F.col("_d"))).alias("_a"),
+        F.min(F.when(F.col("_clbl") != F.col("_lbl"), F.col("_d"))).alias("_b"),
+    )
+    s = ab.select(
+        "_lbl",
+        F.when(
+            F.greatest("_a", "_b") == F.lit(0.0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"), 6
+            )
+        )
+        .alias("_s"),
+    )
+    return s.groupBy(F.col("_lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("_s").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.0),
+            6,
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("_s") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
+def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension profile of an embedding column: (dim, n, mean,
+    std, min_val, max_val) — the feature-drift / dead-dimension audit
+    (a constant dimension wastes index bits; a runaway one dominates
+    L2). One posexplode + one dim-keyed aggregate; output is dims
+    rows at any corpus size.
+
+    Values are fixed to 6dp DECIMAL per element so the moment sums are
+    exact and partition-invariant; mean/std are fixed-order double
+    expressions over those exact sums (std = sample, n-1)."""
+    v = F.round(F.col("_raw"), 6).cast("decimal(18,6)")
+    it = df.select(
+        F.posexplode(F.col(vec_col)).alias("_dim", "_raw")
+    ).withColumn("_raw", F.col("_raw").cast("double")).select(
+        "_dim", v.alias("_v")
+    )
+    mom = it.groupBy("_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return mom.select(
+        F.col("_dim").cast("int").alias("dim"),
+        "n",
+        F.round(s1 / n + F.lit(0.0), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0)
+                )
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("std"),
+        F.col("_mn").cast("double").alias("min_val"),
+        F.col("_mx").cast("double").alias("max_val"),
+    )

@@ -323,3 +323,84 @@ def degree_assortativity_exact(
             "assortativity"
         ),
     )
+
+
+def jaccard_link_prediction(
+    wedge_edges: DataFrame,
+    true_edges: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction: rank node pairs that share
+    wedge neighbors but are NOT connected in ``true_edges``.
+    ``wedge_edges`` is a bipartite (hub, node) incidence list (e.g.
+    customer -> supplier); candidates are node pairs sharing a hub,
+    scored |hubs(a) INTERSECT hubs(b)| / |hubs(a) UNION hubs(b)|;
+    ``true_edges`` (_a < _b canonical) are removed — what survives is
+    the "these two should be linked but aren't" ranking.
+
+    Everything decisive is integer-exact: intersection and degree
+    counts are BIGINTs, the union comes from inclusion-exclusion, the
+    score is rounded to 6dp only for display with an (a, b) tie-break
+    on the final sort. Scale shape: the pair generation is the wedge
+    self-join keyed on the hub — cost is sum over hubs of deg(hub)^2,
+    bounded when per-hub degree is bounded (true for order- and
+    customer-keyed incidence; a degree cap on pathological hubs is the
+    documented skew knob, at the cost of exactness). Degrees broadcast
+    (node-dimension table); no all-pairs anywhere.
+    """
+    inc = (
+        wedge_edges.select(
+            F.col(wedge_edges.columns[0]).alias("_h"),
+            F.col(wedge_edges.columns[1]).alias("_n"),
+        )
+        .where(F.col("_h").isNotNull() & F.col("_n").isNotNull())
+        .distinct()
+    )
+    inc = register_cache(inc.cache())
+    deg = inc.groupBy("_n").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    l = inc.select("_h", F.col("_n").alias("_a"))
+    r = inc.select("_h", F.col("_n").alias("_b"))
+    common = (
+        l.join(r, "_h")
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_hubs"))
+    )
+    existing = true_edges.select(
+        F.col(true_edges.columns[0]).alias("_a"),
+        F.col(true_edges.columns[1]).alias("_b"),
+    ).distinct()
+    cand = common.join(existing, ["_a", "_b"], "left_anti")
+    scored = (
+        cand.join(F.broadcast(deg.withColumnRenamed("_n", "_a")
+                  .withColumnRenamed("_deg", "_da")), "_a")
+        .join(F.broadcast(deg.withColumnRenamed("_n", "_b")
+              .withColumnRenamed("_deg", "_db")), "_b")
+        .select(
+            "_a", "_b", "common_hubs",
+            (F.col("_da") + F.col("_db") - F.col("common_hubs"))
+            .cast("long").alias("union_hubs"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common_hubs").cast("double")
+                / F.col("union_hubs").cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard").desc(), F.col("_a").asc(), F.col("_b").asc()
+        )
+        .limit(top_k)
+        .select(
+            F.col("_a").alias("node_a"),
+            F.col("_b").alias("node_b"),
+            "common_hubs",
+            "union_hubs",
+            "jaccard",
+        )
+    )
