@@ -1017,3 +1017,44 @@ def test_minhash_bbit_superset_recall_and_estimator(spark, sf_dir):
         # the corrected estimator tracks exact jaccard within the
         # K=16 sampling noise band
         assert abs(r["jaccard_bbit_est"] - r["jaccard"]) <= 0.35
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit / Heaps growth / n-gram novelty
+
+
+def test_zipf_fit_perfect_power_law(spark):
+    """freqs 6/3/2 over ranks 1/2/3 satisfy ln f = ln 6 - ln r exactly:
+    slope -1, r2 1 (up to the 6dp pre-rounding of the ln values)."""
+    from weaviate_spark.operators.textstats import zipf_fit
+
+    text = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2)
+    df = spark.createDataFrame([(text,)], "text string")
+    out = zipf_fit(df, "text").collect()[0]
+    assert out["n_terms"] == 3
+    assert abs(out["slope"] + 1.0) < 1e-4
+    assert abs(out["intercept"] - 1.791759) < 1e-4
+    assert out["r2"] > 0.999999
+
+
+def test_heaps_growth_checkpoints(spark):
+    from weaviate_spark.operators.textstats import heaps_vocab_growth
+
+    docs = [(1, "x y x"), (2, "y z"), (3, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["docs_seen"]: (r["cum_tokens"], r["cum_vocab"])
+           for r in heaps_vocab_growth(df, "doc_id", "text", every=2).collect()}
+    assert out == {2: (5, 3), 3: (6, 3)}
+
+
+def test_ngram_novelty_first_owner(spark):
+    from weaviate_spark.operators.textstats import ngram_novelty
+
+    docs = [(1, "a b c", "g1"), (2, "a b c d", "g1")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = ngram_novelty(df, "doc_id", "text", "source", n=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "g1" and r["n_docs"] == 2
+    assert r["mean_novelty"] == 0.666667  # (1 + 1/3) / 2 at 6dp
+    assert r["n_all_novel"] == 1

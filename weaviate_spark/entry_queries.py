@@ -8672,3 +8672,103 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_profile(
         _load(spark, sf_dir, "embeddings"), "embedding"
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=(
+        "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+')) AS t FROM documents), "
+        "tf AS (SELECT t, count(*) AS c FROM toks GROUP BY 1), "
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r "
+        "FROM tf), "
+        "xy AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) "
+        "AS DECIMAL(18,6)) AS x, "
+        "CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y "
+        "FROM rk WHERE r <= 1000), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, "
+        "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+        "CAST(sum(y * y) AS DOUBLE) AS syy, "
+        "CAST(sum(x * y) AS DOUBLE) AS sxy FROM xy), "
+        "m2 AS (SELECT n_terms, n, sx, sy, sxx, syy, sxy, "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl FROM m) "
+        "SELECT n_terms, round(sl + 0.0, 6) AS slope, "
+        "round((sy - sl * sx) / n + 0.0, 6) AS intercept, "
+        "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+        "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 0.0, 6) AS r2 "
+        "FROM m2"
+    ),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq vs ln rank, top-1000 terms) over the
+    corpus term distribution — slope near -1 is the natural-language
+    health check; exact DECIMAL moment sums."""
+    from weaviate_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_load(spark, sf_dir, "documents"), "text", top_n=1000)
+
+
+@register(
+    "text_heaps_growth",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        "lower(text), '[\\p{L}\\p{N}]+')) AS t FROM documents), "
+        "pd AS (SELECT doc_id, count(*) AS m FROM toks GROUP BY 1), "
+        "fo AS (SELECT t, min(doc_id) AS fd FROM toks GROUP BY 1), "
+        "nt AS (SELECT fd AS doc_id, count(*) AS nv FROM fo GROUP BY 1), "
+        "j AS (SELECT pd.doc_id, pd.m, coalesce(nt.nv, 0) AS nv "
+        "FROM pd LEFT JOIN nt USING (doc_id)), "
+        "c AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, "
+        "sum(m) OVER (ORDER BY doc_id) AS ct, "
+        "sum(nv) OVER (ORDER BY doc_id) AS cv, "
+        "count(*) OVER () AS tot FROM j) "
+        "SELECT CAST(rn AS BIGINT) AS docs_seen, "
+        "CAST(ct AS BIGINT) AS cum_tokens, CAST(cv AS BIGINT) AS cum_vocab "
+        "FROM c WHERE rn % 100 = 0 OR rn = tot"
+    ),
+)
+def q_text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (cumulative tokens vs
+    cumulative distinct terms at every 100th doc in id order) — the
+    corpus-diversity trajectory, all-integer exact."""
+    from weaviate_spark.operators.textstats import heaps_vocab_growth
+
+    return heaps_vocab_growth(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", every=100
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+') AS tt FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id AS _doc, "
+        "array_to_string(tt[i:i+4], ' ') AS _shingle "
+        "FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 4, 0) + 1)) "
+        "AS u(i) WHERE len(tt) >= 5), "
+        "own AS (SELECT _shingle, min(_doc) AS _own FROM sh GROUP BY 1), "
+        "pd AS (SELECT sh._doc, count(*) AS tot, "
+        "sum(CASE WHEN own._own = sh._doc THEN 1 ELSE 0 END) AS nw "
+        "FROM sh JOIN own ON sh._shingle = own._shingle GROUP BY 1), "
+        "nov AS (SELECT _doc, CAST(round(CAST(nw AS DOUBLE) "
+        "/ CAST(tot AS DOUBLE), 6) AS DECIMAL(10,6)) AS nv FROM pd), "
+        "lab AS (SELECT nov.nv, d.source FROM nov "
+        "JOIN documents d ON nov._doc = d.doc_id) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(sum(nv) AS DOUBLE) / count(*) + 0.0, 6) "
+        "AS mean_novelty, "
+        "CAST(sum(CASE WHEN nv = 1.0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_all_novel FROM lab GROUP BY 1"
+    ),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5-gram novelty (share of each doc's shingles first
+    seen in that doc, scanning in id order) — the RefinedWeb-style
+    freshness signal; exact-substring-dedup plan shape."""
+    from weaviate_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", "source", n=5
+    )

@@ -635,3 +635,169 @@ def langid_confusion(
             6,
         ).alias("share_of_actual"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS of ln(freq) on ln(rank) for the ``top_n`` most frequent terms
+    (rank ties broken alphabetically). One row out: (n_terms, slope,
+    intercept, r2) — a healthy natural-language corpus has slope near
+    -1; a template/spam-heavy one flattens or cliffs, so the slope is
+    a cheap corpus-level quality gate.
+
+    Exactness: term counts are integers; ln values are fixed to 6dp
+    DECIMAL per term, the OLS moments are exact DECIMAL sums, and the
+    slope/intercept/r2 are fixed-order double expressions — fully
+    partition-invariant. The ranking window runs over the distinct-term
+    table (vocabulary-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t")
+    )
+    tf = toks.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = Window.orderBy(F.col("_c").desc(), F.col("_t").asc())
+    ranked = (
+        tf.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_n)
+        .select(
+            F.round(F.log(F.col("_r").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("_x"),
+            F.round(F.log(F.col("_c").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("_y"),
+        )
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return mom.select(
+        "n_terms",
+        F.round(slope + F.lit(0.0), 6).alias("slope"),
+        F.round(intercept + F.lit(0.0), 6).alias("intercept"),
+        F.round(r2 + F.lit(0.0), 6).alias("r2"),
+    )
+
+
+def heaps_vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, every: int = 100
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: scanning documents in
+    ``id_col`` order, emit (docs_seen, cum_tokens, cum_vocab) at every
+    ``every``-th document (plus the final point). All-integer exact.
+    The V(n) ~ K*n^beta curve is the dedup/diversity health check —
+    a corpus whose vocabulary stops growing is repeating itself.
+
+    Plan: one (term -> min doc) aggregate charges each term to the doc
+    that introduced it, one per-doc token count, then cumulative sums
+    over the doc-count-sized frame (a prefix sum, not corpus-sized
+    state). No per-doc vocabulary sets are ever materialized."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    )
+    toks = register_cache(toks.cache())
+    per_doc = toks.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    first = toks.groupBy("_t").agg(F.min("_doc").alias("_fd"))
+    new_terms = first.groupBy(F.col("_fd").alias("_doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nv")
+    )
+    j = per_doc.join(new_terms, "_doc", "left").select(
+        "_doc", "_m", F.coalesce("_nv", F.lit(0)).alias("_nv")
+    )
+    w = Window.orderBy("_doc").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("_doc")
+    c = j.select(
+        F.row_number().over(wall).alias("_rn"),
+        F.sum("_m").over(w).alias("cum_tokens"),
+        F.sum("_nv").over(w).alias("cum_vocab"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("_doc").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+    return c.where(
+        (F.col("_rn") % every == 0) | (F.col("_rn") == F.col("_tot"))
+    ).select(
+        F.col("_rn").cast("long").alias("docs_seen"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-group n-gram novelty: scanning docs in id order, a doc's
+    novelty is the fraction of its distinct word n-grams whose FIRST
+    corpus occurrence is this doc (RefinedWeb-style freshness signal —
+    boilerplate and near-dupe tails score near 0). Output one row per
+    ``group_col`` value: (group, n_docs, mean_novelty, n_all_novel).
+
+    Plan: one (shingle -> min doc) aggregate + one join back on the
+    shingle — the exact-substring-dedup shape; no doc pairs. Novelty
+    is fixed to 6dp DECIMAL before the per-group mean."""
+    from weaviate_spark.operators.dedup import shingle_df
+
+    sh = shingle_df(df, id_col, text_col, n=n)
+    sh = register_cache(sh.cache())
+    owner = sh.groupBy("_shingle").agg(F.min("_doc").alias("_own"))
+    per_doc = (
+        sh.join(owner, "_shingle")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_tot"),
+            F.sum(F.when(F.col("_own") == F.col("_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("_new"),
+        )
+        .select(
+            "_doc",
+            F.round(
+                F.col("_new").cast("double") / F.col("_tot").cast("double"),
+                6,
+            )
+            .cast("decimal(10,6)")
+            .alias("_nov"),
+        )
+    )
+    labeled = per_doc.join(
+        df.select(
+            F.col(id_col).alias("_doc"), F.col(group_col).alias("_g")
+        ),
+        "_doc",
+    )
+    return labeled.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("_nov").cast("double") / F.count(F.lit(1)) + F.lit(0.0), 6
+        ).alias("mean_novelty"),
+        F.sum(F.when(F.col("_nov") == F.lit(1.0).cast("decimal(10,6)"), 1)
+              .otherwise(0)).cast("long").alias("n_all_novel"),
+    )
