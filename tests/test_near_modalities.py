@@ -134,3 +134,40 @@ def test_dhash_banding_matches_brute_force(spark):
     assert got == want
     assert got[(0, 1)] == 1 and got[(0, 2)] == 2
     assert (0, 3) not in got
+
+
+def test_image_quality_stats_known_pixels(spark):
+    """4x1 PPM with gray sums [0, 96, 765, 96]: hand-derived moments,
+    8-bin entropy, and dominant bin."""
+    from weaviate_spark.operators.multimodal import image_quality_stats
+
+    body = bytes([0, 0, 0, 96, 0, 0, 255, 255, 255, 96, 0, 0])
+    ppm = b"P6\n4 1\n255\n" + body
+    df = spark.createDataFrame([(1, bytearray(ppm))],
+                               "media_id long, media binary")
+    r = image_quality_stats(df, "media_id", "media").collect()[0]
+    assert r["decode_ok"] and r["n_pixels"] == 4
+    assert r["mean_gray"] == 239.25
+    assert r["std_gray"] == 306.061575
+    assert r["entropy"] == 1.039722
+    assert r["dominant_bin"] == 1
+
+
+def test_image_quality_stats_flat_image_zero_entropy(spark):
+    from weaviate_spark.operators.multimodal import image_quality_stats
+
+    ppm = b"P6\n2 2\n255\n" + bytes([10, 10, 10] * 4)
+    df = spark.createDataFrame([(7, bytearray(ppm))],
+                               "media_id long, media binary")
+    r = image_quality_stats(df, "media_id", "media").collect()[0]
+    assert r["entropy"] == 0.0 and r["std_gray"] == 0.0
+    assert r["dominant_bin"] == 0
+
+
+def test_image_quality_stats_undecodable(spark):
+    from weaviate_spark.operators.multimodal import image_quality_stats
+
+    df = spark.createDataFrame([(9, bytearray(b"notanimage"))],
+                               "media_id long, media binary")
+    r = image_quality_stats(df, "media_id", "media").collect()[0]
+    assert r["decode_ok"] is False and r["entropy"] is None

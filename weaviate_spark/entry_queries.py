@@ -8772,3 +8772,41 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(
         _load(spark, sf_dir, "documents"), "doc_id", "text", "source", n=5
     )
+
+
+@register(
+    "image_quality_stats",
+    oracle=__import__(
+        "weaviate_spark.media_oracles", fromlist=["image_quality_oracle_sql"]
+    ).image_quality_oracle_sql(1000),
+)
+def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality statistics (mean/std gray, 8-bin histogram
+    entropy, dominant bin) over REAL decode of the 6x4 PPM corpus —
+    the flat-image / low-information filter of an image curation
+    pipeline. The oracle rebuilds every gray sum analytically from the
+    md5 hex and replays the integer-exact moment + entropy arithmetic."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multimodal import image_quality_stats
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    hexs = F.concat(
+        F.md5(F.col("text")),
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(str(i))))
+            for i in range(2, 6)
+        ],
+    )
+    pix = F.unhex(
+        F.expr(
+            "concat_ws('', transform(sequence(0, 71), i -> "
+            "lpad(hex(cast(conv(substring(_hex, i * 2 + 1, 2), "
+            "16, 10) as bigint)), 2, '0')))"
+        )
+    )
+    media = docs.select(F.col("doc_id"), hexs.alias("_hex")).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P6\n6 4\n255\n"), pix).alias("media"),
+    )
+    return image_quality_stats(media, "media_id", "media")

@@ -281,3 +281,51 @@ def image_dhash_oracle_sql(max_doc: int = 2000, max_hamming: int = 2) -> str:
         "FROM img a JOIN img b ON a.id < b.id "
         f"WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"
     )
+
+
+def image_quality_oracle_sql(max_doc: int = 1000) -> str:
+    """Oracle for `image_quality_stats` over the 6x4 PPM corpus (one
+    raw-md5-pixel variant per doc, media_id = doc_id): all 24 integer
+    gray sums rebuilt analytically from md5(text)..md5(text||'5'),
+    then the same fixed-order moment/entropy arithmetic — integer
+    binning (gs // 96 capped at 7), per-bin p*ln(p) rounded to 6dp and
+    summed as exact DECIMAL, population std from integer moments."""
+
+    def byte(i: int) -> str:
+        return _hexbyte(f"h{i // 16 + 1}", i % 16)
+
+    grays = []
+    for p in range(24):
+        grays.append(
+            "(" + " + ".join(byte(3 * p + ch) for ch in range(3)) + ")"
+        )
+    gs_list = "[" + ", ".join(grays) + "]"
+    return (
+        "WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS h1, "
+        "md5(text || '2') AS h2, md5(text || '3') AS h3, "
+        "md5(text || '4') AS h4, md5(text || '5') AS h5 "
+        f"FROM documents WHERE doc_id < {max_doc}), "
+        f"img AS (SELECT CAST(doc_id AS BIGINT) AS id, {gs_list} AS gs "
+        "FROM d), "
+        "px AS (SELECT id, unnest(gs) AS g FROM img), "
+        "m AS (SELECT id, count(*) AS n, sum(g) AS s1, sum(g * g) AS s2 "
+        "FROM px GROUP BY 1), "
+        "b AS (SELECT id, least(g // 96, 7) AS bin, count(*) AS c "
+        "FROM px GROUP BY 1, 2), "
+        "bn AS (SELECT b.id, b.c, m.n FROM b JOIN m ON b.id = m.id), "
+        "ent AS (SELECT id, sum(CAST(round((CAST(c AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), "
+        "6) AS DECIMAL(18,6))) AS esum FROM bn GROUP BY 1), "
+        "dom AS (SELECT id, bin FROM (SELECT id, bin, row_number() OVER "
+        "(PARTITION BY id ORDER BY c DESC, bin ASC) AS rk FROM b) "
+        "WHERE rk = 1) "
+        "SELECT m.id AS media_id, CAST(m.n AS INT) AS n_pixels, "
+        "round(CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE) + 0.0, 6) "
+        "AS mean_gray, "
+        "round(sqrt(greatest((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) "
+        "* CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)) "
+        "/ CAST(m.n AS DOUBLE), 0.0)) + 0.0, 6) AS std_gray, "
+        "(-CAST(ent.esum AS DOUBLE)) + 0.0 AS entropy, "
+        "CAST(dom.bin AS INT) AS dominant_bin, true AS decode_ok "
+        "FROM m JOIN ent ON m.id = ent.id JOIN dom ON m.id = dom.id"
+    )

@@ -1854,3 +1854,92 @@ def video_scene_cuts(
         df.select(F.col(id_col).alias(id_col), F.col(media_col))
         .mapInPandas(_cuts, SCENE_CUT_SCHEMA)
     )
+
+
+IMG_QUALITY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_pixels", T.IntegerType()),
+    T.StructField("mean_gray", T.DoubleType()),
+    T.StructField("std_gray", T.DoubleType()),
+    T.StructField("entropy", T.DoubleType()),
+    T.StructField("dominant_bin", T.IntegerType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def image_quality_stats(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Per-image quality statistics from REAL decode: mean and
+    population std of the integer gray sums (r+g+b per pixel), Shannon
+    entropy of the 8-bin gray histogram (bin = min(gs // 96, 7) — pure
+    integer binning over the 0..765 gray-sum range), and the dominant
+    bin (argmax count, lowest bin on ties). The flat/blank-image and
+    low-information filter of an image-corpus curation pipeline: a
+    screenshot of a solid color has entropy ~0; natural photos spread
+    across bins.
+
+    Exactness contract (what lets an analytic SQL oracle replay it):
+    mean/std come from integer moment sums in fixed-order double
+    expressions; each histogram term p*ln(p) is rounded to 6dp and
+    accumulated in exact integer micro-units, so the entropy is
+    order-invariant. Arrow-batched mapInPandas; undecodable rows emit
+    decode_ok=False rather than failing the scan."""
+
+    def _stats(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in iterator:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                out = {k: [] for k in ("n_pixels", "mean_gray", "std_gray",
+                                       "entropy", "dominant_bin", "decode_ok")}
+                for data in chunk[media_col]:
+                    img = (
+                        decode_image_array(bytes(data))
+                        if data is not None and len(data) > 0
+                        else None
+                    )
+                    if img is None:
+                        for k in out:
+                            out[k].append(False if k == "decode_ok" else None)
+                        continue
+                    gs = img.astype(np.int64).sum(axis=2).ravel()
+                    n = int(gs.size)
+                    s1 = int(gs.sum())
+                    s2 = int((gs * gs).sum())
+                    mean = round(s1 / n, 6)
+                    var = (s2 - s1 * s1 / n) / n
+                    std = round(math.sqrt(max(var, 0.0)), 6)
+                    counts = np.bincount(
+                        np.minimum(gs // 96, 7).astype(np.int64), minlength=8
+                    )
+                    acc = 0  # exact micro-unit accumulator
+                    for c in counts:
+                        if c > 0:
+                            t = round((c / n) * math.log(c / n), 6)
+                            acc += int(round(t * 1e6))
+                    entropy = -acc / 1e6
+                    dom = int(np.argmax(counts))
+                    out["n_pixels"].append(n)
+                    out["mean_gray"].append(mean)
+                    out["std_gray"].append(std)
+                    out["entropy"].append(entropy)
+                    out["dominant_bin"].append(dom)
+                    out["decode_ok"].append(True)
+                yield pd.DataFrame({
+                    "media_id": chunk[id_col].values,
+                    "n_pixels": pd.array(out["n_pixels"], dtype="Int32"),
+                    "mean_gray": pd.array(out["mean_gray"], dtype="Float64"),
+                    "std_gray": pd.array(out["std_gray"], dtype="Float64"),
+                    "entropy": pd.array(out["entropy"], dtype="Float64"),
+                    "dominant_bin": pd.array(out["dominant_bin"], dtype="Int32"),
+                    "decode_ok": out["decode_ok"],
+                })
+
+    return df.select(id_col, media_col).mapInPandas(_stats, IMG_QUALITY_SCHEMA)
