@@ -1309,3 +1309,33 @@ def test_embedding_dim_profile_exact(spark):
     assert out[0]["n"] == 2 and out[0]["mean"] == 2.0
     assert out[0]["std"] == 1.414214  # sqrt(2) at 6dp
     assert out[1]["min_val"] == -4.0 and out[1]["max_val"] == -2.0
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    """Triangle 1-2-3 plus pendant 3-4: c(1)=c(2)=1, c(3)=1/3, c(4)=0."""
+    from weaviate_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"], r["coefficient"])
+           for r in clustering_coefficient(edges).collect()}
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, 0.333333)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_randomization_test_separated_groups(spark):
+    """a = {100,100,100}, b = {0,0,0}: obs diff 100; p-value follows
+    the add-one formula and the test is deterministic."""
+    from weaviate_spark.operators.analytics import randomization_test
+
+    rows = [(i, "a", 100.0) for i in range(3)] + [
+        (i + 10, "b", 0.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r1 = randomization_test(df, "id", "g", "v", "a", "b", reps=50).collect()[0]
+    r2 = randomization_test(df, "id", "g", "v", "a", "b", reps=50).collect()[0]
+    assert r1 == r2  # deterministic
+    assert (r1["n_a"], r1["n_b"], r1["reps"]) == (3, 3, 50)
+    assert r1["obs_diff"] == 100.0
+    assert r1["p_value"] == round((r1["n_extreme"] + 1) / 51.0, 6)
+    assert r1["p_value"] <= 0.5

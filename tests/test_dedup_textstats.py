@@ -1058,3 +1058,18 @@ def test_ngram_novelty_first_owner(spark):
     assert r["source"] == "g1" and r["n_docs"] == 2
     assert r["mean_novelty"] == 0.666667  # (1 + 1/3) / 2 at 6dp
     assert r["n_all_novel"] == 1
+
+
+def test_char_entropy_flat_and_binary(spark):
+    """'aaaa' has zero entropy; 'abab' has ln(2) with term-wise 6dp
+    rounding (0.693148); the source mean averages the two exactly."""
+    from weaviate_spark.operators.textstats import char_entropy_by_group
+
+    df = spark.createDataFrame(
+        [(1, "aaaa", "x"), (2, "abab", "x")],
+        "doc_id long, text string, source string")
+    r = char_entropy_by_group(df, "doc_id", "text", "source").collect()[0]
+    assert r["n_docs"] == 2
+    assert r["min_entropy"] == 0.0
+    assert r["max_entropy"] == 0.693148
+    assert r["mean_entropy"] == 0.346574

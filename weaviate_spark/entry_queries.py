@@ -8810,3 +8810,153 @@ def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(b"P6\n6 4\n255\n"), pix).alias("media"),
     )
     return image_quality_stats(media, "media_id", "media")
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=(
+        "WITH raw AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
+        "ew AS (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, "
+        "count(*) AS w FROM raw WHERE cn <> sn GROUP BY 1, 2), "
+        "t AS (SELECT sum(w) AS tot, count(*) AS ne FROM ew), "
+        "e AS (SELECT a, b FROM ew, t WHERE 10 * w * ne > 11 * tot), "
+        "deg AS (SELECT n, count(*) AS d FROM "
+        "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+        "tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "v AS (SELECT x AS node FROM tri3 UNION ALL SELECT y FROM tri3 "
+        "UNION ALL SELECT z FROM tri3), "
+        "tc AS (SELECT node, count(*) AS tri FROM v GROUP BY 1), "
+        "j AS (SELECT deg.n, deg.d, coalesce(tc.tri, 0) AS tri "
+        "FROM deg LEFT JOIN tc ON deg.n = tc.node) "
+        "SELECT n_name AS nation, CAST(d AS BIGINT) AS degree, "
+        "CAST(tri AS BIGINT) AS triangles, "
+        "CASE WHEN d < 2 THEN 0.0 ELSE round(2.0 * tri "
+        "/ (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)) + 0.0, 6) END "
+        "AS coefficient FROM j JOIN nation ON n_nationkey = j.n"
+    ),
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the SPARSIFIED
+    trade graph (edges with weight > 1.1x the mean weight — an exact
+    integer predicate, so the sparsification is scale-portable):
+    degree-ordered triangle counting + one degree aggregate; oracle
+    re-counts by sorted-triple enumeration."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.graph import clustering_coefficient
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("cn"),
+                F.col("s_nationkey").alias("sn"))
+    )
+    ew = (
+        raw.where(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.least("cn", "sn").alias("_a"),
+            F.greatest("cn", "sn").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+    )
+    t = ew.agg(
+        F.sum("_w").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_ne"),
+    )
+    sparse = (
+        ew.crossJoin(F.broadcast(t))
+        .where(F.lit(10) * F.col("_w") * F.col("_ne")
+               > F.lit(11) * F.col("_tot"))
+        .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+    )
+    cc = clustering_coefficient(sparse)
+    return cc.join(
+        F.broadcast(nation), cc.node == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"), "degree", "triangles", "coefficient"
+    )
+
+
+@register(
+    "stats_randomization_test",
+    oracle=(
+        "WITH base AS (SELECT event_id AS i, "
+        "CAST(value AS DECIMAL(18,6)) AS v, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_type IN ('purchase', 'click')), "
+        "obs AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, "
+        "CAST(sum(1 - ia) AS BIGINT) AS n_b, "
+        "CAST(sum(CASE WHEN ia = 1 THEN v END) AS DOUBLE) "
+        "/ CAST(sum(ia) AS DOUBLE) "
+        "- CAST(sum(CASE WHEN ia = 0 THEN v END) AS DOUBLE) "
+        "/ CAST(sum(1 - ia) AS DOUBLE) AS od FROM base), "
+        "rep AS (SELECT u.r, v, ('0x' || substr(md5('perm:' || u.r || ':' "
+        "|| i), 1, 8))::BIGINT % 2 AS side "
+        "FROM base, LATERAL unnest(range(0, 50)) AS u(r)), "
+        "pr AS (SELECT r, CAST(sum(CASE WHEN side = 0 THEN v END) "
+        "AS DOUBLE) / CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) "
+        "AS DOUBLE) - CAST(sum(CASE WHEN side = 1 THEN v END) AS DOUBLE) "
+        "/ CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS d "
+        "FROM rep GROUP BY 1), "
+        "ex AS (SELECT count(*) AS reps, sum(CASE WHEN abs(d) >= "
+        "abs((SELECT od FROM obs)) THEN 1 ELSE 0 END) AS ne FROM pr) "
+        "SELECT obs.n_a, obs.n_b, round(obs.od + 0.0, 6) AS obs_diff, "
+        "CAST(ex.reps AS BIGINT) AS reps, CAST(ex.ne AS BIGINT) "
+        "AS n_extreme, round((ex.ne + 1.0) / (ex.reps + 1.0) + 0.0, 6) "
+        "AS p_value FROM obs, ex"
+    ),
+)
+def q_stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test on the purchase-vs-click value
+    means: 50 md5-seeded re-labelings, add-one p-value — the
+    distribution-free companion to the Welch t statistic."""
+    from weaviate_spark.operators.analytics import randomization_test
+
+    return randomization_test(
+        _load(spark, sf_dir, "events"), "event_id", "event_type", "value",
+        "purchase", "click", reps=50,
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle=(
+        "WITH ch AS (SELECT doc_id, substr(lower(text), CAST(i AS INT), 1) "
+        "AS c FROM documents, "
+        "LATERAL unnest(range(1, len(text) + 1)) AS u(i)), "
+        "cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1), "
+        "terms AS (SELECT cc.doc_id, CAST(round((CAST(n AS DOUBLE) "
+        "/ CAST(t AS DOUBLE)) * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), "
+        "6) AS DECIMAL(18,6)) AS term FROM cc JOIN tot USING (doc_id)), "
+        "pd AS (SELECT doc_id, CAST(-sum(term) AS DECIMAL(18,6)) AS h "
+        "FROM terms GROUP BY 1), "
+        "lab AS (SELECT pd.h, d.source FROM pd "
+        "JOIN documents d USING (doc_id)) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(sum(h) AS DOUBLE) / count(*) + 0.0, 6) "
+        "AS mean_entropy, CAST(min(h) AS DOUBLE) AS min_entropy, "
+        "CAST(max(h) AS DOUBLE) AS max_entropy FROM lab GROUP BY 1"
+    ),
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy profile (per-doc Shannon entropy
+    over the lowercased char distribution, 6dp-DECIMAL-exact) — the
+    gibberish / binary-paste text-quality gate."""
+    from weaviate_spark.operators.textstats import char_entropy_by_group
+
+    return char_entropy_by_group(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )

@@ -2166,3 +2166,109 @@ def rfm_segments(
             ).alias("avg_monetary"),
         )
     )
+
+
+def randomization_test(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    reps: int = 50,
+    salt: str = "perm",
+) -> DataFrame:
+    """Deterministic randomization (approximate permutation) test for
+    the difference in group means: re-label every row `reps` times by
+    an md5 coin flip (the Poisson-bootstrap discipline — label counts
+    are binomial, not exactly preserved, which is the standard
+    large-sample approximation) and report how often the re-labeled
+    |mean difference| reaches the observed one. p = (1 + n_extreme) /
+    (reps + 1), the add-one permutation estimate. One row out:
+    (n_a, n_b, obs_diff, reps, n_extreme, p_value).
+
+    Exactness: values are fixed to DECIMAL(18,6); every replicate's
+    means come from exact decimal sums via fixed-order double ops, so
+    the >= comparison is bit-deterministic and engine-portable. Plan:
+    one reps-way explode + one (rep, side) aggregate — the same
+    corpus x reps shape as poisson_bootstrap_ci, no shuffling of the
+    original rows."""
+    from weaviate_spark.operators.sampling import md5_prefix_long
+
+    v = F.col(value_col).cast("decimal(18,6)")
+    base = df.where(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ia"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("_ia") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_ia") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_ia") == 1, F.col("_v"))).alias("_sa"),
+        F.sum(F.when(F.col("_ia") == 0, F.col("_v"))).alias("_sb"),
+    ).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("_sa").cast("double") / F.col("n_a").cast("double")
+            - F.col("_sb").cast("double") / F.col("n_b").cast("double")
+        ).alias("_obs"),
+    )
+    rep = base.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+    ).withColumn(
+        "_side",
+        md5_prefix_long(
+            F.concat(F.col("_rep").cast("string"), F.lit(":"),
+                     F.col("_id").cast("string")),
+            salt,
+        )
+        % 2,
+    )
+    per_rep = rep.groupBy("_rep").agg(
+        F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_na"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_nb"),
+        F.sum(F.when(F.col("_side") == 0, F.col("_v"))).alias("_sa"),
+        F.sum(F.when(F.col("_side") == 1, F.col("_v"))).alias("_sb"),
+    ).select(
+        "_rep",
+        (
+            F.col("_sa").cast("double") / F.col("_na").cast("double")
+            - F.col("_sb").cast("double") / F.col("_nb").cast("double")
+        ).alias("_diff"),
+    )
+    ext = per_rep.crossJoin(F.broadcast(obs)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(F.first("_obs") + F.lit(0.0), 6).alias("obs_diff"),
+        F.count(F.lit(1)).cast("long").alias("reps"),
+        F.sum(
+            F.when(F.abs(F.col("_diff")) >= F.abs(F.col("_obs")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return ext.select(
+        "n_a",
+        "n_b",
+        "obs_diff",
+        "reps",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + F.lit(1)).cast("double")
+            / (F.col("reps") + F.lit(1)).cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("p_value"),
+    )

@@ -404,3 +404,54 @@ def jaccard_link_prediction(
             "jaccard",
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, coefficient): local clustering
+    coefficient c(v) = 2*T(v) / (deg(v) * (deg(v) - 1)) over the
+    undirected simple graph — the community-tightness probe next to
+    the global triangle count. Nodes of degree < 2 get coefficient 0.
+
+    Reuses the degree-ordered triangle_counts plan (O(m^1.5) wedge
+    work, hub-safe); degrees are one extra groupBy; the division is a
+    single fixed-order double expression over exact integers."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .union(e.select(F.col("_b")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst).withColumnRenamed("node", "_n")
+    j = deg.join(tri, "_n", "left").select(
+        "_n",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    coeff = F.when(
+        F.col("degree") < 2, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.lit(2.0)
+            * F.col("triangles").cast("double")
+            / (
+                F.col("degree").cast("double")
+                * (F.col("degree").cast("double") - F.lit(1.0))
+            )
+            + F.lit(0.0),
+            6,
+        )
+    )
+    return j.select(
+        F.col("_n").alias("node"), "degree", "triangles",
+        coeff.alias("coefficient"),
+    )

@@ -801,3 +801,61 @@ def ngram_novelty(
         F.sum(F.when(F.col("_nov") == F.lit(1.0).cast("decimal(10,6)"), 1)
               .otherwise(0)).cast("long").alias("n_all_novel"),
     )
+
+
+def char_entropy_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group character-entropy profile: each doc's Shannon entropy
+    over its lowercased character distribution (the gibberish / binary
+    -paste / low-information text gate — natural language sits near
+    4.1 bits, base-e here; 'aaaa...' spam near 0), then per group:
+    (group, n_docs, mean_entropy, min_entropy, max_entropy).
+
+    Exactness: per-(doc, char) counts are integers; each p*ln(p) term
+    is rounded to 6dp and summed as exact DECIMAL (the image-histogram
+    entropy recipe), so per-doc entropies — and their per-group means
+    via a second exact DECIMAL sum — are partition-invariant. Plan:
+    one character explode (narrow), two keyed aggregates."""
+    chars = df.select(
+        F.col(id_col).alias("_doc"),
+        F.lower(F.col(text_col)).alias("_t"),
+    ).select(
+        "_doc",
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_i"),
+        "_t",
+    ).select("_doc", F.expr("substring(_t, _i, 1)").alias("_c"))
+    cc = chars.groupBy("_doc", "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    tot = cc.groupBy("_doc").agg(F.sum("_n").cast("long").alias("_tot"))
+    terms = cc.join(tot, "_doc").select(
+        "_doc",
+        F.round(
+            (F.col("_n").cast("double") / F.col("_tot").cast("double"))
+            * F.log(
+                F.col("_n").cast("double") / F.col("_tot").cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_term"),
+    )
+    per_doc = terms.groupBy("_doc").agg(
+        (-F.sum("_term")).cast("decimal(18,6)").alias("_h")
+    )
+    labeled = per_doc.join(
+        df.select(F.col(id_col).alias("_doc"), F.col(group_col).alias("_g")),
+        "_doc",
+    )
+    return labeled.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("_h").cast("double") / F.count(F.lit(1)) + F.lit(0.0), 6
+        ).alias("mean_entropy"),
+        F.min("_h").cast("double").alias("min_entropy"),
+        F.max("_h").cast("double").alias("max_entropy"),
+    )
