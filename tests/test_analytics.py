@@ -1339,3 +1339,42 @@ def test_randomization_test_separated_groups(spark):
     assert r1["obs_diff"] == 100.0
     assert r1["p_value"] == round((r1["n_extreme"] + 1) / 51.0, 6)
     assert r1["p_value"] <= 0.5
+
+
+def test_cohort_ltv_two_cohorts(spark):
+    """cust 1 first orders in Jan (100 then 50 in Feb); cust 2 joins
+    Feb with 200: per-cohort cumulative revenue per customer."""
+    from weaviate_spark.operators.analytics import cohort_ltv
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 5), 100.0),
+        (1, datetime.datetime(2024, 2, 20), 50.0),
+        (2, datetime.datetime(2024, 2, 1), 200.0),
+    ]
+    df = spark.createDataFrame(rows, "c long, ts timestamp, amt double")
+    out = {(str(r["cohort_month"]), r["months_since"]):
+           (r["n_customers"], r["cum_revenue"], r["ltv"])
+           for r in cohort_ltv(df, "c", "ts", "amt").collect()}
+    assert out[("2024-01-01", 0)] == (1, 100.0, 100.0)
+    assert out[("2024-01-01", 1)] == (1, 150.0, 150.0)
+    assert out[("2024-02-01", 0)] == (1, 200.0, 200.0)
+
+
+def test_funnel_step_latency_first_qualifying(spark):
+    """User 1 converts 90s after first signup (an earlier purchase
+    BEFORE signup must not count); user 2 never converts."""
+    from weaviate_spark.operators.analytics import funnel_step_latency
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - datetime.timedelta(seconds=60), "purchase"),
+        (1, t0, "signup"),
+        (1, t0 + datetime.timedelta(seconds=90), "purchase"),
+        (1, t0 + datetime.timedelta(seconds=300), "purchase"),
+        (2, t0, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    r = funnel_step_latency(df, "u", "ts", "et", "signup", "purchase").collect()[0]
+    assert (r["n_step_a_users"], r["n_converted"]) == (2, 1)
+    assert r["conversion_rate"] == 0.5
+    assert r["p50_delay_s"] == 90.0 and r["max_delay_s"] == 90.0

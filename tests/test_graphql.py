@@ -199,3 +199,32 @@ def test_aggregate_executes(spark, sf_dir):
     cols = set(rows[0].asDict())
     assert {"o_orderpriority", "meta_count", "o_totalprice_mean",
             "o_totalprice_maximum"} <= cols
+
+
+def test_explore_parse_spec():
+    from weaviate_spark.plans import parse_graphql
+
+    spec = parse_graphql(
+        "{ Explore(nearVector: {vector: [0.1, 0.2]}, limit: 5) "
+        "{ className beacon distance certainty } }"
+    )
+    assert spec["root"] == "Explore"
+    assert spec["limit"] == 5
+    assert spec["near_vector"].vector == [0.1, 0.2]
+    assert spec["fields"] == ["className", "beacon", "distance", "certainty"]
+
+
+def test_explore_parse_rejects_unknowns():
+    import pytest
+
+    from weaviate_spark.plans import parse_graphql
+
+    with pytest.raises(ValueError, match="unsupported arguments"):
+        parse_graphql(
+            "{ Explore(nearVector: {vector: [0.1]}, where: {}) "
+            "{ className } }")
+    with pytest.raises(ValueError, match="selections must be from"):
+        parse_graphql(
+            "{ Explore(nearVector: {vector: [0.1]}) { s_name } }")
+    with pytest.raises(ValueError, match="requires a nearVector"):
+        parse_graphql("{ Explore(limit: 3) { className } }")

@@ -8960,3 +8960,134 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_by_group(
         _load(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
+
+
+QVEC2 = [round(((i * 41 + 7) % 89) / 89.0 - 0.5, 6) for i in range(64)]
+_QVEC2_SQL = "[" + ", ".join(str(x) for x in QVEC2) + "]::DOUBLE[]"
+_QVEC2_GQL = "[" + ", ".join(str(x) for x in QVEC2) + "]"
+
+
+@register(
+    "graphql_explore_parsed",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC2_SQL} AS qv), "
+        "ce AS (SELECT 'embeddings' AS class_name, "
+        "CAST(vec_id AS VARCHAR) AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings UNION ALL "
+        "SELECT 'docs_embedded' AS class_name, CAST(d.doc_id AS VARCHAR), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE)) "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+        "WHERE d.lang = 'en'), "
+        "sel AS (SELECT class_name, id, "
+        "round(1 - list_dot_product(ev, qv) / (sqrt(list_dot_product(ev, "
+        "ev)) * sqrt(list_dot_product(qv, qv))), 6) AS _distance "
+        "FROM ce CROSS JOIN q ORDER BY _distance ASC, id ASC LIMIT 8) "
+        "SELECT class_name, 'weaviate://localhost/' || class_name || '/' "
+        "|| id AS beacon, _distance FROM sel"
+    ),
+)
+def q_graphql_explore_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD GraphQL root: an Explore document (search
+    args on the root field, no class selection —
+    adapters/handlers/graphql/local/explore/) -> parse_graphql ->
+    cross-class nearVector fan-out over the vector-capable classes,
+    global (distance, id) merge, beacon projection."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.rerank import explore
+    from weaviate_spark.plans import parse_graphql
+
+    spec = parse_graphql(
+        "{ Explore(nearVector: {vector: " + _QVEC2_GQL + "}, limit: 8) "
+        "{ className beacon distance } }"
+    )
+    assert spec["root"] == "Explore" and spec["fields"] == [
+        "className", "beacon", "distance"]
+    vec, limit = spec["near_vector"].vector, spec["limit"]
+    leg1 = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=vec, limit=limit,
+    )).select("vec_id", "_distance")
+    leg2 = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="docs_embedded", vector=vec, id_col="doc_id", limit=limit,
+        where=Clause(operator="Equal", path=["lang"], value="en"),
+    )).select("doc_id", "_distance")
+    merged = explore(
+        [("embeddings", leg1), ("docs_embedded", leg2)], limit=limit
+    )
+    return merged.select(
+        "class_name",
+        F.concat(
+            F.lit("weaviate://localhost/"), F.col("class_name"),
+            F.lit("/"), F.col("id"),
+        ).alias("beacon"),
+        "_distance",
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=(
+        "WITH base AS (SELECT o_custkey AS c, "
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS m, "
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders), "
+        "first AS (SELECT c, min(m) AS cohort FROM base GROUP BY 1), "
+        "sizes AS (SELECT cohort, CAST(count(DISTINCT c) AS BIGINT) "
+        "AS n_customers FROM first GROUP BY 1), "
+        "cells AS (SELECT first.cohort, CAST(datediff('month', "
+        "first.cohort, base.m) AS INT) AS months_since, sum(base.v) AS rev "
+        "FROM base JOIN first ON base.c = first.c GROUP BY 1, 2), "
+        "cum AS (SELECT cohort, months_since, sum(rev) OVER "
+        "(PARTITION BY cohort ORDER BY months_since) AS cumr FROM cells) "
+        "SELECT CAST(cum.cohort AS DATE) AS cohort_month, months_since, "
+        "n_customers, CAST(cumr AS DOUBLE) AS cum_revenue, "
+        "round(CAST(cumr AS DOUBLE) / CAST(n_customers AS DOUBLE) "
+        "+ 0.0, 6) AS ltv "
+        "FROM cum JOIN sizes ON cum.cohort = sizes.cohort"
+    ),
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve over orders: first-order-month cohorts x
+    months-since, cumulative DECIMAL-exact revenue per cohort
+    customer — the retention family's revenue twin."""
+    from weaviate_spark.operators.analytics import cohort_ltv
+
+    return cohort_ltv(
+        _load(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice",
+    )
+
+
+@register(
+    "events_funnel_latency",
+    oracle=(
+        "WITH a AS (SELECT user_id AS u, min(ts) AS ta FROM events "
+        "WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1), "
+        "b AS (SELECT user_id AS u, ts AS tb FROM events "
+        "WHERE event_type = 'purchase' AND user_id IS NOT NULL), "
+        "conv AS (SELECT a.u, epoch_us(min(b.tb)) - epoch_us(a.ta) AS dus "
+        "FROM a JOIN b ON a.u = b.u AND b.tb >= a.ta GROUP BY a.u, a.ta), "
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_step_a_users FROM a), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+        "round(quantile_cont(CAST(dus AS DOUBLE), 0.5) / 1000000.0 "
+        "+ 0.0, 6) AS p50_delay_s, "
+        "round(quantile_cont(CAST(dus AS DOUBLE), 0.9) / 1000000.0 "
+        "+ 0.0, 6) AS p90_delay_s, "
+        "round(CAST(max(dus) AS DOUBLE) / 1000000.0 + 0.0, 6) "
+        "AS max_delay_s FROM conv) "
+        "SELECT n_step_a_users, n_converted, "
+        "round(CAST(n_converted AS DOUBLE) "
+        "/ CAST(n_step_a_users AS DOUBLE) + 0.0, 6) AS conversion_rate, "
+        "p50_delay_s, p90_delay_s, max_delay_s FROM na, st"
+    ),
+)
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase time-to-convert: first-step anchors, first
+    qualifying second step, exact integer-microsecond delays with
+    interpolated p50/p90 — the funnel's latency companion."""
+    from weaviate_spark.operators.analytics import funnel_step_latency
+
+    return funnel_step_latency(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "signup", "purchase",
+    )

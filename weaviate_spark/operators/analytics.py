@@ -2272,3 +2272,135 @@ def randomization_test(
             6,
         ).alias("p_value"),
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curve: bucket customers by first-order
+    month, then per (cohort_month, months_since) emit the cohort's
+    cumulative revenue per customer — the LTV trajectory that sits next
+    to retention_cohorts' activity counts. Revenue is DECIMAL-exact;
+    ltv is one fixed-order division rounded at 6dp.
+
+    Plan: one customer-key window (first order month), one
+    (cohort, months_since) aggregate, a cumulative window over the
+    months-sized frame, and a broadcast join of cohort sizes (one row
+    per month at any scale)."""
+    amt = F.col(amount_col).cast("decimal(18,2)")
+    month = F.trunc(F.col(ts_col).cast("timestamp").cast("date"), "month")
+    base = orders.select(
+        F.col(cust_col).alias("_c"), month.alias("_m"), amt.alias("_v")
+    )
+    first = base.groupBy("_c").agg(F.min("_m").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(
+        F.countDistinct("_c").cast("long").alias("n_customers")
+    )
+    cells = (
+        base.join(first, "_c")
+        .select(
+            "_cohort",
+            (
+                F.months_between(F.col("_m"), F.col("_cohort"))
+            ).cast("int").alias("months_since"),
+            "_v",
+        )
+        .groupBy("_cohort", "months_since")
+        .agg(F.sum("_v").alias("_rev"))
+    )
+    w = Window.partitionBy("_cohort").orderBy("months_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("_cum", F.sum("_rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_month"),
+            "months_since",
+            "n_customers",
+            F.col("_cum").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("_cum").cast("double")
+                / F.col("n_customers").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("ltv"),
+        )
+    )
+
+
+def funnel_step_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+) -> DataFrame:
+    """Time-to-convert between two funnel steps: for every user, the
+    delay from their FIRST ``step_a`` to their first ``step_b`` at or
+    after it; one summary row out — (n_step_a_users, n_converted,
+    conversion_rate, p50_delay_s, p90_delay_s, max_delay_s). Delays
+    are exact integer microseconds (converted to seconds only in the
+    final projection); percentiles are exact interpolated.
+
+    Plan: two user-key aggregates + one user-key join — the ordered
+    funnel shape, no range join."""
+    us = F.col(user_col).isNotNull()
+    a = (
+        events.where((F.col(type_col) == step_a) & us)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(F.col(ts_col).cast("timestamp")).alias("_ta"))
+    )
+    b = events.where((F.col(type_col) == step_b) & us).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_tb"),
+    )
+    conv = (
+        a.join(b, "_u")
+        .where(F.col("_tb") >= F.col("_ta"))
+        .groupBy("_u")
+        .agg(F.min("_tb").alias("_tb"))
+        .join(a, "_u")
+        .select(
+            "_u",
+            (
+                F.unix_micros(F.col("_tb")) - F.unix_micros(F.col("_ta"))
+            ).alias("_dus"),
+        )
+    )
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_step_a_users"))
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.percentile(F.col("_dus").cast("double"), F.lit(0.5))
+            / F.lit(1000000.0)
+            + F.lit(0.0),
+            6,
+        ).alias("p50_delay_s"),
+        F.round(
+            F.percentile(F.col("_dus").cast("double"), F.lit(0.9))
+            / F.lit(1000000.0)
+            + F.lit(0.0),
+            6,
+        ).alias("p90_delay_s"),
+        F.round(
+            F.max("_dus").cast("double") / F.lit(1000000.0) + F.lit(0.0), 6
+        ).alias("max_delay_s"),
+    )
+    return na.crossJoin(stats).select(
+        "n_step_a_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_step_a_users").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("conversion_rate"),
+        "p50_delay_s",
+        "p90_delay_s",
+        "max_delay_s",
+    )

@@ -292,6 +292,38 @@ def _convert_hybrid(node: dict) -> Hybrid:
     )
 
 
+_EXPLORE_FIELDS = {"className", "beacon", "distance", "certainty"}
+
+
+def _explore_spec(root: dict) -> dict:
+    """Explore{} root -> cross-class search spec: the reference's
+    Explore resolver takes the search argument on the ROOT field (no
+    class selection — it fans out over every vector-capable class,
+    adapters/handlers/graphql/local/explore/) and projects from the
+    fixed field set className/beacon/distance/certainty."""
+    args = root["args"]
+    known = {"nearVector", "limit", "offset"}
+    unknown = set(args) - known
+    if unknown:
+        raise ValueError(f"Explore: unsupported arguments {sorted(unknown)}")
+    if "nearVector" not in args:
+        raise ValueError("Explore requires a nearVector argument")
+    fields = [f["name"] for f in root["fields"]]
+    bad = [f for f in fields if f not in _EXPLORE_FIELDS]
+    if bad or not fields:
+        raise ValueError(
+            f"Explore selections must be from {sorted(_EXPLORE_FIELDS)}; "
+            f"got {fields}"
+        )
+    return {
+        "root": "Explore",
+        "near_vector": _convert_near_vector(args["nearVector"]),
+        "limit": int(args.get("limit", 20)),
+        "offset": int(args.get("offset", 0)),
+        "fields": fields,
+    }
+
+
 def _get_spec(class_field: dict, **extra: Any) -> GetSpec:
     args = class_field["args"]
     known = {"where", "nearVector", "bm25", "hybrid", "sort", "limit",
@@ -397,6 +429,10 @@ def parse_graphql(src: str, **extra: Any):
     if len(roots) != 1:
         raise ValueError("expected exactly one root field (Get or Aggregate)")
     root = roots[0]
+    if root["name"] == "Explore":
+        if extra:
+            raise ValueError("extra spec options are not supported for Explore")
+        return _explore_spec(root)
     if len(root["fields"]) != 1:
         raise ValueError(f"{root['name']}: expected exactly one class selection")
     cls = root["fields"][0]
@@ -406,4 +442,6 @@ def parse_graphql(src: str, **extra: Any):
         if extra:
             raise ValueError("extra spec options are not supported for Aggregate")
         return _aggregate_spec(cls)
-    raise ValueError(f"unsupported root field {root['name']!r}; use Get or Aggregate")
+    raise ValueError(
+        f"unsupported root field {root['name']!r}; use Get, Aggregate, or Explore"
+    )
