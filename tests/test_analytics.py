@@ -1378,3 +1378,37 @@ def test_funnel_step_latency_first_qualifying(spark):
     assert (r["n_step_a_users"], r["n_converted"]) == (2, 1)
     assert r["conversion_rate"] == 0.5
     assert r["p50_delay_s"] == 90.0 and r["max_delay_s"] == 90.0
+
+
+def test_concurrent_sessions_sweep_line(spark):
+    """Two overlapping sessions peak at 2; a >30-min silence opens a
+    new session for the same user."""
+    from weaviate_spark.operators.analytics import concurrent_sessions_daily
+
+    t = lambda h, m: datetime.datetime(2024, 3, 1, h, m)
+    rows = [
+        (1, t(10, 0), 1), (1, t(10, 5), 2),   # u1 session A
+        (2, t(10, 3), 3),                      # u2 overlaps A
+        (1, t(12, 0), 4),                      # u1 session B (gap > 30m)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, i long")
+    out = concurrent_sessions_daily(df, "u", "ts", "i", 30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["day"]) == "2024-03-01"
+    assert r["n_sessions_started"] == 3
+    assert r["max_concurrent"] == 2
+
+
+def test_markov_stationary_two_state_flip(spark):
+    """Deterministic a<->b chain: the stationary distribution is
+    (0.5, 0.5) and the uniform start is already the fixed point."""
+    from weaviate_spark.operators.analytics import markov_stationary
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0 + datetime.timedelta(minutes=i),
+             "a" if i % 2 == 0 else "b", i) for i in range(6)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string, i long")
+    got = {r["event_type"]: r["stationary_prob"]
+           for r in markov_stationary(df, "u", "ts", "et", "i", 8).collect()}
+    assert got == {"a": 0.5, "b": 0.5}

@@ -413,3 +413,49 @@ def test_stream_ingest_maintains_hll_sketch(spark, tmp_path):
     invalidate_hll_sketches()
     assert est == direct
     assert 40 <= est <= 75  # 57 true distinct authors
+
+
+def test_stream_ingest_maintains_cms_sketch(spark, tmp_path):
+    """count_sketch upkeep: counters merged across micro-batches answer
+    the heavy-hitter readout without rescanning the table — and match
+    the batch-built sketch's estimates exactly (mergeable counters)."""
+    from weaviate_spark.operators.sketches import (
+        cms_heavy_hitters, cms_sketch_topk, invalidate_cms_sketches,
+    )
+    from weaviate_spark.streaming.ingest import (
+        stream_ingest_with_index_maintenance,
+    )
+
+    schema = "doc_id long, term string"
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    key = ("stream-cms", "docs")
+    invalidate_cms_sketches()
+
+    # skewed vocabulary: term-j appears j times, plus a runaway term
+    rows, i = [], 0
+    for j in range(1, 25):
+        for _ in range(j):
+            rows.append((i, f"term-{j:02d}")); i += 1
+    rows += [(i + k, "hot") for k in range(200)]
+    spark.createDataFrame(rows[: len(rows) // 2], schema).write.parquet(src)
+    spark.createDataFrame(rows[len(rows) // 2:], schema).write.mode(
+        "append").parquet(src)
+
+    q = stream_ingest_with_index_maintenance(
+        spark, src, schema, tgt, "doc_id",
+        count_sketch=(key, "term"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    maintained = {r["item"]: r["cms_estimate"]
+                  for r in cms_sketch_topk(spark, key, k=10).collect()}
+    batch = {r["item"]: (r["cms_estimate"], r["true_count"])
+             for r in cms_heavy_hitters(
+                 spark.read.parquet(tgt), "term", k=10).collect()}
+    invalidate_cms_sketches()
+    assert set(maintained) == set(batch)
+    for item, est in maintained.items():
+        assert est == batch[item][0]          # merge == from-scratch
+        assert est >= batch[item][1]          # one-sided error
+    assert maintained["hot"] >= 200

@@ -9091,3 +9091,89 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         "signup", "purchase",
     )
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle=(
+        "WITH base AS (SELECT user_id AS u, ts, event_id AS i FROM events "
+        "WHERE user_id IS NOT NULL), "
+        "lg AS (SELECT u, ts, i, CASE WHEN lag(ts) OVER "
+        "(PARTITION BY u ORDER BY ts, i) IS NULL OR epoch_us(ts) "
+        "- epoch_us(lag(ts) OVER (PARTITION BY u ORDER BY ts, i)) "
+        "> 1800000000 THEN 1 ELSE 0 END AS nw FROM base), "
+        "sid AS (SELECT u, ts, sum(nw) OVER (PARTITION BY u "
+        "ORDER BY ts, i ROWS UNBOUNDED PRECEDING) AS sid FROM lg), "
+        "sess AS (SELECT u, sid, min(ts) AS s, max(ts) AS e "
+        "FROM sid GROUP BY 1, 2), "
+        "pts AS (SELECT s AS t, 1 AS d, u FROM sess UNION ALL "
+        "SELECT make_timestamp(epoch_us(e) + 1), -1, u FROM sess), "
+        "sw AS (SELECT t, sum(d) OVER (ORDER BY t ASC, d DESC, u ASC "
+        "ROWS UNBOUNDED PRECEDING) AS run FROM pts), "
+        "dm AS (SELECT CAST(t AS DATE) AS day, "
+        "CAST(max(run) AS BIGINT) AS max_concurrent FROM sw GROUP BY 1), "
+        "st AS (SELECT CAST(s AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n_sessions_started "
+        "FROM sess GROUP BY 1) "
+        "SELECT dm.day, coalesce(st.n_sessions_started, 0) "
+        "AS n_sessions_started, dm.max_concurrent "
+        "FROM dm LEFT JOIN st USING (day)"
+    ),
+)
+def q_events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (30-min-gap sessionization,
+    inclusive-bound sweep line with a deterministic tie order) — the
+    capacity-planning readout; all-integer prefix sum over the
+    session-endpoint table."""
+    from weaviate_spark.operators.analytics import concurrent_sessions_daily
+
+    return concurrent_sessions_daily(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        gap_minutes=30,
+    )
+
+
+def _markov_stationary_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled-CTE replay of operators/analytics.markov_stationary:
+    6dp-DECIMAL transition matrix and iteration states, exact decimal
+    products/sums — the pagerank-oracle discipline."""
+    head = (
+        "WITH seq AS MATERIALIZED (SELECT event_type AS f, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS t FROM events WHERE user_id IS NOT NULL), "
+        "c AS MATERIALIZED (SELECT f, t, count(*) AS n FROM seq "
+        "WHERE t IS NOT NULL GROUP BY 1, 2), "
+        "tt AS MATERIALIZED (SELECT f, sum(n) AS tot FROM c GROUP BY 1), "
+        "p AS MATERIALIZED (SELECT c.f, c.t, CAST(round(CAST(n AS DOUBLE) "
+        "/ CAST(tot AS DOUBLE), 6) AS DECIMAL(10,6)) AS p "
+        "FROM c JOIN tt USING (f)), "
+        "s AS MATERIALIZED (SELECT f AS s FROM c UNION SELECT t FROM c), "
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM s), "
+        "x0 AS MATERIALIZED (SELECT s, CAST(round(1.0 "
+        "/ (SELECT n FROM nn), 6) AS DECIMAL(10,6)) AS x FROM s)"
+    )
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f", x{k} AS MATERIALIZED (SELECT p.t AS s, "
+            f"CAST(round(sum(p.p * q.x), 6) AS DECIMAL(10,6)) AS x "
+            f"FROM p JOIN x{k - 1} q ON p.f = q.s GROUP BY 1)"
+        )
+    tail = (
+        f" SELECT s AS event_type, CAST(x AS DOUBLE) AS stationary_prob "
+        f"FROM x{iterations}"
+    )
+    return head + "".join(steps) + tail
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle_sql(8))
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (8 exact
+    -decimal power steps from uniform) — where traffic settles in the
+    long run; oracle replays the trajectory via unrolled CTEs."""
+    from weaviate_spark.operators.analytics import markov_stationary
+
+    return markov_stationary(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id", iterations=8,
+    )

@@ -2404,3 +2404,145 @@ def funnel_step_latency(
         "p90_delay_s",
         "max_delay_s",
     )
+
+
+def concurrent_sessions_daily(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Peak concurrency per day via the classic sweep line: sessionize
+    each user's events (a new session after a >gap_minutes silence),
+    emit +1 at each session start and -1 just after its end (inclusive
+    bounds — sessions touching at a timestamp overlap), run the
+    prefix sum in (ts, +1-before--1) order, and take the max per day.
+    Output: (day, n_sessions_started, max_concurrent) — the capacity
+    -planning readout.
+
+    All integer arithmetic; the ordered prefix sum runs over the
+    session-ENDPOINT table (2 rows per session, not per event).
+    Tie order (delta desc, user asc) makes the running sum — and
+    therefore the max — fully deterministic under timestamp ties."""
+    us = F.col(user_col).isNotNull()
+    base = events.where(us).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(id_col).alias("_i"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_i")
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = base.withColumn(
+        "_new",
+        F.when(
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.lag("_ts").over(w))
+            > gap_us,
+            1,
+        )
+        .otherwise(
+            F.when(F.lag("_ts").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn("_sid", F.sum("_new").over(
+        Window.partitionBy("_u").orderBy("_ts", "_i").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    ))
+    sess = marked.groupBy("_u", "_sid").agg(
+        F.min("_ts").alias("_start"), F.max("_ts").alias("_end")
+    )
+    pts = sess.select(
+        F.col("_start").alias("_t"), F.lit(1).alias("_d"), "_u"
+    ).unionByName(
+        sess.select(
+            (F.timestamp_micros(F.unix_micros(F.col("_end")) + 1)).alias("_t"),
+            F.lit(-1).alias("_d"),
+            "_u",
+        )
+    )
+    sweep = pts.withColumn(
+        "_run",
+        F.sum("_d").over(
+            Window.orderBy(
+                F.col("_t").asc(), F.col("_d").desc(), F.col("_u").asc()
+            ).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    daily_max = sweep.groupBy(F.col("_t").cast("date").alias("day")).agg(
+        F.max("_run").cast("long").alias("max_concurrent")
+    )
+    starts = sess.groupBy(F.col("_start").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions_started")
+    )
+    return (
+        daily_max.join(starts, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_sessions_started", F.lit(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+            "max_concurrent",
+        )
+    )
+
+
+def markov_stationary(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    iterations: int = 8,
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    row-normalized transition matrix from markov-transition counts
+    (per-user (ts, id)-ordered successor pairs), then ``iterations``
+    power steps x <- xP from the uniform start. Where does traffic
+    settle — the long-run version of the one-step transition view.
+
+    Determinism contract (the kmeans/pagerank replay discipline):
+    transition probabilities AND every iteration's state vector are
+    fixed to 6dp DECIMAL, products/sums are exact decimal arithmetic,
+    so an unrolled-CTE oracle replays the trajectory bit-for-bit.
+    The state space is the event-type vocabulary — the per-step join
+    is broadcast-tiny at any corpus size."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.where(F.col(user_col).isNotNull()).select(
+        F.col(type_col).alias("_from"),
+        F.lead(type_col).over(w).alias("_to"),
+    ).where(F.col("_to").isNotNull())
+    c = seq.groupBy("_from", "_to").agg(F.count(F.lit(1)).alias("_n"))
+    tot = c.groupBy("_from").agg(F.sum("_n").alias("_tot"))
+    p = c.join(tot, "_from").select(
+        "_from",
+        "_to",
+        F.round(
+            F.col("_n").cast("double") / F.col("_tot").cast("double"), 6
+        )
+        .cast("decimal(10,6)")
+        .alias("_p"),
+    )
+    states = (
+        c.select(F.col("_from").alias("_s"))
+        .union(c.select("_to"))
+        .distinct()
+    )
+    n = states.count()  # state vocabulary — tiny by construction
+    x = states.select(
+        "_s", F.lit(round(1.0 / n, 6)).cast("decimal(10,6)").alias("_x")
+    ).localCheckpoint()
+    for _ in range(int(iterations)):
+        x = (
+            p.join(x.withColumnRenamed("_s", "_from"), "_from")
+            .groupBy(F.col("_to").alias("_s"))
+            .agg(
+                F.round(F.sum(F.col("_p") * F.col("_x")), 6)
+                .cast("decimal(10,6)")
+                .alias("_x")
+            )
+        ).localCheckpoint()
+    return x.select(
+        F.col("_s").alias("event_type"),
+        F.col("_x").cast("double").alias("stationary_prob"),
+    )

@@ -527,3 +527,112 @@ def hll_sketch_estimate(
     if regs is None:
         raise KeyError(f"no HLL sketch maintained under {key!r}")
     return hll_estimate_registers(regs, gname, p=p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min maintenance (the trending-counts analogue of the
+# HLL register store above: mergeable counters advanced per micro-batch)
+
+_cms_lock = _threading.RLock()
+_cms_stores: dict = {}
+
+
+def _cms_hash(v: Column, d: int, width: int) -> Column:
+    """Row-``d`` bucket for value ``v`` — the SAME md5 construction
+    cms_heavy_hitters uses, so maintained and batch-built sketches are
+    bit-identical."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), v)), 1, 8), 16, 10
+        ).cast("bigint")
+        % width
+    )
+
+
+def invalidate_cms_sketches() -> None:
+    with _cms_lock:
+        _cms_stores.clear()
+
+
+def append_to_cms_sketch(
+    batch_df: DataFrame,
+    col: str,
+    key: tuple,
+    width: int = 512,
+    depth: int = 4,
+) -> None:
+    """Fold one batch into the session's count-min store for ``key``:
+    counters ADD across batches (the mergeable-sketch property), and a
+    distinct-items candidate frame (vocabulary-sized) is maintained
+    alongside so heavy-hitter readouts never rescan the table. O(batch)
+    hash work + O(depth*width) counter merge per fold, lineage
+    checkpoint-truncated."""
+    from weaviate_spark.cache import session_key
+
+    vals = batch_df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    rows = None
+    for d in range(depth):
+        r = vals.select(
+            F.lit(d).alias("_row"), _cms_hash(F.col("_v"), d, width).alias("_bucket")
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    counters = rows.groupBy("_row", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    items = vals.distinct()
+    skey = (session_key(batch_df.sparkSession), *key, width, depth)
+    with _cms_lock:
+        old = _cms_stores.get(skey)
+        if old is not None:
+            oc, oi = old
+            counters = (
+                oc.unionByName(counters)
+                .groupBy("_row", "_bucket")
+                .agg(F.sum("_c").cast("long").alias("_c"))
+            )
+            items = oi.unionByName(items).distinct()
+        _cms_stores[skey] = (
+            counters.localCheckpoint(eager=True),
+            items.localCheckpoint(eager=True),
+        )
+
+
+def cms_sketch_topk(
+    spark,
+    key: tuple,
+    k: int = 20,
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Top-``k`` heavy hitters from the MAINTAINED sketch: probe every
+    candidate item against the counter store (min over depth rows,
+    one-sided overestimate) — reads only sketch state, never the table.
+    Deterministic (estimate desc, item asc) output: (item,
+    cms_estimate)."""
+    from weaviate_spark.cache import session_key
+
+    skey = (session_key(spark), *key, width, depth)
+    with _cms_lock:
+        entry = _cms_stores.get(skey)
+    if entry is None:
+        raise KeyError(f"no count-min sketch maintained under {key!r}")
+    counters, items = entry
+    probes = None
+    for d in range(depth):
+        p = items.select(
+            "_v", F.lit(d).alias("_row"),
+            _cms_hash(F.col("_v"), d, width).alias("_bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(counters), ["_row", "_bucket"])
+        .groupBy("_v")
+        .agg(F.min("_c").cast("long").alias("cms_estimate"))
+    )
+    return (
+        est.select(F.col("_v").alias("item"), "cms_estimate")
+        .orderBy(F.col("cms_estimate").desc(), F.col("item").asc())
+        .limit(k)
+    )

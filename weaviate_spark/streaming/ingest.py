@@ -77,6 +77,7 @@ def stream_ingest_with_index_maintenance(
     bm25: bool = False,
     vector_index_key: Optional[tuple] = None,
     distinct_sketch: Optional[tuple] = None,
+    count_sketch: Optional[tuple] = None,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
@@ -104,6 +105,11 @@ def stream_ingest_with_index_maintenance(
       rides on PQ) built under the key
       (quantization.append_to_vector_indexes — each index re-encodes
       only the batch with its own stored pipeline).
+    * ``count_sketch=(key, col)`` — fold each batch's count-min
+      counters into the session's sketch store
+      (sketches.append_to_cms_sketch): running heavy-hitter estimates
+      readable at any time via sketches.cms_sketch_topk without
+      rescanning the table.
     * ``distinct_sketch=(key, col[, group_col])`` — fold each batch's
       HLL registers into the session's register store
       (sketches.append_to_hll_sketch): running distinct-of-``col``
@@ -177,6 +183,10 @@ def stream_ingest_with_index_maintenance(
             skey, scol = distinct_sketch[0], distinct_sketch[1]
             sgroup = distinct_sketch[2] if len(distinct_sketch) > 2 else None
             append_to_hll_sketch(batch_df, scol, skey, group_col=sgroup)
+        if count_sketch is not None:
+            from weaviate_spark.operators.sketches import append_to_cms_sketch
+
+            append_to_cms_sketch(batch_df, count_sketch[1], count_sketch[0])
 
     return stream_ingest(
         spark, source_dir, schema, target_dir, transform=transform,
