@@ -1412,3 +1412,33 @@ def test_markov_stationary_two_state_flip(spark):
     got = {r["event_type"]: r["stationary_prob"]
            for r in markov_stationary(df, "u", "ts", "et", "i", 8).collect()}
     assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_grouped_ols_trend_exact_line(spark):
+    """Group 'g' lies exactly on y = 2x + 1 (slope 2, r2 1); a
+    zero-x-variance group is dropped."""
+    from weaviate_spark.operators.analytics import grouped_ols_trend
+
+    rows = [("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+            ("z", 4.0, 1.0), ("z", 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in grouped_ols_trend(df, "grp", "x", "y").collect()}
+    assert set(out) == {"g"}
+    g = out["g"]
+    assert (g["n_points"], g["slope"], g["intercept"], g["r2"]) == (3, 2.0, 1.0, 1.0)
+
+
+def test_shipping_delay_exact_days(spark):
+    from weaviate_spark.operators.analytics import shipping_delay_stats
+
+    d = lambda day: datetime.datetime(2024, 1, day)
+    orders = spark.createDataFrame(
+        [(1, "HI", d(1)), (2, "HI", d(1))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp")
+    li = spark.createDataFrame(
+        [(1, d(3)), (1, d(5)), (2, d(11))],
+        "l_orderkey long, l_shipdate timestamp")
+    r = shipping_delay_stats(orders, li, "o_orderpriority").collect()[0]
+    assert (r["n_lines"], r["max_delay_days"]) == (3, 10)
+    assert r["mean_delay_days"] == round((2 + 4 + 10) / 3, 6)
+    assert r["p50_delay_days"] == 4.0

@@ -1073,3 +1073,20 @@ def test_char_entropy_flat_and_binary(spark):
     assert r["min_entropy"] == 0.0
     assert r["max_entropy"] == 0.693148
     assert r["mean_entropy"] == 0.346574
+
+
+def test_length_histogram_power_of_two_edges(spark):
+    """Docs with 1, 2, 4, and 5 tokens land in buckets 0, 1, 2, 2;
+    an empty doc lands in bucket -1 with min 0."""
+    from weaviate_spark.operators.textstats import length_histogram_by_group
+
+    docs = [("w", "en"), ("w w", "en"), ("w w w w", "en"),
+            ("w w w w w", "en"), ("", "en")]
+    df = spark.createDataFrame(docs, "text string, lang string")
+    out = {r["length_bucket"]: (r["bucket_min_tokens"], r["n_docs"],
+                                r["total_tokens"])
+           for r in length_histogram_by_group(df, "text", "lang").collect()}
+    assert out[-1] == (0, 1, 0)
+    assert out[0] == (1, 1, 1)
+    assert out[1] == (2, 1, 2)
+    assert out[2] == (4, 2, 9)

@@ -9177,3 +9177,111 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         "event_id", iterations=8,
     )
+
+
+@register(
+    "orders_revenue_trend",
+    oracle=(
+        "WITH cells AS (SELECT o_orderpriority AS g, "
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS m, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "
+        "FROM orders GROUP BY 1, 2), "
+        "xy AS (SELECT g, CAST(datediff('month', DATE '1970-01-01', m) "
+        "AS DECIMAL(28,2)) AS x, CAST(rev AS DECIMAL(28,2)) AS y "
+        "FROM cells), "
+        "mo AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points, "
+        "CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, "
+        "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+        "CAST(sum(y * y) AS DOUBLE) AS syy, "
+        "CAST(sum(x * y) AS DOUBLE) AS sxy FROM xy GROUP BY 1), "
+        "m2 AS (SELECT *, n * sxx - sx * sx AS vx, "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl FROM mo) "
+        "SELECT g AS o_orderpriority, n_points, "
+        "round(sl + 0.0, 6) AS slope, "
+        "round((sy - sl * sx) / n + 0.0, 6) AS intercept, "
+        "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+        "/ (vx * (n * syy - sy * sy)) + 0.0, 6) AS r2 "
+        "FROM m2 WHERE n_points >= 2 AND vx <> 0.0"
+    ),
+)
+def q_orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority monthly-revenue OLS trend (slope/intercept/r2 from
+    exact DECIMAL moments in ONE aggregate pass — grouped regression,
+    no per-group iteration)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import grouped_ols_trend
+
+    cells = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority"),
+            F.trunc(F.col("o_orderdate").cast("timestamp").cast("date"),
+                    "month").alias("_m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    )
+    return grouped_ols_trend(
+        cells,
+        "o_orderpriority",
+        F.months_between(
+            F.col("_m"), F.lit("1970-01-01").cast("date")
+        ).cast("int"),
+        F.col("_rev"),
+        scale=2,
+    )
+
+
+@register(
+    "orders_shipping_delay",
+    oracle=(
+        "WITH j AS (SELECT o_orderpriority AS g, datediff('day', "
+        "CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+        "SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, "
+        "round(CAST(sum(CAST(d AS DECIMAL(18,0))) AS DOUBLE) / count(*) "
+        "+ 0.0, 6) AS mean_delay_days, "
+        "round(quantile_cont(CAST(d AS DOUBLE), 0.5) + 0.0, 6) "
+        "AS p50_delay_days, "
+        "round(quantile_cont(CAST(d AS DOUBLE), 0.9) + 0.0, 6) "
+        "AS p90_delay_days, "
+        "CAST(max(d) AS BIGINT) AS max_delay_days FROM j GROUP BY 1"
+    ),
+)
+def q_orders_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per priority (exact integer day deltas,
+    interpolated p50/p90, straggler max) — the fulfilment-SLA readout
+    over the order-key fact-fact join."""
+    from weaviate_spark.operators.analytics import shipping_delay_stats
+
+    return shipping_delay_stats(
+        _load(spark, sf_dir, "orders"), _load(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle=(
+        "WITH n AS (SELECT lang AS g, "
+        "len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS n "
+        "FROM documents), "
+        "b AS (SELECT g, CAST(CASE WHEN n <= 0 THEN -1 "
+        "ELSE length(printf('%b', n)) - 1 END AS INT) AS bucket, n FROM n) "
+        "SELECT g AS lang, bucket AS length_bucket, "
+        "CAST(CASE WHEN bucket < 0 THEN 0 "
+        "ELSE CAST(1 AS BIGINT) << bucket END AS BIGINT) "
+        "AS bucket_min_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n) AS BIGINT) AS total_tokens FROM b GROUP BY 1, 2, 3"
+    ),
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram per language — the
+    sequence-length profile packing/truncation policies tune against;
+    bucket decision is integer-exact (the oracle derives it from the
+    binary bit length, a genuinely different computation)."""
+    from weaviate_spark.operators.textstats import length_histogram_by_group
+
+    return length_histogram_by_group(
+        _load(spark, sf_dir, "documents"), "text", "lang"
+    )

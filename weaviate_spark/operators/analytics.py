@@ -2546,3 +2546,102 @@ def markov_stationary(
         F.col("_s").alias("event_type"),
         F.col("_x").cast("double").alias("stationary_prob"),
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group OLS line fit y = slope*x + intercept (+ r2): the
+    grouped-regression primitive (per-segment trend, per-SKU
+    elasticity). ``x_col``/``y_col`` are Columns or names; both are
+    fixed to 6dp DECIMAL per row so the five moment sums are exact and
+    partition-invariant; slope/intercept/r2 are fixed-order double
+    expressions. One aggregate pass — no per-group iteration.
+    Output: (group, n_points, slope, intercept, r2); groups with fewer
+    than 2 points or zero x-variance are dropped (no defined line)."""
+    # ``scale`` trades fractional precision for magnitude headroom:
+    # the y*y moment's 128-bit raw value must fit DECIMAL(38) in BOTH
+    # engines, so large-magnitude series (revenue) pass scale=2.
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast(
+        f"decimal(18,{scale})"
+    )
+    y = (y_col if not isinstance(y_col, str) else F.col(y_col)).cast(
+        f"decimal(18,{scale})"
+    )
+    base = df.select(
+        F.col(group_col).alias("_g"), x.alias("_x"), y.alias("_y")
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    mom = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / vx
+    return mom.where(
+        (F.col("n_points") >= 2) & (vx != F.lit(0.0))
+    ).select(
+        F.col("_g").alias(group_col),
+        "n_points",
+        F.round(slope + F.lit(0.0), 6).alias("slope"),
+        F.round((sy - slope * sx) / n + F.lit(0.0), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / (vx * (n * syy - sy * sy))
+            + F.lit(0.0),
+            6,
+        ).alias("r2"),
+    )
+
+
+def shipping_delay_stats(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    group_col: str = "o_orderpriority",
+) -> DataFrame:
+    """Order-to-ship latency per priority class: exact integer day
+    delays (l_shipdate - o_orderdate) over the order-key co-join, with
+    interpolated p50/p90 and the straggler max — the fulfilment-SLA
+    readout. One fact-fact equi-join on the order key (broadcast-free,
+    bucket-layout friendly) + one group aggregate."""
+    j = lineitem.select(
+        "l_orderkey", F.col("l_shipdate").cast("timestamp").cast("date").alias("_ship")
+    ).join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col(group_col).alias("_g"),
+            F.col("o_orderdate").cast("timestamp").cast("date").alias("_od"),
+        ),
+        "l_orderkey",
+    ).select("_g", F.datediff(F.col("_ship"), F.col("_od")).alias("_d"))
+    return j.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("_d").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.0),
+            6,
+        ).alias("mean_delay_days"),
+        F.round(
+            F.percentile(F.col("_d").cast("double"), F.lit(0.5)) + F.lit(0.0),
+            6,
+        ).alias("p50_delay_days"),
+        F.round(
+            F.percentile(F.col("_d").cast("double"), F.lit(0.9)) + F.lit(0.0),
+            6,
+        ).alias("p90_delay_days"),
+        F.max("_d").cast("long").alias("max_delay_days"),
+    )

@@ -859,3 +859,58 @@ def char_entropy_by_group(
         F.min("_h").cast("double").alias("min_entropy"),
         F.max("_h").cast("double").alias("max_entropy"),
     )
+
+
+def length_histogram_by_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Log2-bucketed token-length histogram per group: bucket =
+    floor(log2(n_tokens)) (0-token docs in bucket -1) — the
+    sequence-length profile a packing/truncation policy is tuned
+    against. All-integer: the bucket comes from integer bit length,
+    not float log. Output: (group, length_bucket, bucket_min_tokens,
+    n_docs, total_tokens)."""
+    toks = F.size(tokenize(F.col(text_col), "word"))
+    base = df.select(
+        F.col(group_col).alias("_g"), toks.alias("_n")
+    )
+    # floor(log2(n)) for n >= 1 == bit_length(n) - 1, via hex of BIGINT:
+    # use repeated comparison-free arithmetic: shiftright until zero is
+    # not expressible; log2 on the INTEGER is safe — exact for the
+    # bucket DECISION because we re-floor against the integer bound.
+    withb = base.withColumn(
+        "_b0",
+        F.when(F.col("_n") <= 0, F.lit(-1)).otherwise(
+            F.floor(F.log2(F.col("_n").cast("double"))).cast("int")
+        ),
+    )
+    # guard against float log landing a power of two in the wrong
+    # bucket: recompute the bound and correct by integer comparison
+    bucket = F.when(F.col("_n") <= 0, F.lit(-1)).otherwise(
+        F.when(
+            F.expr("shiftleft(CAST(1 AS BIGINT), _b0 + 1)") <= F.col("_n"),
+            F.col("_b0") + 1,
+        )
+        .when(
+            F.expr("shiftleft(CAST(1 AS BIGINT), _b0)") > F.col("_n"),
+            F.col("_b0") - 1,
+        )
+        .otherwise(F.col("_b0"))
+    )
+    binned = withb.withColumn("_b", bucket.cast("int"))
+    return binned.groupBy(
+        F.col("_g").alias(group_col), F.col("_b").alias("length_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_tokens"),
+    ).withColumn(
+        "bucket_min_tokens",
+        F.when(F.col("length_bucket") < 0, F.lit(0)).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), length_bucket)")
+        ).cast("long"),
+    ).select(
+        group_col, "length_bucket", "bucket_min_tokens", "n_docs",
+        "total_tokens",
+    )
