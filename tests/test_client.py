@@ -185,3 +185,23 @@ def test_client_near_object_default_id_matches_compile(spark, sf_dir):
         id_col="vec_id", vector_col="embedding")
     top = emb.query.near_object(3, limit=3).collect()
     assert top[0]["vec_id"] == 3 and top[0]["_distance"] == 0.0
+
+
+def test_data_insert_many_with_report(spark, tmp_path):
+    """Facade batch insert returns the per-object result array and
+    merges only the valid objects."""
+    wclient = connect(spark, str(tmp_path))
+    spark.createDataFrame(
+        [(1, "a", 10.0)], ["id", "name", "val"]
+    ).write.parquet(f"{tmp_path}/things.parquet")
+    things = wclient.collections.get("things")
+    batch = spark.createDataFrame(
+        [(1, "a2", 11.0), (None, "x", 1.0), (2, "b", 2.0)],
+        "id long, name string, val double",
+    )
+    report, n = things.data.insert_many_with_report(batch, "id")
+    assert n == 2
+    got = {r["id"]: r["status"] for r in report.collect()}
+    assert got == {1: "SUCCESS", None: "FAILED", 2: "SUCCESS"}
+    rows = {(r["id"], r["name"]) for r in things.query.fetch_objects().collect()}
+    assert rows == {(1, "a2"), (2, "b")}

@@ -172,3 +172,55 @@ def test_upsert_schema_evolution_fills_nulls(spark, tmp_path):
     rows = {r["k"]: r for r in spark.read.parquet(path).collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 7.5
     assert rows[1]["v"] == "a"
+
+
+def test_insert_batch_with_report_per_object(spark, tmp_path):
+    """Reference batch semantics: per-object validation, failures don't
+    abort the batch, duplicates lose to the first occurrence in batch
+    order, and only valid objects reach the table."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources.crud import insert_batch_with_report
+
+    tgt = str(tmp_path / "t.parquet")
+    rows = [
+        (1, "ok-a", 5.0, 10),
+        (None, "no-id", 1.0, 11),          # missing id
+        (2, None, 1.0, 12),                # missing required prop
+        (3, "neg", -4.0, 13),              # custom validator fails
+        (4, "first", 1.0, 14),
+        (4, "second", 2.0, 15),            # duplicate id, later order
+    ]
+    df = spark.createDataFrame(rows, "oid long, name string, score double, seq long")
+    report, n = insert_batch_with_report(
+        spark, tgt, df, "oid",
+        required_cols=["name"],
+        validators=[("score must be non-negative", F.col("score") >= 0)],
+        order_col="seq",
+    )
+    got = {(r["id"], r["status"]): r["error"] for r in report.collect()}
+    assert n == 2
+    assert got[(1, "SUCCESS")] is None
+    assert got[(None, "FAILED")] == "missing id"
+    assert got[(2, "FAILED")] == "missing required property 'name'"
+    assert got[(3, "FAILED")] == "invalid: score must be non-negative"
+    assert got[(4, "SUCCESS")] is None
+    assert got[(4, "FAILED")] == "duplicate id in batch"
+    table = {(r["oid"], r["name"]) for r in spark.read.parquet(tgt).collect()}
+    assert table == {(1, "ok-a"), (4, "first")}
+
+
+def test_insert_batch_report_upserts_existing(spark, tmp_path):
+    """A second batch with an existing id REPLACES the row (batch PUT),
+    still reporting SUCCESS per object."""
+    from weaviate_spark.sources.crud import insert_batch_with_report
+
+    tgt = str(tmp_path / "t.parquet")
+    df1 = spark.createDataFrame([(1, "v1")], "oid long, name string")
+    df2 = spark.createDataFrame([(1, "v2"), (2, "w")], "oid long, name string")
+    insert_batch_with_report(spark, tgt, df1, "oid")
+    report, n = insert_batch_with_report(spark, tgt, df2, "oid")
+    assert n == 2
+    assert {r["status"] for r in report.collect()} == {"SUCCESS"}
+    table = {(r["oid"], r["name"]) for r in spark.read.parquet(tgt).collect()}
+    assert table == {(1, "v2"), (2, "w")}

@@ -257,6 +257,23 @@ class _Data:
         self._h._check(auth.CREATE)  # batch_add.go authz
         upsert(self._h._spark, self._dir(), rows, key=key)
 
+    def insert_many_with_report(
+        self, rows: DataFrame, key: str,
+        required_cols: list[str] | None = None,
+        validators=None, order_col: str | None = None,
+    ):
+        """Batch insert returning the reference's per-object result
+        array (batch_manager.go): (report_df, n_written) — failures
+        are reported, not raised, and never abort the batch."""
+        from weaviate_spark.sources.crud import insert_batch_with_report
+
+        self._h._check(auth.CREATE)  # batch_add.go authz
+        return insert_batch_with_report(
+            self._h._spark, self._dir(), rows, key,
+            required_cols=required_cols, validators=validators,
+            order_col=order_col,
+        )
+
     def update(self, key: str, key_value, changes: dict) -> None:
         from weaviate_spark.sources.crud import patch
 

@@ -661,3 +661,85 @@ def compact_table(
     # replaced files — drop them so nothing rescans deleted paths
     invalidate_indexes()
     return files
+
+
+def insert_batch_with_report(
+    spark: SparkSession,
+    table_dir: str,
+    batch_df: DataFrame,
+    id_col: str,
+    required_cols: list[str] | None = None,
+    validators: list[tuple[str, "F.Column"]] | None = None,
+    order_col: str | None = None,
+):
+    """Batch insert with the reference's per-object result array
+    (usecases/objects/batch_manager.go: every object is validated
+    independently; failures don't abort the batch; the response carries
+    one status per object). Returns (report_df, n_written):
+    report_df = (id, status SUCCESS|FAILED, error) — one row per input
+    object, error naming the FIRST failed rule in a fixed order:
+
+    1. missing id;
+    2. missing required property (in ``required_cols`` order);
+    3. custom ``validators`` — (name, boolean Column) pairs, falsy or
+       NULL predicate fails the object;
+    4. duplicate id within the batch — the first occurrence (by
+       ``order_col``, else by the id itself) wins, later ones fail,
+       mirroring the reference's in-order batch processing.
+
+    Valid objects are MERGED into the table by id (upsert semantics —
+    the reference's batch PUT) under the optimistic-concurrency
+    transaction. The report is computed with one window over the batch
+    — no driver-side loop; the batch can be arbitrarily large."""
+    from pyspark.sql import Window
+
+    required_cols = required_cols or []
+    validators = validators or []
+
+    err = F.when(
+        F.col(id_col).isNull(), F.lit("missing id")
+    )
+    for c in required_cols:
+        err = err.when(
+            F.col(c).isNull(),
+            F.lit(f"missing required property '{c}'"),
+        )
+    for name, pred in validators:
+        err = err.when(
+            ~F.coalesce(pred, F.lit(False)),
+            F.lit(f"invalid: {name}"),
+        )
+    order = F.col(order_col).asc() if order_col else F.col(id_col).asc()
+    w = Window.partitionBy(id_col).orderBy(order)
+    marked = batch_df.withColumn("_rule_err", err).withColumn(
+        "_dup_rank",
+        F.when(
+            F.col(id_col).isNull(), F.lit(1)
+        ).otherwise(F.row_number().over(w)),
+    ).withColumn(
+        "_err",
+        F.coalesce(
+            F.col("_rule_err"),
+            F.when(F.col("_dup_rank") > 1, F.lit("duplicate id in batch")),
+        ),
+    )
+    marked = marked.localCheckpoint(eager=True)  # one validation pass
+    report = marked.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("_err").isNull(), F.lit("SUCCESS"))
+        .otherwise(F.lit("FAILED"))
+        .alias("status"),
+        F.col("_err").alias("error"),
+    )
+    valid = marked.where(F.col("_err").isNull()).drop(
+        "_rule_err", "_dup_rank", "_err"
+    )
+    n_written = valid.count()
+    if n_written:
+        import os
+
+        if os.path.exists(table_dir):
+            transact(lambda: upsert(spark, table_dir, valid, id_col))
+        else:
+            valid.write.parquet(table_dir)
+    return report, n_written
