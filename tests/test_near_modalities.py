@@ -171,3 +171,18 @@ def test_image_quality_stats_undecodable(spark):
                                "media_id long, media binary")
     r = image_quality_stats(df, "media_id", "media").collect()[0]
     assert r["decode_ok"] is False and r["entropy"] is None
+
+
+def test_audio_silence_runs_islands(spark):
+    """Gated sine (silent frames 2,3,6,7 of 8) yields two 2-frame runs;
+    an ungated clip yields none."""
+    import __spark_entry__ as E
+    from weaviate_spark.operators.multimodal import audio_silence_runs
+    from weaviate_spark.entry_queries import _gated_sine_wav
+
+    rows = [(1, bytearray(_gated_sine_wav(443, 4, (2, 3)))),
+            (2, bytearray(_gated_sine_wav(700, 1, (9,))))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {(r["media_id"], r["run_start"]): r["run_frames"]
+           for r in audio_silence_runs(df, "media_id", "blob").collect()}
+    assert out == {(1, 2): 2, (1, 6): 2}

@@ -9285,3 +9285,66 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram_by_group(
         _load(spark, sf_dir, "documents"), "text", "lang"
     )
+
+
+def _gated_sine_wav(
+    freq: int, mod: int, rems: tuple, sr: int = 8000, ms: int = 400,
+    amp: int = 20000,
+) -> bytes:
+    """Sine fixture with frame-aligned silence gates: sample i is 0
+    when (i // 400) % mod is in ``rems`` — the exact arithmetic the
+    silence-run oracle regenerates in SQL."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        n = sr * ms // 1000
+        wf.writeframes(b"".join(
+            struct.pack(
+                "<h",
+                0 if (i // 400) % mod in rems
+                else int(amp * math.sin(2 * math.pi * freq * i / sr)),
+            )
+            for i in range(n)
+        ))
+    return buf.getvalue()
+
+
+@register(
+    "audio_silence_runs",
+    oracle=(
+        "WITH p(media_id, freq, m, r1, r2) AS (VALUES "
+        "(1, 300, 2, 1, 1), (2, 443, 4, 2, 3), (3, 700, 1, 9, 9)), "
+        "s AS (SELECT media_id, i, "
+        "CASE WHEN ((i // 400) % m) IN (r1, r2) THEN 0.0 "
+        "ELSE trunc(20000 * sin(2 * pi() * freq * i / 8000)) / 32768 END "
+        "AS x FROM p, LATERAL unnest(range(0, 3200)) AS u(i)), "
+        "f AS (SELECT media_id, CAST(i // 400 AS BIGINT) AS frame_idx, "
+        "round(sqrt(avg(x * x)), 6) AS rms FROM s GROUP BY 1, 2), "
+        "sil AS (SELECT media_id, frame_idx FROM f WHERE rms < 0.01), "
+        "isl AS (SELECT media_id, frame_idx, frame_idx - row_number() "
+        "OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp FROM sil) "
+        "SELECT media_id, CAST(min(frame_idx) AS BIGINT) AS run_start, "
+        "CAST(count(*) AS BIGINT) AS run_frames "
+        "FROM isl GROUP BY media_id, grp"
+    ),
+)
+def q_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over real WAV decode (frame RMS threshold
+    + gaps-and-islands): gated-sine fixtures with known silent frames;
+    the oracle regenerates the gated signals from first principles."""
+    from weaviate_spark.operators.multimodal import audio_silence_runs
+
+    rows = [
+        (1, bytearray(_gated_sine_wav(300, 2, (1,)))),
+        (2, bytearray(_gated_sine_wav(443, 4, (2, 3)))),
+        (3, bytearray(_gated_sine_wav(700, 1, (9,)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    return audio_silence_runs(df, "media_id", "blob", frame_samples=400)

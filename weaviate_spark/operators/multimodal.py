@@ -1943,3 +1943,38 @@ def image_quality_stats(
                 })
 
     return df.select(id_col, media_col).mapInPandas(_stats, IMG_QUALITY_SCHEMA)
+
+
+def audio_silence_runs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    frame_samples: int = 400,
+    rms_threshold: float = 0.01,
+) -> DataFrame:
+    """Silence-run detection over real PCM decode: frame-level RMS
+    (audio_frame_features — Arrow-batched WAV decode), threshold at
+    ``rms_threshold``, then gaps-and-islands over consecutive silent
+    frames. One row per silent run: (media_id, run_start, run_frames)
+    — the trim/segmentation primitive of an audio curation pipeline
+    (leading/trailing silence, long dead air inside a clip).
+
+    Determinism: frame RMS is already 6dp-rounded by the feature
+    kernel, so the threshold comparison — and therefore the island
+    structure — is engine-portable; island arithmetic is all-integer."""
+    from pyspark.sql import Window
+
+    frames = audio_frame_features(
+        df, id_col, media_col, frame_samples=frame_samples
+    )
+    silent = frames.where(
+        F.col("rms") < F.lit(float(rms_threshold))
+    ).select("media_id", "frame_idx")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    isl = silent.withColumn(
+        "_grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return isl.groupBy("media_id", "_grp").agg(
+        F.min("frame_idx").cast("long").alias("run_start"),
+        F.count(F.lit(1)).cast("long").alias("run_frames"),
+    ).select("media_id", "run_start", "run_frames")
