@@ -1442,3 +1442,35 @@ def test_shipping_delay_exact_days(spark):
     assert (r["n_lines"], r["max_delay_days"]) == (3, 10)
     assert r["mean_delay_days"] == round((2 + 4 + 10) / 3, 6)
     assert r["p50_delay_days"] == 4.0
+
+
+def test_supplier_scorecard_metrics(spark):
+    from weaviate_spark.operators.analytics import supplier_scorecard
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.1, "R"), (1, 200.0, 0.0, "N"),
+         (2, 50.0, 0.0, "N")],
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_returnflag string")
+    sup = spark.createDataFrame([(1, "s1"), (2, "s2")],
+                                "s_suppkey long, s_name string")
+    out = {r["s_suppkey"]: r for r in
+           supplier_scorecard(li, sup, top_k=5).collect()}
+    assert out[1]["revenue"] == 290.0  # 100*0.9 + 200
+    assert out[1]["return_rate"] == 0.5
+    assert out[2]["n_lines"] == 1 and out[2]["return_rate"] == 0.0
+
+
+def test_dormancy_reactivation_gap_rule(spark):
+    """A 20-day gap is a reactivation on return day; a 3-day gap and a
+    first-ever day are not."""
+    from weaviate_spark.operators.analytics import dormancy_reactivations
+
+    d = lambda day: datetime.datetime(2024, 1, day)
+    rows = [(1, d(1)), (1, d(4)), (1, d(24)), (2, d(24))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {str(r["day"]): (r["n_active_users"], r["n_reactivated"])
+           for r in dormancy_reactivations(df, "u", "ts", 14).collect()}
+    assert out["2024-01-01"] == (1, 0)
+    assert out["2024-01-04"] == (1, 0)
+    assert out["2024-01-24"] == (2, 1)

@@ -54,6 +54,17 @@ INTERESTING = [
     "gini_revenue_concentration", "events_kaplan_meier",
     "validate_referential_integrity", "agg_trimmed_mean",
     "events_cusum_changepoints", "drift_psi_value",
+    # round-6 fourth-session additions
+    "stats_welch_ttest", "stats_ks_two_sample", "customer_rfm_segments",
+    "graph_link_prediction", "embedding_silhouette_labels",
+    "text_zipf_fit", "text_heaps_growth", "text_ngram_novelty",
+    "image_quality_stats", "graph_clustering_coeff",
+    "stats_randomization_test", "text_char_entropy",
+    "graphql_explore_parsed", "orders_cohort_ltv",
+    "events_concurrent_sessions", "events_markov_stationary",
+    "orders_revenue_trend", "orders_shipping_delay",
+    "text_length_histogram", "audio_silence_runs",
+    "events_funnel_latency",
 ]
 
 MARKERS = [

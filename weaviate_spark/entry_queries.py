@@ -9348,3 +9348,55 @@ def q_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame(rows, "media_id long, blob binary")
     return audio_silence_runs(df, "media_id", "blob", frame_samples=400)
+
+
+@register(
+    "supplier_scorecard",
+    oracle=(
+        "WITH agg AS (SELECT l_suppkey AS s, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) "
+        "AS DECIMAL(28,8)) AS rev, "
+        "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT s AS s_suppkey, s_name, n_lines, "
+        "CAST(rev AS DOUBLE) AS revenue, "
+        "round(CAST(ret AS DOUBLE) / CAST(n_lines AS DOUBLE) + 0.0, 6) "
+        "AS return_rate "
+        "FROM agg JOIN supplier ON s = s_suppkey "
+        "ORDER BY revenue DESC, s_suppkey ASC LIMIT 20"
+    ),
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier scorecard (DECIMAL-exact discounted revenue,
+    return rate, line volume) — the composite entity report; one fact
+    aggregate + broadcast dim join + top-k."""
+    from weaviate_spark.operators.analytics import supplier_scorecard
+
+    return supplier_scorecard(
+        _load(spark, sf_dir, "lineitem"), _load(spark, sf_dir, "supplier"),
+        top_k=20,
+    )
+
+
+@register(
+    "events_dormancy_reactivation",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "lg AS (SELECT u, day, datediff('day', "
+        "lag(day) OVER (PARTITION BY u ORDER BY day), day) AS gap FROM ud) "
+        "SELECT day, CAST(count(*) AS BIGINT) AS n_active_users, "
+        "CAST(sum(CASE WHEN gap > 14 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_reactivated FROM lg GROUP BY 1"
+    ),
+)
+def q_events_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back curve: per day, active users and how many returned
+    from a >14-day silence — all-integer lag-window plan."""
+    from weaviate_spark.operators.analytics import dormancy_reactivations
+
+    return dormancy_reactivations(
+        _load(spark, sf_dir, "events"), "user_id", "ts", dormant_days=14
+    )

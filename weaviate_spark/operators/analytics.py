@@ -2645,3 +2645,81 @@ def shipping_delay_stats(
         ).alias("p90_delay_days"),
         F.max("_d").cast("long").alias("max_delay_days"),
     )
+
+
+def supplier_scorecard(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Composite supplier scorecard: revenue (DECIMAL-exact discounted
+    extended price), line count, return rate (share of 'R' return
+    flags — integer counts, one division), and revenue rank; top-k
+    suppliers by revenue. The multi-metric entity report a marketplace
+    ops team reads daily.
+
+    One aggregate over the fact table co-keyed on the supplier, one
+    broadcast dim join, one top-k — no per-metric re-scan."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,6)")
+           - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    agg = lineitem.groupBy(F.col("l_suppkey").alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(rev).cast("decimal(28,8)").alias("_rev"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("_returned"),
+    )
+    named = agg.join(
+        F.broadcast(
+            supplier.select(
+                F.col("s_suppkey").alias("_s"), F.col("s_name")
+            )
+        ),
+        "_s",
+    )
+    return (
+        named.select(
+            F.col("_s").alias("s_suppkey"),
+            "s_name",
+            "n_lines",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_returned").cast("double")
+                / F.col("n_lines").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("return_rate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+        .limit(top_k)
+    )
+
+
+def dormancy_reactivations(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    dormant_days: int = 14,
+) -> DataFrame:
+    """Win-back curve: a REACTIVATION is a user's active day following
+    a silence of more than ``dormant_days`` days; emit per-day counts
+    of reactivated vs total active users. All-integer (distinct
+    (user, day) collapse, one user-key lag window, one day aggregate).
+    Output: (day, n_active_users, n_reactivated)."""
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    ud = events.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy("_day")
+    lagged = ud.withColumn(
+        "_gap", F.datediff(F.col("_day"), F.lag("_day").over(w))
+    )
+    return lagged.groupBy(F.col("_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users"),
+        F.sum(
+            F.when(F.col("_gap") > dormant_days, 1).otherwise(0)
+        ).cast("long").alias("n_reactivated"),
+    )
