@@ -434,3 +434,27 @@ def test_ivfpq_topk_recall_and_pruning(spark, sf_dir):
     row = enc.limit(1).collect()[0]
     assert 0 <= row["_cell"] < len(IVF_CENTROIDS)
     assert len(row["_pq"]) == len(CODEBOOK)
+
+
+def test_bq_topk_filtered_allowlist_first(spark, sf_dir):
+    """A where-clause on bq_topk restricts the CANDIDATE set: every
+    result satisfies the filter, and a vacuous filter reproduces the
+    unfiltered result exactly."""
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.operators.quantization import bq_topk
+    from weaviate_spark.sources.tables import load_table
+
+    flt = Clause(operator="GreaterThanEqual", path=["label"], value=5)
+    out = bq_topk(spark, sf_dir, "embeddings", QVEC, k=10, where=flt)
+    ids = [r["vec_id"] for r in out.collect()]
+    labels = {r["vec_id"]: r["label"] for r in
+              load_table(spark, sf_dir, "embeddings").collect()}
+    assert ids and all(labels[i] >= 5 for i in ids)
+
+    vac = Clause(operator="GreaterThanEqual", path=["label"], value=-1)
+    a = [tuple(r) for r in bq_topk(spark, sf_dir, "embeddings", QVEC,
+                                   k=10, where=vac).collect()]
+    b = [tuple(r) for r in bq_topk(spark, sf_dir, "embeddings", QVEC,
+                                   k=10).collect()]
+    assert a == b

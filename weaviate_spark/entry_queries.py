@@ -9400,3 +9400,34 @@ def q_events_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFram
     return dormancy_reactivations(
         _load(spark, sf_dir, "events"), "user_id", "ts", dormant_days=14
     )
+
+
+@register(
+    "knn_filtered_quantized",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv), "
+        "enc AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        f"{_BQ_WORD_SQL.format(lo=0)} AS bq0, "
+        f"{_BQ_WORD_SQL.format(lo=32)} AS bq1 "
+        "FROM embeddings WHERE label >= 5), "
+        "cand AS (SELECT vec_id, label, ev, "
+        f"bit_count(xor(bq0, CAST({_BQ_QW[0]} AS BIGINT))) + "
+        f"bit_count(xor(bq1, CAST({_BQ_QW[1]} AS BIGINT))) AS _hamming "
+        "FROM enc ORDER BY _hamming ASC, vec_id ASC LIMIT 40) "
+        f"SELECT vec_id, label, {_COS_SQL} AS _distance "
+        "FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_filtered_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search on the compressed scan: the label predicate
+    becomes an allowlist semi-join on the BQ index BEFORE the hamming
+    overfetch (flat-index filtered search at 100 TB — the rescore
+    budget is spent only on rows that satisfy the filter); exact cosine
+    rescore after. Reached through the public near_vector API with an
+    explicit quantize="bq"."""
+    out = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+        where=Clause(operator="GreaterThanEqual", path=["label"], value=5),
+    ))
+    return out.select("vec_id", "label", "_distance")

@@ -147,11 +147,18 @@ def bq_topk(
     metric: str = "cosine",
     round_digits: int = 6,
     table_key: tuple | None = None,
+    where=None,
 ) -> DataFrame:
     """BQ search: hamming overfetch of `overfetch * k` candidates over the
     packed words, exact-`metric` rescore of only those candidates
     (flat/index.go:96-131 searchTimeRescore). Returns (id, _distance)
-    top-k, distance asc / id asc."""
+    top-k, distance asc / id asc.
+
+    ``where`` (a filters.Clause) restricts the CANDIDATE set before the
+    hamming overfetch — the reference's allowlist-first filtered vector
+    search on the compressed scan: the filter prunes the cheap integer
+    stage, so overfetch*k candidates all satisfy the predicate and the
+    rescore budget is never wasted on filtered-out rows."""
     dim = len(vector)
     base = load_table(spark, sf_dir, collection)
     if table_key is not None:
@@ -162,6 +169,14 @@ def bq_topk(
             vector_col,
             *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col(vector_col), dim))],
         )
+    if where is not None:
+        from weaviate_spark.filters import apply_where
+
+        # allowlist-first: evaluate the predicate on the BASE table and
+        # semi-join the encoded artifact on the id — the filter columns
+        # never have to live in the compressed index
+        allow = apply_where(base, where).select(id_col)
+        enc = enc.join(allow, id_col, "left_semi")
     qwords = bq_encode_py(vector)
     word_cols = [F.col(f"_bq{w}") for w in range(_n_words(dim))]
     candidates = (

@@ -115,12 +115,18 @@ def near_vector(
     small-corpus queries and as the recall oracle (quantize="off")."""
     if (
         df is None
-        and spec.where is None
         and spec.metric == "cosine"
         and spec.limit >= 0
         and spec.distance is None
         and spec.certainty is None
-        and spec.quantize in ("auto", "bq")
+        and (
+            # auto routing stays unfiltered-only (the threshold
+            # heuristic says nothing about post-filter selectivity);
+            # an EXPLICIT quantize="bq" also takes the compressed scan
+            # with a filter — allowlist-first inside bq_topk
+            (spec.where is None and spec.quantize in ("auto", "bq"))
+            or (spec.where is not None and spec.quantize == "bq")
+        )
     ):
         base = load_table(spark, sf_dir, spec.collection)
         if spec.quantize == "bq" or (
@@ -136,6 +142,7 @@ def near_vector(
                 metric=spec.metric,
                 round_digits=spec.round_digits if spec.round_digits is not None else 6,
                 table_key=(sf_dir, spec.collection),
+                where=spec.where,
             )
             return (
                 base.join(F.broadcast(topk), spec.id_col)
