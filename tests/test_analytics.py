@@ -1474,3 +1474,20 @@ def test_dormancy_reactivation_gap_rule(spark):
     assert out["2024-01-01"] == (1, 0)
     assert out["2024-01-04"] == (1, 0)
     assert out["2024-01-24"] == (2, 1)
+
+
+def test_bot_profile_rules(spark):
+    """User 1 bursts (2 events in a minute) -> suspect; user 2 emits
+    one type only -> suspect; user 3 is organic."""
+    from weaviate_spark.operators.analytics import bot_traffic_profile
+
+    t = lambda m, s=0: datetime.datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        (1, t(0, 1), "a"), (1, t(0, 30), "b"),
+        (2, t(1), "x"), (2, t(20), "x"),
+        (3, t(2), "a"), (3, t(40), "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    out = {r["suspect"]: r["n_users"] for r in
+           bot_traffic_profile(df, "u", "ts", "et", 2).collect()}
+    assert out == {True: 2, False: 1}

@@ -1090,3 +1090,16 @@ def test_length_histogram_power_of_two_edges(spark):
     assert out[0] == (1, 1, 1)
     assert out[1] == (2, 1, 2)
     assert out[2] == (4, 2, 9)
+
+
+def test_rake_keyphrases_degree_over_freq(spark):
+    """'red apple and red banana': phrases {red apple, red banana};
+    red: freq 2 deg 4 -> 2; apple/banana: 1/2 -> 2; each phrase scores
+    4.0, tie broken alphabetically."""
+    from weaviate_spark.operators.textstats import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "red apple and red banana")], "doc_id long, text string")
+    out = rake_keyphrases(df, "doc_id", "text", top_k=5).collect()
+    assert [(r["phrase"], r["n_words"], r["rake_score"]) for r in out] == [
+        ("red apple", 2, 4.0), ("red banana", 2, 4.0)]

@@ -9431,3 +9431,110 @@ def q_knn_filtered_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=Clause(operator="GreaterThanEqual", path=["label"], value=5),
     ))
     return out.select("vec_id", "label", "_distance")
+
+
+def _rake_oracle_sql(top_k: int = 15) -> str:
+    from weaviate_spark.functions.text import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return (
+        "WITH tt AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[\\p{L}\\p{N}]+') AS tk FROM documents), "
+        "toks AS (SELECT doc_id, i - 1 AS pos, tk[i] AS w FROM tt, "
+        "LATERAL unnest(range(1, len(tk) + 1)) AS u(i)), "
+        f"ns AS (SELECT * FROM toks WHERE w NOT IN ({stoplist})), "
+        "isl AS (SELECT doc_id, pos, w, pos - row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM ns), "
+        "ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) "
+        "AS phrase, count(*) AS len FROM isl GROUP BY 1, 2), "
+        "occ AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) "
+        "AS w FROM ph), "
+        "ws AS (SELECT w, CAST(round(CAST(sum(len) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS ws "
+        "FROM occ GROUP BY 1), "
+        "pp AS (SELECT DISTINCT phrase, len FROM ph), "
+        "ppw AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) "
+        "AS w FROM pp), "
+        "sc AS (SELECT phrase, CAST(min(len) AS BIGINT) AS n_words, "
+        "CAST(CAST(sum(ws) AS DECIMAL(18,6)) AS DOUBLE) AS rake_score "
+        "FROM ppw JOIN ws USING (w) GROUP BY 1) "
+        "SELECT phrase, n_words, rake_score FROM sc "
+        f"ORDER BY rake_score DESC, phrase ASC LIMIT {top_k}"
+    )
+
+
+@register("text_rake_keyphrases", oracle=_rake_oracle_sql(15))
+def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (stopword-delimited
+    candidate runs, degree/freq word scores at 6dp DECIMAL, exact
+    phrase-score sums) — the co-occurrence-based extractor next to
+    TF-IDF keywords."""
+    from weaviate_spark.operators.textstats import rake_keyphrases
+
+    return rake_keyphrases(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", top_k=15
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderpriority, o_orderstatus, "
+        "CAST(grouping(o_orderpriority) AS INT) AS g_priority, "
+        "CAST(grouping(o_orderstatus) AS INT) AS g_status, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS revenue "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority, "
+        "o_orderstatus), (o_orderpriority), (o_orderstatus))"
+    ),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-set surface next to
+    CUBE and ROLLUP): (priority x status), priority-only, and
+    status-only margins in ONE pass, with GROUPING flags
+    disambiguating real NULLs from margin rows."""
+    from pyspark.sql import functions as F
+
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+         ["o_orderstatus"]],
+        "o_orderpriority", "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "events_bot_profile",
+    oracle=(
+        "WITH pm AS (SELECT user_id AS u, date_trunc('minute', ts) AS m, "
+        "count(*) AS n FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "pu AS (SELECT u, sum(n) AS ev, max(n) AS mx FROM pm GROUP BY 1), "
+        "ty AS (SELECT user_id AS u, count(DISTINCT event_type) AS nt "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+        "fl AS (SELECT pu.u, ev, mx, (mx >= 2 OR nt <= 1) AS suspect "
+        "FROM pu JOIN ty ON pu.u = ty.u) "
+        "SELECT suspect, CAST(count(*) AS BIGINT) AS n_users, "
+        "round(CAST(sum(ev) AS DOUBLE) / count(*) + 0.0, 6) AS avg_events, "
+        "round(CAST(sum(mx) AS DOUBLE) / count(*) + 0.0, 6) "
+        "AS avg_max_per_min FROM fl GROUP BY 1"
+    ),
+)
+def q_events_bot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-quality gate: users flagged by burst rate (>= 2 events
+    in one minute) or single-type monotony; summary per flag — the
+    measurable 'drop bot sessions' curation step."""
+    from weaviate_spark.operators.analytics import bot_traffic_profile
+
+    return bot_traffic_profile(
+        _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        burst_threshold=2,
+    )

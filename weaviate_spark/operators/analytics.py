@@ -2723,3 +2723,48 @@ def dormancy_reactivations(
             F.when(F.col("_gap") > dormant_days, 1).otherwise(0)
         ).cast("long").alias("n_reactivated"),
     )
+
+
+def bot_traffic_profile(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    burst_threshold: int = 2,
+) -> DataFrame:
+    """Rule-based traffic-quality gate: a user is SUSPECT when their
+    busiest minute holds >= ``burst_threshold`` events or they only
+    ever emit one event type (scripted monotony). Output is the
+    two-row summary (suspect, n_users, avg_events, avg_max_per_min) —
+    the pre-training 'drop bot sessions' filter as a measurable gate
+    rather than a silent drop.
+
+    All decisions are integer comparisons; averages are exact
+    integer-sum / count at 6dp. Two user-key aggregates, no windows."""
+    us = F.col(user_col).isNotNull()
+    per_min = events.where(us).groupBy(
+        F.col(user_col).alias("_u"),
+        F.date_trunc("minute", F.col(ts_col).cast("timestamp")).alias("_m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    per_user = per_min.groupBy("_u").agg(
+        F.sum("_n").cast("long").alias("_events"),
+        F.max("_n").cast("long").alias("_maxpm"),
+    )
+    types = events.where(us).groupBy(F.col(user_col).alias("_u")).agg(
+        F.countDistinct(type_col).cast("long").alias("_ntypes")
+    )
+    flagged = per_user.join(types, "_u").withColumn(
+        "suspect",
+        (F.col("_maxpm") >= burst_threshold) | (F.col("_ntypes") <= 1),
+    )
+    return flagged.groupBy("suspect").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("_events").cast("double") / F.count(F.lit(1)) + F.lit(0.0),
+            6,
+        ).alias("avg_events"),
+        F.round(
+            F.sum("_maxpm").cast("double") / F.count(F.lit(1)) + F.lit(0.0),
+            6,
+        ).alias("avg_max_per_min"),
+    )

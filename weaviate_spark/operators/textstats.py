@@ -914,3 +914,81 @@ def length_histogram_by_group(
         group_col, "length_bucket", "bucket_min_tokens", "n_docs",
         "total_tokens",
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 15,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; word score = degree/freq
+    where degree sums the lengths of every phrase containing the word;
+    a phrase scores the sum of its words' scores. Corpus-level top-k
+    by (score desc, phrase asc) over DISTINCT phrase texts — the
+    no-model keyphrase extractor next to TF-IDF keywords.
+
+    Exactness: freq/degree are integers; word scores are fixed to 6dp
+    DECIMAL; phrase scores are exact decimal sums of those — fully
+    engine-portable. Plan: one posexplode + islands window per doc,
+    one word-stats aggregate (vocabulary-sized), one phrase join."""
+    from pyspark.sql import Window
+
+    words = stopwords or EN_STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokenize(F.col(text_col), "word")).alias("_pos", "_w"),
+    )
+    nonstop = toks.where(~F.col("_w").isin(words))
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    isl = nonstop.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    phrases = isl.groupBy("_doc", "_grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+        ).alias("_phrase"),
+        F.count(F.lit(1)).cast("long").alias("_len"),
+    )
+    occurrences = phrases.select(
+        "_phrase", "_len", F.explode(F.split("_phrase", " ")).alias("_w")
+    )
+    wstats = occurrences.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum("_len").cast("long").alias("_deg"),
+    ).select(
+        "_w",
+        F.round(
+            F.col("_deg").cast("double") / F.col("_freq").cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("_ws"),
+    )
+    per_phrase = (
+        # one row per DISTINCT phrase text (its word multiset — and so
+        # its score — is the same wherever it occurs)
+        phrases.select("_phrase", "_len").distinct()
+        .select(
+            "_phrase", "_len",
+            F.explode(F.split("_phrase", " ")).alias("_w"),
+        )
+        .join(wstats, "_w")
+        .groupBy("_phrase")
+        .agg(
+            F.first("_len").alias("n_words"),
+            F.sum("_ws").cast("decimal(18,6)").alias("_score"),
+        )
+    )
+    return (
+        per_phrase.select(
+            F.col("_phrase").alias("phrase"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("_score").cast("double").alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(top_k)
+    )
