@@ -1491,3 +1491,28 @@ def test_bot_profile_rules(spark):
     out = {r["suspect"]: r["n_users"] for r in
            bot_traffic_profile(df, "u", "ts", "et", 2).collect()}
     assert out == {True: 2, False: 1}
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    """Forward as-of: the EARLIEST right row at-or-after the left ts;
+    equal timestamps match; tolerance nulls distant matches."""
+    from weaviate_spark.operators.analytics import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(2)), (3, "u", _ts(20))],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "u", _ts(2)), (11, "u", _ts(7))],
+        "rid long, k string, ts timestamp")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["rid"], right_tiebreak="rid",
+                    direction="forward")
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+    assert got == {1: 11, 2: 10, 3: None}
+
+    tight = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      right_cols=["rid"], right_tiebreak="rid",
+                      direction="forward",
+                      tolerance_seconds=24 * 3600.0)
+    got2 = {r["lid"]: r["asof_rid"] for r in tight.collect()}
+    assert got2 == {1: None, 2: 10, 3: None}  # 5->7 is 2 days away

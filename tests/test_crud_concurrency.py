@@ -224,3 +224,25 @@ def test_insert_batch_report_upserts_existing(spark, tmp_path):
     assert {r["status"] for r in report.collect()} == {"SUCCESS"}
     table = {(r["oid"], r["name"]) for r in spark.read.parquet(tgt).collect()}
     assert table == {(1, "v2"), (2, "w")}
+
+
+def test_table_changes_cdc(spark, tmp_path):
+    """Version diff classifies inserts, deletes, and updates (null-safe
+    struct comparison); unchanged rows are excluded by default."""
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a"), (2, "b"), (3, None)])
+    crud.upsert(spark, path,
+                spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]), "k")
+    from weaviate_spark.filters import Clause
+    crud.delete_where(spark, path,
+                      Clause(operator="Equal", path=["k"], value=1))
+    v = crud.table_version(path)
+    changes = {r["k"]: r["change_type"] for r in
+               crud.table_changes(spark, path, 0, v, "k").collect()}
+    assert changes == {1: "delete", 2: "update", 4: "insert"}
+    # null-safe: row 3 (v = NULL both sides) is unchanged
+    allrows = {r["k"]: r["change_type"] for r in
+               crud.table_changes(spark, path, 0, v, "k",
+                                  include_unchanged=True).collect()}
+    assert allrows[3] == "unchanged"
+    assert not crud.table_changes(spark, path, v, v, "k").collect()

@@ -9538,3 +9538,48 @@ def q_events_bot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         burst_threshold=2,
     )
+
+
+@register(
+    "events_asof_next_purchase",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id AS u, ts FROM events "
+        "WHERE event_type = 'error' AND user_id IS NOT NULL), "
+        "p0 AS (SELECT user_id AS u, ts AS pts, value, event_id AS pe "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL), "
+        "p AS (SELECT u, pts, value FROM (SELECT u, pts, value, "
+        "row_number() OVER (PARTITION BY u, pts ORDER BY pe DESC) AS rk "
+        "FROM p0) WHERE rk = 1), "
+        "j AS (SELECT e.event_id, p.pts, p.value, row_number() OVER "
+        "(PARTITION BY e.event_id ORDER BY p.pts ASC NULLS LAST) AS rk "
+        "FROM e LEFT JOIN p ON e.u = p.u AND p.pts >= e.ts "
+        "AND epoch_us(p.pts) - epoch_us(e.ts) <= 1800000000) "
+        "SELECT event_id, pts AS asof_ts, value AS asof_value "
+        "FROM j WHERE rk = 1"
+    ),
+)
+def q_events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every error event, the user's next
+    purchase within 30 minutes (earliest right row at-or-after the
+    left timestamp) — the time-to-response join; same single-exchange
+    union-window plan as the backward direction, scan reversed. The
+    oracle is the naive interval join + per-left argmin — two
+    different algorithms must agree."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.where(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    right = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "value", F.col("event_id").alias("pe"))
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], right_tiebreak="pe", direction="forward",
+        tolerance_seconds=1800.0,
+    )
+    return out.select("event_id", "asof_ts", F.col("asof_value"))

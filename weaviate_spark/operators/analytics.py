@@ -87,8 +87,12 @@ def asof_join(
     right_cols: Sequence[str] = (),
     tolerance_seconds: Optional[float] = None,
     right_tiebreak: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the newest right row with ``right_ts <= left_ts``.
+    """Left rows + the newest right row with ``right_ts <= left_ts``
+    (``direction="backward"``, default) or the EARLIEST right row with
+    ``right_ts >= left_ts`` (``direction="forward"`` — the
+    next-event / time-to-response join, pandas merge_asof parity).
 
     Output = all left columns, plus each requested right column as
     ``asof_<name>``, plus ``asof_ts`` (the matched right timestamp; NULL
@@ -107,11 +111,18 @@ def asof_join(
     left row.
     """
     rcols = [c for c in right_cols if c != right_ts]
+    carry = list(rcols)
+    if (
+        right_tiebreak is not None
+        and right_tiebreak not in carry
+        and right_tiebreak != right_ts
+    ):
+        carry.append(right_tiebreak)
 
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
-        *[F.col(c) for c in rcols],
+        *[F.col(c) for c in carry],
     )
     if right_tiebreak is not None:
         pick = Window.partitionBy("_k", "_t").orderBy(F.col(right_tiebreak).desc())
@@ -133,25 +144,50 @@ def asof_join(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
     )
-    # right rows sort BEFORE the left row at an equal timestamp: <= match
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward/forward, got {direction!r}")
     u = r.select("_k", "_t", "_side", "_payload",
                  F.lit(None).cast(l.schema["_row"].dataType).alias("_row")
                  ).unionByName(l)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE the left row at an equal ts: <= match
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick_m = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        # right rows sort AFTER the left row at an equal ts: >= match
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick_m = F.first("_payload", ignorenulls=True).over(w)
     matched = (
-        u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+        u.withColumn("_m", pick_m)
         .where(F.col("_side") == 1)
     )
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_t").cast("double") - F.col("_m._rts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        def _secs(c):
+            # NTZ-safe epoch seconds (a bare .cast("double") rejects
+            # TIMESTAMP_NTZ); both sides share a type so the delta is
+            # timezone-invariant
+            return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1e6)
+
+        gap = (
+            _secs(F.col("_t")) - _secs(F.col("_m._rts"))
+            if direction == "backward"
+            else _secs(F.col("_m._rts")) - _secs(F.col("_t"))
+        )
         matched = matched.withColumn(
-            "_m", F.when(F.col("_m").isNotNull() & in_tol, F.col("_m"))
+            "_m",
+            F.when(
+                F.col("_m").isNotNull()
+                & (gap <= F.lit(float(tolerance_seconds))),
+                F.col("_m"),
+            ),
         )
     return matched.select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],

@@ -743,3 +743,43 @@ def insert_batch_with_report(
         else:
             valid.write.parquet(table_dir)
     return report, n_written
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC between two committed versions (the Delta table_changes
+    analogue over the COW version history): one row per key with
+    change_type in {insert, delete, update} (+ unchanged when
+    requested). Change detection is a null-safe full outer join on the
+    key plus a struct comparison of all shared non-key columns — one
+    shuffle, no driver-side diffing."""
+    a = read_table_version(spark, table_dir, from_version)
+    b = read_table_version(spark, table_dir, to_version)
+    shared = [c for c in a.columns if c in set(b.columns) and c != key]
+    av = a.select(
+        F.col(key).alias("_k"),
+        F.lit(True).alias("_in_a"),
+        F.struct(*[F.col(c) for c in shared]).alias("_va"),
+    )
+    bv = b.select(
+        F.col(key).alias("_k"),
+        F.lit(True).alias("_in_b"),
+        F.struct(*[F.col(c) for c in shared]).alias("_vb"),
+    )
+    j = av.join(bv, "_k", "full_outer")
+    ct = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(~F.col("_va").eqNullSafe(F.col("_vb")), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("_k").alias(key), ct.alias("change_type"))
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out
