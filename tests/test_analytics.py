@@ -1516,3 +1516,37 @@ def test_asof_forward_direction_and_tolerance(spark):
                       tolerance_seconds=24 * 3600.0)
     got2 = {r["lid"]: r["asof_rid"] for r in tight.collect()}
     assert got2 == {1: None, 2: 10, 3: None}  # 5->7 is 2 days away
+
+
+def test_duplicate_charge_audit_blocking(spark):
+    """Same customer + same amount within the window pairs up; a
+    different amount or a distant date does not."""
+    from weaviate_spark.operators.analytics import duplicate_charge_audit
+
+    d = lambda day: datetime.datetime(2024, 1, day)
+    rows = [
+        (1, 100.0, 11, d(1)), (1, 100.0, 12, d(3)),   # pair, gap 2
+        (1, 100.0, 13, d(20)),                        # too far from both
+        (1, 55.0, 14, d(1)),                          # different amount
+        (2, 100.0, 15, d(1)),                         # different customer
+    ]
+    df = spark.createDataFrame(rows, "c long, amt double, o long, ts timestamp")
+    out = duplicate_charge_audit(
+        df, cust_col="c", key_col="o", ts_col="ts", amount_col="amt",
+        window_days=7).collect()
+    assert [(r["order_a"], r["order_b"], r["day_gap"]) for r in out] == [
+        (11, 12, 2)]
+
+
+def test_price_outliers_by_group_exact_z(spark):
+    """Group with one far point: z of the outlier exceeds threshold;
+    a zero-variance group emits nothing."""
+    from weaviate_spark.operators.analytics import price_outliers_by_group
+
+    rows = [("b1", 1, 10.0), ("b1", 2, 10.0), ("b1", 3, 10.0),
+            ("b1", 4, 10.0), ("b1", 5, 30.0),
+            ("b2", 6, 7.0), ("b2", 7, 7.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = price_outliers_by_group(df, "g", "id", "v", 1.6).collect()
+    assert [(r["g"], r["id"]) for r in out] == [("b1", 5)]
+    assert out[0]["zscore"] > 1.6

@@ -9583,3 +9583,71 @@ def q_events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=1800.0,
     )
     return out.select("event_id", "asof_ts", F.col("asof_value"))
+
+
+@register(
+    "events_duplicate_purchases",
+    oracle=(
+        "WITH b AS (SELECT user_id AS c, "
+        "CAST(floor(value) AS DECIMAL(18,2)) AS amt, event_id AS o, "
+        "CAST(ts AS DATE) AS d FROM events "
+        "WHERE event_type = 'purchase' AND user_id IS NOT NULL "
+        "AND value IS NOT NULL) "
+        "SELECT a.c AS user_id, a.o AS order_a, bb.o AS order_b, "
+        "CAST(a.amt AS DOUBLE) AS amount, "
+        "CAST(abs(datediff('day', a.d, bb.d)) AS BIGINT) AS day_gap "
+        "FROM b a JOIN b bb ON a.c = bb.c AND a.amt = bb.amt "
+        "AND a.o < bb.o "
+        "WHERE abs(datediff('day', a.d, bb.d)) <= 1"
+    ),
+)
+def q_events_duplicate_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge audit: same user, same dollar amount (floored),
+    purchases within a day of each other — (user, amount) equi-join
+    blocking, never a cross join; the retry/double-click screen."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.analytics import duplicate_charge_audit
+
+    ev = _load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).withColumn("_amt_bucket", F.floor(F.col("value")))
+    return duplicate_charge_audit(
+        ev, cust_col="user_id", key_col="event_id", ts_col="ts",
+        amount_col="_amt_bucket", window_days=1,
+    )
+
+
+@register(
+    "part_price_outliers",
+    oracle=(
+        "WITH b AS (SELECT p_brand AS g, p_partkey AS id, "
+        "CAST(p_retailprice AS DECIMAL(18,6)) AS v FROM part "
+        "WHERE p_retailprice IS NOT NULL), "
+        "m AS (SELECT g, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2 "
+        "FROM b GROUP BY 1), "
+        "st AS (SELECT g, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std FROM m) "
+        "SELECT b.g AS p_brand, b.id AS p_partkey, "
+        "CAST(b.v AS DOUBLE) AS p_retailprice, "
+        "round((CAST(b.v AS DOUBLE) - st.mean) / st.std + 0.0, 6) "
+        "AS zscore "
+        "FROM b JOIN st ON b.g = st.g WHERE st.std > 0 "
+        "AND abs(round((CAST(b.v AS DOUBLE) - st.mean) / st.std + 0.0, 6)) "
+        "> 1.6"
+    ),
+)
+def q_part_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price outliers: parts priced > 1.6 sigma off their brand's
+    exact-moment distribution — broadcast stat join, no full-table
+    window."""
+    from weaviate_spark.operators.analytics import price_outliers_by_group
+
+    return price_outliers_by_group(
+        _load(spark, sf_dir, "part"), "p_brand", "p_partkey",
+        "p_retailprice", z_threshold=1.6,
+    )

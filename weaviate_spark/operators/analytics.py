@@ -2804,3 +2804,88 @@ def bot_traffic_profile(
             6,
         ).alias("avg_max_per_min"),
     )
+
+
+def duplicate_charge_audit(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    key_col: str = "o_orderkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    window_days: int = 7,
+) -> DataFrame:
+    """Double-charge audit: pairs of orders by the SAME customer for
+    the SAME cent-exact amount within ``window_days`` of each other —
+    the billing-dedup / fraud screen. Blocking is the (customer,
+    amount) equi-join (never a cross join; candidates only exist where
+    a customer repeats an exact amount), then the day-window filter
+    and a canonical key order. Output: (cust, order_a, order_b,
+    amount, day_gap), all exact."""
+    amt = F.col(amount_col).cast("decimal(18,2)")
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    base = orders.select(
+        F.col(cust_col).alias("_c"), amt.alias("_amt"),
+        F.col(key_col).alias("_o"), day.alias("_d"),
+    )
+    a = base.select("_c", "_amt", F.col("_o").alias("order_a"),
+                    F.col("_d").alias("_da"))
+    b = base.select("_c", "_amt", F.col("_o").alias("order_b"),
+                    F.col("_d").alias("_db"))
+    pairs = (
+        a.join(b, ["_c", "_amt"])
+        .where(F.col("order_a") < F.col("order_b"))
+        .withColumn("day_gap", F.abs(F.datediff(F.col("_db"), F.col("_da"))))
+        .where(F.col("day_gap") <= window_days)
+    )
+    return pairs.select(
+        F.col("_c").alias(cust_col), "order_a", "order_b",
+        F.col("_amt").cast("double").alias("amount"),
+        F.col("day_gap").cast("long").alias("day_gap"),
+    )
+
+
+def price_outliers_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outliers (catalog-hygiene screen: a part
+    priced 3 sigma off its brand's distribution is a data-entry
+    suspect): exact DECIMAL moment sums per group, fixed-order
+    mean/std/z, output rows with |z| > threshold. One group aggregate
+    broadcast back — no window over the full table."""
+    v = F.col(value_col).cast("decimal(18,6)")
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    mom = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    stats = mom.select(
+        "_g",
+        (s1 / n).alias("_mean"),
+        F.sqrt(
+            F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0))
+        ).alias("_std"),
+    )
+    z = (F.col("_v").cast("double") - F.col("_mean")) / F.col("_std")
+    return (
+        base.join(F.broadcast(stats), "_g")
+        .where(F.col("_std") > 0)
+        .withColumn("zscore", F.round(z + F.lit(0.0), 6))
+        .where(F.abs(F.col("zscore")) > z_threshold)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_v").cast("double").alias(value_col),
+            "zscore",
+        )
+    )
