@@ -459,3 +459,32 @@ def test_stream_ingest_maintains_cms_sketch(spark, tmp_path):
         assert est == batch[item][0]          # merge == from-scratch
         assert est >= batch[item][1]          # one-sided error
     assert maintained["hot"] >= 200
+
+
+def test_stream_ingest_dedup_exact_across_batches(spark, tmp_path):
+    """Redelivered ids within the watermark are dropped across
+    micro-batches; distinct ids all land exactly once."""
+    import datetime
+
+    from weaviate_spark.streaming.ingest import stream_ingest_dedup_exact
+
+    schema = "event_id long, ts timestamp, v string"
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [(i, t0 + datetime.timedelta(seconds=i), f"v{i}") for i in range(5)]
+    batch2 = [(2, t0 + datetime.timedelta(seconds=2), "dup"),
+              (3, t0 + datetime.timedelta(seconds=3), "dup"),
+              (9, t0 + datetime.timedelta(seconds=9), "v9")]
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+
+    q = stream_ingest_dedup_exact(
+        spark, src, schema, tgt, "event_id", "ts",
+        watermark_delay="1 hour", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(tgt).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [0, 1, 2, 3, 4, 9]          # each id exactly once
+    vals = {r["event_id"]: r["v"] for r in rows}
+    assert vals[9] == "v9"

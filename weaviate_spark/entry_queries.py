@@ -9651,3 +9651,92 @@ def q_part_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "part"), "p_brand", "p_partkey",
         "p_retailprice", z_threshold=1.6,
     )
+
+
+def _hybrid_multi_target_oracle_sql() -> str:
+    """hybrid_oracle_sql with the dense leg swapped for the
+    MULTI-TARGET minimum combine over (full, head) named vectors —
+    everything else (BM25 leg, RRF fusion, caps, tie order) is the
+    generated single-target oracle verbatim."""
+    from weaviate_spark.operators.hybrid import hybrid_oracle_sql
+
+    base = hybrid_oracle_sql(
+        "spark filter join", QVEC, alpha=0.5, fusion="ranked", limit=10
+    )
+    old_vd = (
+        """vd AS (
+  SELECT doc_id AS id, round(1 - list_dot_product(ev, v) /
+    (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(v, v))), 6) AS _distance
+  FROM (SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM corpus)
+  CROSS JOIN qv
+  ORDER BY _distance ASC, id ASC LIMIT 100
+),"""
+    )
+    new_vd = (
+        "vd AS (\n"
+        "  SELECT doc_id AS id, least(\n"
+        "    round(1 - list_dot_product(vf, qf) / (sqrt(list_dot_product(vf, vf)) * sqrt(list_dot_product(qf, qf))), 6),\n"
+        "    round(1 - list_dot_product(vh, qh) / (sqrt(list_dot_product(vh, vh)) * sqrt(list_dot_product(qh, qh))), 6)\n"
+        "  ) AS _distance\n"
+        "  FROM (SELECT doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf,\n"
+        "        list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS vh FROM corpus)\n"
+        f"  CROSS JOIN (SELECT {_QVEC_SQL} AS qf, {_QVEC32_SQL} AS qh)\n"
+        "  ORDER BY _distance ASC, id ASC LIMIT 100\n"
+        "),"
+    )
+    assert old_vd in base, "hybrid oracle template changed"
+    return base.replace(old_vd, new_vd)
+
+
+@register("hybrid_multi_target", oracle=_hybrid_multi_target_oracle_sql())
+def q_hybrid_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search whose DENSE leg is a multi-target (named-vector)
+    search — BM25 keyword leg + Minimum-combined (full, head) vector
+    leg, RRF fusion (the reference's hybrid + targetVectors
+    composition, searcher.go + shard_combine_multi_target.go). Built
+    from the SAME fuse() all single-target hybrids use."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, bm25_score_df, with_materialized_stats,
+    )
+    from weaviate_spark.operators.hybrid import fuse
+    from weaviate_spark.operators.vector import (
+        NamedTarget, named_multi_target_search,
+    )
+    from weaviate_spark.cache import release_caches
+    from weaviate_spark.sources.tables import load_table
+
+    release_caches()
+    cap, limit, alpha = 100, 10, 0.5
+    corpus = load_table(spark, sf_dir, "docs_embedded")
+
+    bspec = BM25Spec(
+        collection="docs_embedded", query="spark filter join",
+        properties=[BM25Prop("text")], id_col="doc_id",
+    )
+    bspec = with_materialized_stats(bspec, corpus, (sf_dir, "docs_embedded"))
+    sparse = (
+        bm25_score_df(corpus, bspec)
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(cap)
+        .select("doc_id", F.col("_score").alias("_secondary"))
+    )
+    named = corpus.select(
+        "doc_id",
+        F.struct(
+            F.col("embedding").alias("full"),
+            F.slice("embedding", 1, 32).alias("head"),
+        ).alias("_vectors"),
+    )
+    dense = named_multi_target_search(
+        named,
+        [NamedTarget("full", QVEC, 1.0), NamedTarget("head", QVEC[:32], 1.0)],
+        "doc_id", combination="min", limit=cap,
+    ).select(
+        "doc_id", (F.lit(1.0) - F.col("_distance")).alias("_secondary")
+    )
+    fused = fuse([(sparse, 1.0 - alpha), (dense, alpha)], "doc_id", "ranked")
+    return fused.orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    ).limit(limit)

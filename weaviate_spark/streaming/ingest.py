@@ -477,3 +477,33 @@ def purchase_attribution_join(
         (F.unix_timestamp(F.col("purchase_ts").cast("timestamp"))
          - F.unix_timestamp(F.col("click_ts").cast("timestamp"))).alias("lag_sec"),
     )
+
+
+def stream_ingest_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    id_col: str,
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Exactly-once-by-id ingest: `dropDuplicatesWithinWatermark` on the
+    id drops redelivered events ACROSS micro-batches while the
+    watermark keeps the dedup state bounded (the at-least-once ->
+    exactly-once repair every event pipeline needs; the reference's
+    batch path dedups by object id the same way, batch_manager.go).
+    State is per-id only until the watermark passes — O(ids within the
+    delay window), not O(stream)."""
+    def _dedup(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark([id_col])
+        )
+
+    return stream_ingest(
+        spark, source_dir, schema, target_dir, transform=_dedup,
+        checkpoint_dir=checkpoint_dir, available_now=available_now,
+    )
