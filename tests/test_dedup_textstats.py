@@ -1103,3 +1103,21 @@ def test_rake_keyphrases_degree_over_freq(spark):
     out = rake_keyphrases(df, "doc_id", "text", top_k=5).collect()
     assert [(r["phrase"], r["n_words"], r["rake_score"]) for r in out] == [
         ("red apple", 2, 4.0), ("red banana", 2, 4.0)]
+
+
+def test_embedding_centroid_drift_shift(spark):
+    """Label 0: even cohort at origin, odd cohort at (3,4) -> shift 5;
+    label 1: identical cohorts -> shift 0."""
+    from weaviate_spark.operators.curation import embedding_centroid_drift
+
+    rows = [
+        (2, [0.0, 0.0], 0), (4, [0.0, 0.0], 0),   # even, label 0
+        (1, [3.0, 4.0], 0), (3, [3.0, 4.0], 0),   # odd, label 0
+        (6, [1.0, 1.0], 1), (7, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in
+           embedding_centroid_drift(df, "vec_id", "embedding", "label").collect()}
+    assert out[0]["centroid_shift"] == 5.0
+    assert (out[0]["n_even"], out[0]["n_odd"]) == (2, 2)
+    assert out[1]["centroid_shift"] == 0.0

@@ -9740,3 +9740,87 @@ def q_hybrid_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.col("_score").desc(), F.col("doc_id").asc()
     ).limit(limit)
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=(
+        "SELECT least(da.source, db.source) AS source_a, "
+        "greatest(da.source, db.source) AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(CAST(sum(CAST(p.jaccard AS DECIMAL(10,6))) AS DOUBLE) "
+        "/ count(*) + 0.0, 6) AS mean_jaccard "
+        "FROM (" + _MINHASH_SQL.format(thr=0.35) + ") p "
+        "JOIN documents da ON p.id_a = da.doc_id "
+        "JOIN documents db ON p.id_b = db.doc_id "
+        "GROUP BY 1, 2"
+    ),
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication leakage matrix: MinHash-LSH near-dup
+    pairs joined back to each side's provenance — per (source, source)
+    cell, pair count and mean verified Jaccard. The 'is source X
+    scraping source Y' / benchmark-leakage provenance audit; costs one
+    broadcast-dim join over the existing pair pipeline."""
+    from pyspark.sql import functions as F
+
+    df = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.35, max_bucket_size=1_000_000,
+        table_key=(sf_dir, "documents"),
+    )
+    src = df.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("doc_id", "id_a")
+                        .withColumnRenamed("source", "_sa")), "id_a")
+        .join(
+            F.broadcast(src.withColumnRenamed("doc_id", "id_b")
+                        .withColumnRenamed("source", "_sb")), "id_b")
+    )
+    return lab.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.0),
+            6,
+        ).alias("mean_jaccard"),
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, vec_id % 2 = 0 AS a, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL), "
+        "it AS (SELECT label, a, i - 1 AS dim, ev[i] AS val "
+        "FROM e, LATERAL unnest(range(1, len(ev) + 1)) AS u(i)), "
+        "c AS (SELECT label, a, dim, avg(val) AS mu, count(*) AS n "
+        "FROM it GROUP BY 1, 2, 3), "
+        "j AS (SELECT ca.label, ca.dim, ca.mu AS ma, cb.mu AS mb, "
+        "ca.n AS na, cb.n AS nb FROM c ca JOIN c cb "
+        "ON ca.label = cb.label AND ca.dim = cb.dim "
+        "AND ca.a AND NOT cb.a) "
+        "SELECT label, CAST(max(na) AS BIGINT) AS n_even, "
+        "CAST(max(nb) AS BIGINT) AS n_odd, "
+        "round(sqrt(sum((ma - mb) * (ma - mb))), 6) + 0.0 "
+        "AS centroid_shift FROM j GROUP BY 1"
+    ),
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between the even-id and odd-id ingest
+    cohorts — the embedding-space drift monitor next to PSI."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import embedding_centroid_drift
+
+    emb = _load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    return embedding_centroid_drift(emb, "vec_id", "embedding", "label")

@@ -898,3 +898,52 @@ def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
         F.col("_mn").cast("double").alias("min_val"),
         F.col("_mx").cast("double").alias("max_val"),
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label embedding drift between two deterministic cohorts
+    (even vs odd ids — the A/B halves of an ingest): euclidean shift
+    between the cohorts' label centroids, with cohort sizes. A label
+    whose centroid moves is drifting (new data distribution or
+    labeling change) — the embedding-space counterpart of PSI.
+
+    Same centroid skeleton as silhouette_by_label: one posexplode, one
+    (label, cohort, dim) aggregate (broadcast-sized), one label-keyed
+    reduce. Distances rounded at 6dp after the sum — the established
+    centroid-arithmetic contract."""
+    items = df.select(
+        F.col(label_col).alias("_lbl"),
+        (F.col(id_col) % 2 == 0).alias("_a"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    cent = items.groupBy("_lbl", "_a", "_dim").agg(
+        F.avg("_val").alias("_mu"), F.count(F.lit(1)).alias("_n")
+    )
+    a = cent.where(F.col("_a")).select(
+        "_lbl", "_dim", F.col("_mu").alias("_ma"), F.col("_n").alias("_na")
+    )
+    b = cent.where(~F.col("_a")).select(
+        "_lbl", "_dim", F.col("_mu").alias("_mb"), F.col("_n").alias("_nb")
+    )
+    j = a.join(b, ["_lbl", "_dim"])
+    return j.groupBy(F.col("_lbl").alias(label_col)).agg(
+        F.max("_na").cast("long").alias("n_even"),
+        F.max("_nb").cast("long").alias("n_odd"),
+        (
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("_ma") - F.col("_mb"))
+                        * (F.col("_ma") - F.col("_mb"))
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("centroid_shift"),
+    )
