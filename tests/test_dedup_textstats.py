@@ -1121,3 +1121,28 @@ def test_embedding_centroid_drift_shift(spark):
     assert out[0]["centroid_shift"] == 5.0
     assert (out[0]["n_even"], out[0]["n_odd"]) == (2, 2)
     assert out[1]["centroid_shift"] == 0.0
+
+
+def test_training_mix_budgets_and_admission(spark):
+    """One giant group and one tiny group: sqrt smoothing gives the
+    tiny group a super-proportional budget; admission never exceeds
+    budget by more than one doc; zero-budget edge is exact."""
+    from weaviate_spark.operators.sampling import training_mix_allocation
+
+    rows = [(i, "w " * 100, "big") for i in range(20)]
+    rows += [(100 + i, "w " * 100, "small") for i in range(2)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in training_mix_allocation(
+        df, "doc_id", "text", "lang", total_budget=1000).collect()}
+    big, small = out["big"], out["small"]
+    assert big["group_tokens"] == 2000 and small["group_tokens"] == 200
+    # sqrt smoothing: small's budget share (~24%) >> its raw share (~9%)
+    assert small["budget_tokens"] > 0.2 * 1000 * 0.9
+    for r in (big, small):
+        # admitted tokens exceed budget by at most one 100-token doc
+        assert r["tokens_selected"] <= r["budget_tokens"] + 100
+        # and fill the budget when supply allows
+        assert r["tokens_selected"] >= min(r["budget_tokens"],
+                                           r["group_tokens"])

@@ -9824,3 +9824,49 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
     return embedding_centroid_drift(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "curation_training_mix",
+    oracle=(
+        "WITH base AS (SELECT doc_id AS id, lang AS g, "
+        "CAST(len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) "
+        "AS BIGINT) AS tok FROM documents WHERE lang IS NOT NULL), "
+        "c AS (SELECT g, sum(tok) AS n FROM base GROUP BY 1), "
+        "t AS (SELECT sum(n) AS nn FROM c), "
+        "w AS (SELECT g, n, CAST(round(sqrt(CAST(n AS DOUBLE) "
+        "/ (SELECT CAST(nn AS DOUBLE) FROM t)), 6) AS DECIMAL(10,6)) "
+        "AS w FROM c), "
+        "z AS (SELECT sum(w) AS z FROM w), "
+        "bud AS (SELECT g, CAST(n AS BIGINT) AS group_tokens, "
+        "CAST(floor(50000.0 * CAST(w AS DOUBLE) "
+        "/ (SELECT CAST(z AS DOUBLE) FROM z)) AS BIGINT) "
+        "AS budget_tokens FROM w), "
+        "ord AS (SELECT g, id, tok, coalesce(sum(tok) OVER "
+        "(PARTITION BY g ORDER BY "
+        + __import__(
+            "weaviate_spark.operators.sampling",
+            fromlist=["unit_hash_sql"],
+        ).unit_hash_sql("id", "mix")
+        + " ASC, id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0) AS before FROM base), "
+        "adm AS (SELECT ord.g, count(*) AS n_docs, sum(tok) AS toks "
+        "FROM ord JOIN bud ON ord.g = bud.g "
+        "WHERE before < budget_tokens GROUP BY 1) "
+        "SELECT bud.g AS lang, group_tokens, budget_tokens, "
+        "CAST(coalesce(adm.n_docs, 0) AS BIGINT) AS n_docs_selected, "
+        "CAST(coalesce(adm.toks, 0) AS BIGINT) AS tokens_selected "
+        "FROM bud LEFT JOIN adm ON bud.g = adm.g"
+    ),
+)
+def q_curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-mix construction: temperature-2 smoothed
+    per-language budgets (sqrt token share, 6dp-DECIMAL weights, exact
+    Z), deterministic md5-order admission under an exclusive prefix
+    sum — the mixture step between curation and packing."""
+    from weaviate_spark.operators.sampling import training_mix_allocation
+
+    return training_mix_allocation(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", "lang",
+        total_budget=50_000, salt="mix",
+    )

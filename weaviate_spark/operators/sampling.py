@@ -341,3 +341,91 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def training_mix_allocation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    total_budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Build a token-budgeted training mix: each group (language /
+    domain) gets a budget proportional to sqrt of its token share
+    (temperature-2 smoothing — heads flattened toward the tail), then
+    docs are admitted in deterministic md5 order until the budget is
+    spent (a doc is admitted iff the tokens BEFORE it are under
+    budget, so budgets are never exceeded by more than one doc).
+    Output per group: (group, group_tokens, budget_tokens,
+    n_docs_selected, tokens_selected) — the mixture construction step
+    between curation and packing.
+
+    Exactness: token counts are integers; sqrt is IEEE-exact; the
+    smoothed weights are fixed to 6dp DECIMAL before the exact Z sum,
+    so budgets are engine-portable integers; admission is an integer
+    comparison over an (md5, id)-ordered exclusive prefix sum."""
+    from pyspark.sql import Window
+
+    from weaviate_spark.functions.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.size(tokenize(F.col(text_col), "word")).cast("long").alias("_tok"),
+    )
+    base = base.where(F.col("_g").isNotNull())
+    counts = base.groupBy("_g").agg(F.sum("_tok").alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_nn"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_n",
+        F.round(
+            F.sqrt(F.col("_n").cast("double") / F.col("_nn").cast("double")),
+            6,
+        )
+        .cast("decimal(10,6)")
+        .alias("_w"),
+    )
+    z = w.agg(F.sum("_w").alias("_z"))
+    budgets = w.crossJoin(F.broadcast(z)).select(
+        "_g",
+        F.col("_n").cast("long").alias("group_tokens"),
+        F.floor(
+            F.lit(float(total_budget))
+            * F.col("_w").cast("double")
+            / F.col("_z").cast("double")
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )
+    h = _unit_hash(F.col("_id"), salt)
+    win = (
+        Window.partitionBy("_g")
+        .orderBy(h.asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = base.withColumn(
+        "_before", F.coalesce(F.sum("_tok").over(win), F.lit(0))
+    )
+    admitted = ordered.join(F.broadcast(budgets), "_g").where(
+        F.col("_before") < F.col("budget_tokens")
+    )
+    sel = admitted.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+        F.sum("_tok").cast("long").alias("tokens_selected"),
+    )
+    return (
+        budgets.join(sel, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "group_tokens",
+            "budget_tokens",
+            F.coalesce("n_docs_selected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_selected"),
+            F.coalesce("tokens_selected", F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+    )
