@@ -1146,3 +1146,22 @@ def test_training_mix_budgets_and_admission(spark):
         # and fill the budget when supply allows
         assert r["tokens_selected"] >= min(r["budget_tokens"],
                                            r["group_tokens"])
+
+
+def test_kcenter_coreset_farthest_point(spark):
+    """Three tight clusters: the first three selections land in three
+    DIFFERENT clusters and radii are non-increasing."""
+    from weaviate_spark.operators.curation import kcenter_coreset
+
+    pts = []
+    for cid, (cx, cy) in enumerate([(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]):
+        for j in range(3):
+            pts.append((cid * 10 + j, [cx + 0.1 * j, cy]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = sorted(kcenter_coreset(df, "vec_id", "embedding", k=4).collect(),
+                 key=lambda r: r["rank"])
+    clusters = [r["vec_id"] // 10 for r in out[:3]]
+    assert len(set(clusters)) == 3
+    radii = [r["radius"] for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert out[3]["radius"] <= 0.3  # 4th pick is inside a covered cluster

@@ -9870,3 +9870,54 @@ def q_curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "documents"), "doc_id", "text", "lang",
         total_budget=50_000, salt="mix",
     )
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled-CTE replay of curation.kcenter_coreset: identical seed
+    hash, identical dot-identity distance at 6dp, identical
+    (maximin desc, id asc) argmax per round."""
+    head = (
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "sel1 AS MATERIALIZED (SELECT CAST(1 AS INT) AS rank, vec_id, "
+        "0.0 AS radius FROM e ORDER BY ('0x' || substr(md5('kc:' || "
+        "CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC, vec_id ASC LIMIT 1)"
+    )
+    fixed = []
+    for r in range(2, k + 1):
+        prev = f"sel{r - 1}"
+        fixed.append(
+            f", d{r} AS MATERIALIZED (SELECT e.vec_id, "
+            "min(round(sqrt(greatest(list_dot_product(e.ev, e.ev) "
+            "- 2 * list_dot_product(e.ev, s.ev) "
+            "+ list_dot_product(s.ev, s.ev), 0.0)), 6)) AS mind "
+            f"FROM e JOIN (SELECT e2.ev FROM {prev} q "
+            "JOIN e e2 ON q.vec_id = e2.vec_id) s ON true "
+            f"WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            "GROUP BY e.vec_id)"
+            f", p{r} AS MATERIALIZED (SELECT CAST({r} AS INT) AS rank, "
+            f"vec_id, mind AS radius FROM d{r} "
+            "ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+            f", sel{r} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT * FROM p{r})"
+        )
+    tail = (
+        f" SELECT rank, vec_id, radius + 0.0 AS radius FROM sel{k}"
+    )
+    return head + "".join(fixed) + tail
+
+
+@register("embedding_kcenter_coreset", oracle=_kcenter_oracle_sql(8))
+def q_embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=8 farthest-point traversal) over the
+    embedding corpus: the diversity-maximizing data-selection trace
+    with its coverage radii; unrolled-CTE oracle replays every round."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import kcenter_coreset
+
+    emb = _load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return kcenter_coreset(emb, "vec_id", "embedding", k=8, salt="kc")

@@ -947,3 +947,93 @@ def embedding_centroid_drift(
             + F.lit(0.0)
         ).alias("centroid_shift"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    salt: str = "kc",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal): seed = smallest (md5, id) point, then repeatedly take
+    the point FARTHEST from the selected set. Returns the selection
+    trace (rank, id, radius) where radius is the maximin distance at
+    selection time — a monotone non-increasing curve that doubles as
+    the coverage certificate (every point is within `radius` of some
+    center, 2-approx of the optimal k-center cost). The diversity-
+    maximizing data-selection primitive next to the MMR reranker
+    (corpus-global, not query-relative).
+
+    Determinism contract: distances use the dot-product identity
+    sqrt(aa - 2ab + bb) rounded to 6dp with an id tie-break on the
+    argmax, so an unrolled-CTE oracle replays the trace exactly.
+    Scale shape: each round is one (point x selected) long-form join
+    grouped on (point, center) — points x k x dims work total, never
+    point pairs; the selected set stays k rows and broadcasts."""
+    from pyspark.sql import Window
+
+    from weaviate_spark.operators.sampling import md5_prefix_long
+
+    items = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
+    ).withColumn("_val", F.col("_val").cast("double"))
+    items = register_cache(items.cache())
+
+    base_ids = df.select(F.col(id_col).alias("_pid")).where(
+        F.col(vec_col).isNotNull()
+    )
+    seed = (
+        base_ids.orderBy(
+            md5_prefix_long(F.col("_pid"), salt).asc(), F.col("_pid").asc()
+        )
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"), F.col("_pid"),
+            F.lit(0.0).alias("radius"),
+        )
+    )
+    sel = seed.localCheckpoint(eager=True)
+    for r in range(2, int(k) + 1):
+        selitems = items.join(
+            F.broadcast(sel.select(F.col("_pid").alias("_sid"))),
+            items._pid == F.col("_sid"),
+        ).select("_sid", "_dim", F.col("_val").alias("_sval"))
+        pairs = items.join(F.broadcast(selitems), "_dim")
+        d = pairs.groupBy("_pid", "_sid").agg(
+            F.sum(F.col("_val") * F.col("_val")).alias("_aa"),
+            F.sum(F.col("_val") * F.col("_sval")).alias("_ab"),
+            F.sum(F.col("_sval") * F.col("_sval")).alias("_bb"),
+        ).select(
+            "_pid",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("_aa") - 2 * F.col("_ab") + F.col("_bb"),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("_d"),
+        )
+        mind = (
+            d.join(sel.select("_pid"), "_pid", "left_anti")
+            .groupBy("_pid")
+            .agg(F.min("_d").alias("_mind"))
+        )
+        nxt = (
+            mind.orderBy(F.col("_mind").desc(), F.col("_pid").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("rank"), F.col("_pid"),
+                F.col("_mind").alias("radius"),
+            )
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("_pid").alias(id_col),
+        F.col("radius").cast("double").alias("radius"),
+    )
