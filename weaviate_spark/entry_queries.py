@@ -9921,3 +9921,59 @@ def q_embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     return kcenter_coreset(emb, "vec_id", "embedding", k=8, salt="kc")
+
+
+@register(
+    "reco_user_user_similar",
+    oracle=(
+        "WITH inter AS (SELECT o_custkey AS u, p_brand AS i, "
+        "CAST(count(*) AS DECIMAL(18,2)) AS r FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2), "
+        "act AS (SELECT u FROM (SELECT u, sum(r) AS t FROM inter "
+        "GROUP BY 1) ORDER BY t DESC, u ASC LIMIT 50), "
+        "ri AS (SELECT inter.* FROM inter SEMI JOIN act USING (u)), "
+        "norms AS (SELECT u, sum(r * r) AS sq FROM ri GROUP BY 1), "
+        "num AS (SELECT a.u AS ca, b.u AS cb, count(*) AS n_co, "
+        "sum(a.r * b.r) AS dot FROM ri a JOIN ri b "
+        "ON a.i = b.i AND a.u <> b.u GROUP BY 1, 2 "
+        "HAVING count(*) >= 2), "
+        "cos AS (SELECT ca, cb, n_co, round(CAST(dot AS DOUBLE) "
+        "/ sqrt(CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)), 6) + 0.0 "
+        "AS cosine FROM num JOIN norms na ON ca = na.u "
+        "JOIN norms nb ON cb = nb.u), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY ca "
+        "ORDER BY cosine DESC, cb ASC) AS r FROM cos) "
+        'SELECT ca AS cust_a, cb AS cust_b, '
+        'CAST(n_co AS BIGINT) AS n_co_brands, cosine, '
+        'CAST(r AS BIGINT) AS "rank" FROM rk WHERE r <= 5'
+    ),
+)
+def q_reco_user_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative filtering over the 50 most active
+    customers ('segment twins for the key accounts'): the SAME sparse
+    -cosine operator with the roles swapped — the active-set semi-join
+    is what keeps the brand-keyed wedge bounded (brands are hub keys;
+    unrestricted user-user via 25 brands is Σ deg² and dies at scale,
+    so the public surface bakes the cap in)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.reco import item_item_cosine
+
+    inter = _reco_interactions(spark, sf_dir)
+    act = (
+        inter.groupBy("u").agg(F.sum("r").alias("_t"))
+        .orderBy(F.col("_t").desc(), F.col("u").asc())
+        .limit(50)
+        .select("u")
+    )
+    ri = inter.join(F.broadcast(act), "u", "left_semi")
+    out = item_item_cosine(ri, user_col="i", item_col="u",
+                           rating_col="r", k=5, min_co_users=2)
+    return out.select(
+        F.col("item_a").alias("cust_a"),
+        F.col("item_b").alias("cust_b"),
+        F.col("n_co_users").alias("n_co_brands"),
+        "cosine",
+        "rank",
+    )
