@@ -575,3 +575,32 @@ def test_multiprobe_recall_vs_hamming_ball(spark, sf_dir):
     ).collect()}
     # 8 targeted probes keep recall within one hit of the 9-bucket ball
     assert len(mp & exact) >= len(ball & exact) - 1
+
+
+def test_multivector_pruned_matches_exact_small_corpus(spark, sf_dir):
+    """At token_topk >= corpus the pruned plan must equal exact maxsim;
+    with a tiny token_topk it returns a subset of candidates only."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.multivector import (
+        multivector_search, multivector_search_pruned,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        "vec_id",
+        F.array(F.slice("embedding", 1, 21), F.slice("embedding", 22, 21),
+                F.slice("embedding", 43, 21)).alias("_toks"),
+    )
+    qt = [QVEC[:21], QVEC[21:42]]
+    exact = [tuple(r) for r in
+             multivector_search(docs, "vec_id", "_toks", qt, limit=5).collect()]
+    pruned = [tuple(r) for r in multivector_search_pruned(
+        docs, "vec_id", "_toks", qt, token_topk=10**6, limit=5).collect()]
+    assert pruned == exact
+
+    tiny = multivector_search_pruned(
+        docs, "vec_id", "_toks", qt, token_topk=3, limit=10)
+    assert tiny.count() <= 6  # union of two 3-doc token lists

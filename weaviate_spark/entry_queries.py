@@ -9977,3 +9977,53 @@ def q_reco_user_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rank",
     )
+
+
+@register(
+    "multivector_maxsim_pruned",
+    oracle=(
+        f"WITH q AS (SELECT {_Q_TOK1_SQL} AS q1, {_Q_TOK2_SQL} AS q2), "
+        f"e AS (SELECT vec_id, {_slice_sql(1, 21)} AS t1, "
+        f"{_slice_sql(22, 42)} AS t2, {_slice_sql(43, 63)} AS t3 "
+        "FROM embeddings), "
+        "ta AS (SELECT vec_id FROM e CROSS JOIN q ORDER BY "
+        "round(greatest(list_dot_product(t1, q1), "
+        "list_dot_product(t2, q1), list_dot_product(t3, q1)), 6) DESC, "
+        "vec_id ASC LIMIT 50), "
+        "tb AS (SELECT vec_id FROM e CROSS JOIN q ORDER BY "
+        "round(greatest(list_dot_product(t1, q2), "
+        "list_dot_product(t2, q2), list_dot_product(t3, q2)), 6) DESC, "
+        "vec_id ASC LIMIT 50), "
+        "cand AS (SELECT vec_id FROM ta UNION SELECT vec_id FROM tb) "
+        "SELECT e.vec_id, round("
+        "greatest(list_dot_product(t1, q1), list_dot_product(t2, q1), "
+        "list_dot_product(t3, q1)) + "
+        "greatest(list_dot_product(t1, q2), list_dot_product(t2, q2), "
+        "list_dot_product(t3, q2)), 6) AS _score "
+        "FROM e SEMI JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q "
+        "ORDER BY _score DESC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_multivector_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTR-style pruned late interaction: per-query-token top-50
+    retrieval (deterministic 6dp + id ties) unions into the candidate
+    set; exact maxsim rescores only candidates — the production
+    two-stage ColBERT plan, with `multivector_maxsim_topk` as its
+    recall oracle."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multivector import multivector_search_pruned
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        "vec_id",
+        F.array(
+            F.slice("embedding", 1, 21),
+            F.slice("embedding", 22, 21),
+            F.slice("embedding", 43, 21),
+        ).alias("_toks"),
+    )
+    return multivector_search_pruned(
+        docs, "vec_id", "_toks", [QVEC[:21], QVEC[21:42]],
+        token_topk=50, limit=10,
+    )

@@ -58,6 +58,44 @@ def multivector_search(
     )
 
 
+def multivector_search_pruned(
+    df: DataFrame,
+    id_col: str,
+    token_vectors_col: str,
+    query_tokens: Sequence[Sequence[float]],
+    token_topk: int = 50,
+    limit: int = 10,
+) -> DataFrame:
+    """Token-retrieval-pruned late interaction (the XTR/ColBERTv2-style
+    two-stage plan): stage 1 retrieves, PER QUERY TOKEN, the
+    ``token_topk`` docs whose best token dot-product for that query
+    token is highest (6dp + id ties — deterministic candidate sets);
+    stage 2 exact-maxsim rescores only the candidate union. At corpus
+    scale the expensive all-token maxsim runs over
+    <= len(query_tokens) * token_topk docs instead of the corpus —
+    the standard production shape for late-interaction retrieval.
+    Approximate by construction (a doc outside every token's top list
+    is unreachable); the exact `multivector_search` stays the recall
+    oracle."""
+    toks = F.col(token_vectors_col)
+    cand = None
+    for qt in query_tokens:
+        q = F.array(*[F.lit(float(x)) for x in qt])
+        s = F.round(F.array_max(F.transform(toks, lambda dt: _dot(dt, q))), 6)
+        top = (
+            df.select(F.col(id_col), s.alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col(id_col).asc())
+            .limit(int(token_topk))
+            .select(id_col)
+        )
+        cand = top if cand is None else cand.unionByName(top)
+    cand = cand.distinct()
+    pruned = df.join(F.broadcast(cand), id_col, "left_semi")
+    return multivector_search(
+        pruned, id_col, token_vectors_col, query_tokens, limit=limit
+    )
+
+
 # ---------------------------------------------------------------------------
 # MUVERA fixed-dimensional encoding + overfetch/rescore
 # (adapters/repos/db/vector/multivector/muvera.go:28-211,
