@@ -60,6 +60,16 @@ def main() -> int:
     assert n >= 0
 
     con = duckdb.connect()
+    # big sf1 oracles (quadratic dedup joins) otherwise spill unboundedly
+    # and can fill the disk under concurrent Spark load: give DuckDB a
+    # generous in-memory budget and a hard temp ceiling so a runaway
+    # oracle fails ITS query instead of the machine
+    for pragma in ("SET memory_limit='64GB'",
+                   "SET max_temp_directory_size='60GiB'"):
+        try:
+            con.execute(pragma)
+        except Exception:
+            pass
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
