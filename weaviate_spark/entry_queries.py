@@ -5837,11 +5837,16 @@ def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         # independent evaluation: sorted-triple enumeration (x<y<z),
         # not the engine's degree-ordered orientation
-        "WITH raw AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn "
+        # MATERIALIZED: e is referenced three times — inlined, DuckDB
+        # re-runs (and mis-plans) the 4-way fact join per mention and
+        # spills at sf1
+        "WITH raw AS MATERIALIZED (SELECT c.c_nationkey AS cn, "
+        "s.s_nationkey AS sn "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
-        "e AS (SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b "
+        "e AS MATERIALIZED (SELECT DISTINCT least(cn, sn) AS a, "
+        "greatest(cn, sn) AS b "
         "FROM raw WHERE cn <> sn), "
         "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
         "FROM e e1 JOIN e e2 ON e2.a = e1.b "
@@ -8815,14 +8820,17 @@ def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_clustering_coeff",
     oracle=(
-        "WITH raw AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn "
+        "WITH raw AS MATERIALIZED (SELECT c.c_nationkey AS cn, "
+        "s.s_nationkey AS sn "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
-        "ew AS (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, "
+        "ew AS MATERIALIZED (SELECT least(cn, sn) AS a, "
+        "greatest(cn, sn) AS b, "
         "count(*) AS w FROM raw WHERE cn <> sn GROUP BY 1, 2), "
         "t AS (SELECT sum(w) AS tot, count(*) AS ne FROM ew), "
-        "e AS (SELECT a, b FROM ew, t WHERE 10 * w * ne > 11 * tot), "
+        "e AS MATERIALIZED (SELECT a, b FROM ew, t "
+        "WHERE 10 * w * ne > 11 * tot), "
         "deg AS (SELECT n, count(*) AS d FROM "
         "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
         "tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
