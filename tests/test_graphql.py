@@ -140,7 +140,9 @@ def test_aggregate_spec():
     ("{ Get { c @skip(if: true) { y } } }", "directives"),
     ("mutation { x }", "mutation operations"),
     ("{ Get { c { y } } } trailing", "trailing content"),
-    ("{ Explore { c { y } } }", "unsupported root"),
+    # Explore is a supported root since r06 — without its search arg it
+    # fails that requirement instead of the root check
+    ("{ Explore { c { y } } }", "requires a nearVector"),
     ("{ Get { c(where: {operator: Equal, path: [\"x\"], valueInt: 1,"
      " valueText: \"a\"}) { y } } }", "at most one value"),
     ("{ Aggregate { c { x { frobnicate } } } }", "unknown aggregators"),
