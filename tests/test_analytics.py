@@ -1400,6 +1400,39 @@ def test_concurrent_sessions_sweep_line(spark):
     assert r["max_concurrent"] == 2
 
 
+def test_concurrent_sessions_cross_midnight_probe(spark):
+    """A session spanning midnight carries its concurrency into the
+    next day via the day-start probe: day 2 has no session endpoints
+    at all, yet reports max_concurrent 1 (and 0 sessions started)."""
+    from weaviate_spark.operators.analytics import concurrent_sessions_daily
+
+    rows = [
+        (1, datetime.datetime(2024, 3, 1, 23, 50), 1),
+        (1, datetime.datetime(2024, 3, 2, 0, 10), 2),   # same session
+        (1, datetime.datetime(2024, 3, 2, 0, 15), 3),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, i long")
+    out = {str(r["day"]): r
+           for r in concurrent_sessions_daily(df, "u", "ts", "i", 30).collect()}
+    assert out["2024-03-01"]["n_sessions_started"] == 1
+    assert out["2024-03-01"]["max_concurrent"] == 1
+    assert out["2024-03-02"]["n_sessions_started"] == 0
+    assert out["2024-03-02"]["max_concurrent"] == 1
+
+
+def test_markov_stationary_empty_chain(spark):
+    """No transitions (single event per user) -> empty result frame,
+    not a driver-side ZeroDivisionError."""
+    from weaviate_spark.operators.analytics import markov_stationary
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "a", 1)],
+        "u long, ts timestamp, et string, i long")
+    out = markov_stationary(df, "u", "ts", "et", "i", 4)
+    assert out.columns == ["event_type", "stationary_prob"]
+    assert out.count() == 0
+
+
 def test_markov_stationary_two_state_flip(spark):
     """Deterministic a<->b chain: the stationary distribution is
     (0.5, 0.5) and the uniform start is already the fixed point."""

@@ -1066,8 +1066,10 @@ def test_char_entropy_flat_and_binary(spark):
     from weaviate_spark.operators.textstats import char_entropy_by_group
 
     df = spark.createDataFrame(
-        [(1, "aaaa", "x"), (2, "abab", "x")],
+        [(1, "aaaa", "x"), (2, "abab", "x"), (3, "", "x")],
         "doc_id long, text string, source string")
+    # the empty doc is EXCLUDED (matching the oracle's range(1, len+1)):
+    # sequence(1, 0) would descend and fabricate two '' characters
     r = char_entropy_by_group(df, "doc_id", "text", "source").collect()[0]
     assert r["n_docs"] == 2
     assert r["min_entropy"] == 0.0

@@ -9115,8 +9115,14 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sess AS (SELECT u, sid, min(ts) AS s, max(ts) AS e "
         "FROM sid GROUP BY 1, 2), "
         "pts AS (SELECT s AS t, 1 AS d, u FROM sess UNION ALL "
-        "SELECT make_timestamp(epoch_us(e) + 1), -1, u FROM sess), "
-        "sw AS (SELECT t, sum(d) OVER (ORDER BY t ASC, d DESC, u ASC "
+        "SELECT make_timestamp(epoch_us(e) + 1), -1, u FROM sess "
+        "UNION ALL "
+        "SELECT CAST(gs.dd AS TIMESTAMP), 0, u FROM sess, "
+        "unnest(generate_series(CAST(s AS DATE) + 1, CAST(e AS DATE), "
+        "INTERVAL 1 DAY)) AS gs(dd) "
+        "WHERE CAST(e AS DATE) > CAST(s AS DATE)), "
+        "sw AS (SELECT t, sum(d) OVER (ORDER BY t ASC, "
+        "CASE WHEN d = 1 THEN 0 WHEN d = -1 THEN 1 ELSE 2 END ASC, u ASC "
         "ROWS UNBOUNDED PRECEDING) AS run FROM pts), "
         "dm AS (SELECT CAST(t AS DATE) AS day, "
         "CAST(max(run) AS BIGINT) AS max_concurrent FROM sw GROUP BY 1), "

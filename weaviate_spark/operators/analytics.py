@@ -2457,10 +2457,19 @@ def concurrent_sessions_daily(
     Output: (day, n_sessions_started, max_concurrent) — the capacity
     -planning readout.
 
+    Cross-midnight sessions: each day a session SPANS (after its start
+    day, through its end day) gets a delta-0 midnight probe point, so a
+    day whose load is carried entirely by sessions opened earlier still
+    reads the correct concurrency (without probes such a day would
+    report 0/too-low — sweep points would exist only at endpoints).
+    Probes sort AFTER same-instant -1s: a session that ended in the
+    last microsecond of the previous day is not counted at midnight.
+
     All integer arithmetic; the ordered prefix sum runs over the
-    session-ENDPOINT table (2 rows per session, not per event).
-    Tie order (delta desc, user asc) makes the running sum — and
-    therefore the max — fully deterministic under timestamp ties."""
+    session-ENDPOINT(+probe) table (2 rows per session + spanned days,
+    not per event). Tie order (+1, then -1, then probes, then user asc)
+    makes the running sum — and therefore the max — fully deterministic
+    under timestamp ties."""
     us = F.col(user_col).isNotNull()
     base = events.where(us).select(
         F.col(user_col).alias("_u"),
@@ -2488,6 +2497,23 @@ def concurrent_sessions_daily(
     sess = marked.groupBy("_u", "_sid").agg(
         F.min("_ts").alias("_start"), F.max("_ts").alias("_end")
     )
+    # day-start probes (delta 0) for every day a session spans beyond
+    # its start day; the spanning filter guards Spark's descending
+    # sequence(hi, lo) quirk when start and end share a day
+    probes = sess.where(
+        F.col("_end").cast("date") > F.col("_start").cast("date")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.date_add(F.col("_start").cast("date"), 1),
+                F.col("_end").cast("date"),
+            )
+        ).alias("_day"),
+        F.lit(0).alias("_d"),
+        "_u",
+    ).select(
+        F.col("_day").cast("timestamp").alias("_t"), "_d", "_u"
+    )
     pts = sess.select(
         F.col("_start").alias("_t"), F.lit(1).alias("_d"), "_u"
     ).unionByName(
@@ -2496,12 +2522,19 @@ def concurrent_sessions_daily(
             F.lit(-1).alias("_d"),
             "_u",
         )
+    ).unionByName(probes)
+    # same-instant order: +1, then -1, then probes — a probe reads the
+    # sum AFTER decrements of sessions that ended before midnight
+    ord_rank = (
+        F.when(F.col("_d") == 1, F.lit(0))
+        .when(F.col("_d") == -1, F.lit(1))
+        .otherwise(F.lit(2))
     )
     sweep = pts.withColumn(
         "_run",
         F.sum("_d").over(
             Window.orderBy(
-                F.col("_t").asc(), F.col("_d").desc(), F.col("_u").asc()
+                F.col("_t").asc(), ord_rank.asc(), F.col("_u").asc()
             ).rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -2565,6 +2598,13 @@ def markov_stationary(
         .distinct()
     )
     n = states.count()  # state vocabulary — tiny by construction
+    if n == 0:
+        # no transitions (empty input, or every user emitted a single
+        # event): an empty chain has no stationary distribution — return
+        # the empty frame like sibling operators, not ZeroDivisionError
+        return events.sparkSession.createDataFrame(
+            [], "event_type string, stationary_prob double"
+        )
     x = states.select(
         "_s", F.lit(round(1.0 / n, 6)).cast("decimal(10,6)").alias("_x")
     ).localCheckpoint()

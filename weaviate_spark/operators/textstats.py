@@ -823,6 +823,11 @@ def char_entropy_by_group(
     chars = df.select(
         F.col(id_col).alias("_doc"),
         F.lower(F.col(text_col)).alias("_t"),
+    ).filter(
+        # Empty docs are excluded (matching the oracle's range(1, len+1)
+        # semantics): sequence(1, 0) would yield a DESCENDING [1, 0] and
+        # fabricate two '' characters with entropy 0.0.
+        F.length("_t") > 0
     ).select(
         "_doc",
         F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_i"),

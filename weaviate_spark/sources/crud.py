@@ -682,10 +682,14 @@ def insert_batch_with_report(
     1. missing id;
     2. missing required property (in ``required_cols`` order);
     3. custom ``validators`` — (name, boolean Column) pairs, falsy or
-       NULL predicate fails the object;
-    4. duplicate id within the batch — the first occurrence (by
-       ``order_col``, else by the id itself) wins, later ones fail,
-       mirroring the reference's in-order batch processing.
+       NULL predicate fails the object.
+
+    Duplicate ids within a batch are NOT errors: the reference
+    (usecases/objects/batch_manager.go, batch_add.go) processes each
+    object as an independent in-order PUT, so a later duplicate simply
+    overwrites the earlier one — the LAST occurrence (by ``order_col``,
+    else by the id itself) lands in the table and every occurrence
+    reports SUCCESS, exactly as N sequential PUTs would.
 
     Valid objects are MERGED into the table by id (upsert semantics —
     the reference's batch PUT) under the optimistic-concurrency
@@ -709,20 +713,17 @@ def insert_batch_with_report(
             ~F.coalesce(pred, F.lit(False)),
             F.lit(f"invalid: {name}"),
         )
-    order = F.col(order_col).asc() if order_col else F.col(id_col).asc()
+    # last write wins per id: rank occurrences newest-first so _dup_rank
+    # 1 is the occurrence that lands in the table; older ones are
+    # overwritten but still SUCCESS (they were each a valid PUT)
+    order = F.col(order_col).desc() if order_col else F.col(id_col).desc()
     w = Window.partitionBy(id_col).orderBy(order)
     marked = batch_df.withColumn("_rule_err", err).withColumn(
         "_dup_rank",
         F.when(
             F.col(id_col).isNull(), F.lit(1)
         ).otherwise(F.row_number().over(w)),
-    ).withColumn(
-        "_err",
-        F.coalesce(
-            F.col("_rule_err"),
-            F.when(F.col("_dup_rank") > 1, F.lit("duplicate id in batch")),
-        ),
-    )
+    ).withColumn("_err", F.col("_rule_err"))
     marked = marked.localCheckpoint(eager=True)  # one validation pass
     report = marked.select(
         F.col(id_col).alias("id"),
@@ -731,17 +732,24 @@ def insert_batch_with_report(
         .alias("status"),
         F.col("_err").alias("error"),
     )
-    valid = marked.where(F.col("_err").isNull()).drop(
-        "_rule_err", "_dup_rank", "_err"
-    )
+    valid = marked.where(
+        F.col("_err").isNull() & (F.col("_dup_rank") == 1)
+    ).drop("_rule_err", "_dup_rank", "_err")
     n_written = valid.count()
     if n_written:
         import os
 
-        if os.path.exists(table_dir):
-            transact(lambda: upsert(spark, table_dir, valid, id_col))
-        else:
-            valid.write.parquet(table_dir)
+        def _write():
+            if os.path.exists(table_dir):
+                upsert(spark, table_dir, valid, id_col)
+            else:
+                # transactional create: claim version 1 via _rewrite so
+                # two concurrent first-batch writers can't clobber each
+                # other — the loser's retry sees the table and upserts
+                _rewrite(valid, table_dir,
+                         expected_version=table_version(table_dir))
+
+        transact(_write)
     return report, n_written
 
 
