@@ -80,6 +80,11 @@ def main() -> None:
             load_table(spark, sf_dir, "documents"), "doc_id", "text", 3,
             (sf_dir, "documents"),
         )
+        # BQ packed-words artifact (flat-index compress-at-ingest
+        # analogue): built on write so quantized vector queries never
+        # pay the encode — see tools/bench_ann.py for the crossover
+        from weaviate_spark.operators.quantization import build_bq_artifact
+        build_bq_artifact(spark, sf_dir, "embeddings")
     except Exception:
         pass
 

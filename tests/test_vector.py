@@ -376,11 +376,20 @@ def test_named_vectors_relative_score(spark):
 
 def test_near_vector_quantized_routing(spark, sf_dir):
     """Unfiltered cosine top-k routes through the BQ compressed scan
-    above the corpus threshold (and only then): the executed plan of the
-    routed query carries the packed-word hamming stage; the exact path
-    never does. Below the threshold results are exact."""
+    above the corpus threshold (and only then). Since r07 the routed
+    query is a two-stage pipeline: the hamming candidate stage runs over
+    the WRITTEN (id, packed-words) artifact — no float vectors in its
+    scan — and the returned frame is the exact rescore whose base scan
+    carries the candidate ids as a PUSHED In-filter (row-group pruning
+    instead of a full vector-column read)."""
+    import os
+
     from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.quantization import (
+        build_bq_artifact, with_bq_index,
+    )
     from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+    from weaviate_spark.sources.tables import load_table
 
     exact = near_vector(spark, sf_dir, NearVectorSpec(
         collection="embeddings", vector=QVEC, limit=10, quantize="off",
@@ -396,19 +405,30 @@ def test_near_vector_quantized_routing(spark, sf_dir):
     )).select("vec_id", "_distance")
     assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in exact.collect()]
 
-    # forced (or above-threshold) route: plan contains the packed-word
-    # hamming candidate stage and still rescores exactly
+    # ingest-phase artifact: written once, (id, words)-only schema
+    root = build_bq_artifact(spark, sf_dir, "embeddings")
+    assert root is not None and os.path.exists(f"{root}/_COMMITTED")
+    enc = with_bq_index(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        len(QVEC), (sf_dir, "embeddings"),
+    )
+    assert enc.columns == ["vec_id", "_bq0", "_bq1"]  # no float vectors
+
+    # forced (or above-threshold) route: the returned frame is the exact
+    # rescore of the bounded candidate set — its scan prunes by the
+    # pushed id IN-filter rather than reading every vector
     routed = near_vector(spark, sf_dir, NearVectorSpec(
         collection="embeddings", vector=QVEC, limit=10, quantize="bq",
     )).select("vec_id", "_distance")
     rows = routed.collect()
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    assert "bit_count" in plan and "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [In(vec_id" in plan
     assert len(rows) == 10
 
 
 def test_near_vector_quantized_threshold_trips(spark, sf_dir):
-    """quantize_threshold=1 makes the auto route take the BQ plan."""
+    """quantize_threshold=1 makes the auto route take the BQ plan (the
+    rescore-by-pushed-id-filter shape, not the exact full scan)."""
     from weaviate_spark.entry_queries import QVEC
     from weaviate_spark.operators.vector import NearVectorSpec, near_vector
 
@@ -417,7 +437,7 @@ def test_near_vector_quantized_threshold_trips(spark, sf_dir):
     )).select("vec_id", "_distance")
     routed.collect()
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    assert "bit_count" in plan
+    assert "PushedFilters: [In(vec_id" in plan
 
 
 def test_knn_classify_labeled_set_cap(spark):

@@ -1,0 +1,120 @@
+"""ANN crossover benchmark (VERDICT r06 ask #1): measure the BQ
+compressed-scan + exact-rescore route against the exact brute-force
+scan on the same corpus, with the index artifact built in an explicit
+UNTIMED ingest phase (the way BM25 stats tables are) — the claim under
+test is vector.py's quantized-by-default routing above
+AUTO_QUANTIZE_MIN_ROWS rows.
+
+Usage:
+    python tools/bench_ann.py [sf_dir] [out.json]
+
+Defaults: sf_dir=/root/repo/testdata_sf1 (500k x 64-dim vectors — above
+the 200k routing threshold), stdout JSON only.
+
+Protocol mirrors bench.py: JVM warmup on a smaller sf, then each
+variant runs 4 times — "cold" is the first run (fresh session plan
+analysis; the artifact is ALREADY on disk, as it would be on any live
+cluster), the headline number is the median of the 3 steady runs.
+Also asserts both variants return identical row counts and that the
+quantized top-k ids match the exact top-k (recall@10 on this corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from weaviate_spark.session import get_spark  # noqa: E402
+
+
+def _run(fn, n: int = 4):
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    return runs[0], sorted(runs[1:])[1]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("weaviate-spark-bench-ann")
+
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.quantization import build_bq_artifact
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    # codegen warmup on the small sf (both plan shapes)
+    warm = "/root/testdata/sf0.001"
+    for q in ("off", "bq"):
+        try:
+            near_vector(spark, warm, NearVectorSpec(
+                collection="embeddings", vector=QVEC, limit=10, quantize=q,
+            )).count()
+        except Exception:
+            pass
+
+    # UNTIMED ingest phase: write the packed-words artifact (idempotent;
+    # on a live cluster this happened when the collection landed)
+    t0 = time.time()
+    root = build_bq_artifact(spark, sf_dir, "embeddings")
+    ingest_s = round(time.time() - t0, 3)
+
+    def exact():
+        return near_vector(spark, sf_dir, NearVectorSpec(
+            collection="embeddings", vector=QVEC, limit=10, quantize="off",
+        )).select("vec_id", "_distance")
+
+    def quantized(overfetch: int = 4):
+        return near_vector(spark, sf_dir, NearVectorSpec(
+            collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+            quantize_overfetch=overfetch,
+        )).select("vec_id", "_distance")
+
+    exact_cold, exact_med = _run(lambda: exact().count())
+    q_cold, q_med = _run(lambda: quantized().count())
+    # higher-recall configuration (the RescoreLimit dial — the reference
+    # default rescores only k candidates, flat/index.go:423-431; our
+    # default overfetch=4 rescores 4k; 64 rescores 640)
+    q64_cold, q64_med = _run(lambda: quantized(64).count())
+
+    e_rows = [tuple(r) for r in exact().collect()]
+    q_rows = [tuple(r) for r in quantized().collect()]
+    q64_rows = [tuple(r) for r in quantized(64).collect()]
+    recall = len({r[0] for r in e_rows} & {r[0] for r in q_rows}) / max(
+        1, len(e_rows))
+    recall64 = len({r[0] for r in e_rows} & {r[0] for r in q64_rows}) / max(
+        1, len(e_rows))
+
+    result = {
+        "metric": "nearVector exact scan vs BQ compressed scan + rescore",
+        "sf_dir": sf_dir,
+        "corpus_rows": spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet").count(),
+        "ingest_artifact_s": ingest_s,
+        "artifact_dir": root,
+        "exact": {"cold": exact_cold, "steady_median": exact_med},
+        "quantized": {"cold": q_cold, "steady_median": q_med},
+        "quantized_overfetch64": {"cold": q64_cold, "steady_median": q64_med},
+        "speedup_steady": round(exact_med / q_med, 3) if q_med else None,
+        "speedup_cold": round(exact_cold / q_cold, 3) if q_cold else None,
+        "speedup_steady_overfetch64":
+            round(exact_med / q64_med, 3) if q64_med else None,
+        "recall_at_10_vs_exact": recall,
+        "recall_at_10_overfetch64": recall64,
+        "results_identical": e_rows == q_rows,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,16 +48,20 @@ KEYED = {
 VERBATIM = ["region", "nation"]
 
 
-def gen(mult: int, out_dir: str) -> None:
+def gen(mult: int, out_dir: str, tables: list[str] | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in VERBATIM:
+        if tables and t not in tables:
+            continue
         con.sql(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
             f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: verbatim")
     for t, keys in KEYED.items():
+        if tables and t not in tables:
+            continue
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
         selects = []
@@ -91,4 +95,5 @@ def gen(mult: int, out_dir: str) -> None:
 if __name__ == "__main__":
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
-    gen(mult, out)
+    tables = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    gen(mult, out, tables)

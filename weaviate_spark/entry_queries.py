@@ -665,7 +665,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearVector top-k, cosine (hnsw/distancer/cosine_dist.go);
     plan = narrow distance eval + TakeOrderedAndProject."""
     out = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=10,
+        collection="embeddings", vector=QVEC, limit=10, quantize="off",
     ))
     return out.select("vec_id", "label", "_distance")
 
@@ -726,7 +726,7 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_near_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearObject: query vector looked up by id (retrieval.go:128-135)."""
     out = near_object(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=[], limit=10,
+        collection="embeddings", vector=[], limit=10, quantize="off",
     ), object_id=7)
     return out.select("vec_id", "_distance")
 
@@ -1131,7 +1131,7 @@ def q_search_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     hits = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=50,
+        collection="embeddings", vector=QVEC, limit=50, quantize="off",
     )).select("vec_id", "label", "_distance")
     out = group_search_results(
         hits, "label",
@@ -1211,7 +1211,7 @@ def q_search_group_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     hits = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=50,
+        collection="embeddings", vector=QVEC, limit=50, quantize="off",
     )).select("vec_id", "label", "_distance")
     grouped = group_search_results(
         hits, "label",
@@ -1294,7 +1294,7 @@ def q_search_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     hits = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=30,
+        collection="embeddings", vector=QVEC, limit=30, quantize="off",
     )).select("vec_id", "label", "_distance")
     exploded = hits.select(
         "vec_id", "label", "_distance",
@@ -1757,7 +1757,7 @@ def q_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.rerank import explore
 
     leg1 = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=12,
+        collection="embeddings", vector=QVEC, limit=12, quantize="off",
     )).select("vec_id", "_distance")
     leg2 = near_vector(spark, sf_dir, NearVectorSpec(
         collection="docs_embedded", vector=QVEC, id_col="doc_id", limit=12,
@@ -2074,7 +2074,7 @@ def _collect_rerank_window(spark: SparkSession, sf_dir: str) -> list[dict]:
 
     top = near_vector(
         spark, sf_dir,
-        NearVectorSpec(collection="embeddings", vector=QVEC, limit=20),
+        NearVectorSpec(collection="embeddings", vector=QVEC, limit=20, quantize="off"),
     ).select("vec_id", "_distance", "embedding")
     return [
         {"vec_id": r["vec_id"], "rel": 1.0 - r["_distance"],
@@ -2721,7 +2721,7 @@ def q_agg_object_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     topk = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=QVEC, limit=100,
+        collection="embeddings", vector=QVEC, limit=100, quantize="off",
     )).select("vec_id", "label", "_distance")
     return topk.groupBy("label").agg(
         F.count(F.lit(1)).alias("meta_count"),
@@ -9014,7 +9014,7 @@ def q_graphql_explore_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "className", "beacon", "distance"]
     vec, limit = spec["near_vector"].vector, spec["limit"]
     leg1 = near_vector(spark, sf_dir, NearVectorSpec(
-        collection="embeddings", vector=vec, limit=limit,
+        collection="embeddings", vector=vec, limit=limit, quantize="off",
     )).select("vec_id", "_distance")
     leg2 = near_vector(spark, sf_dir, NearVectorSpec(
         collection="docs_embedded", vector=vec, id_col="doc_id", limit=limit,

@@ -131,6 +131,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
             vector_col=spec.vector_col, id_col=id_col, metric=spec.metric,
             limit=cap, distance=spec.max_vector_distance,
             round_digits=spec.round_digits,
+            # hybrid fuses EXACT leg scores (reference fuses the real
+            # vector distances; compression stays a per-collection
+            # opt-in, flat/config.go:25 DefaultCompressionEnabled=false)
+            quantize="off",
         ), df=df).select(id_col, (F.lit(1.0) - F.col("_distance")).alias("_secondary"))
         legs.append((dense, spec.alpha))
 

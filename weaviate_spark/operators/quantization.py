@@ -12,9 +12,11 @@ Spark shape:
   BIGINT word (32, not 64, so the same packing is expressible in the
   duckdb oracle without unsigned/sign-bit edge cases). Pure column
   expression — encoding is a narrow map, no shuffle.
-* ``with_bq_index`` — session-persisted encoded table (ingest artifact,
-  like the BM25 postings and dedup shingle/signature tables). At real
-  scale this is a written table column, maintained on ingest.
+* ``with_bq_index`` — the encoded (id, packed-words) table, served from
+  a WRITTEN ingest artifact (build_bq_artifact — like the BM25 postings
+  and dedup shingle/signature tables) and session-cached; the float
+  vectors never live in it, so the candidate scan reads ~dim/32 longs
+  per row cold or warm.
 * ``bq_topk`` — hamming-distance overfetch (bit_count of xor per word —
   whole-stage-codegen integer ops, ~dim/32 instructions per row instead
   of dim float multiplies) -> TakeOrderedAndProject of the candidate
@@ -93,6 +95,95 @@ def hamming_col(word_cols: Sequence[Column], query_words: Sequence[int]) -> Colu
 # at the next resolve — see weaviate_spark/incremental.py.
 _vector_tables = SegmentStore("quantized-vector-indexes")
 
+# Written BQ artifact (the flat index's compress-at-ingest analogue,
+# flat/index.go:60-78, persisted like the BM25 postings tables): the
+# packed sign-bit words live in a parquet table of (id, _bq0.._bqN) —
+# NO float vectors — so the compressed candidate scan reads ~dim/32
+# longs per row instead of a dim-float array, cold or warm. The path
+# embeds a source mtime+size fingerprint (stale artifacts are never
+# served; superseded ones GC at build) and a format/layout hash.
+VECTOR_ARTIFACT_ROOT = "/root/repo/.artifacts/vecindex"
+VEC_ARTIFACT_FORMAT = 1
+
+
+def build_bq_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int | None = None,
+) -> str | None:
+    """Ingest-phase build of the written BQ artifact (idempotent): call
+    this when a vectorized collection lands, the way BM25 stats tables
+    are built on write — queries then never pay the encode, even on a
+    cold session. Returns the artifact dir, or None for a source
+    without a stable fingerprint (in-memory/test corpora)."""
+    base = load_table(spark, sf_dir, collection)
+    if dim is None:
+        row = base.select(F.size(F.col(vector_col)).alias("d")).where(
+            F.col(vector_col).isNotNull()).limit(1).collect()
+        if not row:
+            return None
+        dim = int(row[0]["d"])
+    return _bq_artifact_dir(base, sf_dir, collection, id_col, vector_col, dim)
+
+
+def _bq_artifact_dir(
+    base: DataFrame, sf_dir: str, collection: str,
+    id_col: str, vector_col: str, dim: int,
+) -> str | None:
+    """Resolve (building if absent) the written artifact directory for
+    this (source fingerprint, layout) — None when the source has no
+    stable files to fingerprint."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from weaviate_spark.operators.bm25 import _artifact_lock, _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, collection)
+    if fp is None:
+        return None
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
+    var_h = hashlib.md5(
+        repr(("bq", id_col, vector_col, dim, VEC_ARTIFACT_FORMAT)).encode()
+    ).hexdigest()[:12]
+    coll_root = f"{VECTOR_ARTIFACT_ROOT}/{tag}/{collection}"
+    root = f"{coll_root}/{fp_h}/{var_h}"
+    done = f"{root}/_COMMITTED"
+    if os.path.exists(done):
+        return root
+    with _artifact_lock:
+        if not os.path.exists(done):
+            # GC artifacts of superseded source fingerprints
+            if os.path.isdir(coll_root):
+                for old in os.listdir(coll_root):
+                    if old != fp_h:
+                        shutil.rmtree(os.path.join(coll_root, old),
+                                      ignore_errors=True)
+            (
+                _bq_code_frame(base, id_col, vector_col, dim)
+                .write.mode("overwrite").parquet(f"{root}/codes")
+            )
+            open(done, "w").close()
+    return root
+
+
+def _bq_code_frame(
+    rows: DataFrame, id_col: str, vector_col: str, dim: int
+) -> DataFrame:
+    """(id, _bq0.._bqN) for the non-null vectors of ``rows`` — null
+    vectors have nothing to index (they would encode to all-zero codes
+    and float to the top of every hamming order)."""
+    return rows.where(F.col(vector_col).isNotNull()).select(
+        id_col,
+        *[c.alias(f"_bq{w}")
+          for w, c in enumerate(bq_encode(F.col(vector_col), dim))],
+    )
+
 
 def invalidate_bq_index() -> None:
     # the three quantized families share one store but invalidate
@@ -118,19 +209,27 @@ def append_to_vector_indexes(batch_df: DataFrame, table_key: tuple) -> int:
 def with_bq_index(
     df: DataFrame, id_col: str, vector_col: str, dim: int, table_key: tuple
 ) -> DataFrame:
-    """(id, vector, _bq0.._bqN) — encoded collection, built once per
-    session (flat/index.go:60-78 compresses at ingest, not per query)."""
+    """(id, _bq0.._bqN) — encoded collection, served from the WRITTEN
+    ingest artifact when the source has one (flat/index.go:60-78
+    compresses at ingest, not per query; the session build is the
+    fallback for fingerprint-less test corpora). Streaming appends
+    layer on top as O(batch) segments either way."""
     key = (session_key(df.sparkSession), *table_key, dim)
 
     def _encode(rows: DataFrame) -> DataFrame:
-        return rows.select(
-            id_col,
-            vector_col,
-            *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col(vector_col), dim))],
-        )
+        return _bq_code_frame(rows, id_col, vector_col, dim)
+
+    def _build() -> DataFrame:
+        if len(table_key) == 2:
+            sf_dir, collection = table_key
+            root = _bq_artifact_dir(df, str(sf_dir), str(collection),
+                                    id_col, vector_col, dim)
+            if root is not None:
+                return df.sparkSession.read.parquet(f"{root}/codes")
+        return _encode(df)
 
     return _vector_tables.resolve(
-        key, key[: len(table_key) + 1], id_col, lambda: _encode(df), _encode,
+        key, key[: len(table_key) + 1], id_col, _build, _encode,
         family="bq",
     )
 
@@ -164,11 +263,7 @@ def bq_topk(
     if table_key is not None:
         enc = with_bq_index(base, id_col, vector_col, dim, table_key)
     else:
-        enc = base.select(
-            id_col,
-            vector_col,
-            *[c.alias(f"_bq{w}") for w, c in enumerate(bq_encode(F.col(vector_col), dim))],
-        )
+        enc = _bq_code_frame(base, id_col, vector_col, dim)
     if where is not None:
         from weaviate_spark.filters import apply_where
 
@@ -180,18 +275,29 @@ def bq_topk(
     qwords = bq_encode_py(vector)
     word_cols = [F.col(f"_bq{w}") for w in range(_n_words(dim))]
     candidates = (
-        # null vectors would encode to all-zero codes and float to the
-        # top of the hamming order; the reference simply has no vector
-        # to index for them, so drop them before candidate selection
-        enc.where(F.col(vector_col).isNotNull())
-        .withColumn("_hamming", hamming_col(word_cols, qwords))
+        enc.withColumn("_hamming", hamming_col(word_cols, qwords))
         .orderBy(F.col("_hamming").asc(), F.col(id_col).asc())
         .limit(overfetch * k)
     )
+    # exact rescore of ONLY the candidates: collect the ≤ overfetch*k
+    # candidate ids (a bounded post-stage driver step, exactly the
+    # reference's searchTimeRescore list) and push them into the base
+    # scan as an id IN-filter — parquet row-group/page pruning reads a
+    # handful of pages of the float vectors instead of the corpus. A
+    # broadcast join would skip the collect but scan every vector page.
+    cand_ids = [r[0] for r in candidates.select(id_col).collect()]
+    if not cand_ids:
+        return base.select(
+            id_col, F.lit(None).cast("double").alias("_distance")
+        ).limit(0)
     qv = F.array(*[F.lit(float(x)) for x in vector])
-    rescored = candidates.withColumn(
-        "_distance",
-        F.round(distance(F.col(vector_col), qv, metric), round_digits),
+    rescored = (
+        base.where(F.col(id_col).isin(cand_ids)
+                   & F.col(vector_col).isNotNull())
+        .withColumn(
+            "_distance",
+            F.round(distance(F.col(vector_col), qv, metric), round_digits),
+        )
     )
     return (
         rescored.select(id_col, "_distance")

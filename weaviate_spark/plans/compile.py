@@ -122,6 +122,11 @@ def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFram
             vector_col=vector_col, id_col=id_col, metric=nv.metric,
             limit=limit, distance=nv.distance, certainty=nv.certainty,
             where=spec.where,
+            # front-end queries follow the reference's flat-index
+            # default: compression OFF (DefaultCompressionEnabled=false,
+            # entities/vectorindex/flat/config.go:25) — the BQ plan is a
+            # per-collection opt-in, not a silent corpus-size flip
+            quantize="off",
         ))
 
     if spec.autocut > 0:
