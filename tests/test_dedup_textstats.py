@@ -828,6 +828,31 @@ def test_tfidf_cosine_df_pruning_drops_stopword_pairs(spark):
     assert out.count() == 0
 
 
+def test_tfidf_posting_cap_bounds_pair_join(spark):
+    """max_postings_per_term keeps only a term's heaviest postings
+    (weight desc, doc asc): with cap=2 a term shared by many docs pairs
+    at most 2 of them — the absolute bucket bound that keeps the
+    inverted-index self-join sub-quadratic at any corpus size."""
+    from weaviate_spark.operators.similarity import tfidf_cosine_topk
+
+    # 'shared' appears in all 6 docs (df frac 1.0 would drop it, so
+    # allow via max_df_frac=1.0); per-doc weights are equal so doc asc
+    # breaks ties -> docs 0 and 1 keep the posting
+    df = spark.createDataFrame(
+        [(i, f"shared unique{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_topk(df, "doc_id", "text", k=5, max_df_frac=1.0,
+                            max_postings_per_term=2)
+    pairs = {(r["doc_id"], r["neighbor_id"]) for r in out.collect()}
+    assert pairs == {(0, 1), (1, 0)}
+    # cap off: all 15 doc pairs meet through 'shared' (both directions)
+    out_all = tfidf_cosine_topk(df, "doc_id", "text", k=5,
+                                max_df_frac=1.0,
+                                max_postings_per_term=None)
+    assert out_all.count() == 30
+
+
 def test_audio_band_energy_sine_lights_its_own_bin(spark):
     import io
     import math

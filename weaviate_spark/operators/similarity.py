@@ -272,6 +272,7 @@ def tfidf_cosine_topk(
     m_terms: int = 10,
     k: int = 5,
     max_df_frac: float = 0.2,
+    max_postings_per_term: int | None = 1000,
 ) -> DataFrame:
     """Sparse document-to-document similarity: top-k neighbors per doc
     by cosine over pruned TF-IDF vectors, via an inverted-index join —
@@ -279,20 +280,30 @@ def tfidf_cosine_topk(
     catches paraphrase/near-topic pairs BM25-style retrieval misses
     when there's no short query).
 
-    Pruning (both deterministic, both part of the contract semantics):
+    Pruning (all deterministic, all part of the contract semantics):
     * terms appearing in more than ``max_df_frac`` of docs are dropped
       from PAIRING (stopword-like postings are where an inverted-index
       self-join degenerates toward n^2);
     * each doc keeps only its ``m_terms`` heaviest terms (weight
       rounded to 6dp, ties on the term string), so each doc contributes
-      a bounded number of postings regardless of length.
+      a bounded number of postings regardless of length;
+    * each TERM keeps only its ``max_postings_per_term`` heaviest
+      postings (weight desc, doc asc — minhash's ``max_bucket_size``
+      pattern, dedup.py). A FRACTIONAL df cap alone leaves pair counts
+      quadratic in corpus size on homogeneous corpora (df_kept grows
+      linearly with N; pairs = sum df_kept^2); the ABSOLUTE cap bounds
+      every term's pair contribution at cap^2 regardless of N. Recall
+      note: a doc squeezed out of a term's capped posting list loses
+      that term from its vector — the bias lands on the LOWEST-weight
+      postings of the most common kept terms, the least discriminative
+      coordinates (same character as the df drop).
 
     Cosine is exact over the pruned vectors (L2-normalized kept
     weights). Scale: tf/df are map-side-combined groupBys (df is the
     BM25 artifact statistic); the pair join shuffles on the term key
-    with bucket sizes capped by the df filter; per-doc top-k is a
-    bounded window. Postings per doc <= m_terms, so candidate pairs
-    are O(sum_term df_term^2) with df capped — never all-pairs.
+    with per-term bucket sizes <= max_postings_per_term; per-doc top-k
+    is a bounded window. Candidate pairs are
+    O(n_terms * max_postings_per_term^2) — never all-pairs, at any N.
     """
     from pyspark.sql import Window
 
@@ -332,6 +343,15 @@ def tfidf_cosine_topk(
         .where(F.col("_rk") <= m_terms)
         .select("_doc", "_t", "_w")
     )
+    if max_postings_per_term is not None:
+        per_term = Window.partitionBy("_t").orderBy(
+            F.col("_w").desc(), F.col("_doc").asc()
+        )
+        kept = (
+            kept.withColumn("_pr", F.row_number().over(per_term))
+            .where(F.col("_pr") <= max_postings_per_term)
+            .drop("_pr")
+        )
     norm = kept.groupBy("_doc").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
     postings = register_cache(
         kept.join(norm, "_doc")
