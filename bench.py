@@ -88,29 +88,49 @@ def main() -> None:
     except Exception:
         pass
 
-    # Protocol (since r04): each query runs FOUR times at the bench sf;
-    # "cold" is the first run (single-shot incl. plan analysis + AQE
-    # compilation — comparable to r01's protocol), "queries"/"value"
-    # report the MEDIAN of the three subsequent steady-state runs.
-    # Median-of-3 because measured machine variance between identical
-    # runs is 2-3x per query (r03 judge re-run vs driver run on
-    # byte-identical code), so single-run totals whipsaw round-to-round;
-    # the median is stable. A long-lived cluster always runs warm — the
-    # engine comparison we care about is per-query throughput, but both
-    # numbers are recorded so regressions in either are visible.
+    # Protocol (since r07, extending r04's): each query runs SIX times
+    # at the bench sf; "cold" is the first run (single-shot incl. plan
+    # analysis + AQE compilation — comparable to r01's protocol),
+    # "queries"/"value" report the MEDIAN OF THE FIVE subsequent
+    # steady-state runs (r06 verdict ask #5: n>=5 medians — measured
+    # machine variance between identical runs is 2-3x per query, and
+    # r06's driver total moved 23% on unchanged code). "plan_sha" hashes
+    # each query's NORMALIZED executed plan (expression ids, codegen
+    # numbering, and paths stripped) so a plan change is detectable
+    # separately from machine noise: same hash + different time = the
+    # machine, different hash = the code.
+    import hashlib
+    import re
+
+    def plan_sha(df) -> str:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        norm = re.sub(r"#\d+[A-Za-z]*", "#", plan)       # expr ids
+        norm = re.sub(r"\[plan_id=\d+\]", "", norm)       # exchange ids
+        norm = re.sub(r"\(\d+\)", "()", norm)             # codegen ids
+        norm = re.sub(r"file:[^,\]\s]+", "file:", norm)   # local paths
+        norm = re.sub(r"\d+\.\d+ [KMG]i?B", "", norm)     # size stats
+        return hashlib.sha256(norm.encode()).hexdigest()[:12]
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         runs = []
-        for _ in range(4):
+        for i in range(6):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            out = fn(spark, sf_dir)
+            out.count()
             runs.append(round(time.time() - t0, 3))
+            if i == 0:
+                try:
+                    plans[name] = plan_sha(out)
+                except Exception:
+                    plans[name] = "n/a"
         cold[name] = runs[0]
-        times[name] = sorted(runs[1:])[1]  # median of the 3 steady runs
+        times[name] = sorted(runs[1:])[2]  # median of the 5 steady runs
 
     print(json.dumps({
         "metric": "headline query wall-clock (weaviate_spark, local, steady-state)",
@@ -119,6 +139,7 @@ def main() -> None:
         "queries": times,
         "cold_value": round(sum(cold.values()), 3),
         "cold": cold,
+        "plan_sha": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
