@@ -995,6 +995,24 @@ def test_fuzzy_name_pairs_blocking_and_band(spark):
     assert not any("extraordinarily" in a or "extraordinarily" in b for a, b in rows)
 
 
+def test_fuzzy_name_pairs_hub_bucket_guard(spark):
+    """A first-token hub bucket over max_bucket_size drops out of
+    pairing (minhash's bucket cap); smaller buckets are untouched."""
+    from weaviate_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = [(i, f"mohammed v{i}") for i in range(5)]        # hub: 5 names
+    rows += [(100, "zoe smith"), (101, "zoe smyth")]        # small bucket
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r["name_a"], r["name_b"])
+           for r in fuzzy_name_pairs(df, "id", "name", max_edit=3,
+                                     max_bucket_size=4).collect()}
+    assert out == {("zoe smith", "zoe smyth")}
+    # cap raised: the hub pairs reappear
+    out_all = fuzzy_name_pairs(df, "id", "name", max_edit=3,
+                               max_bucket_size=100)
+    assert out_all.where(F.col("name_a").startswith("mohammed")).count() > 0
+
+
 def test_keep_best_quality_selects_argmax_per_cluster(spark):
     from weaviate_spark.operators.dedup import keep_best_quality
 

@@ -5490,8 +5490,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH names AS (SELECT p_name AS n, count(*) AS c FROM part "
         "WHERE p_name IS NOT NULL GROUP BY p_name), "
-        "k AS (SELECT n, c, split_part(n, ' ', 1) AS blk, length(n) AS l "
-        "FROM names) "
+        "k0 AS (SELECT n, c, split_part(n, ' ', 1) AS blk, length(n) AS l "
+        "FROM names), "
+        "ok AS (SELECT blk FROM k0 GROUP BY blk "
+        "HAVING count(*) <= 10000), "
+        "k AS (SELECT k0.* FROM k0 JOIN ok USING (blk)) "
         "SELECT a.n AS name_a, b.n AS name_b, "
         "CAST(levenshtein(a.n, b.n) AS BIGINT) AS distance, "
         "CAST(a.c AS BIGINT) AS n_a, CAST(b.c AS BIGINT) AS n_b "
