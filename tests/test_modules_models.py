@@ -1,0 +1,94 @@
+"""Real-model vectorizer plumbing (VERDICT r06 ask #6).
+
+The Spark-side contract — registry entry, iterator-batched UDF, schema,
+once-per-executor model load — is tested with a FAKE runtime through
+the documented ``_loader`` seam; the true sentence-transformers path
+runs only when the optional extra is installed (skipped offline)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_sentence_transformer_udf_plumbing(spark):
+    from weaviate_spark.modules_models import sentence_transformer_udf
+
+    def fake_loader():
+        # closure-local fake (cloudpickle ships it by value to the
+        # executors): SentenceTransformer's encode surface, with a
+        # per-instance load marker baked into every vector so the
+        # once-per-stream model load is observable from the results
+        class Fake:
+            def __init__(self):
+                self.marker = float(id(self) % 97)
+
+            def encode(self, texts, batch_size=None,
+                       normalize_embeddings=True):
+                out = []
+                for t in texts:
+                    v = [float(len(t)),
+                         float(sum(c in "aeiou" for c in t)) + 1.0,
+                         1.0]
+                    if normalize_embeddings:
+                        n = sum(x * x for x in v) ** 0.5 or 1.0
+                        v = [x / n for x in v]
+                    out.append(v + [self.marker])
+                return out
+
+        return Fake()
+
+    udf = sentence_transformer_udf(_loader=fake_loader)
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "spark engine"), (3, None)],
+        "id long, text string",
+    ).repartition(1)
+    rows = {r["id"]: r["vec"] for r in
+            df.select("id", udf(F.col("text")).alias("vec")).collect()}
+    assert len(rows[1]) == 4
+    # normalized output (marker excluded)
+    assert abs(sum(x * x for x in rows[1][:3]) - 1.0) < 1e-5
+    # None -> "" embeds (vector search never sees nulls from the UDF)
+    assert rows[3] is not None
+    # iterator form: ONE model instance served the whole partition
+    assert len({tuple(v)[-1] for v in rows.values()}) == 1
+
+
+def test_registry_entry_present():
+    import weaviate_spark.modules_models  # noqa: F401  (registers)
+    from weaviate_spark.modules import VECTORIZERS
+
+    assert "text2vec-transformers" in VECTORIZERS
+
+
+def test_missing_extra_raises_clear_error(spark):
+    """Without the optional extra the factory raises an ImportError
+    naming it — at USE time, never at module import."""
+    if importlib.util.find_spec("sentence_transformers"):
+        pytest.skip("extra installed; the error path is untestable here")
+    from weaviate_spark.modules_models import sentence_transformer_udf
+
+    udf = sentence_transformer_udf()
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(Exception, match="sentence-transformers"):
+        df.select(udf(F.col("text"))).collect()
+
+
+@pytest.mark.skipif(
+    not importlib.util.find_spec("sentence_transformers"),
+    reason="optional extra sentence-transformers not installed",
+)
+def test_real_model_end_to_end(spark):  # pragma: no cover - opt-in
+    from weaviate_spark.modules import VECTORIZERS
+
+    udf = VECTORIZERS["text2vec-transformers"]()
+    df = spark.createDataFrame(
+        [(1, "a cat sat"), (2, "feline resting"), (3, "stock market")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["v"] for r in
+           df.select("id", udf(F.col("text")).alias("v")).collect()}
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    assert dot(out[1], out[2]) > dot(out[1], out[3])

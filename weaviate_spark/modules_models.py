@@ -1,0 +1,115 @@
+"""Real embedding-model vectorizers behind the module registry
+(VERDICT r06 ask #6; reference: usecases/modules — VectorFromInput
+routes a collection's configured vectorizer module; modules/
+text2vec-transformers serves the actual model).
+
+The registry contract is unchanged from the deterministic dummies
+(modules.py): a vectorizer is a factory returning an Arrow-batched
+pandas UDF producing ``array<float>``. The factories here bind PUBLIC
+model runtimes that are OPTIONAL EXTRAS — none are baked into this
+container, so every import is gated and the factory raises a clear
+error naming the missing dependency instead of failing at import time.
+Tests exercise the plumbing with a fake runtime and skip the real-model
+path offline (tests/test_modules_models.py).
+
+Plan shape: the model loads ONCE PER EXECUTOR via the iterator-of-
+batches UDF form (a per-row or per-batch load would dominate runtime);
+inference is Arrow-batched. On a 1000-executor cluster each executor
+holds one model instance and streams its partitions through it —
+exactly how the reference's transformers container amortizes model
+load across requests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from weaviate_spark.modules import register_vectorizer
+
+
+def _load_sentence_transformer(model_name: str):
+    try:
+        from sentence_transformers import SentenceTransformer  # type: ignore
+    except ImportError as exc:  # pragma: no cover - optional extra
+        raise ImportError(
+            "text2vec-transformers needs the optional extra "
+            "'sentence-transformers' (pip install sentence-transformers); "
+            "this container ships only the deterministic text2vec-dummy"
+        ) from exc
+    return SentenceTransformer(model_name)
+
+
+def sentence_transformer_udf(
+    model_name: str = "all-MiniLM-L6-v2",
+    batch_size: int = 64,
+    normalize: bool = True,
+    _loader: Optional[Callable] = None,
+):
+    """pandas UDF embedding a text column with a sentence-transformers
+    model. ``_loader`` is the test seam: a zero-arg callable returning
+    an object with ``.encode(list[str], batch_size=, normalize_embeddings=)``
+    (the public SentenceTransformer surface) — production leaves it
+    None and loads the real model once per executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    loader = _loader or (lambda: _load_sentence_transformer(model_name))
+
+    @pandas_udf("array<float>")
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader()  # once per executor task stream, not per batch
+        for batch in batches:
+            texts = ["" if t is None else str(t) for t in batch]
+            vecs = model.encode(
+                texts, batch_size=batch_size,
+                normalize_embeddings=normalize,
+            )
+            yield pd.Series([[float(x) for x in v] for v in vecs])
+
+    return _embed
+
+
+@register_vectorizer("text2vec-transformers")
+def text2vec_transformers(dim: int = 0, model_name: str = "all-MiniLM-L6-v2"):
+    """Registry entry matching the dummies' (dim) factory signature —
+    ``dim`` is ignored (the model defines it); kept so
+    ``vectorize_column(..., module="text2vec-transformers")`` works
+    unchanged."""
+    return sentence_transformer_udf(model_name)
+
+
+def onnx_embed_udf(model_path: str, tokenizer_json: str, max_len: int = 256):
+    """ONNX-runtime variant (the no-torch deployment path): mean-pooled
+    last-hidden-state embeddings from an exported transformer. Gated on
+    the optional 'onnxruntime' + 'tokenizers' extras."""
+    try:
+        import numpy as np
+        import onnxruntime  # type: ignore
+        from tokenizers import Tokenizer  # type: ignore
+    except ImportError as exc:  # pragma: no cover - optional extra
+        raise ImportError(
+            "onnx_embed_udf needs the optional extras 'onnxruntime' and "
+            "'tokenizers'"
+        ) from exc
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        sess = onnxruntime.InferenceSession(model_path)
+        tok = Tokenizer.from_file(tokenizer_json)
+        tok.enable_truncation(max_length=max_len)
+        tok.enable_padding()
+        for batch in batches:
+            encs = tok.encode_batch(["" if t is None else str(t) for t in batch])
+            ids = np.array([e.ids for e in encs], dtype=np.int64)
+            mask = np.array([e.attention_mask for e in encs], dtype=np.int64)
+            hidden = sess.run(
+                None, {"input_ids": ids, "attention_mask": mask})[0]
+            m = mask[..., None].astype(hidden.dtype)
+            pooled = (hidden * m).sum(axis=1) / m.sum(axis=1).clip(min=1)
+            norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+            pooled = pooled / np.where(norms == 0, 1.0, norms)
+            yield pd.Series([[float(x) for x in v] for v in pooled])
+
+    return _embed
