@@ -278,3 +278,39 @@ def test_table_changes_cdc(spark, tmp_path):
                                   include_unchanged=True).collect()}
     assert allrows[3] == "unchanged"
     assert not crud.table_changes(spark, path, v, v, "k").collect()
+
+
+def test_read_snapshot_survives_concurrent_swap(spark, tmp_path):
+    """A reader whose lazy plan holds the pre-swap file paths is served
+    the PINNED version from the archive when a transactional writer
+    swaps mid-read -- not an error, and not the newer state."""
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a"), (2, "a")])
+    # enter the transactional history so the next swap archives v0
+    crud.upsert(spark, path,
+                spark.createDataFrame([(3, "a")], ["k", "v"]), "k")
+    assert crud.table_version(path) == 1
+
+    def action(df):
+        df = df.where(df.v == "a")
+        # swap happens AFTER the plan binds its file listing...
+        crud.upsert(spark, path,
+                    spark.createDataFrame([(1, "b"), (4, "b")], ["k", "v"]),
+                    "k")
+        # ...so this collect hits moved files and must fall back to the
+        # archived snapshot of version 1 (three 'a' rows)
+        return df.collect()
+
+    rows = crud.read_snapshot(spark, path, action)
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+    assert {r["v"] for r in rows} == {"a"}
+    # the writer's state is the live one for NEW readers
+    live = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert live == {(1, "b"), (2, "a"), (3, "a"), (4, "b")}
+
+
+def test_read_snapshot_plain_read_passthrough(spark, tmp_path):
+    """No concurrent writer: read_snapshot is just a read."""
+    path = str(tmp_path / "t")
+    _write_table(spark, path, [(1, "a")])
+    assert crud.read_snapshot(spark, path, lambda df: df.count()) == 1
