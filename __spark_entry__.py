@@ -59,6 +59,26 @@ _DRIVER_CHECKED = frozenset({
     "text_bpe_token_counts", "text_cjk_dict_segmentation", "text_quality_scores",
     "text_tokens_by_lang", "text_unicode_tokens", "video_avi_mjpeg_frames",
     "video_frame_luma", "zeroshot_classification",
+    # green in CORRECTNESS_r05/r06 (added r07 so the driver window
+    # keeps converging on the never-checked tail):
+    "agg_percentiles", "agg_rollup_region_nation", "audio_band_energy",
+    "audio_frame_features", "curation_doc_chunks", "curation_dsir_weights",
+    "curation_html_extract", "curation_line_dedup", "dedup_fuzzy_names",
+    "dedup_keep_best_quality", "dedup_lsh_recall_audit", "dedup_minhash_clusters",
+    "dedup_simhash_stress", "dedup_substring_pairs", "embedding_hard_negatives",
+    "embedding_label_outliers", "events_anomaly_zscore",
+    "events_asof_click_attribution", "events_funnel_conversion",
+    "events_gap_fill_locf", "events_retention_cohorts", "fact_fact_join_bucketed",
+    "graph_pagerank_trade", "graph_triangle_count", "image_dhash_neardup",
+    "knn_cosine_topk_quantized", "knn_matryoshka_topk", "part_skyline_pareto",
+    "profile_lineitem_columns", "ref_fact_join_agg_bucketed", "ref_filter_chain_3hop",
+    "sample_temperature_mixture", "sample_weighted_topk", "scd2_event_type_history",
+    "sketch_bloom_decontaminate", "sketch_cms_heavy_hitters",
+    "sketch_distinct_hll_kmv", "sketch_histogram_quantiles", "sketch_kmv_set_overlap",
+    "text_bigram_perplexity", "text_hash_embed_knn", "text_quality_percentiles",
+    "text_readability_flesch", "text_repetition_filter", "text_tfidf_cosine_topk",
+    "text_tfidf_keywords", "text_unigram_xent", "tokenizer_bpe_encode",
+    "tokenizer_bpe_train", "video_scene_cuts",
 })
 
 

@@ -65,6 +65,8 @@ INTERESTING = [
     "orders_revenue_trend", "orders_shipping_delay",
     "text_length_histogram", "audio_silence_runs",
     "events_funnel_latency",
+    # round-7: compressed-scan artifact route + skew-capped rewrites
+    "knn_filtered_quantized",
 ]
 
 MARKERS = [

@@ -10049,3 +10049,128 @@ def q_multivector_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "vec_id", "_toks", [QVEC[:21], QVEC[21:42]],
         token_topk=50, limit=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — graph-structured ANN (the HNSW-family gap, VERDICT r06
+# "missing #2"): NN-descent k-NN graph + graph-expanded search.
+# Registered at the END so the driver window keeps converging on the
+# pre-r07 never-checked tail first (ask #8).
+
+def _nn_graph_oracle_cte(k: int = 5, num_planes: int = 8,
+                         dim: int = 64, seed: int = 42) -> str:
+    """Shared CTE prefix replaying nn_descent_graph (LSH-bucket seed,
+    one NN-descent round) with the identical plane constants and
+    tie-breaks; multi-referenced CTEs MATERIALIZED (DuckDB re-executes
+    them otherwise)."""
+    from weaviate_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_expr = " || ".join(
+        f"(CASE WHEN list_dot_product(ev, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = ("round(1 - list_dot_product(av.ev, bv.ev) / "
+           "(sqrt(list_dot_product(av.ev, av.ev)) * "
+           "sqrt(list_dot_product(bv.ev, bv.ev))), 6)")
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"s AS MATERIALIZED (SELECT vec_id, ev, {sig_expr} AS _sig FROM e), "
+        "sp AS (SELECT a.vec_id AS ps, b.vec_id AS pn FROM s a JOIN s b "
+        "ON a._sig = b._sig AND a.vec_id <> b.vec_id), "
+        f"sd AS (SELECT sp.ps, sp.pn, {cos} AS pd FROM sp "
+        "JOIN s av ON sp.ps = av.vec_id JOIN s bv ON sp.pn = bv.vec_id), "
+        "g0 AS MATERIALIZED (SELECT ps, pn, pd FROM "
+        "(SELECT ps, pn, pd, row_number() OVER "
+        "(PARTITION BY ps ORDER BY pd ASC, pn ASC) AS rk FROM sd) "
+        f"WHERE rk <= {k}), "
+        "nn2 AS (SELECT g1.ps AS ps, g2.pn AS pn FROM g0 g1 "
+        "JOIN g0 g2 ON g1.pn = g2.ps WHERE g2.pn <> g1.ps), "
+        "rv AS (SELECT pn AS ps, ps AS pn FROM g0), "
+        "cp AS (SELECT DISTINCT ps, pn FROM (SELECT ps, pn FROM g0 "
+        "UNION ALL SELECT ps, pn FROM nn2 "
+        "UNION ALL SELECT ps, pn FROM rv)), "
+        f"cd AS (SELECT cp.ps, cp.pn, {cos} AS pd FROM cp "
+        "JOIN s av ON cp.ps = av.vec_id JOIN s bv ON cp.pn = bv.vec_id), "
+        "gr AS MATERIALIZED (SELECT ps, pn, pd, rk FROM "
+        "(SELECT ps, pn, pd, row_number() OVER "
+        "(PARTITION BY ps ORDER BY pd ASC, pn ASC) AS rk FROM cd) "
+        f"WHERE rk <= {k})"
+    )
+
+
+@register(
+    "ann_nndescent_graph",
+    oracle=(
+        _nn_graph_oracle_cte()
+        + " SELECT ps AS vec_id, CAST(rk AS BIGINT) AS rank, "
+        "pn AS neighbor_id, pd AS distance FROM gr"
+    ),
+)
+def q_ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-built approximate k-NN GRAPH (NN-descent, Dong et al. WWW
+    2011) — the materialized analogue of the reference's HNSW proximity
+    graph (adapters/repos/db/vector/hnsw/): LSH-bucket seed, one
+    neighbors-of-neighbors + reverse-edge refinement, exact rescore of
+    candidates only. Fully deterministic (6dp distances, id
+    tie-breaks), so the approximate construction itself is
+    hash-checked."""
+    from weaviate_spark.operators.similarity import nn_descent_graph
+
+    return nn_descent_graph(
+        spark, sf_dir, "embeddings", k=5, rounds=1,
+        table_key=(sf_dir, "embeddings", "nng"),
+    )
+
+
+@register(
+    "ann_graph_expand_topk",
+    oracle=None,  # assigned below (needs the query-signature literal)
+)
+def q_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-expanded search: probe ONLY the query's own LSH bucket,
+    take the 10 best members as entries, expand one hop through the
+    NN-descent graph (recovering neighbors that hashed across the
+    bucket boundary), exact-rescore entries+expansions for top-10 —
+    the one-hop DiskANN/HNSW traversal gesture expressible as a batch
+    plan; recall vs exact pinned in tests/test_similarity_graph.py."""
+    from weaviate_spark.operators.similarity import graph_expand_topk
+
+    return graph_expand_topk(
+        spark, sf_dir, "embeddings", QVEC, k=10, seed_m=10, graph_k=5,
+        rounds=1, table_key=(sf_dir, "embeddings", "nng"),
+    )
+
+
+def _graph_expand_oracle_sql(k: int = 10, seed_m: int = 10,
+                             num_planes: int = 8, seed: int = 42) -> str:
+    from weaviate_spark.operators.similarity import _sig_py, hyperplanes
+
+    planes = hyperplanes(num_planes, len(QVEC), seed)
+    qsig = _sig_py(QVEC, planes)
+    qcos = ("round(1 - list_dot_product(t.ev, q.qv) / "
+            "(sqrt(list_dot_product(t.ev, t.ev)) * "
+            "sqrt(list_dot_product(q.qv, q.qv))), 6)")
+    return (
+        _nn_graph_oracle_cte()
+        + f", q AS (SELECT {_QVEC_SQL} AS qv), "
+        "ent AS MATERIALIZED (SELECT t.vec_id FROM s t CROSS JOIN q "
+        f"WHERE t._sig = '{qsig}' "
+        f"ORDER BY {qcos} ASC, t.vec_id ASC LIMIT {seed_m}), "
+        "exp AS (SELECT gr.pn AS vec_id FROM gr "
+        "JOIN ent ON gr.ps = ent.vec_id), "
+        "cands AS (SELECT DISTINCT vec_id FROM "
+        "(SELECT vec_id FROM ent UNION ALL SELECT vec_id FROM exp)) "
+        f"SELECT t.vec_id, {qcos} AS _distance "
+        "FROM s t JOIN cands USING (vec_id) CROSS JOIN q "
+        f"ORDER BY _distance ASC, t.vec_id ASC LIMIT {k}"
+    )
+
+
+ORACLES["ann_graph_expand_topk"] = _graph_expand_oracle_sql()
