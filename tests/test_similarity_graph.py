@@ -109,3 +109,21 @@ def test_graph_expand_recovers_cross_bucket_recall(spark, ring_dir):
     got = {r["vec_id"] for r in out.collect()}
     assert len(got & truth) >= 4  # near-exact on the ring
     invalidate_nn_graphs()
+
+
+def test_hubness_histogram_counts_all_nodes(spark, ring_dir):
+    """Histogram covers every indexed node (orphans at in-degree 0) and
+    total in-links equal the edge count."""
+    from weaviate_spark.operators.similarity import (
+        invalidate_nn_graphs, knn_graph_hubness, nn_descent_graph,
+    )
+
+    invalidate_nn_graphs()
+    hist = {r["in_degree"]: r["n_nodes"]
+            for r in knn_graph_hubness(spark, ring_dir, "embeddings",
+                                       k=3, rounds=1).collect()}
+    assert sum(hist.values()) == 64  # every node counted once
+    edges = nn_descent_graph(spark, ring_dir, "embeddings", k=3,
+                             rounds=1).count()
+    assert sum(d * n for d, n in hist.items()) == edges
+    invalidate_nn_graphs()

@@ -10174,3 +10174,30 @@ def _graph_expand_oracle_sql(k: int = 10, seed_m: int = 10,
 
 
 ORACLES["ann_graph_expand_topk"] = _graph_expand_oracle_sql()
+
+
+@register(
+    "ann_graph_hubness",
+    oracle=(
+        _nn_graph_oracle_cte()
+        + ", ind AS (SELECT pn AS vid, CAST(count(*) AS BIGINT) AS ind "
+        "FROM gr GROUP BY pn), "
+        "nodes AS (SELECT vec_id FROM e) "
+        "SELECT coalesce(ind.ind, 0) AS in_degree, "
+        "CAST(count(*) AS BIGINT) AS n_nodes "
+        "FROM nodes LEFT JOIN ind ON nodes.vec_id = ind.vid "
+        "GROUP BY 1"
+    ),
+)
+def q_ann_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the NN-descent graph: the in-degree
+    histogram (orphans at 0) that flags embedding spaces whose
+    retrieval concentrates on a few hub points (Radovanovic et al.,
+    JMLR 2010) — the index-health readout a 100-TB embedding pipeline
+    checks before trusting its k-NN labels."""
+    from weaviate_spark.operators.similarity import knn_graph_hubness
+
+    return knn_graph_hubness(
+        spark, sf_dir, "embeddings", k=5, rounds=1,
+        table_key=(sf_dir, "embeddings", "nng"),
+    )

@@ -884,3 +884,44 @@ def graph_expand_topk(
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_graph_hubness(
+    spark,
+    sf_dir: str,
+    collection: str,
+    k: int = 5,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    table_key: tuple | None = None,
+) -> DataFrame:
+    """In-degree distribution of the k-NN graph — the hubness
+    diagnostic (Radovanovic et al., JMLR 2010): high-dimensional or
+    degenerate embedding spaces concentrate in-links on a few hub
+    points, which poisons retrieval and k-NN labeling; a healthy space
+    has in-degree concentrated near k. Returns
+    (in_degree, n_nodes) over ALL indexed nodes (orphans count at 0).
+
+    Scale: one count per node over the N*k edge table + a left join
+    from the node frame; output is bounded by max in-degree."""
+    from weaviate_spark.sources.tables import load_table
+
+    graph = nn_descent_graph(
+        spark, sf_dir, collection, k=k, rounds=rounds, id_col=id_col,
+        vector_col=vector_col, num_planes=num_planes, seed=seed,
+        table_key=table_key,
+    )
+    indeg = graph.groupBy(F.col("neighbor_id").alias("_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("_in"))
+    nodes = load_table(spark, sf_dir, collection).where(
+        F.col(vector_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"))
+    return (
+        nodes.join(indeg, "_id", "left")
+        .select(F.coalesce(F.col("_in"), F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
