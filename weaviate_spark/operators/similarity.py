@@ -757,6 +757,20 @@ def nn_descent_graph(
     if memo in _nng_cache:
         return _nng_cache[memo]
 
+    # written ingest artifact (the BQ-words pattern): the graph is an
+    # index a live cluster builds when the collection lands, not per
+    # query — read it back if a committed, fingerprint-current copy
+    # exists; build + write it otherwise
+    art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
+                            vector_col, num_planes, seed)
+    if art is not None:
+        import os
+
+        if os.path.exists(f"{art}/_COMMITTED"):
+            out = spark.read.parquet(f"{art}/graph")
+            _nng_cache[memo] = out
+            return out
+
     base = load_table(spark, sf_dir, collection).where(
         F.col(vector_col).isNotNull())
     dim_row = base.select(F.size(vector_col).alias("d")).limit(1).collect()
@@ -814,8 +828,44 @@ def nn_descent_graph(
         F.col("_nbr").alias("neighbor_id"),
         F.col("_d").cast("double").alias("distance"),
     )
+    if art is not None:
+        import os
+
+        from weaviate_spark.operators.bm25 import _artifact_lock
+
+        with _artifact_lock:
+            if not os.path.exists(f"{art}/_COMMITTED"):
+                out.write.mode("overwrite").parquet(f"{art}/graph")
+                open(f"{art}/_COMMITTED", "w").close()
+        out = spark.read.parquet(f"{art}/graph")
     _nng_cache[memo] = out
     return out
+
+
+def _nng_artifact_dir(sf_dir: str, collection: str, k: int, rounds: int,
+                      id_col: str, vector_col: str, num_planes: int,
+                      seed: int) -> str | None:
+    """Artifact dir for this (source fingerprint, graph params) — None
+    for fingerprint-less in-memory corpora. GC of superseded
+    fingerprints rides the BQ artifact's collection-root sweep."""
+    import hashlib
+    import os
+    import re
+
+    from weaviate_spark.operators.bm25 import _source_fingerprint
+    from weaviate_spark.operators.quantization import VECTOR_ARTIFACT_ROOT
+
+    fp = _source_fingerprint(sf_dir, collection)
+    if fp is None:
+        return None
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
+    var_h = hashlib.md5(
+        repr(("nng", k, rounds, id_col, vector_col, num_planes, seed)).encode()
+    ).hexdigest()[:12]
+    root = f"{VECTOR_ARTIFACT_ROOT}/{tag}/{collection}/{fp_h}/{var_h}"
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def graph_expand_topk(
