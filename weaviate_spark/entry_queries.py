@@ -10124,7 +10124,7 @@ def q_ann_nndescent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.similarity import nn_descent_graph
 
     return nn_descent_graph(
-        spark, sf_dir, "embeddings", k=5, rounds=1,
+        spark, sf_dir, "embeddings", k=5, rounds=1, num_planes=8,
         table_key=(sf_dir, "embeddings", "nng"),
     )
 
@@ -10144,7 +10144,7 @@ def q_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return graph_expand_topk(
         spark, sf_dir, "embeddings", QVEC, k=10, seed_m=10, graph_k=5,
-        rounds=1, table_key=(sf_dir, "embeddings", "nng"),
+        rounds=1, num_planes=8, table_key=(sf_dir, "embeddings", "nng"),
     )
 
 
@@ -10198,6 +10198,6 @@ def q_ann_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.similarity import knn_graph_hubness
 
     return knn_graph_hubness(
-        spark, sf_dir, "embeddings", k=5, rounds=1,
+        spark, sf_dir, "embeddings", k=5, rounds=1, num_planes=8,
         table_key=(sf_dir, "embeddings", "nng"),
     )

@@ -724,7 +724,7 @@ def nn_descent_graph(
     rounds: int = 1,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     seed: int = 42,
     table_key: tuple | None = None,
 ) -> DataFrame:
@@ -761,8 +761,10 @@ def nn_descent_graph(
     # index a live cluster builds when the collection lands, not per
     # query — read it back if a committed, fingerprint-current copy
     # exists; build + write it otherwise
-    art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
-                            vector_col, num_planes, seed)
+    art = None
+    if num_planes is not None:
+        art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
+                                vector_col, num_planes, seed)
     if art is not None:
         import os
 
@@ -773,6 +775,24 @@ def nn_descent_graph(
 
     base = load_table(spark, sf_dir, collection).where(
         F.col(vector_col).isNotNull())
+    if num_planes is None:
+        # auto-scale the bucket count so the seed join stays
+        # sum(bucket^2) ~ N * 64 regardless of corpus size: planes =
+        # log2(N / 64), floored at 8 — a fixed plane count would let
+        # bucket size (and the seed join) grow linearly with N
+        import math
+
+        n = base.count()
+        num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
+        # re-derive the artifact dir with the resolved plane count
+        art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
+                                vector_col, num_planes, seed)
+        import os
+
+        if art is not None and os.path.exists(f"{art}/_COMMITTED"):
+            out = spark.read.parquet(f"{art}/graph")
+            _nng_cache[memo] = out
+            return out
     dim_row = base.select(F.size(vector_col).alias("d")).limit(1).collect()
     dim = int(dim_row[0]["d"]) if dim_row else 0
     idx = build_lsh_index(base, id_col, vector_col,
