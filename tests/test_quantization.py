@@ -458,3 +458,39 @@ def test_bq_topk_filtered_allowlist_first(spark, sf_dir):
     b = [tuple(r) for r in bq_topk(spark, sf_dir, "embeddings", QVEC,
                                    k=10).collect()]
     assert a == b
+
+
+def test_bq_artifact_staleness_by_fingerprint(spark, tmp_path):
+    """The written BQ artifact is keyed by a source mtime+size
+    fingerprint: rewriting the table resolves to a NEW artifact, so a
+    fresh session never serves codes for vanished rows."""
+    import os
+    import time
+
+    from weaviate_spark.operators.quantization import (
+        build_bq_artifact, bq_topk, invalidate_bq_index,
+    )
+
+    sf = str(tmp_path)
+    p = f"{sf}/vecs.parquet"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(p)
+    root1 = build_bq_artifact(spark, sf, "vecs", dim=2)
+    assert root1 and os.path.exists(f"{root1}/_COMMITTED")
+
+    time.sleep(0.05)  # ensure a distinct mtime fingerprint
+    spark.createDataFrame(
+        [(7, [0.0, 1.0]), (8, [0.1, 0.9]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    invalidate_bq_index()
+    root2 = build_bq_artifact(spark, sf, "vecs", dim=2)
+    assert root2 != root1
+    got = {r["vec_id"] for r in bq_topk(
+        spark, sf, "vecs", [0.0, 1.0], id_col="vec_id", k=3,
+        table_key=(sf, "vecs")).collect()}
+    assert got == {7, 8, 9}  # only current rows are served
+    # the superseded fingerprint dir was garbage-collected at build
+    assert not os.path.exists(root1)
