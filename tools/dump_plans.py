@@ -65,8 +65,10 @@ INTERESTING = [
     "orders_revenue_trend", "orders_shipping_delay",
     "text_length_histogram", "audio_silence_runs",
     "events_funnel_latency",
-    # round-7: compressed-scan artifact route + skew-capped rewrites
-    "knn_filtered_quantized",
+    # round-7: compressed-scan artifact route + skew-capped rewrites +
+    # graph-structured ANN
+    "knn_filtered_quantized", "ann_nndescent_graph",
+    "ann_graph_expand_topk", "ann_graph_hubness",
 ]
 
 MARKERS = [

@@ -782,7 +782,7 @@ _MINHASH_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
@@ -868,10 +868,10 @@ _NGRAM_EXACT_SQL = _MINHASH_SQL.format(thr=0.35).replace(
         # (dedup.py): exact — identical result set to the naive
         # any-shared-shingle join, but candidates are bounded by the
         # rarest-first prefix, so the oracle also survives sf1.
-        """freq AS (
+        """freq AS MATERIALIZED (
   SELECT _shingle, count(*) AS _df FROM sh GROUP BY _shingle
 ),
-pref AS (
+pref AS MATERIALIZED (
   SELECT _doc, _shingle, _rank, _sz FROM (
     SELECT s._doc, s._shingle,
       row_number() OVER (PARTITION BY s._doc ORDER BY f._df, s._shingle) AS _rank,
@@ -879,7 +879,7 @@ pref AS (
     FROM sh s JOIN freq f USING (_shingle)
   ) WHERE _rank <= _sz - ceil(0.35 * _sz - 1e-9) + 1
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT a._doc AS _a, b._doc AS _b
   FROM pref a JOIN pref b ON a._shingle = b._shingle AND a._doc < b._doc
     AND b._sz >= ceil(0.35 * a._sz - 1e-9) AND a._sz >= ceil(0.35 * b._sz - 1e-9)
@@ -2922,7 +2922,7 @@ quality AS (
         + 0.3 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS q
   FROM feat
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
@@ -5731,9 +5731,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall_audit",
     oracle=(
-        "WITH lsh AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
-        "ex AS (" + _NGRAM_EXACT_SQL + "), "
-        "hit AS (SELECT count(*) AS n FROM lsh SEMI JOIN ex "
+        "WITH lsh AS MATERIALIZED (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "ex AS MATERIALIZED (" + _NGRAM_EXACT_SQL + "), "
+        "hit AS MATERIALIZED (SELECT count(*) AS n FROM lsh SEMI JOIN ex "
         "USING (id_a, id_b)) "
         "SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact, "
         "CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh, "
@@ -6336,7 +6336,7 @@ _BBIT_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
@@ -7394,7 +7394,7 @@ _CONTAINMENT_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS tt FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id AS _doc, array_to_string(list_slice(tt, i, i + 2), ' ') AS _shingle
   FROM toks, LATERAL unnest(range(1, greatest(len(tt) - 2, 0) + 1)) AS u(i)
   WHERE len(tt) >= 3
