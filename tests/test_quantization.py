@@ -494,3 +494,127 @@ def test_bq_artifact_staleness_by_fingerprint(spark, tmp_path):
     assert got == {7, 8, 9}  # only current rows are served
     # the superseded fingerprint dir was garbage-collected at build
     assert not os.path.exists(root1)
+
+
+def test_sq_packed_words_match_python_and_unpacked_distance(spark):
+    """Packed words (4 codes per long) match the driver-side packer, and
+    the packed distance equals the unpacked code distance — pack/unpack
+    is identity on the candidate order."""
+    from weaviate_spark.operators.quantization import (
+        sq_pack_encode, sq_pack_py, sq_packed_distance,
+    )
+
+    rng = random.Random(11)
+    dim = 15  # deliberately not a multiple of 4 (partial final word)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    q = [rng.uniform(-1, 1) for _ in range(dim)]
+    qw = sq_pack_py(q, -1.0, 1.0)
+    qc = sq_encode_py(q, -1.0, 1.0)
+    df = spark.createDataFrame(rows, ["id", "v"])
+    n_words = (dim + 3) // 4
+    enc = df.select(
+        "id",
+        *[c.alias(f"_sq{w}") for w, c in enumerate(
+            sq_pack_encode(F.col("v"), dim, -1.0, 1.0))],
+        sq_encode(F.col("v"), -1.0, 1.0).alias("_code"),
+    )
+    got = enc.withColumn(
+        "_pd", sq_packed_distance(
+            [F.col(f"_sq{w}") for w in range(n_words)], qw)
+    ).withColumn("_ud", sq_l2_code_distance(F.col("_code"), qc)).collect()
+    by_id = {r["id"]: r for r in got}
+    for i, v in rows:
+        r = by_id[i]
+        assert tuple(r[f"_sq{w}"] for w in range(n_words)) == tuple(
+            sq_pack_py(v, -1.0, 1.0)), f"row {i}"
+        assert r["_pd"] == r["_ud"], f"distance row {i}"
+
+
+def test_sq_topk_matches_exact_with_full_overfetch(spark, tmp_path):
+    """With overfetch covering the corpus, sq_topk is EXACTLY the
+    brute-force cosine top-k (rescore sees every row); at the default
+    overfetch the int8 candidates keep near-perfect recall."""
+    from weaviate_spark.functions.distance import distance
+    from weaviate_spark.operators.quantization import sq_topk
+
+    rng = random.Random(12)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(300)]
+    q = [rng.uniform(-1, 1) for _ in range(32)]
+    sf = str(tmp_path)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.parquet(f"{sf}/embeddings.parquet")
+
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    exact = [
+        (r["vec_id"], r["_d"])
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .withColumn("_d", F.round(distance(F.col("embedding"), qv, "cosine"), 6))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10).collect()
+    ]
+    full = [tuple(r) for r in sq_topk(
+        spark, sf, "embeddings", q, k=10, overfetch=30).collect()]
+    assert full == exact
+
+    approx = [r[0] for r in sq_topk(
+        spark, sf, "embeddings", q, k=10, overfetch=4).collect()]
+    overlap = len(set(approx) & {e[0] for e in exact}) / 10
+    assert overlap >= 0.9, f"SQ recall too low: {overlap}"
+
+
+def test_sq_artifact_written_and_served(spark, tmp_path):
+    """build_sq_artifact writes the packed-code table once; with_sq_index
+    serves it (no float vectors in the candidate scan), and a rewritten
+    source resolves to a fresh fingerprint."""
+    import os
+    import time
+
+    from weaviate_spark.operators.quantization import (
+        build_sq_artifact, invalidate_sq_index, sq_topk, with_sq_index,
+    )
+    from weaviate_spark.sources.tables import load_table
+
+    sf = str(tmp_path)
+    p = f"{sf}/vecs.parquet"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(p)
+    root1 = build_sq_artifact(spark, sf, "vecs", dim=2)
+    assert root1 and os.path.exists(f"{root1}/_COMMITTED")
+    enc = with_sq_index(
+        load_table(spark, sf, "vecs"), "vec_id", "embedding", 2,
+        -1.0, 1.0, (sf, "vecs"),
+    )
+    assert enc.columns == ["vec_id", "_sq0"]  # packed words only
+
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(7, [0.0, 1.0]), (8, [0.1, 0.9]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    invalidate_sq_index()
+    root2 = build_sq_artifact(spark, sf, "vecs", dim=2)
+    assert root2 != root1
+    got = {r["vec_id"] for r in sq_topk(
+        spark, sf, "vecs", [0.0, 1.0], id_col="vec_id", k=3,
+        table_key=(sf, "vecs")).collect()}
+    assert got == {7, 8, 9}
+    assert not os.path.exists(root1)
+
+
+def test_sq_route_via_near_vector(spark, sf_dir):
+    """quantize="sq" through the public near_vector API: same result
+    rows as the exact scan on this corpus (int8 candidates + exact
+    rescore), with the packed-distance candidate stage in the plan."""
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    exact = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="off",
+    )).select("vec_id", "_distance")
+    routed = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="sq",
+    )).select("vec_id", "_distance")
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in exact.collect()]

@@ -46,12 +46,14 @@ def main() -> None:
     spark = get_spark("weaviate-spark-bench-ann")
 
     from weaviate_spark.entry_queries import QVEC
-    from weaviate_spark.operators.quantization import build_bq_artifact
+    from weaviate_spark.operators.quantization import (
+        build_bq_artifact, build_sq_artifact,
+    )
     from weaviate_spark.operators.vector import NearVectorSpec, near_vector
 
-    # codegen warmup on the small sf (both plan shapes)
+    # codegen warmup on the small sf (all plan shapes)
     warm = "/root/testdata/sf0.001"
-    for q in ("off", "bq"):
+    for q in ("off", "bq", "sq"):
         try:
             near_vector(spark, warm, NearVectorSpec(
                 collection="embeddings", vector=QVEC, limit=10, quantize=q,
@@ -59,20 +61,23 @@ def main() -> None:
         except Exception:
             pass
 
-    # UNTIMED ingest phase: write the packed-words artifact (idempotent;
+    # UNTIMED ingest phase: write the packed-words artifacts (idempotent;
     # on a live cluster this happened when the collection landed)
     t0 = time.time()
     root = build_bq_artifact(spark, sf_dir, "embeddings")
     ingest_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    sq_root = build_sq_artifact(spark, sf_dir, "embeddings")
+    sq_ingest_s = round(time.time() - t0, 3)
 
     def exact():
         return near_vector(spark, sf_dir, NearVectorSpec(
             collection="embeddings", vector=QVEC, limit=10, quantize="off",
         )).select("vec_id", "_distance")
 
-    def quantized(overfetch: int = 4):
+    def quantized(overfetch: int = 4, kind: str = "bq"):
         return near_vector(spark, sf_dir, NearVectorSpec(
-            collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+            collection="embeddings", vector=QVEC, limit=10, quantize=kind,
             quantize_overfetch=overfetch,
         )).select("vec_id", "_distance")
 
@@ -82,13 +87,18 @@ def main() -> None:
     # default rescores only k candidates, flat/index.go:423-431; our
     # default overfetch=4 rescores 4k; 64 rescores 640)
     q64_cold, q64_med = _run(lambda: quantized(64).count())
+    # the recall-safe compressed route: packed int8 SQ (4x compression)
+    sq_cold, sq_med = _run(lambda: quantized(4, "sq").count())
 
     e_rows = [tuple(r) for r in exact().collect()]
     q_rows = [tuple(r) for r in quantized().collect()]
     q64_rows = [tuple(r) for r in quantized(64).collect()]
+    sq_rows = [tuple(r) for r in quantized(4, "sq").collect()]
     recall = len({r[0] for r in e_rows} & {r[0] for r in q_rows}) / max(
         1, len(e_rows))
     recall64 = len({r[0] for r in e_rows} & {r[0] for r in q64_rows}) / max(
+        1, len(e_rows))
+    recall_sq = len({r[0] for r in e_rows} & {r[0] for r in sq_rows}) / max(
         1, len(e_rows))
 
     result = {
@@ -97,17 +107,23 @@ def main() -> None:
         "corpus_rows": spark.read.parquet(
             f"{sf_dir}/embeddings.parquet").count(),
         "ingest_artifact_s": ingest_s,
+        "sq_ingest_artifact_s": sq_ingest_s,
         "artifact_dir": root,
+        "sq_artifact_dir": sq_root,
         "exact": {"cold": exact_cold, "steady_median": exact_med},
         "quantized": {"cold": q_cold, "steady_median": q_med},
         "quantized_overfetch64": {"cold": q64_cold, "steady_median": q64_med},
+        "sq": {"cold": sq_cold, "steady_median": sq_med},
         "speedup_steady": round(exact_med / q_med, 3) if q_med else None,
         "speedup_cold": round(exact_cold / q_cold, 3) if q_cold else None,
         "speedup_steady_overfetch64":
             round(exact_med / q64_med, 3) if q64_med else None,
+        "speedup_steady_sq": round(exact_med / sq_med, 3) if sq_med else None,
         "recall_at_10_vs_exact": recall,
         "recall_at_10_overfetch64": recall64,
+        "recall_at_10_sq": recall_sq,
         "results_identical": e_rows == q_rows,
+        "sq_results_identical": e_rows == sq_rows,
     }
     line = json.dumps(result)
     print(line)

@@ -3561,6 +3561,45 @@ def q_knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from weaviate_spark.operators.quantization import sq_encode_py as _sq_encode_py
+
+_SQ_QC = _sq_encode_py(QVEC, -1.0, 1.0)
+_SQ_QC_SQL = "[" + ", ".join(str(c) for c in _SQ_QC) + "]::BIGINT[]"
+
+
+@register(
+    "knn_sq_rescore",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv, {_SQ_QC_SQL} AS qc), "
+        "enc AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM embeddings), "
+        "codes AS (SELECT vec_id, ev, list_transform(ev, x -> "
+        "LEAST(GREATEST(CAST(floor((x - (-1.0)) / 2.0 * 255 + 0.5) AS BIGINT), 0), 255)"
+        ") AS cd FROM enc), "
+        "cand AS (SELECT vec_id, ev, list_sum(list_transform(list_zip(cd, qc), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS _cdist "
+        "FROM codes CROSS JOIN q ORDER BY _cdist ASC, vec_id ASC LIMIT 40) "
+        f"SELECT vec_id, {_COS_SQL} AS _distance "
+        "FROM cand CROSS JOIN q ORDER BY _distance ASC, vec_id ASC LIMIT 10"
+    ),
+)
+def q_knn_sq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-index SQ search (compressionhelpers/scalar_quantizer.go):
+    int8 codes against fixed [-1, 1] bounds packed 4/word in the written
+    ingest artifact, squared-L2 code-distance overfetch of 4*k
+    candidates (integer shift/mask codegen on a 4x-compressed scan),
+    exact cosine rescore of only the candidates. Unlike BQ's sign bits
+    the code distance preserves magnitude — the recall-safe compressed
+    route. Oracle mirrors the unpacked code semantics (pack/unpack is
+    identity on the distance). Deterministic: ties by id both stages."""
+    from weaviate_spark.operators.quantization import sq_topk
+
+    return sq_topk(
+        spark, sf_dir, "embeddings", QVEC, id_col="vec_id",
+        k=10, overfetch=4, table_key=(sf_dir, "embeddings"),
+    )
+
+
 @register(
     "knn_cosine_topk_quantized",
     oracle=(

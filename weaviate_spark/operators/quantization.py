@@ -129,13 +129,13 @@ def build_bq_artifact(
     return _bq_artifact_dir(base, sf_dir, collection, id_col, vector_col, dim)
 
 
-def _bq_artifact_dir(
-    base: DataFrame, sf_dir: str, collection: str,
-    id_col: str, vector_col: str, dim: int,
+def _vec_artifact_dir(
+    sf_dir: str, collection: str, variant: tuple, frame_fn,
 ) -> str | None:
     """Resolve (building if absent) the written artifact directory for
-    this (source fingerprint, layout) — None when the source has no
-    stable files to fingerprint."""
+    this (source fingerprint, encode variant) — None when the source has
+    no stable files to fingerprint. ``frame_fn`` produces the code frame
+    to persist; ``variant`` is the layout tuple hashed into the path."""
     import hashlib
     import os
     import re
@@ -148,9 +148,7 @@ def _bq_artifact_dir(
         return None
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
-    var_h = hashlib.md5(
-        repr(("bq", id_col, vector_col, dim, VEC_ARTIFACT_FORMAT)).encode()
-    ).hexdigest()[:12]
+    var_h = hashlib.md5(repr(variant).encode()).hexdigest()[:12]
     coll_root = f"{VECTOR_ARTIFACT_ROOT}/{tag}/{collection}"
     root = f"{coll_root}/{fp_h}/{var_h}"
     done = f"{root}/_COMMITTED"
@@ -164,12 +162,20 @@ def _bq_artifact_dir(
                     if old != fp_h:
                         shutil.rmtree(os.path.join(coll_root, old),
                                       ignore_errors=True)
-            (
-                _bq_code_frame(base, id_col, vector_col, dim)
-                .write.mode("overwrite").parquet(f"{root}/codes")
-            )
+            frame_fn().write.mode("overwrite").parquet(f"{root}/codes")
             open(done, "w").close()
     return root
+
+
+def _bq_artifact_dir(
+    base: DataFrame, sf_dir: str, collection: str,
+    id_col: str, vector_col: str, dim: int,
+) -> str | None:
+    return _vec_artifact_dir(
+        sf_dir, collection,
+        ("bq", id_col, vector_col, dim, VEC_ARTIFACT_FORMAT),
+        lambda: _bq_code_frame(base, id_col, vector_col, dim),
+    )
 
 
 def _bq_code_frame(
@@ -346,6 +352,214 @@ def sq_encode_py(vector: Sequence[float], lo: float, hi: float) -> list[int]:
         c = math.floor((x - lo) / span * 255 + 0.5)  # half-up, same as sq_encode
         out.append(int(min(max(c, 0), 255)))
     return out
+
+
+# --- packed SQ ingest artifact + candidate-scan search -----------------
+#
+# The SQ analogue of the BQ written artifact (flat/index.go:60-78
+# compress-at-ingest; compressionhelpers/scalar_quantizer.go): int8 codes
+# packed 4 per BIGINT word, persisted as (id, _sq0.._sqN) — 4x fewer
+# bytes than the float vectors on the candidate scan, but (unlike BQ's
+# 1-bit signs) the code distance preserves magnitude, so recall after
+# the exact rescore is near-perfect at small overfetch. This is the
+# recall-safe default of the two compressed scans; BQ remains the
+# maximum-compression (32x) option.
+
+SQ_CODES_PER_WORD = 4
+
+
+def _sq_n_words(dim: int) -> int:
+    return (dim + SQ_CODES_PER_WORD - 1) // SQ_CODES_PER_WORD
+
+
+def _sq_code(x: Column, lo: float, hi: float) -> Column:
+    """One int8 code as a LONG column (same half-up rule as sq_encode)."""
+    span = hi - lo
+    return F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(span) * 255 + F.lit(0.5)),
+                   F.lit(0).cast("long")),
+        F.lit(255).cast("long"),
+    )
+
+
+def sq_pack_encode(
+    vector_col: Column, dim: int, lo: float, hi: float
+) -> list[Column]:
+    """All packed words: word w holds codes [4w, 4w+4) at 8 bits each.
+    Narrow map expression — no shuffle, whole-stage codegen."""
+    words = []
+    for w in range(_sq_n_words(dim)):
+        base = w * SQ_CODES_PER_WORD
+        width = min(SQ_CODES_PER_WORD, dim - base)
+        acc = F.lit(0).cast("long")
+        for j in range(width):
+            code = _sq_code(F.element_at(vector_col, base + j + 1), lo, hi)
+            acc = acc + F.shiftleft(code, 8 * j)
+        words.append(acc)
+    return words
+
+
+def sq_pack_py(vector: Sequence[float], lo: float, hi: float) -> list[int]:
+    """Driver-side packing of the query vector (same convention)."""
+    codes = sq_encode_py(vector, lo, hi)
+    words = [0] * _sq_n_words(len(vector))
+    for i, c in enumerate(codes):
+        words[i // SQ_CODES_PER_WORD] |= c << (8 * (i % SQ_CODES_PER_WORD))
+    return words
+
+
+def sq_packed_distance(
+    word_cols: Sequence[Column], query_words: Sequence[int]
+) -> Column:
+    """Squared L2 over the packed codes: per word, extract each byte
+    (shift + mask — integer codegen, no float math) and accumulate the
+    squared difference against the pre-extracted query byte. Identical
+    values to sq_l2_code_distance over unpacked codes."""
+    acc = F.lit(0).cast("long")
+    for c, qw in zip(word_cols, query_words):
+        for j in range(SQ_CODES_PER_WORD):
+            b = F.shiftright(c, 8 * j).bitwiseAND(F.lit(255))
+            qb = (qw >> (8 * j)) & 255
+            d = b - F.lit(qb)
+            acc = acc + d * d
+    return acc
+
+
+def _sq_code_frame(
+    rows: DataFrame, id_col: str, vector_col: str, dim: int,
+    lo: float, hi: float,
+) -> DataFrame:
+    return rows.where(F.col(vector_col).isNotNull()).select(
+        id_col,
+        *[c.alias(f"_sq{w}")
+          for w, c in enumerate(
+              sq_pack_encode(F.col(vector_col), dim, lo, hi))],
+    )
+
+
+def build_sq_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int | None = None,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> str | None:
+    """Ingest-phase build of the written packed-SQ artifact (idempotent),
+    mirroring build_bq_artifact. Bounds are per-collection constants
+    (the reference trains them on a sample at ingest)."""
+    base = load_table(spark, sf_dir, collection)
+    if dim is None:
+        row = base.select(F.size(F.col(vector_col)).alias("d")).where(
+            F.col(vector_col).isNotNull()).limit(1).collect()
+        if not row:
+            return None
+        dim = int(row[0]["d"])
+    return _vec_artifact_dir(
+        sf_dir, collection,
+        ("sq", id_col, vector_col, dim, float(lo), float(hi),
+         VEC_ARTIFACT_FORMAT),
+        lambda: _sq_code_frame(base, id_col, vector_col, dim, lo, hi),
+    )
+
+
+def invalidate_sq_index() -> None:
+    _vector_tables.invalidate(family="sq")
+
+
+def with_sq_index(
+    df: DataFrame, id_col: str, vector_col: str, dim: int,
+    lo: float, hi: float, table_key: tuple,
+) -> DataFrame:
+    """(id, _sq0.._sqN) — packed-SQ encoded collection, served from the
+    written ingest artifact when the source has one; session build is
+    the fallback for fingerprint-less test corpora. Streaming appends
+    layer on as O(batch) segments (incremental.py)."""
+    key = (session_key(df.sparkSession), *table_key, dim,
+           float(lo), float(hi))
+
+    def _encode(rows: DataFrame) -> DataFrame:
+        return _sq_code_frame(rows, id_col, vector_col, dim, lo, hi)
+
+    def _build() -> DataFrame:
+        if len(table_key) == 2:
+            sf_dir, collection = table_key
+            root = _vec_artifact_dir(
+                str(sf_dir), str(collection),
+                ("sq", id_col, vector_col, dim, float(lo), float(hi),
+                 VEC_ARTIFACT_FORMAT),
+                lambda: _sq_code_frame(df, id_col, vector_col, dim, lo, hi),
+            )
+            if root is not None:
+                return df.sparkSession.read.parquet(f"{root}/codes")
+        return _encode(df)
+
+    return _vector_tables.resolve(
+        key, key[: len(table_key) + 1], id_col, _build, _encode,
+        family="sq",
+    )
+
+
+def sq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    vector: Sequence[float],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 10,
+    overfetch: int = 4,
+    metric: str = "cosine",
+    lo: float = -1.0,
+    hi: float = 1.0,
+    round_digits: int = 6,
+    table_key: tuple | None = None,
+    where=None,
+) -> DataFrame:
+    """SQ search: packed-code squared-L2 overfetch of `overfetch * k`
+    candidates (integer shift/mask/mul codegen over 4x-compressed rows),
+    exact-`metric` rescore of only those candidates via the same
+    pushed-In base-scan read as bq_topk. Deterministic: ties break by
+    id at both stages, so the candidate SET is value-checkable."""
+    dim = len(vector)
+    base = load_table(spark, sf_dir, collection)
+    if table_key is not None:
+        enc = with_sq_index(base, id_col, vector_col, dim, lo, hi, table_key)
+    else:
+        enc = _sq_code_frame(base, id_col, vector_col, dim, lo, hi)
+    if where is not None:
+        from weaviate_spark.filters import apply_where
+
+        allow = apply_where(base, where).select(id_col)
+        enc = enc.join(allow, id_col, "left_semi")
+    qwords = sq_pack_py(vector, lo, hi)
+    word_cols = [F.col(f"_sq{w}") for w in range(_sq_n_words(dim))]
+    candidates = (
+        enc.withColumn("_cdist", sq_packed_distance(word_cols, qwords))
+        .orderBy(F.col("_cdist").asc(), F.col(id_col).asc())
+        .limit(overfetch * k)
+    )
+    cand_ids = [r[0] for r in candidates.select(id_col).collect()]
+    if not cand_ids:
+        return base.select(
+            id_col, F.lit(None).cast("double").alias("_distance")
+        ).limit(0)
+    qv = F.array(*[F.lit(float(x)) for x in vector])
+    rescored = (
+        base.where(F.col(id_col).isin(cand_ids)
+                   & F.col(vector_col).isNotNull())
+        .withColumn(
+            "_distance",
+            F.round(distance(F.col(vector_col), qv, metric), round_digits),
+        )
+    )
+    return (
+        rescored.select(id_col, "_distance")
+        .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 # ---------------------------------------------------------------------------

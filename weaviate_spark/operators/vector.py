@@ -66,7 +66,8 @@ class NearVectorSpec:
     where: Optional[Clause] = None
     round_digits: Optional[int] = 6
     # quantized routing: "auto" switches to the BQ compressed scan when
-    # the corpus exceeds quantize_threshold rows; "bq" forces it;
+    # the corpus exceeds quantize_threshold rows; "bq" forces it; "sq"
+    # forces the packed-int8 scan (4x compression, near-exact recall);
     # "off" always brute-forces exact floats
     quantize: str = "auto"
     quantize_threshold: int = AUTO_QUANTIZE_MIN_ROWS
@@ -122,20 +123,21 @@ def near_vector(
         and (
             # auto routing stays unfiltered-only (the threshold
             # heuristic says nothing about post-filter selectivity);
-            # an EXPLICIT quantize="bq" also takes the compressed scan
-            # with a filter — allowlist-first inside bq_topk
-            (spec.where is None and spec.quantize in ("auto", "bq"))
-            or (spec.where is not None and spec.quantize == "bq")
+            # an EXPLICIT quantize="bq"/"sq" also takes the compressed
+            # scan with a filter — allowlist-first inside *_topk
+            (spec.where is None and spec.quantize in ("auto", "bq", "sq"))
+            or (spec.where is not None and spec.quantize in ("bq", "sq"))
         )
     ):
         base = load_table(spark, sf_dir, spec.collection)
-        if spec.quantize == "bq" or (
+        if spec.quantize in ("bq", "sq") or (
             _corpus_rows(spark, sf_dir, spec.collection, base)
             >= spec.quantize_threshold
         ):
-            from weaviate_spark.operators.quantization import bq_topk
+            from weaviate_spark.operators.quantization import bq_topk, sq_topk
 
-            topk = bq_topk(
+            route = sq_topk if spec.quantize == "sq" else bq_topk
+            topk = route(
                 spark, sf_dir, spec.collection, spec.vector,
                 id_col=spec.id_col, vector_col=spec.vector_col,
                 k=spec.limit, overfetch=spec.quantize_overfetch,
