@@ -1210,3 +1210,54 @@ def test_kcenter_coreset_farthest_point(spark):
     radii = [r["radius"] for r in out[1:]]
     assert radii == sorted(radii, reverse=True)
     assert out[3]["radius"] <= 0.3  # 4th pick is inside a covered cluster
+
+
+def test_nb_classifier_learns_separable_vocab(spark):
+    """NB classifier trained on a vocab-separable corpus predicts the
+    holdout perfectly; the log-odds sign tracks the class vocabulary."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import nb_classifier_scores
+
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        text = ("alpha beta gamma shared" if good
+                else "zeta eta theta shared")
+        rows.append((i, text, good))
+    df = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+    out = nb_classifier_scores(
+        df, "doc_id", "text", F.col("good"), holdout_mod=5).collect()
+    # holdout = doc_id % 5 == 0 -> 8 docs, 4 per class
+    assert len(out) == 8
+    for r in out:
+        assert r["predicted"] == r["actual"], r
+        assert (r["log_odds"] > 0) == r["actual"]
+        assert r["n_tokens"] == 4
+
+
+def test_nb_classifier_unseen_tokens_fall_back_to_smoothing(spark):
+    """A holdout doc of entirely unseen tokens scores exactly
+    n_tokens * smoothed-zero LLR + prior — no null leakage."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import nb_classifier_scores
+
+    rows = [
+        (1, "aa bb", True), (2, "cc dd", False), (3, "aa cc", True),
+        (4, "bb dd", False), (6, "aa dd", True), (7, "bb cc", False),
+        (0, "zz yy xx", True),  # holdout, all unseen
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+    out = {r["doc_id"]: r for r in nb_classifier_scores(
+        df, "doc_id", "text", F.col("good"), holdout_mod=5).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    # train: 3 pos docs (tp=6 tokens), 3 neg docs (tn=6), vocab=4
+    w0 = round(math.log(1.0 / (6 + 4)) - math.log(1.0 / (6 + 4)), 8)  # 0
+    lp = round(math.log(3 / 3), 8)  # 0
+    assert r["n_tokens"] == 3
+    assert r["log_odds"] == round(3 * w0 + lp, 6) == 0.0
+    assert r["predicted"] is False  # strict > 0

@@ -10240,3 +10240,51 @@ def q_ann_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "embeddings", k=5, rounds=1, num_planes=8,
         table_key=(sf_dir, "embeddings", "nng"),
     )
+
+
+@register(
+    "curation_nb_classifier",
+    oracle=(
+        "WITH base AS MATERIALIZED (SELECT doc_id AS d, lang = 'en' AS pos, "
+        "(doc_id % 5) = 0 AS hold, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tt FROM documents), "
+        "toks AS MATERIALIZED (SELECT d, pos, hold, unnest(tt) AS t FROM base), "
+        "vocab AS MATERIALIZED (SELECT t, "
+        "sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp, "
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn "
+        "FROM toks WHERE NOT hold GROUP BY t), "
+        "tots AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM vocab), "
+        "priors AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp, "
+        "sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn FROM base WHERE NOT hold), "
+        "llr AS (SELECT t, CAST(round(ln((cp + 1) / (tp + v)) "
+        "- ln((cn + 1) / (tn + v)), 8) AS DECIMAL(20,8)) AS w "
+        "FROM vocab CROSS JOIN tots), "
+        "unseen AS (SELECT CAST(round(ln(1.0 / (tp + v)) - ln(1.0 / (tn + v)), 8) "
+        "AS DECIMAL(20,8)) AS w0 FROM tots), "
+        "prior AS (SELECT CAST(round(ln(dp / dn), 8) AS DECIMAL(20,8)) AS lp FROM priors) "
+        "SELECT toks.d AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(CAST(sum(COALESCE(llr.w, (SELECT w0 FROM unseen))) "
+        "+ (SELECT lp FROM prior) AS DOUBLE), 6) + 0.0 AS log_odds, "
+        "(sum(COALESCE(llr.w, (SELECT w0 FROM unseen))) "
+        "+ (SELECT lp FROM prior)) > 0 AS predicted, "
+        "toks.pos AS actual "
+        "FROM toks LEFT JOIN llr USING (t) WHERE hold GROUP BY toks.d, toks.pos"
+    ),
+)
+def q_curation_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable multinomial Naive Bayes text classifier (the
+    fasttext-shaped GPT-3/CCNet 'does this look like the target
+    corpus?' quality/domain filter): train on 80% of documents
+    (doc_id % 5 != 0) with lang='en' as the positive class, score the
+    holdout as smoothed log-likelihood-ratio sums. Token LLRs are
+    8dp-DECIMAL so the per-doc sum is exact (partition/engine
+    invariant); reference analogue: the text2vec module quality
+    filters live outside the DB — this is the pipeline extra."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.curation import nb_classifier_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return nb_classifier_scores(
+        docs, "doc_id", "text", F.col("lang") == "en", holdout_mod=5,
+    )

@@ -1037,3 +1037,115 @@ def kcenter_coreset(
         F.col("_pid").alias(id_col),
         F.col("radius").cast("double").alias("radius"),
     )
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Trainable multinomial Naive Bayes text classifier — the
+    fasttext-shaped quality/domain filter of LLM data pipelines (the
+    GPT-3/CCNet "does this look like the target corpus?" classifier),
+    trained and applied entirely as DataFrame aggregations.
+
+    ``positive`` is a boolean Column giving each document's training
+    label (e.g. ``F.col("lang") == "en"``). Documents with
+    ``id % holdout_mod == 0`` are the scoring HOLDOUT; the rest train
+    the model. Add-one (Laplace) smoothing over the training
+    vocabulary; unseen holdout tokens get the smoothed-zero likelihood.
+
+    Per-token log-likelihood ratios are rounded to 8dp and summed as
+    DECIMAL(20,8) — the sum is exact, so the score is partition- and
+    engine-invariant (the analytics.py DECIMAL-moments rule; a double
+    sum over hundreds of logs is not reassociation-safe).
+
+    Returns (id, n_tokens, log_odds DOUBLE 6dp, predicted BOOLEAN,
+    actual BOOLEAN) for holdout documents with >= 1 token.
+
+    Scale: training = one token explode + one vocab-keyed groupBy
+    (map-side combined, vocab-sized result) + one 1-row stats
+    aggregate; scoring = one explode + one broadcast-sized join against
+    the vocab LLR table + one per-doc groupBy. The vocab table is a
+    natural written ingest artifact (same statistic family as the BM25
+    term_df tables). No quadratic stage, no skew beyond Zipf heads
+    (AQE skew split applies to the token join).
+    """
+    from weaviate_spark.functions.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("_doc"),
+        F.col(text_col).alias("_text"),
+        positive.alias("_pos"),
+        (F.pmod(F.col(id_col), F.lit(holdout_mod)) == 0).alias("_hold"),
+    )
+    toks = base.select(
+        "_doc", "_pos", "_hold",
+        F.explode(tokenize(F.col("_text"), "word")).alias("_t"),
+    )
+    train_toks = toks.where(~F.col("_hold"))
+
+    # vocabulary counts per class (one groupBy, vocab-sized)
+    vocab = train_toks.groupBy("_t").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_cp"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("_cn"),
+    )
+    # corpus totals + doc priors (1-row broadcast stats)
+    tots = vocab.agg(
+        F.sum("_cp").alias("_tp"),
+        F.sum("_cn").alias("_tn"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    priors = (
+        base.where(~F.col("_hold"))
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_dp"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("_dn"),
+        )
+    )
+
+    dec = "decimal(20,8)"
+    llr = (
+        vocab.crossJoin(F.broadcast(tots))
+        .select(
+            "_t",
+            F.round(
+                F.log((F.col("_cp") + 1) / (F.col("_tp") + F.col("_v")))
+                - F.log((F.col("_cn") + 1) / (F.col("_tn") + F.col("_v"))),
+                8,
+            ).cast(dec).alias("_llr"),
+        )
+    )
+    unseen = tots.select(
+        F.round(
+            F.log(F.lit(1.0) / (F.col("_tp") + F.col("_v")))
+            - F.log(F.lit(1.0) / (F.col("_tn") + F.col("_v"))),
+            8,
+        ).cast(dec).alias("_llr0"),
+    )
+    prior = priors.select(
+        F.round(F.log(F.col("_dp") / F.col("_dn")), 8).cast(dec).alias("_lp"),
+    )
+
+    scored = (
+        toks.where(F.col("_hold"))
+        .join(llr, "_t", "left")
+        .crossJoin(F.broadcast(unseen))
+        .withColumn("_w", F.coalesce(F.col("_llr"), F.col("_llr0")))
+        .groupBy("_doc", "_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w").alias("_s"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    return scored.select(
+        F.col("_doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.round((F.col("_s") + F.col("_lp")).cast("double"), 6) + F.lit(0.0))
+        .alias("log_odds"),
+        ((F.col("_s") + F.col("_lp")) > 0).alias("predicted"),
+        F.col("_pos").alias("actual"),
+    )
