@@ -10288,3 +10288,65 @@ def q_curation_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classifier_scores(
         docs, "doc_id", "text", F.col("lang") == "en", holdout_mod=5,
     )
+
+
+@register(
+    "ann_recall_audit",
+    oracle=(
+        f"WITH q AS (SELECT {_QVEC_SQL} AS qv, {_SQ_QC_SQL} AS qc), "
+        "enc AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, "
+        f"{_BQ_WORD_SQL.format(lo=0)} AS bq0, {_BQ_WORD_SQL.format(lo=32)} AS bq1, "
+        "list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> "
+        "LEAST(GREATEST(CAST(floor((x - (-1.0)) / 2.0 * 255 + 0.5) AS BIGINT), 0), 255)"
+        ") AS cd FROM embeddings), "
+        f"ex AS (SELECT vec_id FROM (SELECT vec_id, {_COS_SQL} AS d "
+        "FROM enc CROSS JOIN q ORDER BY d ASC, vec_id ASC LIMIT 10)), "
+        "bqc AS (SELECT vec_id, ev, "
+        f"bit_count(xor(bq0, CAST({_BQ_QW[0]} AS BIGINT))) + "
+        f"bit_count(xor(bq1, CAST({_BQ_QW[1]} AS BIGINT))) AS h "
+        "FROM enc ORDER BY h ASC, vec_id ASC LIMIT 40), "
+        f"bq10 AS (SELECT vec_id FROM (SELECT vec_id, {_COS_SQL} AS d "
+        "FROM bqc CROSS JOIN q ORDER BY d ASC, vec_id ASC LIMIT 10)), "
+        "sqc AS (SELECT vec_id, ev, list_sum(list_transform(list_zip(cd, qc), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS cdist "
+        "FROM enc CROSS JOIN q ORDER BY cdist ASC, vec_id ASC LIMIT 40), "
+        f"sq10 AS (SELECT vec_id FROM (SELECT vec_id, {_COS_SQL} AS d "
+        "FROM sqc CROSS JOIN q ORDER BY d ASC, vec_id ASC LIMIT 10)) "
+        "SELECT 'bq' AS route, round(count(*) / 10.0, 6) + 0.0 AS recall_at_10 "
+        "FROM bq10 JOIN ex USING (vec_id) "
+        "UNION ALL "
+        "SELECT 'sq' AS route, round(count(*) / 10.0, 6) + 0.0 AS recall_at_10 "
+        "FROM sq10 JOIN ex USING (vec_id)"
+    ),
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of each compressed candidate route (BQ sign-bit,
+    packed-int8 SQ) against the exact cosine top-10 — the oracle-backed
+    version of the tools/bench_ann.py recall measurement, so the
+    quality claim behind the quantized routing (vector.py) is itself
+    hash-checked per round. Both routes use the production default
+    overfetch=4; the exact leg pins quantize=\"off\"."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.quantization import bq_topk, sq_topk
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    exact = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="off",
+    )).select("vec_id")
+    legs = []
+    for route, topk in (
+        ("bq", bq_topk(spark, sf_dir, "embeddings", QVEC, k=10, overfetch=4,
+                       table_key=(sf_dir, "embeddings"))),
+        ("sq", sq_topk(spark, sf_dir, "embeddings", QVEC, k=10, overfetch=4,
+                       table_key=(sf_dir, "embeddings"))),
+    ):
+        legs.append(
+            topk.select("vec_id").join(exact, "vec_id", "left_semi").agg(
+                F.lit(route).alias("route"),
+                (F.round(F.count(F.lit(1)) / 10.0, 6) + F.lit(0.0))
+                .alias("recall_at_10"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
