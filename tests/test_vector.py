@@ -427,17 +427,23 @@ def test_near_vector_quantized_routing(spark, sf_dir):
 
 
 def test_near_vector_quantized_threshold_trips(spark, sf_dir):
-    """quantize_threshold=1 makes the auto route take the BQ plan (the
-    rescore-by-pushed-id-filter shape, not the exact full scan)."""
+    """quantize_threshold=1 makes the auto route take the compressed
+    plan (the rescore-by-pushed-id-filter shape, not the exact full
+    scan) — and auto's choice is the recall-safe SQ route, so the
+    result rows match the exact scan."""
     from weaviate_spark.entry_queries import QVEC
     from weaviate_spark.operators.vector import NearVectorSpec, near_vector
 
     routed = near_vector(spark, sf_dir, NearVectorSpec(
         collection="embeddings", vector=QVEC, limit=10, quantize_threshold=1,
     )).select("vec_id", "_distance")
-    routed.collect()
+    rows = routed.collect()
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(vec_id" in plan
+    exact = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10, quantize="off",
+    )).select("vec_id", "_distance")
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exact.collect()]
 
 
 def test_knn_classify_labeled_set_cap(spark):

@@ -44,12 +44,15 @@ from weaviate_spark.functions.distance import certainty_to_distance, distance
 from weaviate_spark.sources.tables import load_table
 
 
-# Above this corpus size, cosine nearVector defaults to the BQ
-# compressed-scan + exact-rescore plan (flat/index.go:60-131): the scan
-# does dim/32 integer xor/popcounts per row instead of dim float
-# multiplies, and the exact math touches only overfetch*k candidates.
-# Below it, the exact brute-force scan is already scan-bound and the
-# encoded column would not pay for itself.
+# Above this corpus size, cosine nearVector defaults to the packed-int8
+# SQ compressed-scan + exact-rescore plan (flat/index.go:60-131 shape):
+# the candidate scan reads 1/4 of the bytes and does integer shift/mask
+# math, the exact float math touches only overfetch*k candidates, and
+# measured recall@10 vs the exact scan is 1.0 (ann_recall_audit,
+# BENCH_ANN_1M_r07.json — result rows identical at 1M). quantize="bq"
+# opts into the 32x sign-bit route instead. Below the threshold the
+# exact brute-force scan is already scan-bound and the encoded column
+# would not pay for itself.
 AUTO_QUANTIZE_MIN_ROWS = 200_000
 
 
@@ -109,10 +112,14 @@ def near_vector(
     """nearVector; pass a pre-loaded/pre-filtered ``df`` to reuse
     a scan across legs (hybrid calls this with its shared input).
 
-    Large unfiltered cosine top-k searches route through the BQ
-    compressed scan + exact rescore (quantization.bq_topk) — the
-    deterministic candidate set keeps results value-checkable; the
-    exact brute-force path remains for filtered / cutoff / custom-df /
+    Large unfiltered cosine top-k searches route through a compressed
+    scan + exact rescore: "auto" picks the packed-int8 SQ route (4x
+    fewer bytes, recall@10 measured 1.0 / result rows identical to the
+    exact scan at 1M rows — BENCH_ANN_1M_r07.json, ann_recall_audit);
+    quantize="bq" opts into the 32x sign-bit route whose candidate
+    recall is bounded by 1-bit codes. Both candidate sets are
+    deterministic, so results stay value-checkable; the exact
+    brute-force path remains for filtered / cutoff / custom-df /
     small-corpus queries and as the recall oracle (quantize="off")."""
     if (
         df is None
@@ -136,7 +143,9 @@ def near_vector(
         ):
             from weaviate_spark.operators.quantization import bq_topk, sq_topk
 
-            route = sq_topk if spec.quantize == "sq" else bq_topk
+            # "auto" = SQ (recall-safe compressed default); "bq" is the
+            # explicit max-compression opt-in
+            route = bq_topk if spec.quantize == "bq" else sq_topk
             topk = route(
                 spark, sf_dir, spec.collection, spec.vector,
                 id_col=spec.id_col, vector_col=spec.vector_col,
