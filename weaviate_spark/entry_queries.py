@@ -10350,3 +10350,35 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return legs[0].unionByName(legs[1])
+
+
+from weaviate_spark.media_oracles import gif_frame_stats_oracle_sql
+
+
+@register("image_gif_frame_stats", oracle=gif_frame_stats_oracle_sql())
+def q_image_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode pipeline: 2-frame 4x4 GIF89a blobs synthesized
+    from md5-derived palette indices (odd ids stored interlaced), then
+    container-parsed and LZW-decoded by the pure-numpy GIF codec
+    (operators/multimodal.py) via Arrow-batched mapInPandas; per-frame
+    channel means are hash-checked against DuckDB recomputing the same
+    md5 arithmetic — the encode AND decode directions must both be
+    bit-exact for the hashes to agree."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.multimodal import (
+        decode_gif_frame_stats, synth_gif_corpus,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("media_id"), "text")
+    )
+    media = synth_gif_corpus(docs, "media_id", "text")
+    out = decode_gif_frame_stats(media, "media_id", "media")
+    return out.select(
+        "media_id", "frame_idx", "delay_ms",
+        *[(F.round(F.col(c), 6) + F.lit(0.0)).alias(c)
+          for c in ("mean_r", "mean_g", "mean_b")],
+    ).orderBy("media_id", "frame_idx")

@@ -329,3 +329,31 @@ def image_quality_oracle_sql(max_doc: int = 1000) -> str:
         "CAST(dom.bin AS INT) AS dominant_bin, true AS decode_ok "
         "FROM m JOIN ent ON m.id = ent.id JOIN dom ON m.id = dom.id"
     )
+
+
+def gif_frame_stats_oracle_sql() -> str:
+    """Analytical mirror of image_gif_frame_stats: the GIF pixels are
+    md5-derived palette indices (synth_gif_corpus), and the real
+    LZW+interlace encode/decode is an exact round trip, so per-frame
+    channel means are derivable from the same md5() in SQL — if either
+    codec direction had a bit error, the hashes would diverge."""
+    chan_vals = {"r": [255, 0, 0, 17], "g": [0, 255, 0, 34],
+                 "b": [0, 0, 255, 51]}
+
+    def mean(ch: str) -> str:
+        pal = "[" + ", ".join(str(v) for v in chan_vals[ch]) + "]"
+        terms = " + ".join(
+            f"({pal})[(({_hexbyte('h', i)}) % 4) + 1]" for i in range(16)
+        )
+        return f"round((({terms}) / 16.0) / 255.0, 6) + 0.0 AS mean_{ch}"
+
+    return (
+        "WITH d AS (SELECT doc_id, md5(text || 'g1') AS h1, "
+        "md5(text || 'g2') AS h2 FROM documents WHERE doc_id % 7 = 0), "
+        "f AS (SELECT doc_id, 0 AS fi, h1 AS h FROM d "
+        "UNION ALL SELECT doc_id, 1 AS fi, h2 AS h FROM d) "
+        "SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, "
+        "CAST(100 AS BIGINT) AS delay_ms, "
+        f"{mean('r')}, {mean('g')}, {mean('b')} "
+        "FROM f ORDER BY media_id, frame_idx"
+    )

@@ -75,7 +75,8 @@ def attach_media_meta(df: DataFrame, mime: str = "application/octet-stream") -> 
 def decode_image_array(data: bytes):
     """REAL image decode: returns a numpy (height, width, 3) uint8 array
     for binary PPM (P6), uncompressed 24-bit BMP, JPEG (baseline AND
-    progressive), and 8-bit PNG (incl. Adam7 interlaced) bytes
+    progressive), 8-bit PNG (incl. Adam7 interlaced), and GIF87a/89a
+    (LZW, incl. 4-pass interlace; first frame) bytes
     (pure-numpy decoders below); None if the
     format is none of those OR the bytes are truncated/corrupt — a
     per-row codec failure must never kill a 100 TB pass (fuzz-tested:
@@ -146,6 +147,8 @@ def _decode_image_array_strict(data: bytes):
         rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         rgb = rows[:, :, ::-1]                   # BGR -> RGB
         return (rgb[::-1] if flip else rgb).copy()  # bottom-up -> top-down
+    if data[:4] == b"GIF8":
+        return decode_gif_frame_rgb(data, 0)     # first frame, like video
     return None
 
 
@@ -1978,3 +1981,350 @@ def audio_silence_runs(
         F.min("frame_idx").cast("long").alias("run_start"),
         F.count(F.lit(1)).cast("long").alias("run_frames"),
     ).select("media_id", "run_start", "run_frames")
+
+
+# ---------------------------------------------------------------------------
+# GIF decode, pure python/numpy (public GIF89a spec + the LZW variant it
+# mandates: LSB-first variable-width codes, clear/EOI, 12-bit cap).
+# Real web corpora carry GIFs alongside JPEG/PNG; the container has no
+# PIL, so the format is implemented for real: header + logical screen
+# descriptor, global/local color tables, extension-block skipping
+# (graphic control delay is surfaced), multi-frame image descriptors,
+# the 4-pass GIF row interlace, and full LZW with dictionary growth,
+# rebuild-after-clear, and the kwkwk self-referencing-code case.
+# The paired writer exists so tests and synthetic corpora can build
+# bit-exact inputs without external tools (same role as avi_from_jpegs).
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    growing when the table fills, capped at 12 bits until a clear code
+    rebuilds it. Returns exactly `expected` index bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base_n = clear + 2
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i: byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            del table[base_n:]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]          # the kwkwk case
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < expected:
+        raise ValueError("GIF LZW: truncated stream")
+    return bytes(out[:expected])
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Standard GIF LZW encoder (the decoder's exact mirror: same
+    growth rule, clear-and-rebuild when the 12-bit table fills)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wb] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                # the decoder grows when ITS table (one entry behind)
+                # reaches 2^size; from here our emitted codes may be
+                # next_code-1 == 2^size, which needs the wider width
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = fresh()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list:
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def _gif_parse(data: bytes):
+    """Parse the container: returns (width, height, gct, frames) where
+    frames = [(left, top, w, h, interlaced, palette, min_code_size,
+    lzw_bytes, delay_ms)]."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed, _bg, _aspect = struct.unpack_from("<BBB", data, 10)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos: pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    delay_ms = 0
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:                       # trailer
+            break
+        if b0 == 0x21:                       # extension
+            label = data[pos]
+            pos += 1
+            while True:
+                size = data[pos]
+                if label == 0xF9 and size >= 3:
+                    delay_ms = struct.unpack_from(
+                        "<H", data, pos + 2)[0] * 10
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = data[pos: pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            lzw += data[pos: pos + size]
+            pos += size
+        frames.append((left, top, fw, fh, bool(fpacked & 0x40), pal,
+                       min_code_size, bytes(lzw), delay_ms))
+        delay_ms = 0
+    return w, h, gct, frames
+
+
+def decode_gif_info(data: bytes) -> dict:
+    """Metadata-only parse (no LZW work — the 'metadata queries never
+    touch pixel bytes' rule): screen size, frame count, per-frame
+    delays, palette size."""
+    w, h, gct, frames = _gif_parse(data)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "palette_size": (len(gct) // 3) if gct else 0,
+        "delays_ms": [f[8] for f in frames],
+        "interlaced": any(f[4] for f in frames),
+        "version": data[3:6].decode("ascii"),
+    }
+
+
+def decode_gif_frame_rgb(data: bytes, frame_idx: int):
+    """REAL decode of one frame to a numpy (h, w, 3) uint8 array:
+    LZW-expand the index stream, undo the 4-pass row interlace if
+    flagged, map through the frame's color table. Frames are decoded
+    standalone (no disposal compositing — each synthetic/test frame is
+    full-size, and per-frame pixels are what the feature kernels want)."""
+    import numpy as np
+
+    _w, _h, _gct, frames = _gif_parse(data)
+    if not 0 <= frame_idx < len(frames):
+        raise ValueError(f"GIF has {len(frames)} frames, not {frame_idx + 1}")
+    _l, _t, fw, fh, interlaced, pal, mcs, lzw, _d = frames[frame_idx]
+    idx = np.frombuffer(
+        _gif_lzw_decode(lzw, mcs, fw * fh), dtype=np.uint8
+    ).reshape(fh, fw)
+    if interlaced:
+        out = np.empty_like(idx)
+        out[_gif_interlace_order(fh), :] = idx
+        idx = out
+    palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    if idx.max() >= len(palette):
+        raise ValueError("GIF index outside color table")
+    return palette[idx]
+
+
+def gif_from_frames(frames, palette: bytes, delay_ms: int = 100,
+                    interlaced: bool = False) -> bytes:
+    """Encode index-array frames (each a (h, w) uint8 numpy array or
+    nested list, all the same size) into a GIF89a blob against one
+    global color table. Deterministic — the test/synthetic-corpus
+    counterpart of decode_gif_frame_rgb."""
+    import math
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    n_colors = len(palette) // 3
+    depth = max(1, math.ceil(math.log2(max(n_colors, 2))))
+    pal = palette + b"\x00" * (3 * ((1 << depth) - n_colors))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += pal
+    min_code_size = max(2, depth)
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all GIF frames must share one size")
+        # GCE: introducer, label, size=4, packed, delay (1/100 s),
+        # transparent index, block terminator
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_ms // 10, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlaced else 0)
+        rows = f[_gif_interlace_order(h), :] if interlaced else f
+        lzw = _gif_lzw_encode(rows.tobytes(), min_code_size)
+        out.append(min_code_size)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i: i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frame_stats(
+    df: DataFrame, id_col: str = "media_id", media_col: str = "media"
+) -> DataFrame:
+    """Per-frame channel means over a binary GIF column via the real
+    container parse + LZW decode (Arrow-batched mapInPandas iterator —
+    one python worker init per batch, not per row). Undecodable blobs
+    drop out (per-row codec failure must never kill a 100 TB pass).
+    Means are (integer pixel sum / n_pixels) / 255 in IEEE double —
+    the order the analytical oracles mirror."""
+    import pandas as pd
+
+    def _kernel(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)
+                try:
+                    info = decode_gif_info(b)
+                    for fi in range(info["n_frames"]):
+                        rgb = decode_gif_frame_rgb(b, fi).astype("int64")
+                        n = int(rgb.shape[0] * rgb.shape[1])
+                        means = [
+                            float(rgb[:, :, c].sum()) / n / 255.0
+                            for c in range(3)
+                        ]
+                        rows.append((mid, fi, info["delays_ms"][fi], *means))
+                except (ValueError, IndexError, KeyError):
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "delay_ms",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.mapInPandas(
+        _kernel,
+        f"{id_col} long, frame_idx long, delay_ms long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+# fixed 4-color table for synthetic GIF corpora (mirrored as literals
+# in the analytical oracle)
+GIF_TEST_PALETTE = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])
+
+
+def synth_gif_corpus(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Deterministic 2-frame 4x4 GIF blobs from md5-derived palette
+    indices (frame f pixels = bytes of md5(text || 'g<f+1>') mod 4 —
+    the PPM corpus recipe, so DuckDB recomputes every index from its
+    own md5()). Odd ids store interlaced, even ids sequential: the
+    4-pass interlace path is exercised inside the hash-checked contract
+    and must cancel exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(iterator):
+        for pdf in iterator:
+            out_ids, blobs = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                frames = []
+                for salt in ("g1", "g2"):
+                    dig = hashlib.md5(
+                        (str(text) + salt).encode("utf-8")).digest()
+                    idx = (np.frombuffer(dig, dtype=np.uint8) % 4).reshape(4, 4)
+                    frames.append(idx)
+                blobs.append(gif_from_frames(
+                    frames, GIF_TEST_PALETTE, delay_ms=100,
+                    interlaced=bool(int(mid) % 2),
+                ))
+                out_ids.append(mid)
+            yield pd.DataFrame({id_col: out_ids, "media": blobs})
+
+    return df.mapInPandas(_kernel, f"{id_col} long, media binary")
