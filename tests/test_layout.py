@@ -65,3 +65,67 @@ def test_zorder_prunes_second_column(spark, sf_dir, tmp_path):
     zr, lr = q(zpath), q(lpath)
     assert zr["n"] == lr["n"] and zr["s"] == lr["s"]
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_optimize_zorder_tightens_file_ranges(spark, tmp_path):
+    """Z-order rewrite: same rows, and every clustering column's
+    per-file min/max spans shrink vs the unsorted layout — the parquet
+    row-group pruning property OPTIMIZE exists for."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources.crud import optimize_zorder
+
+    rng = random.Random(31)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000),
+             f"tag{i % 7}") for i in range(40_000)]
+    path = str(tmp_path / "zt")
+    df = spark.createDataFrame(rows, "id long, a long, b long, s string")
+    df.repartition(8).write.parquet(path)
+
+    def file_spans(col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg((F.max(col) - F.min(col)).alias("_span"))
+            .collect()
+        )
+        return sum(r["_span"] for r in per) / len(per)
+
+    before = {c: file_spans(c) for c in ("a", "b")}
+    orig = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    nfiles = optimize_zorder(spark, path, ["a", "b"], target_rows_per_file=5000)
+    assert nfiles == 8
+
+    after = {c: file_spans(c) for c in ("a", "b")}
+    # 8 files = 3 leading Morton bits: one axis splits 4x, the other
+    # 2x — demand each tightens and the covered AREA shrinks >= 4x
+    for c in ("a", "b"):
+        assert after[c] < 0.75 * before[c], (c, before[c], after[c])
+    assert (after["a"] * after["b"]) < (before["a"] * before["b"]) / 4
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == orig
+
+
+def test_optimize_zorder_string_and_constant_cols(spark, tmp_path):
+    """String columns hash-bucket (equality clustering) and a constant
+    column is a no-op bit plane rather than a divide-by-zero."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources.crud import optimize_zorder
+
+    path = str(tmp_path / "zs")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("s"),
+        F.lit(7).alias("c"),
+    )
+    df.repartition(4).write.parquet(path)
+    optimize_zorder(spark, path, ["s", "c"], target_rows_per_file=500)
+    got = spark.read.parquet(path)
+    assert got.count() == 2000
+    # each output file holds few distinct s values (equality clustering)
+    per = got.groupBy(F.input_file_name().alias("_f")).agg(
+        F.countDistinct("s").alias("_d")).collect()
+    assert max(r["_d"] for r in per) <= 3

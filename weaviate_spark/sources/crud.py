@@ -30,7 +30,7 @@ import shutil
 import uuid
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weaviate_spark.filters import Clause, apply_where, compile_where
@@ -694,6 +694,44 @@ def compact_table(
     shutil.move(tmp, path)
     # content is identical but cached/materialized frames reference the
     # replaced files — drop them so nothing rescans deleted paths
+    invalidate_indexes()
+    return files
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Z-order clustering rewrite (Delta's OPTIMIZE ZORDER BY analogue;
+    the reference's closest notion is per-index LSM segment ordering):
+    interleave a 16-bit quantization of each clustering column into one
+    z-value, range-partition + sort the table by it, and swap the
+    rewritten files in. Files then carry TIGHT parquet min/max ranges
+    on EVERY clustering column simultaneously, so filtered scans prune
+    row groups on any of them — the property that matters at 100 TB,
+    where OPTIMIZE is the difference between reading a few files and
+    reading the table.
+
+    Delegates the Morton key + clustered write to sources/layout.py
+    (string columns hash-interleave: equality clustering, not ranges);
+    this wrapper adds the compact_table-style in-place swap and sizing.
+    Returns files written.
+    """
+    import math
+
+    from weaviate_spark.sources.layout import write_zordered
+
+    if not cols:
+        raise ValueError("optimize_zorder needs at least one column")
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "._zorder_tmp"
+    write_zordered(df, tmp, list(cols), num_files=files)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
     invalidate_indexes()
     return files
 

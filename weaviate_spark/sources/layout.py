@@ -37,22 +37,39 @@ def zorder_key(
     two scalars per column, the same tiny-driver-artifact pattern as
     the IVF centroids). Works for any numeric/date-castable columns;
     ties inside one normalization bucket are harmless (they just share
-    a key)."""
+    a key). String (and other non-range) columns interleave a
+    ``bits``-wide hash instead — that clusters EQUALITY lookups, not
+    ranges (documented divergence from lakehouse range-id binning)."""
+    from pyspark.sql import types as T
+
+    rangeable = {
+        c: isinstance(
+            df.schema[c].dataType,
+            (T.NumericType, T.DateType, T.TimestampType, T.BooleanType),
+        )
+        for c in cols
+    }
+    num_cols = [c for c in cols if rangeable[c]]
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
-    ).collect()[0]
+        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in num_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in num_cols],
+    ).collect()[0] if num_cols else {}
     n = len(cols)
     scale = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo, hi = float(stats[f"_lo_{c}"]), float(stats[f"_hi_{c}"])
-        span = hi - lo if hi > lo else 1.0
-        norm = F.floor(
-            (F.col(c).cast("double") - F.lit(lo)) * F.lit(scale / span)
-        ).cast("long")
-        # clamp fp edge of the max value
-        norm = F.least(norm, F.lit(scale).cast("long"))
+        if not rangeable[c]:
+            norm = F.pmod(F.xxhash64(F.col(c)), F.lit(scale + 1)).cast("long")
+        else:
+            lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                continue  # constant/empty column: no bit plane to add
+            lo, hi = float(lo), float(hi)
+            norm = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) * F.lit(scale / (hi - lo))
+            ).cast("long")
+            # clamp fp edge of the max value
+            norm = F.least(norm, F.lit(scale).cast("long"))
         for b in range(bits):
             bit = F.shiftright(norm, b).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit, b * n + ci)
