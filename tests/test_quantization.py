@@ -314,7 +314,8 @@ def test_incremental_vector_index_append(spark):
     from weaviate_spark.operators.pq_codebook import CODEBOOK
     from weaviate_spark.operators.quantization import (
         append_to_vector_indexes, bq_encode, invalidate_bq_index,
-        with_bq_index, with_pq_index,
+        invalidate_sq_index, sq_pack_py, with_bq_index, with_pq_index,
+        with_sq_index,
     )
 
     rng = random.Random(11)
@@ -322,16 +323,18 @@ def test_incremental_vector_index_append(spark):
         (off + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(n)
     ]
     invalidate_bq_index()
+    invalidate_sq_index()
     base_rows = mk(30, 0)
     df = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
     key = ("vec-incr", "emb")
     with_bq_index(df, "vec_id", "embedding", 64, key)
     with_pq_index(df, "vec_id", "embedding", CODEBOOK, key)
+    with_sq_index(df, "vec_id", "embedding", 64, -1.0, 1.0, key)
 
     # batch replaces vec_id 3 and adds 30/31
     batch_rows = [(3, [1.0] * 64)] + mk(2, 30)
     batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
-    assert append_to_vector_indexes(batch, key) == 2
+    assert append_to_vector_indexes(batch, key) == 3
 
     logical = {i: v for i, v in base_rows}
     logical.update({i: v for i, v in batch_rows})
@@ -362,7 +365,18 @@ def test_incremental_vector_index_append(spark):
         ).collect()
     }
     assert got_pq == want_pq and len(got_pq) == 32
+
+    got_sq = {
+        (r["vec_id"], *(r[f"_sq{w}"] for w in range(16)))
+        for r in with_sq_index(
+            df, "vec_id", "embedding", 64, -1.0, 1.0, key).collect()
+    }
+    want_sq = {
+        (i, *sq_pack_py(v, -1.0, 1.0)) for i, v in logical.items()
+    }
+    assert got_sq == want_sq and len(got_sq) == 32
     invalidate_bq_index()
+    invalidate_sq_index()
 
 
 def test_vector_index_family_invalidation(spark):
