@@ -4344,8 +4344,8 @@ def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # connected components via recursive reachability: cluster_id =
         # min id reachable from each node (genuinely independent of the
         # engine's iterative min-label propagation)
-        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
-        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "WITH RECURSIVE pairs AS MATERIALIZED (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs "
         "UNION ALL SELECT id_b, id_a FROM pairs), "
         "reach(src, dst) AS ("
         "SELECT a, a FROM edges "
@@ -5728,8 +5728,8 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_best_quality",
     oracle=(
-        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
-        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "WITH RECURSIVE pairs AS MATERIALIZED (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs "
         "UNION ALL SELECT id_b, id_a FROM pairs), "
         "reach(src, dst) AS ("
         "SELECT a, a FROM edges "
@@ -7271,8 +7271,8 @@ from weaviate_spark.operators.sampling import unit_hash_sql as _unit_hash_sql  #
 @register(
     "split_leakage_safe",
     oracle=(
-        "WITH RECURSIVE pairs AS (" + _MINHASH_SQL.format(thr=0.35) + "), "
-        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "WITH RECURSIVE pairs AS MATERIALIZED (" + _MINHASH_SQL.format(thr=0.35) + "), "
+        "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs "
         "UNION ALL SELECT id_b, id_a FROM pairs), "
         "reach(src, dst) AS ("
         "SELECT a, a FROM edges "
