@@ -98,3 +98,24 @@ def test_gif_256_color_8bit_codes():
     out = decode_gif_frame_rgb(blob, 0)
     expect = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[f]
     assert (out == expect).all()
+
+
+def test_gif_fuzz_never_raises():
+    """Random mutations/truncations of a valid GIF must surface as None
+    (or a decoded array) through the shared image path, never as an
+    uncaught exception — a per-row codec failure cannot kill a pass."""
+    rng = random.Random(42)
+    f = np.array([[rng.randrange(4) for _ in range(8)]
+                  for _ in range(8)], dtype=np.uint8)
+    blob = bytearray(gif_from_frames([f, (f + 2) % 4], PALETTE4))
+    for trial in range(300):
+        mutated = bytearray(blob)
+        if trial % 3 == 0:
+            mutated = mutated[: rng.randrange(1, len(blob))]
+        for _ in range(rng.randrange(1, 4)):
+            if mutated:
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        out = decode_image_array(bytes(mutated))
+        assert out is None or (
+            hasattr(out, "shape") and out.ndim == 3 and out.shape[2] == 3
+        )
