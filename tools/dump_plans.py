@@ -69,6 +69,10 @@ INTERESTING = [
     # graph-structured ANN
     "knn_filtered_quantized", "ann_nndescent_graph",
     "ann_graph_expand_topk", "ann_graph_hubness",
+    # round-7 continuation: SQ compressed route + recall audit +
+    # trainable classifier + GIF decode pipeline
+    "knn_sq_rescore", "ann_recall_audit", "curation_nb_classifier",
+    "image_gif_frame_stats",
 ]
 
 MARKERS = [
