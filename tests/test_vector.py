@@ -630,3 +630,33 @@ def test_multivector_pruned_matches_exact_small_corpus(spark, sf_dir):
     tiny = multivector_search_pruned(
         docs, "vec_id", "_toks", qt, token_topk=3, limit=10)
     assert tiny.count() <= 6  # union of two 3-doc token lists
+
+
+def test_near_vector_sq_route_l2_metric(spark, sf_dir):
+    """l2-squared also routes through the SQ compressed scan (the int8
+    code distance IS an l2 proxy) and returns the exact-scan rows; BQ
+    stays cosine-only and falls back to the exact plan for l2."""
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    exact = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10,
+        metric="l2-squared", quantize="off",
+    )).select("vec_id", "_distance")
+    routed = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10,
+        metric="l2-squared", quantize="sq",
+    )).select("vec_id", "_distance")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(vec_id" in plan
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in exact.collect()]
+
+    bq_l2 = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=QVEC, limit=10,
+        metric="l2-squared", quantize="bq",
+    )).select("vec_id", "_distance")
+    bq_plan = bq_l2._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" not in bq_plan  # exact fallback, not sign bits
+    assert [tuple(r) for r in bq_l2.collect()] == [
+        tuple(r) for r in exact.collect()]

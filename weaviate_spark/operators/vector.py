@@ -121,9 +121,18 @@ def near_vector(
     deterministic, so results stay value-checkable; the exact
     brute-force path remains for filtered / cutoff / custom-df /
     small-corpus queries and as the recall oracle (quantize="off")."""
+    # which compressed route fits the metric: SQ's int8 code distance is
+    # a magnitude proxy (right for cosine AND l2-squared); BQ's sign-bit
+    # hamming approximates angle only (cosine)
+    _route_kind = "bq" if spec.quantize == "bq" else "sq"
+    _metric_ok = (
+        spec.metric == "cosine"
+        if _route_kind == "bq"
+        else spec.metric in ("cosine", "l2-squared")
+    )
     if (
         df is None
-        and spec.metric == "cosine"
+        and _metric_ok
         and spec.limit >= 0
         and spec.distance is None
         and spec.certainty is None
