@@ -205,3 +205,26 @@ def test_data_insert_many_with_report(spark, tmp_path):
     assert got == {1: "SUCCESS", None: "FAILED", 2: "SUCCESS"}
     rows = {(r["id"], r["name"]) for r in things.query.fetch_objects().collect()}
     assert rows == {(1, "a2"), (2, "b")}
+
+
+def test_data_optimize_compact_and_zorder(spark, tmp_path):
+    """client-facade maintenance: optimize() compacts small files;
+    optimize(zorder=[...]) rewrites clustered — content preserved,
+    file count as sized."""
+    import glob
+
+    wclient = connect(spark, str(tmp_path))
+    rows = [(i, i % 97, (i * 31) % 89) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    df.repartition(16).write.parquet(f"{tmp_path}/facts.parquet")
+
+    facts = wclient.collections.get("facts")
+    n = facts.data.optimize(target_rows_per_file=2000)
+    assert n == 2
+    assert len(glob.glob(f"{tmp_path}/facts.parquet/*.parquet")) == 2
+
+    n = facts.data.optimize(zorder=["a", "b"], target_rows_per_file=1000)
+    assert n == 4
+    got = sorted(
+        tuple(r) for r in facts.query.fetch_objects(limit=5000).collect())
+    assert got == sorted(rows)

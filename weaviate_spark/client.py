@@ -308,6 +308,25 @@ class _Data:
         self._h._check(auth.DELETE)
         return vacuum_table(self._dir(), keep_last=keep_last)
 
+    def optimize(self, zorder: Sequence[str] | None = None,
+                 target_rows_per_file: int = 1_000_000) -> int:
+        """Maintenance rewrite (Delta's OPTIMIZE): small-file compaction,
+        or — with ``zorder`` columns — a Morton-clustered rewrite so
+        filtered scans prune row groups on every listed column. Returns
+        the file count written."""
+        from weaviate_spark.sources.crud import compact_table, optimize_zorder
+
+        self._h._check(auth.UPDATE)
+        if zorder:
+            return optimize_zorder(
+                self._h._spark, self._dir(), list(zorder),
+                target_rows_per_file=target_rows_per_file,
+            )
+        return compact_table(
+            self._h._spark, self._dir(),
+            target_rows_per_file=target_rows_per_file,
+        )
+
 
 # ---------------------------------------------------------------------------
 # collection handle + top-level client
