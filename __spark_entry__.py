@@ -79,6 +79,26 @@ _DRIVER_CHECKED = frozenset({
     "text_readability_flesch", "text_repetition_filter", "text_tfidf_cosine_topk",
     "text_tfidf_keywords", "text_unigram_xent", "tokenizer_bpe_encode",
     "tokenizer_bpe_train", "video_scene_cuts",
+    # green in CORRECTNESS_r07 (50/50 — added r08 so the driver window
+    # covers the final never-checked tail):
+    "abtest_two_proportion_z", "agg_cube_orders", "agg_trimmed_mean",
+    "ann_ivfpq_topk", "ann_lsh_multiprobe", "corpus_js_divergence",
+    "dedup_containment", "dedup_minhash_bbit", "drift_psi_value",
+    "embedding_group_centroids", "embedding_kmeans", "events_cusum_changepoints",
+    "events_dow_seasonality", "events_ewma_daily", "events_kaplan_meier",
+    "events_markov_transitions", "events_ohlc_daily", "events_roc_auc",
+    "events_rolling_features", "events_sessionize_gap", "events_temporal_neighbors",
+    "events_top_paths", "feature_quantile_binning", "forecast_ols_trend",
+    "geo_neighbor_pairs", "gini_revenue_concentration", "graph_assortativity",
+    "graph_kcore_trade", "graph_sssp_trade", "knn_query_batch", "knn_sq_rescore",
+    "market_basket_brand_lift", "mv_incremental_pricing",
+    "orders_value_percentiles_by_priority", "pareto_revenue_share",
+    "profile_benford_digits", "profile_chisq_independence", "profile_mad_outliers",
+    "profile_mutual_information", "profile_numeric_correlations",
+    "reco_item_item_cosine", "reco_user_topn", "score_calibration_bins",
+    "sketch_hll_daily_merge", "split_leakage_safe", "stats_bootstrap_ci",
+    "text_collocations_pmi", "tokenizer_wordpiece_encode",
+    "validate_expectations", "validate_referential_integrity",
 })
 
 

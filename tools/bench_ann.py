@@ -81,6 +81,24 @@ def main() -> None:
             quantize_overfetch=overfetch,
         )).select("vec_id", "_distance")
 
+    # graph route (NN-descent k-NN graph + one-hop expansion): the graph
+    # is a written ingest artifact like the BQ/SQ code tables — build it
+    # untimed, then time only the search
+    from weaviate_spark.operators.similarity import graph_expand_topk
+
+    t0 = time.time()
+    graph_expand_topk(
+        spark, sf_dir, "embeddings", QVEC, k=10,
+        table_key=(sf_dir, "embeddings"),
+    ).count()
+    graph_ingest_s = round(time.time() - t0, 3)  # includes graph build
+
+    def graph_route():
+        return graph_expand_topk(
+            spark, sf_dir, "embeddings", QVEC, k=10,
+            table_key=(sf_dir, "embeddings"),
+        ).select("vec_id", "_distance")
+
     exact_cold, exact_med = _run(lambda: exact().count())
     q_cold, q_med = _run(lambda: quantized().count())
     # higher-recall configuration (the RescoreLimit dial — the reference
@@ -89,17 +107,29 @@ def main() -> None:
     q64_cold, q64_med = _run(lambda: quantized(64).count())
     # the recall-safe compressed route: packed int8 SQ (4x compression)
     sq_cold, sq_med = _run(lambda: quantized(4, "sq").count())
+    g_cold, g_med = _run(lambda: graph_route().count())
 
     e_rows = [tuple(r) for r in exact().collect()]
     q_rows = [tuple(r) for r in quantized().collect()]
     q64_rows = [tuple(r) for r in quantized(64).collect()]
     sq_rows = [tuple(r) for r in quantized(4, "sq").collect()]
+    g_rows = [tuple(r) for r in graph_route().collect()]
     recall = len({r[0] for r in e_rows} & {r[0] for r in q_rows}) / max(
         1, len(e_rows))
     recall64 = len({r[0] for r in e_rows} & {r[0] for r in q64_rows}) / max(
         1, len(e_rows))
     recall_sq = len({r[0] for r in e_rows} & {r[0] for r in sq_rows}) / max(
         1, len(e_rows))
+    recall_g = len({r[0] for r in e_rows} & {r[0] for r in g_rows}) / max(
+        1, len(e_rows))
+    # BQ recall curve: the full RescoreLimit dial, documenting what it
+    # takes (if anything) for 1-bit sign codes to clear a recall floor
+    # on this corpus — the quantize="bq" footgun evidence
+    bq_curve = {}
+    for of in (16, 256, 1024):
+        rows = [tuple(r) for r in quantized(of).collect()]
+        bq_curve[str(of)] = len(
+            {r[0] for r in e_rows} & {r[0] for r in rows}) / max(1, len(e_rows))
 
     result = {
         "metric": "nearVector exact scan vs BQ compressed scan + rescore",
@@ -114,6 +144,8 @@ def main() -> None:
         "quantized": {"cold": q_cold, "steady_median": q_med},
         "quantized_overfetch64": {"cold": q64_cold, "steady_median": q64_med},
         "sq": {"cold": sq_cold, "steady_median": sq_med},
+        "graph": {"cold": g_cold, "steady_median": g_med,
+                  "ingest_incl_build_s": graph_ingest_s},
         "speedup_steady": round(exact_med / q_med, 3) if q_med else None,
         "speedup_cold": round(exact_cold / q_cold, 3) if q_cold else None,
         "speedup_steady_overfetch64":
@@ -122,8 +154,12 @@ def main() -> None:
         "recall_at_10_vs_exact": recall,
         "recall_at_10_overfetch64": recall64,
         "recall_at_10_sq": recall_sq,
+        "recall_at_10_graph": recall_g,
+        "speedup_steady_graph": round(exact_med / g_med, 3) if g_med else None,
+        "bq_recall_curve_by_overfetch": bq_curve,
         "results_identical": e_rows == q_rows,
         "sq_results_identical": e_rows == sq_rows,
+        "graph_results_identical": e_rows == g_rows,
     }
     line = json.dumps(result)
     print(line)

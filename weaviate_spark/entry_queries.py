@@ -8608,8 +8608,10 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_link_prediction",
     oracle=(
-        "WITH cs AS (SELECT DISTINCT o_custkey AS h, l_partkey AS n "
+        "WITH cs0 AS (SELECT DISTINCT o_custkey AS h, l_partkey AS n "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "cs AS (SELECT * FROM cs0 WHERE h IN "
+        "(SELECT h FROM cs0 GROUP BY h HAVING count(*) <= 10000)), "
         "deg AS (SELECT n, count(*) AS d FROM cs GROUP BY 1), "
         "cm AS (SELECT a.n AS na, b.n AS nb, count(*) AS c FROM cs a "
         "JOIN cs b ON a.h = b.h AND a.n < b.n GROUP BY 1, 2), "
@@ -8631,7 +8633,8 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard link prediction over the part co-purchase graph:
     candidates = part pairs bought by a shared CUSTOMER (co-customer
-    wedges, cost bounded by per-customer degree), existing links =
+    wedges, cost bounded by per-customer degree AND the
+    max_hub_degree=10k skew guard, oracle-mirrored), existing links =
     pairs already co-occurring in an ORDER; survivors ranked by
     customer-set Jaccard — the 'next-basket' affinity prediction."""
     from pyspark.sql import functions as F

@@ -329,6 +329,7 @@ def jaccard_link_prediction(
     wedge_edges: DataFrame,
     true_edges: DataFrame,
     top_k: int = 20,
+    max_hub_degree: int | None = 10_000,
 ) -> DataFrame:
     """Jaccard-coefficient link prediction: rank node pairs that share
     wedge neighbors but are NOT connected in ``true_edges``.
@@ -342,11 +343,17 @@ def jaccard_link_prediction(
     counts are BIGINTs, the union comes from inclusion-exclusion, the
     score is rounded to 6dp only for display with an (a, b) tie-break
     on the final sort. Scale shape: the pair generation is the wedge
-    self-join keyed on the hub — cost is sum over hubs of deg(hub)^2,
-    bounded when per-hub degree is bounded (true for order- and
-    customer-keyed incidence; a degree cap on pathological hubs is the
-    documented skew knob, at the cost of exactness). Degrees broadcast
-    (node-dimension table); no all-pairs anywhere.
+    self-join keyed on the hub — cost is sum over hubs of deg(hub)^2.
+    Skew guard: hubs touching more than ``max_hub_degree`` DISTINCT
+    nodes are dropped from the incidence frame entirely (pairing AND
+    degrees — the guarded graph is "the graph minus pathological
+    hubs", so intersection/union stay mutually consistent), the
+    fuzzy_name_pairs ``max_bucket_size`` rule: one hub session/customer
+    touching 10^5 items would otherwise emit 10^10 candidate pairs,
+    and a hub shared by everyone carries ~no Jaccard signal anyway.
+    Deterministic — the cap is an exact degree filter, so oracles
+    mirror it verbatim. Degrees broadcast (node-dimension table); no
+    all-pairs anywhere.
     """
     inc = (
         wedge_edges.select(
@@ -356,6 +363,14 @@ def jaccard_link_prediction(
         .where(F.col("_h").isNotNull() & F.col("_n").isNotNull())
         .distinct()
     )
+    if max_hub_degree is not None:
+        hub_ok = (
+            inc.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_hd"))
+            .where(F.col("_hd") <= max_hub_degree)
+            .select("_h")
+        )
+        inc = inc.join(hub_ok, "_h", "left_semi")
     inc = register_cache(inc.cache())
     deg = inc.groupBy("_n").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
     l = inc.select("_h", F.col("_n").alias("_a"))

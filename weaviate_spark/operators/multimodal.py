@@ -2259,6 +2259,8 @@ def decode_gif_frame_stats(
     drop out (per-row codec failure must never kill a 100 TB pass).
     Means are (integer pixel sum / n_pixels) / 255 in IEEE double —
     the order the analytical oracles mirror."""
+    import struct
+
     import pandas as pd
 
     def _kernel(iterator):
@@ -2276,7 +2278,11 @@ def decode_gif_frame_stats(
                             for c in range(3)
                         ]
                         rows.append((mid, fi, info["delays_ms"][fi], *means))
-                except (ValueError, IndexError, KeyError):
+                except (ValueError, IndexError, KeyError,
+                        struct.error, OverflowError):
+                    # per-row codec failure must never kill a 100 TB
+                    # pass — truncated headers raise struct.error from
+                    # unpack_from, matching decode_image_array's tuple
                     continue
             yield pd.DataFrame(
                 rows,

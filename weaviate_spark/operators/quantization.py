@@ -467,6 +467,46 @@ def build_sq_artifact(
 
 def invalidate_sq_index() -> None:
     _vector_tables.invalidate(family="sq")
+    _sq_bounds_cache.clear()
+
+
+# (session, sf_dir, collection, vector_col) -> trained (lo, hi)
+_sq_bounds_cache: dict[tuple, tuple[float, float]] = {}
+
+
+def sq_trained_bounds(
+    spark: SparkSession,
+    sf_dir: str,
+    collection: str,
+    vector_col: str = "embedding",
+) -> tuple[float, float]:
+    """Per-collection SQ code bounds trained from the data, the
+    reference's scalar-quantizer Fit step (compressionhelpers/
+    scalar_quantizer.go trains on a sample at ingest). Exact global
+    min/max — deterministic under any partitioning, so the artifact
+    fingerprint (which embeds lo/hi) stays stable for unchanged data.
+    Fixed [-1, 1] bounds saturate every component of an unnormalized
+    corpus to code 0/255 and silently degrade the candidate scan;
+    training closes that footgun for the quantize="auto" route.
+    Degenerate corpora (empty / all-null / constant) fall back to
+    [-1, 1]. Cached per (session, table, column); cleared with the SQ
+    family on writes (crud.invalidate_indexes)."""
+    key = (session_key(spark), sf_dir, collection, vector_col)
+    if key not in _sq_bounds_cache:
+        base = load_table(spark, sf_dir, collection)
+        row = (
+            base.where(F.col(vector_col).isNotNull())
+            .agg(
+                F.min(F.array_min(F.col(vector_col))).alias("lo"),
+                F.max(F.array_max(F.col(vector_col))).alias("hi"),
+            )
+            .collect()[0]
+        )
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None or not float(hi) > float(lo):
+            lo, hi = -1.0, 1.0
+        _sq_bounds_cache[key] = (float(lo), float(hi))
+    return _sq_bounds_cache[key]
 
 
 def with_sq_index(

@@ -68,13 +68,21 @@ class NearVectorSpec:
     certainty: Optional[float] = None # cosine-only alternative
     where: Optional[Clause] = None
     round_digits: Optional[int] = 6
-    # quantized routing: "auto" switches to the BQ compressed scan when
-    # the corpus exceeds quantize_threshold rows; "bq" forces it; "sq"
-    # forces the packed-int8 scan (4x compression, near-exact recall);
+    # quantized routing: "auto" switches to the SQ compressed scan when
+    # the corpus exceeds quantize_threshold rows; "sq" forces the
+    # packed-int8 scan (4x compression, near-exact recall); "bq" forces
+    # the 32x sign-bit scan (LOW RECALL — see the overfetch note below);
     # "off" always brute-forces exact floats
     quantize: str = "auto"
     quantize_threshold: int = AUTO_QUANTIZE_MIN_ROWS
-    quantize_overfetch: int = 4
+    # candidate budget multiplier (the reference's RescoreLimit dial,
+    # flat/index.go:60-131). None = the default 4. quantize="bq" with
+    # the default warns: measured recall@10 at 1M x 64-dim is 0.2 at
+    # overfetch 4 and only ~0.3 at 64 (BENCH_ANN_1M — 1-bit sign codes
+    # saturate at 64 dims); callers who accept that trade should say so
+    # with an explicit overfetch, everyone else wants "auto"/"sq"
+    # (measured recall 1.0 at the same scale).
+    quantize_overfetch: int | None = None
 
 
 # (session, sf_dir, collection) -> row count (table-stats stand-in;
@@ -150,20 +158,47 @@ def near_vector(
             _corpus_rows(spark, sf_dir, spec.collection, base)
             >= spec.quantize_threshold
         ):
-            from weaviate_spark.operators.quantization import bq_topk, sq_topk
+            from weaviate_spark.operators.quantization import (
+                bq_topk, sq_topk, sq_trained_bounds,
+            )
 
             # "auto" = SQ (recall-safe compressed default); "bq" is the
             # explicit max-compression opt-in
-            route = bq_topk if spec.quantize == "bq" else sq_topk
-            topk = route(
-                spark, sf_dir, spec.collection, spec.vector,
+            if spec.quantize == "bq" and spec.quantize_overfetch is None:
+                import warnings
+
+                warnings.warn(
+                    "quantize='bq' with the default overfetch: measured "
+                    "recall@10 at 1M x 64-dim is 0.2 (overfetch=4) and "
+                    "~0.3 even at overfetch=64 — 1-bit sign codes carry "
+                    "too little signal at this dimensionality. Pass an "
+                    "explicit quantize_overfetch to accept the trade, or "
+                    "use quantize='auto'/'sq' (measured recall 1.0).",
+                    stacklevel=2,
+                )
+            kwargs = dict(
                 id_col=spec.id_col, vector_col=spec.vector_col,
-                k=spec.limit, overfetch=spec.quantize_overfetch,
+                k=spec.limit,
+                overfetch=(4 if spec.quantize_overfetch is None
+                           else spec.quantize_overfetch),
                 metric=spec.metric,
                 round_digits=spec.round_digits if spec.round_digits is not None else 6,
                 table_key=(sf_dir, spec.collection),
                 where=spec.where,
             )
+            if spec.quantize == "bq":
+                route = bq_topk
+            else:
+                # SQ bounds are trained per collection (scalar_quantizer
+                # Fit): fixed [-1,1] saturates unnormalized corpora —
+                # every component clamps to code 0/255 and the candidate
+                # scan silently degrades (especially l2-squared inputs,
+                # which are commonly not unit-norm)
+                route = sq_topk
+                kwargs["lo"], kwargs["hi"] = sq_trained_bounds(
+                    spark, sf_dir, spec.collection, spec.vector_col,
+                )
+            topk = route(spark, sf_dir, spec.collection, spec.vector, **kwargs)
             return (
                 base.join(F.broadcast(topk), spec.id_col)
                 .orderBy(F.col("_distance").asc(), F.col(spec.id_col).asc())

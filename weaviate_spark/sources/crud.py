@@ -58,8 +58,10 @@ def invalidate_indexes(
     from weaviate_spark.operators.bm25 import invalidate_stats
     from weaviate_spark.operators.dedup import invalidate_dedup_index
     from weaviate_spark.operators.quantization import (
-        invalidate_bq_index, invalidate_pq_index, invalidate_rq_index,
+        invalidate_bq_index, invalidate_ivfpq_index, invalidate_pq_index,
+        invalidate_rq_index, invalidate_sq_index,
     )
+    from weaviate_spark.operators.similarity import invalidate_nn_graphs
     from weaviate_spark.operators.vector import invalidate_corpus_stats
     from weaviate_spark.sources.bucketed import invalidate_bucketed
     from weaviate_spark.sources.tables import invalidate_derived_tables
@@ -69,9 +71,16 @@ def invalidate_indexes(
     if not preserve_dedup_index:
         invalidate_dedup_index()
     if not preserve_vector_index:
+        # Every cached vector-index family: SQ is the quantize="auto"
+        # route, so a stale SQ code table after a write would silently
+        # hide new vectors from top-k; ivfpq/nng close the same gap for
+        # the opt-in routes.
         invalidate_bq_index()
+        invalidate_sq_index()
         invalidate_pq_index()
         invalidate_rq_index()
+        invalidate_ivfpq_index()
+        invalidate_nn_graphs()
     invalidate_derived_tables()
     invalidate_bucketed()
 

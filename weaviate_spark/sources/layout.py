@@ -49,6 +49,14 @@ def zorder_key(
         )
         for c in cols
     }
+    # the interleaved key must fit the 63 value bits of a signed LONG:
+    # bit b*n+ci at bits=16 with 4 columns would land the top plane in
+    # bit 63 (the sign bit — range partitioning then anti-clusters the
+    # high half), and ≥5 columns would wrap Spark's shiftleft amount
+    # mod 64, silently colliding bit planes. Cap per-column bits so
+    # bits*len(cols) <= 63; the coarser planes still cluster.
+    if cols:
+        bits = max(1, min(bits, 63 // len(cols)))
     num_cols = [c for c in cols if rangeable[c]]
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in num_cols],
