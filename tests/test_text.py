@@ -324,3 +324,81 @@ def test_cjk_common_lexicon_everyday_prose():
         "사람", "들", "의", "생각"]
     assert tokenize_py("会社の会議で質問する", "kagome_ja") == [
         "会社", "の", "会議", "で", "質問", "する"]
+
+
+def test_reference_tokenizer_fixtures_r08():
+    """Three more fixtures ported from entities/tokenizer/
+    tokenizer_test.go (r07 verdict ask #6): the trigram いろは pangram
+    (:77-78) and trigram four-seasons poem (:80-88) — both exact, the
+    reference also strips whitespace/punctuation before windowing —
+    and the kagome_ja Latin passthrough sentence (:146; divergence:
+    our word-run tokenizer lowercases, the reference's kagome keeps
+    case, so the expectation is compared lowercased)."""
+    from weaviate_spark.functions.text import tokenize_py
+
+    iroha = (
+        "いろはにほへとちりぬるをわかよたれそつねならむ"
+        "うゐのおくやまけふこえてあさきゆめみしゑひもせす"
+    )
+    expected_iroha = [
+        "いろは", "ろはに", "はにほ", "にほへ", "ほへと", "へとち", "とちり",
+        "ちりぬ", "りぬる", "ぬるを", "るをわ", "をわか", "わかよ", "かよた",
+        "よたれ", "たれそ", "れそつ", "そつね", "つねな", "ねなら", "ならむ",
+        "らむう", "むうゐ", "うゐの", "ゐのお", "のおく", "おくや", "くやま",
+        "やまけ", "まけふ", "けふこ", "ふこえ", "こえて", "えてあ", "てあさ",
+        "あさき", "さきゆ", "きゆめ", "ゆめみ", "めみし", "みしゑ", "しゑひ",
+        "ゑひも", "ひもせ", "もせす",
+    ]
+    assert tokenize_py(iroha, "trigram") == expected_iroha
+
+    poem = (
+        "春の夜の夢はうつつよりもかなしき\n\t夏の夜の夢はうつつに似たり\n\t"
+        "秋の夜の夢はうつつを超え\n\t冬の夜の夢は心に響く\n\n\t"
+        "山のあなたに小さな村が見える\n\t川の音が静かに耳に届く\n\t"
+        "風が木々を通り抜ける音\n\t星空の下、すべてが平和である"
+    )
+    expected_poem = [
+        "春の夜", "の夜の", "夜の夢", "の夢は", "夢はう", "はうつ", "うつつ",
+        "つつよ", "つより", "よりも", "りもか", "もかな", "かなし", "なしき",
+        "しき夏", "き夏の", "夏の夜", "の夜の", "夜の夢", "の夢は", "夢はう",
+        "はうつ", "うつつ", "つつに", "つに似", "に似た", "似たり", "たり秋",
+        "り秋の", "秋の夜", "の夜の", "夜の夢", "の夢は", "夢はう", "はうつ",
+        "うつつ", "つつを", "つを超", "を超え", "超え冬", "え冬の", "冬の夜",
+        "の夜の", "夜の夢", "の夢は", "夢は心", "は心に", "心に響", "に響く",
+        "響く山", "く山の", "山のあ", "のあな", "あなた", "なたに", "たに小",
+        "に小さ", "小さな", "さな村", "な村が", "村が見", "が見え", "見える",
+        "える川", "る川の", "川の音", "の音が", "音が静", "が静か", "静かに",
+        "かに耳", "に耳に", "耳に届", "に届く", "届く風", "く風が", "風が木",
+        "が木々", "木々を", "々を通", "を通り", "通り抜", "り抜け", "抜ける",
+        "ける音", "る音星", "音星空", "星空の", "空の下", "の下す", "下すべ",
+        "すべて", "べてが", "てが平", "が平和", "平和で", "和であ", "である",
+    ]
+    assert tokenize_py(poem, "trigram") == expected_poem
+
+    # Latin text through kagome_ja = word passthrough (:146), reference
+    # expectation lowercased (our analyze pipeline folds case up front)
+    assert tokenize_py(
+        "The quick brown fox jumps over the lazy dog", "kagome_ja"
+    ) == [t.lower() for t in [
+        "The", "quick", "brown", "fox", "jumps", "over", "the",
+        "lazy", "dog",
+    ]]
+
+
+def test_cjk_extended_lexicon_everyday_prose():
+    """The r08 HSK/JLPT/TOPIK-style extension (~2000 entries) segments
+    everyday prose across all three languages into dictionary words;
+    the pre-r08 lexicon fell back to single codepoints on most of
+    these."""
+    from weaviate_spark.functions.text import (
+        CJK_EXTENDED_LEXICON, CJK_MINI_LEXICON, tokenize_py,
+    )
+
+    assert len(CJK_MINI_LEXICON) > 2000
+    assert CJK_EXTENDED_LEXICON <= CJK_MINI_LEXICON
+    assert tokenize_py("经济发展需要科学技术", "gse_ch") == [
+        "经济", "发展", "需要", "科学", "技术"]
+    assert tokenize_py("图书馆で宿題の準備", "kagome_ja") == [
+        "图书馆", "で", "宿題", "の", "準備"]
+    assert tokenize_py("도서관에서숙제준비", "kagome_kr") == [
+        "도서관", "에", "서", "숙제", "준비"]

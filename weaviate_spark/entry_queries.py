@@ -1487,8 +1487,15 @@ _CJK_SENTS = [
 def _cjk_dict_oracle_sql() -> str:
     from weaviate_spark.functions.text import CJK_MINI_LEXICON
 
-    maxw = max(len(w) for w in CJK_MINI_LEXICON)
-    dictvals = ", ".join(f"('{w}')" for w in sorted(CJK_MINI_LEXICON))
+    # FMM only ever matches words that are substrings of an input, so
+    # pruning the VALUES dict to those is a pure optimization (the r08
+    # lexicon is ~2.5k entries; unpruned, the recursive CTE re-scanned
+    # all of them at every position — 26 s of oracle time for 5 rows)
+    sents = [t.lower() for _, t in _CJK_SENTS]
+    live = sorted(w for w in CJK_MINI_LEXICON
+                  if any(w in s for s in sents))
+    maxw = max((len(w) for w in live), default=2)
+    dictvals = ", ".join(f"('{w}')" for w in live) or "('一一')"
     inputs = ", ".join(f"({i}, '{t.lower()}')" for i, t in _CJK_SENTS)
     picks = ", ".join(
         f"(SELECT w FROM dict WHERE w = substr(run, pos, {ln}))"

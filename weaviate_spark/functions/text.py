@@ -63,6 +63,8 @@ from functools import lru_cache
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from weaviate_spark.functions.cjk_lexicon import CJK_EXTENDED_LEXICON
+
 # unicode letter/digit runs — same meaning in Java regex (Spark), RE2
 # (duckdb), identical to Go's unicode.IsLetter/IsNumber split
 WORD_REGEX = r"[\p{L}\p{N}]+"
@@ -500,7 +502,7 @@ CJK_MINI_LEXICON = frozenset([
     "通り抜ける", "星空", "すべて", "平和", "ある",
     # kagome_ja hiragana fox fixture (:143-144)
     "すばやい", "ちゃ", "いろ", "きつね", "なまけ", "いぬ", "とびこえ",
-]) | _CJK_COMMON_LEXICON
+]) | _CJK_COMMON_LEXICON | CJK_EXTENDED_LEXICON
 
 _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
 
