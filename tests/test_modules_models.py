@@ -92,3 +92,76 @@ def test_real_model_end_to_end(spark):  # pragma: no cover - opt-in
            df.select("id", udf(F.col("text")).alias("v")).collect()}
     dot = lambda a, b: sum(x * y for x, y in zip(a, b))
     assert dot(out[1], out[2]) > dot(out[1], out[3])
+
+
+def test_cross_encoder_rerank_udf_plumbing(spark):
+    """The r08 reranker path (reference: modules/reranker-transformers):
+    fake CrossEncoder through the _loader seam — pair construction,
+    double schema, once-per-stream load, null-doc handling."""
+    from weaviate_spark.modules_models import cross_encoder_rerank_udf
+
+    def fake_loader():
+        class Fake:
+            def __init__(self):
+                self.marker = float(id(self) % 89) / 1e9
+
+            def predict(self, pairs, batch_size=None):
+                # overlap-count score, query sensitivity observable
+                return [
+                    len(set(q.split()) & set(d.split())) + self.marker
+                    for q, d in pairs
+                ]
+
+        return Fake()
+
+    udf = cross_encoder_rerank_udf("spark vector search", _loader=fake_loader)
+    df = spark.createDataFrame(
+        [(1, "vector search engine"), (2, "spark vector search"),
+         (3, "unrelated words"), (4, None)],
+        "id long, text string",
+    ).repartition(1)
+    rows = {r["id"]: r["s"] for r in
+            df.select("id", udf(F.col("text")).alias("s")).collect()}
+    assert rows[2] > rows[1] > rows[3]
+    assert rows[4] is not None  # None doc scored as ""
+    # one model instance served the partition: identical fractional marker
+    fracs = {round(v % 1, 12) for v in rows.values()}
+    assert len(fracs) == 1
+
+
+def test_reranker_registry_entry_present():
+    import weaviate_spark.modules_models  # noqa: F401  (registers)
+    from weaviate_spark.modules import RERANKERS
+
+    assert "reranker-transformers" in RERANKERS
+    assert "reranker-dummy" in RERANKERS
+
+
+def test_reranker_missing_extra_raises_clear_error(spark):
+    if importlib.util.find_spec("sentence_transformers"):
+        pytest.skip("extra installed; the error path is untestable here")
+    from weaviate_spark.modules import RERANKERS
+    import weaviate_spark.modules_models  # noqa: F401
+
+    udf = RERANKERS["reranker-transformers"]("some query")
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(Exception, match="sentence-transformers"):
+        df.select(udf(F.col("text"))).collect()
+
+
+@pytest.mark.skipif(
+    not importlib.util.find_spec("sentence_transformers"),
+    reason="optional extra sentence-transformers not installed",
+)
+def test_real_cross_encoder_end_to_end(spark):  # pragma: no cover - opt-in
+    from weaviate_spark.modules import RERANKERS
+
+    udf = RERANKERS["reranker-transformers"]("what is a vector database")
+    df = spark.createDataFrame(
+        [(1, "a vector database stores embeddings"),
+         (2, "the weather is nice today")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["s"] for r in
+            df.select("id", udf(F.col("text")).alias("s")).collect()}
+    assert rows[1] > rows[2]

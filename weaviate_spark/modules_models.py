@@ -79,6 +79,111 @@ def text2vec_transformers(dim: int = 0, model_name: str = "all-MiniLM-L6-v2"):
     return sentence_transformer_udf(model_name)
 
 
+def _load_cross_encoder(model_name: str):
+    try:
+        from sentence_transformers import CrossEncoder  # type: ignore
+    except ImportError as exc:  # pragma: no cover - optional extra
+        raise ImportError(
+            "reranker-transformers needs the optional extra "
+            "'sentence-transformers' (pip install sentence-transformers); "
+            "this container ships only the deterministic reranker-dummy"
+        ) from exc
+    return CrossEncoder(model_name)
+
+
+def cross_encoder_rerank_udf(
+    query: str,
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    batch_size: int = 64,
+    _loader: Optional[Callable] = None,
+):
+    """pandas UDF scoring (query, doc) pairs with a cross-encoder — the
+    real-model counterpart of reranker-dummy (reference:
+    modules/reranker-transformers, which posts the same pair list to
+    its inference container). Same factory contract as the dummy:
+    ``RERANKERS[name](query)`` returns a ``double`` UDF over doc text,
+    so search_post's rerank stage needs no changes.
+
+    ``_loader`` is the test seam: a zero-arg callable returning an
+    object with ``.predict(list[(query, doc)], batch_size=)`` (the
+    public CrossEncoder surface). Production leaves it None; the model
+    loads once per executor task stream (iterator-of-batches form) and
+    scores Arrow batches — the rerank window is top-k sized, so at
+    cluster scale this stage is a few model batches per query, never a
+    corpus scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    loader = _loader or (lambda: _load_cross_encoder(model_name))
+    q = "" if query is None else str(query)
+
+    @pandas_udf("double")
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader()  # once per executor task stream, not per batch
+        for batch in batches:
+            pairs = [(q, "" if t is None else str(t)) for t in batch]
+            scores = model.predict(pairs, batch_size=batch_size)
+            yield pd.Series([float(s) for s in scores])
+
+    return _score
+
+
+def _register_reranker_transformers() -> None:
+    from weaviate_spark.modules import RERANKERS
+
+    RERANKERS["reranker-transformers"] = (
+        lambda query: cross_encoder_rerank_udf(query)
+    )
+
+
+_register_reranker_transformers()
+
+
+def onnx_cross_encoder_udf(
+    query: str,
+    model_path: str,
+    tokenizer_json: str,
+    max_len: int = 256,
+):
+    """ONNX-runtime cross-encoder variant (the no-torch deployment
+    path): the exported model takes the tokenizer's PAIR encoding
+    (query ++ doc with segment ids) and returns one logit per pair.
+    Gated on the optional 'onnxruntime' + 'tokenizers' extras."""
+    try:
+        import numpy as np
+        import onnxruntime  # type: ignore
+        from tokenizers import Tokenizer  # type: ignore
+    except ImportError as exc:  # pragma: no cover - optional extra
+        raise ImportError(
+            "onnx_cross_encoder_udf needs the optional extras "
+            "'onnxruntime' and 'tokenizers'"
+        ) from exc
+    from pyspark.sql.functions import pandas_udf
+
+    q = "" if query is None else str(query)
+
+    @pandas_udf("double")
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        sess = onnxruntime.InferenceSession(model_path)
+        tok = Tokenizer.from_file(tokenizer_json)
+        tok.enable_truncation(max_length=max_len)
+        tok.enable_padding()
+        for batch in batches:
+            encs = tok.encode_batch(
+                [(q, "" if t is None else str(t)) for t in batch])
+            feeds = {
+                "input_ids": np.array([e.ids for e in encs], dtype=np.int64),
+                "attention_mask": np.array(
+                    [e.attention_mask for e in encs], dtype=np.int64),
+            }
+            if any(i.name == "token_type_ids" for i in sess.get_inputs()):
+                feeds["token_type_ids"] = np.array(
+                    [e.type_ids for e in encs], dtype=np.int64)
+            logits = sess.run(None, feeds)[0]
+            yield pd.Series([float(v[0]) for v in logits])
+
+    return _score
+
+
 def onnx_embed_udf(model_path: str, tokenizer_json: str, max_len: int = 256):
     """ONNX-runtime variant (the no-torch deployment path): mean-pooled
     last-hidden-state embeddings from an exported transformer. Gated on
