@@ -146,6 +146,48 @@ def test_sq_auto_route_trains_bounds_for_unnormalized_corpus(spark, tmp_path):
     invalidate_sq_index()
 
 
+def test_sq_cosine_route_normalizes_varying_norm_corpus(spark, tmp_path):
+    """Cosine over a corpus whose norms vary wildly: raw-value codes
+    rank by raw L2 (wrong for cosine); the route must encode UNIT
+    vectors so the code distance is monotone in cosine distance."""
+    from weaviate_spark.operators.quantization import (
+        invalidate_sq_index, sq_topk,
+    )
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    rng = random.Random(7)
+    dim = 16
+    # same directions at wildly different scales: cosine neighbors are
+    # direction-mates, raw-L2 neighbors are magnitude-mates
+    rows = []
+    for i in range(300):
+        direction = [rng.gauss(0, 1) for _ in range(dim)]
+        scale = 10.0 ** rng.uniform(-2, 2)
+        rows.append((i, [x * scale for x in direction]))
+    table_dir = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(table_dir)
+    my_sf = str(tmp_path)
+    invalidate_sq_index()
+
+    query = [rng.gauss(0, 1) for _ in range(dim)]
+    exact = near_vector(spark, my_sf, NearVectorSpec(
+        collection="embeddings", vector=query, limit=10, quantize="off",
+    )).select("vec_id").collect()
+    routed = near_vector(spark, my_sf, NearVectorSpec(
+        collection="embeddings", vector=query, limit=10, quantize="sq",
+    )).select("vec_id").collect()
+    assert [r["vec_id"] for r in routed] == [r["vec_id"] for r in exact]
+
+    # the failure the fix prevents: raw-value codes at tight overfetch
+    # return magnitude-mates, not direction-mates
+    naive = sq_topk(
+        spark, my_sf, "embeddings", query, k=10, overfetch=1,
+        metric="cosine", normalize=False,
+    ).select("vec_id").collect()
+    assert [r["vec_id"] for r in naive] != [r["vec_id"] for r in exact]
+    invalidate_sq_index()
+
+
 def test_sq_trained_bounds_degenerate_corpus(spark, tmp_path):
     from weaviate_spark.operators.quantization import (
         invalidate_sq_index, sq_trained_bounds,

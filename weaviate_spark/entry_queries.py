@@ -10107,11 +10107,12 @@ def q_multivector_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-r07 never-checked tail first (ask #8).
 
 def _nn_graph_oracle_cte(k: int = 5, num_planes: int = 8,
-                         dim: int = 64, seed: int = 42) -> str:
-    """Shared CTE prefix replaying nn_descent_graph (LSH-bucket seed,
-    one NN-descent round) with the identical plane constants and
-    tie-breaks; multi-referenced CTEs MATERIALIZED (DuckDB re-executes
-    them otherwise)."""
+                         dim: int = 64, seed: int = 42,
+                         seed_cap: int = 128) -> str:
+    """Shared CTE prefix replaying nn_descent_graph (LSH-bucket seed
+    with the candidate-side per-bucket cap, one NN-descent round) with
+    the identical plane constants and tie-breaks; multi-referenced CTEs
+    MATERIALIZED (DuckDB re-executes them otherwise)."""
     from weaviate_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(num_planes, dim, seed)
@@ -10131,7 +10132,12 @@ def _nn_graph_oracle_cte(k: int = 5, num_planes: int = 8,
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev "
         "FROM embeddings WHERE embedding IS NOT NULL), "
         f"s AS MATERIALIZED (SELECT vec_id, ev, {sig_expr} AS _sig FROM e), "
-        "sp AS (SELECT a.vec_id AS ps, b.vec_id AS pn FROM s a JOIN s b "
+        # candidate-side bucket cap (smallest-id members), mirroring the
+        # engine's seed skew guard — sources stay uncapped
+        "sb AS (SELECT vec_id, _sig FROM (SELECT vec_id, _sig, "
+        "row_number() OVER (PARTITION BY _sig ORDER BY vec_id ASC) AS bi "
+        f"FROM s) WHERE bi <= {seed_cap}), "
+        "sp AS (SELECT a.vec_id AS ps, b.vec_id AS pn FROM s a JOIN sb b "
         "ON a._sig = b._sig AND a.vec_id <> b.vec_id), "
         f"sd AS (SELECT sp.ps, sp.pn, {cos} AS pd FROM sp "
         "JOIN s av ON sp.ps = av.vec_id JOIN s bv ON sp.pn = bv.vec_id), "

@@ -425,15 +425,42 @@ def sq_packed_distance(
     return acc
 
 
+def _sq_unit_col(vector_col: Column) -> Column:
+    """L2-normalized copy of an array<float/double> column (zero vectors
+    pass through). Narrow codegen expression — one aggregate + one
+    transform, no shuffle."""
+    nrm = F.sqrt(F.aggregate(
+        vector_col, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when(nrm == 0.0, vector_col.cast("array<double>")).otherwise(
+        F.transform(vector_col, lambda x: x.cast("double") / nrm))
+
+
+def _sq_unit_py(vector: Sequence[float]) -> list[float]:
+    nrm = sum(float(x) * float(x) for x in vector) ** 0.5
+    if nrm == 0.0:
+        return [float(x) for x in vector]
+    return [float(x) / nrm for x in vector]
+
+
 def _sq_code_frame(
     rows: DataFrame, id_col: str, vector_col: str, dim: int,
-    lo: float, hi: float,
+    lo: float, hi: float, normalize: bool = False,
 ) -> DataFrame:
+    vec = F.col(vector_col)
+    if normalize:
+        # cosine-serving codes: encode the UNIT vector, so the packed
+        # squared-L2 code distance is monotone in cosine distance even
+        # for varying-norm corpora (||a-b||^2 = 2 - 2*cos on unit
+        # vectors). Unnormalized codes rank by raw L2, which disagrees
+        # with cosine whenever norms vary — measured recall@10 fell to
+        # 0.2 on a varying-norm 1M corpus. The reference normalizes
+        # cosine collections at ingest (distancer "cosine-dot").
+        vec = _sq_unit_col(vec)
     return rows.where(F.col(vector_col).isNotNull()).select(
         id_col,
         *[c.alias(f"_sq{w}")
-          for w, c in enumerate(
-              sq_pack_encode(F.col(vector_col), dim, lo, hi))],
+          for w, c in enumerate(sq_pack_encode(vec, dim, lo, hi))],
     )
 
 
@@ -446,10 +473,13 @@ def build_sq_artifact(
     dim: int | None = None,
     lo: float = -1.0,
     hi: float = 1.0,
+    normalize: bool = False,
 ) -> str | None:
     """Ingest-phase build of the written packed-SQ artifact (idempotent),
     mirroring build_bq_artifact. Bounds are per-collection constants
-    (the reference trains them on a sample at ingest)."""
+    (the reference trains them on a sample at ingest); ``normalize``
+    encodes unit vectors (the cosine-serving variant, its own artifact
+    key)."""
     base = load_table(spark, sf_dir, collection)
     if dim is None:
         row = base.select(F.size(F.col(vector_col)).alias("d")).where(
@@ -457,11 +487,14 @@ def build_sq_artifact(
         if not row:
             return None
         dim = int(row[0]["d"])
+    variant: tuple = ("sq", id_col, vector_col, dim, float(lo), float(hi),
+                      VEC_ARTIFACT_FORMAT)
+    if normalize:
+        variant += ("unit",)
     return _vec_artifact_dir(
-        sf_dir, collection,
-        ("sq", id_col, vector_col, dim, float(lo), float(hi),
-         VEC_ARTIFACT_FORMAT),
-        lambda: _sq_code_frame(base, id_col, vector_col, dim, lo, hi),
+        sf_dir, collection, variant,
+        lambda: _sq_code_frame(base, id_col, vector_col, dim, lo, hi,
+                               normalize=normalize),
     )
 
 
@@ -511,26 +544,30 @@ def sq_trained_bounds(
 
 def with_sq_index(
     df: DataFrame, id_col: str, vector_col: str, dim: int,
-    lo: float, hi: float, table_key: tuple,
+    lo: float, hi: float, table_key: tuple, normalize: bool = False,
 ) -> DataFrame:
     """(id, _sq0.._sqN) — packed-SQ encoded collection, served from the
     written ingest artifact when the source has one; session build is
     the fallback for fingerprint-less test corpora. Streaming appends
     layer on as O(batch) segments (incremental.py)."""
     key = (session_key(df.sparkSession), *table_key, dim,
-           float(lo), float(hi))
+           float(lo), float(hi), bool(normalize))
 
     def _encode(rows: DataFrame) -> DataFrame:
-        return _sq_code_frame(rows, id_col, vector_col, dim, lo, hi)
+        return _sq_code_frame(rows, id_col, vector_col, dim, lo, hi,
+                              normalize=normalize)
 
     def _build() -> DataFrame:
         if len(table_key) == 2:
             sf_dir, collection = table_key
+            variant: tuple = ("sq", id_col, vector_col, dim, float(lo),
+                              float(hi), VEC_ARTIFACT_FORMAT)
+            if normalize:
+                variant += ("unit",)
             root = _vec_artifact_dir(
-                str(sf_dir), str(collection),
-                ("sq", id_col, vector_col, dim, float(lo), float(hi),
-                 VEC_ARTIFACT_FORMAT),
-                lambda: _sq_code_frame(df, id_col, vector_col, dim, lo, hi),
+                str(sf_dir), str(collection), variant,
+                lambda: _sq_code_frame(df, id_col, vector_col, dim, lo, hi,
+                                       normalize=normalize),
             )
             if root is not None:
                 return df.sparkSession.read.parquet(f"{root}/codes")
@@ -557,24 +594,36 @@ def sq_topk(
     round_digits: int = 6,
     table_key: tuple | None = None,
     where=None,
+    normalize: bool | None = None,
 ) -> DataFrame:
     """SQ search: packed-code squared-L2 overfetch of `overfetch * k`
     candidates (integer shift/mask/mul codegen over 4x-compressed rows),
     exact-`metric` rescore of only those candidates via the same
     pushed-In base-scan read as bq_topk. Deterministic: ties break by
-    id at both stages, so the candidate SET is value-checkable."""
+    id at both stages, so the candidate SET is value-checkable.
+
+    ``normalize=None`` resolves to False and is the oracle-pinned
+    contract (raw-value codes — callers that mirror code semantics in
+    SQL rely on it). Pass True for cosine searches over varying-norm
+    corpora: codes are built from UNIT vectors, making the L2 code
+    distance monotone in cosine distance (||a-b||^2 = 2-2cos on the
+    unit sphere) — the near_vector auto/sq route does this."""
+    normalize = bool(normalize)
     dim = len(vector)
     base = load_table(spark, sf_dir, collection)
     if table_key is not None:
-        enc = with_sq_index(base, id_col, vector_col, dim, lo, hi, table_key)
+        enc = with_sq_index(base, id_col, vector_col, dim, lo, hi,
+                            table_key, normalize=normalize)
     else:
-        enc = _sq_code_frame(base, id_col, vector_col, dim, lo, hi)
+        enc = _sq_code_frame(base, id_col, vector_col, dim, lo, hi,
+                             normalize=normalize)
     if where is not None:
         from weaviate_spark.filters import apply_where
 
         allow = apply_where(base, where).select(id_col)
         enc = enc.join(allow, id_col, "left_semi")
-    qwords = sq_pack_py(vector, lo, hi)
+    qvec = _sq_unit_py(vector) if normalize else vector
+    qwords = sq_pack_py(qvec, lo, hi)
     word_cols = [F.col(f"_sq{w}") for w in range(_sq_n_words(dim))]
     candidates = (
         enc.withColumn("_cdist", sq_packed_distance(word_cols, qwords))

@@ -727,6 +727,7 @@ def nn_descent_graph(
     num_planes: int | None = None,
     seed: int = 42,
     table_key: tuple | None = None,
+    seed_cap: int = 128,
 ) -> DataFrame:
     """Approximate cosine k-NN graph: seed each node with its k nearest
     within its LSH bucket (narrow signature map + one bucket-keyed
@@ -753,7 +754,7 @@ def nn_descent_graph(
     from weaviate_spark.sources.tables import load_table
 
     memo = (session_key(spark), sf_dir, collection, k, rounds, id_col,
-            vector_col, num_planes, seed)
+            vector_col, num_planes, seed, seed_cap)
     if memo in _nng_cache:
         return _nng_cache[memo]
 
@@ -764,7 +765,7 @@ def nn_descent_graph(
     art = None
     if num_planes is not None:
         art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
-                                vector_col, num_planes, seed)
+                                vector_col, num_planes, seed, seed_cap)
     if art is not None:
         import os
 
@@ -786,7 +787,7 @@ def nn_descent_graph(
         num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
         # re-derive the artifact dir with the resolved plane count
         art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
-                                vector_col, num_planes, seed)
+                                vector_col, num_planes, seed, seed_cap)
         import os
 
         if art is not None and os.path.exists(f"{art}/_COMMITTED"):
@@ -821,8 +822,22 @@ def nn_descent_graph(
 
     a = nodes.select(F.col("_id").alias("_src"),
                      F.col("_bucket").alias("_ba"))
-    b = nodes.select(F.col("_id").alias("_nbr"),
+    # Seed skew guard: the candidate SIDE of the bucket self-join is
+    # capped per bucket (smallest-id members — deterministic), so seed
+    # work is N * cap even when duplicate-heavy corpora (dedup inputs,
+    # replicated shards) inflate one bucket far past the auto-planes
+    # average of ~64. Every node still appears as a SOURCE, so nothing
+    # loses its seed neighbors, and the NN-descent rounds recover any
+    # neighbor the cap hid (it becomes a neighbor-of-a-neighbor).
+    # Unguarded, an 8x-duplicated 1M corpus OOMed the seed rescore.
+    wb = Window.partitionBy("_bb").orderBy(F.col("_nbr").asc())
+    b = (
+        nodes.select(F.col("_id").alias("_nbr"),
                      F.col("_bucket").alias("_bb"))
+        .withColumn("_bi", F.row_number().over(wb))
+        .where(F.col("_bi") <= seed_cap)
+        .drop("_bi")
+    )
     seed_pairs = a.join(
         b, (F.col("_ba") == F.col("_bb")) & (F.col("_src") != F.col("_nbr"))
     ).select("_src", "_nbr")
@@ -864,7 +879,7 @@ def nn_descent_graph(
 
 def _nng_artifact_dir(sf_dir: str, collection: str, k: int, rounds: int,
                       id_col: str, vector_col: str, num_planes: int,
-                      seed: int) -> str | None:
+                      seed: int, seed_cap: int = 128) -> str | None:
     """Artifact dir for this (source fingerprint, graph params) — None
     for fingerprint-less in-memory corpora. GC of superseded
     fingerprints rides the BQ artifact's collection-root sweep."""
@@ -881,7 +896,8 @@ def _nng_artifact_dir(sf_dir: str, collection: str, k: int, rounds: int,
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
     var_h = hashlib.md5(
-        repr(("nng", k, rounds, id_col, vector_col, num_planes, seed)).encode()
+        repr(("nng", k, rounds, id_col, vector_col, num_planes, seed,
+              seed_cap)).encode()
     ).hexdigest()[:12]
     root = f"{VECTOR_ARTIFACT_ROOT}/{tag}/{collection}/{fp_h}/{var_h}"
     os.makedirs(root, exist_ok=True)
@@ -899,7 +915,7 @@ def graph_expand_topk(
     rounds: int = 1,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     seed: int = 42,
     table_key: tuple | None = None,
 ) -> DataFrame:
@@ -915,11 +931,22 @@ def graph_expand_topk(
 
     Scale: the probe touches ~1/2^num_planes of the corpus; the
     expansion is a <= seed_m*graph_k semi-join against the graph
-    artifact; the rescore touches seed_m*(1+graph_k) rows."""
+    artifact; the rescore touches seed_m*(1+graph_k) rows.
+    ``num_planes=None`` auto-scales with corpus size exactly like
+    nn_descent_graph (planes = log2(N/64), floored at 8) — a FIXED
+    plane count would grow the probe bucket (and, worse, the graph
+    BUILD's sum(bucket^2) seed join) linearly with N; it also keeps
+    the search and the graph artifact on the same plane count so the
+    prebuilt ingest artifact is actually reused."""
     from weaviate_spark.sources.tables import load_table
 
     base = load_table(spark, sf_dir, collection).where(
         F.col(vector_col).isNotNull())
+    if num_planes is None:
+        import math
+
+        n = base.count()
+        num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
     planes = hyperplanes(num_planes, len(vector), seed)
     qsig = _sig_py(vector, planes)
     idx = build_lsh_index(base, id_col, vector_col,

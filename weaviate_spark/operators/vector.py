@@ -188,12 +188,20 @@ def near_vector(
             )
             if spec.quantize == "bq":
                 route = bq_topk
+            elif spec.metric == "cosine":
+                # cosine: encode UNIT vectors — the L2 code distance is
+                # then exactly monotone in cosine distance, and unit
+                # components are bounded by [-1, 1] by construction (no
+                # bound training needed). Raw-value codes rank by raw
+                # L2, which disagrees with cosine whenever norms vary
+                # (measured recall@10 0.2 on a varying-norm 1M corpus).
+                route = sq_topk
+                kwargs["normalize"] = True
             else:
-                # SQ bounds are trained per collection (scalar_quantizer
-                # Fit): fixed [-1,1] saturates unnormalized corpora —
-                # every component clamps to code 0/255 and the candidate
-                # scan silently degrades (especially l2-squared inputs,
-                # which are commonly not unit-norm)
+                # l2-squared: raw-value codes, but bounds TRAINED per
+                # collection (scalar_quantizer Fit) — fixed [-1,1]
+                # saturates unnormalized corpora to code 0/255 and the
+                # candidate scan silently degrades
                 route = sq_topk
                 kwargs["lo"], kwargs["hi"] = sq_trained_bounds(
                     spark, sf_dir, spec.collection, spec.vector_col,
