@@ -93,11 +93,22 @@ def main() -> None:
     ).count()
     graph_ingest_s = round(time.time() - t0, 3)  # includes graph build
 
-    def graph_route():
+    def graph_route(vec=None, probe=1):
         return graph_expand_topk(
-            spark, sf_dir, "embeddings", QVEC, k=10,
-            table_key=(sf_dir, "embeddings"),
+            spark, sf_dir, "embeddings", vec if vec is not None else QVEC,
+            k=10, probe=probe, table_key=(sf_dir, "embeddings"),
         ).select("vec_id", "_distance")
+
+    # the graph route's actual workload: ON-CORPUS queries (nearObject /
+    # neighbors-of-an-existing-row — entries contain the row itself, the
+    # expansion returns its precomputed graph neighborhood)
+    oc_vec = [float(x) for x in spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet").where("vec_id = 77").collect()[0]["embedding"]]
+
+    def exact_oc():
+        return near_vector(spark, sf_dir, NearVectorSpec(
+            collection="embeddings", vector=oc_vec, limit=10, quantize="off",
+        )).select("vec_id", "_distance")
 
     exact_cold, exact_med = _run(lambda: exact().count())
     q_cold, q_med = _run(lambda: quantized().count())
@@ -108,12 +119,16 @@ def main() -> None:
     # the recall-safe compressed route: packed int8 SQ (4x compression)
     sq_cold, sq_med = _run(lambda: quantized(4, "sq").count())
     g_cold, g_med = _run(lambda: graph_route().count())
+    goc_cold, goc_med = _run(lambda: graph_route(oc_vec).count())
 
     e_rows = [tuple(r) for r in exact().collect()]
     q_rows = [tuple(r) for r in quantized().collect()]
     q64_rows = [tuple(r) for r in quantized(64).collect()]
     sq_rows = [tuple(r) for r in quantized(4, "sq").collect()]
     g_rows = [tuple(r) for r in graph_route().collect()]
+    g2_rows = [tuple(r) for r in graph_route(probe=2).collect()]
+    e_oc = [tuple(r) for r in exact_oc().collect()]
+    goc_rows = [tuple(r) for r in graph_route(oc_vec).collect()]
     recall = len({r[0] for r in e_rows} & {r[0] for r in q_rows}) / max(
         1, len(e_rows))
     recall64 = len({r[0] for r in e_rows} & {r[0] for r in q64_rows}) / max(
@@ -122,6 +137,10 @@ def main() -> None:
         1, len(e_rows))
     recall_g = len({r[0] for r in e_rows} & {r[0] for r in g_rows}) / max(
         1, len(e_rows))
+    recall_g2 = len({r[0] for r in e_rows} & {r[0] for r in g2_rows}) / max(
+        1, len(e_rows))
+    recall_goc = len({r[0] for r in e_oc} & {r[0] for r in goc_rows}) / max(
+        1, len(e_oc))
     # BQ recall curve: the full RescoreLimit dial, documenting what it
     # takes (if anything) for 1-bit sign codes to clear a recall floor
     # on this corpus — the quantize="bq" footgun evidence
@@ -155,7 +174,12 @@ def main() -> None:
         "recall_at_10_overfetch64": recall64,
         "recall_at_10_sq": recall_sq,
         "recall_at_10_graph": recall_g,
+        "recall_at_10_graph_probe2": recall_g2,
+        "graph_oncorpus": {"cold": goc_cold, "steady_median": goc_med},
+        "recall_at_10_graph_oncorpus": recall_goc,
         "speedup_steady_graph": round(exact_med / g_med, 3) if g_med else None,
+        "speedup_steady_graph_oncorpus":
+            round(exact_med / goc_med, 3) if goc_med else None,
         "bq_recall_curve_by_overfetch": bq_curve,
         "results_identical": e_rows == q_rows,
         "sq_results_identical": e_rows == sq_rows,

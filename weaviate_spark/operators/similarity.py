@@ -904,6 +904,55 @@ def _nng_artifact_dir(sf_dir: str, collection: str, k: int, rounds: int,
     return root
 
 
+def _lsh_bucket_artifact(
+    spark, sf_dir: str, collection: str, id_col: str, vector_col: str,
+    num_planes: int, seed: int,
+) -> str | None:
+    """Written (id, _bucket) LSH index table, SORTED by bucket at write
+    so a bucket-equality probe row-group-prunes via parquet min/max —
+    the per-query signature recompute over the whole corpus (1M rows =
+    ~1s of dot products PER QUERY) becomes a pruned metadata-sized
+    read. Fingerprinted against the source like every vecindex
+    artifact; None for fingerprint-less in-memory corpora."""
+    import os
+
+    from weaviate_spark.operators.bm25 import (
+        _artifact_lock, _source_fingerprint,
+    )
+    from weaviate_spark.operators.quantization import VECTOR_ARTIFACT_ROOT
+    from weaviate_spark.sources.tables import load_table
+
+    fp = _source_fingerprint(sf_dir, collection)
+    if fp is None:
+        return None
+    import hashlib
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
+    var_h = hashlib.md5(
+        repr(("lshbuckets", id_col, vector_col, num_planes, seed)).encode()
+    ).hexdigest()[:12]
+    root = f"{VECTOR_ARTIFACT_ROOT}/{tag}/{collection}/{fp_h}/{var_h}"
+    os.makedirs(root, exist_ok=True)
+    with _artifact_lock:
+        if not os.path.exists(f"{root}/_COMMITTED"):
+            base = load_table(spark, sf_dir, collection).where(
+                F.col(vector_col).isNotNull())
+            dim_row = base.select(F.size(vector_col).alias("d")).limit(1).collect()
+            if not dim_row:
+                return None
+            idx = build_lsh_index(
+                base, id_col, vector_col, num_planes=num_planes,
+                dim=int(dim_row[0]["d"]), seed=seed,
+            ).select(id_col, "_bucket")
+            (idx.repartition(1, F.col("_bucket"))
+                .sortWithinPartitions("_bucket", id_col)
+                .write.mode("overwrite").parquet(f"{root}/buckets"))
+            open(f"{root}/_COMMITTED", "w").close()
+    return root
+
+
 def graph_expand_topk(
     spark,
     sf_dir: str,
@@ -918,26 +967,30 @@ def graph_expand_topk(
     num_planes: int | None = None,
     seed: int = 42,
     table_key: tuple | None = None,
+    probe: int = 1,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Graph-expanded LSH search (the one-hop DiskANN/HNSW gesture a
-    batch plan can make): probe ONLY the query's own LSH bucket (no
-    Hamming-1 fan-out), take the best ``seed_m`` members as entries,
-    EXPAND one hop through the k-NN graph — recovering true neighbors
-    that hashed just across a bucket boundary, the exact recall the
-    tight probe gave up — then exact-rescore entries ∪ expansions for
-    the final top-k. Deterministic end to end (every stage inherits
-    the 6dp/id tie-breaks), so the whole approximation is
-    hash-checkable; recall vs exact is pinned in unit tests.
+    batch plan can make): probe the query's own LSH bucket (plus every
+    Hamming-1 bucket when ``probe > 1`` — multiprobe widens the entry
+    set 15x for one extra IN-filter value per plane), take the best
+    ``seed_m`` members as entries, EXPAND one hop through the k-NN
+    graph — recovering true neighbors that hashed across a bucket
+    boundary — then exact-rescore entries ∪ expansions for the final
+    top-k. Deterministic end to end (every stage inherits the 6dp/id
+    tie-breaks), so the whole approximation is hash-checkable; recall
+    vs exact is pinned in unit tests.
 
-    Scale: the probe touches ~1/2^num_planes of the corpus; the
-    expansion is a <= seed_m*graph_k semi-join against the graph
-    artifact; the rescore touches seed_m*(1+graph_k) rows.
-    ``num_planes=None`` auto-scales with corpus size exactly like
-    nn_descent_graph (planes = log2(N/64), floored at 8) — a FIXED
-    plane count would grow the probe bucket (and, worse, the graph
-    BUILD's sum(bucket^2) seed join) linearly with N; it also keeps
-    the search and the graph artifact on the same plane count so the
-    prebuilt ingest artifact is actually reused."""
+    Scale shape (the searchTimeRescore pattern shared with bq/sq_topk):
+    bucket membership comes from the WRITTEN (id, bucket) artifact —
+    bucket-sorted parquet, so the probe filter row-group-prunes instead
+    of recomputing 1M signatures per query — and every vector read
+    after that is a pushed-In base scan over <= bucket_cap +
+    seed_m*(1+graph_k) ids. ``num_planes=None`` auto-scales with corpus
+    size exactly like nn_descent_graph so the search reuses the
+    ingest-built graph artifact. ``bucket_cap`` bounds the driver-side
+    id list on pathological buckets (smallest-id members kept —
+    deterministic; never binds on healthy auto-scaled buckets of ~64)."""
     from weaviate_spark.sources.tables import load_table
 
     base = load_table(spark, sf_dir, collection).where(
@@ -949,35 +1002,59 @@ def graph_expand_topk(
         num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
     planes = hyperplanes(num_planes, len(vector), seed)
     qsig = _sig_py(vector, planes)
-    idx = build_lsh_index(base, id_col, vector_col,
-                          num_planes=num_planes, dim=len(vector), seed=seed)
+    probes = {qsig}
+    if probe > 1:
+        for i in range(num_planes):
+            probes.add(qsig[:i] + ("0" if qsig[i] == "1" else "1")
+                       + qsig[i + 1:])
     qcol = F.array(*[F.lit(float(x)) for x in vector])
-    entries = (
-        idx.where(F.col("_bucket") == qsig)
+
+    art = _lsh_bucket_artifact(spark, sf_dir, collection, id_col,
+                               vector_col, num_planes, seed)
+    if art is not None:
+        idx = spark.read.parquet(f"{art}/buckets")
+    else:
+        dim = len(vector)
+        idx = build_lsh_index(base, id_col, vector_col,
+                              num_planes=num_planes, dim=dim,
+                              seed=seed).select(id_col, "_bucket")
+    member_ids = [
+        r[0] for r in (
+            idx.where(F.col("_bucket").isin(sorted(probes)))
+            .select(id_col).orderBy(F.col(id_col).asc())
+            .limit(bucket_cap).collect()
+        )
+    ]
+    if not member_ids:
+        return base.select(
+            id_col, F.lit(None).cast("double").alias("_distance")
+        ).limit(0)
+    entry_rows = (
+        base.where(F.col(id_col).isin(member_ids))
         .withColumn("_d", F.round(distance(F.col(vector_col), qcol,
                                            "cosine"), 6))
         .orderBy(F.col("_d").asc(), F.col(id_col).asc())
         .limit(seed_m)
-        .select(F.col(id_col).alias("_id"))
+        .select(id_col).collect()
     )
+    entry_ids = [r[0] for r in entry_rows]
     graph = nn_descent_graph(
         spark, sf_dir, collection, k=graph_k, rounds=rounds,
         id_col=id_col, vector_col=vector_col, num_planes=num_planes,
         seed=seed, table_key=table_key,
     )
-    expanded = (
-        graph.withColumnRenamed(id_col, "_eid")
-        .join(entries.withColumnRenamed("_id", "_eid"), "_eid")
-        .select(F.col("neighbor_id").alias("_id"))
-    )
-    cand = entries.unionByName(expanded).distinct()
+    expanded = [
+        r[0] for r in (
+            graph.where(F.col(id_col).isin(entry_ids))
+            .select("neighbor_id").distinct().collect()
+        )
+    ]
+    cand_ids = sorted(set(entry_ids) | set(expanded))
     return (
-        base.select(F.col(id_col).alias("_id"),
-                    F.col(vector_col).alias("_v"))
-        .join(cand, "_id", "left_semi")
+        base.where(F.col(id_col).isin(cand_ids))
         .withColumn("_distance",
-                    F.round(distance(F.col("_v"), qcol, "cosine"), 6))
-        .select(F.col("_id").alias(id_col), "_distance")
+                    F.round(distance(F.col(vector_col), qcol, "cosine"), 6))
+        .select(id_col, "_distance")
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
