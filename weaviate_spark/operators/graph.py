@@ -237,11 +237,16 @@ def kcore_peel(
 
     Per round: one degree groupBy + two semi-joins pruning edges to
     surviving endpoints — all keyed on node ids, map-side combined,
-    never materializing anything but the (shrinking) edge list;
-    ``localCheckpoint`` truncates the lineage so the plan stays O(1)
-    in rounds (the pagerank/sssp superstep discipline). The input is
-    treated as undirected: edges are symmetrized and deduplicated
-    before the first peel.
+    never materializing anything but the (shrinking) edge list.
+    Checkpoints are EAGER: each round's edge list has two consumers
+    (the degree aggregate and the semi-join prune), and a lazy
+    checkpoint let the second consumer recompute the round instead of
+    reusing it — measured 438 s -> 137 s at a 30M-edge graph
+    (SCALE_CURVE_r08.json), flipping the sf1->sf10 grade from
+    super-linear to sub-linear. The eager count also gives a free
+    FIXPOINT early-exit (edge count unchanged -> done), so ``rounds``
+    is a cap, not a cost. The input is treated as undirected: edges
+    are symmetrized and deduplicated before the first peel.
     """
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
@@ -250,16 +255,21 @@ def kcore_peel(
         )
         .where(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    prev = und.count()
     for _ in range(int(rounds)):
         deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.where(F.col("_deg") >= int(k)).select("_a")
         und = (
             und.join(keep, "_a", "left_semi")
             .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        cur = und.count()
+        if cur == prev:
+            break  # fixpoint: further peels are no-ops
+        prev = cur
     return (
         und.groupBy(F.col("_a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
