@@ -165,3 +165,52 @@ def test_real_cross_encoder_end_to_end(spark):  # pragma: no cover - opt-in
     rows = {r["id"]: r["s"] for r in
             df.select("id", udf(F.col("text")).alias("s")).collect()}
     assert rows[1] > rows[2]
+
+
+def test_text2text_generate_udf_plumbing(spark):
+    """The r08 generative path (reference: modules/generative-* single-
+    prompt mode): fake transformers pipeline through the _loader seam —
+    prompt templating, string schema, internal batching, null docs."""
+    from weaviate_spark.modules_models import text2text_generate_udf
+
+    def fake_loader():
+        class Fake:
+            def __init__(self):
+                self.calls = 0
+
+            def __call__(self, prompts, max_new_tokens=None):
+                self.calls += 1
+                return [{"generated_text": f"OUT[{p}]"} for p in prompts]
+
+        return Fake()
+
+    udf = text2text_generate_udf(
+        "Summarize: {text}", batch_size=2, _loader=fake_loader)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "id long, text string",
+    ).repartition(1)
+    rows = {r["id"]: r["g"] for r in
+            df.select("id", udf(F.col("text")).alias("g")).collect()}
+    assert rows[1] == "OUT[Summarize: alpha]"
+    assert rows[2] == "OUT[Summarize: beta]"
+    assert rows[3] == "OUT[Summarize: ]"  # None doc templated as ""
+
+
+def test_generative_registry_entry_present():
+    import weaviate_spark.modules_models  # noqa: F401  (registers)
+    from weaviate_spark.modules import GENERATIVES
+
+    assert "generative-transformers" in GENERATIVES
+    assert "generative-dummy" in GENERATIVES
+
+
+def test_generative_missing_extra_raises_clear_error(spark):
+    if importlib.util.find_spec("transformers"):
+        pytest.skip("extra installed; the error path is untestable here")
+    from weaviate_spark.modules import GENERATIVES
+    import weaviate_spark.modules_models  # noqa: F401
+
+    udf = GENERATIVES["generative-transformers"]("Summarize: {text}")
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(Exception, match="transformers"):
+        df.select(udf(F.col("text"))).collect()

@@ -138,6 +138,70 @@ def _register_reranker_transformers() -> None:
 _register_reranker_transformers()
 
 
+def _load_text2text_pipeline(model_name: str):
+    try:
+        from transformers import pipeline  # type: ignore
+    except ImportError as exc:  # pragma: no cover - optional extra
+        raise ImportError(
+            "generative-transformers needs the optional extra "
+            "'transformers' (pip install transformers); this container "
+            "ships only the deterministic generative-dummy"
+        ) from exc
+    return pipeline("text2text-generation", model=model_name)
+
+
+def text2text_generate_udf(
+    prompt_template: str,
+    model_name: str = "google/flan-t5-small",
+    max_new_tokens: int = 64,
+    batch_size: int = 16,
+    _loader: Optional[Callable] = None,
+):
+    """pandas UDF running a seq2seq model over per-result prompts — the
+    real-model counterpart of generative-dummy (reference:
+    modules/generative-* single-prompt mode, which formats {text} into
+    the prompt per result and calls the model service). Same factory
+    contract: ``GENERATIVES[name](prompt_template)`` returns a string
+    UDF over doc text.
+
+    ``_loader`` is the test seam: a zero-arg callable returning an
+    object callable as ``model(list[str], max_new_tokens=...) ->
+    list[{"generated_text": str}]`` (the public transformers pipeline
+    surface). The model loads once per executor task stream; the
+    generate stage runs over the fetched top-k window only, so at
+    cluster scale this is a few model batches per query — never a
+    corpus scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    loader = _loader or (lambda: _load_text2text_pipeline(model_name))
+    tmpl = prompt_template or "{text}"
+
+    @pandas_udf("string")
+    def _gen(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = loader()  # once per executor task stream, not per batch
+        for batch in batches:
+            prompts = [tmpl.replace("{text}", "" if t is None else str(t))
+                       for t in batch]
+            outs = []
+            for lo in range(0, len(prompts), batch_size):
+                outs.extend(model(prompts[lo:lo + batch_size],
+                                  max_new_tokens=max_new_tokens))
+            yield pd.Series([o["generated_text"] for o in outs])
+
+    return _gen
+
+
+def _register_generative_transformers() -> None:
+    from weaviate_spark.modules import GENERATIVES
+
+    GENERATIVES["generative-transformers"] = (
+        lambda prompt_template: text2text_generate_udf(prompt_template)
+    )
+
+
+_register_generative_transformers()
+
+
 def onnx_cross_encoder_udf(
     query: str,
     model_path: str,
