@@ -113,6 +113,11 @@ def pagerank(
                     )
                 ).alias("_r"),
             )
+            # lazy is the right eagerness HERE: ranks is node-sized and
+            # both per-round consumers land in one job, so Spark reuses
+            # the checkpoint; forcing eager added a materialization job
+            # per iteration and measured SLOWER (43.6 -> 52.4 s at sf10).
+            # Contrast kcore_peel/sssp, where eager measured faster.
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("_n").alias("node"), F.col("_r").alias("pagerank"))
@@ -217,7 +222,7 @@ def sssp(
             dist.unionByName(relaxed)
             .groupBy("_n")
             .agg(F.min("_dist").alias("_dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("distance"))
 
