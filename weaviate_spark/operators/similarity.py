@@ -784,7 +784,8 @@ def nn_descent_graph(
         import math
 
         n = base.count()
-        num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
+        num_planes = min(24, max(2, math.ceil(math.log2(max(n, 1) / 64.0 or 1))))  # ~64/bucket; floor 2 keeps
+        # tiny corpora from over-partitioning into empty buckets
         # re-derive the artifact dir with the resolved plane count
         art = _nng_artifact_dir(sf_dir, collection, k, rounds, id_col,
                                 vector_col, num_planes, seed, seed_cap)
@@ -999,7 +1000,8 @@ def graph_expand_topk(
         import math
 
         n = base.count()
-        num_planes = max(8, math.ceil(math.log2(max(n, 1) / 64.0 or 1)))
+        num_planes = min(24, max(2, math.ceil(math.log2(max(n, 1) / 64.0 or 1))))  # ~64/bucket; floor 2 keeps
+        # tiny corpora from over-partitioning into empty buckets
     planes = hyperplanes(num_planes, len(vector), seed)
     qsig = _sig_py(vector, planes)
     probes = {qsig}
@@ -1068,7 +1070,7 @@ def knn_graph_hubness(
     rounds: int = 1,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     seed: int = 42,
     table_key: tuple | None = None,
 ) -> DataFrame:
