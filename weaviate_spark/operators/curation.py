@@ -228,6 +228,12 @@ def dsir_importance_weights(
     scale."""
     from weaviate_spark.functions.text import tokenize
 
+    # single-file local tables scan as ~2 splits and serialize the
+    # md5-bigram explode on 2 of 32 cores (the text_profile /
+    # langid_confusion pattern); on a real cluster this no-ops
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     toks = tokenize(F.col(text_col), "word")
     grams = F.when(
         F.size(toks) < 2, F.array().cast("array<string>")

@@ -555,6 +555,11 @@ def collocations_pmi(
     vocabulary-sized — AQE broadcasts them when they fit), a scalar N,
     and a top-k sort over the >= min_count survivors only.
     """
+    # single-file local tables serialize the tokenize+explode on 2 of
+    # 32 cores (text_profile pattern); no-op on multi-split scans
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     toks = tokenize(F.col(text_col), "word")
     bg = F.when(
         F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
@@ -616,7 +621,15 @@ def langid_confusion(
     against a labeled column: per (actual, predicted) cell the exact
     count and the within-actual recall share — the eval harness for the
     curation pipeline's language router. One classify map (pure column
-    expressions) + one cell shuffle; actual-class totals broadcast."""
+    expressions) + one cell shuffle; actual-class totals broadcast.
+
+    Repartitions narrow single-file inputs first (the text_profile /
+    char-entropy pattern): the per-language marker votes are pure CPU
+    and a one-file local table would serialize them on 2 of 32 cores;
+    on a real cluster the scan already has enough splits — no-op."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     pred = df.select(
         F.col(label_col).alias("actual"),
         lang_id(F.col(text_col)).alias("predicted"),
