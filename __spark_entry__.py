@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["filter_sort_limit"](spark, "/root/testdata/sf0.001")
 
 
-# Query names already covered by a driver CORRECTNESS_r0{1..4}.json run.
+# Query names already covered by a driver CORRECTNESS_r0{1..8}.json run.
 # The driver samples a window of the registry per round, so queries() lists
 # never-yet-driver-checked entries FIRST (newest operators, quantization
 # family, sampling/PII/curation…) — every registered query keeps its oracle
@@ -99,6 +99,20 @@ _DRIVER_CHECKED = frozenset({
     "sketch_hll_daily_merge", "split_leakage_safe", "stats_bootstrap_ci",
     "text_collocations_pmi", "tokenizer_wordpiece_encode",
     "validate_expectations", "validate_referential_integrity",
+
+    "agg_grouping_sets", "ann_graph_expand_topk", "ann_graph_hubness", "ann_nndescent_graph",
+    "ann_recall_audit", "audio_silence_runs", "curation_nb_classifier", "curation_training_mix",
+    "customer_rfm_segments", "dedup_cross_source_matrix", "embedding_centroid_drift", "embedding_dim_stats",
+    "embedding_kcenter_coreset", "embedding_pca_top_component", "embedding_silhouette_labels", "events_activity_streaks",
+    "events_asof_next_purchase", "events_bot_profile", "events_concurrent_sessions", "events_dormancy_reactivation",
+    "events_duplicate_purchases", "events_funnel_latency", "events_interarrival_stats", "events_lag_correlation",
+    "events_markov_stationary", "events_rolling_active_users", "graph_clustering_coeff", "graph_link_prediction",
+    "graphql_explore_parsed", "hybrid_multi_target", "image_quality_stats", "knn_filtered_quantized",
+    "multivector_maxsim_pruned", "orders_cohort_ltv", "orders_revenue_trend", "orders_shipping_delay",
+    "part_price_outliers", "reco_user_user_similar", "stats_ks_two_sample", "stats_randomization_test",
+    "stats_welch_ttest", "supplier_scorecard", "text_char_entropy", "text_heaps_growth",
+    "text_langid_confusion", "text_length_histogram", "text_ngram_novelty", "text_rake_keyphrases",
+    "text_zipf_fit", "validate_order_totals",
 })
 
 

@@ -129,3 +129,20 @@ def test_optimize_zorder_string_and_constant_cols(spark, tmp_path):
     per = got.groupBy(F.input_file_name().alias("_f")).agg(
         F.countDistinct("s").alias("_d")).collect()
     assert max(r["_d"] for r in per) <= 3
+
+
+def test_zorder_rejects_more_than_63_columns(spark):
+    """More than 63 columns cannot each get a bit plane inside a signed
+    LONG's 63 value bits — zorder_key must refuse loudly instead of
+    clamping bits to 1 and wrapping the top planes into the sign bit."""
+    import pytest
+
+    from weaviate_spark.sources.layout import zorder_key
+
+    df = spark.range(10).select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(64)]
+    )
+    with pytest.raises(ValueError, match="63 columns"):
+        zorder_key(df, [f"c{i}" for i in range(64)])
+    # 63 columns is still legal (bits clamps to 1, no sign-bit wrap)
+    assert zorder_key(df, [f"c{i}" for i in range(63)]) is not None

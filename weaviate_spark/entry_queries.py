@@ -1485,7 +1485,12 @@ _CJK_SENTS = [
 
 
 def _cjk_dict_oracle_sql() -> str:
-    from weaviate_spark.functions.text import CJK_MINI_LEXICON
+    # merged embedded+runtime dictionary: if a deployment loads a
+    # frequency lexicon at runtime, the oracle regenerates from the
+    # same merged set the engine's UDF closure snapshots
+    from weaviate_spark.functions.text import active_cjk_lexicon
+
+    CJK_MINI_LEXICON = active_cjk_lexicon()
 
     # FMM only ever matches words that are substrings of an input, so
     # pruning the VALUES dict to those is a pure optimization (the r08
@@ -3629,9 +3634,12 @@ def q_knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed scan + exact rescore (vector.py routing; forced here
     with quantize=\"bq\" so the driver-scale corpus takes the same
     plan). Oracle mirrors the deterministic hamming-overfetch candidate
-    set, like knn_bq_rescore; plan proof in tests/test_vector.py."""
+    set, like knn_bq_rescore; plan proof in tests/test_vector.py.
+    quantize_overfetch=4 is explicit: BQ's measured recall trade at
+    this overfetch is accepted here, which keeps the run warning-clean."""
     out = near_vector(spark, sf_dir, NearVectorSpec(
         collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+        quantize_overfetch=4,
     ))
     return out.select("vec_id", "_distance")
 
@@ -4097,12 +4105,16 @@ FROM prof ORDER BY doc_id
 @register(
     "dedup_substring_pairs",
     oracle=(
-        "WITH fps AS ("
+        "WITH fps0 AS ("
         " SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h"
         " FROM (SELECT doc_id, text,"
         "   unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS i"
         "   FROM documents)"
-        " WHERE substr(md5(substr(text, CAST(i AS INT), 40)), 1, 1) = '0') "
+        " WHERE substr(md5(substr(text, CAST(i AS INT), 40)), 1, 1) = '0'), "
+        # mirror max_docs_per_fingerprint=100: window count over the
+        # DISTINCT (doc, h) rows, fingerprints above the cap dropped
+        "fps AS (SELECT doc_id, h FROM fps0 "
+        "QUALIFY count(*) OVER (PARTITION BY h) <= 100) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(count(*) AS BIGINT) AS shared_fingerprints "
         "FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id "
@@ -4113,13 +4125,17 @@ def q_dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-doc substring duplication (Lee et al. 2022, arXiv
     2107.06499): doc pairs sharing >= 2 sampled 40-char windows
     (Broder-style mod-p fingerprint selection, md5 hex prefix rule,
-    identical in both engines). One uniform-key equi-join shuffle; the
-    fingerprint table persists as an ingest artifact at scale."""
+    identical in both engines). One equi-join shuffle on the
+    fingerprint, guarded by max_docs_per_fingerprint=100 (a window
+    held by more docs is corpus boilerplate — F^2 join rows, ~zero
+    pairwise signal — and is dropped from pairing, oracle-mirrored);
+    the fingerprint table persists as an ingest artifact at scale."""
     from weaviate_spark.operators.dedup import duplicated_substring_pairs
 
     df = _load(spark, sf_dir, "documents")
     return duplicated_substring_pairs(
-        df, "doc_id", "text", k=40, select_hex=1, min_shared=2
+        df, "doc_id", "text", k=40, select_hex=1, min_shared=2,
+        max_docs_per_fingerprint=100,
     ).orderBy("id_a", "id_b")
 
 
@@ -8662,7 +8678,8 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_pa", "_pb")
         .distinct()
     )
-    return jaccard_link_prediction(wedge, true_edges, top_k=20)
+    return jaccard_link_prediction(wedge, true_edges, top_k=20,
+                                   max_hub_degree=10_000)
 
 
 @register(
@@ -9496,9 +9513,12 @@ def q_knn_filtered_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     overfetch (flat-index filtered search at 100 TB — the rescore
     budget is spent only on rows that satisfy the filter); exact cosine
     rescore after. Reached through the public near_vector API with an
-    explicit quantize="bq"."""
+    explicit quantize="bq" (and an explicit quantize_overfetch=4 —
+    the documented BQ recall trade is accepted, keeping runs
+    warning-clean)."""
     out = near_vector(spark, sf_dir, NearVectorSpec(
         collection="embeddings", vector=QVEC, limit=10, quantize="bq",
+        quantize_overfetch=4,
         where=Clause(operator="GreaterThanEqual", path=["label"], value=5),
     ))
     return out.select("vec_id", "label", "_distance")
@@ -10204,7 +10224,8 @@ def q_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_expand_oracle_sql(k: int = 10, seed_m: int = 10,
-                             num_planes: int = 8, seed: int = 42) -> str:
+                             num_planes: int = 8, seed: int = 42,
+                             bucket_cap: int = 4096) -> str:
     from weaviate_spark.operators.similarity import _sig_py, hyperplanes
 
     planes = hyperplanes(num_planes, len(QVEC), seed)
@@ -10215,8 +10236,13 @@ def _graph_expand_oracle_sql(k: int = 10, seed_m: int = 10,
     return (
         _nn_graph_oracle_cte()
         + f", q AS (SELECT {_QVEC_SQL} AS qv), "
-        "ent AS MATERIALIZED (SELECT t.vec_id FROM s t CROSS JOIN q "
+        # mirror the engine's bucket_cap: members are id-truncated to
+        # the bucket_cap smallest ids BEFORE distance ranking, so an
+        # over-full bucket stays hash-consistent with the engine
+        "entm AS (SELECT t.vec_id, t.ev FROM s t "
         f"WHERE t._sig = '{qsig}' "
+        f"ORDER BY t.vec_id ASC LIMIT {bucket_cap}), "
+        "ent AS MATERIALIZED (SELECT t.vec_id FROM entm t CROSS JOIN q "
         f"ORDER BY {qcos} ASC, t.vec_id ASC LIMIT {seed_m}), "
         "exp AS (SELECT gr.pn AS vec_id FROM gr "
         "JOIN ent ON gr.ps = ent.vec_id), "
@@ -10398,3 +10424,81 @@ def q_image_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.round(F.col(c), 6) + F.lit(0.0)).alias(c)
           for c in ("mean_r", "mean_g", "mean_b")],
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# r09 — substring-dedup skew-guard stress (VERDICT r08 finding #1)
+
+_BOILER_327 = (
+    " LEGAL NOTICE 4711. THIS DOCUMENT IS PROVIDED AS IS WITHOUT WARRANTY "
+    "OF ANY KIND. REDISTRIBUTION AND USE IN SOURCE AND BINARY FORMS ARE "
+    "PERMITTED PROVIDED THAT THE ABOVE NOTICE AND THIS PARAGRAPH ARE "
+    "DUPLICATED IN ALL SUCH FORMS. THE NAV BAR FOLLOWS. HOME NEWS SPORT "
+    "WEATHER SHOP ARCHIVE CONTACT PRIVACY TERMS SITEMAP HELP END."
+)
+
+
+@register(
+    "dedup_substring_boilerplate",
+    oracle=(
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+        f"THEN text || '{_BOILER_327}' ELSE text END AS text "
+        "FROM documents), "
+        "fps0 AS ("
+        " SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h"
+        " FROM (SELECT doc_id, text,"
+        "   unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS i"
+        "   FROM d)"
+        " WHERE substr(md5(substr(text, CAST(i AS INT), 40)), 1, 1) = '0'), "
+        "fps AS (SELECT doc_id, h FROM fps0 "
+        "QUALIFY count(*) OVER (PARTITION BY h) <= 100), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "caps AS (SELECT "
+        "CAST(sum(CASE WHEN n > 100 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS over_cap_fingerprints, CAST(max(n) AS BIGINT) AS max_posting "
+        "FROM (SELECT h, count(*) AS n FROM fps0 GROUP BY h)) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs, "
+        "over_cap_fingerprints, max_posting FROM caps"
+    ),
+)
+def q_dedup_substring_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-heavy STRESS for the substring-dedup skew guard
+    (VERDICT r08 #1): every even doc gets the same 327-char license/nav
+    block appended column-side, so its 14 selected 40-char fingerprints
+    are each shared by half the corpus — posting lists of n/2 docs,
+    far above max_docs_per_fingerprint=100 at every test sf. Without
+    the cap the pair join would emit 14*(n/2)^2 rows (10^10 at 10^5
+    docs); with it, those fingerprints are dropped from pairing
+    entirely and the join stays bounded by natural duplication. The
+    result row proves the cap was ACTIVE (over_cap_fingerprints >= 14,
+    max_posting = ceil(n/2)) and that the capped pair set matches the
+    oracle's identically-capped ground truth."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.dedup import (
+        duplicated_substring_pairs, substring_fingerprints,
+    )
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(_BOILER_327)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    pairs = duplicated_substring_pairs(
+        d, "doc_id", "text", k=40, select_hex=1, min_shared=2,
+        max_docs_per_fingerprint=100,
+    )
+    fps = substring_fingerprints(d, "doc_id", "text", 40, 1)
+    caps = (
+        fps.groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 100, 1).otherwise(0))
+            .cast("long").alias("over_cap_fingerprints"),
+            F.max("n").cast("long").alias("max_posting"),
+        )
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return n_pairs.crossJoin(caps)

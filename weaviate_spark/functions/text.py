@@ -506,20 +506,89 @@ CJK_MINI_LEXICON = frozenset([
 
 _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
 
+# Runtime-loaded dictionary words (load_frequency_lexicon below) — the
+# structural analogue of gse/kagome loading their 10^5-10^6-entry dict
+# FILES at startup (entities/tokenizer/tokenizer.go:414-485): the
+# embedded lexicon covers common vocabulary; a real deployment points
+# this at an open frequency list (e.g. a CC-licensed wordfreq/ipadic
+# export) shipped alongside the job.
+_RUNTIME_LEXICON: set[str] = set()
+_RUNTIME_MAX_WORD: int = 0
 
-def segment_cjk_py(run: str) -> list[str]:
+
+def active_cjk_lexicon() -> frozenset:
+    """Embedded + runtime-loaded dictionary, as one frozen snapshot.
+    Callers that ship the lexicon to executors (the gse_dict pandas
+    UDF) must capture THIS value in their closure — module state does
+    not travel to executor processes."""
+    if not _RUNTIME_LEXICON:
+        return CJK_MINI_LEXICON
+    return CJK_MINI_LEXICON | frozenset(_RUNTIME_LEXICON)
+
+
+def load_frequency_lexicon(source, min_freq: int = 0) -> int:
+    """Load a gse-style frequency dictionary into the runtime lexicon:
+    lines of ``word[<TAB>freq[<TAB>pos]]`` (the format of gse's
+    dictionary/zh files and of open frequency lists generally), or any
+    iterable of words. Entries must be >= 2 segmentable (CJK/Hangul)
+    codepoints — single chars are the FMM fallback already and Latin
+    material never reaches the segmenter. Returns the number of NEW
+    words added. The reference's exact analogue is gse's
+    LoadDict/kagome's dict.Dict() at tokenizer.go:414-485; capacity for
+    10^5+ entries is pinned by tests/test_text.py."""
+    global _RUNTIME_MAX_WORD
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as fh:
+            lines = [ln.rstrip("\n") for ln in fh]
+    else:
+        lines = list(source)
+    added = 0
+    for ln in lines:
+        parts = ln.split("\t") if isinstance(ln, str) else [ln]
+        w = parts[0].strip()
+        if not w or len(w) < 2:
+            continue
+        if min_freq and len(parts) > 1:
+            try:
+                if int(float(parts[1])) < min_freq:
+                    continue
+            except ValueError:
+                pass
+        if not all(_is_segmentable(ch) for ch in w):
+            continue
+        if w not in _RUNTIME_LEXICON and w not in CJK_MINI_LEXICON:
+            _RUNTIME_LEXICON.add(w)
+            added += 1
+    _RUNTIME_MAX_WORD = max((len(w) for w in _RUNTIME_LEXICON), default=0)
+    return added
+
+
+def clear_runtime_lexicon() -> None:
+    global _RUNTIME_MAX_WORD
+    _RUNTIME_LEXICON.clear()
+    _RUNTIME_MAX_WORD = 0
+
+
+def segment_cjk_py(run: str, lexicon: frozenset | None = None,
+                   max_word: int | None = None) -> list[str]:
     """Forward maximum matching: at each position take the LONGEST
     lexicon word starting there, else one codepoint (the greedy
     variant of gse's dictionary DP — deterministic and exactly
-    replayable as SQL string ops)."""
+    replayable as SQL string ops). ``lexicon`` defaults to the merged
+    embedded+runtime dictionary."""
+    if lexicon is None:
+        lexicon = active_cjk_lexicon()
+        max_word = max(_CJK_MAX_WORD, _RUNTIME_MAX_WORD)
+    elif max_word is None:
+        max_word = max((len(w) for w in lexicon), default=2)
     out: list[str] = []
     pos = 0
     n = len(run)
     while pos < n:
         pick = run[pos]
-        for ln in range(min(_CJK_MAX_WORD, n - pos), 1, -1):
+        for ln in range(min(max_word, n - pos), 1, -1):
             cand = run[pos:pos + ln]
-            if cand in CJK_MINI_LEXICON:
+            if cand in lexicon:
                 pick = cand
                 break
         out.append(pick)
@@ -527,15 +596,16 @@ def segment_cjk_py(run: str) -> list[str]:
     return out
 
 
-def tokenize_cjk_dict_py(text: str) -> list[str]:
+def tokenize_cjk_dict_py(text: str, lexicon: frozenset | None = None,
+                         max_word: int | None = None) -> list[str]:
     """'gse_dict' mode: word runs; runs containing CJK segment by
-    forward maximum matching against the embedded lexicon, other runs
+    forward maximum matching against the dictionary, other runs
     pass through lowercased (the dictionary analogue of the bigram
     approximation modes)."""
     out: list[str] = []
     for t in tokenize_py(text, "word"):
         if any(_is_segmentable(ch) for ch in t):
-            out.extend(segment_cjk_py(t))
+            out.extend(segment_cjk_py(t, lexicon, max_word))
         else:
             out.append(t)
     return out
@@ -544,7 +614,126 @@ def tokenize_cjk_dict_py(text: str) -> list[str]:
 def tokenize_cjk_dict(col: Column) -> Column:
     """Column variant of 'gse_dict' (Arrow-batched pandas_udf — greedy
     matching is iterative, not expressible as a column expression; the
-    lexicon ships inside the closure, no broadcast needed)."""
+    merged embedded+runtime lexicon is snapshotted into the closure at
+    plan-build time so executors see the loaded dictionary)."""
     from weaviate_spark.modules import cjk_dict_tokenize_udf
 
     return cjk_dict_tokenize_udf()(col)
+
+
+# ---------------------------------------------------------------------------
+# Per-class user dictionaries (tokenizerUserDict)
+#
+# Reference: entities/tokenizer/tokenizer_userdict.go (AddCustomDict,
+# NewUserDictFromModel) + entities/models/tokenizer_user_dict_config.go
+# — a class-level list of {tokenizer, replacements: [{source, target}]}
+# where an occurrence of `source` in the input is replaced by `target`
+# split on spaces, and only the kagome ja/kr tokenizers accept one.
+# Fixture semantics pinned from tokenizer_userdict_test.go:70-76:
+# "Weaviate" -> "We Aviate" yields tokens [We, Aviate]; a source may
+# span whitespace ("Semi Technologies" -> "SemiTechnologies"); targets
+# are emitted VERBATIM (not lowercased — they are user-chosen surface
+# forms, same as kagome's UserExtra tokens).
+
+_USER_DICT_TOKENIZERS = ("kagome_ja", "kagome_kr")
+
+# class name -> tokenizer mode -> replacements sorted longest-source-first
+_CUSTOM_DICTS: dict[str, dict[str, list[tuple[str, list[str]]]]] = {}
+
+
+def add_custom_dict(class_name: str, configs=None) -> None:
+    """Register (or with ``configs=None`` remove) a class's user
+    dictionaries — mirrors AddCustomDict (tokenizer_userdict.go:23-34):
+    the old entry is dropped first, duplicate tokenizers in one config
+    list are an error, non-kagome tokenizers are an error, and every
+    replacement needs both source and target. ``configs`` is a list of
+    dicts: {"tokenizer": "kagome_ja", "replacements":
+    [{"source": ..., "target": ...}]}."""
+    _CUSTOM_DICTS.pop(class_name, None)
+    if not configs:
+        return
+    built: dict[str, list[tuple[str, list[str]]]] = {}
+    for cfg in configs:
+        if cfg is None:
+            continue
+        tok = cfg.get("tokenizer", "")
+        if tok in built:
+            raise ValueError(
+                f"found duplicate tokenizer '{tok}' in tokenizer user "
+                "dict config"
+            )
+        if tok not in _USER_DICT_TOKENIZERS:
+            raise ValueError(
+                f"tokenizer {tok} does not support user dictionaries"
+            )
+        reps: list[tuple[str, list[str]]] = []
+        for r in cfg.get("replacements") or []:
+            src, tgt = r.get("source"), r.get("target")
+            if src is None or tgt is None:
+                raise ValueError("both source and target must be set")
+            reps.append((src, [t for t in tgt.split(" ") if t]))
+        # longest source wins at any position (kagome lattice picks the
+        # longer user entry); ties broken by source string for
+        # determinism
+        reps.sort(key=lambda p: (-len(p[0]), p[0]))
+        built[tok] = reps
+    if built:
+        _CUSTOM_DICTS[class_name] = built
+
+
+def tokenize_for_class_py(text: str, mode: str, class_name: str = "",
+                          fold: bool = False) -> list[str]:
+    """TokenizeForClass (tokenizer_userdict.go via tokenizer.go): apply
+    the class's user dictionary for ``mode`` if one is registered, else
+    plain tokenize_py. Replacement matching is case-sensitive on the
+    RAW input (sources may span whitespace), longest-source-first,
+    non-overlapping left to right; the spans between matches go through
+    the normal mode pipeline."""
+    reps = _CUSTOM_DICTS.get(class_name, {}).get(mode)
+    if not reps:
+        return tokenize_py(text, mode, fold)
+    return apply_user_dict_py(text, mode, reps, fold)
+
+
+def apply_user_dict_py(text: str, mode: str,
+                       reps: list[tuple[str, list[str]]],
+                       fold: bool = False) -> list[str]:
+    """State-free core of tokenize_for_class_py (``reps`` passed in so
+    executor closures need no module-level registry)."""
+    out: list[str] = []
+    pos = 0
+    seg_start = 0
+    n = len(text)
+    while pos < n:
+        hit = None
+        for src, tgt in reps:
+            if text.startswith(src, pos):
+                hit = (src, tgt)
+                break
+        if hit is None:
+            pos += 1
+            continue
+        if pos > seg_start:
+            out.extend(tokenize_py(text[seg_start:pos], mode, fold))
+        out.extend(hit[1])
+        pos += len(hit[0])
+        seg_start = pos
+    if seg_start < n:
+        out.extend(tokenize_py(text[seg_start:], mode, fold))
+    return out
+
+
+def tokenize_for_class(col: Column, mode: str, class_name: str = "",
+                       fold: bool = False) -> Column:
+    """Column variant of tokenize_for_class_py. With no user dict
+    registered for (class, mode) this is exactly `tokenize` — the
+    Catalyst expression path, zero Python. With one, the replacement
+    table is snapshotted into an Arrow-batched pandas UDF closure
+    (user dicts are tiny — the reference builds them from the class's
+    schema config — so closure shipping beats a broadcast join)."""
+    reps = _CUSTOM_DICTS.get(class_name, {}).get(mode)
+    if not reps:
+        return tokenize(col, mode, fold)
+    from weaviate_spark.modules import class_dict_tokenize_udf
+
+    return class_dict_tokenize_udf(mode, reps, fold)(col)

@@ -72,12 +72,37 @@ def text2vec_dummy(dim: int = 16):
 def cjk_dict_tokenize_udf():
     """Arrow-batched 'gse_dict' tokenizer (defined here: this module has
     no `from __future__ import annotations`, which pandas_udf's type-
-    hint introspection requires)."""
-    from weaviate_spark.functions.text import tokenize_cjk_dict_py
+    hint introspection requires). The merged embedded+runtime lexicon
+    is snapshotted HERE, at plan-build time, and captured by value in
+    the closure — executor processes re-import the module and would
+    otherwise see an empty runtime dictionary."""
+    from weaviate_spark.functions.text import (
+        active_cjk_lexicon, tokenize_cjk_dict_py,
+    )
+
+    lex = active_cjk_lexicon()
+    maxw = max((len(w) for w in lex), default=2)
 
     @pandas_udf("array<string>")
     def _seg(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: tokenize_cjk_dict_py(t or ""))
+        return batch.map(lambda t: tokenize_cjk_dict_py(t or "", lex, maxw))
+
+    return _seg
+
+
+def class_dict_tokenize_udf(mode: str, reps, fold: bool = False):
+    """Arrow-batched TokenizeForClass with a user dictionary
+    (tokenizer_userdict.go): ``reps`` (longest-source-first replacement
+    pairs) is captured by value — the per-class registry is driver-side
+    state that does not travel to executors."""
+    from weaviate_spark.functions.text import apply_user_dict_py
+
+    reps = list(reps)
+
+    @pandas_udf("array<string>")
+    def _seg(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda t: apply_user_dict_py(t or "", mode, reps, fold))
 
     return _seg
 

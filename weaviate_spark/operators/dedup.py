@@ -1031,18 +1031,44 @@ def duplicated_substring_pairs(
     k: int = 40,
     select_hex: int = 1,
     min_shared: int = 2,
+    max_docs_per_fingerprint: int | None = 100,
 ) -> DataFrame:
     """Doc pairs sharing >= min_shared selected k-char windows —
     verbatim cross-doc duplication (boilerplate, mirrored articles,
     license blocks) that token-level MinHash underweights. One shuffle:
-    the equi-join on the md5 fingerprint (uniform key, no skew); a pair
-    is produced only per SHARED fingerprint so output is bounded by
-    duplication actually present. At 100 TB, persist the fingerprint
-    table as an ingest artifact (same lifecycle as the minhash
-    signature table) and raise select_hex to trade recall for volume;
-    winnowing (Schleimer et al. 2003) is the bounded-gap upgrade if
-    worst-case guarantees are needed."""
+    the equi-join on the md5 fingerprint. The md5 VALUE is uniform, but
+    the POSTING LIST is not: one k-char boilerplate window (license
+    header, nav bar) shared by F docs yields F^2 join rows, so a window
+    in 10^5 docs means 10^10 rows before the groupBy. Skew guard
+    (deterministic, same rule as tfidf_cosine_topk's
+    max_postings_per_term, similarity.py, and fuzzy_name_pairs'
+    max_bucket_size): fingerprints held by more than
+    ``max_docs_per_fingerprint`` docs are dropped from pairing
+    ENTIRELY — a window shared by everyone carries ~no pairwise signal
+    (it is corpus boilerplate, the thing global_line_dedup / C4-style
+    line filtering removes; route it there, not through an O(F^2)
+    join). Exact degree filter -> oracles mirror it verbatim
+    (``QUALIFY count(*) OVER (PARTITION BY h) <= cap``); pass None for
+    the exact quadratic ground truth. The count runs as a window over
+    the same ``_h`` key the join shuffles on, so the partitioning is
+    computed once and reused.
+
+    A pair is produced only per SHARED (under-cap) fingerprint so
+    output is bounded by duplication actually present. At 100 TB,
+    persist the fingerprint table as an ingest artifact (same lifecycle
+    as the minhash signature table) and raise select_hex to trade
+    recall for volume; winnowing (Schleimer et al. 2003) is the
+    bounded-gap upgrade if worst-case guarantees are needed."""
     fps = substring_fingerprints(df, id_col, text_col, k, select_hex)
+    if max_docs_per_fingerprint is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h")
+        fps = (
+            fps.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_docs_per_fingerprint)
+            .drop("_f")
+        )
     a = fps.select(F.col(id_col).alias("id_a"), "_h")
     b = fps.select(F.col(id_col).alias("id_b"), "_h")
     return (

@@ -344,7 +344,7 @@ def jaccard_link_prediction(
     wedge_edges: DataFrame,
     true_edges: DataFrame,
     top_k: int = 20,
-    max_hub_degree: int | None = 10_000,
+    max_hub_degree: int | None = None,
 ) -> DataFrame:
     """Jaccard-coefficient link prediction: rank node pairs that share
     wedge neighbors but are NOT connected in ``true_edges``.
@@ -359,7 +359,10 @@ def jaccard_link_prediction(
     score is rounded to 6dp only for display with an (a, b) tie-break
     on the final sort. Scale shape: the pair generation is the wedge
     self-join keyed on the hub — cost is sum over hubs of deg(hub)^2.
-    Skew guard: hubs touching more than ``max_hub_degree`` DISTINCT
+    Skew guard (opt-in — the library default ``max_hub_degree=None``
+    is exact; callers at scale pass an explicit cap, as the registered
+    ``graph_link_prediction`` entry query does with 10_000): hubs
+    touching more than ``max_hub_degree`` DISTINCT
     nodes are dropped from the incidence frame entirely (pairing AND
     degrees — the guarded graph is "the graph minus pathological
     hubs", so intersection/union stay mutually consistent), the

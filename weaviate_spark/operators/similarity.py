@@ -779,8 +779,9 @@ def nn_descent_graph(
     if num_planes is None:
         # auto-scale the bucket count so the seed join stays
         # sum(bucket^2) ~ N * 64 regardless of corpus size: planes =
-        # log2(N / 64), floored at 8 — a fixed plane count would let
-        # bucket size (and the seed join) grow linearly with N
+        # log2(N / 64), floored at 2 and capped at 24 — a fixed plane
+        # count would let bucket size (and the seed join) grow
+        # linearly with N
         import math
 
         n = base.count()

@@ -55,6 +55,12 @@ def zorder_key(
     # high half), and ≥5 columns would wrap Spark's shiftleft amount
     # mod 64, silently colliding bit planes. Cap per-column bits so
     # bits*len(cols) <= 63; the coarser planes still cluster.
+    if len(cols) > 63:
+        raise ValueError(
+            f"zorder supports at most 63 columns (got {len(cols)}): one "
+            "bit plane per column must fit the 63 value bits of a signed "
+            "LONG — clamping further would wrap into the sign bit"
+        )
     if cols:
         bits = max(1, min(bits, 63 // len(cols)))
     num_cols = [c for c in cols if rangeable[c]]
