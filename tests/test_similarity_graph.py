@@ -105,7 +105,7 @@ def test_graph_expand_recovers_cross_bucket_recall(spark, ring_dir):
 
     invalidate_nn_graphs()
     out = graph_expand_topk(spark, ring_dir, "embeddings", q, k=6,
-                            seed_m=6, graph_k=3, rounds=1)
+                            seed_m=6, graph_k=3, rounds=1, on_corpus=True)
     got = {r["vec_id"] for r in out.collect()}
     assert len(got & truth) >= 4  # near-exact on the ring
     invalidate_nn_graphs()

@@ -89,7 +89,7 @@ def main() -> None:
     t0 = time.time()
     graph_expand_topk(
         spark, sf_dir, "embeddings", QVEC, k=10,
-        table_key=(sf_dir, "embeddings"),
+        table_key=(sf_dir, "embeddings"), on_corpus=False,
     ).count()
     graph_ingest_s = round(time.time() - t0, 3)  # includes graph build
 
@@ -97,6 +97,7 @@ def main() -> None:
         return graph_expand_topk(
             spark, sf_dir, "embeddings", vec if vec is not None else QVEC,
             k=10, probe=probe, table_key=(sf_dir, "embeddings"),
+            on_corpus=False,  # measuring the off-corpus trade is the point
         ).select("vec_id", "_distance")
 
     # the graph route's actual workload: ON-CORPUS queries (nearObject /

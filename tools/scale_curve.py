@@ -45,6 +45,13 @@ STEPS = [
     ("sf10", "/root/repo/testdata_sf10", 10.0),
 ]
 
+# SCALE_STEPS=sf10 (comma list) restricts the measured legs — used to
+# re-validate single steps under a specific SPARK_DRIVER_MEM budget
+# without paying the full matrix again
+if os.environ.get("SCALE_STEPS"):
+    _keep = set(os.environ["SCALE_STEPS"].split(","))
+    STEPS = [s for s in STEPS if s[0] in _keep]
+
 
 def grade(slope: float) -> str:
     if slope < 0.9:

@@ -211,6 +211,8 @@ class _Query:
             probe=2,  # Hamming-1 multiprobe: one extra IN value per
                       # plane keeps small buckets from starving the
                       # entry set; still a pruned index read
+            on_corpus=True,  # the vector IS a corpus row (looked up
+                             # above) — the measured recall-1.0 route
         )
         # the object itself is always its own nearest neighbor — drop it
         return out.where(F.col(id_col) != object_id).limit(limit)

@@ -10220,6 +10220,10 @@ def q_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_expand_topk(
         spark, sf_dir, "embeddings", QVEC, k=10, seed_m=10, graph_k=5,
         rounds=1, num_planes=8, table_key=(sf_dir, "embeddings", "nng"),
+        # explicit off-corpus accept: this query pins the DETERMINISM of
+        # the one-hop plan against the oracle, not a recall claim — the
+        # recall-safe arbitrary-vector route is near_vector quantize='sq'
+        on_corpus=False,
     )
 
 
@@ -10502,3 +10506,58 @@ def q_dedup_substring_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return n_pairs.crossJoin(caps)
+
+
+@register(
+    "text_userdict_tokens",
+    oracle=(
+        "WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0), "
+        "tk AS (SELECT doc_id, unnest(['We', 'Aviate', 'release', "
+        "CAST(doc_id AS VARCHAR), 'notes', 'by', 'SemiTechnologies', "
+        "'team']) AS token, unnest(range(8)) AS pos FROM d) "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, token FROM tk "
+        "ORDER BY doc_id, pos"
+    ),
+)
+def q_text_userdict_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class user dictionary through the tokenizer
+    (tokenizerUserDict, entities/tokenizer/tokenizer_userdict.go;
+    fixtures tokenizer_userdict_test.go:70-76): 'Weaviate' -> the two
+    tokens 'We'/'Aviate', the SPACE-SPANNING source 'Semi Technologies'
+    -> one token 'SemiTechnologies', both emitted VERBATIM (user surface
+    forms, not lowercased), while the spans between matches take the
+    normal kagome_kr pipeline (word runs, lowercased — 'NOTES' ->
+    'notes'). The oracle hand-builds the expected token stream, so the
+    replacement order, span tokenization, and position bookkeeping are
+    all value-hash-checked."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.text import (
+        add_custom_dict, tokenize_for_class,
+    )
+
+    add_custom_dict("UserDocs", [{
+        "tokenizer": "kagome_kr",
+        "replacements": [
+            {"source": "Weaviate", "target": "We Aviate"},
+            {"source": "Semi Technologies", "target": "SemiTechnologies"},
+        ],
+    }])
+    d = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Weaviate release "), F.col("doc_id").cast("string"),
+                F.lit(" NOTES by Semi Technologies team"),
+            ).alias("t"),
+        )
+    )
+    return (
+        d.select("doc_id", F.posexplode(
+            tokenize_for_class(F.col("t"), "kagome_kr", "UserDocs")
+        ).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )

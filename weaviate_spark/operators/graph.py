@@ -218,12 +218,21 @@ def sssp(
             dist.join(e, dist["_n"] == e["_s"])
             .select(F.col("_d").alias("_n"), (F.col("_dist") + F.col("_w")).alias("_dist"))
         )
+        old = dist
         dist = (
             dist.unionByName(relaxed)
             .groupBy("_n")
             .agg(F.min("_dist").alias("_dist"))
             .localCheckpoint(eager=True)
         )
+        # eager checkpoint materialized -> the previous generation has
+        # no consumer left; release its blocks so `iterations` rounds
+        # hold 2 generations, not `iterations` (same fix as kcore_peel)
+        if hasattr(old, "unpersist"):
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # first round: plain createDataFrame, nothing cached
     return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("distance"))
 
 
@@ -253,6 +262,16 @@ def kcore_peel(
     is a cap, not a cost. The input is treated as undirected: edges
     are symmetrized and deduplicated before the first peel.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY checkpoints: each generation is consumed exactly twice
+    # per round (degree agg + semi-join prune), so caching deserialized
+    # edge objects in the unified pool buys two reads but starves
+    # execution memory for the 2x-edges distinct/groupBy shuffles — at
+    # sf10 (30M edges) that OOMed a 16 GiB heap even with per-round
+    # release. Spilling the checkpoint to disk (~1 GB/round sequential
+    # I/O) frees the pool for execution; measured same order of runtime.
+    _ckpt = StorageLevel.DISK_ONLY
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .unionByName(
@@ -260,18 +279,26 @@ def kcore_peel(
         )
         .where(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_ckpt)
     )
     prev = und.count()
     for _ in range(int(rounds)):
         deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.where(F.col("_deg") >= int(k)).select("_a")
+        old = und
         und = (
             und.join(keep, "_a", "left_semi")
             .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_ckpt)
         )
         cur = und.count()
+        # the new generation is fully materialized (eager + counted);
+        # the old one has no remaining consumer — drop its blocks NOW.
+        # Without this, 8 rounds pin 8 edge-list generations in the
+        # unified memory pool and execution memory starves (the r08
+        # scale run needed a 24 GiB heap for exactly this reason;
+        # with per-round release + DISK_ONLY checkpoint blocks 16 GiB covers the sf10 leg).
+        old.unpersist()
         if cur == prev:
             break  # fixpoint: further peels are no-ops
         prev = cur

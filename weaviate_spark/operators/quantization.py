@@ -512,30 +512,60 @@ def sq_trained_bounds(
     sf_dir: str,
     collection: str,
     vector_col: str = "embedding",
+    clip_quantile: float = 0.0,
+    sample_cap: int = 200_000,
 ) -> tuple[float, float]:
     """Per-collection SQ code bounds trained from the data, the
     reference's scalar-quantizer Fit step (compressionhelpers/
-    scalar_quantizer.go trains on a sample at ingest). Exact global
-    min/max — deterministic under any partitioning, so the artifact
-    fingerprint (which embeds lo/hi) stays stable for unchanged data.
-    Fixed [-1, 1] bounds saturate every component of an unnormalized
-    corpus to code 0/255 and silently degrade the candidate scan;
-    training closes that footgun for the quantize="auto" route.
+    scalar_quantization.go:69-93 trains min b and range a over a
+    training sample at ingest). With ``clip_quantile=0`` (default):
+    exact global min/max — deterministic under any partitioning, so
+    the artifact fingerprint (which embeds lo/hi) stays stable for
+    unchanged data. Fixed [-1, 1] bounds saturate every component of
+    an unnormalized corpus to code 0/255 and silently degrade the
+    candidate scan; training closes that footgun for the
+    quantize="auto" route.
+
+    ``clip_quantile=q`` (e.g. 0.005) trains PERCENTILE-CLIPPED bounds
+    [P_q, P_{1-q}] of the component distribution instead: on a
+    heavy-tailed corpus, one 1000x-outlier component stretches min/max
+    so far that the 255-code grid leaves ~1 code for the entire data
+    mass (recall collapse); clipped bounds keep full resolution where
+    the mass is, and the outlier components clamp to code 0/255 (the
+    encoder saturates, sq_encode_py/_sq_code). Determinism at scale:
+    exact `percentile` over the exploded components of a DETERMINISTIC
+    hash sample (xxhash64(vector) mod m == 0, sized to ~``sample_cap``
+    rows) — partition-count-invariant, unlike approx_percentile, so
+    the artifact fingerprint stays reproducible. The reference samples
+    for the same reason (its Fit never sees the full 100-TB column).
     Degenerate corpora (empty / all-null / constant) fall back to
-    [-1, 1]. Cached per (session, table, column); cleared with the SQ
-    family on writes (crud.invalidate_indexes)."""
-    key = (session_key(spark), sf_dir, collection, vector_col)
+    [-1, 1]. Cached per (session, table, column, q); cleared with the
+    SQ family on writes (crud.invalidate_indexes)."""
+    key = (session_key(spark), sf_dir, collection, vector_col,
+           float(clip_quantile))
     if key not in _sq_bounds_cache:
         base = load_table(spark, sf_dir, collection)
-        row = (
-            base.where(F.col(vector_col).isNotNull())
-            .agg(
+        vals = base.where(F.col(vector_col).isNotNull())
+        if clip_quantile > 0.0:
+            n = vals.count()
+            if n > sample_cap:
+                m = -(-n // sample_cap)  # ceil -> ~sample_cap rows kept
+                vals = vals.where(
+                    F.pmod(F.xxhash64(F.col(vector_col)), F.lit(m)) == 0)
+            q = float(clip_quantile)
+            row = (
+                vals.select(F.explode(F.col(vector_col)).alias("_x"))
+                .agg(F.expr(
+                    f"percentile(_x, array({q}, {1.0 - q}))").alias("p"))
+                .collect()[0]
+            )
+            lo, hi = (row["p"][0], row["p"][1]) if row["p"] else (None, None)
+        else:
+            row = vals.agg(
                 F.min(F.array_min(F.col(vector_col))).alias("lo"),
                 F.max(F.array_max(F.col(vector_col))).alias("hi"),
-            )
-            .collect()[0]
-        )
-        lo, hi = row["lo"], row["hi"]
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
         if lo is None or hi is None or not float(hi) > float(lo):
             lo, hi = -1.0, 1.0
         _sq_bounds_cache[key] = (float(lo), float(hi))

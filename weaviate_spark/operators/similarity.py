@@ -971,6 +971,7 @@ def graph_expand_topk(
     table_key: tuple | None = None,
     probe: int = 1,
     bucket_cap: int = 4096,
+    on_corpus: bool | None = None,
 ) -> DataFrame:
     """Graph-expanded LSH search (the one-hop DiskANN/HNSW gesture a
     batch plan can make): probe the query's own LSH bucket (plus every
@@ -992,7 +993,35 @@ def graph_expand_topk(
     size exactly like nn_descent_graph so the search reuses the
     ingest-built graph artifact. ``bucket_cap`` bounds the driver-side
     id list on pathological buckets (smallest-id members kept —
-    deterministic; never binds on healthy auto-scaled buckets of ~64)."""
+    deterministic; never binds on healthy auto-scaled buckets of ~64).
+
+    ``on_corpus`` is the recall contract (VERDICT r08 finding #2):
+    True = the caller asserts ``vector`` is an existing corpus row —
+    the entry set then contains the row itself and the expansion is
+    its precomputed graph neighborhood (measured recall@10 = 1.0 at
+    1M, BENCH_ANN_1M; this is the ``client.query.neighbors`` route).
+    False = the caller explicitly accepts the measured OFF-corpus
+    behavior: on an unstructured 1M x 64-dim corpus recall@10 is ~0
+    even at probe=2, because a random query's true neighbors sit near
+    90 degrees and one LSH bucket + one hop cannot reach them — the
+    recall-safe arbitrary-vector route is near_vector with
+    quantize='sq'/'auto'. None (default) = unknown caller: a
+    RuntimeWarning states the trade so no public path returns
+    near-random results silently."""
+    if on_corpus is None:
+        import warnings
+
+        warnings.warn(
+            "graph_expand_topk with an arbitrary query vector: measured "
+            "off-corpus recall@10 at 1M x 64-dim is ~0 (one LSH bucket + "
+            "one graph hop cannot reach near-orthogonal neighbors). Pass "
+            "on_corpus=True if the vector is an existing corpus row "
+            "(recall 1.0 route, same as client.query.neighbors), "
+            "on_corpus=False to accept the off-corpus trade, or use "
+            "near_vector(quantize='sq') — the recall-safe route for "
+            "arbitrary vectors.",
+            RuntimeWarning, stacklevel=2,
+        )
     from weaviate_spark.sources.tables import load_table
 
     base = load_table(spark, sf_dir, collection).where(
