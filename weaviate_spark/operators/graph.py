@@ -264,14 +264,22 @@ def kcore_peel(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # DISK_ONLY checkpoints: each generation is consumed exactly twice
-    # per round (degree agg + semi-join prune), so caching deserialized
-    # edge objects in the unified pool buys two reads but starves
-    # execution memory for the 2x-edges distinct/groupBy shuffles — at
-    # sf10 (30M edges) that OOMed a 16 GiB heap even with per-round
-    # release. Spilling the checkpoint to disk (~1 GB/round sequential
-    # I/O) frees the pool for execution; measured same order of runtime.
-    _ckpt = StorageLevel.DISK_ONLY
+    # Checkpoint storage level is SIZE-ADAPTIVE. Each generation is
+    # consumed exactly twice per round (degree agg + semi-join prune).
+    # For big graphs, caching deserialized edge objects in the unified
+    # pool buys those two reads but PINS up to storageFraction (50%) of
+    # the pool against eviction, starving execution memory for the
+    # 2x-edges distinct/groupBy shuffles — at sf10 (30M edges, 60M
+    # symmetrized rows) that OOMed a 16 GiB heap even with per-round
+    # release; DISK_ONLY (~1 GB/round sequential I/O) fixed it for ~9%
+    # runtime (SCALE_SF10_MEM_r09.json). For small graphs the disk
+    # round-trip is pure overhead (sf1 trade graph: 11.5 -> 15.9 s), so
+    # below the threshold checkpoints stay memory-resident. The input
+    # row count is a cheap columnless scan and an upper bound on every
+    # later generation (peeling only shrinks).
+    n0 = edges.count()
+    _ckpt = (StorageLevel.DISK_ONLY if 2 * n0 > 20_000_000
+             else StorageLevel.MEMORY_AND_DISK)
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .unionByName(
