@@ -382,3 +382,36 @@ def test_graph_expand_off_corpus_contract(spark, tmp_path):
                           on_corpus=True).count()
         assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
     invalidate_nn_graphs()
+
+
+def test_near_vector_quantize_clip_route(spark, tmp_path):
+    """quantize_clip threads from the public NearVectorSpec into the
+    l2 SQ route's bound training; default (None) stays exact min/max."""
+    import random
+
+    from weaviate_spark.operators.quantization import _sq_bounds_cache
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(400):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        if i % 100 == 0:
+            v[0] = 300.0
+        rows.append((i, v))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    _sq_bounds_cache.clear()
+    out = near_vector(spark, sf, NearVectorSpec(
+        collection="embeddings", vector=q, metric="l2-squared", limit=5,
+        quantize="sq", quantize_threshold=0, quantize_clip=0.01,
+    ))
+    assert out.count() == 5
+    # the clipped training actually happened: a cache entry with q=0.01
+    # exists and its hi is far below the 300.0 outlier
+    clipped = [v for k, v in _sq_bounds_cache.items() if k[-1] == 0.01]
+    assert clipped and clipped[0][1] < 10.0, _sq_bounds_cache
+    _sq_bounds_cache.clear()

@@ -83,6 +83,15 @@ class NearVectorSpec:
     # with an explicit overfetch, everyone else wants "auto"/"sq"
     # (measured recall 1.0 at the same scale).
     quantize_overfetch: int | None = None
+    # SQ bound training for the raw-code (non-cosine) routes: None =
+    # exact min/max (the oracle-pinned default). A quantile q (e.g.
+    # 0.005) trains percentile-clipped bounds [P_q, P_1-q] instead —
+    # the heavy-tail insurance (one 1000x outlier component otherwise
+    # stretches the 255-code grid off the data mass; measured recall@10
+    # < 0.9 min/max vs >= 0.99 clipped on a 1%-outlier corpus,
+    # tests/test_fixes_r09.py). Ignored on the cosine route (unit
+    # vectors are bounded by construction).
+    quantize_clip: float | None = None
 
 
 # (session, sf_dir, collection) -> row count (table-stats stand-in;
@@ -205,6 +214,7 @@ def near_vector(
                 route = sq_topk
                 kwargs["lo"], kwargs["hi"] = sq_trained_bounds(
                     spark, sf_dir, spec.collection, spec.vector_col,
+                    clip_quantile=(spec.quantize_clip or 0.0),
                 )
             topk = route(spark, sf_dir, spec.collection, spec.vector, **kwargs)
             return (
