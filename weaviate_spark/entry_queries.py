@@ -10481,6 +10481,7 @@ def q_dedup_substring_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle's identically-capped ground truth."""
     from pyspark.sql import functions as F
 
+    from weaviate_spark.cache import register_cache
     from weaviate_spark.operators.dedup import (
         duplicated_substring_pairs, substring_fingerprints,
     )
@@ -10491,11 +10492,16 @@ def q_dedup_substring_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
                F.concat(F.col("text"), F.lit(_BOILER_327)))
         .otherwise(F.col("text")).alias("text"),
     )
+    # the md5 window explode is the expensive stage and has TWO
+    # consumers here (the capped pairing and the cap-audit aggregate) —
+    # compute it once (the persisted-signature-artifact pattern at
+    # ingest scale; a session cache stands in for it here)
+    fps = register_cache(
+        substring_fingerprints(d, "doc_id", "text", 40, 1).cache())
     pairs = duplicated_substring_pairs(
         d, "doc_id", "text", k=40, select_hex=1, min_shared=2,
-        max_docs_per_fingerprint=100,
+        max_docs_per_fingerprint=100, fingerprints=fps,
     )
-    fps = substring_fingerprints(d, "doc_id", "text", 40, 1)
     caps = (
         fps.groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
         .agg(

@@ -1032,6 +1032,7 @@ def duplicated_substring_pairs(
     select_hex: int = 1,
     min_shared: int = 2,
     max_docs_per_fingerprint: int | None = 100,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs sharing >= min_shared selected k-char windows —
     verbatim cross-doc duplication (boilerplate, mirrored articles,
@@ -1058,8 +1059,14 @@ def duplicated_substring_pairs(
     persist the fingerprint table as an ingest artifact (same lifecycle
     as the minhash signature table) and raise select_hex to trade
     recall for volume; winnowing (Schleimer et al. 2003) is the
-    bounded-gap upgrade if worst-case guarantees are needed."""
-    fps = substring_fingerprints(df, id_col, text_col, k, select_hex)
+    bounded-gap upgrade if worst-case guarantees are needed.
+
+    ``fingerprints`` lets a caller pass a precomputed (cached or
+    artifact-served) substring_fingerprints frame so the md5 explode —
+    the expensive stage — runs once when the caller has other
+    consumers of it (the persisted-ingest-artifact pattern)."""
+    fps = (fingerprints if fingerprints is not None
+           else substring_fingerprints(df, id_col, text_col, k, select_hex))
     if max_docs_per_fingerprint is not None:
         from pyspark.sql import Window
 
