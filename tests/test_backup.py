@@ -125,3 +125,123 @@ def test_client_backup_namespace_with_authz(spark, tmp_path):
         ro.backup.create("cb2", backend)
     out = ops.backup.restore("cb1", backend, overwrite=True)
     assert out["restored"] == {"things": 3}
+
+
+# ---------------------------------------------------------------------------
+# Export API (usecases/export/ — scheduler/participant/types; statuses
+# entities/export/status.go)
+
+def _mini_corpus(spark, tmp_path):
+    sf = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"text {i}", [float(i), 0.5]) for i in range(40)],
+        "doc_id long, text string, embedding array<float>",
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(25)], "vec_id long, label long"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_export_lifecycle_and_readback(spark, tmp_path):
+    """SUCCESS lifecycle: parquet lands per class, metadata is the
+    source of truth (per-class objectsExported + statuses), vectors
+    survive as array columns, and the exported table is row-identical
+    to the source."""
+    from weaviate_spark.sources.export import (
+        SHARD_SUCCESS, SUCCESS, export_create, export_status,
+    )
+
+    sf = _mini_corpus(spark, tmp_path)
+    backend = str(tmp_path / "backend")
+    meta = export_create(spark, "exp1", sf, backend)
+    assert meta["status"] == SUCCESS
+    assert meta["shardStatus"]["documents"]["objectsExported"] == 40
+    assert all(s["status"] == SHARD_SUCCESS
+               for s in meta["shardStatus"].values())
+    assert export_status(backend, "exp1")["status"] == SUCCESS
+    back = spark.read.parquet(f"{backend}/exp1/documents")
+    assert back.count() == 40
+    assert dict(back.dtypes)["embedding"] == "array<float>"
+    src_rows = sorted(map(tuple, spark.read.parquet(
+        f"{sf}/documents.parquet").collect()))
+    assert sorted(map(tuple, back.collect())) == src_rows
+    # duplicate id rejected (idempotent ids, like backup)
+    import pytest
+
+    from weaviate_spark.sources.export import ExportError
+
+    with pytest.raises(ExportError, match="already exists"):
+        export_create(spark, "exp1", sf, backend)
+
+
+def test_export_slot_cas_and_release(spark, tmp_path):
+    """ONE export at a time per backend (participant.go Prepare CAS):
+    a held slot rejects a second export; terminal status releases it."""
+    import pytest
+
+    from weaviate_spark.sources.export import (
+        ExportError, _release_slot, _reserve_slot, export_create,
+    )
+
+    sf = _mini_corpus(spark, tmp_path)
+    backend = str(tmp_path / "backend")
+    _reserve_slot(backend, "someone-else")
+    with pytest.raises(ExportError, match="already running"):
+        export_create(spark, "exp2", sf, backend)
+    _release_slot(backend)
+    meta = export_create(spark, "exp2", sf, backend)
+    assert meta["status"] == "SUCCESS"
+    # slot released after success -> a third export can start
+    meta3 = export_create(spark, "exp3", sf, backend,
+                          include=["documents"])
+    assert list(meta3["shardStatus"]) == ["documents"]
+
+
+def test_export_cancel_semantics(spark, tmp_path):
+    """Cancel marks CANCELED, keeps artifacts (scheduler.go:314-317),
+    errors on finished exports, and a cancel marker observed mid-scan
+    records SKIPPED for the remaining classes."""
+    import os
+
+    import pytest
+
+    from weaviate_spark.sources.export import (
+        CANCELED, ExportError, _cancel_path, _write_meta, export_cancel,
+        export_create, read_metadata,
+    )
+
+    sf = _mini_corpus(spark, tmp_path)
+    backend = str(tmp_path / "backend")
+    # a RUNNING export (simulated via metadata) cancels cleanly
+    _write_meta(backend, "run1", {"id": "run1", "status": "TRANSFERRING",
+                                  "shardStatus": {}})
+    out = export_cancel(backend, "run1")
+    assert out["status"] == CANCELED
+    # canceling a finished export errors (ErrExportAlreadyFinished)
+    with pytest.raises(ExportError, match="already finished"):
+        export_cancel(backend, "run1")
+    # cancel marker present before the scan loop -> every class SKIPPED,
+    # terminal status CANCELED, artifacts (metadata) kept
+    os.makedirs(f"{backend}/run2", exist_ok=True)
+    with open(_cancel_path(backend, "run2"), "w") as fh:
+        fh.write("cancel")
+    meta = export_create(spark, "run2", sf, backend)
+    assert meta["status"] == CANCELED
+    assert all(s["status"] == "SKIPPED"
+               for s in meta["shardStatus"].values())
+    assert read_metadata(backend, "run2")["status"] == CANCELED
+
+
+def test_export_include_exclude_and_client(spark, tmp_path):
+    """include/exclude select classes (types.go ExportRequest.Classes);
+    the client facade wires create/status/cancel with backup authz."""
+    from weaviate_spark.client import WeaviateSparkClient
+
+    sf = _mini_corpus(spark, tmp_path)
+    backend = str(tmp_path / "backend")
+    client = WeaviateSparkClient(spark, sf)
+    meta = client.export.create("exp-cli", backend,
+                                exclude_collections=["embeddings"])
+    assert list(meta["shardStatus"]) == ["documents"]
+    assert client.export.status("exp-cli", backend)["status"] == "SUCCESS"

@@ -539,6 +539,43 @@ class _Backup:
         return backup_status(backend, backup_id)
 
 
+class _Export:
+    """`client.export` namespace (POST /v1/export/{backend} +
+    status/cancel, client/export/export_client.go), delegating to
+    sources/export.py. Shares the backups authorization resource —
+    both are bulk data egress of whole collections."""
+
+    def __init__(self, client: "WeaviateSparkClient"):
+        self._c = client
+
+    def _check(self, verb: str) -> None:
+        self._c._authorizer.authorize(
+            self._c._principal, verb, auth.backups_path()
+        )
+
+    def create(self, export_id: str, backend: str,
+               include_collections=None, exclude_collections=None) -> dict:
+        from weaviate_spark.sources.export import export_create
+
+        self._check(auth.CREATE)
+        return export_create(
+            self._c._spark, export_id, self._c._root, backend,
+            include=include_collections, exclude=exclude_collections,
+        )
+
+    def status(self, export_id: str, backend: str) -> dict:
+        from weaviate_spark.sources.export import export_status
+
+        self._check(auth.READ)
+        return export_status(backend, export_id)
+
+    def cancel(self, export_id: str, backend: str) -> dict:
+        from weaviate_spark.sources.export import export_cancel
+
+        self._check(auth.DELETE)
+        return export_cancel(backend, export_id)
+
+
 class WeaviateSparkClient:
     def __init__(self, spark: SparkSession, root: str,
                  registry: Optional[object] = None,
@@ -551,6 +588,7 @@ class WeaviateSparkClient:
         self._principal = principal
         self.collections = _Collections(self)
         self.backup = _Backup(self)
+        self.export = _Export(self)
 
 
 def connect(spark: SparkSession, root: str, registry=None,

@@ -10567,3 +10567,47 @@ def q_text_userdict_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "export_roundtrip",
+    oracle=(
+        "SELECT 'nation' AS class_name, CAST(count(*) AS BIGINT) AS "
+        "objects_exported, CAST(count(*) AS BIGINT) AS readback_rows, "
+        "'SUCCESS' AS status FROM nation "
+        "UNION ALL SELECT 'region', CAST(count(*) AS BIGINT), "
+        "CAST(count(*) AS BIGINT), 'SUCCESS' FROM region "
+        "ORDER BY class_name"
+    ),
+)
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk export API (usecases/export/ — scheduler + participant +
+    metadata lifecycle): export two classes to a scratch backend as a
+    point-in-time parquet snapshot, then prove the round trip — the
+    metadata's per-class objectsExported, an independent READBACK count
+    of the landed parquet, and the SUCCESS status must all agree with
+    the oracle counting the source tables. The scratch export is
+    removed and re-created each run (ids are one-shot in the reference;
+    a re-run is a new export)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from weaviate_spark.sources.export import export_create
+
+    backend = os.path.join(tempfile.gettempdir(),
+                           "wsx_export_" + re.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(backend, ignore_errors=True)
+    meta = export_create(spark, "rt", sf_dir, backend,
+                         include=["nation", "region"])
+    rows = []
+    for name in sorted(meta["shardStatus"]):
+        st = meta["shardStatus"][name]
+        readback = spark.read.parquet(f"{backend}/rt/{name}").count()
+        rows.append((name, st["objectsExported"], readback, st["status"]))
+    return spark.createDataFrame(
+        rows,
+        "class_name string, objects_exported long, readback_rows long, "
+        "status string",
+    ).orderBy("class_name")
