@@ -415,3 +415,49 @@ def test_near_vector_quantize_clip_route(spark, tmp_path):
     clipped = [v for k, v in _sq_bounds_cache.items() if k[-1] == 0.01]
     assert clipped and clipped[0][1] < 10.0, _sq_bounds_cache
     _sq_bounds_cache.clear()
+
+
+def test_bm25_consults_class_user_dict(spark, tmp_path):
+    """Analyze uses TokenizeForClass (analyze.go:88): with a class user
+    dict mapping 'Weaviate' -> 'We Aviate', a BM25 query for 'Aviate'
+    matches documents whose raw text never contains that token; without
+    the dict it matches nothing. The stats-artifact fingerprint embeds
+    the dict digest, so registering it invalidates the cached index."""
+    from weaviate_spark.functions.text import add_custom_dict
+    from weaviate_spark.operators.bm25 import (
+        BM25Prop, BM25Spec, bm25_search,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "Weaviate engine notes"), (2, "plain other text"),
+         (3, "Weaviate Weaviate twice")],
+        "doc_id long, body string",
+    ).write.parquet(f"{sf}/docs.parquet")
+
+    def search():
+        return bm25_search(spark, sf, BM25Spec(
+            collection="docs", query="Aviate",
+            properties=[BM25Prop(name="body", tokenization="kagome_kr")],
+            id_col="doc_id", stopwords=None,
+        )).collect()
+
+    assert search() == []  # no dict: 'aviate' tokenizes nowhere
+    # the identity entry keeps the QUERY's surface form case-preserved
+    # too — the reference fixture carries 'Aviate' -> 'Aviate' for
+    # exactly this (tokenizer_userdict_test.go:50-56)
+    add_custom_dict("docs", [{
+        "tokenizer": "kagome_kr",
+        "replacements": [{"source": "Weaviate", "target": "We Aviate"},
+                         {"source": "Aviate", "target": "Aviate"}],
+    }])
+    try:
+        hits = search()
+        ids = [r["doc_id"] for r in hits]
+        assert set(ids) == {1, 3}
+        # tf=2 in doc 3 -> it outranks doc 1 (longer doc penalty is
+        # smaller than the tf gain at default k1/b)
+        assert ids[0] == 3
+    finally:
+        add_custom_dict("docs", None)
+    assert search() == []  # dict removal also invalidates the artifact

@@ -723,6 +723,21 @@ def apply_user_dict_py(text: str, mode: str,
     return out
 
 
+def user_dict_digest(class_name: str):
+    """Stable, hashable description of a class's registered user
+    dictionaries (None when there are none) — artifact fingerprints
+    embed it so registering/removing a dict invalidates derived index
+    tables (the reference rebuilds its kagome tokenizers on
+    AddCustomDict, tokenizer_userdict.go:23)."""
+    dicts = _CUSTOM_DICTS.get(class_name)
+    if not dicts:
+        return None
+    return tuple(
+        (tok, tuple((s, tuple(t)) for s, t in reps))
+        for tok, reps in sorted(dicts.items())
+    )
+
+
 def tokenize_for_class(col: Column, mode: str, class_name: str = "",
                        fold: bool = False) -> Column:
     """Column variant of tokenize_for_class_py. With no user dict

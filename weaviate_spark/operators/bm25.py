@@ -67,6 +67,7 @@ from weaviate_spark.functions.text import (
     StopwordConfig,
     sql_tokens,
     tokenize,
+    tokenize_for_class,
     tokenize_py,
 )
 from weaviate_spark.sources.tables import load_table
@@ -132,11 +133,16 @@ def query_terms(
     tokenization: str = "word",
     stopwords: StopwordConfig | None = StopwordConfig(),
     fold: bool = False,
+    class_name: str = "",
 ) -> dict[str, float]:
     """term -> boost (duplicate count) after fold + stopword removal —
     shared by the Spark path and every oracle-SQL generator so both
-    engines see the identical query analysis."""
-    toks = tokenize_py(query, tokenization, fold=fold)
+    engines see the identical query analysis. ``class_name`` consults
+    the class's user dictionary (TokenizeForClass, analyze.go:88) —
+    with none registered this is exactly tokenize_py."""
+    from weaviate_spark.functions.text import tokenize_for_class_py
+
+    toks = tokenize_for_class_py(query, tokenization, class_name, fold=fold)
     if stopwords is not None:
         sw = stopwords.words()
         toks = [t for t in toks if t not in sw]
@@ -148,6 +154,7 @@ def build_bm25_index(
     properties: Sequence[BM25Prop],
     id_col: str,
     fold: bool = False,
+    class_name: str = "",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Full inverted-index analogue, ONE tokenize pass per property over
     the UNFILTERED corpus:
@@ -172,7 +179,9 @@ def build_bm25_index(
     for prop in properties:
         toks = corpus.select(
             F.col(id_col).alias("_doc"),
-            F.explode(tokenize(F.col(prop.name), prop.tokenization, fold=fold)).alias("_term"),
+            F.explode(tokenize_for_class(
+                F.col(prop.name), prop.tokenization, class_name,
+                fold=fold)).alias("_term"),
         )
         per_doc = toks.groupBy("_doc", "_term").agg(F.count(F.lit(1)).alias("_f"))
         post_frames.append(per_doc.select(
@@ -208,10 +217,12 @@ def build_bm25_stats(
     properties: Sequence[BM25Prop],
     id_col: str,
     fold: bool = False,
+    class_name: str = "",
 ) -> tuple[DataFrame, DataFrame]:
     """(corpus_stats, term_df) — the scalar-statistics subset of
     `build_bm25_index`, kept for callers that only need N/avgdl/df."""
-    cs, tdf, _post, _dl = build_bm25_index(corpus, properties, id_col, fold)
+    cs, tdf, _post, _dl = build_bm25_index(
+        corpus, properties, id_col, fold, class_name=class_name)
     return cs, tdf
 
 
@@ -333,11 +344,15 @@ def _load_or_build_index_tables(
     spark = corpus.sparkSession
     if fp is None:
         # synthetic / in-memory corpus: session-scoped build, no artifact
-        return build_bm25_index(corpus, spec.properties, spec.id_col, spec.fold)
+        return build_bm25_index(corpus, spec.properties, spec.id_col,
+                                spec.fold, class_name=spec.collection)
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     fp_h = hashlib.md5(fp.encode()).hexdigest()[:12]
+    from weaviate_spark.functions.text import user_dict_digest
+
     props_h = hashlib.md5(
-        repr((props_key, spec.fold, ARTIFACT_FORMAT)).encode()
+        repr((props_key, spec.fold, ARTIFACT_FORMAT,
+              user_dict_digest(spec.collection))).encode()
     ).hexdigest()[:12]
     coll_root = f"{BM25_ARTIFACT_ROOT}/{tag}/{collection}"
     root = f"{coll_root}/{fp_h}/{props_h}"
@@ -372,7 +387,8 @@ def _build_index_artifact(
                 if old != fp_h:
                     shutil.rmtree(os.path.join(coll_root, old), ignore_errors=True)
         cs, tdf, post, dl = build_bm25_index(
-            corpus, spec.properties, spec.id_col, spec.fold
+            corpus, spec.properties, spec.id_col, spec.fold,
+            class_name=spec.collection,
         )
         post = post.withColumn("_tb", F.crc32(F.col("_term")) % TERM_BUCKETS)
         cs.write.mode("overwrite").parquet(f"{root}/corpus_stats")
@@ -577,7 +593,8 @@ def advance_bm25_artifacts(
                 m = json.load(mf)
             props = [BM25Prop(name=p[0], tokenization=p[1]) for p in m["properties"]]
             cs, tdf, post, dl = build_bm25_index(
-                batch_df, props, m["id_col"], m["fold"]
+                batch_df, props, m["id_col"], m["fold"],
+                class_name=collection,
             )
             post = post.withColumn("_tb", F.crc32(F.col("_term")) % TERM_BUCKETS)
             # marker discipline: the commit marker is ABSENT while the
@@ -607,8 +624,15 @@ def with_materialized_stats(
     tokenized, no corpus scan."""
     if spec.stats is not None:
         return spec
+    from weaviate_spark.functions.text import user_dict_digest
+
     props_key = tuple(sorted((p.name, p.tokenization) for p in spec.properties))
-    key = (session_key(corpus.sparkSession), *table_key, props_key, spec.fold)
+    # the session handles key on the user-dict digest too: registering /
+    # removing a class dict re-tokenizes the corpus, so cached handles
+    # from the other dict state must not be served (AddCustomDict
+    # rebuilds the reference's tokenizers the same way)
+    key = (session_key(corpus.sparkSession), *table_key, props_key,
+           spec.fold, user_dict_digest(spec.collection))
     if key not in _stats_tables:
         cs, tdf, post, dl = _load_or_build_index_tables(corpus, spec, table_key)
         cs, tdf = cs.cache(), tdf.cache()
@@ -656,7 +680,8 @@ def bm25_search(
 def _query_analysis(spec: BM25Spec) -> dict[str, dict[str, float]]:
     """prop name -> (term -> boost)."""
     return {
-        p.name: query_terms(spec.query, p.tokenization, spec.stopwords, spec.fold)
+        p.name: query_terms(spec.query, p.tokenization, spec.stopwords,
+                            spec.fold, class_name=spec.collection)
         for p in spec.properties
     }
 
@@ -741,7 +766,9 @@ def bm25_score_df(
             base = base.repartition(parallelism)
         toks = base.select(
             F.col(id_col).alias("_doc"),
-            F.explode(tokenize(F.col(prop.name), prop.tokenization, fold=spec.fold)).alias("_term"),
+            F.explode(tokenize_for_class(
+                F.col(prop.name), prop.tokenization, spec.collection,
+                fold=spec.fold)).alias("_term"),
         )
         wide = toks.groupBy("_doc").agg(
             F.count(F.lit(1)).alias("_len"),
