@@ -111,6 +111,30 @@ def main() -> None:
         norm = re.sub(r"\d+\.\d+ [KMG]i?B", "", norm)     # size stats
         return hashlib.sha256(norm.encode()).hexdigest()[:12]
 
+    # Contention sentinel (r09 verdict ask #2): the driver's BENCH_r09
+    # recorded 2.7x the builder's own number with IDENTICAL plan hashes
+    # — machine contention the protocol couldn't flag. Time a fixed,
+    # tiny calibration query (warmed above) immediately before and
+    # after the timed block and record the load average; a run whose
+    # calibration deviates >1.5x from the committed idle-machine
+    # reference is marked contended=true, so a phantom regression is
+    # visible IN the JSON instead of needing a post-hoc replay.
+    CAL_QUERY = "filter_sort_limit"
+    CAL_SF_DIR = "/root/testdata/sf0.001"
+    CAL_REF = 0.11  # idle-machine median, measured at r10 (see BENCH_r10)
+
+    def _calibrate() -> float:
+        fn = QUERIES[CAL_QUERY]
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, CAL_SF_DIR).count()
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[1], 3)
+
+    cal_before = _calibrate()
+    load_before = list(os.getloadavg())
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     plans: dict[str, str] = {}
@@ -132,6 +156,10 @@ def main() -> None:
         cold[name] = runs[0]
         times[name] = sorted(runs[1:])[2]  # median of the 5 steady runs
 
+    cal_after = _calibrate()
+    load_after = list(os.getloadavg())
+    contended = max(cal_before, cal_after) > 1.5 * CAL_REF
+
     print(json.dumps({
         "metric": "headline query wall-clock (weaviate_spark, local, steady-state)",
         "value": round(sum(times.values()), 3),
@@ -141,6 +169,14 @@ def main() -> None:
         "cold": cold,
         "plan_sha": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": {
+            "query": CAL_QUERY, "sf_dir": CAL_SF_DIR,
+            "reference_sec": CAL_REF,
+            "before_sec": cal_before, "after_sec": cal_after,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "contended": contended,
+        },
     }))
 
 

@@ -189,7 +189,7 @@ def test_export_slot_cas_and_release(spark, tmp_path):
     _reserve_slot(backend, "someone-else")
     with pytest.raises(ExportError, match="already running"):
         export_create(spark, "exp2", sf, backend)
-    _release_slot(backend)
+    _release_slot(backend, "someone-else")
     meta = export_create(spark, "exp2", sf, backend)
     assert meta["status"] == "SUCCESS"
     # slot released after success -> a third export can start

@@ -412,7 +412,8 @@ def test_near_vector_quantize_clip_route(spark, tmp_path):
     assert out.count() == 5
     # the clipped training actually happened: a cache entry with q=0.01
     # exists and its hi is far below the 300.0 outlier
-    clipped = [v for k, v in _sq_bounds_cache.items() if k[-1] == 0.01]
+    # cache key is (..., q, sample_cap) since r10
+    clipped = [v for k, v in _sq_bounds_cache.items() if k[-2] == 0.01]
     assert clipped and clipped[0][1] < 10.0, _sq_bounds_cache
     _sq_bounds_cache.clear()
 

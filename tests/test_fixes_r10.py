@@ -1,0 +1,273 @@
+"""Round-10 regression pins (VERDICT r09 asks / ADVICE r09):
+
+1. Export slot release is OWNER-CHECKED: cancel racing a live create
+   can no longer free a slot a newer export has since reserved, and
+   the skip-loop's progress writes never regress a terminal status.
+2. Export crash recovery: a hard-killed export (orphaned slot file +
+   non-terminal metadata) is recoverable via export_cancel — the
+   documented un-wedge path.
+3. graph.py releases checkpointed generations through the JVM
+   (Dataset.unpersist() is a no-op on localCheckpointed frames);
+   sssp/kcore_peel hold O(1) generations, not O(rounds).
+4. duplicated_substring_pairs' library default is exact
+   (max_docs_per_fingerprint=None), matching jaccard_link_prediction.
+5. q_text_userdict_tokens leaves the driver-global dict registry
+   untouched after building its plan.
+6. sq_trained_bounds: cache key includes sample_cap; clip_quantile
+   outside [0, 0.5) raises instead of silently degrading.
+7. Tokenizer registries are version-stamped; snapshot semantics of
+   already-built plans are pinned as DOCUMENTED behavior.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# export slot + crash recovery
+
+
+def _orphan_export(backend, export_id):
+    """Simulate a hard-killed export: slot file held + non-terminal
+    metadata, no live process."""
+    from weaviate_spark.sources import export as ex
+
+    os.makedirs(os.path.join(backend, export_id), exist_ok=True)
+    with open(ex._slot_path(backend), "w", encoding="utf-8") as fh:
+        fh.write(export_id)
+    ex._write_meta(backend, export_id, {
+        "id": export_id, "backend": backend, "startedAt": ex._now(),
+        "status": ex.TRANSFERRING, "classes": ["nation"],
+        "shardStatus": {}, "source": "n/a",
+    })
+
+
+def test_export_crash_recovery(spark, sf_dir, tmp_path):
+    """An orphaned slot (OOM/SIGKILL mid-export) wedges the backend;
+    export_cancel on the orphaned id is the recovery path: it marks
+    the export CANCELED, releases the slot, and a fresh export then
+    succeeds."""
+    from weaviate_spark.sources import export as ex
+
+    backend = str(tmp_path / "backend")
+    _orphan_export(backend, "dead")
+
+    with pytest.raises(ex.ExportError, match="already running"):
+        ex.export_create(spark, "new1", sf_dir, backend,
+                         include=["nation"])
+
+    meta = ex.export_cancel(backend, "dead")
+    assert meta["status"] == ex.CANCELED
+    assert not os.path.exists(ex._slot_path(backend))
+
+    meta2 = ex.export_create(spark, "new1", sf_dir, backend,
+                             include=["nation"])
+    assert meta2["status"] == ex.SUCCESS
+
+
+def test_export_slot_release_is_owner_checked(tmp_path):
+    """Cancel of a stale export must NOT free a slot a newer export
+    has since reserved (the r09 ADVICE race): _release_slot deletes
+    only when the slot file's content equals the caller's id."""
+    from weaviate_spark.sources import export as ex
+
+    backend = str(tmp_path / "backend")
+    _orphan_export(backend, "old")
+    # a newer export has taken over the slot in the meantime
+    with open(ex._slot_path(backend), "w", encoding="utf-8") as fh:
+        fh.write("newer")
+
+    ex.export_cancel(backend, "old")  # cancels 'old', but...
+    # ...the slot still belongs to 'newer' — untouched
+    with open(ex._slot_path(backend), encoding="utf-8") as fh:
+        assert fh.read().strip() == "newer"
+
+    ex._release_slot(backend, "newer")
+    assert not os.path.exists(ex._slot_path(backend))
+
+
+def test_export_progress_write_never_regresses_terminal(tmp_path):
+    """The scan loop's shardStatus updates must not flip a CANCELED
+    status (written concurrently by export_cancel) back to
+    TRANSFERRING."""
+    from weaviate_spark.sources import export as ex
+
+    backend = str(tmp_path / "backend")
+    meta = {
+        "id": "e1", "backend": backend, "startedAt": ex._now(),
+        "status": ex.CANCELED, "completedAt": ex._now(),
+        "classes": ["nation"], "shardStatus": {}, "source": "n/a",
+    }
+    ex._write_meta(backend, "e1", meta)
+
+    # a racing progress write from inside the (not yet aware) loop
+    loop_view = dict(meta)
+    loop_view["status"] = ex.TRANSFERRING
+    loop_view["shardStatus"] = {"nation": {
+        "status": ex.SHARD_TRANSFERRING, "objectsExported": 0}}
+    ex._write_progress(backend, "e1", loop_view)
+
+    on_disk = ex.read_metadata(backend, "e1")
+    assert on_disk["status"] == ex.CANCELED          # preserved
+    assert "nation" in on_disk["shardStatus"]        # progress landed
+
+
+# ---------------------------------------------------------------------------
+# graph checkpoint release
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_sssp_releases_generations(spark):
+    """8 relaxation rounds must not leave 8 checkpointed generations
+    pinned: after the call, at most the FINAL generation's blocks (plus
+    the edge cache) remain registered. Dataset.unpersist() alone was a
+    verified no-op here — this pins the JVM-level release."""
+    from weaviate_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(30)] + [(0, 15, 20.0)],
+        "src long, dst long, w double",
+    )
+    before = _persistent_rdd_count(spark)
+    out = {r["node"]: r["distance"] for r in sssp(
+        edges, source=0, iterations=8).collect()}
+    after = _persistent_rdd_count(spark)
+    assert out[8] == 8.0
+    # 8 rounds relax <= 8-hop paths: node 15's 15-hop chain is out of
+    # reach, so the direct 20.0 edge is the tentative distance
+    assert out[15] == 20.0
+    # 8 rounds => without release this grows by >= 8; with release the
+    # live frame + edge cache account for <= 2
+    assert after - before <= 2, (before, after)
+
+
+def test_kcore_releases_generations(spark):
+    from weaviate_spark.operators.graph import kcore_peel
+
+    # a 6-clique with pendant chains: 3-core = the clique
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    pendants = [(i, 100 + i) for i in range(6)]
+    edges = spark.createDataFrame(clique + pendants, "src long, dst long")
+    before = _persistent_rdd_count(spark)
+    nodes = {r["node"] for r in kcore_peel(edges, k=3, rounds=6).collect()}
+    after = _persistent_rdd_count(spark)
+    assert nodes == set(range(6))
+    assert after - before <= 2, (before, after)
+
+
+# ---------------------------------------------------------------------------
+# library-default policy
+
+
+def test_substring_pairs_default_is_exact():
+    import inspect
+
+    from weaviate_spark.operators.dedup import duplicated_substring_pairs
+
+    sig = inspect.signature(duplicated_substring_pairs)
+    assert sig.parameters["max_docs_per_fingerprint"].default is None
+
+
+# ---------------------------------------------------------------------------
+# user-dict query hygiene
+
+
+def test_userdict_query_leaves_registry_clean(spark, sf_dir):
+    from weaviate_spark.entry_queries import QUERIES
+    from weaviate_spark.functions.text import _CUSTOM_DICTS
+
+    rows = QUERIES["text_userdict_tokens"](spark, sf_dir).collect()
+    assert rows, "fixture query must produce tokens"
+    toks = [r["token"] for r in rows if r["doc_id"] == rows[0]["doc_id"]]
+    assert toks[:2] == ["We", "Aviate"]
+    assert "SemiTechnologies" in toks
+    # the plan snapshotted the replacements; the registry entry must be
+    # gone so later queries against a class named 'UserDocs' are clean
+    assert "UserDocs" not in _CUSTOM_DICTS
+
+
+# ---------------------------------------------------------------------------
+# SQ bounds cache key + validation
+
+
+def test_sq_bounds_validation_and_cache_key(spark, sf_dir):
+    from weaviate_spark.operators import quantization as qz
+
+    with pytest.raises(ValueError, match="clip_quantile"):
+        qz.sq_trained_bounds(spark, sf_dir, "embeddings",
+                             clip_quantile=0.5)
+    with pytest.raises(ValueError, match="clip_quantile"):
+        qz.sq_trained_bounds(spark, sf_dir, "embeddings",
+                             clip_quantile=-0.1)
+
+    qz._sq_bounds_cache.clear()
+    b1 = qz.sq_trained_bounds(spark, sf_dir, "embeddings",
+                              clip_quantile=0.01, sample_cap=50)
+    b2 = qz.sq_trained_bounds(spark, sf_dir, "embeddings",
+                              clip_quantile=0.01, sample_cap=200_000)
+    # distinct cache entries — a different sample_cap can no longer
+    # silently serve bounds trained under the other cap
+    caps = {k[-1] for k in qz._sq_bounds_cache}
+    assert caps == {50, 200_000}
+    assert all(len(b) == 2 for b in (b1, b2))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer registry epoch + snapshot semantics
+
+
+def test_tokenizer_registry_epoch_and_snapshot(spark):
+    from weaviate_spark.functions import text as T
+
+    e0 = T.tokenizer_registry_epoch()
+    T.add_custom_dict("EpochCls", None)
+    assert T.tokenizer_registry_epoch() == e0 + 1
+    T.load_frequency_lexicon(["测试词组\t10"])
+    assert T.tokenizer_registry_epoch() == e0 + 2
+    T.clear_runtime_lexicon()
+    assert T.tokenizer_registry_epoch() == e0 + 3
+
+    # DOCUMENTED snapshot semantics: a plan built before registration
+    # keeps the registry state it was built under...
+    df = spark.createDataFrame([("Weaviate rocks",)], ["t"])
+    before_plan = df.select(
+        T.tokenize_for_class(F.col("t"), "kagome_kr", "EpochCls")
+        .alias("tok"))
+    T.add_custom_dict("EpochCls", [{
+        "tokenizer": "kagome_kr",
+        "replacements": [{"source": "Weaviate", "target": "We Aviate"}],
+    }])
+    try:
+        assert before_plan.collect()[0]["tok"] == ["weaviate", "rocks"]
+        # ...and a plan REBUILT after registration sees the new dict
+        after_plan = df.select(
+            T.tokenize_for_class(F.col("t"), "kagome_kr", "EpochCls")
+            .alias("tok"))
+        assert after_plan.collect()[0]["tok"] == ["We", "Aviate", "rocks"]
+    finally:
+        T.add_custom_dict("EpochCls", None)
+
+
+# ---------------------------------------------------------------------------
+# bench sentinel shape
+
+
+def test_bench_emits_calibration_fields():
+    """bench.py's JSON must carry the contention sentinel (reference
+    time, before/after calibration, loadavg, contended flag) — shape
+    check only; the actual run happens in the driver lane."""
+    import re
+
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "bench.py")).read()
+    for field in ("calibration", "reference_sec", "before_sec",
+                  "after_sec", "loadavg_before", "contended"):
+        assert f'"{field}"' in src
+    assert re.search(r"CAL_REF\s*=\s*[\d.]+", src)

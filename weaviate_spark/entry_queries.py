@@ -10549,24 +10549,34 @@ def q_text_userdict_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"source": "Semi Technologies", "target": "SemiTechnologies"},
         ],
     }])
-    d = (
-        _load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 11 == 0)
-        .select(
-            "doc_id",
-            F.concat(
-                F.lit("Weaviate release "), F.col("doc_id").cast("string"),
-                F.lit(" NOTES by Semi Technologies team"),
-            ).alias("t"),
+    try:
+        d = (
+            _load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 11 == 0)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("Weaviate release "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" NOTES by Semi Technologies team"),
+                ).alias("t"),
+            )
         )
-    )
-    return (
-        d.select("doc_id", F.posexplode(
-            tokenize_for_class(F.col("t"), "kagome_kr", "UserDocs")
-        ).alias("pos", "token"))
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
-        .orderBy("doc_id", "pos")
-    )
+        return (
+            d.select("doc_id", F.posexplode(
+                tokenize_for_class(F.col("t"), "kagome_kr", "UserDocs")
+            ).alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    "token")
+            .orderBy("doc_id", "pos")
+        )
+    finally:
+        # the UDF closure snapshotted the replacement table at plan
+        # build; drop the registry entry so the driver session's global
+        # state is untouched — a later query against a real class named
+        # 'UserDocs' must not silently inherit this fixture dictionary
+        # (nor have its BM25 artifact keys perturbed by its digest).
+        add_custom_dict("UserDocs", None)
 
 
 @register(

@@ -535,8 +535,12 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
     material never reaches the segmenter. Returns the number of NEW
     words added. The reference's exact analogue is gse's
     LoadDict/kagome's dict.Dict() at tokenizer.go:414-485; capacity for
-    10^5+ entries is pinned by tests/test_text.py."""
+    10^5+ entries is pinned by tests/test_text.py.
+
+    Plans built BEFORE this call keep the lexicon they snapshotted
+    (see _REGISTRY_EPOCH); rebuild plans to pick up new words."""
     global _RUNTIME_MAX_WORD
+    _bump_registry_epoch()
     if isinstance(source, str):
         with open(source, encoding="utf-8") as fh:
             lines = [ln.rstrip("\n") for ln in fh]
@@ -565,6 +569,7 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
 
 def clear_runtime_lexicon() -> None:
     global _RUNTIME_MAX_WORD
+    _bump_registry_epoch()
     _RUNTIME_LEXICON.clear()
     _RUNTIME_MAX_WORD = 0
 
@@ -640,6 +645,30 @@ _USER_DICT_TOKENIZERS = ("kagome_ja", "kagome_kr")
 # class name -> tokenizer mode -> replacements sorted longest-source-first
 _CUSTOM_DICTS: dict[str, dict[str, list[tuple[str, list[str]]]]] = {}
 
+# Monotonic version of the mutable tokenizer registries (_CUSTOM_DICTS
+# and _RUNTIME_LEXICON). Every mutation bumps it. SNAPSHOT SEMANTICS:
+# tokenize_for_class / tokenize_cjk_dict capture the registry contents
+# into the UDF closure AT PLAN-BUILD TIME — a DataFrame plan built
+# before a registration keeps serving the tokens of the registry state
+# it was built under (pinned by tests/test_fixes_r10.py). Consumers
+# that cache derived artifacts must key them on the registry state:
+# BM25 embeds user_dict_digest (bm25.py); session-level caches of
+# tokenize plans should embed tokenizer_registry_epoch().
+_REGISTRY_EPOCH = 0
+
+
+def tokenizer_registry_epoch() -> int:
+    """Current version of the mutable tokenizer state (user dicts +
+    runtime lexicon). Embed this in any cache key that holds a
+    tokenization PLAN, so a post-registration lookup misses instead of
+    silently serving tokens from the old registry snapshot."""
+    return _REGISTRY_EPOCH
+
+
+def _bump_registry_epoch() -> None:
+    global _REGISTRY_EPOCH
+    _REGISTRY_EPOCH += 1
+
 
 def add_custom_dict(class_name: str, configs=None) -> None:
     """Register (or with ``configs=None`` remove) a class's user
@@ -648,7 +677,11 @@ def add_custom_dict(class_name: str, configs=None) -> None:
     list are an error, non-kagome tokenizers are an error, and every
     replacement needs both source and target. ``configs`` is a list of
     dicts: {"tokenizer": "kagome_ja", "replacements":
-    [{"source": ..., "target": ...}]}."""
+    [{"source": ..., "target": ...}]}.
+
+    Plans built BEFORE this call keep their snapshot (see
+    _REGISTRY_EPOCH); rebuild the plan to pick up the new dictionary."""
+    _bump_registry_epoch()
     _CUSTOM_DICTS.pop(class_name, None)
     if not configs:
         return

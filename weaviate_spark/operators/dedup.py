@@ -1031,7 +1031,7 @@ def duplicated_substring_pairs(
     k: int = 40,
     select_hex: int = 1,
     min_shared: int = 2,
-    max_docs_per_fingerprint: int | None = 100,
+    max_docs_per_fingerprint: int | None = None,
     fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs sharing >= min_shared selected k-char windows —
@@ -1049,8 +1049,12 @@ def duplicated_substring_pairs(
     (it is corpus boilerplate, the thing global_line_dedup / C4-style
     line filtering removes; route it there, not through an O(F^2)
     join). Exact degree filter -> oracles mirror it verbatim
-    (``QUALIFY count(*) OVER (PARTITION BY h) <= cap``); pass None for
-    the exact quadratic ground truth. The count runs as a window over
+    (``QUALIFY count(*) OVER (PARTITION BY h) <= cap``). The LIBRARY
+    default is None — exact quadratic ground truth; library defaults
+    stay exact and callers opt into caps explicitly, the same policy
+    as jaccard_link_prediction's max_bucket_size. The registered
+    queries pass ``max_docs_per_fingerprint=100`` at their call sites
+    (entry_queries.py). The count runs as a window over
     the same ``_h`` key the join shuffles on, so the partitioning is
     computed once and reused.
 

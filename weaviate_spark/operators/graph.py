@@ -35,6 +35,43 @@ from pyspark.sql import functions as F
 from weaviate_spark.cache import register_cache
 
 
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _eager_local_checkpoint(df: DataFrame, storage_level=None) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that records the persistent RDD
+    ids the checkpoint registered, so ``_release_checkpoint`` can free
+    them later. ``Dataset.unpersist()`` is a NO-OP for checkpointed
+    frames (verified on PySpark 4.1.2: it routes through the
+    cacheManager, which never registered the checkpoint RDD — storage
+    still shows the blocks afterwards), so block release must go
+    through the JVM-level ``JavaRDD.unpersist`` on the checkpoint RDD
+    itself."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    ck = (df.localCheckpoint(eager=True) if storage_level is None
+          else df.localCheckpoint(eager=True, storageLevel=storage_level))
+    ck._ckpt_rdd_ids = _persistent_rdd_ids(spark) - before
+    return ck
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a checkpointed generation's blocks NOW (not at GC time).
+    Only call once the frame has no remaining consumer: a released
+    localCheckpoint cannot be recomputed (its lineage is truncated) —
+    any later read raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    ids = getattr(df, "_ckpt_rdd_ids", None)
+    if not ids:
+        return  # not one of ours (e.g. round 0's plain createDataFrame)
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -219,20 +256,17 @@ def sssp(
             .select(F.col("_d").alias("_n"), (F.col("_dist") + F.col("_w")).alias("_dist"))
         )
         old = dist
-        dist = (
+        dist = _eager_local_checkpoint(
             dist.unionByName(relaxed)
             .groupBy("_n")
             .agg(F.min("_dist").alias("_dist"))
-            .localCheckpoint(eager=True)
         )
         # eager checkpoint materialized -> the previous generation has
         # no consumer left; release its blocks so `iterations` rounds
-        # hold 2 generations, not `iterations` (same fix as kcore_peel)
-        if hasattr(old, "unpersist"):
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # first round: plain createDataFrame, nothing cached
+        # hold 2 generations, not `iterations`. Must go through the
+        # JVM (see _release_checkpoint) — Dataset.unpersist() silently
+        # does nothing for checkpointed frames.
+        _release_checkpoint(old)
     return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("distance"))
 
 
@@ -287,26 +321,27 @@ def kcore_peel(
         )
         .where(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=True, storageLevel=_ckpt)
     )
+    und = _eager_local_checkpoint(und, storage_level=_ckpt)
     prev = und.count()
     for _ in range(int(rounds)):
         deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.where(F.col("_deg") >= int(k)).select("_a")
         old = und
-        und = (
+        und = _eager_local_checkpoint(
             und.join(keep, "_a", "left_semi")
-            .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
-            .localCheckpoint(eager=True, storageLevel=_ckpt)
+            .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi"),
+            storage_level=_ckpt,
         )
         cur = und.count()
         # the new generation is fully materialized (eager + counted);
-        # the old one has no remaining consumer — drop its blocks NOW.
-        # Without this, 8 rounds pin 8 edge-list generations in the
-        # unified memory pool and execution memory starves (the r08
-        # scale run needed a 24 GiB heap for exactly this reason;
-        # with per-round release + DISK_ONLY checkpoint blocks 16 GiB covers the sf10 leg).
-        old.unpersist()
+        # the old one has no remaining consumer — drop its blocks NOW
+        # via the JVM (Dataset.unpersist() is a no-op on checkpointed
+        # frames; in r09 the DISK_ONLY level was what actually relieved
+        # the 16 GiB sf10 heap — this release now works as the comments
+        # always claimed, freeing each generation deterministically
+        # instead of waiting on the ContextCleaner).
+        _release_checkpoint(old)
         if cur == prev:
             break  # fixpoint: further peels are no-ops
         prev = cur

@@ -539,10 +539,16 @@ def sq_trained_bounds(
     the artifact fingerprint stays reproducible. The reference samples
     for the same reason (its Fit never sees the full 100-TB column).
     Degenerate corpora (empty / all-null / constant) fall back to
-    [-1, 1]. Cached per (session, table, column, q); cleared with the
-    SQ family on writes (crud.invalidate_indexes)."""
+    [-1, 1]. Cached per (session, table, column, q, sample_cap);
+    cleared with the SQ family on writes (crud.invalidate_indexes)."""
+    q = float(clip_quantile)
+    if not 0.0 <= q < 0.5:
+        raise ValueError(
+            f"clip_quantile must be in [0, 0.5), got {clip_quantile!r} "
+            "(q >= 0.5 would make the lower bound meet or cross the "
+            "upper bound)")
     key = (session_key(spark), sf_dir, collection, vector_col,
-           float(clip_quantile))
+           q, int(sample_cap))
     if key not in _sq_bounds_cache:
         base = load_table(spark, sf_dir, collection)
         vals = base.where(F.col(vector_col).isNotNull())

@@ -81,6 +81,21 @@ def _cancel_path(backend_root: str, export_id: str) -> str:
     return os.path.join(backend_root, export_id, "_CANCEL")
 
 
+def _write_progress(backend_root: str, export_id: str, meta: dict) -> None:
+    """Progress write from inside the scan loop: never regress a
+    terminal status already on disk. export_cancel may have marked the
+    export CANCELED between two classes; the loop's shardStatus updates
+    must not transiently flip it back to TRANSFERRING."""
+    try:
+        current = read_metadata(backend_root, export_id)
+    except ExportError:
+        current = {}
+    if current.get("status") in _TERMINAL:
+        meta["status"] = current["status"]
+        meta.setdefault("completedAt", current.get("completedAt"))
+    _write_meta(backend_root, export_id, meta)
+
+
 def _write_meta(backend_root: str, export_id: str, meta: dict) -> None:
     path = _meta_path(backend_root, export_id)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -117,7 +132,16 @@ def export_cancel(backend_root: str, export_id: str) -> dict:
     meta["status"] = CANCELED
     meta["completedAt"] = _now()
     _write_meta(backend_root, export_id, meta)
-    _release_slot(backend_root)
+    # Owner-checked release: free the slot ONLY if this export still
+    # holds it. Two callers reach here:
+    #  * crash recovery — the export's process was hard-killed
+    #    (OOM/SIGKILL) leaving the slot file orphaned; this delete is
+    #    what un-wedges the backend (see test_export_crash_recovery);
+    #  * cooperative cancel of a LIVE export — the running
+    #    export_create's own finally still performs an owner-checked
+    #    release, so whichever of the two runs second is a no-op and a
+    #    slot reserved by a NEWER export in between is never deleted.
+    _release_slot(backend_root, export_id)
     return meta
 
 
@@ -143,9 +167,25 @@ def _reserve_slot(backend_root: str, export_id: str) -> None:
         fh.write(export_id)
 
 
-def _release_slot(backend_root: str) -> None:
+def _release_slot(backend_root: str, export_id: str) -> None:
+    """Release the slot only if ``export_id`` still owns it (the CAS
+    analogue of participant.go:154's compare-and-delete). Without the
+    owner check, export_cancel racing a live export_create could free
+    the slot early, let a NEW export reserve it, and then have the old
+    create's ``finally`` delete the new export's slot file.
+
+    Object-store note: ``O_EXCL`` create and owner-checked delete are
+    POSIX-only primitives. An S3/GCS backend needs the conditional-put
+    analogue the reference's Prepare CAS uses (participant.go:154):
+    `If-None-Match: *` on reserve and `If-Match: <etag>` on release (or
+    a DynamoDB/Firestore conditional delete). The same applies to
+    crud.py's OCC claim markers."""
+    path = _slot_path(backend_root)
     try:
-        os.remove(_slot_path(backend_root))
+        with open(path, encoding="utf-8") as fh:
+            holder = fh.read().strip()
+        if holder == export_id:
+            os.remove(path)
     except FileNotFoundError:
         pass
 
@@ -189,17 +229,18 @@ def export_create(
         for name in names:
             if os.path.exists(_cancel_path(backend_root, export_id)):
                 canceled = True
+                meta["status"] = CANCELED
                 meta["shardStatus"][name] = {
                     "status": SHARD_SKIPPED,
                     "objectsExported": 0,
                     "skipReason": "export canceled",
                 }
-                _write_meta(backend_root, export_id, meta)
+                _write_progress(backend_root, export_id, meta)
                 continue
             meta["shardStatus"][name] = {
                 "status": SHARD_TRANSFERRING, "objectsExported": 0,
             }
-            _write_meta(backend_root, export_id, meta)
+            _write_progress(backend_root, export_id, meta)
             try:
                 dst = os.path.join(backend_root, export_id, name)
                 _snapshot_export(spark, sf_dir, name, dst)
@@ -212,9 +253,9 @@ def export_create(
                     "status": SHARD_FAILED, "objectsExported": 0,
                     "error": str(ex)[:300],
                 }
-                _write_meta(backend_root, export_id, meta)
+                _write_progress(backend_root, export_id, meta)
                 raise
-            _write_meta(backend_root, export_id, meta)
+            _write_progress(backend_root, export_id, meta)
         if canceled:
             # the cancel path usually wins the race to mark CANCELED;
             # make the terminal state honest if the scan saw it first
@@ -232,7 +273,7 @@ def export_create(
         _write_meta(backend_root, export_id, meta)
         raise
     finally:
-        _release_slot(backend_root)
+        _release_slot(backend_root, export_id)
     return meta
 
 
