@@ -213,18 +213,21 @@ def test_cjk_segmentation_properties(s):
     """gse_dict segmentation: tokens concatenate back to the input, every
     multi-codepoint token is a lexicon word, and each pick is the
     LONGEST lexicon match at its position (greedy invariant)."""
-    from weaviate_spark.functions.text import CJK_MINI_LEXICON, segment_cjk_py
+    from weaviate_spark.functions.text import (
+        active_cjk_lexicon, active_cjk_max_word, segment_cjk_py,
+    )
 
+    lex = active_cjk_lexicon()  # embedded + shipped ICU default (r10)
     toks = segment_cjk_py(s)
     assert "".join(toks) == s
-    maxw = max(len(w) for w in CJK_MINI_LEXICON)
+    maxw = active_cjk_max_word()
     pos = 0
     for t in toks:
         if len(t) > 1:
-            assert t in CJK_MINI_LEXICON
+            assert t in lex
         best = s[pos]
         for ln in range(min(maxw, len(s) - pos), 1, -1):
-            if s[pos:pos + ln] in CJK_MINI_LEXICON:
+            if s[pos:pos + ln] in lex:
                 best = s[pos:pos + ln]
                 break
         assert t == best, (s, pos, t, best)

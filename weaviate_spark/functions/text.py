@@ -56,6 +56,8 @@ tokenized-Like filters, and the text-analysis ops (operators/textstats.py).
 
 from __future__ import annotations
 
+import gzip
+import os
 import unicodedata
 from dataclasses import dataclass, field
 from functools import lru_cache
@@ -509,21 +511,83 @@ _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
 # Runtime-loaded dictionary words (load_frequency_lexicon below) — the
 # structural analogue of gse/kagome loading their 10^5-10^6-entry dict
 # FILES at startup (entities/tokenizer/tokenizer.go:414-485): the
-# embedded lexicon covers common vocabulary; a real deployment points
-# this at an open frequency list (e.g. a CC-licensed wordfreq/ipadic
-# export) shipped alongside the job.
+# embedded lexicon covers common vocabulary; a real deployment can
+# point this at additional open frequency lists shipped alongside the
+# job.
 _RUNTIME_LEXICON: set[str] = set()
 _RUNTIME_MAX_WORD: int = 0
 
+# Default shipped dictionary: ICU4J's cjdict (~360k Chinese/Japanese
+# words, Unicode License), extracted from the icu4j jar on Spark's own
+# classpath by tools/extract_icu_cjdict.py and committed as a data
+# file — the out-of-box analogue of the reference loading its full
+# gse/kagome dictionaries at startup (tokenizer.go:414-485). Loaded
+# lazily on first active_cjk_lexicon() call. The sibling denylist
+# holds the few entries whose GREEDY longest-match contradicts the
+# reference's lattice segmentation on its own ported fixtures
+# (tokenizer_test.go) — the reference's kagome/gse pick tokens by
+# Viterbi cost, so e.g. a dictionary that knows 十狮 must still not
+# greedily consume it inside 食十狮; see
+# tools/build_cjk_denylist.py, which regenerates the list from the
+# fixtures.
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+_DEFAULT_LEXICON_PATH = os.path.join(_DATA_DIR, "cjk_freq_icu.tsv.gz")
+_DENYLIST_PATH = os.path.join(_DATA_DIR, "cjk_fmm_denylist.txt")
+_DEFAULT_LEXICON: frozenset | None = None
+
+
+def _ensure_default_lexicon() -> None:
+    global _DEFAULT_LEXICON
+    if _DEFAULT_LEXICON is not None:
+        return
+    words: set[str] = set()
+    if os.path.exists(_DEFAULT_LEXICON_PATH):
+        deny: set[str] = set()
+        if os.path.exists(_DENYLIST_PATH):
+            with open(_DENYLIST_PATH, encoding="utf-8") as fh:
+                deny = {ln.strip() for ln in fh
+                        if ln.strip() and not ln.startswith("#")}
+        with gzip.open(_DEFAULT_LEXICON_PATH, "rt",
+                       encoding="utf-8") as fh:
+            for ln in fh:
+                if ln.startswith("#"):
+                    continue
+                w = ln.split("\t", 1)[0].strip()
+                if (len(w) >= 2 and w not in deny
+                        and all(_is_segmentable(ch) for ch in w)):
+                    words.add(w)
+    _DEFAULT_LEXICON = frozenset(words)
+
+
+# Merged-snapshot cache: segment_cjk_py consults the lexicon per word
+# run, so the merge (embedded | default | runtime) must not be
+# recomputed per call. Keyed by the registry epoch — any runtime
+# mutation invalidates it.
+_MERGED_CACHE: tuple[int, frozenset, int] | None = None
+
 
 def active_cjk_lexicon() -> frozenset:
-    """Embedded + runtime-loaded dictionary, as one frozen snapshot.
-    Callers that ship the lexicon to executors (the gse_dict pandas
-    UDF) must capture THIS value in their closure — module state does
-    not travel to executor processes."""
-    if not _RUNTIME_LEXICON:
-        return CJK_MINI_LEXICON
-    return CJK_MINI_LEXICON | frozenset(_RUNTIME_LEXICON)
+    """Embedded + shipped-default + runtime-loaded dictionary, as one
+    frozen snapshot (cached per registry epoch). Callers that ship the
+    lexicon to executors (the gse_dict pandas UDF) must capture THIS
+    value (or a broadcast of it) at plan-build time — module state
+    does not travel to executor processes."""
+    global _MERGED_CACHE
+    _ensure_default_lexicon()
+    ep = tokenizer_registry_epoch()
+    if _MERGED_CACHE is None or _MERGED_CACHE[0] != ep:
+        merged = CJK_MINI_LEXICON | _DEFAULT_LEXICON
+        if _RUNTIME_LEXICON:
+            merged = merged | frozenset(_RUNTIME_LEXICON)
+        _MERGED_CACHE = (ep, merged, max(len(w) for w in merged))
+    return _MERGED_CACHE[1]
+
+
+def active_cjk_max_word() -> int:
+    """Longest word in the active lexicon (same epoch-cached snapshot
+    as active_cjk_lexicon)."""
+    active_cjk_lexicon()
+    return _MERGED_CACHE[2]
 
 
 def load_frequency_lexicon(source, min_freq: int = 0) -> int:
@@ -542,7 +606,8 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
     global _RUNTIME_MAX_WORD
     _bump_registry_epoch()
     if isinstance(source, str):
-        with open(source, encoding="utf-8") as fh:
+        opener = gzip.open if source.endswith(".gz") else open
+        with opener(source, "rt", encoding="utf-8") as fh:
             lines = [ln.rstrip("\n") for ln in fh]
     else:
         lines = list(source)
@@ -580,10 +645,10 @@ def segment_cjk_py(run: str, lexicon: frozenset | None = None,
     lexicon word starting there, else one codepoint (the greedy
     variant of gse's dictionary DP — deterministic and exactly
     replayable as SQL string ops). ``lexicon`` defaults to the merged
-    embedded+runtime dictionary."""
+    embedded+default+runtime dictionary."""
     if lexicon is None:
         lexicon = active_cjk_lexicon()
-        max_word = max(_CJK_MAX_WORD, _RUNTIME_MAX_WORD)
+        max_word = active_cjk_max_word()
     elif max_word is None:
         max_word = max((len(w) for w in lexicon), default=2)
     out: list[str] = []

@@ -69,19 +69,66 @@ def text2vec_dummy(dim: int = 16):
     return _embed
 
 
+# (session id, registry epoch) -> Broadcast[(frozenset, int)]. One
+# broadcast per lexicon generation: since r10 the default lexicon is
+# ~300k words (ICU cjdict), and capturing it by VALUE in every UDF
+# closure would re-pickle ~8 MB into every task binary; a broadcast is
+# deserialized once per executor python worker and cached there — the
+# 100-TB-correct way to ship a dictionary.
+_CJK_LEX_BROADCASTS: dict = {}
+
+
+def _cjk_lexicon_broadcast(spark):
+    from weaviate_spark.cache import session_key
+    from weaviate_spark.functions.text import (
+        active_cjk_lexicon, active_cjk_max_word, tokenizer_registry_epoch,
+    )
+
+    key = (session_key(spark), tokenizer_registry_epoch())
+    bc = _CJK_LEX_BROADCASTS.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            (active_cjk_lexicon(), active_cjk_max_word()))
+        # a registry mutation makes older generations unreachable for
+        # NEW plans; release their executor copies (plans already built
+        # keep their own broadcast reference alive)
+        for k in [k for k in _CJK_LEX_BROADCASTS if k[0] == key[0]]:
+            try:
+                _CJK_LEX_BROADCASTS.pop(k).unpersist(False)
+            except Exception:
+                pass
+        _CJK_LEX_BROADCASTS[key] = bc
+    return bc
+
+
 def cjk_dict_tokenize_udf():
     """Arrow-batched 'gse_dict' tokenizer (defined here: this module has
     no `from __future__ import annotations`, which pandas_udf's type-
-    hint introspection requires). The merged embedded+runtime lexicon
-    is snapshotted HERE, at plan-build time, and captured by value in
-    the closure — executor processes re-import the module and would
-    otherwise see an empty runtime dictionary."""
+    hint introspection requires). The merged embedded+default+runtime
+    lexicon is snapshotted HERE, at plan-build time, as a BROADCAST —
+    executor processes re-import the module and would otherwise see an
+    unloaded runtime dictionary, and by-value closure capture would
+    ship the ~300k-word default lexicon inside every task."""
+    from pyspark.sql import SparkSession
+
     from weaviate_spark.functions.text import (
-        active_cjk_lexicon, tokenize_cjk_dict_py,
+        active_cjk_lexicon, active_cjk_max_word, tokenize_cjk_dict_py,
     )
 
-    lex = active_cjk_lexicon()
-    maxw = max((len(w) for w in lex), default=2)
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        bc = _cjk_lexicon_broadcast(spark)
+
+        @pandas_udf("array<string>")
+        def _seg(batch: pd.Series) -> pd.Series:
+            lex, maxw = bc.value
+            return batch.map(
+                lambda t: tokenize_cjk_dict_py(t or "", lex, maxw))
+
+        return _seg
+
+    lex = active_cjk_lexicon()  # no active session: by-value fallback
+    maxw = active_cjk_max_word()
 
     @pandas_udf("array<string>")
     def _seg(batch: pd.Series) -> pd.Series:
