@@ -10621,3 +10621,248 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_name string, objects_exported long, readback_rows long, "
         "status string",
     ).orderBy("class_name")
+
+
+# ---------------------------------------------------------------------------
+# M-r10 — driver-checked oracles for the previously pytest-only §2 rows
+# (r09 verdict ask #4): IsNull, nested object/object[] path filters,
+# the CRUD lifecycle, and batch-delete dryRun.
+
+@register(
+    "filter_isnull",
+    oracle=(
+        "WITH d AS (SELECT o_orderkey, o_orderpriority, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END "
+        "AS clerk "
+        "FROM orders) "
+        "SELECT 'isnull_true' AS branch, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM d "
+        "WHERE clerk IS NULL "
+        "UNION ALL "
+        "SELECT 'isnull_false', CAST(count(*) AS BIGINT), "
+        "CAST(sum(o_orderkey) AS BIGINT) FROM d WHERE clerk IS NOT NULL "
+        "ORDER BY branch"
+    ),
+)
+def q_filter_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsNull filter through the real filter compiler
+    (entities/filters IsNull; requires indexNullState in the reference,
+    inverted_index_config.go:40). The testdata is null-free, so a
+    nullable column is derived deterministically on both engines; both
+    polarities run as Clause(operator='IsNull', value=True/False) and
+    the counts + key checksums are value-hash-checked."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.filters import Clause, apply_where
+
+    d = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")).alias("clerk"),
+    )
+
+    def branch(tag: str, val: bool) -> DataFrame:
+        hit = apply_where(
+            d, Clause(operator="IsNull", path=["clerk"], value=val))
+        return hit.agg(
+            F.lit(tag).alias("branch"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+
+    return (
+        branch("isnull_true", True)
+        .unionByName(branch("isnull_false", False))
+        .orderBy("branch")
+    )
+
+
+@register(
+    "filter_nested_paths",
+    oracle=(
+        "WITH d AS (SELECT c_custkey, c_name, "
+        "struct_pack(seg := c_mktsegment, "
+        "geo := struct_pack(nat := c_nationkey)) AS profile, "
+        "[struct_pack(tag := CASE WHEN c_acctbal < 0 THEN 'neg' "
+        "ELSE 'pos' END, val := c_acctbal), "
+        "struct_pack(tag := 'seg', val := CAST(c_nationkey AS "
+        "DECIMAL(15,2)))] AS contacts FROM customer) "
+        "SELECT c_custkey, c_name FROM d "
+        "WHERE profile.geo.nat = 5 AND "
+        "len(list_filter(contacts, x -> x.tag = 'neg')) > 0 "
+        "ORDER BY c_custkey"
+    ),
+)
+def q_filter_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested object + object[] path filters through the real compiler
+    (searcher_nested.go / nested plan executor; object[] Equal = EXISTS
+    over the array elements): a two-level struct path
+    (profile.geo.nat) ANDed with an array-of-structs path
+    (contacts.tag), both derived deterministically from customer so
+    the duckdb oracle mirrors the same nested values."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.filters import Clause, apply_where
+
+    d = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.struct(F.col("c_nationkey").alias("nat")).alias("geo"),
+        ).alias("profile"),
+        F.array(
+            F.struct(
+                F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+                .otherwise(F.lit("pos")).alias("tag"),
+                F.col("c_acctbal").alias("val"),
+            ),
+            F.struct(
+                F.lit("seg").alias("tag"),
+                F.col("c_nationkey").cast("decimal(15,2)").alias("val"),
+            ),
+        ).alias("contacts"),
+    )
+    where = Clause(operator="And", operands=[
+        Clause(operator="Equal", path=["profile", "geo", "nat"], value=5),
+        Clause(operator="Equal", path=["contacts", "tag"], value="neg"),
+    ])
+    return (
+        apply_where(d, where)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "crud_lifecycle",
+    oracle=(
+        "SELECT 'insert' AS phase, "
+        "CAST((SELECT count(*) FROM nation) + 3 AS BIGINT) AS n_rows, "
+        "CAST((SELECT sum(n_nationkey) FROM nation) + 303 AS BIGINT) "
+        "AS key_sum "
+        "UNION ALL SELECT 'patch', 1, 100 "
+        "UNION ALL SELECT 'delete', "
+        "CAST((SELECT count(*) FROM nation WHERE n_regionkey <> 1) + 2 "
+        "AS BIGINT), "
+        "CAST((SELECT sum(n_nationkey) FROM nation "
+        "WHERE n_regionkey <> 1) + 203 AS BIGINT) "
+        "UNION ALL SELECT 'versions', 3, 0 "
+        "ORDER BY phase"
+    ),
+)
+def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-object + batch CRUD lifecycle on the versioned COW store
+    (usecases/objects: add/merge/delete; adapters/repos/db batch
+    semantics): seed a scratch table from nation, batch-insert 3 rows
+    (keys 100/101/102, one in region 1), PATCH one object's comment,
+    batch-delete region 1 by filter, and report per-phase row count +
+    key checksum plus the final transaction version (3 writes = 3
+    commits). The oracle derives every expected number from the source
+    nation table, so insert/patch/delete semantics, two-valued delete
+    keep-set, and OCC version accounting are all value-hash-checked."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources import crud
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           "wsx_crud_" + re.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(crud._txn_dir(scratch), ignore_errors=True)
+    src = _load(spark, sf_dir, "nation")
+    src.write.parquet(scratch)
+
+    rows = []
+
+    def snap(phase: str) -> None:
+        cur = spark.read.parquet(scratch)
+        agg = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("s"),
+        ).collect()[0]
+        rows.append((phase, agg["n"], agg["s"]))
+
+    new = spark.createDataFrame(
+        [(100, "AAA", 1), (101, "BBB", 2), (102, "CCC", 3)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).select(*[F.col(c).cast(dict(src.dtypes)[c]) for c in src.columns])
+    crud.upsert(spark, scratch, new, "n_nationkey")
+    snap("insert")
+
+    crud.patch(spark, scratch, "n_nationkey", 100,
+               {"n_name": "patched"})
+    patched = spark.read.parquet(scratch).where(
+        F.col("n_name") == "patched")
+    agg = patched.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_nationkey").cast("long").alias("s"),
+    ).collect()[0]
+    rows.append(("patch", agg["n"], agg["s"]))
+
+    from weaviate_spark.filters import Clause
+
+    crud.delete_where(spark, scratch,
+                      Clause(operator="Equal", path=["n_regionkey"],
+                             value=1))
+    snap("delete")
+
+    rows.append(("versions", crud.table_version(scratch), 0))
+    return spark.createDataFrame(
+        rows, "phase string, n_rows long, key_sum long"
+    ).orderBy("phase")
+
+
+@register(
+    "crud_delete_dryrun",
+    oracle=(
+        "SELECT 'dryrun' AS step, "
+        "CAST((SELECT count(*) FROM region WHERE r_regionkey % 2 = 0) "
+        "AS BIGINT) AS matched, "
+        "CAST((SELECT count(*) FROM region) AS BIGINT) AS remaining "
+        "UNION ALL SELECT 'delete', "
+        "CAST((SELECT count(*) FROM region WHERE r_regionkey % 2 = 0) "
+        "AS BIGINT), "
+        "CAST((SELECT count(*) FROM region WHERE r_regionkey % 2 <> 0) "
+        "AS BIGINT) "
+        "ORDER BY step DESC"
+    ),
+)
+def q_crud_delete_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch delete dryRun semantics (batch_delete.go:33-112): the dry
+    run reports the matched count WITHOUT rewriting (the table is
+    unchanged afterwards — its full count is the proof), then the real
+    delete removes exactly those rows. Both steps run the same Clause
+    through delete_where on a scratch copy of region; the oracle
+    derives both counts from the source table."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.sources import crud
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           "wsx_dryrun_" + re.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(crud._txn_dir(scratch), ignore_errors=True)
+    _load(spark, sf_dir, "region").write.parquet(scratch)
+
+    # the even region keys (0/2/4, present at every sf) via scalar
+    # ContainsAny — the IN-list path of the filter compiler
+    where = Clause(operator="ContainsAny", path=["r_regionkey"],
+                   value=[0, 2, 4])
+    dry = crud.delete_where(spark, scratch, where, dry_run=True)
+    after_dry = spark.read.parquet(scratch).count()
+    real = crud.delete_where(spark, scratch, where, dry_run=False)
+    after_real = spark.read.parquet(scratch).count()
+    return spark.createDataFrame(
+        [("dryrun", dry, after_dry), ("delete", real, after_real)],
+        "step string, matched long, remaining long",
+    ).orderBy(F.col("step").desc())
