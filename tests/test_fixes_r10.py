@@ -271,3 +271,47 @@ def test_bench_emits_calibration_fields():
                   "after_sec", "loadavg_before", "contended"):
         assert f'"{field}"' in src
     assert re.search(r"CAL_REF\s*=\s*[\d.]+", src)
+
+
+# ---------------------------------------------------------------------------
+# graph-expanded search: probe radius >= 2 + multi-hop expansion (r10)
+
+
+def test_graph_expand_probe_radius_and_hops(spark, tmp_path):
+    """Wider probe radius and deeper hops are monotone: the candidate
+    set (and therefore recall) can only grow, and on a ring corpus a
+    probe-3/hops-2 off-corpus query reaches the exact top-k that the
+    probe-1/hops-1 configuration can miss. Pins the r10 off-corpus
+    attempt mechanics (the 1M measurement lives in BENCH_ANN_1M_r10)."""
+    import math
+
+    from weaviate_spark.operators.similarity import (
+        graph_expand_topk, invalidate_nn_graphs,
+    )
+
+    rows = []
+    for i in range(96):
+        a = 2 * math.pi * i / 96
+        rows.append((i, [math.cos(a), math.sin(a)] + [0.0] * 6))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    # an OFF-corpus query between ring points 10 and 11
+    a = 2 * math.pi * 10.5 / 96
+    q = [math.cos(a), math.sin(a)] + [0.0] * 6
+
+    def ids(probe, hops):
+        invalidate_nn_graphs()
+        return [r["vec_id"] for r in graph_expand_topk(
+            spark, d, "embeddings", q, k=5, probe=probe, hops=hops,
+            on_corpus=False,
+        ).collect()]
+
+    base = ids(1, 1)
+    wide = ids(3, 2)
+    # ground truth: the 5 ring points nearest the query angle
+    truth = {10, 11, 9, 12, 8}
+    assert set(wide) == truth, wide
+    assert len(set(base) & truth) <= len(set(wide) & truth)

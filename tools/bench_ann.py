@@ -93,10 +93,10 @@ def main() -> None:
     ).count()
     graph_ingest_s = round(time.time() - t0, 3)  # includes graph build
 
-    def graph_route(vec=None, probe=1):
+    def graph_route(vec=None, probe=1, hops=1):
         return graph_expand_topk(
             spark, sf_dir, "embeddings", vec if vec is not None else QVEC,
-            k=10, probe=probe, table_key=(sf_dir, "embeddings"),
+            k=10, probe=probe, hops=hops, table_key=(sf_dir, "embeddings"),
             on_corpus=False,  # measuring the off-corpus trade is the point
         ).select("vec_id", "_distance")
 
@@ -142,6 +142,41 @@ def main() -> None:
         1, len(e_rows))
     recall_goc = len({r[0] for r in e_oc} & {r[0] for r in goc_rows}) / max(
         1, len(e_oc))
+
+    # Off-corpus recall curve (r09 verdict ask #6, attempt two): sweep
+    # Hamming probe radius x graph-hop depth over 5 deterministic
+    # off-corpus queries, so the conclusion about the off-corpus floor
+    # is a measured curve, not an assumption. Each recall is averaged
+    # over the 5 queries against their exact top-10.
+    import random as _random
+
+    dim = len(QVEC)
+    oc_queries = []
+    for qi in range(5):
+        rng = _random.Random(9000 + qi)
+        oc_queries.append([rng.gauss(0.0, 1.0) for _ in range(dim)])
+    exact_tops = []
+    for v in oc_queries:
+        rows = near_vector(spark, sf_dir, NearVectorSpec(
+            collection="embeddings", vector=v, limit=10, quantize="off",
+        )).select("vec_id").collect()
+        exact_tops.append({r[0] for r in rows})
+    offcorpus_curve = {}
+    sweep_t0 = time.time()
+    for pr in (1, 2, 3):
+        for hp in (1, 2):
+            hits = 0
+            denom = 0
+            for v, top in zip(oc_queries, exact_tops):
+                got = {r[0] for r in
+                       graph_route(v, probe=pr, hops=hp).collect()}
+                hits += len(got & top)
+                denom += len(top)
+            offcorpus_curve[f"probe{pr}_hops{hp}"] = round(
+                hits / max(1, denom), 3)
+    offcorpus_sweep_s = round(time.time() - sweep_t0, 3)
+    # timing for the widest configuration (what the recall costs)
+    g32_cold, g32_med = _run(lambda: graph_route(probe=3, hops=2).count())
     # BQ recall curve: the full RescoreLimit dial, documenting what it
     # takes (if anything) for 1-bit sign codes to clear a recall floor
     # on this corpus — the quantize="bq" footgun evidence
@@ -182,6 +217,11 @@ def main() -> None:
         "speedup_steady_graph_oncorpus":
             round(exact_med / goc_med, 3) if goc_med else None,
         "bq_recall_curve_by_overfetch": bq_curve,
+        # r10: measured off-corpus recall over probe radius x hops
+        # (5 deterministic gaussian queries, recall@10 vs exact)
+        "graph_offcorpus_recall_curve": offcorpus_curve,
+        "graph_offcorpus_sweep_s": offcorpus_sweep_s,
+        "graph_probe3_hops2": {"cold": g32_cold, "steady_median": g32_med},
         "results_identical": e_rows == q_rows,
         "sq_results_identical": e_rows == sq_rows,
         "graph_results_identical": e_rows == g_rows,

@@ -972,15 +972,20 @@ def graph_expand_topk(
     probe: int = 1,
     bucket_cap: int = 4096,
     on_corpus: bool | None = None,
+    hops: int = 1,
 ) -> DataFrame:
-    """Graph-expanded LSH search (the one-hop DiskANN/HNSW gesture a
-    batch plan can make): probe the query's own LSH bucket (plus every
-    Hamming-1 bucket when ``probe > 1`` — multiprobe widens the entry
-    set 15x for one extra IN-filter value per plane), take the best
-    ``seed_m`` members as entries, EXPAND one hop through the k-NN
-    graph — recovering true neighbors that hashed across a bucket
-    boundary — then exact-rescore entries ∪ expansions for the final
-    top-k. Deterministic end to end (every stage inherits the 6dp/id
+    """Graph-expanded LSH search (the bounded DiskANN/HNSW gesture a
+    batch plan can make): probe the query's own LSH bucket plus every
+    bucket within Hamming radius ``probe - 1`` (probe=2 is the classic
+    Hamming-1 multiprobe ball — 15x the entry set for one extra
+    IN-filter value per plane; probe=3 adds the C(planes,2) Hamming-2
+    buckets — the r10 off-corpus-recall attempt), take the best
+    ``seed_m`` members as entries, EXPAND ``hops`` hops through the
+    k-NN graph — recovering true neighbors that hashed across a bucket
+    boundary (frontier growth is bounded by seed_m * graph_k^hops, so
+    two hops with the defaults rescores <= 260 extra rows) — then
+    exact-rescore entries ∪ expansions for the final top-k.
+    Deterministic end to end (every stage inherits the 6dp/id
     tie-breaks), so the whole approximation is hash-checkable; recall
     vs exact is pinned in unit tests.
 
@@ -1036,9 +1041,17 @@ def graph_expand_topk(
     qsig = _sig_py(vector, planes)
     probes = {qsig}
     if probe > 1:
-        for i in range(num_planes):
-            probes.add(qsig[:i] + ("0" if qsig[i] == "1" else "1")
-                       + qsig[i + 1:])
+        from itertools import combinations
+
+        def _flip(sig: str, idxs: tuple[int, ...]) -> str:
+            out = list(sig)
+            for i in idxs:
+                out[i] = "0" if out[i] == "1" else "1"
+            return "".join(out)
+
+        for r in range(1, probe):
+            for idxs in combinations(range(num_planes), r):
+                probes.add(_flip(qsig, idxs))
     qcol = F.array(*[F.lit(float(x)) for x in vector])
 
     art = _lsh_bucket_artifact(spark, sf_dir, collection, id_col,
@@ -1075,13 +1088,20 @@ def graph_expand_topk(
         id_col=id_col, vector_col=vector_col, num_planes=num_planes,
         seed=seed, table_key=table_key,
     )
-    expanded = [
-        r[0] for r in (
-            graph.where(F.col(id_col).isin(entry_ids))
-            .select("neighbor_id").distinct().collect()
-        )
-    ]
-    cand_ids = sorted(set(entry_ids) | set(expanded))
+    all_ids = set(entry_ids)
+    frontier = list(entry_ids)
+    for _ in range(max(1, int(hops))):
+        if not frontier:
+            break
+        nbrs = {
+            r[0] for r in (
+                graph.where(F.col(id_col).isin(frontier))
+                .select("neighbor_id").distinct().collect()
+            )
+        }
+        frontier = sorted(nbrs - all_ids)
+        all_ids |= nbrs
+    cand_ids = sorted(all_ids)
     return (
         base.where(F.col(id_col).isin(cand_ids))
         .withColumn("_distance",
