@@ -193,7 +193,7 @@ def test_stopword_config():
         StopwordConfig(preset="xx").words()
 
 
-@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "field", "trigram", "gse", "gse_bigram"])
+@pytest.mark.parametrize("mode", ["word", "lowercase", "whitespace", "field", "trigram", "gse", "gse_bigram", "gse_all"])
 @pytest.mark.parametrize("fold", [False, True])
 def test_spark_python_parity(spark, mode, fold):
     df = spark.createDataFrame([(t,) for t in MULTI_SCRIPT], ["t"])
@@ -454,3 +454,27 @@ def test_cjk_extended_lexicon_everyday_prose():
         "图书馆", "で", "宿題", "の", "準備"]
     assert tokenize_py("도서관에서숙제준비", "kagome_kr") == [
         "도서관", "에", "서", "숙제", "준비"]
+
+
+def test_gse_all_search_mode():
+    """'gse_all' search-mode tokenization (the reference's plain gse
+    output shape, tokenizer_test.go:95-110): every overlapping
+    dictionary match in (position, length) order plus singles for
+    uncovered positions — so BM25 recall covers every dictionary
+    granularity of a span."""
+    from weaviate_spark.functions.text import tokenize_py
+
+    lex = frozenset({"素早", "素早い", "早い", "茶色"})
+    from weaviate_spark.functions.text import segment_cjk_all_py
+
+    assert segment_cjk_all_py("素早い茶色の", lex, 3) == [
+        "素早", "素早い", "早い", "茶色", "の"]
+    # default merged lexicon: overlapping matches present, coverage
+    # complete (concatenating the SINGLES + one non-overlapping parse
+    # is not required — search mode is a multi-set, not a partition)
+    toks = tokenize_py("機械学習で勉強します", "gse_all")
+    assert "勉強" in toks
+    assert all(t for t in toks)
+    # latin passthrough stays word-run (documented divergence from the
+    # reference's per-char Latin in gse mode)
+    assert tokenize_py("plain english", "gse_all") == ["plain", "english"]

@@ -10866,3 +10866,90 @@ def q_crud_delete_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("dryrun", dry, after_dry), ("delete", real, after_real)],
         "step string, matched long, remaining long",
     ).orderBy(F.col("step").desc())
+
+
+def _cjk_all_oracle_sql() -> str:
+    """DuckDB replay of 'gse_all' search-mode tokenization (all
+    overlapping dictionary matches + uncovered singles): no recursion —
+    matches enumerate as a position x length grid, coverage is a
+    distinct-unnest, and the emit order (position, then length, singles
+    only at uncovered positions) reproduces segment_cjk_all_py
+    verbatim. Dict pruned to words that are substrings of the fixture
+    sentences, same optimization as _cjk_dict_oracle_sql."""
+    from weaviate_spark.functions.text import active_cjk_lexicon
+
+    lex = active_cjk_lexicon()
+    sents = [t.lower() for _, t in _CJK_SENTS]
+    live = sorted(w for w in lex if any(w in s for s in sents))
+    maxw = max((len(w) for w in live), default=2)
+    dictvals = ", ".join(f"('{w}')" for w in live) or "('一一')"
+    lenvals = ", ".join(f"({ln})" for ln in range(2, maxw + 1))
+    inputs = ", ".join(f"({i}, '{t.lower()}')" for i, t in _CJK_SENTS)
+    cjk_re = (
+        "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
+        "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{AC00}-\\x{D7AF}]"
+    )
+    return f"""
+WITH dict(w) AS (VALUES {dictvals}),
+lens(L) AS (VALUES {lenvals}),
+inputs(sid, s) AS (VALUES {inputs}),
+runs AS (SELECT sid, unnest(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+')) AS run,
+         generate_subscripts(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+'), 1) AS ridx FROM inputs),
+cjk AS (SELECT *, regexp_matches(run, '{cjk_re}') AS has_cjk FROM runs),
+pos AS (SELECT sid, ridx, run, unnest(range(1, length(run) + 1)) AS p
+        FROM cjk WHERE has_cjk),
+matches AS (
+  SELECT sid, ridx, run, p, L, substr(run, p, L) AS tok
+  FROM pos, lens
+  WHERE p + L - 1 <= length(run)
+    AND substr(run, p, L) IN (SELECT w FROM dict)),
+covered AS (
+  SELECT DISTINCT sid, ridx, p + u AS cp
+  FROM (SELECT sid, ridx, p, unnest(range(0, L)) AS u FROM matches)),
+singles AS (
+  SELECT pos.sid, pos.ridx, pos.p, 0 AS lord, substr(run, p, 1) AS tok
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.sid = pos.sid AND c.ridx = pos.ridx
+                      AND c.cp = pos.p)),
+cjk_toks AS (
+  SELECT sid, ridx, p, lord, tok FROM singles
+  UNION ALL
+  SELECT sid, ridx, p, L AS lord, tok FROM matches),
+cjk_seq AS (
+  SELECT sid, ridx,
+         row_number() OVER (PARTITION BY sid, ridx ORDER BY p, lord)
+           AS seq, tok
+  FROM cjk_toks),
+allt AS (
+  SELECT sid, ridx, seq, tok FROM cjk_seq
+  UNION ALL
+  SELECT sid, ridx, 1 AS seq, run AS tok FROM cjk WHERE NOT has_cjk)
+SELECT sid,
+       CAST(row_number() OVER (PARTITION BY sid ORDER BY ridx, seq) - 1
+            AS BIGINT) AS pos,
+       tok AS token
+FROM allt ORDER BY sid, pos
+"""
+
+
+@register("text_gse_all_tokens", oracle=_cjk_all_oracle_sql())
+def q_text_gse_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH-mode CJK tokenization ('gse_all' — the reference's plain
+    gse output shape, entities/tokenizer/tokenizer_test.go:95-110:
+    overlapping segments 素早/素早い/早い/… so a BM25 query for any
+    dictionary granularity hits the document; contrast gse_dict's
+    single FMM segmentation). All overlapping matches of the ~300k-word
+    shipped lexicon plus uncovered-position singles, value-hash-checked
+    token by token against the grid-replay oracle."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(_CJK_SENTS, "sid int, s string")
+    return (
+        df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_all"))
+                  .alias("pos", "token"))
+        .select("sid", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("sid", "pos")
+    )

@@ -118,6 +118,7 @@ CJK_CLASS = "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in _CJK_RANGES) + "]
 TOKENIZATIONS = [
     "word", "lowercase", "whitespace", "field", "trigram",
     "gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict", "gse_bigram",
+    "gse_all",
 ]
 
 # ---------------------------------------------------------------------------
@@ -298,6 +299,10 @@ def tokenize(col: Column, mode: str = "word", fold: bool = False) -> Column:
         # gse/kagome dictionaries (tokenizer.go:414-485); the module
         # names differ only by which dictionary the reference loads.
         return tokenize_cjk_dict(F.lower(col))
+    if mode == "gse_all":
+        # SEARCH-mode: all overlapping dictionary matches (the
+        # reference's plain gse output shape, tokenizer_test.go:95-110)
+        return tokenize_cjk_all(F.lower(col))
     if mode == "gse_bigram":
         # dictionary-free bigram approximation (the pre-r06 gse default,
         # kept as an explicit mode: pure Catalyst, no python stage)
@@ -348,6 +353,8 @@ def tokenize_py(text: str, mode: str = "word", fold: bool = False) -> list[str]:
         return [low[i : i + 3] for i in range(max(len(low) - 2, 0))]
     if mode in ("gse", "gse_ch", "kagome_ja", "kagome_kr", "gse_dict"):
         return tokenize_cjk_dict_py(text.lower())
+    if mode == "gse_all":
+        return tokenize_cjk_all_py(text.lower())
     if mode == "gse_bigram":
         out: list[str] = []
         for t in word_runs(text.lower()):
@@ -689,6 +696,69 @@ def tokenize_cjk_dict(col: Column) -> Column:
     from weaviate_spark.modules import cjk_dict_tokenize_udf
 
     return cjk_dict_tokenize_udf()(col)
+
+
+def segment_cjk_all_py(run: str, lexicon: frozenset | None = None,
+                       max_word: int | None = None) -> list[str]:
+    """SEARCH-mode dictionary segmentation (the reference's plain
+    ``gse`` tokenization, gse SegmentAll — tokenizer_test.go:95-110
+    shows the overlapping output: 素早い茶色… -> 素早/素早い/早い/茶色/…):
+    emit EVERY dictionary word starting at every position, ordered by
+    (position, length), plus a single codepoint for any position not
+    covered by any match — maximum-recall indexing for BM25, where a
+    query for either 素早 or 素早い must hit the document. Contrast
+    ``segment_cjk_py`` (FMM): one non-overlapping segmentation, the
+    display/aggregation shape. Deterministic, replayed verbatim by the
+    duckdb oracle (no recursion needed — matches enumerate as a
+    position x length grid)."""
+    if lexicon is None:
+        lexicon = active_cjk_lexicon()
+        max_word = active_cjk_max_word()
+    elif max_word is None:
+        max_word = max((len(w) for w in lexicon), default=2)
+    n = len(run)
+    matches: list[tuple[int, str]] = []
+    covered = [False] * n
+    for pos in range(n):
+        for ln in range(2, min(max_word, n - pos) + 1):
+            cand = run[pos:pos + ln]
+            if cand in lexicon:
+                matches.append((pos, cand))
+                for i in range(pos, pos + ln):
+                    covered[i] = True
+    out: list[str] = []
+    mi = 0
+    for pos in range(n):
+        if not covered[pos]:
+            out.append(run[pos])
+        while mi < len(matches) and matches[mi][0] == pos:
+            out.append(matches[mi][1])
+            mi += 1
+    return out
+
+
+def tokenize_cjk_all_py(text: str, lexicon: frozenset | None = None,
+                        max_word: int | None = None) -> list[str]:
+    """'gse_all' mode: word runs; CJK runs emit all overlapping
+    dictionary matches (search mode), other runs pass through
+    lowercased (divergence from the reference's gse, which chars-splits
+    Latin — word runs are strictly more useful and match every other
+    mode here)."""
+    out: list[str] = []
+    for t in tokenize_py(text, "word"):
+        if any(_is_segmentable(ch) for ch in t):
+            out.extend(segment_cjk_all_py(t, lexicon, max_word))
+        else:
+            out.append(t)
+    return out
+
+
+def tokenize_cjk_all(col: Column) -> Column:
+    """Column variant of 'gse_all' (same broadcast-shipped lexicon as
+    'gse_dict')."""
+    from weaviate_spark.modules import cjk_all_tokenize_udf
+
+    return cjk_all_tokenize_udf()(col)
 
 
 # ---------------------------------------------------------------------------

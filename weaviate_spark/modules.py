@@ -137,6 +137,37 @@ def cjk_dict_tokenize_udf():
     return _seg
 
 
+def cjk_all_tokenize_udf():
+    """Arrow-batched 'gse_all' (search-mode) tokenizer — same
+    broadcast-shipped lexicon generation as cjk_dict_tokenize_udf."""
+    from pyspark.sql import SparkSession
+
+    from weaviate_spark.functions.text import (
+        active_cjk_lexicon, active_cjk_max_word, tokenize_cjk_all_py,
+    )
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        bc = _cjk_lexicon_broadcast(spark)
+
+        @pandas_udf("array<string>")
+        def _seg(batch: pd.Series) -> pd.Series:
+            lex, maxw = bc.value
+            return batch.map(
+                lambda t: tokenize_cjk_all_py(t or "", lex, maxw))
+
+        return _seg
+
+    lex = active_cjk_lexicon()
+    maxw = active_cjk_max_word()
+
+    @pandas_udf("array<string>")
+    def _seg(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda t: tokenize_cjk_all_py(t or "", lex, maxw))
+
+    return _seg
+
+
 def class_dict_tokenize_udf(mode: str, reps, fold: bool = False):
     """Arrow-batched TokenizeForClass with a user dictionary
     (tokenizer_userdict.go): ``reps`` (longest-source-first replacement
