@@ -315,3 +315,42 @@ def test_graph_expand_probe_radius_and_hops(spark, tmp_path):
     truth = {10, 11, 9, 12, 8}
     assert set(wide) == truth, wide
     assert len(set(base) & truth) <= len(set(wide) & truth)
+
+
+# ---------------------------------------------------------------------------
+# wildcard-preserving LIKE pattern tokenization (r10)
+
+
+def test_tokenize_with_wildcards_reference_fixture():
+    """Ported from entities/tokenizer/tokenizer_test.go:186-209
+    (TokenizeWithWildcardsForClass): word mode keeps * and ? in the
+    terms; other modes fall back to the plain tokenizer."""
+    from weaviate_spark.functions.text import tokenize_with_wildcards_py
+
+    canon = " Hello You*-beautiful_world?!"
+    assert tokenize_with_wildcards_py(canon, "word") == [
+        "hello", "you*", "beautiful", "world?"]
+    assert tokenize_with_wildcards_py(canon, "whitespace") == [
+        "Hello", "You*-beautiful_world?!"]
+    assert tokenize_with_wildcards_py(canon, "field") == [canon.strip()]
+
+
+def test_tokenized_like_multi_term_pattern(spark):
+    """searcher.go:890-937: a LIKE pattern that tokenizes into several
+    wildcard terms requires EVERY term to match some token (AND) — the
+    old behavior treated the whole pattern as one token regex, which
+    could never match a multi-word pattern on word-tokenized text."""
+    from weaviate_spark.filters import Clause, apply_where
+
+    df = spark.createDataFrame(
+        [("The quick fox",), ("quince jam fox",), ("slow fox",)], ["t"])
+    out = apply_where(df, Clause(
+        operator="Like", path=["t"], value="qui* fo?",
+        tokenization="word"))
+    assert sorted(r["t"] for r in out.collect()) == [
+        "The quick fox", "quince jam fox"]
+    # uppercase pattern folds like the reference's query analysis
+    out2 = apply_where(df, Clause(
+        operator="Like", path=["t"], value="Qui*", tokenization="word"))
+    assert sorted(r["t"] for r in out2.collect()) == [
+        "The quick fox", "quince jam fox"]

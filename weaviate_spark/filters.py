@@ -118,17 +118,31 @@ def compile_like_tokenized(col: Column, pattern: str, mode: str) -> Column:
     """Tokenization-aware Like: the reference evaluates the Like regex
     against inverted-index KEYS (row_reader.go:152-190), i.e. per-token
     on tokenized text properties — Like 'qui*' matches 'The quick fox'.
-    Same prefix optimization, applied per token."""
-    from weaviate_spark.functions.text import tokenize
+    The PATTERN is tokenized with wildcards preserved
+    (TokenizeWithWildcardsForClass, searcher.go:890-897: 'qui* fo?'
+    becomes the terms ['qui*', 'fo?']) and multi-term patterns AND —
+    every pattern term must match at least one token (searcher.go:937).
+    Same prefix optimization, applied per term per token."""
+    from weaviate_spark.functions.text import (
+        tokenize, tokenize_with_wildcards_py,
+    )
 
     toks = tokenize(col, mode)
-    if "*" not in pattern and "?" not in pattern:
-        return F.array_contains(toks, pattern)
-    if _LIKE_PREFIX.match(pattern):
-        prefix = pattern[:-1]
-        return F.exists(toks, lambda t: t.startswith(prefix))
-    rx = like_to_regex(pattern)
-    return F.exists(toks, lambda t: t.rlike(rx))
+    terms = tokenize_with_wildcards_py(pattern, mode) or [pattern]
+
+    def term_pred(term: str) -> Column:
+        if "*" not in term and "?" not in term:
+            return F.array_contains(toks, term)
+        if _LIKE_PREFIX.match(term):
+            prefix = term[:-1]
+            return F.exists(toks, lambda t: t.startswith(prefix))
+        rx = like_to_regex(term)
+        return F.exists(toks, lambda t: t.rlike(rx))
+
+    pred = term_pred(terms[0])
+    for term in terms[1:]:
+        pred = pred & term_pred(term)
+    return pred
 
 
 # ---------------------------------------------------------------------------

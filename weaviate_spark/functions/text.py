@@ -698,6 +698,36 @@ def tokenize_cjk_dict(col: Column) -> Column:
     return cjk_dict_tokenize_udf()(col)
 
 
+def tokenize_with_wildcards_py(text: str, mode: str = "word") -> list[str]:
+    """Wildcard-preserving tokenization for LIKE patterns
+    (TokenizeWithWildcardsForClass, entities/tokenizer/tokenizer.go:300
+    + tokenizeWordWithWildcards): word mode splits on non-alphanumerics
+    EXCEPT ``*``/``?`` and lowercases, so the pattern 'You*-world?'
+    tokenizes to ['you*', 'world?'] — each term then matches the index
+    keys independently (searcher.go:897 ANDs multi-term patterns).
+    trigram joins the wildcard word tokens and windows them (reference
+    marks this 'unlikely to be useful, included for completeness');
+    every other mode falls back to the plain tokenizer, same as the
+    reference's default branch."""
+    if mode == "word":
+        runs: list[str] = []
+        cur: list[str] = []
+        for ch in text.lower():
+            if (ch.isalpha() or unicodedata.category(ch).startswith("N")
+                    or ch in "*?"):
+                cur.append(ch)
+            elif cur:
+                runs.append("".join(cur))
+                cur = []
+        if cur:
+            runs.append("".join(cur))
+        return runs
+    if mode == "trigram":
+        joined = "".join(tokenize_with_wildcards_py(text, "word"))
+        return [joined[i:i + 3] for i in range(max(len(joined) - 2, 0))]
+    return tokenize_py(text, mode)
+
+
 def segment_cjk_all_py(run: str, lexicon: frozenset | None = None,
                        max_word: int | None = None) -> list[str]:
     """SEARCH-mode dictionary segmentation (the reference's plain
