@@ -354,3 +354,71 @@ def test_tokenized_like_multi_term_pattern(spark):
         operator="Like", path=["t"], value="Qui*", tokenization="word"))
     assert sorted(r["t"] for r in out2.collect()) == [
         "The quick fox", "quince jam fox"]
+
+
+# ---------------------------------------------------------------------------
+# change-tokenization migration (retokenize reindex, r10)
+
+
+def test_change_tokenization_migration(spark, tmp_path):
+    """Full retokenize lifecycle (inverted_reindexer_searchable_
+    retokenize.go + inverted/tokenization.go): the new-generation BM25
+    artifact is built while the old keeps serving; a query landing in
+    the FINALIZING window (overlay active, schema still old) analyzes
+    against the NEW tokenization; after DONE the schema object answers
+    by itself and results reflect the new analysis."""
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
+    from weaviate_spark.schema import Collection, Property
+    from weaviate_spark.sources.retokenize import (
+        RetokenizeError, change_tokenization, resolve_tokenization,
+    )
+
+    # 'word' strips punctuation; 'whitespace' keeps it case-sensitive —
+    # so a query for 'Fox!' matches nothing under word analysis but
+    # matches docs 1/3 under whitespace analysis
+    rows = [(1, "the quick Fox! runs"), (2, "a fox sleeps"),
+            (3, "Fox! and hound"), (4, "no match here")]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, body string").write.parquet(
+        f"{sf}/animals.parquet")
+    coll = Collection("animals", [Property("body", "text")])
+
+    def search(q):
+        # real callers build BM25Prop from the schema object — that is
+        # what makes the post-DONE flip effective without an overlay
+        spec = BM25Spec(
+            collection="animals", query=q,
+            properties=[BM25Prop(
+                "body",
+                tokenization=coll.property("body").tokenization)],
+            id_col="doc_id", stopwords=None)
+        return sorted(r["doc_id"] for r in
+                      bm25_search(spark, sf, spec).collect())
+
+    assert search("fox") == [1, 2, 3]      # word analysis
+    assert search("Fox!") == [1, 2, 3]     # folded to 'fox' under word
+
+    probes = {}
+
+    def probe(phase_name):
+        if phase_name == "FINALIZING":
+            # overlay answers NEW while the schema object is still OLD
+            probes["overlay"] = resolve_tokenization(
+                "animals", "body", coll.property("body").tokenization)
+            probes["schema_tok"] = coll.property("body").tokenization
+            probes["window_hits"] = search("Fox!")
+
+    st = change_tokenization(spark, sf, coll, "body", "whitespace",
+                             id_col="doc_id", on_phase=probe)
+    assert [p for p, _ in st["phases"]] == [
+        "STARTED", "REBUILDING", "FINALIZING", "DONE"]
+    assert probes["schema_tok"] == "word"          # flip not yet committed
+    assert probes["overlay"] == "whitespace"       # overlay already NEW
+    assert probes["window_hits"] == [1, 3]         # NEW analysis in window
+    assert coll.property("body").tokenization == "whitespace"
+    assert search("Fox!") == [1, 3]                # post-migration schema
+    assert search("fox") == [2]                    # case-sensitive now
+
+    with pytest.raises(RetokenizeError, match="already uses"):
+        change_tokenization(spark, sf, coll, "body", "whitespace",
+                            id_col="doc_id")

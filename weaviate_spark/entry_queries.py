@@ -10953,3 +10953,73 @@ def q_text_gse_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sid", F.col("pos").cast("long").alias("pos"), "token")
         .orderBy("sid", "pos")
     )
+
+
+def _retokenize_oracle_sql() -> str:
+    from weaviate_spark.operators.bm25 import bm25_oracle_sql
+
+    word = bm25_oracle_sql(
+        "documents", "text", "doc_id", "scan table",
+        tokenization="word", limit=10)
+    tri = bm25_oracle_sql(
+        "documents", "text", "doc_id", "scan table",
+        tokenization="trigram", limit=10)
+    return (
+        f"WITH w AS ({word}), t AS ({tri}) "
+        "SELECT 'before' AS phase, doc_id, _score AS score FROM w "
+        "UNION ALL SELECT 'window', doc_id, _score FROM t "
+        "UNION ALL SELECT 'after', doc_id, _score FROM t "
+        "ORDER BY phase, score DESC, doc_id"
+    )
+
+
+@register("retokenize_migration", oracle=_retokenize_oracle_sql())
+def q_retokenize_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-tokenization migration (retokenize reindex —
+    inverted_reindexer_searchable_retokenize.go + the
+    TokenizationResolver overlay, inverted/tokenization.go): BM25 top-10
+    under the ORIGINAL word tokenization ('before'), then a query
+    landing inside the FINALIZING window — new trigram artifact built,
+    schema object still word, overlay active — must already produce the
+    trigram analysis ('window'), and after the schema flip commits the
+    plain schema-driven query produces the same ('after'). The oracle
+    computes both analyses independently, so artifact generation
+    coexistence, overlay resolution, and the post-flip state are all
+    value-hash-checked."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.bm25 import BM25Prop, BM25Spec, bm25_search
+    from weaviate_spark.schema import Collection, Property
+    from weaviate_spark.sources.retokenize import change_tokenization
+
+    coll = Collection("documents", [Property("text", "text")])
+
+    def top10() -> list:
+        spec = BM25Spec(
+            collection="documents", query="scan table",
+            properties=[BM25Prop(
+                "text",
+                tokenization=coll.property("text").tokenization)],
+            id_col="doc_id", limit=10)
+        return [(r["doc_id"], float(r["_score"])) for r in
+                bm25_search(spark, sf_dir, spec).collect()]
+
+    phases: list[tuple[str, int, float]] = []
+    for doc, sc in top10():
+        phases.append(("before", doc, sc))
+
+    def probe(phase_name: str) -> None:
+        if phase_name == "FINALIZING":
+            for doc, sc in top10():
+                phases.append(("window", doc, sc))
+
+    change_tokenization(spark, sf_dir, coll, "text", "trigram",
+                        id_col="doc_id", on_phase=probe)
+    for doc, sc in top10():
+        phases.append(("after", doc, sc))
+
+    return (
+        spark.createDataFrame(
+            phases, "phase string, doc_id long, score double")
+        .orderBy("phase", F.col("score").desc(), "doc_id")
+    )

@@ -626,6 +626,7 @@ def with_materialized_stats(
         return spec
     from weaviate_spark.functions.text import user_dict_digest
 
+    spec = _resolve_spec(spec)
     props_key = tuple(sorted((p.name, p.tokenization) for p in spec.properties))
     # the session handles key on the user-dict digest too: registering /
     # removing a class dict re-tokenizes the corpus, so cached handles
@@ -656,6 +657,27 @@ def with_materialized_stats(
     return replace(spec, stats=replace(stats, postings=post, doclen=dl))
 
 
+def _resolve_spec(spec: BM25Spec) -> BM25Spec:
+    """Normalize every property's tokenization through the
+    retokenize-migration overlay, so the stats-table cache key, the
+    artifact fingerprint, the document-side tokenization, and the query
+    analysis all agree on ONE generation — a FINALIZING-window query
+    can never analyze NEW but read the OLD artifact (the exact
+    misalignment inverted/tokenization.go's pinning resolver exists to
+    prevent)."""
+    from weaviate_spark.sources.retokenize import resolve_tokenization
+
+    resolved = [
+        replace(p, tokenization=resolve_tokenization(
+            spec.collection, p.name, p.tokenization))
+        for p in spec.properties
+    ]
+    if all(a.tokenization == b.tokenization
+           for a, b in zip(resolved, spec.properties)):
+        return spec
+    return replace(spec, properties=resolved)
+
+
 def bm25_search(
     spark: SparkSession, sf_dir: str, spec: BM25Spec, use_stats_tables: bool = True
 ) -> DataFrame:
@@ -668,6 +690,7 @@ def bm25_search(
     tests/test_bm25.py pins it, and the driver oracle is always the
     recompute formulation)."""
     release_caches()
+    spec = _resolve_spec(spec)
     full = load_table(spark, sf_dir, spec.collection)
     cand = apply_where(full, spec.where)
     if use_stats_tables:
@@ -678,10 +701,18 @@ def bm25_search(
 
 
 def _query_analysis(spec: BM25Spec) -> dict[str, dict[str, float]]:
-    """prop name -> (term -> boost)."""
+    """prop name -> (term -> boost). Tokenization resolves through the
+    retokenize-migration overlay (inverted/tokenization.go's
+    TokenizationResolver): a query landing in a FINALIZING window
+    analyzes against the NEW tokenization, matching the already-built
+    new-generation artifact."""
+    from weaviate_spark.sources.retokenize import resolve_tokenization
+
     return {
-        p.name: query_terms(spec.query, p.tokenization, spec.stopwords,
-                            spec.fold, class_name=spec.collection)
+        p.name: query_terms(
+            spec.query,
+            resolve_tokenization(spec.collection, p.name, p.tokenization),
+            spec.stopwords, spec.fold, class_name=spec.collection)
         for p in spec.properties
     }
 
