@@ -422,3 +422,42 @@ def test_change_tokenization_migration(spark, tmp_path):
     with pytest.raises(RetokenizeError, match="already uses"):
         change_tokenization(spark, sf, coll, "body", "whitespace",
                             id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# hybrid + MMR diversity selection (r10; hybrid_diversity acceptance)
+
+
+def test_hybrid_mmr_balance_invariants(spark, sf_dir):
+    """test/acceptance/hybrid_diversity/hybrid_diversity_test.go:
+    MMR over the fused hybrid window with balance=1 (pure relevance)
+    must reproduce the plain hybrid order; balance=0 (pure diversity)
+    must reorder on a corpus with clustered vectors."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.entry_queries import QVEC
+    from weaviate_spark.operators.bm25 import BM25Prop
+    from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
+    from weaviate_spark.operators.rerank import mmr_select
+
+    fused = hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.75, fusion="relativeScore", limit=20,
+    )).select("doc_id", "_score")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    rows = [
+        {"doc_id": r["doc_id"], "rel": float(r["_score"]),
+         "embedding": [float(x) for x in r["embedding"]]}
+        for r in fused.join(emb, "doc_id")
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc()).collect()
+    ]
+    assert len(rows) >= 8
+    baseline = [r["doc_id"] for r in rows][:8]
+    b1 = [r["doc_id"] for r in
+          mmr_select(rows, "embedding", "rel", k=8, balance=1.0)]
+    b0 = [r["doc_id"] for r in
+          mmr_select(rows, "embedding", "rel", k=8, balance=0.0)]
+    assert b1 == baseline, "balance=1 must not reorder vs plain hybrid"
+    assert b0 != baseline, "balance=0 must reorder for diversity"

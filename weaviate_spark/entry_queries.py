@@ -11023,3 +11023,72 @@ def q_retokenize_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             phases, "phase string, doc_id long, score double")
         .orderBy("phase", F.col("score").desc(), "doc_id")
     )
+
+
+def _hybrid_mmr_oracle_sql() -> str:
+    from weaviate_spark.operators.hybrid import hybrid_oracle_sql
+
+    hy = hybrid_oracle_sql("spark filter join", QVEC, alpha=0.75,
+                           fusion="relativeScore", limit=20)
+    return (
+        "WITH RECURSIVE hy AS (" + hy + "), "
+        "rc AS (SELECT h.doc_id, h._score AS rel, "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev "
+        "FROM hy h JOIN embeddings e ON e.vec_id = h.doc_id), "
+        "pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, "
+        "list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * "
+        "sqrt(list_dot_product(b.ev, b.ev))) AS s "
+        "FROM rc a CROSS JOIN rc b), "
+        "steps AS ("
+        "SELECT 1 AS step, doc_id AS picked, rel, [doc_id] AS sel "
+        "FROM (SELECT doc_id, rel FROM rc "
+        "      ORDER BY rel DESC, doc_id ASC LIMIT 1) "
+        "UNION ALL "
+        "SELECT s.step + 1, nx.doc_id, nx.rel, "
+        "list_append(s.sel, nx.doc_id) "
+        "FROM steps s, LATERAL ("
+        "  SELECT c.doc_id, c.rel FROM rc c "
+        "  WHERE NOT list_contains(s.sel, c.doc_id) "
+        "  ORDER BY 0.5 * c.rel - 0.5 * (SELECT max(p.s) FROM pairs p "
+        "    WHERE p.i = c.doc_id AND list_contains(s.sel, p.j)) DESC, "
+        "    c.rel DESC, c.doc_id ASC LIMIT 1"
+        ") nx WHERE s.step < 8) "
+        "SELECT step AS mmr_rank, picked AS doc_id, "
+        "round(rel, 6) AS score FROM steps ORDER BY mmr_rank"
+    )
+
+
+@register("hybrid_mmr_diversity", oracle=_hybrid_mmr_oracle_sql())
+def q_hybrid_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion + MMR diversity selection (the hybrid_diversity
+    acceptance suite, test/acceptance/hybrid_diversity/
+    hybrid_diversity_test.go: MMR runs as a post-fusion pass over the
+    fused window — balance=1 must reproduce the plain hybrid order,
+    balance=0 reorders for diversity; the balance invariants are pinned
+    by pytest, this oracle hash-checks the balance=0.5 greedy sequence
+    over the relativeScore-fused top-20)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
+    from weaviate_spark.operators.rerank import mmr_select
+
+    fused = hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join", vector=QVEC,
+        properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.75, fusion="relativeScore", limit=20,
+    )).select("doc_id", "_score")
+    emb = _load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    rows = [
+        {"doc_id": r["doc_id"], "rel": float(r["_score"]),
+         "embedding": [float(x) for x in r["embedding"]]}
+        for r in fused.join(emb, "doc_id")
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc()).collect()
+    ]
+    picked = mmr_select(rows, "embedding", "rel", k=8, balance=0.5)
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], round(r["rel"], 6))
+         for i, r in enumerate(picked)],
+        "mmr_rank int, doc_id long, score double",
+    )
