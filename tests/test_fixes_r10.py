@@ -461,3 +461,91 @@ def test_hybrid_mmr_balance_invariants(spark, sf_dir):
           mmr_select(rows, "embedding", "rel", k=8, balance=0.0)]
     assert b1 == baseline, "balance=1 must not reorder vs plain hybrid"
     assert b0 != baseline, "balance=0 must reorder for diversity"
+
+
+# ---------------------------------------------------------------------------
+# alter-schema: delete property index / drop vector index (r10)
+
+
+def test_alter_schema_index_enforcement(spark, sf_dir):
+    """test/acceptance/alter_schema/: deleting a property's inverted
+    index makes filters on it fail with the reference's exact error
+    text; dropping the vector index flips the type to the 'none'
+    sentinel and rejects vector search while filters/BM25 and further
+    schema updates keep working; setting 'none' directly is rejected."""
+    from weaviate_spark import client as C
+    from weaviate_spark.schema import (
+        Collection, MissingIndexError, Property, Registry,
+        VectorIndexDroppedError, delete_property_index,
+        drop_vector_index, validate_vector_index_type,
+    )
+    from weaviate_spark.filters import Clause
+
+    coll = Collection("embeddings", [
+        Property("vec_id", "int"),
+        Property("label", "int"),
+    ], vector_dim=64)
+    reg = Registry()
+    reg.add(coll)
+    cl = C.connect(spark, sf_dir, registry=reg)
+    h = cl.collections.get("embeddings").with_config(
+        id_col="vec_id", vector_col="embedding")
+
+    flt = Clause(operator="Equal", path=["label"], value=3)
+    assert h.query.fetch_objects(filters=flt, limit=5).count() == 5
+    qv = [0.1] * 64
+    assert h.query.near_vector(qv, limit=3).count() == 3
+
+    # delete the property's index -> the reference's exact error text
+    delete_property_index(coll, "label")
+    with pytest.raises(MissingIndexError,
+                       match="Is `indexFilterable` option of property "
+                             "'label' enabled"):
+        h.query.fetch_objects(filters=flt, limit=5)
+    # other properties unaffected
+    assert h.query.fetch_objects(
+        filters=Clause(operator="Equal", path=["vec_id"], value=7),
+        limit=1).count() == 1
+
+    # drop the vector index: sentinel observable, searches rejected
+    drop_vector_index(coll)
+    assert coll.vector_index_type == "none"
+    with pytest.raises(VectorIndexDroppedError, match="has been dropped"):
+        h.query.near_vector(qv, limit=3)
+    with pytest.raises(VectorIndexDroppedError):
+        h.query.near_object(7, limit=3)
+    # update-after-drop: non-vector reads + further schema updates work
+    assert h.query.fetch_objects(limit=2).count() == 2
+    delete_property_index(coll, "vec_id")  # still mutable post-drop
+
+    # the 'none' sentinel cannot be set directly
+    with pytest.raises(ValueError, match="reserved for dropped"):
+        validate_vector_index_type("none")
+    with pytest.raises(ValueError, match="unknown vector index type"):
+        validate_vector_index_type("ivfflat")
+
+
+def test_alter_schema_searchable_enforcement(spark, sf_dir):
+    """BM25 on a property whose searchable index was deleted fails with
+    the reference's indexSearchable error text."""
+    from weaviate_spark import client as C
+    from weaviate_spark.schema import (
+        Collection, MissingIndexError, Property, Registry,
+        delete_property_index,
+    )
+
+    coll = Collection("documents", [
+        Property("doc_id", "int"),
+        Property("text", "text"),
+    ])
+    reg = Registry()
+    reg.add(coll)
+    cl = C.connect(spark, sf_dir, registry=reg)
+    h = cl.collections.get("documents").with_config(id_col="doc_id")
+
+    assert h.query.bm25("scan table", limit=5).count() == 5
+    delete_property_index(coll, "text", filterable=False, searchable=True)
+    with pytest.raises(MissingIndexError,
+                       match="Is `indexSearchable` option of property "
+                             "'text' enabled"):
+        h.query.bm25("scan table", limit=5)

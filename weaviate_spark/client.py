@@ -128,6 +128,29 @@ class _Query:
         from weaviate_spark.plans.compile import compile_get
 
         self._h._check(auth.READ)  # traverser_get.go:29 authz hook
+        # schema-level index enforcement (alter_schema family): active
+        # only when the client carries a Registry holding this
+        # collection's schema — exactly when the reference would have
+        # flags to consult
+        coll = self._h._schema()
+        if coll is not None:
+            from weaviate_spark.schema import (
+                validate_search_properties, validate_vector_search,
+                validate_where_indexed,
+            )
+
+            validate_where_indexed(coll, spec.where)
+            if spec.near_vector is not None:
+                validate_vector_search(coll, spec.near_vector.target_vector)
+            if spec.bm25 is not None:
+                # default property set = every TEXT property (the
+                # reference's all-searchable default); the validator
+                # then rejects any whose searchable index was deleted
+                props = spec.bm25.properties or tuple(
+                    p.name for p in coll.properties
+                    if p.data_type in ("text", "text[]",
+                                       "string", "string[]"))
+                validate_search_properties(coll, props)
         return compile_get(self._h._spark, self._h._root, spec)
 
     def _base(self, filters, limit, offset, after, sort, select) -> GetSpec:
@@ -170,6 +193,10 @@ class _Query:
         # same id/vector column defaults as every compile_get-routed
         # sibling method (extra overrides, else _id / embedding)
         self._h._check(auth.READ)
+        coll = self._h._schema()
+        if coll is not None:
+            from weaviate_spark.schema import validate_vector_search
+            validate_vector_search(coll)
         return _near_object(self._h._spark, self._h._root, NearVectorSpec(
             collection=self._h._table, vector=[], limit=limit,
             where=filters,
@@ -379,6 +406,7 @@ class CollectionHandle:
         self._root = client._root
         self._table = table
         self._extra = extra or {}
+        self._registry = client._registry
         self._authorizer = client._authorizer
         self._principal = client._principal
         self.query = _Query(self)
@@ -394,6 +422,18 @@ class CollectionHandle:
             self._principal, verb,
             auth.objects_path(self._table, "*", object_id),
         )
+
+    def _schema(self):
+        """The Collection schema object for this handle, when the
+        client was connected with a Registry that knows it; None
+        otherwise (schema-less contract tables)."""
+        reg = getattr(self, "_registry", None)
+        if reg is None:
+            return None
+        try:
+            return reg.resolve(self._table)
+        except KeyError:
+            return None
 
     def _vector_kw(self) -> dict:
         kw = {}

@@ -127,6 +127,11 @@ class Collection:
     # array<float> field per name) so Parquet nested-schema pruning
     # reads only the searched space
     named_vectors: dict[str, int] = field(default_factory=dict)
+    # vector index types; 'none' = dropped (the controlled sentinel,
+    # test/acceptance/alter_schema/drop_vector_index_test.go:216) —
+    # set through drop_vector_index(), never directly
+    vector_index_type: str = "hnsw"
+    named_vector_index_types: dict[str, str] = field(default_factory=dict)
 
     def spark_schema(self, with_reserved: bool = True) -> T.StructType:
         fields = [T.StructField(p.name, p.spark_type()) for p in self.properties]
@@ -348,3 +353,145 @@ class Registry:
 
     def resolve(self, name: str) -> Collection:
         return self._collections[self.resolve_key(name)]
+
+
+# ---------------------------------------------------------------------------
+# Alter-schema operations (test/acceptance/alter_schema/: delete a
+# property's index, drop a vector index, reject the 'none' sentinel,
+# update-after-drop). The index flags already live on Property /
+# Collection; these helpers give them the reference's MUTATION and
+# ENFORCEMENT semantics: flipping a flag invalidates the derived
+# artifacts (the analogue of the reference deleting the LSM bucket) and
+# the query paths reject unindexed access with the reference's exact
+# error text (entities/inverted/errors.go:21-44).
+
+# user-settable vector index types; 'none' is the CONTROLLED sentinel a
+# drop writes (drop_vector_index_reject_test.go: users cannot set it
+# directly to bypass the managed drop path)
+VECTOR_INDEX_TYPES = ("hnsw", "flat", "dynamic")
+
+
+class MissingIndexError(ValueError):
+    pass
+
+
+class VectorIndexDroppedError(ValueError):
+    pass
+
+
+_MISSING_FILTERABLE_FMT = (
+    "Filtering by property '{p}' requires inverted index. "
+    "Is `indexFilterable` option of property '{p}' enabled? "
+    "Set it to `true` or leave empty"
+)
+_MISSING_SEARCHABLE_FMT = (
+    "Searching by property '{p}' requires inverted index. "
+    "Is `indexSearchable` option of property '{p}' enabled? "
+    "Set it to `true` or leave empty"
+)
+
+
+def validate_vector_index_type(index_type: str) -> None:
+    """Creation/update validation: 'none' is reserved for the managed
+    drop (drop_vector_index_reject_test.go)."""
+    if index_type == "none":
+        raise ValueError(
+            "vector index type 'none' is reserved for dropped indexes — "
+            "use drop_vector_index() instead of setting it directly")
+    if index_type not in VECTOR_INDEX_TYPES:
+        raise ValueError(
+            f"unknown vector index type {index_type!r} "
+            f"(expected one of {VECTOR_INDEX_TYPES})")
+
+
+def delete_property_index(coll: Collection, prop_name: str,
+                          filterable: bool = True,
+                          searchable: bool = False) -> None:
+    """Delete a property's inverted index (alter_schema_test.go:43-54):
+    flip the flag(s) and invalidate every artifact derived from that
+    index — subsequent filters/searches on the property are rejected
+    by the validators below until the flag is re-enabled (which, like
+    the reference, implies a reindex: the artifact rebuilds lazily on
+    first use because it is content-addressed by the flag state)."""
+    prop = coll.property(prop_name)
+    if filterable:
+        prop.index_filterable = False
+    if searchable:
+        prop.index_searchable = False
+    _invalidate_index_artifacts()
+
+
+def drop_vector_index(coll: Collection, name: str | None = None) -> None:
+    """Managed vector-index drop (drop_vector_index_test.go): the
+    index type becomes the 'none' sentinel (observable on the schema,
+    :216), vector artifacts are invalidated, and vector searches are
+    rejected until a new index is configured. Non-vector operations
+    (CRUD, filters, BM25) and further schema updates keep working
+    (update_after_drop_vector_index_test.go)."""
+    if name:
+        if name not in coll.named_vectors:
+            raise KeyError(f"no named vector {name!r} in {coll.name}")
+        coll.named_vector_index_types[name] = "none"
+    else:
+        coll.vector_index_type = "none"
+    _invalidate_index_artifacts()
+
+
+def _invalidate_index_artifacts() -> None:
+    try:
+        from weaviate_spark.operators.quantization import invalidate_sq_index
+        invalidate_sq_index()
+    except Exception:
+        pass
+    try:
+        from weaviate_spark.operators.similarity import invalidate_nn_graphs
+        invalidate_nn_graphs()
+    except Exception:
+        pass
+
+
+def validate_vector_search(coll: Collection, name: str | None = None) -> None:
+    """Query-path gate: a dropped index rejects vector search with an
+    actionable error instead of silently brute-forcing (the reference
+    has no index to serve the query either)."""
+    t = (coll.named_vector_index_types.get(name, "hnsw") if name
+         else coll.vector_index_type)
+    if t == "none":
+        which = f"named vector {name!r}" if name else "the default vector"
+        raise VectorIndexDroppedError(
+            f"collection {coll.name!r}: the vector index for {which} has "
+            "been dropped (vectorIndexType 'none'); configure a new index "
+            "to run vector searches")
+
+
+def validate_where_indexed(coll: Collection, clause) -> None:
+    """Filter-path gate (searcher.go:915-919 →
+    NewMissingFilterableIndexError): every property referenced by the
+    where tree must have indexFilterable. Properties not in the schema
+    (reserved columns, len() pseudo-paths) are left to the compiler's
+    own resolution errors."""
+    if clause is None:
+        return
+    for c in clause.operands or ():
+        validate_where_indexed(coll, c)
+    if not clause.path:
+        return
+    head = clause.path[0]
+    try:
+        prop = coll.property(head)
+    except KeyError:
+        return
+    if not prop.index_filterable:
+        raise MissingIndexError(_MISSING_FILTERABLE_FMT.format(p=head))
+
+
+def validate_search_properties(coll: Collection, prop_names) -> None:
+    """BM25/hybrid keyword-leg gate (searcher analysis path →
+    NewMissingSearchableIndexError)."""
+    for name in prop_names:
+        try:
+            prop = coll.property(name)
+        except KeyError:
+            continue
+        if not (prop.index_searchable and prop.searchable()):
+            raise MissingIndexError(_MISSING_SEARCHABLE_FMT.format(p=name))
