@@ -549,3 +549,89 @@ def test_alter_schema_searchable_enforcement(spark, sf_dir):
                        match="Is `indexSearchable` option of property "
                              "'text' enabled"):
         h.query.bm25("scan table", limit=5)
+
+
+# ---------------------------------------------------------------------------
+# usage limits (r10; usecases/usagelimits + namespace_limits acceptance)
+
+
+def test_usage_limits_objects_per_namespace(spark, tmp_path):
+    """Object cap enforced at the write chokepoints, scoped per
+    namespace via the qualified class name (manager.go:20-23,84-88):
+    a batch that would cross the cap is rejected WHOLE with the typed
+    error (stable code USAGE_LIMIT_EXCEEDED, operator template
+    rendered), a different namespace is unaffected, and raising the
+    runtime-overridable cap unblocks without restart."""
+    from weaviate_spark import usage_limits as UL
+    from weaviate_spark.sources import crud
+
+    root = str(tmp_path)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).write.parquet(
+        f"{root}/ns1:Docs.parquet")
+    spark.createDataFrame([(1, "x")], ["k", "v"]).write.parquet(
+        f"{root}/ns2:Docs.parquet")
+
+    cap = {"objects": 3}
+    UL.set_usage_limits(UL.LimitConfig(
+        max_objects=lambda: cap["objects"],
+        error_template="{limit} capped at {value} — upgrade at "
+                       "example.test/plans",
+    ))
+    try:
+        add = spark.createDataFrame([(3, "c"), (4, "d")], ["k", "v"])
+        with pytest.raises(UL.LimitExceededError) as ei:
+            crud.upsert(spark, f"{root}/ns1:Docs.parquet", add, "k")
+        assert ei.value.error_code == "USAGE_LIMIT_EXCEEDED"
+        assert ei.value.limit == "objects" and ei.value.value == 3
+        assert "upgrade at example.test/plans" in str(ei.value)
+        # whole-batch rejection: nothing landed
+        assert spark.read.parquet(f"{root}/ns1:Docs.parquet").count() == 2
+        # ns2 counts separately: 1 + 2 <= 3 passes
+        crud.upsert(spark, f"{root}/ns2:Docs.parquet", add, "k")
+        assert spark.read.parquet(f"{root}/ns2:Docs.parquet").count() == 3
+        # runtime override (DynamicValue re-read per check): raise the
+        # cap, the same write now lands
+        cap["objects"] = 10
+        crud.upsert(spark, f"{root}/ns1:Docs.parquet", add, "k")
+        assert spark.read.parquet(f"{root}/ns1:Docs.parquet").count() == 4
+    finally:
+        UL.set_usage_limits(None)
+
+
+def test_usage_limits_collections_and_tenants(spark, tmp_path):
+    from weaviate_spark import usage_limits as UL
+    from weaviate_spark.schema import Collection, Registry
+    from weaviate_spark.sources.crud import TenantRegistry
+
+    UL.set_usage_limits(UL.LimitConfig(
+        max_collections=1, max_tenants_per_collection=2))
+    try:
+        reg = Registry()
+        reg.add(Collection("A"))
+        with pytest.raises(UL.LimitExceededError) as ei:
+            reg.add(Collection("B"))
+        assert ei.value.limit == "collections"
+        # default template text (template.go)
+        assert "collections count limit of 1 reached" in str(ei.value)
+
+        tr = TenantRegistry(str(tmp_path / "t.parquet"), "_tenant")
+        tr.create("t1")
+        tr.create("t2")
+        with pytest.raises(UL.LimitExceededError) as ei2:
+            tr.create("t3")
+        assert ei2.value.limit == "tenants" and ei2.value.value == 2
+    finally:
+        UL.set_usage_limits(None)
+
+
+def test_usage_limits_inactive_is_free(spark, tmp_path):
+    """Without a configured manager the chokepoints are no-ops — no
+    counting jobs run (the common case must stay zero-cost)."""
+    from weaviate_spark.sources import crud
+
+    root = str(tmp_path)
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(
+        f"{root}/T.parquet")
+    crud.upsert(spark, f"{root}/T.parquet",
+                spark.createDataFrame([(2, "b")], ["k", "v"]), "k")
+    assert spark.read.parquet(f"{root}/T.parquet").count() == 2

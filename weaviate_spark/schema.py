@@ -324,6 +324,9 @@ class Registry:
 
     # -- collections / aliases
     def add(self, coll: Collection, namespace: str = "") -> None:
+        from weaviate_spark import usage_limits as UL
+
+        UL.check_collections(len(self._collections))  # schema-side cap
         if namespace:
             if namespace not in self._namespaces:
                 raise KeyError(f"unknown namespace {namespace!r}")

@@ -348,6 +348,27 @@ def _rewrite(
                        preserve_vector_index=preserve_vector_index)
 
 
+def _check_object_limit(spark: SparkSession, table_dir: str,
+                        new_rows: DataFrame) -> None:
+    """Usage-limit chokepoint (usecases/usagelimits/manager.go:84-88 —
+    the reference checks at Shard.PutObject{,Batch}): reject the WHOLE
+    write when current + batch would exceed the configured object cap.
+    Zero cost when no limits are configured (the common case); when a
+    cap is set, the batch size is one metadata-only count and the
+    current total sums parquet footers. Conservative like the
+    reference: upsert replacements count as adds (brief overshoot /
+    undershoot self-corrects on the next check, manager.go:42-45)."""
+    from weaviate_spark import usage_limits as UL
+
+    if UL._ACTIVE is None or UL._read(UL._ACTIVE.max_objects) is None:
+        return
+    root = os.path.dirname(table_dir.rstrip("/"))
+    class_name = os.path.basename(table_dir.rstrip("/"))
+    if class_name.endswith(".parquet"):
+        class_name = class_name[: -len(".parquet")]
+    UL.check_objects(spark, root, new_rows.count(), class_name)
+
+
 def upsert(
     spark: SparkSession,
     table_dir: str,
@@ -363,6 +384,7 @@ def upsert(
     small, AQE turns the anti join into a broadcast automatically. For
     partitioned tables use ``upsert_partitioned`` (rewrites only the
     affected partitions)."""
+    _check_object_limit(spark, table_dir, new_rows)
     base_version = table_version(table_dir)
     current = spark.read.parquet(table_dir)
     kept = current.join(new_rows.select(key).distinct(), key, "left_anti")
@@ -578,6 +600,9 @@ class TenantRegistry:
             )
         if tenant in self._status:
             raise ValueError(f"tenant {tenant!r} already exists")
+        from weaviate_spark import usage_limits as UL
+
+        UL.check_tenants(len(self._status))  # typed 429 on the cap
         self._status[tenant] = s
 
     def status(self, tenant: str) -> str:
@@ -777,6 +802,7 @@ def insert_batch_with_report(
     the reference's batch PUT) under the optimistic-concurrency
     transaction. The report is computed with one window over the batch
     — no driver-side loop; the batch can be arbitrarily large."""
+    _check_object_limit(spark, table_dir, batch_df)
     from pyspark.sql import Window
 
     required_cols = required_cols or []
