@@ -545,10 +545,22 @@ def test_alter_schema_searchable_enforcement(spark, sf_dir):
 
     assert h.query.bm25("scan table", limit=5).count() == 5
     delete_property_index(coll, "text", filterable=False, searchable=True)
+    # EXPLICIT property -> the reference's indexSearchable error
     with pytest.raises(MissingIndexError,
                        match="Is `indexSearchable` option of property "
                              "'text' enabled"):
+        h.query.bm25("scan table", query_properties=["text"], limit=5)
+    # DEFAULT property set (index.go:2239-2258): unsearchable props are
+    # EXCLUDED, and when none remain the WEAVIATE-471 error fires
+    with pytest.raises(ValueError,
+                       match="No properties provided, and no indexed "
+                             "properties found in class"):
         h.query.bm25("scan table", limit=5)
+    # hybrid's keyword leg enforces the same rule (review finding #1:
+    # hybrid used to bypass enforcement entirely)
+    with pytest.raises(MissingIndexError):
+        h.query.hybrid("scan table", vector=None, alpha=0.5,
+                       query_properties=["text"], limit=5)
 
 
 # ---------------------------------------------------------------------------
@@ -635,3 +647,133 @@ def test_usage_limits_inactive_is_free(spark, tmp_path):
     crud.upsert(spark, f"{root}/T.parquet",
                 spark.createDataFrame([(2, "b")], ["k", "v"]), "k")
     assert spark.read.parquet(f"{root}/T.parquet").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (r10 self-review findings)
+
+
+def test_hybrid_and_neighbors_respect_dropped_vector_index(spark, sf_dir):
+    """Review finding: hybrid() and neighbors() bypassed the vector
+    gate — the vector leg of a hybrid and the neighbors route must
+    reject after drop_vector_index, same as near_vector."""
+    from weaviate_spark import client as C
+    from weaviate_spark.schema import (
+        Collection, Property, Registry, VectorIndexDroppedError,
+        drop_vector_index,
+    )
+
+    coll = Collection("embeddings", [
+        Property("vec_id", "int"), Property("label", "int"),
+    ], vector_dim=64)
+    reg = Registry()
+    reg.add(coll)
+    cl = C.connect(spark, sf_dir, registry=reg)
+    h = cl.collections.get("embeddings").with_config(
+        id_col="vec_id", vector_col="embedding")
+    drop_vector_index(coll)
+    with pytest.raises(VectorIndexDroppedError):
+        h.query.hybrid("x", vector=[0.1] * 64, alpha=0.5, limit=3)
+    with pytest.raises(VectorIndexDroppedError):
+        h.query.neighbors(7, limit=3)
+
+
+def test_upsert_partitioned_respects_object_cap(spark, tmp_path):
+    """Review finding: upsert_partitioned lacked the usage-limit
+    chokepoint — the documented path for partitioned tables must
+    enforce the same cap as upsert."""
+    from weaviate_spark import usage_limits as UL
+    from weaviate_spark.sources import crud
+
+    root = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a", "t1"), (2, "b", "t2")], ["k", "v", "p"]
+    ).write.partitionBy("p").parquet(f"{root}/T.parquet")
+    UL.set_usage_limits(UL.LimitConfig(max_objects=2))
+    try:
+        add = spark.createDataFrame([(3, "c", "t1")], ["k", "v", "p"])
+        with pytest.raises(UL.LimitExceededError):
+            crud.upsert_partitioned(spark, f"{root}/T.parquet", add,
+                                    "k", "p")
+    finally:
+        UL.set_usage_limits(None)
+
+
+def test_registry_overwrite_not_blocked_by_collection_cap():
+    """Review finding: replacing an existing collection (a schema
+    update) must not count against the collection cap."""
+    from weaviate_spark import usage_limits as UL
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    UL.set_usage_limits(UL.LimitConfig(max_collections=1))
+    try:
+        reg = Registry()
+        reg.add(Collection("A"))
+        reg.add(Collection("A", [Property("x", "text")]))  # update: OK
+        assert reg.resolve("A").properties
+        with pytest.raises(UL.LimitExceededError):
+            reg.add(Collection("B"))
+    finally:
+        UL.set_usage_limits(None)
+
+
+def test_checkpoint_release_spares_caller_cache(spark):
+    """Review finding: the before/after persistent-RDD diff could
+    capture a caller's lazily-cached frame materializing inside the
+    eager checkpoint job and force-unpersist it. The exact-id capture
+    (LogicalRDD.rdd().id()) must leave the caller's cache alone."""
+    from weaviate_spark.operators.graph import sssp
+
+    caller_cached = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(20)],
+        "src long, dst long, w double",
+    ).cache()  # LAZY: materializes inside sssp's first checkpoint job
+    out = {r["node"]: r["distance"]
+           for r in sssp(caller_cached, iterations=4).collect()}
+    assert out[4] == 4.0
+    # the caller's cache must still be alive and usable
+    assert caller_cached.storageLevel.useMemory
+    assert caller_cached.count() == 20
+    caller_cached.unpersist()
+
+
+def test_graph_expand_hops_zero_is_entries_only(spark, tmp_path):
+    """Review finding: hops=0 was silently coerced to one hop."""
+    import math
+
+    from weaviate_spark.operators.similarity import (
+        graph_expand_topk, invalidate_nn_graphs,
+    )
+
+    rows = []
+    for i in range(48):
+        a = 2 * math.pi * i / 48
+        rows.append((i, [math.cos(a), math.sin(a)] + [0.0] * 6))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    invalidate_nn_graphs()
+    q = rows[5][1]
+    out = graph_expand_topk(spark, d, "embeddings", q, k=3, hops=0,
+                            on_corpus=True)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got and got[0] == 5  # entries-only rescoring still returns
+
+
+def test_lexicon_epoch_independent_of_user_dicts():
+    """Review finding: the ~8 MB lexicon broadcast was keyed on the
+    shared registry epoch, so user-dict registrations forced pointless
+    re-merges and re-broadcasts. The lexicon epoch must move only on
+    lexicon mutations."""
+    from weaviate_spark.functions import text as T
+
+    le0 = T.lexicon_epoch()
+    re0 = T.tokenizer_registry_epoch()
+    T.add_custom_dict("EpochX", None)
+    assert T.tokenizer_registry_epoch() == re0 + 1
+    assert T.lexicon_epoch() == le0          # unchanged
+    T.load_frequency_lexicon(["词典条目\t5"])
+    assert T.lexicon_epoch() == le0 + 1      # lexicon mutation bumps
+    T.clear_runtime_lexicon()
+    assert T.lexicon_epoch() == le0 + 2

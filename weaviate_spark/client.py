@@ -143,15 +143,38 @@ class _Query:
             if spec.near_vector is not None:
                 validate_vector_search(coll, spec.near_vector.target_vector)
             if spec.bm25 is not None:
-                # default property set = every TEXT property (the
-                # reference's all-searchable default); the validator
-                # then rejects any whose searchable index was deleted
-                props = spec.bm25.properties or tuple(
-                    p.name for p in coll.properties
-                    if p.data_type in ("text", "text[]",
-                                       "string", "string[]"))
-                validate_search_properties(coll, props)
+                self._validate_keyword_props(coll, spec.bm25.properties)
+            if spec.hybrid is not None:
+                # both legs of a hybrid enforce their index flags: the
+                # vector leg (alpha > 0 = a vector leg exists) like
+                # near_vector — checked first, it is the structural
+                # gate — then the keyword leg like bm25 (skipped for an
+                # empty query, which has no keyword leg at all)
+                if spec.hybrid.alpha > 0:
+                    validate_vector_search(coll)
+                if spec.hybrid.query:
+                    self._validate_keyword_props(coll,
+                                                 spec.hybrid.properties)
         return compile_get(self._h._spark, self._h._root, spec)
+
+    @staticmethod
+    def _validate_keyword_props(coll, properties) -> None:
+        """Keyword-leg property validation, reference semantics
+        (index.go:2239-2258): EXPLICIT properties are validated
+        strictly (a deleted searchable index errors); with NO
+        properties the default set is every property that still HAS a
+        searchable index — unsearchable ones are excluded, not errors —
+        and an empty default set reproduces the reference's
+        WEAVIATE-471 error."""
+        from weaviate_spark.schema import validate_search_properties
+
+        if properties:
+            validate_search_properties(coll, properties)
+            return
+        if not any(p.searchable() for p in coll.properties):
+            raise ValueError(
+                "No properties provided, and no indexed properties "
+                "found in class")
 
     def _base(self, filters, limit, offset, after, sort, select) -> GetSpec:
         sort_keys = [
@@ -193,16 +216,28 @@ class _Query:
         # same id/vector column defaults as every compile_get-routed
         # sibling method (extra overrides, else _id / embedding)
         self._h._check(auth.READ)
-        coll = self._h._schema()
-        if coll is not None:
-            from weaviate_spark.schema import validate_vector_search
-            validate_vector_search(coll)
+        self._validate_vector_route()
         return _near_object(self._h._spark, self._h._root, NearVectorSpec(
             collection=self._h._table, vector=[], limit=limit,
             where=filters,
             id_col=self._h._extra.get("id_col", "_id"),
             vector_col=self._h._extra.get("vector_col", "embedding"),
         ), near_object)
+
+    def _validate_vector_route(self) -> None:
+        """Vector-index gate for the non-compile_get vector routes
+        (near_object / neighbors). When the handle's vector_col names a
+        NAMED vector space, the gate checks that space's index type;
+        otherwise the default space — so dropping one named index
+        neither blocks the others nor goes unenforced."""
+        coll = self._h._schema()
+        if coll is None:
+            return
+        from weaviate_spark.schema import validate_vector_search
+
+        vcol = self._h._extra.get("vector_col")
+        name = vcol if vcol in coll.named_vectors else None
+        validate_vector_search(coll, name)
 
     def neighbors(self, object_id, limit: int = 10,
                   graph_k: int = 5, rounds: int = 1) -> DataFrame:
@@ -219,6 +254,7 @@ class _Query:
         from weaviate_spark.sources.tables import load_table
 
         self._h._check(auth.READ)
+        self._validate_vector_route()
         id_col = self._h._extra.get("id_col", "_id")
         vector_col = self._h._extra.get("vector_col", "embedding")
         row = (

@@ -529,7 +529,11 @@ _RUNTIME_MAX_WORD: int = 0
 # classpath by tools/extract_icu_cjdict.py and committed as a data
 # file — the out-of-box analogue of the reference loading its full
 # gse/kagome dictionaries at startup (tokenizer.go:414-485). Loaded
-# lazily on first active_cjk_lexicon() call. The sibling denylist
+# lazily on first active_cjk_lexicon() call. Coverage note: cjdict is
+# Chinese+Japanese; Korean stays on the curated embedded lexicon (the
+# reference's kagome_kr mecab-ko dictionary is likewise a runtime
+# download, unavailable in this offline environment — load one via
+# load_frequency_lexicon when available). The sibling denylist
 # holds the few entries whose GREEDY longest-match contradicts the
 # reference's lattice segmentation on its own ported fixtures
 # (tokenizer_test.go) — the reference's kagome/gse pick tokens by
@@ -581,7 +585,7 @@ def active_cjk_lexicon() -> frozenset:
     does not travel to executor processes."""
     global _MERGED_CACHE
     _ensure_default_lexicon()
-    ep = tokenizer_registry_epoch()
+    ep = lexicon_epoch()
     if _MERGED_CACHE is None or _MERGED_CACHE[0] != ep:
         merged = CJK_MINI_LEXICON | _DEFAULT_LEXICON
         if _RUNTIME_LEXICON:
@@ -611,7 +615,7 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
     Plans built BEFORE this call keep the lexicon they snapshotted
     (see _REGISTRY_EPOCH); rebuild plans to pick up new words."""
     global _RUNTIME_MAX_WORD
-    _bump_registry_epoch()
+    _bump_registry_epoch(lexicon=True)
     if isinstance(source, str):
         opener = gzip.open if source.endswith(".gz") else open
         with opener(source, "rt", encoding="utf-8") as fh:
@@ -641,7 +645,7 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
 
 def clear_runtime_lexicon() -> None:
     global _RUNTIME_MAX_WORD
-    _bump_registry_epoch()
+    _bump_registry_epoch(lexicon=True)
     _RUNTIME_LEXICON.clear()
     _RUNTIME_MAX_WORD = 0
 
@@ -830,9 +834,23 @@ def tokenizer_registry_epoch() -> int:
     return _REGISTRY_EPOCH
 
 
-def _bump_registry_epoch() -> None:
-    global _REGISTRY_EPOCH
+# Lexicon-only epoch: bumped ONLY by runtime-lexicon mutations, NOT by
+# user-dict registrations — the ~300k-word lexicon broadcast and the
+# merged-snapshot cache key on THIS value, so registering a per-class
+# user dictionary (which never changes the CJK lexicon) cannot force a
+# re-merge and a fresh ~8 MB broadcast.
+_LEXICON_EPOCH = 0
+
+
+def lexicon_epoch() -> int:
+    return _LEXICON_EPOCH
+
+
+def _bump_registry_epoch(lexicon: bool = False) -> None:
+    global _REGISTRY_EPOCH, _LEXICON_EPOCH
     _REGISTRY_EPOCH += 1
+    if lexicon:
+        _LEXICON_EPOCH += 1
 
 
 def add_custom_dict(class_name: str, configs=None) -> None:

@@ -81,10 +81,10 @@ _CJK_LEX_BROADCASTS: dict = {}
 def _cjk_lexicon_broadcast(spark):
     from weaviate_spark.cache import session_key
     from weaviate_spark.functions.text import (
-        active_cjk_lexicon, active_cjk_max_word, tokenizer_registry_epoch,
+        active_cjk_lexicon, active_cjk_max_word, lexicon_epoch,
     )
 
-    key = (session_key(spark), tokenizer_registry_epoch())
+    key = (session_key(spark), lexicon_epoch())
     bc = _CJK_LEX_BROADCASTS.get(key)
     if bc is None:
         bc = spark.sparkContext.broadcast(

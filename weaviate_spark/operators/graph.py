@@ -48,12 +48,24 @@ def _eager_local_checkpoint(df: DataFrame, storage_level=None) -> DataFrame:
     cacheManager, which never registered the checkpoint RDD — storage
     still shows the blocks afterwards), so block release must go
     through the JVM-level ``JavaRDD.unpersist`` on the checkpoint RDD
-    itself."""
+    itself.
+
+    The id is read off the checkpointed Dataset's analyzed plan (a
+    LogicalRDD wrapping exactly the checkpoint RDD) — NOT a
+    before/after diff of the persistent-RDD set, which would also
+    capture a caller's lazily-cached upstream frame materializing
+    inside the same eager job and later force-unpersist a cache the
+    caller still owns."""
     spark = df.sparkSession
     before = _persistent_rdd_ids(spark)
     ck = (df.localCheckpoint(eager=True) if storage_level is None
           else df.localCheckpoint(eager=True, storageLevel=storage_level))
-    ck._ckpt_rdd_ids = _persistent_rdd_ids(spark) - before
+    try:
+        ck._ckpt_rdd_ids = {int(
+            ck._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        # fallback: the diff (over-approximate, but never empty)
+        ck._ckpt_rdd_ids = _persistent_rdd_ids(spark) - before
     return ck
 
 

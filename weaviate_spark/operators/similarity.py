@@ -1089,6 +1089,17 @@ def graph_expand_topk(
         .select(id_col).collect()
     )
     entry_ids = [r[0] for r in entry_rows]
+    if int(hops) < 1:
+        cand_ids = sorted(set(entry_ids))
+        return (
+            base.where(F.col(id_col).isin(cand_ids))
+            .withColumn("_distance",
+                        F.round(distance(F.col(vector_col), qcol,
+                                         "cosine"), 6))
+            .select(id_col, "_distance")
+            .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
     graph = nn_descent_graph(
         spark, sf_dir, collection, k=graph_k, rounds=rounds,
         id_col=id_col, vector_col=vector_col, num_planes=num_planes,
@@ -1096,7 +1107,9 @@ def graph_expand_topk(
     )
     all_ids = set(entry_ids)
     frontier = list(entry_ids)
-    for _ in range(max(1, int(hops))):
+    # hops=0 = entries-only rescoring (no graph expansion), honoring
+    # the documented contract instead of silently coercing to one hop
+    for _ in range(max(0, int(hops))):
         if not frontier:
             break
         nbrs = {

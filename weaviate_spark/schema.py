@@ -326,7 +326,13 @@ class Registry:
     def add(self, coll: Collection, namespace: str = "") -> None:
         from weaviate_spark import usage_limits as UL
 
-        UL.check_collections(len(self._collections))  # schema-side cap
+        key = (qualified_name(namespace, coll.name) if namespace
+               else coll.name)
+        if key not in self._collections:
+            # the cap counts NEW collections only — replacing an
+            # existing one (a schema update) never grows the count and
+            # must not be blocked by it
+            UL.check_collections(len(self._collections))
         if namespace:
             if namespace not in self._namespaces:
                 raise KeyError(f"unknown namespace {namespace!r}")

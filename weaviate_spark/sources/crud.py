@@ -423,6 +423,7 @@ def upsert_partitioned(
     the old partitions into the rewrite set, so the merge stays correct.
     Callers whose keys are partition-stable (the common append/update
     pattern) can pass ``check_moves=False`` to skip the scan."""
+    _check_object_limit(spark, table_dir, new_rows)
     base_version = table_version(table_dir)
     parts = sorted(
         r[0] for r in new_rows.select(partition_col).distinct().collect()

@@ -179,13 +179,24 @@ def _release_slot(backend_root: str, export_id: str) -> None:
     analogue the reference's Prepare CAS uses (participant.go:154):
     `If-None-Match: *` on reserve and `If-Match: <etag>` on release (or
     a DynamoDB/Firestore conditional delete). The same applies to
-    crud.py's OCC claim markers."""
+    crud.py's OCC claim markers.
+
+    The check-then-delete is made ATOMIC with an exclusive flock on the
+    slot file itself: two concurrent releasers (cancel + the running
+    create's finally) serialize on the lock, so both can never read the
+    same holder and double-delete across an interleaved new
+    reservation — the second one in observes either the deletion
+    (FileNotFoundError) or the new owner's id (no-op)."""
+    import fcntl
+
     path = _slot_path(backend_root)
     try:
         with open(path, encoding="utf-8") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
             holder = fh.read().strip()
-        if holder == export_id:
-            os.remove(path)
+            if holder == export_id:
+                os.remove(path)
+            fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
     except FileNotFoundError:
         pass
 
@@ -270,7 +281,10 @@ def export_create(
         meta["status"] = FAILED
         meta["error"] = str(ex)[:300]
         meta["completedAt"] = _now()
-        _write_meta(backend_root, export_id, meta)
+        # terminal-preserving: export_cancel may have marked CANCELED
+        # while the failing class was mid-snapshot — FAILED must not
+        # overwrite a terminal status already on disk
+        _write_progress(backend_root, export_id, meta)
         raise
     finally:
         _release_slot(backend_root, export_id)
