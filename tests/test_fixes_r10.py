@@ -777,3 +777,40 @@ def test_lexicon_epoch_independent_of_user_dicts():
     assert T.lexicon_epoch() == le0 + 1      # lexicon mutation bumps
     T.clear_runtime_lexicon()
     assert T.lexicon_epoch() == le0 + 2
+
+
+# ---------------------------------------------------------------------------
+# CRUD claim crash recovery (r10 — the OCC analogue of the export slot
+# recovery the verdict asked for)
+
+
+def test_recover_orphaned_claims(spark, tmp_path):
+    """A writer hard-killed between claim and commit leaves an
+    orphaned .claim marker that blocks every future write on that
+    version with ConcurrentWriteError; recover_orphaned_claims removes
+    exactly the claims without commits (never a committed version's
+    markers) and writes proceed."""
+    from weaviate_spark.sources import crud
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(path)
+    crud.upsert(spark, path,
+                spark.createDataFrame([(2, "b")], ["k", "v"]), "k")
+    v = crud.table_version(path)
+    assert v == 1
+
+    # simulate the crash: claim v+1, never commit
+    crud._claim_version(path, v, staging="/nonexistent-staging")
+    with pytest.raises(crud.ConcurrentWriteError, match="claimed"):
+        crud.upsert(spark, path,
+                    spark.createDataFrame([(3, "c")], ["k", "v"]), "k")
+
+    recovered = crud.recover_orphaned_claims(path)
+    assert recovered == [v + 1]
+    # committed versions' markers are untouched; version unchanged
+    assert crud.table_version(path) == v
+
+    crud.upsert(spark, path,
+                spark.createDataFrame([(3, "c")], ["k", "v"]), "k")
+    assert crud.table_version(path) == v + 1
+    assert spark.read.parquet(path).count() == 3
