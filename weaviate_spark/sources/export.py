@@ -193,6 +193,15 @@ def _release_slot(backend_root: str, export_id: str) -> None:
     try:
         with open(path, encoding="utf-8") as fh:
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            try:
+                # the opened inode may already be UNLINKED by the other
+                # releaser (its content would still read as ours) — only
+                # remove when the path still refers to THIS inode, so a
+                # new reservation created in between is never deleted
+                if os.stat(path).st_ino != os.fstat(fh.fileno()).st_ino:
+                    return
+            except FileNotFoundError:
+                return
             holder = fh.read().strip()
             if holder == export_id:
                 os.remove(path)
