@@ -1,22 +1,25 @@
-"""Round-10 regression pins (VERDICT r09 asks / ADVICE r09):
+"""Round-10 regression pins.
 
-1. Export slot release is OWNER-CHECKED: cancel racing a live create
-   can no longer free a slot a newer export has since reserved, and
-   the skip-loop's progress writes never regress a terminal status.
-2. Export crash recovery: a hard-killed export (orphaned slot file +
-   non-terminal metadata) is recoverable via export_cancel — the
-   documented un-wedge path.
-3. graph.py releases checkpointed generations through the JVM
-   (Dataset.unpersist() is a no-op on localCheckpointed frames);
-   sssp/kcore_peel hold O(1) generations, not O(rounds).
-4. duplicated_substring_pairs' library default is exact
-   (max_docs_per_fingerprint=None), matching jaccard_link_prediction.
-5. q_text_userdict_tokens leaves the driver-global dict registry
-   untouched after building its plan.
-6. sq_trained_bounds: cache key includes sample_cap; clip_quantile
-   outside [0, 0.5) raises instead of silently degrading.
-7. Tokenizer registries are version-stamped; snapshot semantics of
-   already-built plans are pinned as DOCUMENTED behavior.
+VERDICT r09 asks / ADVICE r09 (sections 1-7 below): export slot
+owner-checked release + crash recovery + terminal-status preservation;
+real (JVM-level) checkpoint release in sssp/kcore; exact library
+defaults for substring dedup; userdict query hygiene; SQ bounds cache
+key + validation; tokenizer registry epoch with documented
+plan-snapshot semantics; bench contention-sentinel shape.
+
+Round-10 features: graph-expand probe radius + hops; wildcard-
+preserving LIKE pattern tokenization (multi-term AND); the
+change-tokenization migration lifecycle (FINALIZING-window overlay);
+alter-schema index enforcement (delete property index, drop vector
+index, 'none' sentinel); usage limits (per-namespace object caps,
+collection/tenant caps, runtime overrides); hybrid+MMR diversity
+balance invariants.
+
+Self-review regressions: hybrid/neighbors vector+searchable gates,
+reference-faithful default BM25 property set, upsert_partitioned cap,
+registry-overwrite cap exemption, exact-id checkpoint capture sparing
+caller caches, hops=0 entries-only, lexicon-only broadcast epoch, and
+the COW transaction log's orphaned-claim recovery.
 """
 from __future__ import annotations
 
