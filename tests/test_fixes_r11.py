@@ -1,0 +1,197 @@
+"""Round-11 regression pins for the r10 ADVICE findings.
+
+1. Boost-suffixed query properties ('text^2') hit the same
+   searchable-index gate as the bare name (client.py).
+2. Export final SUCCESS write is terminal-preserving: a cancel landing
+   after the last per-class check is not overwritten (export.py).
+3. usage_limits.local_object_count surfaces unreadable tables instead
+   of silently undercounting (usage_limits.py).
+4. validate_where_indexed walks NESTED property definitions and gates
+   IsNull on the indexNullState analogue (schema.py).
+5. _release_slot serializes on a dedicated never-unlinked .lock path —
+   no stale-inode window (export.py).
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1. boost-suffix property validation (ADVICE r10 #1, medium)
+
+
+def test_boost_suffix_hits_searchable_gate(spark, sf_dir):
+    """'text^2' (the documented prop^boost format) must be validated as
+    'text': a deleted searchable index rejects the boosted form too."""
+    from weaviate_spark import client as C
+    from weaviate_spark.schema import (
+        Collection, MissingIndexError, Property, Registry,
+        delete_property_index,
+    )
+
+    coll = Collection("documents", [
+        Property("doc_id", "int"),
+        Property("text", "text"),
+    ])
+    reg = Registry()
+    reg.add(coll)
+    cl = C.connect(spark, sf_dir, registry=reg)
+    h = cl.collections.get("documents").with_config(id_col="doc_id")
+
+    # boosted form works while the index exists
+    assert h.query.bm25("scan table", query_properties=["text^2"],
+                        limit=5).count() == 5
+    delete_property_index(coll, "text", filterable=False, searchable=True)
+    with pytest.raises(MissingIndexError,
+                       match="Is `indexSearchable` option of property "
+                             "'text' enabled"):
+        h.query.bm25("scan table", query_properties=["text^2"], limit=5)
+    # hybrid keyword leg takes the same path
+    with pytest.raises(MissingIndexError):
+        h.query.hybrid("scan table", vector=None, alpha=0.5,
+                       query_properties=["text^2"], limit=5)
+
+
+# ---------------------------------------------------------------------------
+# 2. export final-SUCCESS write preserves a terminal CANCELED
+#    (ADVICE r10 #2, low)
+
+
+def test_export_success_does_not_overwrite_cancel(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """A cancel that lands AFTER the last per-class _CANCEL check (so
+    the scan loop completes normally) must still win: the final status
+    write routes through the terminal-preserving _write_progress."""
+    from weaviate_spark.sources import export as ex
+
+    backend = str(tmp_path / "backend")
+    real_snapshot = ex._snapshot_export
+    state = {"cancelled": False}
+
+    def snapshot_then_cancel(spark_, sfd, name, dst):
+        real_snapshot(spark_, sfd, name, dst)
+        if not state["cancelled"]:
+            # cancel lands mid-final-class: after this, the loop sees
+            # no more _CANCEL checks before writing the terminal status
+            state["cancelled"] = True
+            ex.export_cancel(backend, "exp-race")
+
+    monkeypatch.setattr(ex, "_snapshot_export", snapshot_then_cancel)
+    meta = ex.export_create(spark, "exp-race", sf_dir, backend,
+                            include=["region"])
+    assert meta["status"] == ex.CANCELED
+    on_disk = ex.read_metadata(backend, "exp-race")
+    assert on_disk["status"] == ex.CANCELED
+    # artifacts written before the cancel are kept (scheduler.go:314-317)
+    assert spark.read.parquet(
+        os.path.join(backend, "exp-race", "region")).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# 3. unreadable tables are surfaced, not silently skipped
+#    (ADVICE r10 #3, low)
+
+
+def test_object_count_surfaces_unreadable_table(spark, sf_dir, tmp_path):
+    from weaviate_spark.usage_limits import local_object_count
+
+    root = tmp_path / "root"
+    root.mkdir()
+    # one good table, one corrupt one
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")) \
+        .write.mode("overwrite").parquet(str(root / "region.parquet"))
+    (root / "broken.parquet").write_bytes(b"not a parquet footer")
+
+    with pytest.warns(RuntimeWarning, match="table 'broken' unreadable"):
+        n = local_object_count(spark, str(root))
+    assert n == 5  # the readable table still counts
+    with pytest.raises(RuntimeError, match="cannot count table 'broken'"):
+        local_object_count(spark, str(root), strict=True)
+
+
+# ---------------------------------------------------------------------------
+# 4. nested filterable walk + IsNull null-state gate (ADVICE r10 #4, low)
+
+
+def test_validate_where_indexed_nested_and_isnull():
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.schema import (
+        Collection, MissingIndexError, Property,
+    )
+
+    coll = Collection("people", [
+        Property("profile", "object", nested=[
+            Property("geo", "object", nested=[
+                Property("nat", "text", index_filterable=False),
+                Property("city", "text"),
+            ]),
+        ]),
+        Property("name", "text"),
+    ])
+    from weaviate_spark.schema import validate_where_indexed
+
+    # deep nested property without indexFilterable -> reference error
+    # (searcher_nested.go gates each nested property on its own flag)
+    with pytest.raises(MissingIndexError,
+                       match="Is `indexFilterable` option of property "
+                             "'nat' enabled"):
+        validate_where_indexed(coll, Clause(
+            operator="Equal", path=["profile", "geo", "nat"], value="x"))
+    # sibling nested property with the flag on passes
+    validate_where_indexed(coll, Clause(
+        operator="Equal", path=["profile", "geo", "city"], value="x"))
+    # unmodeled segments are left to the compiler (no false rejection)
+    validate_where_indexed(coll, Clause(
+        operator="Equal", path=["profile", "unmodeled", "leaf"], value=1))
+
+    # IsNull gate: indexNullState off -> typed error, on -> passes
+    isnull = Clause(operator="IsNull", path=["name"], value=True)
+    validate_where_indexed(coll, isnull)
+    coll.index_null_state = False
+    with pytest.raises(MissingIndexError, match="indexNullState"):
+        validate_where_indexed(coll, isnull)
+    # ...including nested inside a boolean tree
+    coll2 = Collection("c2", [Property("name", "text")])
+    coll2.index_null_state = False
+    tree = Clause(operator="And", operands=[
+        Clause(operator="Equal", path=["name"], value="a"),
+        Clause(operator="IsNull", path=["name"], value=False),
+    ])
+    with pytest.raises(MissingIndexError, match="indexNullState"):
+        validate_where_indexed(coll2, tree)
+
+
+# ---------------------------------------------------------------------------
+# 5. slot release on a dedicated never-unlinked lock path
+#    (ADVICE r10 #5, low)
+
+
+def test_release_slot_dedicated_lock_path(tmp_path):
+    """The releaser locks <slot>.lock (never unlinked) and re-reads the
+    slot path fresh under the lock — an interleaved new reservation is
+    never deleted, and repeated reserve/release cycles keep working."""
+    from weaviate_spark.sources import export as ex
+
+    backend = str(tmp_path / "b")
+    slot = ex._slot_path(backend)
+
+    ex._reserve_slot(backend, "A")
+    ex._release_slot(backend, "B")          # wrong owner: no-op
+    assert os.path.exists(slot)
+    ex._release_slot(backend, "A")          # owner: released
+    assert not os.path.exists(slot)
+    assert os.path.exists(slot + ".lock")   # lock path persists
+
+    # stale releaser after a NEW reservation reuses the slot file:
+    # fresh-open-under-lock reads the new owner, never deletes it
+    ex._reserve_slot(backend, "C")
+    ex._release_slot(backend, "A")
+    assert os.path.exists(slot)
+    with open(slot) as fh:
+        assert fh.read().strip() == "C"
+    ex._release_slot(backend, "C")
+    assert not os.path.exists(slot)
+    # releasing against a missing backend_root is a silent no-op
+    ex._release_slot(str(tmp_path / "nope"), "X")

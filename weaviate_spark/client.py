@@ -169,7 +169,12 @@ class _Query:
         from weaviate_spark.schema import validate_search_properties
 
         if properties:
-            validate_search_properties(coll, properties)
+            # properties may carry the documented 'prop^boost' suffix
+            # (parsed later in plans/compile.py); validate the bare
+            # property name so 'text^2' hits the same searchable-index
+            # gate as 'text' instead of KeyError-skipping it.
+            validate_search_properties(
+                coll, [p.partition("^")[0] for p in properties])
             return
         if not any(p.searchable() for p in coll.properties):
             raise ValueError(

@@ -132,6 +132,12 @@ class Collection:
     # set through drop_vector_index(), never directly
     vector_index_type: str = "hnsw"
     named_vector_index_types: dict[str, str] = field(default_factory=dict)
+    # invertedIndexConfig.IndexNullState analogue (inverted/config_update
+    # .go:64 — immutable after creation in the reference). Parquet
+    # records nulls natively so the "index" costs nothing here; we
+    # default it ON and keep the flag purely as the reference's
+    # query-path gate: IsNull filters error when it is off.
+    index_null_state: bool = True
 
     def spark_schema(self, with_reserved: bool = True) -> T.StructType:
         fields = [T.StructField(p.name, p.spark_type()) for p in self.properties]
@@ -476,22 +482,39 @@ def validate_vector_search(coll: Collection, name: str | None = None) -> None:
 def validate_where_indexed(coll: Collection, clause) -> None:
     """Filter-path gate (searcher.go:915-919 →
     NewMissingFilterableIndexError): every property referenced by the
-    where tree must have indexFilterable. Properties not in the schema
-    (reserved columns, len() pseudo-paths) are left to the compiler's
-    own resolution errors."""
+    where tree must have indexFilterable — including NESTED properties
+    when the schema models them (searcher_nested.go gates each nested
+    property on its own filterable flag, not the top-level object's).
+    Path segments not modeled in the schema (reserved columns, len()
+    pseudo-paths, ref hops) are left to the compiler's own resolution
+    errors.
+
+    IsNull additionally requires the collection-level null-state index
+    (invertedIndexConfig.IndexNullState, shard_write_inverted_lsm.go:49
+    — null hits are only recorded when the flag is on, so an IsNull
+    filter without it cannot be served)."""
     if clause is None:
         return
     for c in clause.operands or ():
         validate_where_indexed(coll, c)
     if not clause.path:
         return
-    head = clause.path[0]
-    try:
-        prop = coll.property(head)
-    except KeyError:
-        return
-    if not prop.index_filterable:
-        raise MissingIndexError(_MISSING_FILTERABLE_FMT.format(p=head))
+    if clause.operator == "IsNull" and not coll.index_null_state:
+        raise MissingIndexError(
+            f"class {coll.name!r}: IsNull filter on "
+            f"{'.'.join(clause.path)!r} requires "
+            "invertedIndexConfig.indexNullState; the null-state index "
+            "is disabled for this collection")
+    # walk the modeled Property chain along the full path; stop at the
+    # first segment the schema doesn't model (compiler handles those)
+    props = coll.properties
+    for seg in clause.path:
+        prop = next((p for p in props if p.name == seg), None)
+        if prop is None:
+            return
+        if not prop.index_filterable:
+            raise MissingIndexError(_MISSING_FILTERABLE_FMT.format(p=seg))
+        props = prop.nested
 
 
 def validate_search_properties(coll: Collection, prop_names) -> None:

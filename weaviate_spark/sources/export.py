@@ -181,33 +181,36 @@ def _release_slot(backend_root: str, export_id: str) -> None:
     a DynamoDB/Firestore conditional delete). The same applies to
     crud.py's OCC claim markers.
 
-    The check-then-delete is made ATOMIC with an exclusive flock on the
-    slot file itself: two concurrent releasers (cancel + the running
-    create's finally) serialize on the lock, so both can never read the
-    same holder and double-delete across an interleaved new
-    reservation — the second one in observes either the deletion
-    (FileNotFoundError) or the new owner's id (no-op)."""
+    The check-then-delete is made ATOMIC with an exclusive flock on a
+    DEDICATED lock file (``<slot>.lock``) that is created once and
+    never unlinked. Locking the slot file itself was subtly unsound:
+    the flock lives on the opened *inode*, so if that inode was already
+    unlinked and its inode number immediately reused by a new
+    reservation, an ``st_ino`` equality check could pass while the fd
+    still read the stale holder id — deleting the new export's slot.
+    With a never-unlinked lock path there is no inode churn to race:
+    all releasers serialize on the same lock, and the holder is read
+    via a FRESH open of the slot path under that lock, so the value
+    read is always the current path's content."""
     import fcntl
 
+    lock_path = _slot_path(backend_root) + ".lock"
     path = _slot_path(backend_root)
     try:
-        with open(path, encoding="utf-8") as fh:
-            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
-            try:
-                # the opened inode may already be UNLINKED by the other
-                # releaser (its content would still read as ours) — only
-                # remove when the path still refers to THIS inode, so a
-                # new reservation created in between is never deleted
-                if os.stat(path).st_ino != os.fstat(fh.fileno()).st_ino:
-                    return
-            except FileNotFoundError:
-                return
-            holder = fh.read().strip()
-            if holder == export_id:
-                os.remove(path)
-            fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     except FileNotFoundError:
-        pass
+        return  # backend_root itself is gone — nothing to release
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        try:
+            with open(path, encoding="utf-8") as fh:
+                holder = fh.read().strip()
+        except FileNotFoundError:
+            return
+        if holder == export_id:
+            os.remove(path)
+    finally:
+        os.close(lock_fd)  # releases the flock
 
 
 def export_create(
@@ -285,7 +288,10 @@ def export_create(
         else:
             meta["status"] = SUCCESS
         meta["completedAt"] = _now()
-        _write_meta(backend_root, export_id, meta)
+        # terminal-preserving like the FAILED branch: a cancel landing
+        # after the last per-class _CANCEL check must not be overwritten
+        # by SUCCESS (export_cancel already wrote CANCELED to disk)
+        _write_progress(backend_root, export_id, meta)
     except Exception as ex:
         meta["status"] = FAILED
         meta["error"] = str(ex)[:300]

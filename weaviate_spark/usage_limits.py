@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Callable, Optional, Union
 
@@ -111,12 +112,20 @@ def _namespace_of(class_name: str) -> str:
     return namespace_from_qualified(class_name)
 
 
-def local_object_count(spark, root: str, namespace: str = "") -> int:
+def local_object_count(spark, root: str, namespace: str = "",
+                       strict: bool = False) -> int:
     """ObjectCounter.LocalObjectCount: sum object counts across the
     tables under ``root`` — scoped to one namespace when given, all
     tables otherwise. Parquet row counts come from footer metadata
     (a count() over a parquet scan never reads data pages), the batch
-    analogue of the reference's async per-shard counters."""
+    analogue of the reference's async per-shard counters.
+
+    Layout contract (shared with crud._check_object_limit): a table is
+    a ``root/<name>.parquet`` directory/file — anything else under
+    ``root`` is not a table and is not counted. An UNREADABLE table is
+    surfaced: warn-and-skip by default (a corrupt table must not wedge
+    every write), raise with ``strict=True`` — silently treating it as
+    0 rows would admit writes past the cap with no signal."""
     total = 0
     for p in glob.glob(os.path.join(root, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
@@ -125,7 +134,15 @@ def local_object_count(spark, root: str, namespace: str = "") -> int:
             continue
         try:
             total += spark.read.parquet(p).count()
-        except Exception:
+        except Exception as ex:
+            if strict:
+                raise RuntimeError(
+                    f"cannot count table {name!r} for the object "
+                    f"limit: {ex}") from ex
+            warnings.warn(
+                f"usage_limits: table {name!r} unreadable, excluded "
+                f"from object count ({type(ex).__name__}: "
+                f"{str(ex)[:120]})", RuntimeWarning, stacklevel=2)
             continue
     return total
 
