@@ -246,9 +246,10 @@ def test_tokenized_like(spark):
 
 
 def test_cjk_dict_segmentation(spark):
-    """gse_dict: forward maximum matching against the embedded lexicon;
-    longest word wins, OOV falls back to single codepoints; column and
-    python paths agree."""
+    """gse_dict: frequency-weighted DAG shortest-path segmentation
+    (r11; gse's segmenter / ICU CjkBreakEngine over the shipped cjdict
+    costs); OOV falls back to single codepoints; column and python
+    paths agree."""
     from weaviate_spark.functions.text import (
         segment_cjk_py, tokenize, tokenize_py,
     )
@@ -291,8 +292,13 @@ def test_reference_tokenizer_fixtures_r07():
         "山のあなたに小さな村が見える\n\t川の音が静かに耳に届く\n\t"
         "風が木々を通り抜ける音\n\t星空の下、すべてが平和である"
     )
+    # 春の: one token (r11 lattice) — ICU cjdict carries 春の as a
+    # lexeme and the reference's own gse emits it too
+    # (tokenizer_test.go:88 token list starts 春の/夜/の/夢); only
+    # kagome's IPAdic connection costs split 春/の. Dictionary-content
+    # divergence, documented in tools/check_cjk_fixtures.py.
     expected = [t for t in [
-        "春", "の", "夜", "の", "夢", "は", "うつつ", "より", "も",
+        "春の", "夜", "の", "夢", "は", "うつつ", "より", "も",
         "かなしき", "\n\t",
         "夏", "の", "夜", "の", "夢", "は", "うつつ", "に", "似", "たり",
         "\n\t",
@@ -395,8 +401,9 @@ def test_default_icu_lexicon_breadth_and_segmentation():
     dictionaries at startup (entities/tokenizer/tokenizer.go:414-485).
     Pins: breadth >= 50k out of the box (r09 verdict ask #1), real
     vocabulary far beyond the embedded mini lexicon segments as words,
-    and the FMM fixture denylist is applied (たい must not greedily
-    re-segment the hiragana fox fixture)."""
+    and the r11 lattice needs NO denylist: たい/しま are real cjdict
+    entries present in the active table, and the shortest path rejects
+    them inside the pinned fixtures by cost, not by exclusion."""
     from weaviate_spark.functions.text import (
         CJK_MINI_LEXICON, active_cjk_lexicon, tokenize_py,
     )
@@ -411,10 +418,15 @@ def test_default_icu_lexicon_breadth_and_segmentation():
         "大学院", "の", "研究所", "へ"]
     assert tokenize_py("新幹線で行く", "kagome_ja") == [
         "新幹線", "で", "行く"]
-    # denylist active: たい is a real word (ICU has it) but greedy FMM
-    # would cross the reference's pinned なまけ|た|いぬ boundary
-    assert "たい" not in lex
-    assert "しま" not in lex
+    # r11: the former denylist entries are IN the lexicon (with their
+    # ICU costs) — the lattice rejects the crossing by path cost
+    assert "たい" in lex and "しま" in lex
+    assert tokenize_py(
+        "すばやいちゃいろのきつねがなまけたいぬをとびこえた", "kagome_ja"
+    ) == ["すばやい", "ちゃ", "いろ", "の", "きつね", "が", "なまけ",
+          "た", "いぬ", "を", "とびこえ", "た"]
+    assert tokenize_py("私たちは東京で勉強します", "kagome_ja") == [
+        "私たち", "は", "東京", "で", "勉強", "し", "ます"]
 
 
 def test_reference_duplicate_count_fixture_r10():
@@ -478,3 +490,42 @@ def test_gse_all_search_mode():
     # latin passthrough stays word-run (documented divergence from the
     # reference's per-char Latin in gse mode)
     assert tokenize_py("plain english", "gse_all") == ["plain", "english"]
+
+
+def test_cjk_lattice_segmentation_r11():
+    """r11: gse-style frequency-weighted DAG shortest path over the
+    shipped ICU snlp costs (smaller = more frequent), replacing greedy
+    FMM + its fixture denylist. Pins the three mechanisms:
+
+    * cost signal — a real dictionary word (しま, けた, たい) that
+      greedy FMM would grab is rejected when the split path is
+      cheaper: 勉強します -> 勉強/し/ます;
+    * FMM degeneration — a bare word SET (no costs) makes every word
+      cost USER_WORD_COST, so ties resolve leftmost-longest and the
+      output equals classic forward maximum matching;
+    * spaced-KR ports (tokenizer_test.go:117,126) — the reference pins
+      identical output for spaced and unspaced forms.
+    """
+    from weaviate_spark.functions.text import (
+        USER_WORD_COST, active_cjk_costs, segment_cjk_py, tokenize_py,
+    )
+
+    costs = active_cjk_costs()
+    # the cost table is the real ICU scale: の is the most frequent
+    assert costs["の"] == 27 and costs["しま"] > costs["の"]
+    # embedded/user words take the strongest prior
+    assert costs["机器学习"] == USER_WORD_COST
+
+    assert segment_cjk_py("勉強します") == ["勉強", "し", "ます"]
+    assert segment_cjk_py("なまけたいぬ") == ["なまけ", "た", "いぬ"]
+
+    # uniform-cost degeneration: identical to FMM over the same set
+    lex = {"机器", "机器学习", "学习"}
+    assert segment_cjk_py("机器学习", lex) == ["机器学习"]
+    assert segment_cjk_py("机器学好", lex) == ["机器", "学", "好"]
+
+    # spaced kagome_kr fixtures: same tokens as the unspaced pins
+    assert tokenize_py("아버지가 방에 들어가신다", "kagome_kr") == [
+        "아버지", "가", "방", "에", "들어가", "신다"]
+    assert tokenize_py("한국어를 처리하는 예시입니다", "kagome_kr") == [
+        "한국어", "를", "처리", "하", "는", "예시", "입니다"]

@@ -20,8 +20,10 @@ enumerates the trie:
   re-implement the node format, we hand the char sequence to the JVM
   (ICU4J is already on Spark's classpath) and enumerate with the
   PUBLIC ``com.ibm.icu.util.CharsTrie.Iterator`` — each entry is
-  (word, value) where the value is ICU's per-word weight (derived
-  from corpus frequency; larger = more frequent).
+  (word, value) where the value is ICU's per-word snlp COST (scaled
+  negative log probability, derived from corpus frequency; SMALLER =
+  more frequent — の carries the minimum 27; icu4c ``dictbe.cpp``
+  adds these values along the Viterbi path and keeps the minimum).
 
 Output: ``weaviate_spark/functions/data/cjk_freq_icu.tsv.gz`` — the
 data file ``load_frequency_lexicon`` / ``active_cjk_lexicon`` load by
@@ -95,8 +97,8 @@ def extract(spark, out_path: str) -> int:
     with opener(out_path, "wt", encoding="utf-8") as fh:
         fh.write("# Extracted from ICU4J cjdict.dict "
                  "(Unicode License; see tools/extract_icu_cjdict.py)\n")
-        fh.write("# word<TAB>weight — ICU per-word weight, larger = "
-                 "more frequent\n")
+        fh.write("# word<TAB>cost — ICU per-word snlp cost, SMALLER = "
+                 "more frequent (dictbe.cpp Viterbi weights)\n")
         while it.hasNext():
             e = it.next()
             word = get_field(e, "chars").toString()

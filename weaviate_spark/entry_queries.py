@@ -1484,49 +1484,71 @@ _CJK_SENTS = [
 ]
 
 
-def _cjk_dict_oracle_sql() -> str:
-    # merged embedded+runtime dictionary: if a deployment loads a
-    # frequency lexicon at runtime, the oracle regenerates from the
-    # same merged set the engine's UDF closure snapshots
-    from weaviate_spark.functions.text import active_cjk_lexicon
-
-    CJK_MINI_LEXICON = active_cjk_lexicon()
-
-    # FMM only ever matches words that are substrings of an input, so
-    # pruning the VALUES dict to those is a pure optimization (the r08
-    # lexicon is ~2.5k entries; unpruned, the recursive CTE re-scanned
-    # all of them at every position — 26 s of oracle time for 5 rows)
-    sents = [t.lower() for _, t in _CJK_SENTS]
-    live = sorted(w for w in CJK_MINI_LEXICON
-                  if any(w in s for s in sents))
-    maxw = max((len(w) for w in live), default=2)
-    dictvals = ", ".join(f"('{w}')" for w in live) or "('一一')"
-    inputs = ", ".join(f"({i}, '{t.lower()}')" for i, t in _CJK_SENTS)
-    picks = ", ".join(
-        f"(SELECT w FROM dict WHERE w = substr(run, pos, {ln}))"
-        for ln in range(maxw, 1, -1)
+def _cjk_lattice_oracle_sql(sents) -> str:
+    """DuckDB replay of the r11 LATTICE segmentation (gse's
+    frequency-weighted DAG shortest path / ICU CjkBreakEngine Viterbi,
+    functions/text.py:segment_cjk_py): enumerate EVERY path through
+    each CJK run's word DAG — a recursive CTE walking a precomputed
+    edge table of (position, dictionary word, snlp cost), with the
+    UNKNOWN_CJK_COST single-codepoint fallback where no 1-char entry
+    exists — then keep the min-total-cost path, ties broken by the
+    zero-padded token-length trace DESC (leftmost-longest, i.e. FMM
+    order). Exhaustive search over the identical cost table is an
+    independent witness of the engine's DP: same optimum, different
+    algorithm. The dict is pruned to words that are substrings of the
+    fixture sentences (pure optimization — other words can never lie
+    on a path; path counts stay in the hundreds per run)."""
+    from weaviate_spark.functions.text import (
+        UNKNOWN_CJK_COST, active_cjk_costs,
     )
+
+    # merged embedded+default+runtime table: if a deployment loads a
+    # frequency lexicon at runtime, the oracle regenerates from the
+    # same merged snapshot the engine's UDF closure broadcasts
+    costs = active_cjk_costs()
+    lowered = [t.lower() for _, t in sents]
+    live = sorted((w, c) for w, c in costs.items()
+                  if any(w in s for s in lowered))
+    dictvals = ", ".join(f"('{w}', {c})" for w, c in live) or "('一一', 27)"
+    inputs = ", ".join(f"({i}, '{t.lower()}')" for i, t in sents)
     cjk_re = (
         "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
         "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{AC00}-\\x{D7AF}]"
     )  # keep in sync with text._SEG_RANGES (Hangul included for dict seg)
     return f"""
-WITH RECURSIVE dict(w) AS (VALUES {dictvals}),
+WITH RECURSIVE dict(w, c) AS (VALUES {dictvals}),
 inputs(sid, s) AS (VALUES {inputs}),
 runs AS (SELECT sid, unnest(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+')) AS run,
          generate_subscripts(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+'), 1) AS ridx FROM inputs),
 cjk AS (SELECT *, regexp_matches(run, '{cjk_re}') AS has_cjk FROM runs),
-seg(sid, ridx, run, pos, toks) AS (
-  SELECT sid, ridx, run, 1, []::VARCHAR[] FROM cjk WHERE has_cjk
+pos AS (SELECT sid, ridx, run, unnest(range(1, length(run) + 1)) AS p
+        FROM cjk WHERE has_cjk),
+edges AS (
+  SELECT pos.sid, pos.ridx, pos.p, d.w, d.c
+  FROM pos JOIN dict d ON d.w = substr(pos.run, pos.p, length(d.w))
   UNION ALL
-  SELECT sid, ridx, run, pos + length(pick), list_append(toks, pick) FROM (
-    SELECT sid, ridx, run, pos, toks,
-      coalesce({picks}, substr(run, pos, 1)) AS pick
-    FROM seg WHERE pos <= length(run)) t
+  SELECT sid, ridx, p, substr(run, p, 1) AS w, {UNKNOWN_CJK_COST} AS c
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM dict d WHERE d.w = substr(pos.run, pos.p, 1))
 ),
-segged AS (SELECT sid, ridx, toks FROM seg WHERE pos = length(run) + 1),
+paths(sid, ridx, run, p, toks, cost, trace) AS (
+  SELECT sid, ridx, run, 1, []::VARCHAR[], 0::BIGINT, '' FROM cjk WHERE has_cjk
+  UNION ALL
+  SELECT pp.sid, pp.ridx, pp.run, pp.p + length(e.w),
+         list_append(pp.toks, e.w), pp.cost + e.c,
+         pp.trace || lpad(CAST(length(e.w) AS VARCHAR), 2, '0')
+  FROM paths pp
+  JOIN edges e ON e.sid = pp.sid AND e.ridx = pp.ridx AND e.p = pp.p
+  WHERE pp.p <= length(pp.run)
+),
+winner AS (
+  SELECT sid, ridx, toks,
+         row_number() OVER (PARTITION BY sid, ridx
+                            ORDER BY cost ASC, trace DESC) AS rk
+  FROM paths WHERE p = length(run) + 1
+),
 allt AS (
-  SELECT sid, ridx, toks FROM segged
+  SELECT sid, ridx, toks FROM winner WHERE rk = 1
   UNION ALL
   SELECT sid, ridx, [run] FROM cjk WHERE NOT has_cjk
 ),
@@ -1537,20 +1559,64 @@ FROM flat ORDER BY sid, pos
 """
 
 
+def _cjk_dict_oracle_sql() -> str:
+    return _cjk_lattice_oracle_sql(_CJK_SENTS)
+
+
 @register("text_cjk_dict_segmentation", oracle=_cjk_dict_oracle_sql())
 def q_text_cjk_dict_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary CJK segmentation ('gse_dict': forward maximum matching
-    against the embedded lexicon — the structural analogue of the
-    reference's gse/kagome dictionary segmenters,
+    """Dictionary CJK segmentation ('gse_dict': r11 frequency-weighted
+    DAG shortest path over the shipped ICU snlp costs — the algorithm
+    family of the reference's gse/kagome segmenters,
     entities/tokenizer/tokenizer.go:414-424/472-485; divergence =
-    lexicon size, not algorithm). The oracle replays the greedy
-    longest-match as a recursive CTE over the identical lexicon, so the
-    segmentation is value-hash-checked token by token."""
+    dictionary content, not algorithm). The oracle exhaustively
+    enumerates every DAG path in SQL and picks the same min-cost /
+    FMM-tiebreak winner, so the segmentation is value-hash-checked
+    token by token against an independent search."""
     from pyspark.sql import functions as F
 
     from weaviate_spark.functions.text import tokenize
 
     df = spark.createDataFrame(_CJK_SENTS, "sid int, s string")
+    return (
+        df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_dict"))
+                  .alias("pos", "token"))
+        .select("sid", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("sid", "pos")
+    )
+
+
+# Lattice stress sentences: each pins a COST decision the r10 greedy
+# FMM got wrong (needing its now-deleted denylist) or a boundary only
+# frequencies resolve — しま/けた/たい crossings, the 春の cjdict
+# lexeme, embedded-word priors inside classical Chinese, and a
+# modern-vocabulary ja sentence far outside the embedded lexicon.
+_CJK_LATTICE_SENTS = [
+    (1, "私たちは東京で勉強します"),
+    (2, "春の夜の夢はうつつよりもかなしき"),
+    (3, "すばやいちゃいろのきつねがなまけたいぬをとびこえた"),
+    (4, "氏时时适市视狮十时适十狮适市"),
+    (5, "大学院の研究所で自然言語処理を研究する"),
+]
+
+
+@register("text_cjk_lattice_segmentation",
+          oracle=_cjk_lattice_oracle_sql(_CJK_LATTICE_SENTS))
+def q_text_cjk_lattice_segmentation(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """r11 lattice segmentation on cost-sensitive sentences (VERDICT
+    r10 ask #1): real dictionary words that greedy FMM would grab
+    (しま in 勉強します, たい in なまけたいぬ, the r10 denylist cases)
+    must lose to cheaper split paths, while genuinely frequent
+    compounds (春の, 大学院, 研究所) win theirs. Engine = Viterbi DP
+    (segment_cjk_py); oracle = exhaustive path enumeration over the
+    identical cost table with the identical tiebreak — independent
+    algorithms, hash-identical output."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(_CJK_LATTICE_SENTS, "sid int, s string")
     return (
         df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_dict"))
                   .alias("pos", "token"))

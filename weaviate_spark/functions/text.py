@@ -17,17 +17,21 @@ whole-stage codegen and vectorizes on the JVM side:
   Multi-word input yields cross-word trigrams with no spaces inside —
   'ab cd' -> ['abc','bcd'], NOT ['ab ','b c',' cd'].
 * ``gse`` / ``gse_ch`` / ``kagome_ja`` / ``kagome_kr`` / ``gse_dict`` —
-  DICTIONARY segmentation (the default since r06): word runs, with runs
-  containing CJK segmented by forward maximum matching against the
-  embedded public lexicon (CJK_MINI_LEXICON) — the same structure as the
-  reference's gse/kagome dictionary segmenters (tokenizer.go:414-424,
-  472-485); the reference's mode names differ only by which dictionary
-  they load, ours share one merged mini-lexicon (documented divergence:
-  lexicon COVERAGE, not algorithm — out-of-lexicon CJK falls back to
-  single codepoints). The lexicon includes the vocabulary of the
-  reference's own tokenizer fixtures, which are ported bit-for-bit in
-  tests/test_text.py (punctuation tokens excepted: word-run splitting
-  drops them; the reference keeps them).
+  DICTIONARY segmentation (the default since r06; LATTICE since r11):
+  word runs, with runs containing CJK segmented by the
+  frequency-weighted DAG shortest path over the merged dictionary
+  (shipped ICU cjdict costs + embedded/runtime words) — the same
+  algorithm family as the reference's gse/kagome segmenters
+  (tokenizer.go:414-424, 472-485 load gse with exactly such per-word
+  frequencies; ICU dictbe.cpp runs the identical Viterbi over the very
+  cost table we ship); the reference's mode names differ only by which
+  dictionary they load, ours share one merged table (documented
+  divergence: DICTIONARY CONTENT, not algorithm — out-of-lexicon CJK
+  falls back to single codepoints at UNKNOWN_CJK_COST). The lexicon
+  includes the vocabulary of the reference's own tokenizer fixtures,
+  which are ported bit-for-bit in tests/test_text.py (punctuation
+  tokens excepted: word-run splitting drops them; the reference keeps
+  them).
 * ``gse_bigram`` — the dictionary-free bigram approximation (pre-r06
   default, kept as an explicit pure-Catalyst mode): CJK runs expand to
   codepoint bigrams (+ unigram for 1-char runs), standard CJK bigram
@@ -524,80 +528,107 @@ _CJK_MAX_WORD = max(len(w) for w in CJK_MINI_LEXICON)
 _RUNTIME_LEXICON: set[str] = set()
 _RUNTIME_MAX_WORD: int = 0
 
-# Default shipped dictionary: ICU4J's cjdict (~360k Chinese/Japanese
-# words, Unicode License), extracted from the icu4j jar on Spark's own
-# classpath by tools/extract_icu_cjdict.py and committed as a data
+# Lattice cost model (ICU dictbe.cpp CjkBreakEngine semantics, the
+# same family as gse's shortest-path "distance" = log(total/freq)):
+# every dictionary word carries an snlp cost (scaled negative log
+# probability, SMALLER = more frequent); segmentation picks the path
+# through the word DAG minimizing total cost. The shipped cjdict
+# values span 27 (の, the most frequent) .. 251.
+#
+# USER_WORD_COST: embedded (CJK_MINI_LEXICON) and runtime/user-loaded
+# words take the strongest observed prior — the reference's kagome
+# gives UserDict matches absolute precedence over the system
+# dictionary (tokenizer.go tokenizeKagome: token.UserExtra() preempts
+# Surface), and gse user entries load with a winning frequency; a
+# cost equal to the best system cost is the lattice equivalent (ties
+# then resolve in FMM order, longest-at-earliest).
+# UNKNOWN_CJK_COST: ICU's maxSnlp fallback for a codepoint no
+# dictionary word covers (dictbe.cpp: "treat character as a
+# 1-character word with the highest value possible").
+USER_WORD_COST = 27
+UNKNOWN_CJK_COST = 255
+
+# Default shipped dictionary: ICU4J's cjdict (~316k Chinese/Japanese
+# entries incl. ~16k single-codepoint entries, Unicode License),
+# extracted with its per-word snlp costs from the icu4j jar on Spark's
+# own classpath by tools/extract_icu_cjdict.py and committed as a data
 # file — the out-of-box analogue of the reference loading its full
 # gse/kagome dictionaries at startup (tokenizer.go:414-485). Loaded
-# lazily on first active_cjk_lexicon() call. Coverage note: cjdict is
+# lazily on first active_cjk_costs() call. Coverage note: cjdict is
 # Chinese+Japanese; Korean stays on the curated embedded lexicon (the
 # reference's kagome_kr mecab-ko dictionary is likewise a runtime
 # download, unavailable in this offline environment — load one via
-# load_frequency_lexicon when available). The sibling denylist
-# holds the few entries whose GREEDY longest-match contradicts the
-# reference's lattice segmentation on its own ported fixtures
-# (tokenizer_test.go) — the reference's kagome/gse pick tokens by
-# Viterbi cost, so e.g. a dictionary that knows 十狮 must still not
-# greedily consume it inside 食十狮; see
-# tools/build_cjk_denylist.py, which regenerates the list from the
-# fixtures.
+# load_frequency_lexicon when available).
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _DEFAULT_LEXICON_PATH = os.path.join(_DATA_DIR, "cjk_freq_icu.tsv.gz")
-_DENYLIST_PATH = os.path.join(_DATA_DIR, "cjk_fmm_denylist.txt")
-_DEFAULT_LEXICON: frozenset | None = None
+_DEFAULT_COSTS: dict[str, int] | None = None
 
 
 def _ensure_default_lexicon() -> None:
-    global _DEFAULT_LEXICON
-    if _DEFAULT_LEXICON is not None:
+    global _DEFAULT_COSTS
+    if _DEFAULT_COSTS is not None:
         return
-    words: set[str] = set()
+    costs: dict[str, int] = {}
     if os.path.exists(_DEFAULT_LEXICON_PATH):
-        deny: set[str] = set()
-        if os.path.exists(_DENYLIST_PATH):
-            with open(_DENYLIST_PATH, encoding="utf-8") as fh:
-                deny = {ln.strip() for ln in fh
-                        if ln.strip() and not ln.startswith("#")}
         with gzip.open(_DEFAULT_LEXICON_PATH, "rt",
                        encoding="utf-8") as fh:
             for ln in fh:
                 if ln.startswith("#"):
                     continue
-                w = ln.split("\t", 1)[0].strip()
-                if (len(w) >= 2 and w not in deny
-                        and all(_is_segmentable(ch) for ch in w)):
-                    words.add(w)
-    _DEFAULT_LEXICON = frozenset(words)
+                parts = ln.rstrip("\n").split("\t")
+                w = parts[0].strip()
+                if w and all(_is_segmentable(ch) for ch in w):
+                    try:
+                        costs[w] = int(parts[1])
+                    except (IndexError, ValueError):
+                        costs[w] = USER_WORD_COST
+    _DEFAULT_COSTS = costs
 
 
-# Merged-snapshot cache: segment_cjk_py consults the lexicon per word
-# run, so the merge (embedded | default | runtime) must not be
+# Merged-snapshot cache: segment_cjk_py consults the cost table per
+# word run, so the merge (embedded | default | runtime) must not be
 # recomputed per call. Keyed by the registry epoch — any runtime
 # mutation invalidates it.
-_MERGED_CACHE: tuple[int, frozenset, int] | None = None
+_MERGED_CACHE: tuple[int, dict, int] | None = None
 
 
-def active_cjk_lexicon() -> frozenset:
-    """Embedded + shipped-default + runtime-loaded dictionary, as one
-    frozen snapshot (cached per registry epoch). Callers that ship the
-    lexicon to executors (the gse_dict pandas UDF) must capture THIS
-    value (or a broadcast of it) at plan-build time — module state
-    does not travel to executor processes."""
+def active_cjk_costs() -> dict:
+    """Embedded + shipped-default + runtime-loaded dictionary as one
+    word -> snlp-cost mapping (cached per registry epoch; treat as
+    frozen). Embedded and runtime words take min(system cost,
+    USER_WORD_COST) — user-dictionary precedence. Callers that ship
+    the table to executors (the gse_dict/gse_all pandas UDFs) must
+    capture THIS value (or a broadcast of it) at plan-build time —
+    module state does not travel to executor processes."""
     global _MERGED_CACHE
     _ensure_default_lexicon()
     ep = lexicon_epoch()
     if _MERGED_CACHE is None or _MERGED_CACHE[0] != ep:
-        merged = CJK_MINI_LEXICON | _DEFAULT_LEXICON
-        if _RUNTIME_LEXICON:
-            merged = merged | frozenset(_RUNTIME_LEXICON)
+        merged = dict(_DEFAULT_COSTS)
+        for w in CJK_MINI_LEXICON:
+            c = merged.get(w)
+            if c is None or c > USER_WORD_COST:
+                merged[w] = USER_WORD_COST
+        for w in _RUNTIME_LEXICON:
+            c = merged.get(w)
+            if c is None or c > USER_WORD_COST:
+                merged[w] = USER_WORD_COST
         _MERGED_CACHE = (ep, merged, max(len(w) for w in merged))
     return _MERGED_CACHE[1]
 
 
+def active_cjk_lexicon():
+    """The active dictionary as a word -> cost Mapping (same object as
+    active_cjk_costs; supports ``in``/``len``/iteration-over-words, so
+    membership-only consumers — gse_all, the oracle generators — use
+    it unchanged)."""
+    return active_cjk_costs()
+
+
 def active_cjk_max_word() -> int:
     """Longest word in the active lexicon (same epoch-cached snapshot
-    as active_cjk_lexicon)."""
-    active_cjk_lexicon()
+    as active_cjk_costs)."""
+    active_cjk_costs()
     return _MERGED_CACHE[2]
 
 
@@ -606,9 +637,12 @@ def load_frequency_lexicon(source, min_freq: int = 0) -> int:
     lines of ``word[<TAB>freq[<TAB>pos]]`` (the format of gse's
     dictionary/zh files and of open frequency lists generally), or any
     iterable of words. Entries must be >= 2 segmentable (CJK/Hangul)
-    codepoints — single chars are the FMM fallback already and Latin
-    material never reaches the segmenter. Returns the number of NEW
-    words added. The reference's exact analogue is gse's
+    codepoints — single chars already resolve through the shipped
+    cost table or the unknown-char fallback, and Latin material never
+    reaches the segmenter. Loaded words join the lattice at
+    USER_WORD_COST (user-dictionary precedence, see the cost-model
+    note above); the file's frequency column is used for ``min_freq``
+    filtering. Returns the number of NEW words added. The reference's exact analogue is gse's
     LoadDict/kagome's dict.Dict() at tokenizer.go:414-485; capacity for
     10^5+ entries is pinned by tests/test_text.py.
 
@@ -650,34 +684,64 @@ def clear_runtime_lexicon() -> None:
     _RUNTIME_MAX_WORD = 0
 
 
-def segment_cjk_py(run: str, lexicon: frozenset | None = None,
+def segment_cjk_py(run: str, lexicon=None,
                    max_word: int | None = None) -> list[str]:
-    """Forward maximum matching: at each position take the LONGEST
-    lexicon word starting there, else one codepoint (the greedy
-    variant of gse's dictionary DP — deterministic and exactly
-    replayable as SQL string ops). ``lexicon`` defaults to the merged
-    embedded+default+runtime dictionary."""
+    """Frequency-weighted DAG shortest-path segmentation (gse's
+    segmenter / ICU CjkBreakEngine::divideUpDictionaryRange, the
+    Viterbi DP the reference's dictionaries are scored for —
+    entities/tokenizer/tokenizer.go:414-485 loads gse with exactly
+    such per-word frequencies): every dictionary word starting at a
+    position is an edge weighted by its snlp cost (smaller = more
+    frequent); a codepoint no word covers is an UNKNOWN_CJK_COST edge;
+    the emitted segmentation is the path minimizing total cost. Ties
+    resolve in FMM order (the longest token at the earliest position),
+    so the lattice degenerates to forward maximum matching exactly
+    when costs carry no signal.
+
+    ``lexicon`` defaults to the merged embedded+default+runtime cost
+    table (active_cjk_costs). A bare word set/frozenset (no costs) is
+    accepted for compatibility: all its words take USER_WORD_COST, so
+    cost ties make the output identical to classic FMM over that set.
+    """
     if lexicon is None:
-        lexicon = active_cjk_lexicon()
+        lexicon = active_cjk_costs()
         max_word = active_cjk_max_word()
     elif max_word is None:
         max_word = max((len(w) for w in lexicon), default=2)
+    get_cost = getattr(lexicon, "get", None)
+    n = len(run)
+    if n == 0:
+        return []
+    inf = float("inf")
+    best = [inf] * (n + 1)
+    best[n] = 0.0
+    pick = [1] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        # longest candidate first: a strict '<' update then keeps the
+        # longest word on equal cost — leftmost-longest (FMM) tiebreak
+        for ln in range(min(max_word, n - i), 0, -1):
+            w = run[i:i + ln]
+            if get_cost is not None:
+                c = get_cost(w)
+            else:
+                c = USER_WORD_COST if w in lexicon else None
+            if c is None:
+                if ln != 1:
+                    continue
+                c = UNKNOWN_CJK_COST
+            t = c + best[i + ln]
+            if t < best[i]:
+                best[i] = t
+                pick[i] = ln
     out: list[str] = []
     pos = 0
-    n = len(run)
     while pos < n:
-        pick = run[pos]
-        for ln in range(min(max_word, n - pos), 1, -1):
-            cand = run[pos:pos + ln]
-            if cand in lexicon:
-                pick = cand
-                break
-        out.append(pick)
-        pos += len(pick)
+        out.append(run[pos:pos + pick[pos]])
+        pos += pick[pos]
     return out
 
 
-def tokenize_cjk_dict_py(text: str, lexicon: frozenset | None = None,
+def tokenize_cjk_dict_py(text: str, lexicon=None,
                          max_word: int | None = None) -> list[str]:
     """'gse_dict' mode: word runs; runs containing CJK segment by
     forward maximum matching against the dictionary, other runs
@@ -732,7 +796,7 @@ def tokenize_with_wildcards_py(text: str, mode: str = "word") -> list[str]:
     return tokenize_py(text, mode)
 
 
-def segment_cjk_all_py(run: str, lexicon: frozenset | None = None,
+def segment_cjk_all_py(run: str, lexicon=None,
                        max_word: int | None = None) -> list[str]:
     """SEARCH-mode dictionary segmentation (the reference's plain
     ``gse`` tokenization, gse SegmentAll — tokenizer_test.go:95-110
@@ -771,7 +835,7 @@ def segment_cjk_all_py(run: str, lexicon: frozenset | None = None,
     return out
 
 
-def tokenize_cjk_all_py(text: str, lexicon: frozenset | None = None,
+def tokenize_cjk_all_py(text: str, lexicon=None,
                         max_word: int | None = None) -> list[str]:
     """'gse_all' mode: word runs; CJK runs emit all overlapping
     dictionary matches (search mode), other runs pass through
