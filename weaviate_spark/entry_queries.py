@@ -10934,6 +10934,87 @@ def q_crud_delete_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("step").desc())
 
 
+@register(
+    "tenant_lifecycle_offload",
+    oracle=(
+        "WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(c_acctbal), 2) AS s FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'), "
+        "o AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(c_acctbal), 2) AS s FROM customer "
+        "WHERE c_mktsegment <> 'BUILDING') "
+        "SELECT 'active' AS phase, b.n AS n_rows, b.s AS sum_acctbal, "
+        "false AS read_rejected FROM b "
+        "UNION ALL SELECT 'offloaded', o.n, o.s, true FROM o "
+        "UNION ALL SELECT 'reactivated', b.n, b.s, false FROM b "
+        "ORDER BY phase"
+    ),
+)
+def q_tenant_lifecycle_offload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant lifecycle states (VERDICT r10 ask #2;
+    usecases/multitenancy/, entities/models/tenant.go:34): customer is
+    written tenant-partitioned by market segment, the BUILDING tenant
+    is OFFLOADED (its partition directory physically leaves the hot
+    table root for the cold prefix), a read while offloaded is
+    rejected with the reference's exact error ('tenant not active',
+    errors_multitenancy.go:19) — recorded as read_rejected while the
+    hot-root scan proves the cold tenant is invisible — and after
+    reactivation (ONLOADING -> ACTIVE) the tenant reads back
+    HASH-IDENTICAL to its pre-offload content: the oracle computes the
+    same aggregates straight from the source table, so any row lost or
+    mutated in the offload round-trip breaks the value hash."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources.crud import (
+        TenantRegistry, write_tenant_partitioned,
+    )
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           "wsx_tenant_" + re.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(scratch + "_offload", ignore_errors=True)
+    cust = _load(spark, sf_dir, "customer").withColumn(
+        "_tenant", F.col("c_mktsegment"))
+    write_tenant_partitioned(cust, scratch, "_tenant")
+
+    reg = TenantRegistry(scratch, "_tenant")
+    reg.create_tenants(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                        "HOUSEHOLD", "MACHINERY"])
+
+    def agg(df):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), float(row["s"])
+
+    n0, s0 = agg(reg.read(spark, "BUILDING"))
+
+    reg.update("BUILDING", "OFFLOADED")
+    try:
+        reg.read(spark, "BUILDING")
+        rejected = False
+    except PermissionError as ex:
+        rejected = str(ex) == "tenant not active"
+    # the hot root no longer lists the offloaded tenant at all
+    n1, s1 = agg(spark.read.parquet(scratch))
+
+    reg.update("BUILDING", "ACTIVE")
+    n2, s2 = agg(reg.read(spark, "BUILDING"))
+
+    return spark.createDataFrame(
+        [("active", n0, s0, False),
+         ("offloaded", n1, s1, rejected),
+         ("reactivated", n2, s2, False)],
+        "phase string, n_rows long, sum_acctbal double, read_rejected boolean",
+    ).orderBy("phase")
+
+
 def _cjk_all_oracle_sql() -> str:
     """DuckDB replay of 'gse_all' search-mode tokenization (all
     overlapping dictionary matches + uncovered singles): no recursion —

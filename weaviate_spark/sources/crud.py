@@ -594,17 +594,69 @@ class TenantRegistry:
         return os.path.join(self.offload_dir, f"{self.tenant_col}={tenant}")
 
     def create(self, tenant: str, status: str = "ACTIVE") -> None:
-        s = _canon_tenant_status(status)
-        if s not in ("ACTIVE", "INACTIVE"):
-            raise ValueError(
-                f"tenant create only allows ACTIVE or INACTIVE, got {status!r}"
-            )
-        if tenant in self._status:
-            raise ValueError(f"tenant {tenant!r} already exists")
+        """Single-tenant convenience over create_tenants (same rules)."""
+        self.create_tenants([(tenant, status)])
+
+    def create_tenants(self, tenants) -> list[str]:
+        """Batch create (Handler.AddTenants, usecases/schema/tenant.go:40):
+
+        * a name appearing TWICE in one request is invalid input —
+          "tenant name X existed multiple times" (tenant.go:131,
+          acceptance 'Create same tenant with different status');
+        * an ALREADY-EXISTING tenant is an idempotent no-op — its
+          current status is kept (acceptance 'Create same tenant
+          multiple times');
+        * creation only allows ACTIVE/INACTIVE (FROZEN & transitional
+          states rejected, acceptance 'forbidden activity status').
+
+        ``tenants``: names or (name, status) pairs. Returns the names
+        actually added."""
         from weaviate_spark import usage_limits as UL
 
-        UL.check_tenants(len(self._status))  # typed 429 on the cap
-        self._status[tenant] = s
+        reqs: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for t in tenants:
+            name, status = t if isinstance(t, tuple) else (t, "ACTIVE")
+            if name in seen:
+                raise ValueError(
+                    f"tenant name {name} existed multiple times")
+            seen.add(name)
+            s = _canon_tenant_status(status)
+            if s not in ("ACTIVE", "INACTIVE"):
+                raise ValueError(
+                    f"tenant create only allows ACTIVE or INACTIVE, "
+                    f"got {status!r}")
+            reqs.append((name, s))
+        added: list[str] = []
+        for name, s in reqs:
+            if name in self._status:
+                continue  # idempotent re-create keeps current status
+            UL.check_tenants(len(self._status))  # typed 429 on the cap
+            self._status[name] = s
+            added.append(name)
+        return added
+
+    def delete_tenants(self, names) -> list[str]:
+        """Batch delete (Handler.DeleteTenants, tenant.go:257):
+        idempotent — duplicate names in one request and non-existent
+        names are fine (acceptance 'Delete same tenant multiple
+        times' / 'Delete non-existent tenant alongside existing') —
+        and the tenant's data is removed with it (the reference drops
+        the shard): both the hot partition directory and any offloaded
+        copy. Returns the names that existed."""
+        import shutil
+
+        removed: list[str] = []
+        for name in dict.fromkeys(names):  # dedupe, keep order
+            if self._status.pop(name, None) is None:
+                continue
+            removed.append(name)
+            for path in (self._hot_path(name), self._cold_path(name)):
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+        if removed:
+            invalidate_indexes()
+        return removed
 
     def status(self, tenant: str) -> str:
         if tenant not in self._status:
