@@ -162,7 +162,15 @@ def main() -> None:
 
     cal_after = _calibrate()
     load_after = list(os.getloadavg())
-    contended = max(cal_before, cal_after) > 1.5 * CAL_REF
+    trip_before = cal_before > 1.5 * CAL_REF
+    trip_after = cal_after > 1.5 * CAL_REF
+    contended = trip_before or trip_after
+    # which probe tripped (r10 verdict finding #1): "before" usually
+    # means a previous process was still winding down when this run
+    # started; "after" means load arrived during the timed block
+    tripped = {(False, False): "none", (True, False): "before",
+               (False, True): "after", (True, True): "both"}[
+        (trip_before, trip_after)]
 
     print(json.dumps({
         "metric": "headline query wall-clock (weaviate_spark, local, steady-state)",
@@ -180,8 +188,14 @@ def main() -> None:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "contended": contended,
+            "tripped": tripped,
         },
     }))
+    # Release the JVM before exiting (r10 verdict finding #1):
+    # without an explicit stop, the winding-down JVM of THIS run keeps
+    # burning CPU for minutes after the process exits and trips the
+    # NEXT evidence run's "before" calibration probe.
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -254,3 +254,29 @@ def test_tenant_batch_create_delete_acceptance(spark, tmp_path):
     assert not os.path.isdir(cold)
     with pytest.raises(KeyError, match="tenant not found"):
         reg.status("tenant1")
+
+
+# ---------------------------------------------------------------------------
+# hybrid leg-reuse scan budget (VERDICT r10 ask #4)
+
+
+def test_hybrid_executed_scan_budget(spark, sf_dir):
+    """hybrid_relative_score's EXECUTED tree (not the toString text,
+    which re-prints cached build lineage under every InMemoryTableScan
+    and over-reported 44 'scan nodes' at r10): the corpus parquet files
+    are scanned ZERO times per query — every corpus read is a cached
+    InMemoryTableScan of the session-materialized docs_embedded
+    collection — and total executed cache reads stay within the
+    <=2-per-leg budget (2 legs + capped leg-frame caches => <=6)."""
+    from weaviate_spark.entry_queries import QUERIES
+    from weaviate_spark.plans.audit import executed_node_counts
+
+    for name, imts_budget in (("hybrid_relative_score", 6),
+                              ("hybrid_rrf", 6)):
+        df = QUERIES[name](spark, sf_dir)
+        df.count()  # materialize so the AQE final plan exists
+        counts = executed_node_counts(df)
+        assert counts.get("scan:documents", 0) == 0, (name, counts)
+        assert counts.get("scan:embeddings", 0) == 0, (name, counts)
+        n_imts = counts.get("InMemoryTableScan", 0)
+        assert 1 <= n_imts <= imts_budget, (name, counts)

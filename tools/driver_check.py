@@ -143,6 +143,10 @@ def main() -> int:
             json.dump({"sf_dir": sf_dir, "passed": passed, "failed": failed,
                        "rows_only": rows_only, "queries": report}, f, indent=1)
         print(f"wrote {out}")
+    # release the JVM before exit so a bench/evidence run started right
+    # after this sweep doesn't inherit a winding-down JVM's CPU load
+    # (r10 verdict finding #1 — same fix as bench.py)
+    spark.stop()
     return 1 if failed else 0
 
 

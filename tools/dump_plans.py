@@ -138,7 +138,13 @@ def main() -> None:
         "counting: an InMemoryTableScan executes as one cached read, so "
         "the InMemoryRelation subtree it prints inline (the cache's "
         "one-time build plan) is stripped — marker counts reflect "
-        "executed per-query work.\n",
+        "executed per-query work. The `executed tree` line is the "
+        "authoritative count (weaviate_spark/plans/audit.py walks the "
+        "JVM plan tree): real `scan:<table>` data-source scans, cached "
+        "reads, executed vs reused exchanges. Budget pinned by test: "
+        "hybrid queries scan the corpus parquet ZERO times per query "
+        "(all corpus reads are cached) with <=6 cache reads "
+        "(tests/test_fixes_r11.py::test_hybrid_executed_scan_budget).\n",
     ]
     for name in INTERESTING:
         fn = QUERIES.get(name)
@@ -155,9 +161,19 @@ def main() -> None:
             for ln in plan.splitlines()
             if "FileScan" in ln
         ]
+        # executed-TREE audit (r10 verdict ask #4): even the pruned
+        # text can over-count; the tree walk reports what actually ran
+        # (real scans per table, cached reads, reused exchanges)
+        from weaviate_spark.plans.audit import executed_node_counts
+
+        tree = executed_node_counts(df)
         out.append(f"## {name}\n")
         out.append(
             "markers: " + ", ".join(f"{k}×{v}" for k, v in sorted(counts.items())) + "\n"
+        )
+        out.append(
+            "executed tree: " + ", ".join(
+                f"{k}×{v}" for k, v in sorted(tree.items())) + "\n"
         )
         for s in scans[:4]:
             out.append(f"- `{s}`\n")
