@@ -529,3 +529,40 @@ def test_cjk_lattice_segmentation_r11():
         "아버지", "가", "방", "에", "들어가", "신다"]
     assert tokenize_py("한국어를 처리하는 예시입니다", "kagome_kr") == [
         "한국어", "를", "처리", "하", "는", "예시", "입니다"]
+
+
+def test_gse_cutall_reference_fixtures_r11():
+    """Exact ports of the reference's plain-gse CutAll fixtures
+    (entities/tokenizer/tokenizer_test.go:99-103): given the SAME
+    vocabulary the reference's gse dictionary holds for these
+    sentences, segment_cjk_all_py reproduces gse's CutAll output
+    BIT-FOR-BIT — every overlapping dictionary word in (position,
+    length) order plus uncovered-position singles. This pins the
+    gse_all ALGORITHM exactly; the shipped-cjdict runs of the same
+    mode differ only by dictionary content (documented divergence)."""
+    from weaviate_spark.functions.text import segment_cjk_all_py
+
+    # kanji fox (tokenizer_test.go:99-100)
+    vocab = frozenset([
+        "素早", "素早い", "早い", "茶色", "怠け", "けた", "飛び",
+        "飛び越え", "越え",
+    ])
+    assert segment_cjk_all_py("素早い茶色の狐が怠けた犬を飛び越えた",
+                              vocab) == [
+        "素早", "素早い", "早い", "茶色", "の", "狐", "が", "怠け",
+        "けた", "犬", "を", "飛び", "飛び越え", "越え", "た"]
+
+    # all-hiragana fox (tokenizer_test.go:102-103)
+    vocab2 = frozenset([
+        "すばや", "すばやい", "やい", "いち", "ちゃ", "ちゃい",
+        "ちゃいろ", "いろ", "のき", "きつ", "きつね", "つね", "ねが",
+        "がな", "なま", "なまけ", "まけ", "けた", "けたい", "たい",
+        "いぬ", "とび", "とびこえ", "こえ",
+    ])
+    assert segment_cjk_all_py(
+        "すばやいちゃいろのきつねがなまけたいぬをとびこえた", vocab2
+    ) == [
+        "すばや", "すばやい", "やい", "いち", "ちゃ", "ちゃい",
+        "ちゃいろ", "いろ", "のき", "きつ", "きつね", "つね", "ねが",
+        "がな", "なま", "なまけ", "まけ", "けた", "けたい", "たい",
+        "いぬ", "を", "とび", "とびこえ", "こえ", "た"]
