@@ -210,25 +210,43 @@ def test_png_roundtrip_property(w, h, data):
 @given(st.text(alphabet="今天气很好我们机器学习数据分析北京大学犬猫鳥东京勉強します", max_size=24))
 @settings(max_examples=200, deadline=None)
 def test_cjk_segmentation_properties(s):
-    """gse_dict segmentation: tokens concatenate back to the input, every
-    multi-codepoint token is a lexicon word, and each pick is the
-    LONGEST lexicon match at its position (greedy invariant)."""
+    """gse_dict LATTICE segmentation (r11): tokens concatenate back to
+    the input, every multi-codepoint token is a lexicon word, and the
+    chosen path's total snlp cost equals the true minimum computed by
+    an independent forward DP (the engine runs a suffix DP with an FMM
+    tiebreak; the witness here shares no code with it)."""
     from weaviate_spark.functions.text import (
-        active_cjk_lexicon, active_cjk_max_word, segment_cjk_py,
+        UNKNOWN_CJK_COST, active_cjk_costs, active_cjk_max_word,
+        segment_cjk_py,
     )
 
-    lex = active_cjk_lexicon()  # embedded + shipped ICU default (r10)
+    costs = active_cjk_costs()  # embedded + shipped ICU default
     toks = segment_cjk_py(s)
     assert "".join(toks) == s
     maxw = active_cjk_max_word()
-    pos = 0
-    for t in toks:
-        if len(t) > 1:
-            assert t in lex
-        best = s[pos]
-        for ln in range(min(maxw, len(s) - pos), 1, -1):
-            if s[pos:pos + ln] in lex:
-                best = s[pos:pos + ln]
-                break
-        assert t == best, (s, pos, t, best)
-        pos += len(t)
+
+    def word_cost(w):
+        c = costs.get(w)
+        if c is None:
+            assert len(w) == 1  # multi-codepoint tokens must be words
+            c = UNKNOWN_CJK_COST
+        return c
+
+    total = sum(word_cost(t) for t in toks)
+    # independent forward DP (prefix-based, no tiebreak bookkeeping)
+    n = len(s)
+    best = [float("inf")] * (n + 1)
+    best[0] = 0.0
+    for i in range(n):
+        if best[i] == float("inf"):
+            continue
+        for ln in range(1, min(maxw, n - i) + 1):
+            w = s[i:i + ln]
+            c = costs.get(w)
+            if c is None:
+                if ln != 1:
+                    continue
+                c = UNKNOWN_CJK_COST
+            if best[i] + c < best[i + ln]:
+                best[i + ln] = best[i] + c
+    assert total == best[n], (s, toks, total, best[n])
