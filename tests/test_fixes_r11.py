@@ -280,3 +280,57 @@ def test_hybrid_executed_scan_budget(spark, sf_dir):
         assert counts.get("scan:embeddings", 0) == 0, (name, counts)
         n_imts = counts.get("InMemoryTableScan", 0)
         assert 1 <= n_imts <= imts_budget, (name, counts)
+
+
+def test_tenant_auto_creation_and_activation(spark, tmp_path):
+    """MultiTenancyConfig.autoTenantCreation / autoTenantActivation
+    (multi_tenancy_config.go:32-35): with the flags OFF the reference's
+    sentinel errors fire; with creation ON a write to a missing tenant
+    creates it ACTIVE (auto_schema.go:565-595); with activation ON an
+    INACTIVE or OFFLOADED tenant re-activates implicitly on access —
+    including physically onloading an offloaded partition."""
+    import os
+
+    from weaviate_spark.sources.crud import (
+        TenantRegistry, write_tenant_partitioned,
+    )
+
+    tdir = str(tmp_path / "mt")
+    df = spark.createDataFrame(
+        [(1, "t1", 1.0), (2, "t2", 2.0)], ["id", "_tenant", "v"])
+    write_tenant_partitioned(df, tdir, "_tenant")
+
+    # flags off: reference sentinel errors
+    strict = TenantRegistry(tdir, "_tenant")
+    strict.create_tenants([("t1", "INACTIVE")])
+    with pytest.raises(KeyError, match="tenant not found"):
+        strict.ensure_active_for_write("brand-new")
+    with pytest.raises(PermissionError, match="tenant not active"):
+        strict.ensure_active_for_write("t1")
+    with pytest.raises(PermissionError, match="tenant not active"):
+        strict.read(spark, "t1")
+
+    # flags on: create-on-write, activate-on-access
+    auto = TenantRegistry(tdir, "_tenant", auto_tenant_creation=True,
+                          auto_tenant_activation=True)
+    auto.create_tenants([("t1", "INACTIVE"), "t2"])
+    assert auto.ensure_active_for_write("t1", "brand-new", "t1") == [
+        "t1", "brand-new"]          # deduped; each touched once
+    assert auto.status("t1") == "ACTIVE"
+    assert auto.status("brand-new") == "ACTIVE"
+
+    # offloaded tenant: read implicitly onloads the partition
+    auto.update("t2", "OFFLOADED")
+    assert os.path.isdir(tdir + "_offload/_tenant=t2")
+    rows = auto.read(spark, "t2").collect()
+    assert [r["id"] for r in rows] == [2]
+    assert auto.status("t2") == "ACTIVE"
+    assert not os.path.isdir(tdir + "_offload/_tenant=t2")
+    assert os.path.isdir(os.path.join(tdir, "_tenant=t2"))
+
+    # creation alone does not grant activation
+    create_only = TenantRegistry(tdir, "_tenant", auto_tenant_creation=True)
+    create_only.create_tenants([("cold", "INACTIVE")])
+    create_only.ensure_active_for_write("fresh")   # created
+    with pytest.raises(PermissionError, match="tenant not active"):
+        create_only.ensure_active_for_write("cold")

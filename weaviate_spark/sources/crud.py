@@ -581,10 +581,21 @@ class TenantRegistry:
     entities/errors/errors_multitenancy.go:19-20)."""
 
     def __init__(self, table_dir: str, tenant_col: str,
-                 offload_dir: str | None = None) -> None:
+                 offload_dir: str | None = None,
+                 auto_tenant_creation: bool = False,
+                 auto_tenant_activation: bool = False) -> None:
+        # MultiTenancyConfig.AutoTenantCreation / AutoTenantActivation
+        # (entities/models/multi_tenancy_config.go:32-35): creation =
+        # writes to a MISSING tenant create it instead of erroring
+        # (auto_schema.go:576 autoTenants); activation = access to an
+        # INACTIVE/OFFLOADED tenant implicitly re-activates it
+        # (schema/manager.go:387 AllowImplicitTenantActivation,
+        # :436 EnsureTenantActiveForWrite)
         self.table_dir = table_dir
         self.tenant_col = tenant_col
         self.offload_dir = offload_dir or table_dir.rstrip("/") + "_offload"
+        self.auto_tenant_creation = auto_tenant_creation
+        self.auto_tenant_activation = auto_tenant_activation
         self._status: dict[str, str] = {}
 
     def _hot_path(self, tenant: str) -> str:
@@ -693,9 +704,37 @@ class TenantRegistry:
                 os.rename(cold, self._hot_path(tenant))
         self._status[tenant] = s
 
+    def ensure_active_for_write(self, *tenants: str) -> list[str]:
+        """The write-path gate (objects/manager.go:75 →
+        schema/manager.go:436): every named tenant must exist and be
+        ACTIVE before a write lands. With auto_tenant_creation a
+        MISSING tenant is created ACTIVE (auto_schema.go:565-595,
+        batch semantics: each distinct name once); with
+        auto_tenant_activation an INACTIVE/OFFLOADED tenant is
+        implicitly re-activated (onloading its partition). Without the
+        flags, the reference's sentinel errors fire. Returns the
+        tenants that were created or re-activated."""
+        touched: list[str] = []
+        for t in dict.fromkeys(tenants):
+            if t not in self._status:
+                if not self.auto_tenant_creation:
+                    raise KeyError("tenant not found")
+                self.create_tenants([t])
+                touched.append(t)
+            elif self._status[t] != "ACTIVE":
+                if not self.auto_tenant_activation:
+                    raise PermissionError("tenant not active")
+                self.update(t, "ACTIVE")
+                touched.append(t)
+        return touched
+
     def read(self, spark: SparkSession, tenant: str) -> DataFrame:
         if self.status(tenant) != "ACTIVE":
-            raise PermissionError("tenant not active")
+            # read-path implicit activation
+            # (schema/manager.go:387 AllowImplicitTenantActivation)
+            if not self.auto_tenant_activation:
+                raise PermissionError("tenant not active")
+            self.update(tenant, "ACTIVE")
         return read_tenant(spark, self.table_dir, self.tenant_col, tenant)
 
 
