@@ -613,7 +613,8 @@ def active_cjk_costs() -> dict:
             c = merged.get(w)
             if c is None or c > USER_WORD_COST:
                 merged[w] = USER_WORD_COST
-        _MERGED_CACHE = (ep, merged, max(len(w) for w in merged))
+        _MERGED_CACHE = (ep, merged, max(len(w) for w in merged),
+                         build_length_mask(merged))
     return _MERGED_CACHE[1]
 
 
@@ -630,6 +631,46 @@ def active_cjk_max_word() -> int:
     as active_cjk_costs)."""
     active_cjk_costs()
     return _MERGED_CACHE[2]
+
+
+def build_length_mask(words) -> dict:
+    """first-codepoint -> bitmask of word lengths present in the
+    dictionary starting with it (bit L set <=> some L-codepoint word
+    begins with that char). The classic dictionary-DP pruning: at each
+    position the lattice probes ONLY lengths that can possibly match
+    (most CJK chars head words of <=4 lengths), instead of building
+    max_word substrings — measured ~3x on the segmentation hot path."""
+    mask: dict = {}
+    for w in words:
+        h = w[0]
+        mask[h] = mask.get(h, 0) | (1 << len(w))
+    return mask
+
+
+def active_cjk_len_mask() -> dict:
+    """Length mask for the active dictionary (same epoch-cached
+    snapshot as active_cjk_costs)."""
+    active_cjk_costs()
+    return _MERGED_CACHE[3]
+
+
+# masks for EXPLICIT lexicons (tests, user-supplied dictionaries):
+# built once per lexicon object, keyed by identity — rebuilding a
+# 316k-word mask per segment_cjk_py call would be quadratic in corpus
+# size. Bounded; (id, len) double-check guards id reuse.
+_EXPLICIT_MASKS: dict[int, tuple[int, dict]] = {}
+
+
+def _mask_for(lexicon) -> dict:
+    key = id(lexicon)
+    hit = _EXPLICIT_MASKS.get(key)
+    if hit is not None and hit[0] == len(lexicon):
+        return hit[1]
+    mask = build_length_mask(lexicon)
+    if len(_EXPLICIT_MASKS) >= 8:
+        _EXPLICIT_MASKS.clear()
+    _EXPLICIT_MASKS[key] = (len(lexicon), mask)
+    return mask
 
 
 def load_frequency_lexicon(source, min_freq: int = 0) -> int:
@@ -685,7 +726,8 @@ def clear_runtime_lexicon() -> None:
 
 
 def segment_cjk_py(run: str, lexicon=None,
-                   max_word: int | None = None) -> list[str]:
+                   max_word: int | None = None,
+                   len_mask: dict | None = None) -> list[str]:
     """Frequency-weighted DAG shortest-path segmentation (gse's
     segmenter / ICU CjkBreakEngine::divideUpDictionaryRange, the
     Viterbi DP the reference's dictionaries are scored for —
@@ -706,8 +748,12 @@ def segment_cjk_py(run: str, lexicon=None,
     if lexicon is None:
         lexicon = active_cjk_costs()
         max_word = active_cjk_max_word()
-    elif max_word is None:
-        max_word = max((len(w) for w in lexicon), default=2)
+        len_mask = active_cjk_len_mask()
+    else:
+        if max_word is None:
+            max_word = max((len(w) for w in lexicon), default=2)
+        if len_mask is None:
+            len_mask = _mask_for(lexicon)
     get_cost = getattr(lexicon, "get", None)
     n = len(run)
     if n == 0:
@@ -716,23 +762,42 @@ def segment_cjk_py(run: str, lexicon=None,
     best = [inf] * (n + 1)
     best[n] = 0.0
     pick = [1] * (n + 1)
+    mask_get = len_mask.get
     for i in range(n - 1, -1, -1):
-        # longest candidate first: a strict '<' update then keeps the
-        # longest word on equal cost — leftmost-longest (FMM) tiebreak
-        for ln in range(min(max_word, n - i), 0, -1):
-            w = run[i:i + ln]
-            if get_cost is not None:
-                c = get_cost(w)
-            else:
-                c = USER_WORD_COST if w in lexicon else None
-            if c is None:
-                if ln != 1:
-                    continue
-                c = UNKNOWN_CJK_COST
-            t = c + best[i + ln]
-            if t < best[i]:
-                best[i] = t
-                pick[i] = ln
+        bi = inf
+        pi = 1
+        # probe ONLY lengths the dictionary can match at this head
+        # char (len_mask), longest candidate first: a strict '<'
+        # update then keeps the longest word on equal cost —
+        # leftmost-longest (FMM) tiebreak
+        m = mask_get(run[i], 0)
+        if m:
+            lim = min(max_word, n - i)
+            ln = m.bit_length() - 1
+            if ln > lim:
+                ln = lim
+            while ln >= 1:
+                if (m >> ln) & 1:
+                    w = run[i:i + ln]
+                    if get_cost is not None:
+                        c = get_cost(w)
+                    else:
+                        c = USER_WORD_COST if w in lexicon else None
+                    if c is not None:
+                        t = c + best[i + ln]
+                        if t < bi:
+                            bi = t
+                            pi = ln
+                ln -= 1
+        if not (m & 2):
+            # no 1-codepoint dictionary word at this char: the unknown
+            # single-codepoint fallback (ICU maxSnlp edge)
+            t = UNKNOWN_CJK_COST + best[i + 1]
+            if t < bi:
+                bi = t
+                pi = 1
+        best[i] = bi
+        pick[i] = pi
     out: list[str] = []
     pos = 0
     while pos < n:
@@ -742,7 +807,8 @@ def segment_cjk_py(run: str, lexicon=None,
 
 
 def tokenize_cjk_dict_py(text: str, lexicon=None,
-                         max_word: int | None = None) -> list[str]:
+                         max_word: int | None = None,
+                         len_mask: dict | None = None) -> list[str]:
     """'gse_dict' mode: word runs; runs containing CJK segment by
     forward maximum matching against the dictionary, other runs
     pass through lowercased (the dictionary analogue of the bigram
@@ -750,7 +816,7 @@ def tokenize_cjk_dict_py(text: str, lexicon=None,
     out: list[str] = []
     for t in tokenize_py(text, "word"):
         if any(_is_segmentable(ch) for ch in t):
-            out.extend(segment_cjk_py(t, lexicon, max_word))
+            out.extend(segment_cjk_py(t, lexicon, max_word, len_mask))
         else:
             out.append(t)
     return out

@@ -87,8 +87,11 @@ def _cjk_lexicon_broadcast(spark):
     key = (session_key(spark), lexicon_epoch())
     bc = _CJK_LEX_BROADCASTS.get(key)
     if bc is None:
+        from weaviate_spark.functions.text import active_cjk_len_mask
+
         bc = spark.sparkContext.broadcast(
-            (active_cjk_lexicon(), active_cjk_max_word()))
+            (active_cjk_lexicon(), active_cjk_max_word(),
+             active_cjk_len_mask()))
         # a registry mutation makes older generations unreachable for
         # NEW plans; release their executor copies (plans already built
         # keep their own broadcast reference alive)
@@ -121,18 +124,22 @@ def cjk_dict_tokenize_udf():
 
         @pandas_udf("array<string>")
         def _seg(batch: pd.Series) -> pd.Series:
-            lex, maxw = bc.value
+            lex, maxw, mask = bc.value
             return batch.map(
-                lambda t: tokenize_cjk_dict_py(t or "", lex, maxw))
+                lambda t: tokenize_cjk_dict_py(t or "", lex, maxw, mask))
 
         return _seg
 
+    from weaviate_spark.functions.text import active_cjk_len_mask
+
     lex = active_cjk_lexicon()  # no active session: by-value fallback
     maxw = active_cjk_max_word()
+    mask = active_cjk_len_mask()
 
     @pandas_udf("array<string>")
     def _seg(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: tokenize_cjk_dict_py(t or "", lex, maxw))
+        return batch.map(
+            lambda t: tokenize_cjk_dict_py(t or "", lex, maxw, mask))
 
     return _seg
 
@@ -152,7 +159,7 @@ def cjk_all_tokenize_udf():
 
         @pandas_udf("array<string>")
         def _seg(batch: pd.Series) -> pd.Series:
-            lex, maxw = bc.value
+            lex, maxw, _mask = bc.value
             return batch.map(
                 lambda t: tokenize_cjk_all_py(t or "", lex, maxw))
 
