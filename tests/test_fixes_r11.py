@@ -334,3 +334,69 @@ def test_tenant_auto_creation_and_activation(spark, tmp_path):
     create_only.ensure_active_for_write("fresh")   # created
     with pytest.raises(PermissionError, match="tenant not active"):
         create_only.ensure_active_for_write("cold")
+
+
+# ---------------------------------------------------------------------------
+# shard storage status (entities/storagestate/status.go + the
+# PUT /v1/schema/{class}/shards/{shard} surface)
+
+
+def test_shard_status_readonly_gate(spark, sf_dir, tmp_path):
+    """READONLY rejects every mutation with the reference's exact error
+    text ('store is read-only', with the 'due to: <reason>' variant
+    when the flip carried one) while reads keep serving; READY restores
+    writes; ValidateStatus rejects unknown statuses; a tenant shard can
+    flip independently, and a table-level READONLY covers all tenants."""
+    import os
+
+    from weaviate_spark.sources import crud, storagestate as st
+
+    tdir = str(tmp_path / "t.parquet")
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")) \
+        .write.parquet(tdir)
+    try:
+        # settable statuses only (status.go:43 ValidateStatus)
+        with pytest.raises(st.InvalidStatusError,
+                           match="invalid storage status"):
+            st.update_shard_status(tdir, "LUKEWARM")
+        with pytest.raises(st.InvalidStatusError):
+            st.update_shard_status(tdir, "LOADING")  # server-set only
+
+        st.update_shard_status(tdir, "READONLY")
+        assert st.get_shard_status(tdir) == "READONLY"
+        from weaviate_spark.filters import Clause
+        flt = Clause(operator="Equal", path=["r_regionkey"], value=0)
+        with pytest.raises(st.ReadOnlyError, match="store is read-only"):
+            crud.delete_where(spark, tdir, flt)
+        # reads still served from a read-only shard
+        assert spark.read.parquet(tdir).count() == 5
+
+        # with-reason variant (status.go:28)
+        st.update_shard_status(tdir, "READONLY", reason="disk pressure")
+        with pytest.raises(st.ReadOnlyError,
+                           match="store is read-only due to: disk pressure"):
+            crud.delete_where(spark, tdir, flt)
+
+        # READY restores writes and clears the table's entries
+        st.update_shard_status(tdir, "READY")
+        assert crud.delete_where(spark, tdir, flt) == 1
+        assert st.get_shards_status(tdir) == {"_default": "READY"}
+
+        # tenant shards: one tenant read-only, others writable; a
+        # table-level flip covers every tenant
+        mt = str(tmp_path / "mt")
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], ["id", "_tenant", "v"])
+        crud.write_tenant_partitioned(df, mt, "_tenant")
+        st.update_shard_status(mt, "READONLY", shard="a")
+        st.check_writable(mt, shard="b")     # other tenant fine
+        with pytest.raises(st.ReadOnlyError):
+            st.check_writable(mt, shard="a")
+        assert st.get_shards_status(mt)["a"] == "READONLY"
+        st.update_shard_status(mt, "READONLY", shard="")
+        with pytest.raises(st.ReadOnlyError):
+            st.check_writable(mt, shard="b")  # table-wide covers all
+        with pytest.raises(st.ReadOnlyError):
+            crud.write_tenant_partitioned(df, mt, "_tenant")
+    finally:
+        st.clear()

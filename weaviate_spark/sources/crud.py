@@ -316,6 +316,11 @@ def _rewrite(
     ConcurrentWriteError instead of a lost update. Every write
     invalidates materialized index state so no query scores against
     stale statistics."""
+    from weaviate_spark.sources.storagestate import check_writable
+
+    # shard status gate (storagestate.ErrStatusReadOnly — the shard
+    # write paths check the store status before any mutation)
+    check_writable(table_dir)
     staging = table_dir.rstrip("/") + ".staging-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(staging)
     if expected_version is not None:
@@ -529,6 +534,9 @@ def purge_expired(
 def write_tenant_partitioned(df: DataFrame, table_dir: str, tenant_col: str) -> None:
     """Partition the collection by tenant; per-tenant reads prune to one
     directory, per-tenant overwrites rewrite only that partition."""
+    from weaviate_spark.sources.storagestate import check_writable
+
+    check_writable(table_dir)
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
