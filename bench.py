@@ -128,13 +128,23 @@ def main() -> None:
     CAL_REF = 0.15
 
     def _calibrate() -> float:
+        """Median of 3 SETTLED probe runs. The probe executes inside
+        the same JVM as the bench, and right after the warmup block the
+        JIT/GC background threads are still winding down — the first
+        probe reads that settling (observed: before 0.28s on a 0.04
+        loadavg machine, after 0.13s). Discard runs while they are
+        still improving >10% (max 5 extra), then take the median of
+        the final 3 — the probe measures the MACHINE, not the JVM's
+        warmup tail."""
         fn = QUERIES[CAL_QUERY]
-        runs = []
-        for _ in range(3):
+        runs: list[float] = []
+        for i in range(8):
             t0 = time.time()
             fn(spark, CAL_SF_DIR).count()
             runs.append(time.time() - t0)
-        return round(sorted(runs)[1], 3)
+            if len(runs) >= 3 and runs[-1] >= 0.9 * runs[-2]:
+                break  # settled: no longer improving
+        return round(sorted(runs[-3:])[1], 3)
 
     cal_before = _calibrate()
     load_before = list(os.getloadavg())
