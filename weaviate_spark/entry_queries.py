@@ -11239,3 +11239,43 @@ def q_hybrid_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
          for i, r in enumerate(picked)],
         "mmr_rank int, doc_id long, score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Nodes status API (GET /v1/nodes?output=verbose — usecases/nodes/
+# handler.go, adapters/repos/db/nodes.go LocalNodeStatus)
+
+def _nodes_status_oracle_sql() -> str:
+    from weaviate_spark.sources.tables import TABLES
+
+    tables = sorted(TABLES)
+    shards = " UNION ALL ".join(
+        f"SELECT '{t}' AS class, '{t}' AS shard, "
+        f"CAST(count(*) AS BIGINT) AS object_count FROM {t}"
+        for t in tables
+    )
+    return (
+        f"WITH shards AS ({shards}) "
+        "SELECT 'weaviate-0' AS node, class, shard, object_count, "
+        "'READY' AS vector_indexing_status, "
+        "CAST(0 AS BIGINT) AS vector_queue_length, "
+        "FALSE AS compressed, TRUE AS loaded, "
+        "CAST(count(*) OVER () AS BIGINT) AS shard_count, "
+        "CAST(sum(object_count) OVER () AS BIGINT) AS total_object_count "
+        "FROM shards"
+    )
+
+
+@register("nodes_status_verbose", oracle=_nodes_status_oracle_sql())
+def q_nodes_status_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /v1/nodes?output=verbose flattened: one row per shard with
+    the NodeShardStatus fields plus the NodeStats totals
+    (nodes.go:119-153,277-344). Each class contributes a count-only
+    aggregate (footer-metadata count, no data pages read); the node
+    totals are a window over the 10-row union. detect_compression is
+    off so the oracle stays deterministic regardless of which vector
+    artifacts earlier queries have built (the flag's detection path is
+    pinned by pytest instead)."""
+    from weaviate_spark.sources.nodes import node_status_df
+
+    return node_status_df(spark, sf_dir, detect_compression=False)
