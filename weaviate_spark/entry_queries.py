@@ -11279,3 +11279,157 @@ def q_nodes_status_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.sources.nodes import node_status_df
 
     return node_status_df(spark, sf_dir, detect_compression=False)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + C4 page cleaning (public papers: Rae et al.
+# 2021 §A1.1; Raffel et al. 2019 §2.2) — training-pipeline filters
+
+# The sf documents are single-line word bags (no newlines, terminal
+# punctuation, bullets, or most Gopher stop words), which would leave
+# the line-shape and stop-word rules constant across the corpus. Both
+# sides first apply the SAME deterministic structuring transform —
+# a sequential replace chain that manufactures sentence breaks,
+# ellipsis lines, bullet lines and stop words out of frequent corpus
+# words — so every rule fires with real spread while staying
+# hash-exact between Spark and the oracle.
+_STRUCTURE_STEPS = [
+    (" line ", ".\n"),
+    (" sort ", "...\n"),
+    (" big ", "\n- "),
+    (" row ", " of "),
+    (" part ", " and "),
+]
+
+
+def _structured_docs_sql() -> str:
+    expr = "text"
+    for a, b in _STRUCTURE_STEPS:
+        lit = b.replace("\n", "' || chr(10) || '")
+        lit = "'" + lit + "'"
+        lit = lit.replace("'' || ", "").replace(" || ''", "")
+        expr = f"replace({expr}, ' {a.strip()} ', {lit})"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def _structured_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    for a, b in _STRUCTURE_STEPS:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return df.select("doc_id", c.alias("text"))
+
+
+def _gopher_rules_oracle_sql() -> str:
+    src = _structured_docs_sql()
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(lw, '{w}') THEN 1 ELSE 0 END)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS words,
+    regexp_split_to_array(text, '\\n') AS lines
+  FROM ({src})
+), w2 AS (
+  SELECT *, list_transform(words, x -> lower(x)) AS lw FROM w
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS word_count,
+    round(CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+      ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(words) > 0 THEN
+      (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(words)
+      ELSE 0.0 END, 6) AS symbol_ratio,
+    round(CAST(len(list_filter(lines, l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '‣%'
+      OR ltrim(l) LIKE '▶%' OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE)
+      / len(lines), 6) AS bullet_line_ratio,
+    round(CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+      AS DOUBLE) / len(lines), 6) AS ellipsis_line_ratio,
+    round(CASE WHEN len(words) > 0 THEN
+      CAST(len(list_filter(words, x -> regexp_matches(x, '\\p{{L}}'))) AS DOUBLE) / len(words)
+      ELSE 0.0 END, 6) AS alpha_word_ratio,
+    CAST({stop_hits} AS INT) AS stopword_hits
+  FROM w2
+)
+SELECT *,
+  word_count >= 50 AND word_count <= 100000 AS r_word_count,
+  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_word_len,
+  symbol_ratio <= 0.1 AS r_symbol_ratio,
+  bullet_line_ratio <= 0.9 AS r_bullet_lines,
+  ellipsis_line_ratio <= 0.3 AS r_ellipsis_lines,
+  alpha_word_ratio >= 0.8 AS r_alpha_words,
+  stopword_hits >= 2 AS r_stopwords,
+  (word_count >= 50 AND word_count <= 100000)
+    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+    AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+    AND stopword_hits >= 2 AS keep
+FROM m
+"""
+
+
+@register("text_gopher_rules", oracle=_gopher_rules_oracle_sql())
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality-filter breakdown over the documents table
+    (published thresholds): per-doc metrics, one boolean per rule, and
+    the AND-of-all keep decision. Pure narrow Catalyst expressions —
+    map-only over the corpus scan (the repetition half of §A1.1 is
+    repetition_filter, oracle text_repetition_profile)."""
+    from weaviate_spark.operators.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(
+        _structured_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _c4_page_oracle_sql() -> str:
+    src = _structured_docs_sql()
+    return f"""
+WITH l AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, '\\n'), x -> trim(x)) AS lines
+  FROM ({src})
+), k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, x ->
+      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"' OR x LIKE '%''')
+      AND len(list_filter(regexp_split_to_array(x, '\\s+'), w -> length(w) > 0)) >= 5
+    ) AS kept
+  FROM l
+), m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    coalesce(array_to_string(kept, chr(10)), '') AS retained_text
+  FROM k
+), s AS (
+  SELECT *, CAST(len(list_filter(regexp_split_to_array(retained_text, '[.!?]+'),
+    x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences
+  FROM m
+)
+SELECT doc_id, n_lines, n_kept_lines, retained_text, n_sentences,
+  n_sentences >= 3 AS r_min_sentences,
+  NOT contains(lower(retained_text), 'lorem ipsum') AS r_no_lorem_ipsum,
+  NOT (contains(retained_text, '{{') OR contains(retained_text, '}}')) AS r_no_braces,
+  (n_sentences >= 3)
+    AND NOT contains(lower(retained_text), 'lorem ipsum')
+    AND NOT (contains(retained_text, '{{') OR contains(retained_text, '}}')) AS keep
+FROM s
+"""
+
+
+@register("text_c4_page_filter", oracle=_c4_page_oracle_sql())
+def q_text_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 page cleaning over the documents table: line-level
+    terminal-punctuation + ≥5-word retention, then page-level
+    3-sentence / lorem-ipsum / curly-brace drops. Map-only narrow
+    expressions; the cross-page 3-sentence span dedup is the separate
+    global_line_dedup operator."""
+    from weaviate_spark.operators.curation import c4_page_filter
+
+    return c4_page_filter(_structured_docs(spark, sf_dir), "doc_id", "text")

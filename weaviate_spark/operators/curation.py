@@ -391,6 +391,73 @@ def extract_html_text(
     )
 
 
+C4_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_page_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2019, 1910.10683 §2.2): keep
+    only lines that end in a terminal punctuation mark AND contain at
+    least ``min_line_words`` whitespace words; then drop pages with
+    fewer than ``min_sentences`` sentences in the retained text, pages
+    containing "lorem ipsum" (case-insensitive), and pages containing
+    a curly brace. (The original's bad-words list and its 3-sentence
+    cross-page span dedup are separate concerns here: the span dedup is
+    global_line_dedup above; a bad-words list can be AND-ed on by the
+    caller.)
+
+    Sentences are counted as terminal-punctuation runs in the retained
+    text ('Hi! Bye.' = 2) — a deterministic stand-in for the paper's
+    (unspecified) sentence splitter. Returns per-page: line counts,
+    retained text, sentence count, per-rule booleans, and ``keep``.
+    Narrow map-only column expressions; the page either survives with
+    its cleaned text or is dropped — no shuffle at any scale.
+    """
+    text = F.col(text_col)
+    lines = F.transform(F.split(text, "\n"), F.trim)
+
+    def _kept(line: Column) -> Column:
+        ends = F.lit(False)
+        for p in C4_TERMINAL:
+            ends = ends | line.endswith(p)
+        n_words = F.size(F.filter(
+            F.split(line, "\\s+"), lambda w: F.length(w) > 0))
+        return ends & (n_words >= min_line_words)
+
+    kept = F.filter(lines, _kept)
+    retained = F.array_join(kept, "\n")
+    n_sentences = F.size(F.filter(
+        F.split(retained, "[.!?]+"), lambda s: F.length(F.trim(s)) > 0))
+    # a page that ends in terminal punctuation splits into N-1 + ''
+    # — counting non-empty fragments matches "runs of sentences"
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        retained.alias("retained_text"),
+        n_sentences.cast("long").alias("n_sentences"),
+    )
+    rules = {
+        "r_min_sentences": F.col("n_sentences") >= min_sentences,
+        "r_no_lorem_ipsum": ~F.lower(F.col("retained_text"))
+        .contains("lorem ipsum"),
+        "r_no_braces": ~(F.col("retained_text").contains("{")
+                         | F.col("retained_text").contains("}")),
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    return out.withColumn(
+        "keep",
+        F.col("r_min_sentences") & F.col("r_no_lorem_ipsum")
+        & F.col("r_no_braces"),
+    )
+
+
 def bigram_interp_xent(
     df: DataFrame,
     id_col: str,

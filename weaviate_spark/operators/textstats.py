@@ -282,6 +282,110 @@ def _top_gram_cover(per_gram: DataFrame) -> DataFrame:
     )
 
 
+# Gopher §A1.1 quality-filter constants (Rae et al. 2021, public).
+# Stop-word PRESENCE list (≥2 distinct must appear), not EN_STOPWORDS.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "‣", "▶", "-", "*")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rule breakdown (Rae et al. 2021 §A1.1,
+    the published thresholds as defaults) — the companion to
+    repetition_filter, which carries the §A1.1 repetition rules.
+
+    Definitions (deterministic, SQL-reproducible): words = non-empty
+    whitespace-split tokens; symbol ratio = (count('#') +
+    count('...'))/words; bullet lines start (after space-trim) with
+    •/‣/▶/-/*; ellipsis lines end with '...' or '…'; alpha words
+    contain ≥1 Unicode letter; stop-word hits = DISTINCT presence
+    count over the/be/to/of/and/that/have/with (lowercased match).
+    An empty document fails word-count/mean-length/alpha/stop rules
+    and passes the line-shape rules (no lines to offend).
+
+    Returns per-doc metrics, one boolean per rule, and
+    ``keep`` = AND of all seven. Pure narrow Catalyst expressions —
+    zero shuffles, map-only over the corpus scan at any scale.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, "\\s+"), lambda w: F.length(w) > 0)
+    wc = F.size(words).cast("long")
+    mwl = F.when(
+        wc > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("double") / wc,
+    ).otherwise(0.0)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(wc > 0, (n_hash + n_ellipsis) / wc).otherwise(0.0)
+    lines = F.split(text, "\n")
+    nl = F.size(lines)
+
+    def _starts_bullet(line: Column) -> Column:
+        t = F.ltrim(line)
+        out = F.lit(False)
+        for b in GOPHER_BULLETS:
+            out = out | t.startswith(b)
+        return out
+
+    bullet_ratio = F.size(F.filter(lines, _starts_bullet)) / nl
+    ellipsis_ratio = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+        | F.rtrim(l).endswith("…"))) / nl
+    alpha_ratio = F.when(
+        wc > 0,
+        F.size(F.filter(words, lambda w: w.rlike("\\p{L}"))) / wc,
+    ).otherwise(0.0)
+    lowered = F.transform(words, F.lower)
+    stop_hits = sum(
+        (F.array_contains(lowered, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    out = df.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    rules = {
+        "r_word_count": (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_bullet_lines": F.col("bullet_line_ratio")
+        <= max_bullet_line_ratio,
+        "r_ellipsis_lines": F.col("ellipsis_line_ratio")
+        <= max_ellipsis_line_ratio,
+        "r_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def repetition_filter(
     df: DataFrame,
     id_col: str,
