@@ -1,0 +1,166 @@
+"""Classification job lifecycle (usecases/classification/classifier.go
+Schedule/Get, classifier_run.go, validation.go error texts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_spark.operators import classification_job as C
+from weaviate_spark.schema import Collection, Property
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    yield
+    C.clear_jobs()
+
+
+def _coll():
+    return Collection(name="Article", properties=[
+        Property("body", "text"),
+        Property("wordCount", "int"),
+        Property("ofCategory", "Category"),
+    ])
+
+
+def _beacon(cat: str):
+    return [(f"weaviate://localhost/Category/{cat}", "Category", cat)]
+
+
+REF_T = ("array<struct<beacon:string,className:string,id:string>>")
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, f"_id string, _vector array<float>, body string, "
+              f"group string, ofCategory {REF_T}")
+
+
+def _base(spark):
+    # two tight clusters; ids 'u*' unclassified
+    return _frame(spark, [
+        ("a1", [1.0, 0.0], "", "g1", _beacon("cat-a")),
+        ("a2", [0.9, 0.1], "", "g1", _beacon("cat-a")),
+        ("b1", [0.0, 1.0], "", "g1", _beacon("cat-b")),
+        ("b2", [0.1, 0.9], "", "g2", _beacon("cat-b")),
+        ("u1", [1.0, 0.1], "", "g1", None),
+        ("u2", [0.1, 1.0], "", "g1", None),
+    ])
+
+
+def _schedule(spark, df=None, **kw):
+    args = dict(class_name="Article", classify_property="ofCategory",
+                based_on_property="body", k=3, now_unix=42,
+                job_id="job-1")
+    args.update(kw)
+    return C.schedule_classification(
+        df if df is not None else _base(spark), _coll(), **args)
+
+
+def test_happy_path_classifies_and_writes_meta(spark):
+    job, updated = _schedule(spark)
+    assert job.status == "completed"
+    assert job.meta == {"started": 42, "completed": 42, "count": 2,
+                        "countSucceeded": 2, "countFailed": 0}
+    rows = {r["_id"]: r for r in updated.collect()}
+    assert rows["u1"]["ofCategory"][0]["id"] == "cat-a"
+    assert rows["u2"]["ofCategory"][0]["id"] == "cat-b"
+    assert rows["u1"]["ofCategory"][0]["beacon"] == \
+        "weaviate://localhost/Category/cat-a"
+    m = rows["u1"]["_classification"]
+    assert m["scope"] == ["ofCategory"] and \
+        m["classifiedFields"] == ["ofCategory"] and m["completed"] == 42
+    # already-classified rows untouched, no meta
+    assert rows["a1"]["ofCategory"][0]["id"] == "cat-a"
+    assert rows["a1"]["_classification"] is None
+    # Get returns the stored record (classifier.go:278)
+    assert C.get_classification("job-1") is job
+    assert C.get_classification("nope") is None
+
+
+def test_no_unclassified_fails_with_reference_text(spark):
+    df = _base(spark).where(F.col("ofCategory").isNotNull())
+    job, out = _schedule(spark, df=df)
+    assert job.status == "failed"
+    assert job.error == ("classification failed: no classes to be "
+                         "classified - did you run a previous "
+                         "classification already?")
+    # the frame is returned unmodified on failure
+    assert out is df
+
+
+def test_source_where_limits_sources(spark):
+    df = _base(spark).unionByName(
+        _frame(spark, [("u3", [0.5, 0.5], "", "g2", None)]))
+    job, updated = _schedule(
+        spark, df=df, filters=C.ClassificationFilters(
+            source_where=F.col("group") == "g1"))
+    rows = {r["_id"]: r for r in updated.collect()}
+    assert job.meta["count"] == 2            # u3 (g2) excluded
+    assert rows["u3"]["ofCategory"] is None
+    assert rows["u1"]["ofCategory"][0]["id"] == "cat-a"
+
+
+def test_training_set_where_limits_training(spark):
+    # only g2 training rows -> only cat-b can win
+    job, updated = _schedule(
+        spark, filters=C.ClassificationFilters(
+            training_set_where=F.col("group") == "g2"))
+    rows = {r["_id"]: r for r in updated.collect()}
+    assert rows["u1"]["ofCategory"][0]["id"] == "cat-b"
+    assert rows["u2"]["ofCategory"][0]["id"] == "cat-b"
+
+
+@pytest.mark.parametrize("kw,msg", [
+    (dict(class_name=""), "invalid classification: class must be set"),
+    (dict(class_name="Nope"),
+     "invalid classification: class 'Nope' not found in schema"),
+    (dict(based_on_property="nope"),
+     "invalid classification: basedOnProperties: property 'nope' "
+     "does not exist"),
+    (dict(based_on_property="wordCount"),
+     "invalid classification: basedOnProperties: property 'wordCount' "
+     "must be of type 'text'"),
+    (dict(classify_property="nope"),
+     "invalid classification: classifyProperties: property 'nope' "
+     "does not exist"),
+    (dict(classify_property="body"),
+     "invalid classification: classifyProperties: property 'body' "
+     "must be of reference type (cref)"),
+])
+def test_validator_error_texts(spark, kw, msg):
+    with pytest.raises(C.InvalidClassificationError) as ei:
+        _schedule(spark, **kw)
+    assert str(ei.value) == msg
+
+
+def test_knn_rejects_target_where(spark):
+    with pytest.raises(C.InvalidClassificationError) as ei:
+        _schedule(spark, filters=C.ClassificationFilters(
+            target_where=F.lit(True)))
+    assert "for 'knn' you cannot limit target data directly" \
+        in str(ei.value)
+
+
+def test_contextual_rejects_training_set_where(spark):
+    with pytest.raises(C.InvalidClassificationError) as ei:
+        _schedule(spark, type=C.TYPE_CONTEXTUAL,
+                  filters=C.ClassificationFilters(
+                      training_set_where=F.lit(True)))
+    assert "there is no training data" in str(ei.value)
+
+
+def test_classify_fn_hook(spark):
+    # the modulesProvider analogue: a custom classifier core
+    def fn(labeled, queries):
+        return queries.select(
+            F.col("_kid"),
+            F.lit("weaviate://localhost/Category/cat-x")
+            .alias("predicted_label"))
+
+    job, updated = _schedule(spark, classify_fn=fn)
+    rows = {r["_id"]: r for r in updated.collect()}
+    assert rows["u1"]["ofCategory"][0]["id"] == "cat-x"
+    assert rows["u1"]["ofCategory"][0]["className"] == "Category"
+    assert job.meta["countSucceeded"] == 2

@@ -11433,3 +11433,112 @@ def q_text_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.curation import c4_page_filter
 
     return c4_page_filter(_structured_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Classification job lifecycle (POST/GET /v1/classifications —
+# usecases/classification/classifier.go Schedule, classifier_run.go)
+
+def _classification_job_oracle_sql() -> str:
+    return """
+WITH e AS (
+  SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS _id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+    vec_id % 10 = 0 AS unl
+  FROM embeddings
+), lab AS (
+  SELECT _id, 'weaviate://localhost/Category/cat-' || CAST(label AS VARCHAR)
+    AS beacon, ev FROM e WHERE NOT unl
+), unl AS (SELECT _id, ev FROM e WHERE unl),
+d AS (
+  SELECT u._id AS _qid, l.beacon AS _label, l._id AS _tid,
+    round(1 - list_dot_product(u.ev, l.ev)
+      / (sqrt(list_dot_product(u.ev, u.ev)) * sqrt(list_dot_product(l.ev, l.ev))), 6) AS _d
+  FROM unl u CROSS JOIN lab l
+), topk AS (
+  SELECT * FROM (SELECT *, row_number() OVER
+    (PARTITION BY _qid ORDER BY _d ASC, _tid ASC) AS _rn FROM d)
+  WHERE _rn <= 5
+), votes AS (
+  SELECT _qid, _label, count(*) AS _votes FROM topk GROUP BY _qid, _label
+), win AS (
+  SELECT _qid, _label FROM (SELECT *, row_number() OVER
+    (PARTITION BY _qid ORDER BY _votes DESC, _label ASC) AS _r FROM votes)
+  WHERE _r = 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_unl FROM unl)
+SELECT _qid AS id, _label AS ref_beacon,
+  'Category' AS ref_class,
+  'cat-' || split_part(_label, '/cat-', 2) AS ref_id,
+  'ofCategory' AS cls_scope,
+  CAST(1700000000 AS BIGINT) AS completed,
+  'completed' AS status,
+  n.n_unl AS meta_count, n.n_unl AS count_succeeded,
+  CAST(0 AS BIGINT) AS count_failed
+FROM win, n
+"""
+
+
+@register("classification_job_lifecycle",
+          oracle=_classification_job_oracle_sql())
+def q_classification_job_lifecycle(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Scheduled kNN classification end-to-end (classifier.go
+    Schedule → run → succeedRun): embeddings become a collection whose
+    cref property ofCategory is set for 9/10 of the rows (beacons to
+    Category/cat-<label>); the job classifies the unclassified tenth
+    by k=5 exact cosine vote on the beacon labels and writes back a
+    single-beacon ref + the _classification meta struct. Result = the
+    classified rows' ref triple + meta + the job record's final
+    status/counts; validator texts, failure path and filter semantics
+    are pinned by pytest."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.classification_job import (
+        ClassificationJob, clear_jobs, schedule_classification)
+    from weaviate_spark.schema import Collection, Property
+
+    emb = _load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_id"),
+        F.col("embedding").alias("_vector"),
+        F.lit("").alias("body"),
+        F.when(
+            F.col("vec_id") % 10 != 0,
+            F.array(F.struct(
+                F.concat(F.lit("weaviate://localhost/Category/cat-"),
+                         F.col("label").cast("string")).alias("beacon"),
+                F.lit("Category").alias("className"),
+                F.concat(F.lit("cat-"),
+                         F.col("label").cast("string")).alias("id"),
+            )),
+        ).alias("ofCategory"),
+    )
+    coll = Collection(name="EmbeddingDoc", properties=[
+        Property("body", "text"),
+        Property("ofCategory", "Category"),
+    ])
+    job, updated = schedule_classification(
+        base, coll, class_name="EmbeddingDoc",
+        classify_property="ofCategory", based_on_property="body",
+        k=5, now_unix=1_700_000_000,
+        job_id="entry-classification-job",
+    )
+    assert job.status == "completed", job.error
+    out = (updated
+           .where(F.col("_classification").isNotNull())
+           .select(
+               F.col("_id").alias("id"),
+               F.col("ofCategory")[0]["beacon"].alias("ref_beacon"),
+               F.col("ofCategory")[0]["className"].alias("ref_class"),
+               F.col("ofCategory")[0]["id"].alias("ref_id"),
+               F.col("_classification")["scope"][0].alias("cls_scope"),
+               F.col("_classification")["completed"].alias("completed"),
+               F.lit(job.status).alias("status"),
+               F.lit(job.meta["count"]).cast("long").alias("meta_count"),
+               F.lit(job.meta["countSucceeded"]).cast("long")
+               .alias("count_succeeded"),
+               F.lit(job.meta["countFailed"]).cast("long")
+               .alias("count_failed"),
+           ))
+    clear_jobs()
+    return out

@@ -1,0 +1,314 @@
+"""Classification job lifecycle (POST/GET /v1/classifications).
+
+Reference: usecases/classification/classifier.go Schedule/Get
+(:151-291), classifier_run.go run/runItems/succeedRun/failRunWithError
+(:33-171), validation.go Validator (:42-190), classifier_run_knn.go
+classifyItemUsingKNN (:22-62), entities/models/classification.go
+status constants (:164-170).
+
+Semantics ported:
+* ``schedule`` validates (the Validator's rules and exact error
+  texts), assigns a job id, stores the record with status
+  ``running`` + meta.started, then runs the classification and flips
+  the record to ``completed`` (meta counts set) or ``failed`` (the
+  reference's ``classification failed: …`` error string) — including
+  the "no classes to be classified" failure when nothing is
+  unclassified (classifier_run.go:49-52).
+* type ``knn``: k defaults to 3 (ParamsKNN.SetDefaults,
+  classifier.go:345-350); a ``targetWhere`` filter is rejected with
+  the reference's guidance text (validation.go knnTypeFeasibility) —
+  training data is limited via ``trainingSetWhere``, sources via
+  ``sourceWhere``.
+* training set = rows whose classify property is already set;
+  unclassified = rows where EVERY classify property is null/empty
+  (GetUnclassified semantics — partially classified objects are
+  not re-classified).
+* writeback: the winning neighbour class becomes a single beacon ref
+  on the classify property (classifier_run_knn.go:40-49) and the row
+  gains a ``_classification`` struct — scope, classifiedFields,
+  completed — (extendItemWithObjectMeta, classifier_run.go:173-187).
+
+Spark mapping: the collection is a DataFrame; the kNN vote itself is
+the existing ``knn_classify`` operator (numpy-broadcast Arrow batches;
+labeled set broadcast once — the reference likewise scores every item
+against the in-memory training vectors). String ref targets are
+factorized driver-side to keep the BLAS top-k path (the distinct
+target list of a ref classification is small: its size is bounded by
+the target class). Writeback is one narrow join of predictions onto
+the collection — no per-item store round-trips; at 100 TB this is a
+single map-side-join stage, and the COW table write is the caller's
+``crud.upsert``.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_spark.schema import Collection
+
+STATUS_RUNNING = "running"      # models.ClassificationStatusRunning
+STATUS_COMPLETED = "completed"  # models.ClassificationStatusCompleted
+STATUS_FAILED = "failed"        # models.ClassificationStatusFailed
+
+TYPE_KNN = "knn"
+TYPE_CONTEXTUAL = "text2vec-contextionary-contextual"
+
+NO_UNCLASSIFIED_ERR = ("no classes to be classified - did you run a "
+                       "previous classification already?")
+
+
+class InvalidClassificationError(ValueError):
+    """Validator.Do (validation.go:42-51): 'invalid classification: '
+    + the FIRST accumulated error."""
+
+    def __init__(self, msg: str) -> None:
+        super().__init__(f"invalid classification: {msg}")
+
+
+@dataclass
+class ClassificationFilters:
+    """models.ClassificationFilters: each side is a Column predicate
+    over the collection frame (the engine's compiled `where`)."""
+
+    source_where: Optional[Column] = None
+    training_set_where: Optional[Column] = None
+    target_where: Optional[Column] = None
+
+
+@dataclass
+class ClassificationJob:
+    """models.Classification record (id, class, status, meta, error)."""
+
+    id: str
+    class_name: str
+    classify_properties: list[str]
+    based_on_properties: list[str]
+    type: str = TYPE_KNN
+    settings: dict = field(default_factory=dict)
+    status: str = STATUS_RUNNING
+    error: str = ""
+    meta: dict = field(default_factory=dict)
+
+
+_LOCK = threading.Lock()
+_JOBS: dict[str, ClassificationJob] = {}
+
+
+def get_classification(job_id: str) -> Optional[ClassificationJob]:
+    """Classifier.Get (classifier.go:278-291): nil for unknown ids."""
+    with _LOCK:
+        return _JOBS.get(job_id)
+
+
+def _put(job: ClassificationJob) -> None:
+    with _LOCK:
+        _JOBS[job.id] = job
+
+
+def _validate(coll: Optional[Collection], class_name: str,
+              classify_properties: list[str],
+              based_on_properties: list[str], type_: str,
+              filters: ClassificationFilters) -> None:
+    """Validator.validate (validation.go:53-190), first-error-wins."""
+    if not class_name:
+        raise InvalidClassificationError("class must be set")
+    if coll is None or coll.name != class_name:
+        raise InvalidClassificationError(
+            f"class '{class_name}' not found in schema")
+    if type_ == TYPE_CONTEXTUAL and filters.training_set_where is not None:
+        raise InvalidClassificationError(
+            "type is 'text2vec-contextionary-contextual', but "
+            "'trainingSetWhere' filter is set, for "
+            "'text2vec-contextionary-contextual' there is no training "
+            "data, instead limit possible target data directly through "
+            "setting 'targetWhere'")
+    if type_ == TYPE_KNN and filters.target_where is not None:
+        raise InvalidClassificationError(
+            "type is 'knn', but 'targetWhere' filter is set, for 'knn' "
+            "you cannot limit target data directly, instead limit "
+            "training data through setting 'trainingSetWhere'")
+    if not based_on_properties:
+        raise InvalidClassificationError(
+            "basedOnProperties must have at least one property")
+    if len(based_on_properties) > 1:
+        raise InvalidClassificationError(
+            "only a single property in basedOnProperties supported at "
+            f"the moment, got {based_on_properties}")
+    for prop in based_on_properties:
+        try:
+            p = coll.property(prop)
+        except KeyError:
+            raise InvalidClassificationError(
+                f"basedOnProperties: property '{prop}' does not exist")
+        if p.data_type != "text":
+            raise InvalidClassificationError(
+                f"basedOnProperties: property '{prop}' must be of "
+                "type 'text'")
+    if not classify_properties:
+        raise InvalidClassificationError(
+            "classifyProperties must have at least one property")
+    for prop in classify_properties:
+        try:
+            p = coll.property(prop)
+        except KeyError:
+            raise InvalidClassificationError(
+                f"classifyProperties: property '{prop}' does not exist")
+        if not p.is_reference():
+            raise InvalidClassificationError(
+                f"classifyProperties: property '{prop}' must be of "
+                "reference type (cref)")
+
+
+def _empty_ref(col: Column) -> Column:
+    return col.isNull() | (F.size(col) == 0)
+
+
+def schedule_classification(
+    df: DataFrame,
+    coll: Collection,
+    *,
+    class_name: str,
+    classify_property: str,
+    based_on_property: str,
+    id_col: str = "_id",
+    vector_col: str = "_vector",
+    type: str = TYPE_KNN,
+    k: Optional[int] = None,
+    filters: Optional[ClassificationFilters] = None,
+    now_unix: int = 0,
+    job_id: Optional[str] = None,
+    classify_fn: Optional[Callable[[DataFrame, DataFrame], DataFrame]]
+    = None,
+) -> tuple[ClassificationJob, DataFrame]:
+    """Classifier.Schedule + run, synchronously (a Spark batch job IS
+    the async worker pool — runItems' per-CPU workers map onto the
+    partition-parallel stage).
+
+    Returns (job record, updated collection frame). The updated frame
+    carries the classify property filled with a single beacon ref for
+    every successfully classified row, plus a ``_classification``
+    struct (scope / classifiedFields / completed). The caller owns
+    persisting it (crud.upsert) — the frame is lazy until then.
+
+    ``classify_fn(labeled, unlabeled) -> (id, predicted_label)``
+    overrides the classifier core (the module hook the reference's
+    modulesProvider offers); default is kNN majority vote via
+    ``knn_classify`` with k per ParamsKNN (default 3).
+    """
+    filters = filters or ClassificationFilters()
+    _validate(coll, class_name, [classify_property],
+              [based_on_property], type, filters)
+    if k is None:
+        k = 3  # ParamsKNN.SetDefaults (classifier.go:345-350)
+
+    job = ClassificationJob(
+        id=job_id or str(_uuid.uuid4()),
+        class_name=class_name,
+        classify_properties=[classify_property],
+        based_on_properties=[based_on_property],
+        type=type,
+        settings={"k": k} if type == TYPE_KNN else {},
+        status=STATUS_RUNNING,
+        meta={"started": now_unix},
+    )
+    _put(job)
+
+    try:
+        updated = _run(df, job, classify_property, id_col, vector_col,
+                       k, filters, now_unix, classify_fn)
+    except Exception as ex:  # failRunWithError (classifier_run.go:163)
+        job.status = STATUS_FAILED
+        job.error = f"classification failed: {ex}"
+        _put(job)
+        return job, df
+
+    job.status = STATUS_COMPLETED
+    job.meta["completed"] = now_unix
+    _put(job)
+    return job, updated
+
+
+def _run(df: DataFrame, job: ClassificationJob, classify_property: str,
+         id_col: str, vector_col: str, k: int,
+         filters: ClassificationFilters, now_unix: int,
+         classify_fn) -> DataFrame:
+    from weaviate_spark.operators.rerank import knn_classify
+    from weaviate_spark.sources.crud import make_beacon
+
+    ref = F.col(classify_property)
+    unclassified = df.where(_empty_ref(ref))
+    if filters.source_where is not None:
+        unclassified = unclassified.where(filters.source_where)
+    # GetUnclassified emptiness check — bounded probe, not a count
+    if not unclassified.select(id_col).limit(1).count():
+        raise RuntimeError(NO_UNCLASSIFIED_ERR)
+
+    training = df.where(~_empty_ref(ref))
+    if filters.training_set_where is not None:
+        training = training.where(filters.training_set_where)
+    # vote directly on the ref's BEACON string (carries target class +
+    # id, so the winning vote reconstructs the full SingleRef without
+    # any driver-side label mapping); ties -> lexicographically
+    # smallest beacon, matching the vote's smallest-label rule
+    labeled = training.select(
+        F.col(id_col).alias("_kid"),
+        F.col(vector_col).alias("_kvec"),
+        ref[0]["beacon"].alias("_klabel"),
+    )
+    queries = unclassified.select(
+        F.col(id_col).alias("_kid"), F.col(vector_col).alias("_kvec"))
+
+    if classify_fn is not None:
+        preds = classify_fn(labeled, queries)
+    else:
+        preds = knn_classify(
+            labeled, queries, "_kid", "_kvec", "_klabel", k=k,
+            id_type="string", label_type="string",
+        )
+
+    # one broadcast join writes every prediction back (the reference's
+    # per-item writer.Store, batched into a single narrow stage)
+    preds = preds.select(
+        F.col("_kid").alias(id_col),
+        F.col("predicted_label").alias("_pred"),
+    )
+    joined = df.join(F.broadcast(preds), id_col, "left")
+    parts = F.split(F.col("_pred"), "/")
+    new_ref = F.when(
+        F.col("_pred").isNotNull(),
+        F.array(F.struct(
+            F.col("_pred").alias("beacon"),
+            parts.getItem(3).alias("className"),
+            parts.getItem(4).alias("id"),
+        )),
+    ).otherwise(F.col(classify_property))
+    meta = F.when(F.col("_pred").isNotNull(), F.struct(
+        F.array(F.lit(classify_property)).alias("scope"),
+        F.array(F.lit(classify_property)).alias("classifiedFields"),
+        F.lit(now_unix).cast("long").alias("completed"),
+    ))
+    updated = (joined
+               .withColumn(classify_property, new_ref)
+               .withColumn("_classification", meta)
+               .drop("_pred"))
+
+    n_unclassified = unclassified.count()
+    n_succeeded = preds.count()
+    job.meta.update({
+        "count": n_unclassified,
+        "countSucceeded": n_succeeded,
+        "countFailed": n_unclassified - n_succeeded,
+    })
+    return updated
+
+
+def clear_jobs() -> None:
+    """Test helper."""
+    with _LOCK:
+        _JOBS.clear()

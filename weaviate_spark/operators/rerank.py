@@ -330,9 +330,15 @@ def knn_classify(
     metric: str = "cosine",
     backend: str = "numpy",
     max_labeled_rows: int = 1_000_000,
+    id_type: str = "long",
+    label_type: str = "long",
 ) -> DataFrame:
     """For each unlabeled row: k nearest labeled rows vote; majority
-    wins, ties -> smallest label (deterministic).
+    wins, ties -> smallest label (deterministic; for string labels,
+    lexicographically smallest — np.unique and SQL ASC agree).
+    ``id_type``/``label_type`` declare the Arrow output schema when
+    ids or labels are not longs (e.g. uuid ids, beacon labels in the
+    classification job).
 
     backends:
     * ``numpy`` (default) — the SIMD-distance-kernel analogue (SURVEY
@@ -400,7 +406,8 @@ def knn_classify(
                 "votes": out_votes,
             })
 
-    out_schema = f"{id_col} long, predicted_label long, votes long"
+    out_schema = (f"{id_col} {id_type}, predicted_label {label_type}, "
+                  "votes long")
     return unlabeled.select(id_col, vector_col).mapInPandas(_classify, out_schema)
 
 
