@@ -164,3 +164,41 @@ def test_classify_fn_hook(spark):
     assert rows["u1"]["ofCategory"][0]["id"] == "cat-x"
     assert rows["u1"]["ofCategory"][0]["className"] == "Category"
     assert job.meta["countSucceeded"] == 2
+
+
+def test_ref_meta_distances(spark):
+    # hand-checkable geometry: q=(1,0); winners cat-a at 0° and 26.57°,
+    # loser cat-b at 90°
+    lab = spark.createDataFrame([
+        ("t1", [1.0, 0.0], "weaviate://localhost/Category/cat-a"),
+        ("t2", [2.0, 1.0], "weaviate://localhost/Category/cat-a"),
+        ("t3", [0.0, 1.0], "weaviate://localhost/Category/cat-b"),
+    ], "_kid string, _kvec array<float>, _klabel string")
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "_kid string, _kvec array<float>")
+    r = C.knn_classify_with_meta(lab, q, k=3).collect()[0]
+    assert r["predicted_label"].endswith("cat-a")
+    assert r["overall_count"] == 3 and r["winning_count"] == 2 \
+        and r["losing_count"] == 1 and r["votes"] == 2
+    # normalized distances (1-cos)/2: t1=0, t2=(1-2/sqrt5)/2, t3=0.5
+    import math
+    t2 = round((1 - 2 / math.sqrt(5)) / 2, 6)
+    assert r["closest_overall_distance"] == 0.0
+    assert r["closest_winning_distance"] == 0.0
+    assert r["mean_winning_distance"] == round(t2 / 2, 6)
+    assert r["mean_losing_distance"] == 0.5
+    assert r["closest_losing_distance"] == 0.5
+
+
+def test_ref_meta_unanimous_vote_null_losing(spark):
+    lab = spark.createDataFrame([
+        ("t1", [1.0, 0.0], "weaviate://localhost/Category/cat-a"),
+        ("t2", [0.9, 0.1], "weaviate://localhost/Category/cat-a"),
+    ], "_kid string, _kvec array<float>, _klabel string")
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "_kid string, _kvec array<float>")
+    r = C.knn_classify_with_meta(lab, q, k=2).collect()[0]
+    # ref_meta.go: losing pointers stay nil on a unanimous vote
+    assert r["losing_count"] == 0
+    assert r["mean_losing_distance"] is None
+    assert r["closest_losing_distance"] is None

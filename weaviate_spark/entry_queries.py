@@ -11542,3 +11542,79 @@ def q_classification_job_lifecycle(spark: SparkSession,
            ))
     clear_jobs()
     return out
+
+
+def _classification_ref_meta_oracle_sql(k: int = 5) -> str:
+    return f"""
+WITH e AS (
+  SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS _id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+    vec_id % 10 = 0 AS unl
+  FROM embeddings
+), lab AS (
+  SELECT _id, 'weaviate://localhost/Category/cat-' || CAST(label AS VARCHAR)
+    AS beacon, ev FROM e WHERE NOT unl
+), unl AS (SELECT _id, ev FROM e WHERE unl),
+d AS (
+  SELECT u._id AS _qid, l.beacon AS _label, l._id AS _tid,
+    round(1 - list_dot_product(u.ev, l.ev)
+      / (sqrt(list_dot_product(u.ev, u.ev)) * sqrt(list_dot_product(l.ev, l.ev))), 6) AS _d,
+    (1 - list_dot_product(u.ev, l.ev)
+      / (sqrt(list_dot_product(u.ev, u.ev)) * sqrt(list_dot_product(l.ev, l.ev)))) / 2 AS _nd
+  FROM unl u CROSS JOIN lab l
+), topk AS (
+  SELECT * FROM (SELECT *, row_number() OVER
+    (PARTITION BY _qid ORDER BY _d ASC, _tid ASC) AS _rn FROM d)
+  WHERE _rn <= {k}
+), votes AS (
+  SELECT _qid, _label, count(*) AS _votes FROM topk GROUP BY _qid, _label
+), win AS (
+  SELECT _qid, _label AS _win, _votes FROM (SELECT *, row_number() OVER
+    (PARTITION BY _qid ORDER BY _votes DESC, _label ASC) AS _r FROM votes)
+  WHERE _r = 1
+)
+SELECT t._qid AS id, w._win AS predicted_label,
+  CAST(w._votes AS BIGINT) AS votes,
+  CAST(count(*) AS BIGINT) AS overall_count,
+  CAST(count(*) FILTER (t._label = w._win) AS BIGINT) AS winning_count,
+  CAST(count(*) FILTER (t._label <> w._win) AS BIGINT) AS losing_count,
+  round(min(t._nd), 6) AS closest_overall_distance,
+  round(min(t._nd) FILTER (t._label = w._win), 6) AS closest_winning_distance,
+  round(avg(t._nd) FILTER (t._label = w._win), 6) AS mean_winning_distance,
+  round(avg(t._nd) FILTER (t._label <> w._win), 6) AS mean_losing_distance,
+  round(min(t._nd) FILTER (t._label <> w._win), 6) AS closest_losing_distance
+FROM topk t JOIN win w USING (_qid)
+GROUP BY t._qid, w._win, w._votes
+"""
+
+
+@register("classification_ref_meta",
+          oracle=_classification_ref_meta_oracle_sql())
+def q_classification_ref_meta(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-ref classification metadata (KnnAggregator,
+    adapters/repos/db/classification.go:128-236 + ref_meta.go Meta()):
+    winning/losing counts over the k=5 neighbours plus closest/mean
+    NORMALIZED distances ((1-cos)/2, vectorizer/distance.go:21) — the
+    stats the reference attaches to every classified SingleRef. Same
+    embeddings fixture as classification_job_lifecycle; losing fields
+    are NULL when the vote was unanimous (ref_meta.go's optional
+    pointers)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.operators.classification_job import (
+        knn_classify_with_meta)
+
+    emb = _load(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("vec_id") % 10 != 0).select(
+        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_kid"),
+        F.col("embedding").alias("_kvec"),
+        F.concat(F.lit("weaviate://localhost/Category/cat-"),
+                 F.col("label").cast("string")).alias("_klabel"),
+    )
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_kid"),
+        F.col("embedding").alias("_kvec"),
+    )
+    return knn_classify_with_meta(
+        labeled, queries, k=5).withColumnRenamed("_kid", "id")

@@ -31,13 +31,12 @@ Semantics ported:
 Spark mapping: the collection is a DataFrame; the kNN vote itself is
 the existing ``knn_classify`` operator (numpy-broadcast Arrow batches;
 labeled set broadcast once — the reference likewise scores every item
-against the in-memory training vectors). String ref targets are
-factorized driver-side to keep the BLAS top-k path (the distinct
-target list of a ref classification is small: its size is bounded by
-the target class). Writeback is one narrow join of predictions onto
-the collection — no per-item store round-trips; at 100 TB this is a
-single map-side-join stage, and the COW table write is the caller's
-``crud.upsert``.
+against the in-memory training vectors). The vote runs directly on
+the refs' BEACON strings, so the winning label reconstructs the full
+SingleRef without any driver-side label mapping. Writeback is one
+narrow join of predictions onto the collection — no per-item store
+round-trips; at 100 TB this is a single map-side-join stage, and the
+COW table write is the caller's ``crud.upsert``.
 """
 
 from __future__ import annotations
@@ -306,6 +305,112 @@ def _run(df: DataFrame, job: ClassificationJob, classify_property: str,
         "countFailed": n_unclassified - n_succeeded,
     })
     return updated
+
+
+REF_META_FIELDS = (
+    "overall_count", "winning_count", "losing_count",
+    "closest_overall_distance", "closest_winning_distance",
+    "mean_winning_distance", "mean_losing_distance",
+    "closest_losing_distance",
+)
+
+
+def knn_classify_with_meta(
+    labeled: DataFrame,
+    queries: DataFrame,
+    id_col: str = "_kid",
+    vector_col: str = "_kvec",
+    label_col: str = "_klabel",
+    k: int = 3,
+    max_labeled_rows: int = 1_000_000,
+) -> DataFrame:
+    """kNN vote + the per-ref classification meta the reference
+    attaches to the winning SingleRef (adapters/repos/db/
+    classification.go KnnAggregator:128-236 + ref_meta.go Meta()):
+    overall/winning/losing counts over the k neighbours, plus
+    closest-overall, closest/mean-winning and (when any neighbour
+    voted differently) closest/mean-losing NORMALIZED distances
+    (vectorizer.NormalizedDistance = (1-cos)/2, distance.go:21-28).
+
+    Neighbour selection uses the engine's index distance (1-cos,
+    rounded 6dp, ties -> smallest labeled id) exactly like
+    ``knn_classify``; the meta distances are the normalized variant,
+    also 6dp. Winner ties -> lexicographically smallest beacon (the
+    reference iterates a Go map here — nondeterministic on ties — so
+    the deterministic tie-break is a strengthening, documented).
+
+    Same scale envelope as knn_classify's numpy backend: the labeled
+    matrix broadcasts once, each Arrow batch of queries scores with
+    one BLAS matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if labeled.limit(max_labeled_rows + 1).count() > max_labeled_rows:
+        raise ValueError(
+            "knn_classify_with_meta collects the labeled set to the "
+            f"driver (> max_labeled_rows={max_labeled_rows})")
+    lab = labeled.select(id_col, vector_col, label_col).collect()
+    L = np.array([list(map(float, r[1])) for r in lab], dtype=np.float64)
+    L_norm = L / np.linalg.norm(L, axis=1, keepdims=True)
+    tids = np.array([r[0] for r in lab])
+    beacons = np.array([r[2] for r in lab])
+    b = queries.sparkSession.sparkContext.broadcast(
+        (L_norm, tids, beacons))
+
+    def _classify(iterator):
+        Ln, tid_arr, beacon_arr = b.value
+        for pdf in iterator:
+            Q = np.array([list(map(float, v)) for v in pdf[vector_col]],
+                         dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            cos = Qn @ Ln.T
+            D = np.round(1.0 - cos, 6)    # index distance (selection)
+            # meta stats aggregate UNROUNDED normalized distances and
+            # round once at output — rounding first would put means of
+            # 6dp values on exact .5 boundaries, where numpy
+            # (half-to-even) and SQL (half-away) disagree
+            NDU = (1.0 - cos) / 2.0
+            rows = []
+            for i in range(D.shape[0]):
+                order = np.lexsort((tid_arr, D[i]))[:k]
+                top_beacons = beacon_arr[order]
+                nd = NDU[i][order]
+                vals, counts = np.unique(top_beacons, return_counts=True)
+                win = vals[np.argmax(counts)]
+                win_nd = nd[top_beacons == win]
+                lose_nd = nd[top_beacons != win]
+                rows.append({
+                    id_col: pdf[id_col].iloc[i],
+                    "predicted_label": win,
+                    "votes": int(counts.max()),
+                    "overall_count": int(len(order)),
+                    "winning_count": int(win_nd.size),
+                    "losing_count": int(lose_nd.size),
+                    "closest_overall_distance":
+                        float(np.round(nd.min(), 6)),
+                    "closest_winning_distance":
+                        float(np.round(win_nd.min(), 6)),
+                    "mean_winning_distance":
+                        float(np.round(win_nd.mean(), 6)),
+                    "mean_losing_distance":
+                        float(np.round(lose_nd.mean(), 6))
+                        if lose_nd.size else None,
+                    "closest_losing_distance":
+                        float(np.round(lose_nd.min(), 6))
+                        if lose_nd.size else None,
+                })
+            yield pd.DataFrame(rows)
+
+    schema = (f"{id_col} string, predicted_label string, votes long, "
+              "overall_count long, winning_count long, "
+              "losing_count long, closest_overall_distance double, "
+              "closest_winning_distance double, "
+              "mean_winning_distance double, "
+              "mean_losing_distance double, "
+              "closest_losing_distance double")
+    return queries.select(id_col, vector_col).mapInPandas(
+        _classify, schema)
 
 
 def clear_jobs() -> None:
