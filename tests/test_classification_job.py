@@ -202,3 +202,51 @@ def test_ref_meta_unanimous_vote_null_losing(spark):
     assert r["losing_count"] == 0
     assert r["mean_losing_distance"] is None
     assert r["closest_losing_distance"] is None
+
+
+def test_contextual_job_routes_and_writes_back(spark):
+    from weaviate_spark.ids import uuid_col
+    from weaviate_spark.modules import hash_embed_udf
+
+    df = _frame(spark, [
+        ("u1", None, "spark filter join query", "g1", None),
+        ("u2", None, "window stream batch", "g1", None),
+        ("a1", None, "already classified", "g1", _beacon("cat-a")),
+    ])
+    # targets vectorized with the same deterministic embedder the
+    # classifier uses for corpus words
+    embed = hash_embed_udf(16)
+    targets = spark.createDataFrame(
+        [("spark",), ("stream",)], "name string").withColumn(
+        "vector", embed(F.col("name")))
+    job, updated = _schedule(
+        spark, df=df, type=C.TYPE_CONTEXTUAL, targets=targets)
+    assert job.status == "completed", job.error
+    assert job.target_classes == ["Category"]
+    rows = {r["_id"]: r for r in updated.collect()}
+    for u in ("u1", "u2"):
+        got = rows[u]["ofCategory"][0]
+        assert got["className"] == "Category"
+        assert got["beacon"].startswith("weaviate://localhost/Category/")
+        assert rows[u]["_classification"]["completed"] == 42
+    assert rows["a1"]["ofCategory"][0]["id"] == "cat-a"
+    assert job.meta["countSucceeded"] == 2
+
+
+def test_contextual_rejects_multi_target_class(spark):
+    coll = Collection(name="Article", properties=[
+        Property("body", "text"),
+        Property("ofCategory", "Category,Topic"),
+    ])
+    with pytest.raises(C.InvalidClassificationError) as ei:
+        C.schedule_classification(
+            _base(spark), coll, class_name="Article",
+            classify_property="ofCategory", based_on_property="body",
+            type=C.TYPE_CONTEXTUAL)
+    assert "requires exactly one target class" in str(ei.value)
+
+
+def test_contextual_without_targets_fails(spark):
+    job, _ = _schedule(spark, type=C.TYPE_CONTEXTUAL)
+    assert job.status == "failed"
+    assert "target-class frame" in job.error

@@ -93,6 +93,8 @@ class ClassificationJob:
     status: str = STATUS_RUNNING
     error: str = ""
     meta: dict = field(default_factory=dict)
+    # the classify property's ref target classes (Property.pointing_to)
+    target_classes: list[str] = field(default_factory=list)
 
 
 _LOCK = threading.Lock()
@@ -162,6 +164,12 @@ def _validate(coll: Optional[Collection], class_name: str,
             raise InvalidClassificationError(
                 f"classifyProperties: property '{prop}' must be of "
                 "reference type (cref)")
+        if type_ == TYPE_CONTEXTUAL and len(p.pointing_to()) > 1:
+            raise InvalidClassificationError(
+                f"classifyProperties: property '{prop}' has more than "
+                "one target class, classification of type "
+                "'text2vec-contextionary-contextual' requires exactly "
+                "one target class")
 
 
 def _empty_ref(col: Column) -> Column:
@@ -184,6 +192,10 @@ def schedule_classification(
     job_id: Optional[str] = None,
     classify_fn: Optional[Callable[[DataFrame, DataFrame], DataFrame]]
     = None,
+    targets: Optional[DataFrame] = None,
+    target_name_col: str = "name",
+    target_vector_col: str = "vector",
+    contextual_dim: int = 16,
 ) -> tuple[ClassificationJob, DataFrame]:
     """Classifier.Schedule + run, synchronously (a Spark batch job IS
     the async worker pool — runItems' per-CPU workers map onto the
@@ -198,7 +210,12 @@ def schedule_classification(
     ``classify_fn(labeled, unlabeled) -> (id, predicted_label)``
     overrides the classifier core (the module hook the reference's
     modulesProvider offers); default is kNN majority vote via
-    ``knn_classify`` with k per ParamsKNN (default 3).
+    ``knn_classify`` with k per ParamsKNN (default 3). Type
+    ``text2vec-contextionary-contextual`` routes to
+    ``contextual_classify`` instead (classifier.go TypeContextual):
+    no training set — ``targets`` is the target-class frame (narrowed
+    by ``targetWhere``), and the classify property's single target
+    class is enforced with the reference's error text.
     """
     filters = filters or ClassificationFilters()
     _validate(coll, class_name, [classify_property],
@@ -215,12 +232,15 @@ def schedule_classification(
         settings={"k": k} if type == TYPE_KNN else {},
         status=STATUS_RUNNING,
         meta={"started": now_unix},
+        target_classes=coll.property(classify_property).pointing_to(),
     )
     _put(job)
 
     try:
-        updated = _run(df, job, classify_property, id_col, vector_col,
-                       k, filters, now_unix, classify_fn)
+        updated = _run(df, job, classify_property, based_on_property,
+                       id_col, vector_col, k, filters, now_unix,
+                       classify_fn, targets, target_name_col,
+                       target_vector_col, contextual_dim)
     except Exception as ex:  # failRunWithError (classifier_run.go:163)
         job.status = STATUS_FAILED
         job.error = f"classification failed: {ex}"
@@ -234,11 +254,11 @@ def schedule_classification(
 
 
 def _run(df: DataFrame, job: ClassificationJob, classify_property: str,
-         id_col: str, vector_col: str, k: int,
-         filters: ClassificationFilters, now_unix: int,
-         classify_fn) -> DataFrame:
+         based_on_property: str, id_col: str, vector_col: str, k: int,
+         filters: ClassificationFilters, now_unix: int, classify_fn,
+         targets, target_name_col, target_vector_col,
+         contextual_dim) -> DataFrame:
     from weaviate_spark.operators.rerank import knn_classify
-    from weaviate_spark.sources.crud import make_beacon
 
     ref = F.col(classify_property)
     unclassified = df.where(_empty_ref(ref))
@@ -247,6 +267,14 @@ def _run(df: DataFrame, job: ClassificationJob, classify_property: str,
     # GetUnclassified emptiness check — bounded probe, not a count
     if not unclassified.select(id_col).limit(1).count():
         raise RuntimeError(NO_UNCLASSIFIED_ERR)
+
+    if classify_fn is None and job.type == TYPE_CONTEXTUAL:
+        preds = _contextual_preds(
+            unclassified, job, classify_property, based_on_property,
+            id_col, filters, targets, target_name_col,
+            target_vector_col, contextual_dim)
+        return _writeback(df, job, preds, classify_property, id_col,
+                          unclassified, now_unix)
 
     training = df.where(~_empty_ref(ref))
     if filters.training_set_where is not None:
@@ -271,6 +299,38 @@ def _run(df: DataFrame, job: ClassificationJob, classify_property: str,
             id_type="string", label_type="string",
         )
 
+    return _writeback(df, job, preds, classify_property, id_col,
+                      unclassified, now_unix)
+
+
+def _contextual_preds(unclassified, job, classify_property,
+                      based_on_property, id_col, filters, targets,
+                      target_name_col, target_vector_col,
+                      contextual_dim):
+    """TypeContextual route (classifier.go:133 + classifier_module.go):
+    no training set; targets narrowed by targetWhere."""
+    from weaviate_spark.operators.rerank import contextual_classify
+    from weaviate_spark.schema import Collection  # noqa: F401
+
+    if targets is None:
+        raise RuntimeError(
+            "contextual classification needs the target-class frame "
+            "(targets=)")
+    target_classes = job.target_classes or []
+    t = targets
+    if filters.target_where is not None:
+        t = t.where(filters.target_where)
+    out = contextual_classify(
+        unclassified, t, item_id=id_col, text_col=based_on_property,
+        target_id=target_name_col, target_class=target_classes[0],
+        target_name_col=target_name_col,
+        target_vector_col=target_vector_col, dim=contextual_dim)
+    return out.select(F.col(id_col).alias("_kid"),
+                      F.col("_beacon").alias("predicted_label"))
+
+
+def _writeback(df, job, preds, classify_property, id_col,
+               unclassified, now_unix):
     # one broadcast join writes every prediction back (the reference's
     # per-item writer.Store, batched into a single narrow stage)
     preds = preds.select(
