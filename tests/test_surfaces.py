@@ -225,6 +225,42 @@ def test_registry_aliases():
         reg.resolve("Unknown")
 
 
+def test_registry_alias_crud():
+    """Alias API parity (usecases/schema/alias.go): list/filter,
+    re-create rejection, retarget, delete, class-drop cascade."""
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.add(Collection("Article", [Property("title", "text")]))
+    reg.add(Collection("News", [Property("title", "text")]))
+    reg.add_alias("Post", "Article")
+    reg.add_alias("Story", "Article")
+    reg.add_alias("Brief", "News")
+    # GetAliases: all / by class / by alias name
+    assert reg.get_aliases() == {
+        "Post": "Article", "Story": "Article", "Brief": "News"}
+    assert reg.get_aliases(class_name="Article") == {
+        "Post": "Article", "Story": "Article"}
+    assert reg.get_aliases(alias="Brief") == {"Brief": "News"}
+    # ErrAliasExists on re-create
+    with pytest.raises(ValueError, match="already exists"):
+        reg.add_alias("Post", "News")
+    # UpdateAlias retargets; unknown alias / unknown target error
+    assert reg.update_alias("Post", "News") == "News"
+    assert reg.resolve("Post").name == "News"
+    with pytest.raises(KeyError, match="no alias found"):
+        reg.update_alias("Nope", "News")
+    with pytest.raises(KeyError, match="does not exist"):
+        reg.update_alias("Post", "Ghost")
+    # DeleteAlias; unknown -> not found
+    reg.delete_alias("Post")
+    with pytest.raises(KeyError, match="not found"):
+        reg.delete_alias("Post")
+    # dropping a class cascades to its aliases only
+    assert reg.drop_collection_aliases("Article") == ["Story"]
+    assert reg.get_aliases() == {"Brief": "News"}
+
+
 def test_registry_namespaces():
     """Namespace level (cluster/namespaces/, usecases/schema/namespacing/):
     '<ns>:<Class>' qualified resolution, lifecycle, validation parity."""

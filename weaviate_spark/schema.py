@@ -347,11 +347,48 @@ class Registry:
             self._collections[coll.name] = coll
 
     def add_alias(self, alias: str, target: str) -> None:
+        """AddAlias (usecases/schema/alias.go:88-139): the target class
+        must exist, the alias may not shadow a class name, and
+        re-creating an existing alias is an error (ErrAliasExists)."""
         if target not in self._collections:
             raise KeyError(f"alias target {target!r} is not a known collection")
         if alias in self._collections:
             raise ValueError(f"alias {alias!r} shadows an existing collection")
+        if alias in self._aliases:
+            raise ValueError(f"alias {alias!r} already exists")
         self._aliases[alias] = target
+
+    def get_aliases(self, alias: str = "", class_name: str = "") -> dict[str, str]:
+        """GetAliases (alias.go:28-63): all aliases, optionally narrowed
+        to one alias name and/or one target class."""
+        return {a: c for a, c in self._aliases.items()
+                if (not alias or a == alias)
+                and (not class_name or c == class_name)}
+
+    def update_alias(self, alias: str, target: str) -> str:
+        """UpdateAlias (alias.go:139-184): retarget an EXISTING alias to
+        an EXISTING class; returns the new target."""
+        if alias not in self._aliases:
+            raise KeyError(f"no alias found with name: {alias}")
+        if target not in self._collections:
+            raise KeyError(f"target class {target!r} does not exist")
+        self._aliases[alias] = target
+        return target
+
+    def delete_alias(self, alias: str) -> None:
+        """DeleteAlias (alias.go:186-...): unknown alias -> not found."""
+        if alias not in self._aliases:
+            raise KeyError(f"alias {alias} not found")
+        del self._aliases[alias]
+
+    def drop_collection_aliases(self, class_name: str) -> list[str]:
+        """Class deletion cascades to its aliases (the raft schema
+        deletes alias entries pointing at a dropped class); returns the
+        removed alias names."""
+        gone = [a for a, c in self._aliases.items() if c == class_name]
+        for a in gone:
+            del self._aliases[a]
+        return gone
 
     def resolve_key(self, name: str) -> str:
         """Canonical storage key after alias indirection — the
