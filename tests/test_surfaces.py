@@ -257,8 +257,15 @@ def test_registry_alias_crud():
     with pytest.raises(KeyError, match="not found"):
         reg.delete_alias("Post")
     # dropping a class cascades to its aliases only
-    assert reg.drop_collection_aliases("Article") == ["Story"]
+    reg.drop("Article")
     assert reg.get_aliases() == {"Brief": "News"}
+    with pytest.raises(KeyError):
+        reg.resolve("Article")
+    with pytest.raises(KeyError):
+        reg.drop("Article")
+    # a class may not take a live alias's name
+    with pytest.raises(ValueError, match="exists as an alias"):
+        reg.add(Collection("Brief", [Property("t", "text")]))
 
 
 def test_registry_namespaces():

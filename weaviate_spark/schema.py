@@ -339,12 +339,27 @@ class Registry:
             # existing one (a schema update) never grows the count and
             # must not be blocked by it
             UL.check_collections(len(self._collections))
+        # class and alias names share one resolution space — a class
+        # may not take a name an alias already resolves (alias.go's
+        # create validation runs the same name rules for both)
+        if key in self._aliases:
+            raise ValueError(
+                f"class name {key!r} already exists as an alias")
         if namespace:
             if namespace not in self._namespaces:
                 raise KeyError(f"unknown namespace {namespace!r}")
             self._collections[qualified_name(namespace, coll.name)] = coll
         else:
             self._collections[coll.name] = coll
+
+    def drop(self, name: str) -> None:
+        """deleteClass (cluster/schema/schema.go:392-419) + the handler's
+        alias cascade: removing a class removes every alias that points
+        at it. Unknown class -> KeyError."""
+        if name not in self._collections:
+            raise KeyError(f"unknown collection {name!r}")
+        del self._collections[name]
+        self.drop_collection_aliases(name)
 
     def add_alias(self, alias: str, target: str) -> None:
         """AddAlias (usecases/schema/alias.go:88-139): the target class
