@@ -11618,3 +11618,76 @@ def q_classification_ref_meta(spark: SparkSession,
     )
     return knn_classify_with_meta(
         labeled, queries, k=5).withColumnRenamed("_kid", "id")
+
+
+# ---------------------------------------------------------------------------
+# Object validation gate (POST /v1/objects/validate —
+# usecases/objects/validation/) — differential oracle: the corruption
+# class of each synthesized object DETERMINES the reference error
+# string, so the oracle predicts (ok, error) without re-implementing
+# the validator
+
+def _object_validation_oracle_sql() -> str:
+    e = {
+        1: "invalid text property 'title' on class 'Article': "
+           "not a string, but int64",
+        2: "invalid integer property 'views' on class 'Article': "
+           "requires an integer, the given value is '3.5'",
+        3: "the given class is empty",
+        4: "unknown property 'ghost'",
+        5: "invalid date property 'published' on class 'Article': "
+           "requires a string with a RFC3339 formatted date, but the "
+           "given value is 'yesterday'",
+    }
+    cases = " ".join(
+        "WHEN {} THEN '{}'".format(k, v.replace("'", "''"))
+        for k, v in e.items())
+    return (
+        "SELECT doc_id, doc_id % 6 = 0 AS ok, "
+        f"CASE doc_id % 6 {cases} ELSE NULL END AS error "
+        "FROM documents"
+    )
+
+
+@register("object_validation_batch",
+          oracle=_object_validation_oracle_sql())
+def q_object_validation_batch(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Batch object validation at ingest scale: one JSON object per
+    document row, corrupted by doc_id % 6 (valid / numeric text /
+    fractional int / missing class / unknown property / bad date), run
+    through the REAL validator (validate_objects_df, one Arrow pass).
+    The oracle predicts each corruption's exact reference error string
+    (properties_validation.go texts) — a differential check that the
+    validator maps every corruption to byte-identical errors."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.schema import Collection, Property
+    from weaviate_spark.sources.object_validation import (
+        validate_objects_df)
+
+    coll = Collection(name="Article", properties=[
+        Property("title", "text"),
+        Property("views", "int"),
+        Property("published", "date"),
+    ])
+    df = _load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 3, F.concat(
+            F.lit('{"properties": {"title": "doc-'),
+            F.col("doc_id").cast("string"), F.lit('"}}')))
+        .otherwise(F.concat(
+            F.lit('{"class": "Article", "properties": {'),
+            F.when(m == 1, F.lit('"title": 7'))
+            .when(m == 2, F.lit('"views": 3.5'))
+            .when(m == 4, F.lit('"ghost": 1'))
+            .when(m == 5, F.lit('"published": "yesterday"'))
+            .otherwise(F.concat(F.lit('"title": "doc-'),
+                                F.col("doc_id").cast("string"),
+                                F.lit('"'))),
+            F.lit("}}")))
+    )
+    out = validate_objects_df(
+        df.select("doc_id", body.alias("body")), "body", coll)
+    return out.select("doc_id", "ok", "error")
