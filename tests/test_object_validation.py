@@ -181,3 +181,59 @@ def test_validate_objects_df(spark):
     assert not rows[2]["ok"] and "invalid text property" in rows[2]["error"]
     assert not rows[3]["ok"] and rows[3]["error"].startswith("invalid json")
     assert not rows[4]["ok"] and rows[4]["error"] == "the given class is empty"
+
+
+def test_vector_validation():
+    from weaviate_spark.sources.object_validation import _validate_vector
+
+    legacy = Collection(name="Legacy", properties=[], vector_dim=4)
+    named = Collection(name="Named", properties=[],
+                       named_vectors={"title_vec": 4, "body_vec": 4})
+    one_named = Collection(name="One", properties=[],
+                           named_vectors={"only": 4})
+
+    # default-named vector transports the legacy vector
+    obj = {"class": "Legacy", "vectors": {"default": [1.0, 2.0]}}
+    _validate_vector(obj, legacy)
+    assert obj["vector"] == [1.0, 2.0] and obj["vectors"] == {}
+    with pytest.raises(ObjectValidationError,
+                       match="vector default has to be a float32 array"):
+        _validate_vector(
+            {"class": "Legacy", "vectors": {"default": "x"}}, legacy)
+
+    # legacy vector on a single-named-vector class is rerouted
+    obj = {"class": "One", "vector": [1.0]}
+    _validate_vector(obj, one_named)
+    assert obj["vectors"] == {"only": [1.0]} and "vector" not in obj
+    with pytest.raises(
+            ObjectValidationError,
+            match="collection Named configuration does not have single "
+                  "vector index"):
+        _validate_vector({"class": "Named", "vector": [1.0]}, named)
+
+    # unknown named vector / dropped index
+    with pytest.raises(
+            ObjectValidationError,
+            match="collection Named does not have configuration for "
+                  "vector ghost"):
+        _validate_vector(
+            {"class": "Named", "vectors": {"ghost": [1.0]}}, named)
+    dropped = Collection(name="Named", properties=[],
+                         named_vectors={"title_vec": 4},
+                         named_vector_index_types={"title_vec": "none"})
+    with pytest.raises(
+            ObjectValidationError,
+            match="vector index for title_vec was dropped; writes "
+                  "targeting it are rejected"):
+        _validate_vector(
+            {"class": "Named", "vectors": {"title_vec": [1.0]}}, dropped)
+
+    # full validate_object runs vector checks before properties
+    with pytest.raises(ObjectValidationError, match="does not have "
+                       "configuration for vector ghost"):
+        validate_object(
+            {"class": "Article", "vectors": {"ghost": [1.0]},
+             "properties": {"title": 5}},
+            Collection(name="Article",
+                       properties=[Property("title", "text")],
+                       named_vectors={"v": 4}))

@@ -244,6 +244,56 @@ def _cref(p: str, c: str, v, exists_fn: Optional[Callable],
                            f"with id {target_id} found")
 
 
+DEFAULT_NAMED_VECTOR = "default"  # modelsext.DefaultNamedVectorName
+
+
+def _is_float_array(v) -> bool:
+    return isinstance(v, list) and all(
+        isinstance(x, (int, float)) and not isinstance(x, bool)
+        for x in v)
+
+
+def _validate_vector(obj: dict, coll: Collection) -> None:
+    """Validator.vector (vector_validation.go:22-89), in the
+    reference's check order. Our Collection maps: legacy single index
+    = ``vector_dim`` set; named spaces = ``named_vectors``; a dropped
+    index = index type 'none' (vector_index_type /
+    named_vector_index_types)."""
+    vectors = obj.get("vectors") or {}
+    has_legacy = coll.vector_dim is not None
+    # default-named vector transports the legacy vector (:27-34)
+    if DEFAULT_NAMED_VECTOR in vectors and has_legacy:
+        vec = vectors[DEFAULT_NAMED_VECTOR]
+        if not _is_float_array(vec):
+            raise _err(f"vector {DEFAULT_NAMED_VECTOR} has to be a "
+                       "float32 array")
+        obj["vector"] = vec
+        vectors = {k: v for k, v in vectors.items()
+                   if k != DEFAULT_NAMED_VECTOR}
+        obj["vectors"] = vectors
+    # a legacy vector on a named-vectors-only class (:36-54)
+    if not has_legacy and obj.get("vector"):
+        if len(coll.named_vectors) == 1:
+            (name,) = coll.named_vectors
+            obj["vectors"] = {name: obj.pop("vector")}
+            return
+        raise _err(f"collection {coll.name} configuration does not "
+                   "have single vector index")
+    incoming = []
+    for name in vectors:
+        if name not in coll.named_vectors:
+            raise _err(f"collection {coll.name} does not have "
+                       f"configuration for vector {name}")
+        if coll.named_vector_index_types.get(name) == "none":
+            raise _err(f"vector index for {name} was dropped; writes "
+                       "targeting it are rejected")
+        incoming.append(name)
+    if not coll.named_vectors and incoming:
+        raise _err(f"collection {coll.name} is configured without "
+                   "multiple named vectors, but received named "
+                   f"vectors: {incoming}")
+
+
 def validate_object(
     obj: dict,
     coll: Optional[Collection],
@@ -261,6 +311,10 @@ def validate_object(
     class_name = obj.get("class", "")
     if not class_name:
         raise _err(ERROR_MISSING_CLASS)
+    if coll is not None:
+        # vector checks run before properties (Object(),
+        # model_validation.go:92-103)
+        _validate_vector(obj, coll)
     props = obj.get("properties")
     if props is None:
         return
