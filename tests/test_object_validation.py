@@ -237,3 +237,70 @@ def test_vector_validation():
             Collection(name="Article",
                        properties=[Property("title", "text")],
                        named_vectors={"v": 4}))
+
+
+def test_name_validation_texts():
+    from weaviate_spark import schema as S
+
+    assert S.validate_class_name("Article") == "Article"
+    with pytest.raises(ValueError) as ei:
+        S.validate_class_name("article")
+    assert str(ei.value) == "'article' is not a valid class name"
+    with pytest.raises(ValueError) as ei:
+        S.validate_class_name("A" * 256)
+    assert str(ei.value) == (
+        f"'{'A' * 256}' is not a valid class name. Name should not be "
+        "longer than 255 characters")
+    with pytest.raises(ValueError) as ei:
+        S.validate_alias_name("my-alias")
+    assert str(ei.value) == "'my-alias' is not a valid alias name"
+
+    assert S.validate_property_name("title_2") == "title_2"
+    with pytest.raises(ValueError) as ei:
+        S.validate_property_name("2bad")
+    assert str(ei.value) == (
+        "'2bad' is not a valid property name. Property names in "
+        "Weaviate are restricted to valid GraphQL names, which must "
+        "be “/[_A-Za-z][_0-9A-Za-z]{0,230}/”")
+    with pytest.raises(ValueError) as ei:
+        S.validate_reserved_property_name("_id")
+    assert str(ei.value) == "'_id' is a reserved property name"
+    with pytest.raises(ValueError) as ei:
+        S.validate_reserved_property_name_suffix("body__meta_count")
+    assert str(ei.value) == (
+        "'body__meta_count' is not a valid property name: suffix "
+        "'__meta_count' is reserved for internal indices")
+    with pytest.raises(ValueError) as ei:
+        S.validate_nested_property_name("bad name", "profile")
+    assert "is not a valid nested property name of 'profile'" in str(ei.value)
+
+    S.validate_tenant_name("tenant-1_A")
+    with pytest.raises(ValueError, match="empty tenant name"):
+        S.validate_tenant_name("")
+    with pytest.raises(ValueError) as ei:
+        S.validate_tenant_name("bad tenant")
+    assert str(ei.value) == (
+        " 'bad tenant' is not a valid tenant name. should only contain "
+        "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and "
+        "hyphen (-), with a length between 1 and 64 characters")
+
+
+def test_collections_create_validates(spark, tmp_path):
+    from weaviate_spark.client import connect
+    from weaviate_spark.schema import Registry
+
+    reg = Registry()
+    client = connect(spark, str(tmp_path), registry=reg)
+    handle = client.collections.create(
+        Collection("Article", [Property("title", "text")]))
+    assert handle is not None
+    assert reg.resolve("Article").name == "Article"
+    with pytest.raises(ValueError, match="not a valid class name"):
+        client.collections.create(Collection("bad", []))
+    with pytest.raises(ValueError, match="reserved property name"):
+        client.collections.create(
+            Collection("Ok", [Property("id", "text")]))
+    # no registry bound -> explicit error
+    bare = connect(spark, str(tmp_path))
+    with pytest.raises(RuntimeError, match="schema registry"):
+        bare.collections.create(Collection("X", []))

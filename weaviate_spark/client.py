@@ -564,6 +564,25 @@ class _Collections:
             name = reg.resolve_key(name)
         return CollectionHandle(self._client, name)
 
+    def create(self, coll, namespace: str = ""):
+        """collections.create (v4 client) — the creation-path name
+        sweep (entities/schema/validation.go: class name, property
+        names, reserved names/suffixes, nested names) runs BEFORE the
+        registry add; internal lowercase driver tables never pass
+        through here, matching the reference's creation-only
+        validation. Requires a bound registry."""
+        from weaviate_spark.schema import validate_collection_definition
+
+        reg = self._client._registry
+        if reg is None:
+            raise RuntimeError(
+                "collections.create needs a client bound to a schema "
+                "registry (connect(..., registry=...))")
+        validate_collection_definition(coll)
+        reg.add(coll, namespace=namespace)
+        return self.get(coll.name if not namespace
+                        else f"{namespace}:{coll.name}")
+
     def list_all(self) -> list[str]:
         import glob
         import os

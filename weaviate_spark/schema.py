@@ -22,6 +22,7 @@ shape-guards:
 
 from __future__ import annotations
 
+import re
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -456,6 +457,118 @@ _MISSING_SEARCHABLE_FMT = (
     "Is `indexSearchable` option of property '{p}' enabled? "
     "Set it to `true` or leave empty"
 )
+
+
+# ---------------------------------------------------------------------------
+# Name validation (entities/schema/validation.go) — the user-facing
+# creation rules with the reference's exact error texts. The engine's
+# internal table names (lowercase driver tables) bypass these on
+# purpose: the reference likewise only validates on CREATION paths
+# (validation.go:290-292 note on legacy names).
+
+CLASS_NAME_MAX_LENGTH = 255            # validation.go:77
+_CLASS_NAME_RE = re.compile(r"^[A-Z][_0-9A-Za-z]{0,254}$")
+PROPERTY_NAME_MAX_LENGTH = 231         # validation.go:95
+PROPERTY_NAME_REGEX = "[_A-Za-z][_0-9A-Za-z]{0,230}"
+_PROPERTY_NAME_RE = re.compile(f"^{PROPERTY_NAME_REGEX}$")
+NESTED_PROPERTY_NAME_REGEX = "[_A-Za-z][_0-9A-Za-z]*"
+_NESTED_PROPERTY_NAME_RE = re.compile(f"^{NESTED_PROPERTY_NAME_REGEX}$")
+_TENANT_NAME_RE = re.compile(r"^[A-Za-z0-9\-\_]{1,64}$")
+
+RESERVED_PROPERTY_NAMES = ("_additional", "_id", "id")
+# suffixes that collide with internal bucket/dir names
+# (validation.go:24-30,43-51)
+RESERVED_PROPERTY_NAME_SUFFIXES = (
+    "_searchable", "_rangeable", "_temp", "__meta_count",
+    "_propertyLength", "_nullState",
+)
+
+
+def _validate_class_or_alias_name(name: str, typ: str) -> str:
+    if len(name) > CLASS_NAME_MAX_LENGTH:
+        raise ValueError(
+            f"'{name}' is not a valid {typ} name. Name should not be "
+            f"longer than {CLASS_NAME_MAX_LENGTH} characters")
+    if not _CLASS_NAME_RE.match(name):
+        raise ValueError(f"'{name}' is not a valid {typ} name")
+    return name
+
+
+def validate_class_name(name: str) -> str:
+    """ValidateClassName (validation.go:153): GraphQL-shaped,
+    capitalized, ≤255 chars, no ':'."""
+    return _validate_class_or_alias_name(name, "class")
+
+
+def validate_alias_name(name: str) -> str:
+    """ValidateAliasName (validation.go:185): same rules as a class."""
+    return _validate_class_or_alias_name(name, "alias")
+
+
+def validate_property_name(name: str) -> str:
+    """ValidatePropertyName (validation.go:266-277)."""
+    if len(name) > PROPERTY_NAME_MAX_LENGTH:
+        raise ValueError(
+            f"'{name}' is not a valid property name. Name should not "
+            f"be longer than {PROPERTY_NAME_MAX_LENGTH} characters")
+    if not _PROPERTY_NAME_RE.match(name):
+        raise ValueError(
+            f"'{name}' is not a valid property name. Property names in "
+            "Weaviate are restricted to valid GraphQL names, which "
+            f"must be “/{PROPERTY_NAME_REGEX}/”")
+    return name
+
+
+def validate_nested_property_name(name: str, prefix: str) -> None:
+    """ValidateNestedPropertyName (validation.go:280-287)."""
+    if not _NESTED_PROPERTY_NAME_RE.match(name):
+        raise ValueError(
+            f"'{name}' is not a valid nested property name of "
+            f"'{prefix}'. NestedProperty names in Weaviate are "
+            "restricted to valid GraphQL names, which must be "
+            f"“/{NESTED_PROPERTY_NAME_REGEX}/”")
+
+
+def validate_reserved_property_name(name: str) -> None:
+    """ValidateReservedPropertyName (validation.go:280-287)."""
+    if name in RESERVED_PROPERTY_NAMES:
+        raise ValueError(f"'{name}' is a reserved property name")
+
+
+def validate_reserved_property_name_suffix(name: str) -> None:
+    """ValidateReservedPropertyNameSuffix (validation.go:293-300):
+    creation-path only — names whose suffix collides with internal
+    bucket/dir names."""
+    for suffix in RESERVED_PROPERTY_NAME_SUFFIXES:
+        if name.endswith(suffix):
+            raise ValueError(
+                f"'{name}' is not a valid property name: suffix "
+                f"'{suffix}' is reserved for internal indices")
+
+
+def validate_tenant_name(name: str) -> None:
+    """ValidateTenantName (validation.go:219-234)."""
+    if _TENANT_NAME_RE.match(name):
+        return
+    if name == "":
+        raise ValueError("empty tenant name")
+    raise ValueError(
+        f" '{name}' is not a valid tenant name. should only contain "
+        "alphanumeric characters (a-z, A-Z, 0-9), underscore (_), and "
+        "hyphen (-), with a length between 1 and 64 characters")
+
+
+def validate_collection_definition(coll: Collection) -> None:
+    """The creation-path name sweep (usecases/schema handler create):
+    class name + every property (regex, reserved names, reserved
+    suffixes) + nested property names."""
+    validate_class_name(coll.name)
+    for p in coll.properties:
+        validate_property_name(p.name)
+        validate_reserved_property_name(p.name)
+        validate_reserved_property_name_suffix(p.name)
+        for n in p.nested:
+            validate_nested_property_name(n.name, p.name)
 
 
 def validate_vector_index_type(index_type: str) -> None:
