@@ -314,3 +314,48 @@ def test_read_snapshot_plain_read_passthrough(spark, tmp_path):
     path = str(tmp_path / "t")
     _write_table(spark, path, [(1, "a")])
     assert crud.read_snapshot(spark, path, lambda df: df.count()) == 1
+
+
+def test_table_changes_feed_row_payloads(spark, tmp_path):
+    from weaviate_spark.sources import crud
+
+    path = str(tmp_path / "cdf")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long").write.parquet(path)
+    crud.upsert(spark, path, spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "k long, name string, v long"),
+        "k")
+    from weaviate_spark.filters import Clause
+    crud.delete_where(spark, path, Clause(
+        operator="Equal", path=["k"], value=3))
+
+    rows = crud.table_changes_feed(spark, path, "k", 0).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["k"], {})[r["_change_type"]] = r
+    assert set(by[2]) == {"update_preimage", "update_postimage"}
+    assert by[2]["update_preimage"]["name"] == "b"
+    assert by[2]["update_preimage"]["v"] == 20
+    assert by[2]["update_postimage"]["name"] == "b2"
+    assert by[2]["update_postimage"]["v"] == 21
+    assert set(by[3]) == {"delete"} and by[3]["delete"]["name"] == "c"
+    assert set(by[4]) == {"insert"} and by[4]["insert"]["v"] == 40
+    assert 1 not in by  # unchanged rows emit nothing
+    # compare_cols narrows the difference test
+    only_v = crud.table_changes_feed(spark, path, "k", 0,
+                                     compare_cols=["v"]).collect()
+    assert {r["k"] for r in only_v} == {2, 3, 4}
+
+
+def test_tenant_name_validated_on_create(spark, tmp_path):
+    import pytest as _pytest
+
+    from weaviate_spark.sources.crud import TenantRegistry
+
+    reg = TenantRegistry(str(tmp_path / "mt"), "_tenant")
+    reg.create("ok-tenant_1")
+    with _pytest.raises(ValueError, match="empty tenant name"):
+        reg.create("")
+    with _pytest.raises(ValueError, match="not a valid tenant name"):
+        reg.create("bad tenant")

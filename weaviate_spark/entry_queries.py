@@ -11691,3 +11691,71 @@ def q_object_validation_batch(spark: SparkSession,
     out = validate_objects_df(
         df.select("doc_id", body.alias("body")), "body", coll)
     return out.select("doc_id", "ok", "error")
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed between COW versions (crud.table_changes_feed — the
+# Delta CDF analogue; LSM flush-delta consumer parity)
+
+@register(
+    "crud_table_changes",
+    oracle=(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey, "
+        "'delete' AS _change_type FROM nation WHERE n_regionkey = 3 "
+        "UNION ALL SELECT CAST(n_nationkey AS BIGINT), n_name, "
+        "CAST(n_regionkey AS BIGINT), 'update_preimage' FROM nation "
+        "WHERE n_nationkey % 5 = 2 AND n_regionkey <> 3 "
+        "UNION ALL SELECT CAST(n_nationkey AS BIGINT), "
+        "'upd-' || CAST(n_nationkey AS VARCHAR), "
+        "CAST(n_regionkey AS BIGINT), 'update_postimage' FROM nation "
+        "WHERE n_nationkey % 5 = 2 AND n_regionkey <> 3 "
+        "UNION ALL SELECT CAST(100 AS BIGINT), 'AAA', "
+        "CAST(1 AS BIGINT), 'insert' "
+        "UNION ALL SELECT CAST(101 AS BIGINT), 'BBB', "
+        "CAST(1 AS BIGINT), 'insert'"
+    ),
+)
+def q_crud_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF diff between two COW versions (crud.table_changes_feed): seed a
+    scratch table from nation, apply three transactional commits
+    (update names of keys %5==2, insert keys 100/101, delete region
+    3), then diff version 0 against the live state. Inserts, deletes
+    (preimage values), and update pre/postimage pairs must match the
+    oracle's endpoint-computed change set — including the
+    updated-then-deleted rows, which surface as plain deletes with
+    ORIGINAL values (endpoint semantics)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.sources import crud
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           "wsx_cdc_" + re.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(crud._txn_dir(scratch), ignore_errors=True)
+    src = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    src.write.parquet(scratch)
+
+    upd = src.where(F.col("n_nationkey") % 5 == 2).withColumn(
+        "n_name", F.concat(F.lit("upd-"),
+                           F.col("n_nationkey").cast("string")))
+    crud.upsert(spark, scratch, upd, "n_nationkey")
+    ins = spark.createDataFrame(
+        [(100, "AAA", 1), (101, "BBB", 1)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    crud.upsert(spark, scratch, ins, "n_nationkey")
+    crud.delete_where(spark, scratch, Clause(
+        operator="Equal", path=["n_regionkey"], value=3))
+
+    return crud.table_changes_feed(spark, scratch, "n_nationkey",
+                                   from_version=0)

@@ -177,6 +177,72 @@ def table_history(table_dir: str) -> dict:
     }
 
 
+def table_changes_feed(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """ROW-PAYLOAD change-data-feed between two COW versions (the
+    Delta CDF `table_changes` row convention; the keys-only variant is
+    ``table_changes`` below; reference analogue: LSM memtable flush
+    deltas feeding index upkeep). Diffs the archived
+    state AS OF ``from_version`` against ``to_version`` (default: the
+    live table) with one full-outer join on ``key`` and classifies
+    each row:
+
+    * ``insert`` — key only in the newer state;
+    * ``delete`` — key only in the older state (row = preimage);
+    * ``update_preimage`` / ``update_postimage`` — key in both with
+      any compared column differing (NULL-safe comparison), one row
+      per side, Delta CDF's pair convention.
+
+    ``compare_cols`` limits the difference test (default: every shared
+    non-key column). Output = the row columns + ``_change_type``.
+
+    Scale: one shuffle on the key (or zero for bucketed stores); the
+    update pair is produced by an explode over the matched row, not a
+    second join. Downstream consumers (matview delta-advance,
+    incremental index upkeep) see only changed keys — the point of a
+    CDF at 100 TB is that re-deriving state touches |changes|, not
+    |table|.
+    """
+    old = read_table_version(spark, table_dir, from_version)
+    new = read_table_version(spark, table_dir, to_version)
+    cols = [c for c in new.columns if c in set(old.columns)]
+    if key not in cols:
+        raise ValueError(f"key {key!r} must exist in both versions")
+    value_cols = [c for c in cols if c != key]
+    cmp_cols = compare_cols if compare_cols is not None else value_cols
+    o = old.select(F.col(key).alias("_k"), F.struct(
+        *[F.col(c) for c in value_cols]).alias("_old"))
+    n = new.select(F.col(key).alias("_k"), F.struct(
+        *[F.col(c) for c in value_cols]).alias("_new"))
+    j = o.join(n, "_k", "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col("_old")[c].eqNullSafe(F.col("_new")[c])
+    typed = j.select(
+        "_k", "_old", "_new",
+        F.when(F.col("_old").isNull(), F.array(F.lit("insert")))
+        .when(F.col("_new").isNull(), F.array(F.lit("delete")))
+        .when(changed, F.array(F.lit("update_preimage"),
+                               F.lit("update_postimage")))
+        .otherwise(F.array().cast("array<string>")).alias("_types"),
+    ).select("_k", "_old", "_new",
+             F.explode("_types").alias("_change_type"))
+    side = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"),
+        F.col("_old")).otherwise(F.col("_new"))
+    return typed.select(
+        F.col("_k").alias(key),
+        *[side[c].alias(c) for c in value_cols],
+        "_change_type",
+    )
+
+
 def restore_version(spark: SparkSession, table_dir: str, version: int) -> int:
     """Roll the table back to an archived snapshot — as a NEW commit
     (Delta RESTORE semantics: history moves forward, the rolled-back
@@ -632,10 +698,15 @@ class TenantRegistry:
         actually added."""
         from weaviate_spark import usage_limits as UL
 
+        from weaviate_spark.schema import validate_tenant_name
+
         reqs: list[tuple[str, str]] = []
         seen: set[str] = set()
         for t in tenants:
             name, status = t if isinstance(t, tuple) else (t, "ACTIVE")
+            # tenant.go validates names on the create path
+            # (entities/schema ValidateTenantName)
+            validate_tenant_name(name)
             if name in seen:
                 raise ValueError(
                     f"tenant name {name} existed multiple times")
