@@ -359,3 +359,46 @@ def test_tenant_name_validated_on_create(spark, tmp_path):
         reg.create("")
     with _pytest.raises(ValueError, match="not a valid tenant name"):
         reg.create("bad tenant")
+
+
+def test_delete_where_verbose_output(spark, tmp_path):
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.sources import crud
+
+    path = str(tmp_path / "bd")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "k long, par long"
+    ).write.parquet(path)
+    where = Clause(operator="Equal", path=["par"], value=0)
+
+    # dry run verbose: DRYRUN status per object, nothing deleted
+    res, objs = crud.delete_where_with_output(
+        spark, path, where, "k", dry_run=True, output="verbose")
+    assert res == {"matches": 5, "limit": 10000, "successful": 0,
+                   "failed": 0, "dryRun": True, "output": "verbose"}
+    got = {(r["id"], r["status"]) for r in objs.collect()}
+    assert got == {(str(k), "DRYRUN") for k in (0, 2, 4, 6, 8)}
+    assert spark.read.parquet(path).count() == 10
+
+    # minimal: successful objects omitted (batch_delete_response:283)
+    res, objs = crud.delete_where_with_output(
+        spark, path, where, "k", output="minimal")
+    assert res["successful"] == 5 and objs.count() == 0
+    assert spark.read.parquet(path).count() == 5
+
+    # limit caps the deletion; smallest ids win; matches reports all
+    spark.createDataFrame(
+        [(100 + i, 7) for i in range(6)], "k long, par long"
+    ).write.mode("append").parquet(path)
+    res, objs = crud.delete_where_with_output(
+        spark, path, Clause(operator="Equal", path=["par"], value=7),
+        "k", output="verbose", limit=4)
+    assert res["matches"] == 6 and res["successful"] == 4
+    assert {r["id"] for r in objs.collect()} == {"100", "101", "102", "103"}
+    left = {r["k"] for r in spark.read.parquet(path)
+            .where("par = 7").collect()}
+    assert left == {104, 105}
+
+    with pytest.raises(ValueError, match="invalid output"):
+        crud.delete_where_with_output(
+            spark, path, where, "k", output="wide")

@@ -571,6 +571,79 @@ def delete_where(
     return matched
 
 
+DEFAULT_QUERY_MAXIMUM_RESULTS = 10_000  # config.DefaultQueryMaximumResults
+
+
+def delete_where_with_output(
+    spark: SparkSession,
+    table_dir: str,
+    where: Clause,
+    id_col: str,
+    dry_run: bool = False,
+    output: str = "minimal",
+    limit: int = DEFAULT_QUERY_MAXIMUM_RESULTS,
+) -> tuple[dict, DataFrame]:
+    """Batch delete with the reference's response shape
+    (usecases/objects/batch_delete.go toResponse + models
+    BatchDeleteResponse): returns (result, objects_df).
+
+    * ``result`` = {matches, limit, successful, failed, dryRun,
+      output} — ``matches`` counts EVERY row the filter hits;
+      deletion (and ``successful``) is capped at ``limit``
+      (Index.batchDeleteObjects' per-shard QueryMaximumResults cap,
+      index.go:3917-3919) — the smallest ids win for determinism.
+    * ``objects_df`` = (id, status) rows: status DRYRUN on a dry run,
+      else SUCCESS (the enum's FAILED arises only from per-object
+      store errors, which the COW rewrite cannot half-fail).
+      ``output='verbose'`` lists every affected object;
+      ``'minimal'`` lists none of the successful ones
+      (batch_delete_response.go:283 — only errored objects appear,
+      and there are none here).
+
+    Scale: the cap compiles to a TakeOrderedAndProject over the
+    matched ids; the keep-set rewrite anti-joins on the ≤limit id
+    list (broadcast), so a capped delete never shuffles the table.
+    """
+    if output not in ("minimal", "verbose"):
+        raise ValueError(
+            f"invalid output: {output}, possible values are: "
+            "\"minimal\", \"verbose\"")
+    base_version = table_version(table_dir)
+    current = spark.read.parquet(table_dir).cache()
+    pred = compile_where(current, where)
+    matched_df = current.where(pred)
+    matches = matched_df.count()
+    # pin the ≤limit affected ids BEFORE the COW swap moves the files
+    # this lineage reads (bounded collect — the reference's response
+    # object list is capped the same way)
+    affected_ids = [r[0] for r in matched_df.select(F.col(id_col))
+                    .orderBy(F.col(id_col).asc()).limit(limit).collect()]
+    status = "DRYRUN" if dry_run else "SUCCESS"
+    if not dry_run and matches:
+        if matches <= limit:
+            kept = current.where(~F.coalesce(pred, F.lit(False)))
+        else:
+            id_frame = spark.createDataFrame(
+                [(i,) for i in affected_ids],
+                current.select(id_col).schema)
+            kept = current.join(F.broadcast(id_frame), id_col,
+                                "left_anti")
+        _rewrite(kept, table_dir, expected_version=base_version)
+    current.unpersist()
+    result = {
+        "matches": matches,
+        "limit": limit,
+        "successful": 0 if dry_run else len(affected_ids),
+        "failed": 0,
+        "dryRun": dry_run,
+        "output": output,
+    }
+    listed = affected_ids if output == "verbose" else []
+    objects = spark.createDataFrame(
+        [(str(i), status) for i in listed], "id string, status string")
+    return result, objects
+
+
 def ttl_expired(df: DataFrame, ttl_seconds: int, now_unix: int, created_col: str) -> DataFrame:
     """Rows past their TTL (read-time exclusion predicate inverted)."""
     return df.where(F.col(created_col) + F.lit(ttl_seconds) <= F.lit(now_unix))
