@@ -257,3 +257,17 @@ def test_neighbors_graph_route(client, spark, sf_dir):
     with _pytest.raises(KeyError):
         emb.query.neighbors(10_000_000_007)
     invalidate_nn_graphs()
+
+
+def test_get_meta(spark, tmp_path):
+    from weaviate_spark.client import connect
+
+    meta = connect(spark, str(tmp_path)).get_meta()
+    assert meta["hostname"] == f"file://{tmp_path}"
+    assert meta["version"]
+    mods = meta["modules"]
+    assert mods["text2vec-dummy"]["family"] == "text2vec"
+    # import-gated real-model registrations appear iff importable;
+    # either way the dummy baseline is always present
+    assert all(isinstance(v, dict) and "family" in v
+               for v in mods.values())

@@ -690,6 +690,31 @@ class WeaviateSparkClient:
         self.backup = _Backup(self)
         self.export = _Export(self)
 
+    def get_meta(self) -> dict:
+        """GET /v1/meta (models.Meta + modules Provider.GetMeta,
+        usecases/modules/modules.go:1087): hostname, engine version,
+        and per-module meta keyed by module name — every registered
+        vectorizer / reranker / generative / qna / summarizer / ner /
+        spellchecker surfaces here, like the reference's enabled-
+        modules map."""
+        from weaviate_spark import __version__ as _v
+        from weaviate_spark import modules as M
+
+        mods: dict = {}
+        for family, reg in (
+            ("text2vec", M.VECTORIZERS), ("reranker", M.RERANKERS),
+            ("generative", M.GENERATIVES), ("qna", M.QNAS),
+            ("sum", M.SUMMARIZERS), ("ner", M.NERS),
+            ("text-spellcheck", M.SPELLCHECKERS),
+        ):
+            for name in sorted(reg):
+                mods[name] = {"family": family}
+        return {
+            "hostname": f"file://{self._root}",
+            "version": _v,
+            "modules": mods,
+        }
+
 
 def connect(spark: SparkSession, root: str, registry=None,
             authorizer=None, principal: str = "anonymous") -> WeaviateSparkClient:
