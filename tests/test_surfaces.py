@@ -855,3 +855,49 @@ def test_audio_frame_features_closed_form(spark):
         assert r["n_samples"] == 400
     for r in by[2]:
         assert r["rms"] == 0.0 and r["zcr"] == 0.0
+
+
+def test_namespace_state_machine_and_cleanup():
+    """usecases/namespaces/controller.go states + namespace_cleanup
+    coordinator: transition table, deleting-is-terminal, create-into-
+    deleting rejection, async teardown order."""
+    from weaviate_spark.schema import Collection, Property, Registry
+
+    reg = Registry()
+    reg.create_namespace("team-a")
+    assert reg.namespace_state("team-a") == "active"
+    # legal round trip active -> suspended -> resuming -> active
+    reg.change_namespace_state("team-a", "suspended")
+    reg.change_namespace_state("team-a", "resuming")
+    reg.change_namespace_state("team-a", "active")
+    # illegal: active -> resuming
+    with pytest.raises(ValueError, match="invalid namespace state "
+                       "transition"):
+        reg.change_namespace_state("team-a", "resuming")
+    with pytest.raises(ValueError, match="unknown namespace state"):
+        reg.change_namespace_state("team-a", "turbo")
+    with pytest.raises(KeyError, match="namespace not found"):
+        reg.namespace_state("ghost")
+
+    reg.add(Collection("Article", [Property("t", "text")]),
+            namespace="team-a")
+    reg.add_alias("team-a:Post", "team-a:Article")
+    reg.delete_namespace("team-a")
+    # deleting is terminal; creates into it name the teardown
+    with pytest.raises(ValueError, match="cannot transition"):
+        reg.change_namespace_state("team-a", "active")
+    with pytest.raises(ValueError, match='namespace is being deleted'):
+        reg.add(Collection("X", []), namespace="team-a")
+    with pytest.raises(ValueError, match='namespace is being deleted'):
+        reg.create_namespace("team-a")
+    # same-state change is a no-op
+    reg.change_namespace_state("team-a", "deleting")
+
+    assert reg.list_deleting() == ["team-a"]
+    done = reg.cleanup_namespaces()
+    assert done == {"team-a": {"aliases": ["team-a:Post"],
+                               "classes": ["team-a:Article"]}}
+    assert reg.list_namespaces() == [] and reg.list_deleting() == []
+    # entity removed: the name is creatable again (fresh Create)
+    reg.create_namespace("team-a")
+    assert reg.namespace_state("team-a") == "active"

@@ -292,6 +292,20 @@ def validate_namespace_name(name: str) -> None:
         raise ValueError(f"namespace name {name!r} is reserved")
 
 
+# namespace states + legal transitions (usecases/namespaces/
+# controller.go:108-124 stateTransitions; deleting is terminal)
+NS_ACTIVE = "active"
+NS_SUSPENDED = "suspended"
+NS_RESUMING = "resuming"
+NS_DELETING = "deleting"
+NS_TRANSITIONS: dict[str, set[str]] = {
+    NS_ACTIVE: {NS_SUSPENDED, NS_DELETING},
+    NS_SUSPENDED: {NS_RESUMING, NS_ACTIVE, NS_DELETING},
+    NS_RESUMING: {NS_ACTIVE, NS_SUSPENDED, NS_DELETING},
+    NS_DELETING: set(),
+}
+
+
 class Registry:
     """Collection registry with namespace level and alias indirection.
 
@@ -304,14 +318,75 @@ class Registry:
         self._collections: dict[str, Collection] = {}
         self._aliases: dict[str, str] = {}
         self._namespaces: set[str] = set()
+        # namespace -> state (usecases/namespaces/controller.go
+        # stateTransitions); absent = ACTIVE for pre-state registries
+        self._ns_state: dict[str, str] = {}
 
     # -- namespace lifecycle (cluster/namespaces/namespaces.go Add /
-    # RemoveEntity / List)
+    # RemoveEntity / List; usecases/namespaces/controller.go states +
+    # usecases/namespace_cleanup/coordinator.go async teardown)
     def create_namespace(self, name: str) -> None:
         validate_namespace_name(name)
         if name in self._namespaces:
+            # Create on a deleting namespace names the teardown, not a
+            # duplicate (controller.go:187-190)
+            if self._ns_state.get(name) == NS_DELETING:
+                raise ValueError(
+                    f'namespace is being deleted: "{name}"')
             raise ValueError(f"namespace {name!r} already exists")
         self._namespaces.add(name)
+        self._ns_state[name] = NS_ACTIVE
+
+    def namespace_state(self, name: str) -> str:
+        if name not in self._namespaces:
+            raise KeyError(f'namespace not found: "{name}"')
+        return self._ns_state.get(name, NS_ACTIVE)
+
+    def change_namespace_state(self, name: str, target: str) -> None:
+        """ChangeState (controller.go:313-340): transition-table
+        enforced; same-state is a no-op; deleting is terminal."""
+        if target not in NS_TRANSITIONS:
+            raise ValueError(f'unknown namespace state "{target}"')
+        cur = self.namespace_state(name)
+        if cur == target:
+            return
+        if target not in NS_TRANSITIONS[cur]:
+            raise ValueError(
+                f'invalid namespace state transition: "{name}" is '
+                f"{cur}, cannot transition to {target}")
+        self._ns_state[name] = target
+
+    def delete_namespace(self, name: str) -> None:
+        """Mark DELETING (terminal); the actual teardown is
+        cleanup_namespaces — the async coordinator's job."""
+        self.change_namespace_state(name, NS_DELETING)
+
+    def list_deleting(self) -> list[str]:
+        """namespaceLister.ListDeleting (coordinator.go:19-21)."""
+        return sorted(n for n in self._namespaces
+                      if self._ns_state.get(n) == NS_DELETING)
+
+    def cleanup_namespaces(self) -> dict[str, dict]:
+        """One coordinator Tick (coordinator.go:144-243): for every
+        DELETING namespace delete its aliases, then its classes (with
+        their alias cascade), then remove the namespace entity.
+        Returns {namespace: {'aliases': [...], 'classes': [...]}}."""
+        done: dict[str, dict] = {}
+        for ns in self.list_deleting():
+            prefix = ns + ":"
+            aliases = sorted(a for a in self._aliases
+                             if a.startswith(prefix))
+            for a in aliases:
+                del self._aliases[a]
+            classes = sorted(c for c in self._collections
+                             if namespace_from_qualified(c) == ns)
+            for c in classes:
+                del self._collections[c]
+                self.drop_collection_aliases(c)
+            self._namespaces.discard(ns)
+            self._ns_state.pop(ns, None)
+            done[ns] = {"aliases": aliases, "classes": classes}
+        return done
 
     def drop_namespace(self, name: str) -> None:
         if name not in self._namespaces:
@@ -325,6 +400,7 @@ class Registry:
                 f"namespace {name!r} still holds collections: {sorted(held)}"
             )
         self._namespaces.discard(name)
+        self._ns_state.pop(name, None)
 
     def list_namespaces(self) -> list[str]:
         return sorted(self._namespaces)
@@ -349,6 +425,9 @@ class Registry:
         if namespace:
             if namespace not in self._namespaces:
                 raise KeyError(f"unknown namespace {namespace!r}")
+            if self._ns_state.get(namespace) == NS_DELETING:
+                raise ValueError(
+                    f'namespace is being deleted: "{namespace}"')
             self._collections[qualified_name(namespace, coll.name)] = coll
         else:
             self._collections[coll.name] = coll
