@@ -901,3 +901,36 @@ def test_namespace_state_machine_and_cleanup():
     # entity removed: the name is creatable again (fresh Create)
     reg.create_namespace("team-a")
     assert reg.namespace_state("team-a") == "active"
+
+
+def test_collection_to_class_dict():
+    """models.Class JSON shape (GET /v1/schema/{class},
+    collection.config.get())."""
+    from weaviate_spark.schema import Collection, Property
+
+    coll = Collection("Article", [
+        Property("title", "text", tokenization="field"),
+        Property("views", "int", index_range_filters=True),
+        Property("ofCategory", "Category,Topic"),
+        Property("profile", "object", nested=[
+            Property("bio", "text")]),
+    ], vector_dim=8, multi_tenancy=True,
+       named_vectors={"title_vec": 4},
+       named_vector_index_types={"title_vec": "flat"})
+    d = coll.to_class_dict()
+    assert d["class"] == "Article"
+    by = {p["name"]: p for p in d["properties"]}
+    assert by["title"]["dataType"] == ["text"]
+    assert by["title"]["tokenization"] == "field"
+    assert by["views"]["dataType"] == ["int"]
+    assert by["views"]["indexRangeFilters"] is True
+    assert "tokenization" not in by["views"]
+    # refs carry target classes as dataType ENTRIES (class.go shape)
+    assert by["ofCategory"]["dataType"] == ["Category", "Topic"]
+    assert by["ofCategory"]["indexSearchable"] is False
+    assert by["profile"]["nestedProperties"][0]["name"] == "bio"
+    assert d["multiTenancyConfig"] == {"enabled": True}
+    assert d["invertedIndexConfig"] == {"indexNullState": True}
+    assert d["vectorIndexConfig"] == {"dimensions": 8}
+    assert d["vectorConfig"]["title_vec"] == {
+        "vectorIndexType": "flat", "dimensions": 4}

@@ -166,6 +166,55 @@ class Collection:
                 return p
         raise KeyError(f"no property {name!r} in collection {self.name}")
 
+    def to_class_dict(self) -> dict:
+        """The models.Class JSON shape (entities/models/class.go —
+        what GET /v1/schema/{class} and the v4 client's
+        ``collection.config.get()`` return): properties with dataType
+        LISTS (refs carry their target classes as entries), index
+        flags, tokenization, nestedProperties, plus the
+        vectorIndexType / vectorConfig / multiTenancyConfig blocks
+        this engine models."""
+        def prop_dict(p: Property) -> dict:
+            if p.is_reference():
+                data_type = p.pointing_to()
+            else:
+                data_type = [p.data_type]
+            out = {
+                "name": p.name,
+                "dataType": data_type,
+                "indexFilterable": p.index_filterable,
+                "indexSearchable": p.searchable(),
+                "indexRangeFilters": p.index_range_filters,
+            }
+            if p.data_type in ("text", "text[]", "string", "string[]"):
+                out["tokenization"] = p.tokenization
+            if p.nested:
+                out["nestedProperties"] = [prop_dict(n)
+                                           for n in p.nested]
+            return out
+
+        cls: dict = {
+            "class": self.name,
+            "properties": [prop_dict(p) for p in self.properties],
+            "invertedIndexConfig": {
+                "indexNullState": self.index_null_state,
+            },
+            "multiTenancyConfig": {"enabled": self.multi_tenancy},
+            "vectorIndexType": self.vector_index_type,
+        }
+        if self.named_vectors:
+            cls["vectorConfig"] = {
+                name: {
+                    "vectorIndexType":
+                        self.named_vector_index_types.get(name, "hnsw"),
+                    "dimensions": dim,
+                }
+                for name, dim in sorted(self.named_vectors.items())
+            }
+        if self.vector_dim is not None:
+            cls["vectorIndexConfig"] = {"dimensions": self.vector_dim}
+        return cls
+
 
 # ---------------------------------------------------------------------------
 # auto-schema (determineType)
