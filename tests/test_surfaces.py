@@ -934,3 +934,44 @@ def test_collection_to_class_dict():
     assert d["vectorIndexConfig"] == {"dimensions": 8}
     assert d["vectorConfig"]["title_vec"] == {
         "vectorIndexType": "flat", "dimensions": 4}
+
+
+def test_class_dict_round_trip():
+    from weaviate_spark.schema import (
+        Collection, Property, collection_from_class_dict)
+
+    coll = Collection("Article", [
+        Property("title", "text", tokenization="field"),
+        Property("tags", "text[]"),
+        Property("views", "int", index_range_filters=True,
+                 index_searchable=False),
+        Property("ofCategory", "Category,Topic"),
+        Property("profile", "object", nested=[
+            Property("bio", "text", tokenization="whitespace")]),
+        Property("thumb", "blob"),
+    ], vector_dim=8, multi_tenancy=True,
+       named_vectors={"title_vec": 4},
+       named_vector_index_types={"title_vec": "flat"},
+       vector_index_type="flat", index_null_state=False)
+    back = collection_from_class_dict(coll.to_class_dict())
+    assert back.name == coll.name
+    assert back.vector_dim == 8 and back.multi_tenancy
+    assert back.named_vectors == {"title_vec": 4}
+    assert back.named_vector_index_types == {"title_vec": "flat"}
+    assert back.vector_index_type == "flat"
+    assert back.index_null_state is False
+    for orig in coll.properties:
+        got = back.property(orig.name)
+        assert got.data_type == orig.data_type, orig.name
+        assert got.tokenization == orig.tokenization or not (
+            orig.data_type.startswith("text")
+            or orig.data_type.startswith("string"))
+        assert got.index_range_filters == orig.index_range_filters
+        assert got.searchable() == orig.searchable()
+    assert back.property("profile").nested[0].tokenization == "whitespace"
+    # a single-entry ref dataType still parses as a cref
+    one_ref = collection_from_class_dict({
+        "class": "A", "properties": [
+            {"name": "of", "dataType": ["Category"]}]})
+    assert one_ref.property("of").is_reference()
+    assert one_ref.property("of").pointing_to() == ["Category"]

@@ -216,6 +216,48 @@ class Collection:
         return cls
 
 
+def collection_from_class_dict(d: dict) -> Collection:
+    """Inverse of ``Collection.to_class_dict`` — parse the models.Class
+    JSON shape (schema import, restore-from-backup, v4
+    ``collections.create_from_dict``). Round-trip invariant pinned by
+    test: ``collection_from_class_dict(c.to_class_dict()) ==
+    c`` for every field this engine models."""
+    def parse_prop(p: dict) -> Property:
+        dts = p.get("dataType") or ["text"]
+        if len(dts) == 1 and (dts[0] in WEAVIATE_TO_SPARK
+                              or dts[0].rstrip("[]") in WEAVIATE_TO_SPARK
+                              or dts[0] in ("object", "object[]",
+                                            "blob", "blobHash")):
+            data_type = dts[0]
+        else:
+            data_type = ",".join(dts)  # cref target list
+        return Property(
+            name=p["name"],
+            data_type=data_type,
+            tokenization=p.get("tokenization", "word"),
+            index_filterable=p.get("indexFilterable", True),
+            index_searchable=p.get("indexSearchable", True),
+            index_range_filters=p.get("indexRangeFilters", False),
+            nested=[parse_prop(n)
+                    for n in p.get("nestedProperties", [])],
+        )
+
+    vc = d.get("vectorConfig") or {}
+    return Collection(
+        name=d["class"],
+        properties=[parse_prop(p) for p in d.get("properties", [])],
+        vector_dim=(d.get("vectorIndexConfig") or {}).get("dimensions"),
+        multi_tenancy=(d.get("multiTenancyConfig") or {})
+        .get("enabled", False),
+        named_vectors={n: c.get("dimensions") for n, c in vc.items()},
+        vector_index_type=d.get("vectorIndexType", "hnsw"),
+        named_vector_index_types={
+            n: c.get("vectorIndexType", "hnsw") for n, c in vc.items()},
+        index_null_state=(d.get("invertedIndexConfig") or {})
+        .get("indexNullState", True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # auto-schema (determineType)
 
