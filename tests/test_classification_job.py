@@ -250,3 +250,36 @@ def test_contextual_without_targets_fails(spark):
     job, _ = _schedule(spark, type=C.TYPE_CONTEXTUAL)
     assert job.status == "failed"
     assert "target-class frame" in job.error
+
+
+def test_client_classifications_namespace(spark, tmp_path):
+    from weaviate_spark import auth
+    from weaviate_spark.client import connect
+
+    ctrl = auth.RbacController()
+    ctrl.upsert_role(auth.Role("classifier", [
+        auth.Permission(auth.UPDATE,
+                        auth.collections_metadata_path("Article")),
+        auth.Permission(auth.READ,
+                        auth.collections_metadata_path("Article")),
+    ]))
+    ctrl.assign("alice", "classifier")
+    rbac = auth.RbacAuthorizer(ctrl)
+    client = connect(spark, str(tmp_path), authorizer=rbac,
+                     principal="alice")
+    job, _ = client.classifications.schedule(
+        _base(spark), _coll(), class_name="Article",
+        classify_property="ofCategory", based_on_property="body",
+        k=3, now_unix=1, job_id="cli-job")
+    assert job.status == "completed"
+    assert client.classifications.get("cli-job") is job
+    assert client.classifications.get("missing") is None
+    # an unauthorized principal is rejected before scheduling
+    mallory = connect(spark, str(tmp_path), authorizer=rbac,
+                      principal="mallory")
+    with pytest.raises(auth.Forbidden):
+        mallory.classifications.schedule(
+            _base(spark), _coll(), class_name="Article",
+            classify_property="ofCategory", based_on_property="body")
+    with pytest.raises(auth.Forbidden):
+        mallory.classifications.get("cli-job")

@@ -676,6 +676,36 @@ class _Export:
         return export_cancel(backend, export_id)
 
 
+class _Classifications:
+    """`client.classifications` namespace (POST/GET
+    /v1/classifications — usecases/classification/classifier.go
+    Schedule :151 authorizes UPDATE on the class's metadata, Get :278
+    authorizes READ)."""
+
+    def __init__(self, client: "WeaviateSparkClient"):
+        self._c = client
+
+    def schedule(self, df, coll, **kwargs):
+        self._c._authorizer.authorize(
+            self._c._principal, auth.UPDATE,
+            auth.collections_metadata_path(coll.name))
+        from weaviate_spark.operators.classification_job import (
+            schedule_classification)
+
+        return schedule_classification(df, coll, **kwargs)
+
+    def get(self, job_id: str):
+        from weaviate_spark.operators.classification_job import (
+            get_classification)
+
+        job = get_classification(job_id)
+        if job is not None:
+            self._c._authorizer.authorize(
+                self._c._principal, auth.READ,
+                auth.collections_metadata_path(job.class_name))
+        return job
+
+
 class WeaviateSparkClient:
     def __init__(self, spark: SparkSession, root: str,
                  registry: Optional[object] = None,
@@ -689,6 +719,7 @@ class WeaviateSparkClient:
         self.collections = _Collections(self)
         self.backup = _Backup(self)
         self.export = _Export(self)
+        self.classifications = _Classifications(self)
 
     def get_meta(self) -> dict:
         """GET /v1/meta (models.Meta + modules Provider.GetMeta,
