@@ -271,3 +271,35 @@ def test_get_meta(spark, tmp_path):
     # either way the dummy baseline is always present
     assert all(isinstance(v, dict) and "family" in v
                for v in mods.values())
+
+
+def test_data_validate_and_verbose_delete(spark, tmp_path):
+    from weaviate_spark.client import connect
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.schema import Collection, Property, Registry
+    from weaviate_spark.sources.object_validation import (
+        ObjectValidationError)
+
+    reg = Registry()
+    reg.add(Collection("doc", [Property("title", "text")]))
+    client = connect(spark, str(tmp_path), registry=reg)
+    spark.createDataFrame(
+        [(i, "t") for i in range(6)], "k long, title string"
+    ).write.parquet(f"{tmp_path}/doc.parquet")
+    coll = client.collections.get("doc")
+
+    coll.data.validate({"class": "doc",
+                        "properties": {"title": "ok"}})
+    with pytest.raises(ObjectValidationError, match="invalid text"):
+        coll.data.validate({"class": "doc", "properties": {"title": 4}})
+    with pytest.raises(ObjectValidationError, match="unknown property"):
+        coll.data.validate({"class": "doc", "properties": {"x": 1}})
+    coll.data.validate({"class": "doc", "properties": {"x": 1}},
+                       auto_schema=True)
+
+    res, objs = coll.data.delete_many_with_output(
+        Clause(operator="LessThan", path=["k"], value=3), "k",
+        output="verbose")
+    assert res["matches"] == 3 and res["successful"] == 3
+    assert {r["id"] for r in objs.collect()} == {"0", "1", "2"}
+    assert spark.read.parquet(f"{tmp_path}/doc.parquet").count() == 3

@@ -395,6 +395,44 @@ class _Data:
 
         return delete_where(self._h._spark, self._dir(), filters, dry_run=dry_run)
 
+    def delete_many_with_output(self, filters: Clause, id_col: str,
+                                dry_run: bool = False,
+                                output: str = "minimal",
+                                limit: int | None = None):
+        """Batch delete returning the reference's BatchDeleteResponse
+        shape: (result dict, per-object status frame) —
+        crud.delete_where_with_output (batch_delete.go verbose/minimal
+        output + the QueryMaximumResults deletion cap)."""
+        self._h._check(auth.DELETE)  # batch_delete.go authz
+        from weaviate_spark.sources.crud import (
+            DEFAULT_QUERY_MAXIMUM_RESULTS, delete_where_with_output)
+
+        return delete_where_with_output(
+            self._h._spark, self._dir(), filters, id_col,
+            dry_run=dry_run, output=output,
+            limit=limit or DEFAULT_QUERY_MAXIMUM_RESULTS)
+
+    def validate(self, obj: dict, *, auto_schema: bool = False,
+                 exists_fn=None) -> None:
+        """POST /v1/objects/validate: run the full object validator
+        (schema + vector + property rules, reference error texts)
+        WITHOUT writing. Raises ObjectValidationError on the first
+        violation; returns None when valid. Uses the collection's
+        registered schema when the client has a registry."""
+        self._h._check(auth.READ)
+        from weaviate_spark.sources.object_validation import (
+            validate_object)
+
+        reg = self._h._registry
+        coll = None
+        if reg is not None:
+            try:
+                coll = reg.resolve(obj.get("class", self._h._table))
+            except KeyError:
+                coll = None
+        validate_object(obj, coll, auto_schema=auto_schema,
+                        exists_fn=exists_fn)
+
     def read_version(self, version: int | None = None) -> DataFrame:
         """Time-travel read: the collection as of a committed version
         (None = current)."""
