@@ -332,11 +332,14 @@ def _contextual_preds(unclassified, job, classify_property,
 def _writeback(df, job, preds, classify_property, id_col,
                unclassified, now_unix):
     # one broadcast join writes every prediction back (the reference's
-    # per-item writer.Store, batched into a single narrow stage)
+    # per-item writer.Store, batched into a single narrow stage).
+    # Pin the predictions once: the meta counts, the writeback join,
+    # and the caller's materialization would otherwise each re-run the
+    # kNN pass (bounded: one small row per unclassified object)
     preds = preds.select(
         F.col("_kid").alias(id_col),
         F.col("predicted_label").alias("_pred"),
-    )
+    ).localCheckpoint(eager=True)
     joined = df.join(F.broadcast(preds), id_col, "left")
     parts = F.split(F.col("_pred"), "/")
     new_ref = F.when(
