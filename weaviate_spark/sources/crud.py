@@ -902,6 +902,175 @@ def make_beacon(class_name: str, target_id: Column) -> Column:
     )
 
 
+_UUID_RE = ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+
+
+def add_references_batch_with_report(
+    spark: SparkSession,
+    table_dir: str,
+    refs: DataFrame,
+    key: str,
+    from_col: str = "from",
+    to_col: str = "to",
+    check_source_exists: bool = True,
+):
+    """Batch reference add with the reference's per-ref result array
+    (usecases/objects/batch_references_add.go validateReference
+    :259-299 + entities/schema/crossref ParseSource/Parse).
+
+    ``refs``: (from, to) beacon strings —
+    from = ``weaviate://localhost/<Class>/<uuid>/<property>``
+    (long form required, crossref_source.go:59-62),
+    to = ``weaviate://localhost/[<Class>/]<uuid>``.
+
+    Per-ref validation, reported not raised, with the reference's
+    exact texts — including its quirks, mirrored deliberately: the
+    source uuid error prints the PROPERTY segment
+    (crossref_source.go:67 prints pathSegments[3]), and the target
+    uuid error renders "1nd"/"2nd" (crossref.go:63 '%dnd'). Non-local
+    source/target hosts get the peer texts
+    (batch_references_add.go:268,276); target ids are lowercased
+    before use. ``check_source_exists`` adds a missing-source check
+    (engine-level text — the reference surfaces this later, at the
+    shard write). Multi-target properties requiring the class name in
+    the beacon are not modeled here (schema-driven; see
+    autodetectToClass).
+
+    Writeback: every valid ref becomes a beacon struct appended
+    (array_union — duplicate-free, references_add.go semantics) to its
+    source row's property; all properties update in ONE COW rewrite.
+    Scale: parsing is pure Catalyst regex, grouping is one shuffle of
+    the refs (not the table), and the table joins against ≤#refs
+    broadcast rows per referenced property.
+    Returns (report_df, n_applied)."""
+    f, t = F.col(from_col), F.col(to_col)
+    fp = f"^weaviate://([^/]*)/([^/]+)/({_UUID_RE})/([^/]+)$"
+    src_host = F.regexp_extract(f, fp, 1)
+    src_class = F.regexp_extract(f, fp, 2)
+    src_id = F.regexp_extract(f, fp, 3)
+    src_prop = F.regexp_extract(f, fp, 4)
+    # segment view for the error paths (host + any path)
+    seg = F.split(F.regexp_extract(f, "^weaviate://[^/]*(/.*)$", 1), "/")
+    from_path = F.regexp_extract(f, "^weaviate://[^/]*(/.*)$", 1)
+
+    tp2 = f"^weaviate://([^/]*)/({_UUID_RE})$"
+    tp3 = f"^weaviate://([^/]*)/([^/]+)/({_UUID_RE})$"
+    to_path = F.regexp_extract(t, "^weaviate://[^/]*(/.*)$", 1)
+    to_seg = F.split(to_path, "/")
+    t_host = F.coalesce(
+        F.nullif(F.regexp_extract(t, tp3, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, tp2, 1), F.lit("")),
+        F.regexp_extract(t, "^weaviate://([^/]*)/", 1))
+    t_class = F.regexp_extract(t, tp3, 2)
+    t_id = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(t, tp3, 3), F.lit("")),
+        F.nullif(F.regexp_extract(t, tp2, 2), F.lit(""))))
+
+    err = (
+        # FROM: 4 path segments required (crossref_source.go:59)
+        F.when(
+            F.size(seg) != 4,
+            F.concat(F.lit(
+                "invalid cref URI: must use long-form: path must be of "
+                "format '/<className>/<uuid>/<propertyName>', but got "
+                "'"), from_path, F.lit("'")))
+        .when(
+            ~F.element_at(seg, 3).rlike(f"^{_UUID_RE}$"),
+            F.concat(F.lit("invalid cref URI: 2nd path segment must "
+                           "be uuid, but got '"),
+                     F.element_at(seg, 4), F.lit("'")))
+        .when(F.element_at(seg, 2) == "",
+              F.lit("className cannot be empty"))
+        .when(F.element_at(seg, 2).rlike("^[a-z]"),
+              F.concat(F.lit("className must start with an uppercase "
+                             "letter, but got "), F.element_at(seg, 2)))
+        .when(F.element_at(seg, 4) == "",
+              F.lit("property cannot be empty"))
+        .when(src_host != "localhost",
+              F.concat(F.lit("source class must always point to the "
+                             "local peer, but got "), src_host))
+        # TO: 2-or-3 segment short/long form (crossref.go:49-63)
+        .when(
+            ~F.size(to_seg).isin(2, 3),
+            F.concat(F.lit("invalid cref URI: path must be of format "
+                           "'<class>/<uuid>', but got '"),
+                     to_path, F.lit("'")))
+        .when(
+            F.element_at(to_seg, F.size(to_seg)).rlike(f"^{_UUID_RE}$")
+            == F.lit(False),
+            F.concat(F.lit("invalid cref URI: "),
+                     (F.size(to_seg) - 1).cast("string"),
+                     F.lit("nd path segment must be uuid, but got '"),
+                     F.element_at(to_seg, F.size(to_seg)), F.lit("'")))
+        .when(t_host != "localhost",
+              F.concat(F.lit(
+                  "importing network references in batch is not "
+                  "possible. Please perform a regular non-batch import "
+                  "for network references, got peer "), t_host))
+    )
+    marked = refs.withColumn("_err", err).withColumn(
+        "_sid", src_id).withColumn("_prop", src_prop).withColumn(
+        "_tclass", t_class).withColumn("_tid", t_id)
+
+    current = spark.read.parquet(table_dir)
+    if check_source_exists:
+        src_ids = current.select(
+            F.col(key).cast("string").alias("_sid"),
+            F.lit(True).alias("_src_ok"))
+        marked = marked.join(src_ids, "_sid", "left").withColumn(
+            "_err",
+            F.when(F.col("_err").isNotNull(), F.col("_err"))
+            .when(F.col("_src_ok").isNull(),
+                  F.concat(F.lit("source object not found: "),
+                           F.col("_sid")))).drop("_src_ok")
+    marked = marked.localCheckpoint(eager=True)  # one validation pass
+
+    report = marked.select(
+        f.alias("from"), t.alias("to"),
+        F.when(F.col("_err").isNull(), F.lit("SUCCESS"))
+        .otherwise(F.lit("FAILED")).alias("status"),
+        F.col("_err").alias("error"),
+    )
+    valid = marked.where(F.col("_err").isNull())
+    n_applied = valid.count()
+    if n_applied:
+        beacon = F.struct(
+            F.concat(F.lit("weaviate://localhost/"),
+                     F.when(F.col("_tclass") != "",
+                            F.concat(F.col("_tclass"), F.lit("/")))
+                     .otherwise(F.lit("")),
+                     F.col("_tid")).alias("beacon"),
+            F.col("_tclass").alias("className"),
+            F.col("_tid").alias("id"),
+        )
+        grouped = (valid.select("_sid", "_prop", beacon.alias("_b"))
+                   .groupBy("_sid", "_prop")
+                   .agg(F.collect_list("_b").alias("_new")))
+        props = [r["_prop"] for r in
+                 grouped.select("_prop").distinct().collect()]
+        updated = current
+        for prop in props:
+            adds = grouped.where(F.col("_prop") == prop).select(
+                F.col("_sid"), F.col("_new").alias(f"_new_{prop}"))
+            updated = updated.join(
+                F.broadcast(adds),
+                updated[key].cast("string") == adds["_sid"], "left",
+            ).drop("_sid")
+            updated = updated.withColumn(
+                prop,
+                F.when(
+                    F.col(f"_new_{prop}").isNotNull(),
+                    F.array_union(
+                        F.coalesce(F.col(prop), F.array()),
+                        F.col(f"_new_{prop}")),
+                ).otherwise(F.col(prop)),
+            ).drop(f"_new_{prop}")
+        _rewrite(updated, table_dir,
+                 expected_version=table_version(table_dir))
+    return report, n_applied
+
+
 def add_reference(
     spark: SparkSession, table_dir: str, key: str, key_value,
     ref_prop: str, class_name: str, target_id: str,
