@@ -85,3 +85,31 @@ def test_tsne_embed_dimensions():
     assert Y.shape == (5, 3)
     # centered output
     assert np.allclose(Y.mean(axis=0), 0, atol=1e-9)
+
+
+def test_attach_feature_projection_post_stage(spark, sf_dir):
+    from weaviate_spark.operators.search_post import (
+        attach_feature_projection)
+    from weaviate_spark.operators.vector import NearVectorSpec, near_vector
+    from weaviate_spark.sources.tables import load_table
+
+    qv = [float((i * 7) % 13) for i in range(64)]
+    hits = near_vector(spark, sf_dir, NearVectorSpec(
+        collection="embeddings", vector=qv, vector_col="embedding",
+        id_col="vec_id", metric="cosine", limit=8, quantize="off"))
+    out = attach_feature_projection(
+        spark, hits, sf_dir, "embeddings", "vec_id", "embedding",
+        seed=11)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(len(r["featureProjection"]) == 2 for r in rows)
+    # original ordering + columns preserved
+    assert [r["vec_id"] for r in rows] == \
+        [r["vec_id"] for r in hits.collect()]
+    assert set(hits.columns) < set(out.columns)
+    # deterministic across calls
+    out2 = attach_feature_projection(
+        spark, hits, sf_dir, "embeddings", "vec_id", "embedding",
+        seed=11)
+    assert [r["featureProjection"] for r in out2.collect()] == \
+        [r["featureProjection"] for r in rows]

@@ -170,3 +170,45 @@ def apply_autocut(hits: DataFrame, score_col: str, cut_off: int) -> DataFrame:
     scores = [float(r[0]) for r in rows]
     cut = autocut_index(scores, cut_off)
     return hits.limit(cut)
+
+
+def attach_feature_projection(
+    spark,
+    hits: DataFrame,
+    sf_dir: str,
+    collection: str,
+    id_col: str,
+    vector_col: str,
+    params=None,
+    seed: int = 0,
+) -> DataFrame:
+    """_additional { featureProjection } as a search post-stage
+    (modulecomponents/additional/projector — the reference runs it
+    over the ≤limit result window in-process; same envelope here):
+    join the hits back to their vectors, t-SNE the WINDOW driver-side
+    (operators/projector.py, seeded), and return the hits with a
+    ``featureProjection`` array column. Row order and every other
+    column are preserved."""
+    from weaviate_spark.operators.projector import feature_projection
+    from weaviate_spark.sources.tables import load_table
+
+    # materialize the window ONCE, then fetch exactly its vectors with
+    # an IN-pushed point lookup (page-pruned parquet scan)
+    rows = [r.asDict() for r in hits.collect()]
+    ids = [r[id_col] for r in rows]
+    vec_of = {r[0]: r[1] for r in load_table(spark, sf_dir, collection)
+              .select(id_col, vector_col)
+              .where(F.col(id_col).isin(ids)).collect()}
+    for r in rows:
+        r["_fp_vec"] = vec_of.get(r[id_col])
+    projected = feature_projection(rows, "_fp_vec", params, seed=seed)
+    for r in projected:
+        r.pop("_fp_vec", None)
+    out_fields = [f for f in hits.schema.fields]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(out_fields + [
+        T.StructField("featureProjection", T.ArrayType(T.DoubleType()))])
+    return spark.createDataFrame(
+        [tuple(r.get(f.name) for f in schema.fields) for r in projected],
+        schema)
