@@ -73,6 +73,11 @@ INTERESTING = [
     # trainable classifier + GIF decode pipeline
     "knn_sq_rescore", "ann_recall_audit", "curation_nb_classifier",
     "image_gif_frame_stats",
+    # round-11 session 2: nodes status, Gopher/C4 filters, object
+    # validation gate, classification job + ref meta, CDF
+    "nodes_status_verbose", "text_gopher_rules", "text_c4_page_filter",
+    "object_validation_batch", "classification_ref_meta",
+    "crud_table_changes",
 ]
 
 MARKERS = [
