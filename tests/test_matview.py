@@ -3,6 +3,7 @@ independent of how the stream was batched."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -61,3 +62,46 @@ def test_merge_state_handles_new_groups(spark):
     st = merge_state(st, partial_state(b2, keys, measures), keys, measures)
     got = {r["g"]: (float(r["s"]), r["n"]) for r in st.collect()}
     assert got == {"a": (3.0, 2), "b": (5.0, 1)}
+
+
+def test_apply_cdf_matches_recompute(spark, tmp_path):
+    """CDF-driven view maintenance (Gupta & Mumick counting algorithm)
+    == full recompute after updates AND deletes."""
+    from weaviate_spark.filters import Clause
+    from weaviate_spark.operators.matview import (
+        apply_cdf, merge_state, partial_state)
+    from weaviate_spark.sources import crud
+
+    path = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(12)],
+        "k long, grp string, v double").write.parquet(path)
+    keys, measures = ["grp"], {
+        "n": ("count", "v"), "total": ("sum", "CAST(v AS DECIMAL(20,4))")}
+    state = merge_state(
+        None, partial_state(spark.read.parquet(path), keys, measures),
+        keys, measures)
+
+    # mutate: bump g1 values, delete g2 entirely, insert new g0 rows
+    upd = spark.read.parquet(path).where("grp = 'g1'") \
+        .withColumn("v", F.col("v") + 100.0)
+    crud.upsert(spark, path, upd, "k")
+    crud.upsert(spark, path, spark.createDataFrame(
+        [(100, "g0", 7.0), (101, "g0", 8.0)],
+        "k long, grp string, v double"), "k")
+    crud.delete_where(spark, path, Clause(
+        operator="Equal", path=["grp"], value="g2"))
+
+    changes = crud.table_changes_feed(spark, path, "k", 0)
+    advanced = {r["grp"]: (r["n"], float(r["total"]))
+                for r in apply_cdf(state, changes, keys,
+                                   measures).collect()}
+    recomputed = {r["grp"]: (r["n"], float(r["total"]))
+                  for r in partial_state(
+                      spark.read.parquet(path), keys,
+                      measures).collect()}
+    assert advanced == recomputed
+    assert "g2" not in advanced  # tombstoned, like the recompute
+
+    with pytest.raises(ValueError, match="only maintains sum/count"):
+        apply_cdf(state, changes, keys, {"m": ("min", "v")})

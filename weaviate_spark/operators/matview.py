@@ -88,3 +88,55 @@ def merge_state(
             ]
         )
     return merged.localCheckpoint(eager=True)
+
+
+def apply_cdf(
+    state: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, str]],
+) -> DataFrame:
+    """Advance the view through a CHANGE feed (crud.table_changes_feed
+    rows carrying ``_change_type``) — the Gupta & Mumick counting
+    algorithm for views with deletions: postimages and inserts
+    contribute positively, preimages and deletes negatively, so
+
+        state' = state ⊎ partial(Δ+) ⊖ partial(Δ-)
+
+    holds for the SELF-MAINTAINABLE kinds only: ``sum`` and ``count``
+    (signed merge). ``min``/``max`` are not maintainable under
+    deletion without auxiliary per-key heaps — requesting one raises,
+    steering callers to the insert-only ``merge_state`` path or a
+    recompute.
+
+    O(|changes|) work per advance; the read path stays a projection of
+    state. Groups whose count reaches 0 are dropped (the counting
+    algorithm's tombstone rule), so a fully-deleted group disappears
+    exactly as a recompute would have it.
+    """
+    bad = [n for n, (k, _) in measures.items() if k not in ("sum", "count")]
+    if bad:
+        raise ValueError(
+            f"apply_cdf only maintains sum/count measures under "
+            f"deletion; {bad} need merge_state (insert-only) or a "
+            "recompute")
+    pos = changes.where(F.col("_change_type")
+                        .isin("insert", "update_postimage"))
+    neg = changes.where(F.col("_change_type")
+                        .isin("delete", "update_preimage"))
+
+    def signed(batch: DataFrame, sign: int) -> DataFrame:
+        p = partial_state(batch, keys, measures)
+        if sign < 0:
+            p = p.select(*keys, *[(-F.col(n)).alias(n)
+                                  for n in measures])
+        return p
+
+    delta = signed(pos, +1).unionByName(signed(neg, -1))
+    merged = merge_state(state, delta, keys, measures)
+    # counting-algorithm tombstones: drop groups whose every count hit 0
+    count_cols = [n for n, (k, _) in measures.items() if k == "count"]
+    if count_cols:
+        alive = count_cols[0]
+        merged = merged.where(F.col(alive) > 0)
+    return merged
