@@ -11759,3 +11759,27 @@ def q_crud_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return crud.table_changes_feed(spark, scratch, "n_nationkey",
                                    from_version=0)
+
+
+@register(
+    "hybrid_bm25_operator_and",
+    oracle=hybrid_oracle_sql("spark filter join", QVEC, alpha=0.5,
+                             fusion="relativeScore", limit=25,
+                             search_operator="And"),
+)
+def q_hybrid_bm25_operator_and(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hybrid fusion with bm25SearchOperator=And on the keyword leg
+    (explorer_hybrid.go:53-55 flows HybridSearch.SearchOperator into
+    KeywordRanking): only documents matching EVERY query term enter
+    the keyword leg; the vector leg is unaffected and fusion proceeds
+    over the narrowed keyword set."""
+    from weaviate_spark.operators.bm25 import BM25Prop
+    from weaviate_spark.operators.hybrid import HybridSpec, hybrid_search
+
+    return hybrid_search(spark, sf_dir, HybridSpec(
+        collection="docs_embedded", query="spark filter join",
+        vector=QVEC, properties=[BM25Prop("text")], id_col="doc_id",
+        alpha=0.5, fusion="relativeScore", limit=25,
+        search_operator="And",
+    )).select("doc_id", "_score")

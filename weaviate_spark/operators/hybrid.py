@@ -62,6 +62,11 @@ class HybridSpec:
     max_vector_distance: Optional[float] = None
     where: Optional[Clause] = None
     round_digits: int = 6
+    # bm25SearchOperator flows into the keyword leg
+    # (explorer_hybrid.go:53-55): Or (default) | And, with the Or
+    # minimum-match threshold
+    search_operator: str = "Or"
+    minimum_or_tokens_match: int = 0
     # emit the reference's explainScore additional property
     # (hybrid_fusion.go:40-47, 139-146): per-leg contribution lines,
     # assembled newline-joined (ranked) / " - "-chained reverse-leg
@@ -97,6 +102,8 @@ def hybrid_search(spark: SparkSession, sf_dir: str, spec: HybridSpec) -> DataFra
             collection=spec.collection, query=spec.query,
             properties=spec.properties, id_col=id_col,
             round_digits=spec.round_digits, where=spec.where,
+            search_operator=spec.search_operator,
+            minimum_or_tokens_match=spec.minimum_or_tokens_match,
         )
         # stats over the unfiltered collection (reference semantics), fed
         # from the session-level materialized tables — the keyword leg
@@ -264,6 +271,8 @@ def hybrid_oracle_sql(
     k1: float = 1.2,
     b: float = 0.75,
     explain: bool = False,
+    search_operator: str = "Or",
+    minimum_or_tokens_match: int = 0,
 ) -> str:
     """DuckDB SQL reproducing hybrid_search over the docs_embedded shape
     (documents JOIN embeddings ON doc_id = vec_id), word tokenization,
@@ -272,6 +281,14 @@ def hybrid_oracle_sql(
     # identical query analysis to the Spark path (fold/stopwords included)
     qboost = query_terms(query, "word")
     terms_sql = ", ".join(f"('{t}', {c})" for t, c in sorted(qboost.items()))
+    n_terms = len(qboost)
+    if search_operator == "And":
+        having = f"HAVING count(DISTINCT tf._term) = {n_terms}"
+    elif minimum_or_tokens_match > 0:
+        having = ("HAVING count(DISTINCT tf._term) >= "
+                  f"{min(minimum_or_tokens_match, n_terms)}")
+    else:
+        having = ""
     qvec_sql = "[" + ", ".join(str(float(x)) for x in vector) + "]::DOUBLE[]"
     w_kw, w_vec = 1.0 - alpha, alpha
 
@@ -341,7 +358,7 @@ bm_all AS (
   ), 6) AS sec
   FROM tf JOIN doclen ON tf._doc = doclen._doc
   JOIN n_t ON tf._term = n_t._term CROSS JOIN stats
-  GROUP BY tf._doc
+  GROUP BY tf._doc {having}
 ),
 bm AS (SELECT id, sec FROM bm_all ORDER BY sec DESC, id ASC LIMIT {cap}),
 qv AS (SELECT {qvec_sql} AS v),
