@@ -11442,7 +11442,7 @@ def q_text_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _classification_job_oracle_sql() -> str:
     return """
 WITH e AS (
-  SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS _id, label,
+  SELECT lpad(CAST(vec_id AS VARCHAR), 12, '0') AS _id, label,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
     vec_id % 10 = 0 AS unl
   FROM embeddings
@@ -11499,7 +11499,7 @@ def q_classification_job_lifecycle(spark: SparkSession,
 
     emb = _load(spark, sf_dir, "embeddings")
     base = emb.select(
-        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_id"),
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("_id"),
         F.col("embedding").alias("_vector"),
         F.lit("").alias("body"),
         F.when(
@@ -11547,7 +11547,7 @@ def q_classification_job_lifecycle(spark: SparkSession,
 def _classification_ref_meta_oracle_sql(k: int = 5) -> str:
     return f"""
 WITH e AS (
-  SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS _id, label,
+  SELECT lpad(CAST(vec_id AS VARCHAR), 12, '0') AS _id, label,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
     vec_id % 10 = 0 AS unl
   FROM embeddings
@@ -11607,13 +11607,13 @@ def q_classification_ref_meta(spark: SparkSession,
 
     emb = _load(spark, sf_dir, "embeddings")
     labeled = emb.where(F.col("vec_id") % 10 != 0).select(
-        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_kid"),
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("_kid"),
         F.col("embedding").alias("_kvec"),
         F.concat(F.lit("weaviate://localhost/Category/cat-"),
                  F.col("label").cast("string")).alias("_klabel"),
     )
     queries = emb.where(F.col("vec_id") % 10 == 0).select(
-        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("_kid"),
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("_kid"),
         F.col("embedding").alias("_kvec"),
     )
     return knn_classify_with_meta(
