@@ -975,3 +975,67 @@ def test_class_dict_round_trip():
             {"name": "of", "dataType": ["Category"]}]})
     assert one_ref.property("of").is_reference()
     assert one_ref.property("of").pointing_to() == ["Category"]
+
+
+def test_add_class_property_validation():
+    """AddClassProperty chain (usecases/schema/class.go
+    validateProperty + validatePropertyTokenization texts)."""
+    from weaviate_spark.schema import (
+        Collection, Property, add_class_property)
+
+    coll = Collection("Article", [Property("title", "text")])
+    add_class_property(coll, Property("views", "int"))
+    assert coll.property("views").index_searchable is False  # coerced
+    # case-insensitive duplicate
+    with pytest.raises(ValueError) as ei:
+        add_class_property(coll, Property("TITLE", "text"))
+    assert str(ei.value) == ('class "Article": conflict for property '
+                             '"TITLE": already in use or provided '
+                             'multiple times')
+    with pytest.raises(ValueError, match="is a reserved property name"):
+        add_class_property(coll, Property("_id", "text"))
+    with pytest.raises(ValueError) as ei:
+        add_class_property(coll, Property(
+            "n", "int", nested=[Property("x", "text")]))
+    assert str(ei.value) == ("property 'n': nestedProperties not "
+                             "allowed for data types other than "
+                             "object/object[]")
+    # tokenization legality
+    with pytest.raises(ValueError) as ei:
+        add_class_property(coll, Property("t2", "text",
+                                          tokenization="bogus"))
+    assert str(ei.value) == ("tokenization 'bogus' is not allowed for "
+                             "data type 'text'")
+    with pytest.raises(ValueError) as ei:
+        add_class_property(coll, Property("num2", "number",
+                                          tokenization="field"))
+    assert str(ei.value) == ("tokenization is not allowed for data "
+                             "type 'number'")
+    with pytest.raises(ValueError, match="not allowed for reference"):
+        add_class_property(coll, Property("ofX", "Category",
+                                          tokenization="field"))
+    add_class_property(coll, Property("ofX", "Category",
+                                      tokenization=""))
+    # env-gated CJK tokenizers: closed set reproduces the reference's
+    # error; default (None) is open since the dictionaries ship
+    with pytest.raises(ValueError) as ei:
+        add_class_property(coll, Property("zh", "text",
+                                          tokenization="gse"),
+                           enabled_gates=set())
+    assert str(ei.value) == ("the GSE tokenizer is not enabled; set "
+                             "'ENABLE_TOKENIZER_GSE' to 'true' to "
+                             "enable")
+    add_class_property(coll, Property("zh", "text", tokenization="gse"))
+    assert coll.property("zh").tokenization == "gse"
+
+
+def test_add_class_property_default_tokenization_cleared():
+    from weaviate_spark.schema import (
+        Collection, Property, add_class_property)
+
+    coll = Collection("A", [])
+    add_class_property(coll, Property("ofY", "Category"))  # default tok
+    assert coll.property("ofY").tokenization == ""
+    add_class_property(coll, Property("obj", "object",
+                                      nested=[Property("x", "text")]))
+    assert coll.property("obj").tokenization == ""

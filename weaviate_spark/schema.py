@@ -741,6 +741,111 @@ def validate_collection_definition(coll: Collection) -> None:
             validate_nested_property_name(n.name, p.name)
 
 
+_TEXT_TOKENIZATIONS = ("field", "word", "whitespace", "lowercase",
+                       "trigram")
+_GATED_TOKENIZATIONS = {
+    # tokenization -> (env-gate name in the reference, error text)
+    "gse": ("ENABLE_TOKENIZER_GSE",
+            "the GSE tokenizer is not enabled; set "
+            "'ENABLE_TOKENIZER_GSE' to 'true' to enable"),
+    "gse_ch": ("ENABLE_TOKENIZER_GSE_CH",
+               "the Chinese tokenizer is not enabled; set "
+               "'ENABLE_TOKENIZER_GSE_CH' to 'true' to enable"),
+    "kagome_kr": ("ENABLE_TOKENIZER_KAGOME_KR",
+                  "the Korean tokenizer is not enabled; set "
+                  "'ENABLE_TOKENIZER_KAGOME_KR' to 'true' to enable"),
+    "kagome_ja": ("ENABLE_TOKENIZER_KAGOME_JA",
+                  "the Japanese tokenizer is not enabled; set "
+                  "'ENABLE_TOKENIZER_KAGOME_JA' to 'true' to enable"),
+}
+
+
+def validate_property_tokenization(prop: Property,
+                                   enabled_gates: set[str] | None = None
+                                   ) -> None:
+    """validatePropertyTokenization (usecases/schema/class.go:
+    1213-1268) with the reference's texts. ``enabled_gates`` models
+    the reference's ENABLE_TOKENIZER_* env flags; None = all enabled
+    (this engine ships the CJK dictionaries, so the gates default
+    OPEN — documented divergence; pass an explicit set for the
+    reference's default-closed behavior)."""
+    dt = prop.data_type
+    tok = prop.tokenization
+    base = dt[:-2] if dt.endswith("[]") else dt
+    if prop.is_reference():
+        if tok:
+            raise ValueError(
+                "tokenization is not allowed for reference data type")
+        return
+    if base == "object":
+        if tok:
+            raise ValueError("tokenization is not allowed for "
+                             "object/object[] data types")
+        return
+    if base in ("string",):
+        if tok in ("field", "word"):
+            return
+        raise ValueError(f"tokenization '{tok}' is not allowed for "
+                         f"data type '{base}'")
+    if base == "text":
+        if tok in _TEXT_TOKENIZATIONS:
+            return
+        if tok in _GATED_TOKENIZATIONS or tok in (
+                "gse_dict", "gse_bigram", "gse_all"):
+            gate = _GATED_TOKENIZATIONS.get(tok)
+            if gate and enabled_gates is not None \
+                    and gate[0] not in enabled_gates:
+                raise ValueError(gate[1])
+            return
+        raise ValueError(f"tokenization '{tok}' is not allowed for "
+                         f"data type '{base}'")
+    # non-text primitives accept only an EMPTY tokenization
+    if tok in ("", None):
+        return
+    raise ValueError(f"tokenization is not allowed for data type "
+                     f"'{base}'")
+
+
+def add_class_property(coll: Collection, prop: Property,
+                       enabled_gates: set[str] | None = None) -> None:
+    """Handler.AddClassProperty's validation chain
+    (usecases/schema/class.go:1006-1063 validateProperty) then the
+    schema mutation: property name + reserved names, the
+    case-insensitive duplicate conflict, nestedProperties only on
+    object types, tokenization legality, and the text-only
+    indexSearchable rule — all with the reference's exact texts."""
+    validate_property_name(prop.name)
+    validate_reserved_property_name(prop.name)
+    existing = {p.name.lower() for p in coll.properties}
+    if prop.name.lower() in existing:
+        raise ValueError(
+            f'class "{coll.name}": conflict for property '
+            f'"{prop.name}": already in use or provided multiple times')
+    base = prop.data_type[:-2] if prop.data_type.endswith("[]") \
+        else prop.data_type
+    if prop.nested and base != "object" and not prop.is_reference():
+        raise ValueError(
+            f"property '{prop.name}': nestedProperties not allowed "
+            "for data types other than object/object[]")
+    # Property has no tri-state: the dataclass default 'word' on a
+    # non-text property is treated as UNSET and cleared, like
+    # setPropertyDefaults; any OTHER tokenization on a non-text type
+    # is explicit and validated below
+    if base not in ("text", "string") and prop.tokenization == "word":
+        prop.tokenization = ""
+    validate_property_tokenization(prop, enabled_gates)
+    # setPropertyDefaults (class.go:985-1003): non-text properties get
+    # indexSearchable=false — our Property has no tri-state, so the
+    # default True is COERCED here rather than raising the reference's
+    # explicit-true error (searchable() already ignores non-text)
+    if base not in ("text", "string") and not prop.is_reference():
+        prop.index_searchable = False
+    for n in prop.nested:
+        validate_nested_property_name(n.name, prop.name)
+    coll.properties.append(prop)
+    _invalidate_index_artifacts()
+
+
 def validate_vector_index_type(index_type: str) -> None:
     """Creation/update validation: 'none' is reserved for the managed
     drop (drop_vector_index_reject_test.go)."""
