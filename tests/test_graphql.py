@@ -230,3 +230,27 @@ def test_explore_parse_rejects_unknowns():
             "{ Explore(nearVector: {vector: [0.1]}) { s_name } }")
     with pytest.raises(ValueError, match="requires a nearVector"):
         parse_graphql("{ Explore(limit: 3) { className } }")
+
+
+def test_feature_projection_args_parsed():
+    """_additional { featureProjection(...) } arguments flow into the
+    post-stage's params (projector_graphql_field.go argument set)."""
+    from weaviate_spark.plans.graphql import parse_graphql
+
+    spec = parse_graphql(
+        '{ Get { Article(nearVector: {vector: [1.0, 0.0]}, limit: 5) {'
+        ' title _additional { distance featureProjection('
+        'dimensions: 2, perplexity: 4, learningRate: 30) { vector } }'
+        ' } } }')
+    assert spec.extra["feature_projection"] == {
+        "dimensions": 2, "perplexity": 4, "learning_rate": 30}
+    assert "featureProjection" in spec.extra["metadata"]
+    # no args -> empty params dict (defaults apply at the post-stage)
+    spec2 = parse_graphql(
+        '{ Get { Article(limit: 5) { title _additional {'
+        ' featureProjection { vector } } } } }')
+    assert spec2.extra["feature_projection"] == {}
+    # absent -> no key at all
+    spec3 = parse_graphql(
+        '{ Get { Article(limit: 5) { title _additional { id } } } }')
+    assert "feature_projection" not in spec3.extra

@@ -341,9 +341,26 @@ def _get_spec(class_field: dict, **extra: Any) -> GetSpec:
         )
 
     select, metadata = [], []
+    feature_projection = None
     for f in class_field["fields"]:
         if f["name"] == "_additional":
             metadata = [sf["name"] for sf in f["fields"]]
+            for sf in f["fields"]:
+                # featureProjection(dimensions:…, perplexity:…, …)
+                # (projector_graphql_field.go argument set) — parsed
+                # into the post-stage's params
+                if sf["name"] == "featureProjection":
+                    a = sf["args"]
+                    feature_projection = {
+                        snake: a[camel]
+                        for camel, snake in (
+                            ("algorithm", "algorithm"),
+                            ("dimensions", "dimensions"),
+                            ("perplexity", "perplexity"),
+                            ("iterations", "iterations"),
+                            ("learningRate", "learning_rate"),
+                        ) if camel in a
+                    }
         elif not f["fields"]:
             select.append(f["name"])
         # ref-resolution subselections compile via operators/refs.py;
@@ -351,6 +368,8 @@ def _get_spec(class_field: dict, **extra: Any) -> GetSpec:
     merged_extra = dict(extra)
     if metadata:
         merged_extra["metadata"] = metadata
+    if feature_projection is not None:
+        merged_extra["feature_projection"] = feature_projection
     if args.get("tenant"):
         merged_extra["tenant"] = str(args["tenant"])
     if args.get("groupBy"):
