@@ -254,3 +254,21 @@ def test_feature_projection_args_parsed():
     spec3 = parse_graphql(
         '{ Get { Article(limit: 5) { title _additional { id } } } }')
     assert "feature_projection" not in spec3.extra
+
+
+def test_feature_projection_end_to_end(spark, sf_dir):
+    """GraphQL -> compile -> projector post-stage round trip."""
+    from weaviate_spark.plans.compile import compile_get
+    from weaviate_spark.plans.graphql import parse_graphql
+
+    qv = ", ".join(str(float((i * 7) % 13)) for i in range(64))
+    spec = parse_graphql(
+        '{ Get { embeddings(nearVector: {vector: [' + qv + ']}, '
+        'limit: 10) { label _additional { distance featureProjection('
+        'dimensions: 2, iterations: 40) { vector } } } } }',
+        id_col="vec_id", vector_col="embedding")
+    out = compile_get(spark, sf_dir, spec)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r["featureProjection"]) == 2 for r in rows)
+    assert "label" in out.columns and "vec_id" in out.columns

@@ -135,7 +135,21 @@ def _compile_search(spark: SparkSession, sf_dir: str, spec: GetSpec) -> DataFram
         score_col = "_score" if "_score" in out.columns else "_distance"
         out = apply_autocut(out, score_col, spec.autocut)
     if spec.select:
-        out = out.select(*spec.select)
+        out = out.select(*spec.select, *(
+            [id_col] if id_col not in spec.select
+            and spec.extra.get("feature_projection") is not None else []))
+    fp = spec.extra.get("feature_projection")
+    if fp is not None:
+        # _additional { featureProjection } — t-SNE over the ≤limit
+        # window (projector post-stage; params from the GraphQL args)
+        from weaviate_spark.operators.projector import (
+            FeatureProjectionParams)
+        from weaviate_spark.operators.search_post import (
+            attach_feature_projection)
+
+        out = attach_feature_projection(
+            spark, out, sf_dir, spec.collection, id_col, vector_col,
+            params=FeatureProjectionParams(**fp))
     return out
 
 
