@@ -11783,3 +11783,101 @@ def q_hybrid_bm25_operator_and(spark: SparkSession,
         alpha=0.5, fusion="relativeScore", limit=25,
         search_operator="And",
     )).select("doc_id", "_score")
+
+
+# ---------------------------------------------------------------------------
+# Batch reference add — differential report oracle
+# (usecases/objects/batch_references_add.go + entities/schema/crossref)
+
+def _batch_refs_oracle_sql() -> str:
+    src = _uuid_sql("region", "r_regionkey")
+    tgt = _uuid_sql("nation", "r_regionkey")
+    missing = _uuid_sql("missing", "r_regionkey")
+    return f"""
+WITH r AS (
+  SELECT r_regionkey, r_regionkey % 5 AS c, {src} AS sid, {tgt} AS tid,
+    {missing} AS mid
+  FROM region
+)
+SELECT
+  CASE c
+    WHEN 1 THEN 'weaviate://localhost/Region/' || sid
+    WHEN 2 THEN 'weaviate://localhost/Region/not-a-uuid/ofNation'
+    WHEN 4 THEN 'weaviate://localhost/Region/' || mid || '/ofNation'
+    ELSE 'weaviate://localhost/Region/' || sid || '/ofNation'
+  END AS "from",
+  CASE c
+    WHEN 3 THEN 'weaviate://remote-peer/' || tid
+    ELSE 'weaviate://localhost/Nation/' || tid
+  END AS "to",
+  CASE WHEN c IN (0) THEN 'SUCCESS' ELSE 'FAILED' END AS status,
+  CASE c
+    WHEN 1 THEN 'invalid cref URI: must use long-form: path must be '
+      || 'of format ''/<className>/<uuid>/<propertyName>'', but got '
+      || '''/Region/' || sid || ''''
+    WHEN 2 THEN 'invalid cref URI: 2nd path segment must be uuid, '
+      || 'but got ''ofNation'''
+    WHEN 3 THEN 'importing network references in batch is not '
+      || 'possible. Please perform a regular non-batch import for '
+      || 'network references, got peer remote-peer'
+    WHEN 4 THEN 'source object not found: ' || mid
+    ELSE NULL
+  END AS error
+FROM r
+"""
+
+
+@register("batch_references_report", oracle=_batch_refs_oracle_sql())
+def q_batch_references_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Batch reference add, differential report check: one reference
+    per region row with a corruption class by r_regionkey % 5 (valid /
+    short-form source / bad uuid / network target / missing source),
+    run through the REAL validator+writeback
+    (crud.add_references_batch_with_report on a scratch COW copy of
+    region keyed by the canonical _id uuid). The oracle predicts each
+    corruption's exact reference error text — including the
+    short-form and bad-uuid parser quirks — and which rows land as
+    SUCCESS."""
+    import os
+    import re as _re2
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.ids import uuid_col
+    from weaviate_spark.sources import crud
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           "wsx_brefs_" + _re2.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(crud._txn_dir(scratch), ignore_errors=True)
+    region = _load(spark, sf_dir, "region")
+    ref_t = "array<struct<beacon:string,className:string,id:string>>"
+    region.select(
+        uuid_col("region", F.col("r_regionkey")).alias("_id"),
+        "r_regionkey",
+        F.lit(None).cast(ref_t).alias("ofNation"),
+    ).write.parquet(scratch)
+
+    sid = uuid_col("region", F.col("r_regionkey"))
+    tid = uuid_col("nation", F.col("r_regionkey"))
+    mid = uuid_col("missing", F.col("r_regionkey"))
+    c = F.col("r_regionkey") % 5
+    refs = region.select(
+        F.when(c == 1, F.concat(F.lit("weaviate://localhost/Region/"),
+                                sid))
+        .when(c == 2,
+              F.lit("weaviate://localhost/Region/not-a-uuid/ofNation"))
+        .when(c == 4, F.concat(F.lit("weaviate://localhost/Region/"),
+                               mid, F.lit("/ofNation")))
+        .otherwise(F.concat(F.lit("weaviate://localhost/Region/"), sid,
+                            F.lit("/ofNation"))).alias("from"),
+        F.when(c == 3, F.concat(F.lit("weaviate://remote-peer/"), tid))
+        .otherwise(F.concat(F.lit("weaviate://localhost/Nation/"), tid))
+        .alias("to"),
+    )
+    report, n = crud.add_references_batch_with_report(
+        spark, scratch, refs, "_id")
+    return report
