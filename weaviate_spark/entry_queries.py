@@ -11881,3 +11881,55 @@ def q_batch_references_report(spark: SparkSession,
     report, n = crud.add_references_batch_with_report(
         spark, scratch, refs, "_id")
     return report
+
+
+def _nodes_storage_oracle_sql() -> str:
+    from weaviate_spark.sources.tables import TABLES
+
+    tables = sorted(TABLES)
+    shards = " UNION ALL ".join(
+        f"SELECT '{t}' AS class, '{t}' AS shard, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {t}"
+        for t in tables
+    )
+    return (
+        f"WITH shards AS ({shards}) "
+        "SELECT class, shard, "
+        "CASE class WHEN 'region' THEN 'READONLY' "
+        "WHEN 'part' THEN 'SHUTDOWN' ELSE 'READY' END "
+        "AS vector_indexing_status, "
+        "class <> 'part' AS loaded, "
+        "CASE WHEN class = 'part' THEN 0 ELSE n END AS object_count "
+        "FROM shards"
+    )
+
+
+@register("nodes_status_storage_states",
+          oracle=_nodes_storage_oracle_sql())
+def q_nodes_status_storage_states(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Nodes status under storage-state flips (nodes.go:294-303,331 —
+    vectorIndexingStatus carries shard.GetStatus(), unloaded shards
+    report no count): region flipped READONLY (stays loaded and
+    counted — read-only shards serve reads), part flipped SHUTDOWN
+    (unloaded, count 0), everything else READY. The registry flip is
+    reverted before returning so no other query observes it."""
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources import storagestate as ss
+    from weaviate_spark.sources.nodes import node_status_df
+
+    region_dir = f"{sf_dir}/region.parquet"
+    part_dir = f"{sf_dir}/part.parquet"
+    ss.update_shard_status(region_dir, "READONLY", reason="ops")
+    ss.update_shard_status(part_dir, "SHUTDOWN")
+    try:
+        out = node_status_df(
+            spark, sf_dir, detect_compression=False,
+        ).select("class", "shard", "vector_indexing_status", "loaded",
+                 "object_count")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        ss.update_shard_status(region_dir, "READY")
+        ss.update_shard_status(part_dir, "READY")
+    return out
