@@ -21,6 +21,7 @@ from weaviate_spark.session import get_spark
 SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": "/root/repo/testdata_sf1",
+    "sf10": "/root/repo/testdata_sf10",
 }
 
 
