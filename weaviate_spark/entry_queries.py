@@ -11933,3 +11933,58 @@ def q_nodes_status_storage_states(spark: SparkSession,
         ss.update_shard_status(region_dir, "READY")
         ss.update_shard_status(part_dir, "READY")
     return out
+
+
+@register(
+    "nodes_status_tenant_shards",
+    oracle=(
+        "SELECT 'mtdocs' AS class, 't' || CAST(n % 4 AS VARCHAR) AS "
+        "shard, CAST(count(*) AS BIGINT) AS object_count, "
+        "CASE WHEN n % 4 = 2 THEN 'READONLY' ELSE 'READY' END "
+        "AS vector_indexing_status, TRUE AS loaded, "
+        "CAST(4 AS BIGINT) AS shard_count "
+        "FROM (SELECT r_regionkey + 5 * g AS k, (r_regionkey + 5 * g) "
+        "% 4 AS n FROM region CROSS JOIN (SELECT unnest([0,1,2,3]) "
+        "AS g)) GROUP BY n"
+    ),
+)
+def q_nodes_status_tenant_shards(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Tenant partitions surface as shards in the node status
+    (adapters/repos/db/get_shards_status_with_tenant_test.go): a
+    scratch multi-tenant collection (20 rows, tenant = key % 4) is
+    partition-written, tenant t2 flipped READONLY, and the per-shard
+    rows must carry per-tenant counts and statuses with shardCount 4.
+    The registry flip is reverted after materializing."""
+    import os
+    import re as _re3
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.sources import storagestate as ss
+    from weaviate_spark.sources.crud import write_tenant_partitioned
+    from weaviate_spark.sources.nodes import node_status_df
+
+    root = os.path.join(tempfile.gettempdir(),
+                        "wsx_mtnodes_" + _re3.sub(r"\W", "_", sf_dir))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    table = os.path.join(root, "mtdocs.parquet")
+    region = _load(spark, sf_dir, "region")
+    rows = (region.crossJoin(
+        spark.createDataFrame([(g,) for g in range(4)], "g int"))
+        .select((F.col("r_regionkey") + 5 * F.col("g")).alias("k"))
+        .select("k", F.concat(F.lit("t"), (F.col("k") % 4)
+                              .cast("string")).alias("_tenant")))
+    write_tenant_partitioned(rows, table, "_tenant")
+    ss.update_shard_status(table, "READONLY", shard="t2", reason="ops")
+    try:
+        out = node_status_df(spark, root, detect_compression=False) \
+            .select("class", "shard", "object_count",
+                    "vector_indexing_status", "loaded", "shard_count")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        ss.clear(table)
+    return out
