@@ -38,6 +38,44 @@ def register_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# (session, input files) -> scan partition count. df.rdd.getNumPartitions()
+# forces an RDD conversion through py4j on every call — measured ~50-150 ms
+# of driver time per query build (r11 profile). The split count of a file
+# scan depends only on the file set and session conf, so it is memoized on
+# the input-file list; filters/projections over the same scan share the
+# entry. Empty-file-list frames (cached/derived inputs) fall back to the
+# direct probe every time.
+_scan_partitions: dict[tuple, int] = {}
+
+
+def ensure_min_partitions(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition a narrow, CPU-heavy input up to the session's default
+    parallelism when its scan would run on fewer tasks (single-file local
+    tables arrive as 1-2 splits; regex scoring / tokenization would
+    otherwise serialize on 1-2 of N cores). On a real cluster the scan
+    already has >= parallelism splits and this no-ops — the decision is
+    scale-adaptive, not a local constant."""
+    spark = df.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    n = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        key = (session_key(spark), tuple(sorted(files)))
+        n = _scan_partitions.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _scan_partitions[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def release_caches() -> None:
     global _live_caches
     for df in _live_caches:

@@ -78,7 +78,7 @@ AVGDL_FALLBACK = 40.0  # bm25_searcher.go:452-453
 
 # per-query scratch caches live in weaviate_spark.cache (released at every
 # top-level query entry); re-exported here for backward compatibility
-from weaviate_spark.cache import register_cache, release_caches, session_key  # noqa: E402,F401
+from weaviate_spark.cache import ensure_min_partitions, register_cache, release_caches, session_key  # noqa: E402,F401
 
 
 @dataclass
@@ -173,9 +173,7 @@ def build_bm25_index(
     n_docs = corpus.count()
     stat_rows = []
     term_frames, post_frames, len_frames = [], [], []
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < parallelism:
-        corpus = corpus.repartition(parallelism)
+    corpus = ensure_min_partitions(corpus)
     for prop in properties:
         toks = corpus.select(
             F.col(id_col).alias("_doc"),
@@ -792,9 +790,7 @@ def bm25_score_df(
         base = df if stats_from_tables else corpus_df
         # single-file inputs arrive as 1 partition — tokenization is the
         # CPU-heavy stage, spread it (no-op when input is already split)
-        parallelism = base.sparkSession.sparkContext.defaultParallelism
-        if base.rdd.getNumPartitions() < parallelism:
-            base = base.repartition(parallelism)
+        base = ensure_min_partitions(base)
         toks = base.select(
             F.col(id_col).alias("_doc"),
             F.explode(tokenize_for_class(

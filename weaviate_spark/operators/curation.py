@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache
+from weaviate_spark.cache import ensure_min_partitions, register_cache
 from weaviate_spark.operators.dedup import shingle_df
 from weaviate_spark.operators.sampling import md5_prefix_long
 
@@ -231,9 +231,7 @@ def dsir_importance_weights(
     # single-file local tables scan as ~2 splits and serialize the
     # md5-bigram explode on 2 of 32 cores (the text_profile /
     # langid_confusion pattern); on a real cluster this no-ops
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     toks = tokenize(F.col(text_col), "word")
     grams = F.when(
         F.size(toks) < 2, F.array().cast("array<string>")

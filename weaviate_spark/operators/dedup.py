@@ -40,7 +40,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache, session_key
+from weaviate_spark.cache import ensure_min_partitions, register_cache, session_key
 from weaviate_spark.functions.text import tokenize
 
 
@@ -92,9 +92,7 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     tokenize/shingle stage on a single core. At real scale the scan
     already has many partitions and the repartition coalesces to the
     same count (cheap); locally it unlocks all cores."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     return df.select(
         F.col(id_col).alias("_doc"),
         F.explode(_shingles(F.col(text_col), n)).alias("_shingle"),

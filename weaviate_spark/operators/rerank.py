@@ -14,6 +14,8 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from weaviate_spark.cache import ensure_min_partitions
 from pyspark.sql import functions as F
 
 from weaviate_spark.filters import Clause, compile_where
@@ -667,11 +669,8 @@ def knn_classify_lsh(
     # single-file parquet scan arrives as ONE partition locally, which
     # would serialize it — spread first (at real scale the scan already
     # has many partitions and this is a no-op coalesce)
-    parallelism = labeled.sparkSession.sparkContext.defaultParallelism
-    if lab.rdd.getNumPartitions() < parallelism:
-        lab = lab.repartition(parallelism)
-    if qp.rdd.getNumPartitions() < parallelism:
-        qp = qp.repartition(parallelism)
+    lab = ensure_min_partitions(lab)
+    qp = ensure_min_partitions(qp)
     # dedup + top-k + vote in ONE shuffle on _qid: a pair reached via
     # several probed buckets carries an identical (_d,_tid,_label)
     # triple and collapses in array_distinct; array_sort orders by

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache
+from weaviate_spark.cache import ensure_min_partitions, register_cache
 from weaviate_spark.functions.text import EN_STOPWORDS, tokenize
 
 # tiny per-language function-word lists for the n-gram/stopword-vote
@@ -122,9 +122,7 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     table (one ~59 MB parquet at 10x bench scale = 2 input splits)
     would otherwise serialize the scoring on 2 of 32 cores. On a real
     cluster the scan already has >= parallelism splits and this no-ops."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -661,9 +659,7 @@ def collocations_pmi(
     """
     # single-file local tables serialize the tokenize+explode on 2 of
     # 32 cores (text_profile pattern); no-op on multi-split scans
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     toks = tokenize(F.col(text_col), "word")
     bg = F.when(
         F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
@@ -731,9 +727,7 @@ def langid_confusion(
     char-entropy pattern): the per-language marker votes are pure CPU
     and a one-file local table would serialize them on 2 of 32 cores;
     on a real cluster the scan already has enough splits — no-op."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     pred = df.select(
         F.col(label_col).alias("actual"),
         lang_id(F.col(text_col)).alias("predicted"),
@@ -942,9 +936,7 @@ def char_entropy_by_group(
     whole document string into every per-character row (doc_len copies
     of the doc through the explode — measured 29.6 s -> 12.6 s at sf1);
     the single-file repartition guard applies as everywhere else."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_min_partitions(df)
     chars = df.select(
         F.col(id_col).alias("_doc"),
         F.lower(F.col(text_col)).alias("_t"),

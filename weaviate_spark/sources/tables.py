@@ -34,17 +34,39 @@ TABLES: dict[str, str] = {
 }
 
 
+# (path, mtime) -> ns-timestamp column names. The footer read costs a
+# driver-side pyarrow dataset open per call; load_table runs on EVERY
+# query build, so uncached it was ~10-30 ms of pure metadata I/O per
+# table per query (measured r11: ~45% of steady bench time was driver
+# plan construction). The mtime key keeps the cache honest if a table
+# is ever rewritten in place.
+_nanos_cache: dict[tuple[str, float], list[str]] = {}
+
+
 def _nanos_ts_columns(path: str) -> list[str]:
-    """Columns stored as parquet timestamp[ns] (driver-local footer read)."""
+    """Columns stored as parquet timestamp[ns] (driver-local footer read,
+    memoized per (path, mtime))."""
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _nanos_cache:
+        return _nanos_cache[key]
+
     import pyarrow.dataset as ds
     import pyarrow as pa
 
     schema = ds.dataset(path, format="parquet").schema
-    return [
+    cols = [
         f.name
         for f in schema
         if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
     ]
+    if key is not None:
+        _nanos_cache[key] = cols
+    return cols
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -63,6 +85,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 # docs_embedded below
 _derived_tables: dict[tuple, "DataFrame"] = {}
 
+# (session, path, with_id, mtime) -> resolved base-table plan (lazy; holds
+# no data — this is a catalog cache, not a result cache)
+_base_plans: dict[tuple, "DataFrame"] = {}
+
 
 def invalidate_derived_tables() -> None:
     for frame in _derived_tables.values():
@@ -71,6 +97,8 @@ def invalidate_derived_tables() -> None:
         except Exception:
             pass
     _derived_tables.clear()
+    _base_plans.clear()
+    _nanos_cache.clear()
 
 
 def load_table(
@@ -99,17 +127,33 @@ def load_table(
             _derived_tables[key] = joined
         return _derived_tables[key]
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Catalog memo: the base-table PLAN (a lazy DataFrame — metadata, no
+    # data) is resolved once per (session, path, mtime). Re-resolving on
+    # every query build paid spark.read.parquet's file-index setup + the
+    # footer read + the ns->µs projection rebuild each time; a catalog
+    # resolves a table once. The mtime key invalidates if the path is
+    # rewritten (CRUD writes its own versioned dirs and never touches
+    # these paths, but the guard keeps the memo honest regardless).
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    memo_key = (session_key(spark), path, with_id, mtime)
+    if mtime is not None and memo_key in _base_plans:
+        return _base_plans[memo_key]
+
+    df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); convert
     # to µs TimestampType — the documented ns->µs divergence (SURVEY §1.2).
-    for col_name in _nanos_ts_columns(f"{sf_dir}/{name}.parquet"):
+    for col_name in _nanos_ts_columns(path):
         if isinstance(df.schema[col_name].dataType, T.LongType):
             df = df.withColumn(
                 col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
             )
     if with_id:
-        from pyspark.sql import functions as F
-
         if name == "lineitem":
             key = F.concat_ws(
                 "_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
@@ -117,6 +161,8 @@ def load_table(
         else:
             key = F.col(TABLES[name])
         df = df.withColumn("_id", uuid_col(name, key))
+    if mtime is not None:
+        _base_plans[memo_key] = df
     return df
 
 
