@@ -76,6 +76,42 @@ def ensure_min_partitions(df: DataFrame, parallelism: int | None = None) -> Data
     return df
 
 
+# (gateway, *key) -> built Column. Column objects are immutable
+# name-resolved expression trees, valid against ANY DataFrame that has
+# the referenced columns — building one is pure py4j round trips (a
+# 64-literal query vector + zip_with/aggregate lambdas costs ~100-300 ms
+# of driver time, r11 profile), so heavy constant expressions are built
+# once per process and reused across query builds. Keyed on the py4j
+# gateway id so a hypothetical gateway restart cannot serve dead handles.
+_column_memo: dict = {}
+
+
+def memo_column(key: tuple, builder):
+    """Return builder() memoized under (gateway, *key). The builder must
+    be deterministic in `key` and reference input columns by name only."""
+    from pyspark import SparkContext
+
+    k = (id(getattr(SparkContext, "_gateway", None)), *key)
+    col = _column_memo.get(k)
+    if col is None:
+        col = builder()
+        _column_memo[k] = col
+    return col
+
+
+def lit_double_array(vals) -> "Column":
+    """array<double> literal built with ONE parsed expression instead of
+    len(vals) py4j F.lit round trips (a 64-dim query vector cost ~130
+    driver round trips per build). repr() keeps the exact double; the D
+    suffix keeps Spark SQL from parsing bare decimals as DECIMAL.
+    Value-identical to F.array(*[F.lit(float(v)) for v in vals])."""
+    from pyspark.sql import functions as F
+
+    if not len(vals):
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def release_caches() -> None:
     global _live_caches
     for df in _live_caches:

@@ -14,6 +14,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from weaviate_spark.cache import lit_double_array
+
 from weaviate_spark.filters import Clause
 from weaviate_spark.operators.aggregate import (
     AggregateSpec,
@@ -1649,6 +1651,9 @@ def q_knn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify_lsh(
         lab, unl, "vec_id", "embedding", "label", dim=64, k=5,
         num_planes=6, probe=2,
+        # labeled/unlabeled partition one collection: single-scan form
+        # reads embeddings ONCE (was: union of two filtered scans)
+        corpus=emb, labeled_pred=F.col("vec_id") % 10 != 0,
     )
 
 
@@ -2480,7 +2485,7 @@ def q_neartext_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     emb = docs.withColumn("_vector", vectorize_column(F.col("text")))
-    qv = F.array(*[F.lit(float(x)) for x in _neartext_move_qvec()])
+    qv = lit_double_array(_neartext_move_qvec())
     return (
         emb.withColumn("_distance", F.round(distance(F.col("_vector"), qv, "cosine"), 6))
         .select("doc_id", "_distance")
@@ -3140,7 +3145,7 @@ def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_vector", vectorize_column(F.col("text"), dim=16)
     )
     qv = near_text_vector(["spark filter join"], dim=16)
-    q = F.array(*[F.lit(x) for x in qv])
+    q = lit_double_array(qv)
     topk = (
         docs.withColumn("_distance", F.round(distance(F.col("_vector"), q), 6))
         .orderBy(F.col("_distance").asc(), F.col("doc_id").asc())

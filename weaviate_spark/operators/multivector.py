@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from weaviate_spark.cache import lit_double_array
 from pyspark.sql import functions as F
 
 
@@ -36,7 +38,7 @@ def maxsim_score(token_vectors: Column, query_tokens: Sequence[Sequence[float]])
     dot-product similarity)."""
     total = None
     for qt in query_tokens:
-        q = F.array(*[F.lit(float(x)) for x in qt])
+        q = lit_double_array(qt)
         best = F.array_max(F.transform(token_vectors, lambda dt: _dot(dt, q)))
         total = best if total is None else total + best
     return F.round(total, 6)
@@ -80,7 +82,7 @@ def multivector_search_pruned(
     toks = F.col(token_vectors_col)
     cand = None
     for qt in query_tokens:
-        q = F.array(*[F.lit(float(x)) for x in qt])
+        q = lit_double_array(qt)
         s = F.round(F.array_max(F.transform(toks, lambda dt: _dot(dt, q))), 6)
         top = (
             df.select(F.col(id_col), s.alias("_s"))

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from weaviate_spark.functions.distance import distance
 from weaviate_spark.sources.tables import load_table
 
-from weaviate_spark.cache import session_key
+from weaviate_spark.cache import lit_double_array, session_key
 from weaviate_spark.incremental import SegmentStore
 
 BITS_PER_WORD = 32
@@ -296,7 +296,7 @@ def bq_topk(
         return base.select(
             id_col, F.lit(None).cast("double").alias("_distance")
         ).limit(0)
-    qv = F.array(*[F.lit(float(x)) for x in vector])
+    qv = lit_double_array(vector)
     rescored = (
         base.where(F.col(id_col).isin(cand_ids)
                    & F.col(vector_col).isNotNull())
@@ -671,7 +671,7 @@ def sq_topk(
         return base.select(
             id_col, F.lit(None).cast("double").alias("_distance")
         ).limit(0)
-    qv = F.array(*[F.lit(float(x)) for x in vector])
+    qv = lit_double_array(vector)
     rescored = (
         base.where(F.col(id_col).isin(cand_ids)
                    & F.col(vector_col).isNotNull())
@@ -845,7 +845,7 @@ def pq_adc_col(codes_col: Column, lut: Sequence[Sequence[float]]) -> Column:
     math over the original vectors."""
     acc = None
     for s, seg_lut in enumerate(lut):
-        arr = F.array(*[F.lit(float(v)) for v in seg_lut])
+        arr = lit_double_array(seg_lut)
         term = F.element_at(arr, F.element_at(codes_col, s + 1) + F.lit(1))
         acc = term if acc is None else acc + term
     return acc
@@ -891,7 +891,7 @@ def pq_topk(
         .orderBy(F.col("_adc").asc(), F.col("_id").asc())
         .limit(overfetch * k)
     )
-    qv = F.array(*[F.lit(float(x)) for x in vector])
+    qv = lit_double_array(vector)
     return (
         candidates.withColumn(
             "_distance", F.round(distance(F.col("_v"), qv, metric), round_digits)
@@ -1057,7 +1057,7 @@ def rq_topk(
     )
     qr = rq_rotate_py(vector, np.asarray(M), normalize=normalize)
     sumq = float(qr.sum())
-    qarr = F.array(*[F.lit(float(x)) for x in qr])
+    qarr = lit_double_array(qr)
     dotqc = F.aggregate(
         F.zip_with(qarr, F.col("_codes"), lambda a, b: a * b.cast("double")),
         F.lit(0.0),
@@ -1069,7 +1069,7 @@ def rq_topk(
         .orderBy(F.col("_est").asc(), F.col("_id").asc())
         .limit(overfetch * k)
     )
-    qv = F.array(*[F.lit(float(x)) for x in vector])
+    qv = lit_double_array(vector)
     return (
         candidates.withColumn(
             "_distance", F.round(distance(F.col("_v"), qv, metric), round_digits)
@@ -1193,7 +1193,7 @@ def ivfpq_topk(
         .orderBy(F.col("_adc").asc(), F.col("_id").asc())
         .limit(overfetch * k)
     )
-    qv = F.array(*[F.lit(float(x)) for x in vector])
+    qv = lit_double_array(vector)
     return (
         candidates.withColumn(
             "_distance", F.round(distance(F.col("_v"), qv, metric), 6)

@@ -552,6 +552,8 @@ def knn_classify_lsh(
     seed: int = 42,
     probe: int = 2,
     backend: str = "auto",
+    corpus: DataFrame | None = None,
+    labeled_pred: Column | None = None,
 ) -> DataFrame:
     """Scale path for kNN classification: candidates come from shared
     random-hyperplane LSH buckets (operators/similarity.py; the
@@ -561,6 +563,14 @@ def knn_classify_lsh(
     no cross join: labeled rows are bucketed by signature, queries probe
     their own bucket plus all Hamming-1 buckets, candidates are exact-
     rescored, top-k vote as in `knn_classify`.
+
+    When labeled and unlabeled are two filter-partitions of ONE
+    collection, pass ``corpus`` plus ``labeled_pred`` (a boolean Column
+    over corpus rows): the pipeline then reads the collection ONCE and
+    tags rows in the projection, instead of unioning two filtered scans
+    of the same files — at corpus scale that halves the scan I/O
+    (guide §1.2: remove unnecessary passes; results identical, pinned
+    by the oracle). labeled/unlabeled are still used for schema checks.
 
     Shuffles: one join on the (hash-uniform) bucket key, then ONE
     aggregation on the query id that does dedup + top-k + majority vote
@@ -598,56 +608,66 @@ def knn_classify_lsh(
     planes = hyperplanes(num_planes, dim, seed)
 
     if use_pandas:
-        # union BEFORE the signature so the (large) hyperplane dot
-        # expression appears exactly once in the plan — one codegen
-        # compilation, one fused stage, instead of one per side.
-        union0 = labeled.select(
-            F.lit(1).alias("_is_lab"),
-            F.col(id_col).cast("long").alias("_id"),
-            F.col(label_col).cast("long").alias("_label"),
-            F.col(vector_col).alias("_v"),
-        ).unionByName(unlabeled.select(
-            F.lit(0).alias("_is_lab"),
-            F.col(id_col).cast("long").alias("_id"),
-            F.lit(-1).cast("long").alias("_label"),
-            F.col(vector_col).alias("_v"),
-        ))
+        if corpus is not None and labeled_pred is not None:
+            # single-scan form: one pass over the collection, the
+            # labeled/unlabeled split is a projected flag — the scan
+            # appears ONCE in the plan instead of once per side
+            union0 = corpus.select(
+                labeled_pred.cast("int").alias("_is_lab"),
+                F.col(id_col).cast("long").alias("_id"),
+                F.when(labeled_pred, F.col(label_col).cast("long"))
+                .otherwise(F.lit(-1)).alias("_label"),
+                F.col(vector_col).alias("_v"),
+            )
+        else:
+            # union BEFORE the signature so the (large) hyperplane dot
+            # expression appears exactly once in the plan — one codegen
+            # compilation, one fused stage, instead of one per side.
+            union0 = labeled.select(
+                F.lit(1).alias("_is_lab"),
+                F.col(id_col).cast("long").alias("_id"),
+                F.col(label_col).cast("long").alias("_label"),
+                F.col(vector_col).alias("_v"),
+            ).unionByName(unlabeled.select(
+                F.lit(0).alias("_is_lab"),
+                F.col(id_col).cast("long").alias("_id"),
+                F.lit(-1).cast("long").alias("_label"),
+                F.col(vector_col).alias("_v"),
+            ))
         bucketed = union0.mapInPandas(
             _sig_probe_kernel([list(map(float, p)) for p in planes], probe),
             "_is_lab int, _id long, _label long, _v array<float>, _bucket string",
         )
         union = bucketed.select(
             "_is_lab",
-            F.when(F.col("_is_lab") == 0, F.col("_id"))
-            .otherwise(F.lit(-1)).alias("_qid"),
-            F.when(F.col("_is_lab") == 1, F.col("_id"))
-            .otherwise(F.lit(-1)).alias("_tid"),
+            F.expr("CASE WHEN _is_lab = 0 THEN _id ELSE -1 END AS _qid"),
+            F.expr("CASE WHEN _is_lab = 1 THEN _id ELSE -1 END AS _tid"),
             "_label", "_v", "_bucket",
         )
         pairs = union.groupBy("_bucket").applyInPandas(
             _bucket_knn_kernel(k, metric),
             "_qid long, _d double, _tid long, _label long",
         )
-        topk = F.slice(
-            F.array_sort(F.array_distinct(F.collect_list(
-                F.struct(F.col("_d"), F.col("_tid"), F.col("_label"))
-            ))), 1, k,
+        # vote expressions as parsed SQL (single py4j call each; the
+        # composed HOF/lambda form cost ~100 round trips of driver
+        # build time per query — values identical, oracle-pinned)
+        topk = F.expr(
+            "slice(array_sort(array_distinct(collect_list("
+            f"struct(_d, _tid, _label)))), 1, {k})"
         )
-        labels = F.transform(F.col("_top"), lambda t: t["_label"])
-        best = F.array_min(F.transform(
-            F.array_distinct(labels),
-            lambda l: F.struct(
-                (-F.size(F.filter(labels, lambda x: x == l))).alias("_nc"),
-                l.alias("_l"),
-            ),
-        ))
+        labels = "transform(_top, t -> t._label)"
+        best = (
+            f"array_min(transform(array_distinct({labels}), "
+            f"l -> struct(-size(filter({labels}, x -> x = l)) AS _nc, "
+            "l AS _l)))"
+        )
         return (
             pairs.groupBy("_qid")
             .agg(topk.alias("_top"))
             .select(
                 F.col("_qid").alias(id_col),
-                best["_l"].alias("predicted_label"),
-                (-best["_nc"]).cast("long").alias("votes"),
+                F.expr(f"({best})._l").alias("predicted_label"),
+                F.expr(f"CAST(-(({best})._nc) AS BIGINT)").alias("votes"),
             )
         )
 

@@ -32,6 +32,8 @@ import hashlib
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from weaviate_spark.cache import lit_double_array
 from pyspark.sql import functions as F
 
 from weaviate_spark.functions.distance import distance
@@ -54,7 +56,7 @@ def signature_col(vector_col: Column, planes: Sequence[Sequence[float]]) -> Colu
     """Bit-string LSH signature, e.g. '10110...' (one char per plane)."""
     bits = []
     for plane in planes:
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = lit_double_array(plane)
         dp = F.aggregate(
             F.zip_with(vector_col, p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -108,7 +110,7 @@ def ann_top_k(
             flipped = qsig[:i] + ("0" if qsig[i] == "1" else "1") + qsig[i + 1:]
             buckets.add(flipped)
     cand = index_df.where(F.col("_bucket").isin(sorted(buckets)))
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     return (
         cand.withColumn("_distance", F.round(distance(F.col(vector_col), q, metric), 6))
         .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
@@ -129,7 +131,7 @@ def ann_recall_vs_exact(
     """Measured recall@k of the ANN path against exact brute force."""
     from weaviate_spark.functions.distance import distance as dist_fn
 
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     exact = {
         r[0]
         for r in df.withColumn("_d", dist_fn(F.col(vector_col), q, "cosine"))
@@ -687,7 +689,7 @@ def multiprobe_topk(
     planes = hyperplanes(num_planes, len(query_vector), seed)
     seq = multiprobe_sequence(query_vector, planes, n_probes)
     cand = index_df.where(F.col("_bucket").isin(seq))
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     return (
         cand.withColumn(
             "_distance", F.round(distance(F.col(vector_col), q, metric), 6)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import ensure_min_partitions, register_cache
+from weaviate_spark.cache import ensure_min_partitions, memo_column, register_cache
 from weaviate_spark.functions.text import EN_STOPWORDS, tokenize
 
 # tiny per-language function-word lists for the n-gram/stopword-vote
@@ -123,18 +123,26 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     would otherwise serialize the scoring on 2 of 32 cores. On a real
     cluster the scan already has >= parallelism splits and this no-ops."""
     df = ensure_min_partitions(df)
-    t = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        token_count(t).alias("n_tokens"),
-        char_count(t).alias("n_chars_computed"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        mean_token_length(t).alias("mean_token_len"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
-    )
+
+    def _build() -> list[Column]:
+        t = F.col(text_col)
+        return [
+            F.col(id_col),
+            token_count(t).alias("n_tokens"),
+            char_count(t).alias("n_chars_computed"),
+            punct_ratio(t).alias("punct_ratio"),
+            stopword_ratio(t).alias("stopword_ratio"),
+            mean_token_length(t).alias("mean_token_len"),
+            quality_score(t).alias("quality"),
+            lang_id(t).alias("lang_guess"),
+            fingerprint(t).alias("fingerprint"),
+        ]
+
+    # the projection is ~400 py4j expression-construction calls (the
+    # language-vote OR-chains dominate); built once per process and
+    # reused — Columns are immutable and resolve by name (memo_column)
+    cols = memo_column(("text_profile", id_col, text_col), _build)
+    return df.select(*cols)
 
 
 # GPT-2-style pretokenizer regex, minus the `\s+(?!\S)` trailing-space

@@ -38,7 +38,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import session_key
+from weaviate_spark.cache import lit_double_array, session_key
 from weaviate_spark.filters import Clause, apply_where
 from weaviate_spark.functions.distance import certainty_to_distance, distance
 from weaviate_spark.sources.tables import load_table
@@ -111,15 +111,28 @@ def _corpus_rows(spark: SparkSession, sf_dir: str, collection: str, df: DataFram
 
 
 def with_distance(df: DataFrame, spec: NearVectorSpec) -> DataFrame:
-    if spec.metric == "cosine":
-        from weaviate_spark.functions.distance import cosine_distance_const_query
+    from weaviate_spark.cache import memo_column
 
-        d = cosine_distance_const_query(F.col(spec.vector_col), spec.vector)
-    else:
-        q = F.array(*[F.lit(float(x)) for x in spec.vector])
-        d = distance(F.col(spec.vector_col), q, spec.metric)
-    if spec.round_digits is not None:
-        d = F.round(d, spec.round_digits)
+    def _build():
+        if spec.metric == "cosine":
+            from weaviate_spark.functions.distance import cosine_distance_const_query
+
+            d = cosine_distance_const_query(F.col(spec.vector_col), spec.vector)
+        else:
+            q = F.array(*[F.lit(float(x)) for x in spec.vector])
+            d = distance(F.col(spec.vector_col), q, spec.metric)
+        if spec.round_digits is not None:
+            d = F.round(d, spec.round_digits)
+        return d
+
+    # the distance expression embeds the query vector as ~dim literals
+    # plus zip_with/aggregate lambdas — ~100 ms of py4j construction per
+    # build; memoized per (metric, vector, column, rounding)
+    d = memo_column(
+        ("with_distance", spec.metric, spec.vector_col, spec.round_digits,
+         tuple(float(x) for x in spec.vector)),
+        _build,
+    )
     return df.withColumn("_distance", d)
 
 
@@ -443,7 +456,7 @@ def named_multi_target_search(
     """
     dcols = []
     for t in targets:
-        q = F.array(*[F.lit(float(x)) for x in t.vector])
+        q = lit_double_array(t.vector)
         d = distance(named_vector_col(df, t.name, vectors_col), q, metric)
         dcols.append((t, F.round(d, round_digits)))
     out = df.select(
