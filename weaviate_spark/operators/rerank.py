@@ -495,10 +495,17 @@ def _bucket_knn_kernel(k: int, metric: str):
 
 def _sig_probe_kernel(planes, probe: int):
     """mapInPandas stage computing LSH bucket keys in numpy: labeled
-    rows emit their own signature bucket, query rows additionally emit
-    every Hamming-1 flip (probe > 1). Same sign arithmetic as
-    similarity.signature_col, without the ~1k-node literal expression
-    tree (plan analysis + codegen stay trivial)."""
+    rows emit their own signature bucket, query rows additionally every
+    Hamming-1 flip (probe > 1). Same sign arithmetic as
+    similarity.signature_col, without the literal expression tree (plan
+    analysis + codegen stay trivial — and the GEMM sign decisions stay
+    byte-identical to the oracle's validated numpy path).
+
+    Emits ONE row per input row with a ``_buckets`` array; the fan-out
+    to one row per probed bucket happens JVM-side (explode) after the
+    Python boundary — the previous per-flip pd.concat shipped each
+    query row (vector included) probe+1 times through Arrow (guide
+    §4.1: control how many bytes cross)."""
     import numpy as np
     import pandas as pd
 
@@ -516,25 +523,20 @@ def _sig_probe_kernel(planes, probe: int):
             V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             bits = (V @ P.T >= 0).astype(np.uint8)  # (n, planes)
             chars = np.where(bits == 1, "1", "0")
-            sigs = np.array(["".join(row) for row in chars], dtype=object)
+            sigs = ["".join(row) for row in chars]
             is_lab = pdf["_is_lab"].to_numpy()
-            out = pdf.copy()
-            out["_bucket"] = sigs
-            frames = [out]
+            buckets: list[list[str]] = [[s] for s in sigs]
             if probe > 1:
-                qmask = is_lab == 0
-                if qmask.any():
-                    qpdf = pdf[qmask]
-                    qbits = bits[qmask]
+                for r in np.nonzero(is_lab == 0)[0]:
+                    qb = bits[r]
                     for i in range(n_pl):
-                        fb = qbits.copy()
-                        fb[:, i] ^= 1
-                        fchars = np.where(fb == 1, "1", "0")
-                        fl = qpdf.copy()
-                        fl["_bucket"] = np.array(
-                            ["".join(row) for row in fchars], dtype=object)
-                        frames.append(fl)
-            yield pd.concat(frames, ignore_index=True)
+                        fb = qb.copy()
+                        fb[i] ^= 1
+                        buckets[r].append(
+                            "".join("1" if b else "0" for b in fb))
+            out = pdf.copy()
+            out["_buckets"] = buckets
+            yield out
 
     return gen
 
@@ -636,13 +638,15 @@ def knn_classify_lsh(
             ))
         bucketed = union0.mapInPandas(
             _sig_probe_kernel([list(map(float, p)) for p in planes], probe),
-            "_is_lab int, _id long, _label long, _v array<float>, _bucket string",
+            "_is_lab int, _id long, _label long, _v array<float>, "
+            "_buckets array<string>",
         )
         union = bucketed.select(
             "_is_lab",
             F.expr("CASE WHEN _is_lab = 0 THEN _id ELSE -1 END AS _qid"),
             F.expr("CASE WHEN _is_lab = 1 THEN _id ELSE -1 END AS _tid"),
-            "_label", "_v", "_bucket",
+            "_label", "_v",
+            F.explode("_buckets").alias("_bucket"),
         )
         pairs = union.groupBy("_bucket").applyInPandas(
             _bucket_knn_kernel(k, metric),
