@@ -413,6 +413,46 @@ def knn_classify(
     return unlabeled.select(id_col, vector_col).mapInPandas(_classify, out_schema)
 
 
+def _bucket_stream_kernel(k: int, metric: str):
+    """mapInPandas wrapper around `_bucket_knn_kernel`'s per-bucket
+    math for a partition that is SORTED by `_bucket`: processes every
+    complete bucket run in each Arrow batch and carries the open tail
+    bucket into the next batch, so a bucket that straddles a batch
+    boundary is still scored as one group (splitting it would lose
+    query-candidate pairs whose two sides land in different fragments).
+    Memory is O(largest bucket) — the same bound as
+    groupBy().applyInPandas — while the per-group Arrow/pandas
+    invocation overhead is paid once per batch, not once per bucket."""
+    import pandas as pd
+
+    kern = _bucket_knn_kernel(k, metric)
+
+    def gen(batches):
+        buf = None  # rows of the bucket still open at the batch tail
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            last = pdf["_bucket"].iloc[-1]
+            tail = pdf["_bucket"] == last  # sorted: the run is contiguous
+            head = pdf[~tail]
+            buf = pdf[tail]
+            if len(head):
+                yield pd.concat(
+                    [kern(g) for _, g in head.groupby("_bucket", sort=False)],
+                    ignore_index=True,
+                )
+        if buf is not None and len(buf):
+            yield pd.concat(
+                [kern(g) for _, g in buf.groupby("_bucket", sort=False)],
+                ignore_index=True,
+            )
+
+    return gen
+
+
 def _probe_buckets(sig: Column, num_planes: int, probe: int) -> Column:
     """Array of bucket keys to probe: the signature itself, plus every
     Hamming-distance-1 neighbour when probe > 1."""
@@ -491,54 +531,6 @@ def _bucket_knn_kernel(k: int, metric: str):
         )
 
     return kernel
-
-
-def _sig_probe_kernel(planes, probe: int):
-    """mapInPandas stage computing LSH bucket keys in numpy: labeled
-    rows emit their own signature bucket, query rows additionally every
-    Hamming-1 flip (probe > 1). Same sign arithmetic as
-    similarity.signature_col, without the literal expression tree (plan
-    analysis + codegen stay trivial — and the GEMM sign decisions stay
-    byte-identical to the oracle's validated numpy path).
-
-    Emits ONE row per input row with a ``_buckets`` array; the fan-out
-    to one row per probed bucket happens JVM-side (explode) after the
-    Python boundary — the previous per-flip pd.concat shipped each
-    query row (vector included) probe+1 times through Arrow (guide
-    §4.1: control how many bytes cross)."""
-    import numpy as np
-    import pandas as pd
-
-    P = None  # built lazily so the closure pickles planes as plain lists
-
-    def gen(batches):
-        nonlocal P
-        import numpy as np
-        if P is None:
-            P = np.asarray(planes, dtype=np.float64)
-        n_pl = P.shape[0]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            bits = (V @ P.T >= 0).astype(np.uint8)  # (n, planes)
-            chars = np.where(bits == 1, "1", "0")
-            sigs = ["".join(row) for row in chars]
-            is_lab = pdf["_is_lab"].to_numpy()
-            buckets: list[list[str]] = [[s] for s in sigs]
-            if probe > 1:
-                for r in np.nonzero(is_lab == 0)[0]:
-                    qb = bits[r]
-                    for i in range(n_pl):
-                        fb = qb.copy()
-                        fb[i] ^= 1
-                        buckets[r].append(
-                            "".join("1" if b else "0" for b in fb))
-            out = pdf.copy()
-            out["_buckets"] = buckets
-            yield out
-
-    return gen
 
 
 def knn_classify_lsh(
@@ -636,20 +628,59 @@ def knn_classify_lsh(
                 F.lit(-1).cast("long").alias("_label"),
                 F.col(vector_col).alias("_v"),
             ))
-        bucketed = union0.mapInPandas(
-            _sig_probe_kernel([list(map(float, p)) for p in planes], probe),
-            "_is_lab int, _id long, _label long, _v array<float>, "
-            "_buckets array<string>",
+        # LSH bucket keys computed JVM-side (sequential-fold dot product,
+        # the exact arithmetic of the duckdb oracle's list_dot_product and
+        # of signature_col everywhere else): the previous mapInPandas
+        # signature stage shipped every vector through Arrow a SECOND
+        # time (once for the signature, once for the GEMM kernel) — at
+        # corpus scale that is a full extra Python-boundary pass of the
+        # vector bytes (guide §4.1). Labeled rows emit their own bucket;
+        # query rows add every Hamming-1 flip when probe > 1. The
+        # signature expression is memoized (constant per plane set) and
+        # lands in its own projection, so the fold is evaluated once per
+        # row, not once per probed bucket.
+        from weaviate_spark.cache import memo_column
+
+        sig = memo_column(
+            ("knn_lsh_sig", num_planes, dim, seed),
+            lambda: signature_col(F.col("_v"), planes),
+        )
+        probed = memo_column(
+            ("knn_lsh_probe", num_planes, probe),
+            lambda: _probe_buckets(F.col("_sig"), num_planes, probe),
+        )
+        bucketed = union0.withColumn("_sig", sig).withColumn(
+            "_buckets",
+            F.when(F.col("_is_lab") == 1, F.array(F.col("_sig")))
+            .otherwise(probed),
         )
         union = bucketed.select(
             "_is_lab",
             F.expr("CASE WHEN _is_lab = 0 THEN _id ELSE -1 END AS _qid"),
             F.expr("CASE WHEN _is_lab = 1 THEN _id ELSE -1 END AS _tid"),
             "_label", "_v",
-            F.explode("_buckets").alias("_bucket"),
+            # explode_outer, not explode: InferFiltersFromGenerate would
+            # otherwise clone the ENTIRE bucket expression (6 x 13
+            # signature folds) into a size()>0 filter pushed to the scan
+            # — measured 120 duplicate aggregate() nodes, 2x the query.
+            # _buckets is non-empty by construction (when/otherwise both
+            # build literal arrays), so outer semantics are identical.
+            F.explode_outer("_buckets").alias("_bucket"),
         )
-        pairs = union.groupBy("_bucket").applyInPandas(
-            _bucket_knn_kernel(k, metric),
+        # repartition + sortWithinPartitions + mapInPandas instead of
+        # groupBy().applyInPandas: the same single hash exchange on the
+        # bucket key (AQE-coalescible either way), but the kernel is
+        # invoked once per ARROW BATCH, not once per bucket group —
+        # with 2^num_planes buckets the per-group Arrow/pandas setup
+        # dominated the stage (measured: 64 groups cost ~0.4 s of the
+        # exec at sf0.1; the streaming form returns identical rows).
+        # _bucket_stream_kernel carries the open tail bucket across
+        # batch boundaries, so memory stays O(max bucket), exactly the
+        # applyInPandas bound.
+        pairs = union.repartition("_bucket").sortWithinPartitions(
+            "_bucket"
+        ).mapInPandas(
+            _bucket_stream_kernel(k, metric),
             "_qid long, _d double, _tid long, _label long",
         )
         # vote expressions as parsed SQL (single py4j call each; the
