@@ -46,12 +46,17 @@ def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> Spar
         # 1g cap aborts the collect while executors are still healthy
         .config("spark.driver.maxResultSize",
                 os.environ.get("SPARK_GRAFT_MAXRESULT", "4g"))
-        # 32 MB input splits: a single-file local table (sf1 documents is
-        # one 59 MB parquet) still fans out across cores for CPU-heavy
-        # narrow stages (regex scoring, tokenization). On a cluster the
-        # same setting just makes more, smaller, scan tasks — AQE
-        # coalesces downstream anyway.
-        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # Input split size is scale-dependent (optimization guide §2.2 /
+        # §6), so it is env-parameterised. Local default 32 MB: a
+        # single-file local table (sf1 documents is one 59 MB parquet)
+        # still fans out across cores for CPU-heavy narrow stages (regex
+        # scoring, tokenization). Production: set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 512m-1g — at 100 TB a 32 MB
+        # split would mean ~3M scan tasks, and map-task count feeds the
+        # M x R shuffle-block blowup; AQE coalescing only shrinks the
+        # REDUCE side, never the scan task count.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         # weaviate dates are RFC3339 with ns precision (SURVEY §1.2); parquet
         # TIMESTAMP(NANOS) is read as long and converted to µs at load
         # (documented divergence: ns -> µs truncation).
