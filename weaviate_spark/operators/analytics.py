@@ -430,12 +430,18 @@ def pareto_frontier(
     as a semi-join. No all-pairs dominance join at any size.
     """
     cand = df.groupBy(minimize).agg(F.max(maximize).alias(maximize))
-    w = (
-        Window.orderBy(F.col(minimize).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # the running max over the collapsed (one row per distinct minimize
+    # value) frame runs bucketed instead of in a single-partition window
+    # (guide §2.5; the distinct-value count is unbounded for continuous
+    # attributes). minimize is the groupBy key, so the order is unique.
+    from weaviate_spark.operators.running import RunningAgg, bucketed_running
+
+    cand = register_cache(cand.cache())
     sky = (
-        cand.withColumn("_rm", F.max(maximize).over(w))
+        bucketed_running(
+            cand, F.col(minimize), [F.col(minimize).asc()],
+            [RunningAgg("_rm", F.col(maximize), "max", -1)],
+        )
         .where(F.col("_rm").isNull() | (F.col("_rm") < F.col(maximize)))
         .drop("_rm")
     )
@@ -1129,19 +1135,32 @@ def roc_auc(
         F.col(score_col).cast("double").alias("_s"),
         lab.cast("boolean").alias("_y"),
     ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
-    wv = Window.orderBy("_s")
-    tie = Window.partitionBy("_s")
-    ranked = rows.select(
-        "_y",
-        # 2 * average-rank = 2*rank_min + (ties - 1), kept integral
-        (F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(tie) - F.lit(1))
-        .cast("long")
-        .alias("_r2"),
+    # collapse to one row per DISTINCT score first (a map-side-combined
+    # aggregate), then compute rank_min via a bucketed prefix count —
+    # every tie-group member shares _r2 = 2*rank_min + ties - 1, so the
+    # per-group contribution to the positive rank sum is
+    # n_pos(s) * (2*rank_min(s) + n(s) - 1), exact integers throughout.
+    # This removes BOTH the single-partition rank window over every
+    # scored row (guide §2.5) and the row-level tie window.
+    from weaviate_spark.operators.running import RunningAgg, bucketed_running
+
+    per_s = register_cache(
+        rows.groupBy("_s").agg(
+            F.count(F.lit(1)).cast("long").alias("_nt"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_npos"),
+        ).cache()
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("_y"), F.col("_r2"))).cast("long").alias("_sr2"),
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_np"),
-        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).cast("long").alias("_nn"),
+    pre = bucketed_running(
+        per_s, F.col("_s"), [F.col("_s").asc()],
+        [RunningAgg("_pn", F.col("_nt"), "sum", -1)],
+    )
+    rank_min = F.coalesce(F.col("_pn"), F.lit(0)) + F.lit(1)
+    agg = pre.agg(
+        F.sum(
+            F.col("_npos") * (F.lit(2) * rank_min + F.col("_nt") - F.lit(1))
+        ).cast("long").alias("_sr2"),
+        F.sum(F.col("_npos")).cast("long").alias("_np"),
+        F.sum(F.col("_nt") - F.col("_npos")).cast("long").alias("_nn"),
     )
     auc = (
         (F.col("_sr2").cast("double") / 2.0)
@@ -1171,14 +1190,22 @@ def gini_coefficient(
     per document): the global rank window sorts |entities| rows, not
     the fact table. One row out: (n, total, gini).
     """
-    rows = df.select(
-        F.col(value_col).cast("decimal(28,4)").alias("_x"),
-        F.col(tiebreak_col).alias("_tb"),
-    ).where(F.col("_x").isNotNull())
-    w = Window.orderBy(F.col("_x").asc(), F.col("_tb").asc())
-    ranked = rows.select(
-        "_x", F.row_number().over(w).cast("long").alias("_i")
+    rows = register_cache(
+        df.select(
+            F.col(value_col).cast("decimal(28,4)").alias("_x"),
+            F.col(tiebreak_col).alias("_tb"),
+        ).where(F.col("_x").isNotNull()).cache()
     )
+    # global rank via percentile-bucketed row_number — same values as
+    # Window.orderBy(...) but never a single-partition sort of the
+    # entity frame (guide §2.5; rank ties impossible: (_x, _tb) is a
+    # total order and equal _x rows always share a bucket)
+    from weaviate_spark.operators.running import bucketed_running
+
+    ranked = bucketed_running(
+        rows, F.col("_x"), [F.col("_x").asc(), F.col("_tb").asc()],
+        [], rank_col="_i",
+    ).select("_x", F.col("_i").cast("long").alias("_i"))
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_x").alias("_s0"),
@@ -1211,12 +1238,23 @@ def quantile_bins(
     (value, tiebreak) columns only.
     """
     order = [F.col("_v").asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    w = Window.orderBy(*order)
-    binned = df.select(
-        F.col(value_col).cast("double").alias("_v"),
-        *[F.col(c) for c in tiebreak_cols],
-    ).where(F.col("_v").isNotNull()).withColumn(
-        "_bin", F.ntile(n_bins).over(w)
+    rows = register_cache(
+        df.select(
+            F.col(value_col).cast("double").alias("_v"),
+            *[F.col(c) for c in tiebreak_cols],
+        ).where(F.col("_v").isNotNull()).cache()
+    )
+    # ntile without the single-partition window: compute the global rank
+    # with the percentile-bucketed prefix machinery, then derive the
+    # tile with ntile's integer arithmetic (guide §2.5; the frame is
+    # fact-table-sized)
+    from weaviate_spark.operators.running import bucketed_running, ntile_from_rank
+
+    ranked = bucketed_running(
+        rows, F.col("_v"), order, [], rank_col="_qb_rn", total_col="_qb_n",
+    )
+    binned = ranked.withColumn(
+        "_bin", ntile_from_rank(F.col("_qb_rn"), F.col("_qb_n"), int(n_bins))
     )
     return (
         binned.groupBy(F.col("_bin").cast("int").alias("bin"))
@@ -2117,16 +2155,24 @@ def ks_two_sample(
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ia"),
         F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("_ib"),
     )
-    per_v = sided.groupBy("_v").agg(
-        F.sum("_ia").cast("long").alias("_ca"),
-        F.sum("_ib").cast("long").alias("_cb"),
+    per_v = register_cache(
+        sided.groupBy("_v").agg(
+            F.sum("_ia").cast("long").alias("_ca"),
+            F.sum("_ib").cast("long").alias("_cb"),
+        ).cache()
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "_v",
-        F.sum("_ca").over(w).alias("_cuma"),
-        F.sum("_cb").over(w).alias("_cumb"),
-    )
+    # the two empirical CDFs are prefix sums over the distinct-value
+    # frame — bucketed, not a single-partition window (guide §2.5; value
+    # cardinality is corpus-sized for continuous metrics)
+    from weaviate_spark.operators.running import RunningAgg, bucketed_running
+
+    cum = bucketed_running(
+        per_v, F.col("_v"), [F.col("_v").asc()],
+        [
+            RunningAgg("_cuma", F.col("_ca"), "sum", 0),
+            RunningAgg("_cumb", F.col("_cb"), "sum", 0),
+        ],
+    ).select("_v", "_cuma", "_cumb")
     tot = sided.agg(
         F.sum("_ia").cast("long").alias("n_a"),
         F.sum("_ib").cast("long").alias("n_b"),
@@ -2180,16 +2226,43 @@ def rfm_segments(
         F.sum(amt).alias("_mon"),
     )
     ref = orders.agg(F.max(day).alias("_ref"))
-    scored = per_c.crossJoin(F.broadcast(ref)).withColumn(
-        "_rec", F.datediff(F.col("_ref"), F.col("_last"))
+    scored = register_cache(
+        per_c.crossJoin(F.broadcast(ref)).withColumn(
+            "_rec", F.datediff(F.col("_ref"), F.col("_last"))
+        ).select("_c", "_rec", "_freq", "_mon").cache()
     )
-    wr = Window.orderBy(F.col("_rec").desc(), F.col("_c").asc())
-    wf = Window.orderBy(F.col("_freq").asc(), F.col("_c").asc())
-    wm = Window.orderBy(F.col("_mon").asc(), F.col("_c").asc())
-    binned = scored.select(
-        F.ntile(bins).over(wr).alias("r_bin"),
-        F.ntile(bins).over(wf).alias("f_bin"),
-        F.ntile(bins).over(wm).alias("m_bin"),
+    # three global ranks via the percentile-bucketed prefix machinery
+    # instead of three SEQUENTIAL single-partition ntile windows (guide
+    # §2.5: the frame is customer-sized); each stage is cached so the
+    # next stage's boundary/totals passes don't recompute the chain.
+    # _rec ranks descending, so its bucketing key is the negated value
+    # (non-null by construction: every customer has >= 1 dated order).
+    from weaviate_spark.operators.running import bucketed_running, ntile_from_rank
+
+    s1 = register_cache(
+        bucketed_running(
+            scored, -F.col("_rec"),
+            [F.col("_rec").desc(), F.col("_c").asc()],
+            [], rank_col="_rn_r", total_col="_qn",
+        ).cache()
+    )
+    s2 = register_cache(
+        bucketed_running(
+            s1, F.col("_freq"),
+            [F.col("_freq").asc(), F.col("_c").asc()],
+            [], rank_col="_rn_f",
+        ).cache()
+    )
+    s3 = bucketed_running(
+        s2, F.col("_mon"),
+        [F.col("_mon").asc(), F.col("_c").asc()],
+        [], rank_col="_rn_m",
+    )
+    n = F.col("_qn")
+    binned = s3.select(
+        ntile_from_rank(F.col("_rn_r"), n, bins).cast("int").alias("r_bin"),
+        ntile_from_rank(F.col("_rn_f"), n, bins).cast("int").alias("f_bin"),
+        ntile_from_rank(F.col("_rn_m"), n, bins).cast("int").alias("m_bin"),
         F.col("_mon"),
     )
     return (
@@ -2530,13 +2603,18 @@ def concurrent_sessions_daily(
         .when(F.col("_d") == -1, F.lit(1))
         .otherwise(F.lit(2))
     )
-    sweep = pts.withColumn(
-        "_run",
-        F.sum("_d").over(
-            Window.orderBy(
-                F.col("_t").asc(), ord_rank.asc(), F.col("_u").asc()
-            ).rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # the sweep's prefix sum runs bucketed on the timestamp (guide §2.5
+    # — the endpoint table is session-sized, and the plain global window
+    # would sweep it in ONE task). Rows tying on the full sort key are
+    # exclusively delta-0 probe duplicates, so any tie order yields the
+    # same running sum.
+    from weaviate_spark.operators.running import RunningAgg, bucketed_running
+
+    pts = register_cache(pts.withColumn("_ord", ord_rank).cache())
+    sweep = bucketed_running(
+        pts, F.col("_t"),
+        [F.col("_t").asc(), F.col("_ord").asc(), F.col("_u").asc()],
+        [RunningAgg("_run", F.col("_d"), "sum", 0)],
     )
     daily_max = sweep.groupBy(F.col("_t").cast("date").alias("day")).agg(
         F.max("_run").cast("long").alias("max_concurrent")

@@ -842,20 +842,27 @@ def heaps_vocab_growth(
     new_terms = first.groupBy(F.col("_fd").alias("_doc")).agg(
         F.count(F.lit(1)).cast("long").alias("_nv")
     )
-    j = per_doc.join(new_terms, "_doc", "left").select(
-        "_doc", "_m", F.coalesce("_nv", F.lit(0)).alias("_nv")
+    j = register_cache(
+        per_doc.join(new_terms, "_doc", "left").select(
+            "_doc", "_m", F.coalesce("_nv", F.lit(0)).alias("_nv")
+        ).cache()
     )
-    w = Window.orderBy("_doc").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("_doc")
-    c = j.select(
-        F.row_number().over(wall).alias("_rn"),
-        F.sum("_m").over(w).alias("cum_tokens"),
-        F.sum("_nv").over(w).alias("cum_vocab"),
-        F.count(F.lit(1)).over(
-            Window.orderBy("_doc").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_tot"),
+    # global prefix sums WITHOUT the single-partition window the plain
+    # Window.orderBy would plan — bucketed by percentile boundaries of
+    # _doc, exact and bit-identical at any bucket count (guide §2.5;
+    # the frame is one row per DOC, corpus-sized at scale)
+    from weaviate_spark.operators.running import RunningAgg, bucketed_running
+
+    c = bucketed_running(
+        j,
+        F.col("_doc"),
+        [F.col("_doc").asc()],
+        [
+            RunningAgg("cum_tokens", F.col("_m")),
+            RunningAgg("cum_vocab", F.col("_nv")),
+        ],
+        rank_col="_rn",
+        total_col="_tot",
     )
     return c.where(
         (F.col("_rn") % every == 0) | (F.col("_rn") == F.col("_tot"))
