@@ -57,6 +57,13 @@ def get_spark(app_name: str = "weaviate-spark", cpus: int | None = None) -> Spar
         # REDUCE side, never the scan task count.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
+        # Written artifacts (BM25 postings/doclen, quantized-vector
+        # tables, bucketed tables, exports, CRUD rewrites) compress with
+        # zstd: measured 28% smaller than snappy on the sf0.1 postings
+        # artifact at comparable read speed (optimization guide §6).
+        # Inputs are unaffected (codec applies to writes only).
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         # weaviate dates are RFC3339 with ns precision (SURVEY §1.2); parquet
         # TIMESTAMP(NANOS) is read as long and converted to µs at load
         # (documented divergence: ns -> µs truncation).
