@@ -950,7 +950,13 @@ def _lsh_bucket_artifact(
                 base, id_col, vector_col, num_planes=num_planes,
                 dim=int(dim_row[0]["d"]), seed=seed,
             ).select(id_col, "_bucket")
-            (idx.repartition(1, F.col("_bucket"))
+            # hash-partition by bucket WITHOUT pinning a partition count
+            # (AQE sizes the output files adaptively: ~1 file locally,
+            # many at corpus scale — a pinned repartition(1) wrote the
+            # whole index through ONE task, guide §6): every bucket
+            # still lands entirely inside one bucket-sorted file, so the
+            # probe filter prunes at file level via min/max stats
+            (idx.repartition(F.col("_bucket"))
                 .sortWithinPartitions("_bucket", id_col)
                 .write.mode("overwrite").parquet(f"{root}/buckets"))
             open(f"{root}/_COMMITTED", "w").close()
