@@ -2659,16 +2659,25 @@ def markov_stationary(
         F.col(type_col).alias("_from"),
         F.lead(type_col).over(w).alias("_to"),
     ).where(F.col("_to").isNotNull())
-    c = seq.groupBy("_from", "_to").agg(F.count(F.lit(1)).alias("_n"))
+    # cache the transition-count frame: it is vocabulary^2-sized but
+    # DERIVING it is a full corpus pass (per-user lead window), and it
+    # feeds tot, p, states AND — through p — every power iteration's
+    # checkpoint; uncached, the corpus pipeline re-executed ~10x
+    # (guide §2.4: do fewer passes / §5: cache only what is reused)
+    c = register_cache(
+        seq.groupBy("_from", "_to").agg(F.count(F.lit(1)).alias("_n")).cache()
+    )
     tot = c.groupBy("_from").agg(F.sum("_n").alias("_tot"))
-    p = c.join(tot, "_from").select(
-        "_from",
-        "_to",
-        F.round(
-            F.col("_n").cast("double") / F.col("_tot").cast("double"), 6
-        )
-        .cast("decimal(10,6)")
-        .alias("_p"),
+    p = register_cache(
+        c.join(tot, "_from").select(
+            "_from",
+            "_to",
+            F.round(
+                F.col("_n").cast("double") / F.col("_tot").cast("double"), 6
+            )
+            .cast("decimal(10,6)")
+            .alias("_p"),
+        ).cache()
     )
     states = (
         c.select(F.col("_from").alias("_s"))
