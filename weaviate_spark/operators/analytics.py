@@ -2567,8 +2567,15 @@ def concurrent_sessions_daily(
             Window.unboundedPreceding, 0
         )
     ))
-    sess = marked.groupBy("_u", "_sid").agg(
-        F.min("_ts").alias("_start"), F.max("_ts").alias("_end")
+    # cache the session table: it is one row per SESSION but deriving it
+    # is the corpus double-window sessionize pass, and it feeds FOUR
+    # plans — the three endpoint/probe branches of the sweep-point union
+    # plus the per-day session-start counts (guide §2.4: fewer passes,
+    # §5: cache only the reused, reduced frame)
+    sess = register_cache(
+        marked.groupBy("_u", "_sid").agg(
+            F.min("_ts").alias("_start"), F.max("_ts").alias("_end")
+        ).cache()
     )
     # day-start probes (delta 0) for every day a session spans beyond
     # its start day; the spanning filter guards Spark's descending

@@ -481,12 +481,24 @@ def containment_pairs(
             F.size("_sa").alias("_na"), F.size("_sb").alias("_nb"),
         )
     )
+    # both directed rows come out of ONE pass over the verified pairs:
+    # the union form re-executed the candidate join + array_intersect
+    # verify once per direction (guide §2.4 — the per-pair set
+    # intersection is the expensive stage). explode_outer (array is
+    # non-empty by construction) keeps InferFiltersFromGenerate from
+    # cloning the struct build into a pushed size()>0 filter.
     directed = inter.select(
-        F.col("_a").alias("src_id"), F.col("_b").alias("dst_id"),
-        (F.col("_inter") / F.col("_na")).alias("_c"),
-    ).union(inter.select(
-        F.col("_b"), F.col("_a"), (F.col("_inter") / F.col("_nb")).alias("_c"),
-    ))
+        F.explode_outer(F.array(
+            F.struct(
+                F.col("_a").alias("src_id"), F.col("_b").alias("dst_id"),
+                (F.col("_inter") / F.col("_na")).alias("_c"),
+            ),
+            F.struct(
+                F.col("_b").alias("src_id"), F.col("_a").alias("dst_id"),
+                (F.col("_inter") / F.col("_nb")).alias("_c"),
+            ),
+        )).alias("_e")
+    ).select("_e.src_id", "_e.dst_id", "_e._c")
     return directed.where(F.col("_c") >= threshold).select(
         "src_id", "dst_id", F.round(F.col("_c") + F.lit(0.0), 6).alias("containment")
     )
@@ -731,13 +743,33 @@ def embedding_neardup_pairs_lsh(
                 edges.append(F.when(cond, key))
         return F.array_compact(F.array(*edges))
 
-    left = s.select(
-        "_id", "_v", F.explode(edge_keys("left")).alias("_edge")
-    ).withColumn("_side", F.lit(0))
-    right = s.select(
-        "_id", "_v", F.explode(edge_keys("right")).alias("_edge")
-    ).withColumn("_side", F.lit(1))
-    frame = left.unionByName(right)
+    # one pass emits BOTH sides' edge keys: the left/right union scanned
+    # the vectors and evaluated the signature fold once PER SIDE
+    # (guide §2.4/§4 — at corpus scale that is a second full scan of
+    # the vector bytes). Arrays are never empty (the self-edge is
+    # unconditional), so explode_outer is row-preserving and keeps
+    # InferFiltersFromGenerate from cloning the array build.
+    frame = s.select(
+        "_id", "_v",
+        F.explode_outer(F.concat(
+            F.transform(
+                edge_keys("left"),
+                lambda e: F.struct(
+                    e.alias("_edge"), F.lit(0).alias("_side")
+                ),
+            ),
+            F.transform(
+                edge_keys("right"),
+                lambda e: F.struct(
+                    e.alias("_edge"), F.lit(1).alias("_side")
+                ),
+            ),
+        )).alias("_es"),
+    ).select(
+        "_id", "_v",
+        F.col("_es._edge").alias("_edge"),
+        F.col("_es._side").alias("_side"),
+    )
 
     if metric not in ("cosine", "l2-squared", "l2"):
         raise ValueError(
@@ -1125,12 +1157,20 @@ def dedup_clusters(
     Per round: two shuffle joins (edges ⋈ labels on the destination
     id; labels ⋈ labels for the shortcut) + one groupBy(node) min —
     all on hash-uniform doc-id keys."""
+    # both edge directions from ONE pass over the pair frame: the
+    # self-union form executed the caller's whole pair-generation
+    # lineage twice when the checkpoint materialized (guide §2.4 —
+    # `pairs` is typically the full LSH candidate+verify pipeline).
+    # explode_outer: array non-empty by construction, and explode would
+    # invite an inferred size()>0 clone of the struct build.
     edges = pairs.select(
-        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
-    ).localCheckpoint(eager=True)
+        F.explode_outer(F.array(
+            F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+            F.struct(
+                F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")
+            ),
+        )).alias("_e")
+    ).select("_e._src", "_e._dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("_src").alias("_node")).distinct()
         .withColumn("_label", F.col("_node"))

@@ -370,12 +370,26 @@ def tfidf_cosine_topk(
         .groupBy(F.col("a._doc").alias("_da"), F.col("b._doc").alias("_db"))
         .agg(F.sum(F.col("a._wn") * F.col("b._wn")).alias("_cos"))
     )
+    # emit both directions by exploding each pair into two structs in
+    # the SAME pass: the union form re-executed the term-postings pair
+    # join + aggregation once per direction (guide §2.4 — fewer passes;
+    # the join is the quadratic-candidate stage). explode_outer, not
+    # explode: the array is non-empty by construction and explode would
+    # let InferFiltersFromGenerate clone the struct build into a pushed
+    # size()>0 filter.
     both = pair_cos.select(
-        F.col("_da").alias("_src"), F.col("_db").alias("_nbr"), "_cos"
-    ).unionByName(
-        pair_cos.select(
-            F.col("_db").alias("_src"), F.col("_da").alias("_nbr"), "_cos"
-        )
+        F.explode_outer(F.array(
+            F.struct(
+                F.col("_da").alias("_src"), F.col("_db").alias("_nbr"),
+                F.col("_cos"),
+            ),
+            F.struct(
+                F.col("_db").alias("_src"), F.col("_da").alias("_nbr"),
+                F.col("_cos"),
+            ),
+        )).alias("_e")
+    ).select(
+        "_e._src", "_e._nbr", "_e._cos"
     ).withColumn("_c6", F.round("_cos", 6) + F.lit(0.0))
     wk = Window.partitionBy("_src").orderBy(
         F.col("_c6").desc(), F.col("_nbr").asc()
