@@ -1033,15 +1033,12 @@ def semantic_dedup(
 # repeated substrings; selection = Karp-Rabin-style 1/m hash sampling,
 # Broder '97 "mod p" fingerprinting: deterministic, alignment-free)
 
-def substring_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 40, select_hex: int = 1
+def _substring_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int, select_hex: int
 ) -> DataFrame:
-    """(id, _h): md5 fingerprints of every k-char window whose hash
-    falls in the selected 16^-select_hex fraction (md5 hex prefix of
-    `select_hex` zeros — the engine-portable "h mod p == 0" rule).
-    Narrow: explode(sequence) + filter, no shuffle; expected output is
-    chars/16^select_hex rows per doc. Distinct per (doc, hash) so a
-    substring repeated WITHIN a doc counts once toward any pair."""
+    """Raw (id, _h) selected-window stream, possibly with duplicates
+    when a window repeats WITHIN a doc. Narrow: explode(sequence) +
+    filter, no shuffle."""
     t = F.col(text_col)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
     # texts shorter than k must yield no windows (same pitfall the
@@ -1055,8 +1052,19 @@ def substring_fingerprints(
     return (
         df.select(F.col(id_col), F.explode(win).alias("_h"))
         .where(F.substring("_h", 1, select_hex) == "0" * select_hex)
-        .distinct()
     )
+
+
+def substring_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 40, select_hex: int = 1
+) -> DataFrame:
+    """(id, _h): md5 fingerprints of every k-char window whose hash
+    falls in the selected 16^-select_hex fraction (md5 hex prefix of
+    `select_hex` zeros — the engine-portable "h mod p == 0" rule).
+    Expected output is chars/16^select_hex rows per doc. Distinct per
+    (doc, hash) so a substring repeated WITHIN a doc counts once
+    toward any pair."""
+    return _substring_windows(df, id_col, text_col, k, select_hex).distinct()
 
 
 def duplicated_substring_pairs(
@@ -1104,22 +1112,41 @@ def duplicated_substring_pairs(
     artifact-served) substring_fingerprints frame so the md5 explode —
     the expensive stage — runs once when the caller has other
     consumers of it (the persisted-ingest-artifact pattern)."""
+    # posting-list pair emission instead of the fps-vs-fps self-join:
+    # the join executed the md5 window explode — the expensive, full-
+    # text stage — once PER SIDE (measured: 2 FileScans, no exchange
+    # reuse), and the skew-cap needed its own count window over a third
+    # consumption. One groupBy on the same _h key now builds the
+    # per-fingerprint posting SET once — collect_set gives the
+    # per-(doc,hash) dedup substring_fingerprints' .distinct() would,
+    # so the internal path skips that separate shuffle of the same
+    # window stream entirely (guide §2.2: shuffle the widest stream
+    # once, not twice); the cap becomes a size() filter on it, and
+    # pairs explode from the sorted array (i < j => id_a < id_b, ids
+    # distinct per fingerprint via collect_set). Per-fingerprint work
+    # is size^2 with either shape — a single hot fingerprint lands on
+    # one partition under the equi-join too — but the scan, explode
+    # and shuffle now happen once (guide §2.4).
     fps = (fingerprints if fingerprints is not None
-           else substring_fingerprints(df, id_col, text_col, k, select_hex))
+           else _substring_windows(df, id_col, text_col, k, select_hex))
+    plist = (
+        fps.groupBy("_h")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ds"))
+        .where(F.size("_ds") >= 2)
+    )
     if max_docs_per_fingerprint is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_h")
-        fps = (
-            fps.withColumn("_f", F.count(F.lit(1)).over(w))
-            .where(F.col("_f") <= max_docs_per_fingerprint)
-            .drop("_f")
-        )
-    a = fps.select(F.col(id_col).alias("id_a"), "_h")
-    b = fps.select(F.col(id_col).alias("id_b"), "_h")
+        plist = plist.where(F.size("_ds") <= max_docs_per_fingerprint)
+    ds = F.col("_ds")
+    pair_arr = F.flatten(F.transform(
+        ds,
+        lambda a, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+        ),
+    ))
     return (
-        a.join(b, "_h")
-        .where(F.col("id_a") < F.col("id_b"))
+        plist.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
