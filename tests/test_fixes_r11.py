@@ -400,3 +400,28 @@ def test_shard_status_readonly_gate(spark, sf_dir, tmp_path):
             crud.write_tenant_partitioned(df, mt, "_tenant")
     finally:
         st.clear()
+
+
+def test_local_df_partitioning(spark):
+    """local_df (cache.py) must produce identical rows/schema to plain
+    createDataFrame but never materialize empty Python-RDD slices: the
+    default path spreads any local list over defaultParallelism slices,
+    so a 5-row literal frame costs 32 Python worker rounds per action
+    (and a coalesce(1) over it replays all 32 pickled partitions
+    sequentially through the worker pipe)."""
+    from weaviate_spark.cache import local_df
+
+    data = [(1, "a"), (2, "b"), (3, "c")]
+    schema = "k int, s string"
+    df = local_df(spark, data, schema)
+    ref = spark.createDataFrame(data, schema)
+    assert df.schema == ref.schema
+    assert sorted(df.collect()) == sorted(ref.collect())
+    # tasks never exceed rows...
+    assert df.rdd.getNumPartitions() == 3
+    # ...and wide inputs keep full parallelism
+    wide = [(i,) for i in range(1000)]
+    par = spark.sparkContext.defaultParallelism
+    assert local_df(spark, wide, "k int").rdd.getNumPartitions() == min(1000, par)
+    # empty frames stay valid
+    assert local_df(spark, [], schema).count() == 0

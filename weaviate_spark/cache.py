@@ -112,6 +112,27 @@ def lit_double_array(vals) -> "Column":
     return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")")
 
 
+def local_df(spark, data, schema) -> DataFrame:
+    """createDataFrame for small local collections without empty
+    Python-RDD partitions. The plain ``spark.createDataFrame(list)``
+    path parallelizes over defaultParallelism slices regardless of row
+    count, so a 5-row literal frame scans as 32 tasks locally (27 of
+    them empty) — each task is a Python worker round trip, and a
+    ``coalesce(1)`` over such a frame replays all 32 pickled partitions
+    SEQUENTIALLY through the worker pipe (measured: 6-10 s for 5 rows).
+    Slice count = min(len(data), defaultParallelism): same pickled-row
+    path and row types, never an empty slice, and per-row work (media
+    decode) still fans out one row per task. Measured at local[32]:
+    5-row CJK segmentation query 1.44 -> 0.47 s/action, 1-row frame
+    0.34 -> 0.19 s."""
+    data = data if isinstance(data, list) else list(data)
+    if not data:
+        return spark.createDataFrame(data, schema)
+    slices = max(1, min(len(data), spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, slices), schema)
+
+
 def release_caches() -> None:
     global _live_caches
     for df in _live_caches:

@@ -14,7 +14,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from weaviate_spark.cache import lit_double_array
+from weaviate_spark.cache import lit_double_array, local_df
 
 from weaviate_spark.filters import Clause
 from weaviate_spark.operators.aggregate import (
@@ -1579,7 +1579,7 @@ def q_text_cjk_dict_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from weaviate_spark.functions.text import tokenize
 
-    df = spark.createDataFrame(_CJK_SENTS, "sid int, s string")
+    df = local_df(spark, _CJK_SENTS, "sid int, s string")
     return (
         df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_dict"))
                   .alias("pos", "token"))
@@ -1618,7 +1618,7 @@ def q_text_cjk_lattice_segmentation(spark: SparkSession,
 
     from weaviate_spark.functions.text import tokenize
 
-    df = spark.createDataFrame(_CJK_LATTICE_SENTS, "sid int, s string")
+    df = local_df(spark, _CJK_LATTICE_SENTS, "sid int, s string")
     return (
         df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_dict"))
                   .alias("pos", "token"))
@@ -1808,7 +1808,8 @@ def q_contextual_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.rerank import contextual_classify
 
     docs = _load(spark, sf_dir, "documents")
-    targets = spark.createDataFrame(
+    targets = local_df(
+        spark,
         [(i, name, hash_embed_py(name, 16)) for i, name in enumerate(_CTX_TOPICS)],
         "tid int, name string, vector array<double>",
     )
@@ -2200,7 +2201,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _collect_rerank_window(spark, sf_dir)
     picked = mmr_select(rows, "embedding", "rel", k=8, balance=0.5)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, r["vec_id"], round(r["rel"], 6)) for i, r in enumerate(picked)],
         "mmr_rank int, vec_id long, rel double",
     )
@@ -2234,7 +2236,8 @@ def q_group_merge_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _collect_rerank_window(spark, sf_dir)
     reps = legacy_group(rows, "embedding", force=0.73, strategy="closest")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, r["vec_id"], r["_group_size"]) for i, r in enumerate(reps)],
         "group_idx int, vec_id long, group_size long",
     )
@@ -4517,7 +4520,7 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.multimodal import audio_frame_features
 
     rows = [(k, bytearray(_sine_wav(f))) for k, f in ((1, 300), (2, 443), (3, 700))]
-    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    df = local_df(spark, rows, "media_id long, blob binary")
     return audio_frame_features(df, "media_id", "blob", frame_samples=400)
 
 
@@ -5181,7 +5184,7 @@ def q_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_spark.operators.multimodal import audio_band_energy
 
     rows = [(k, bytearray(_sine_wav(f))) for k, f in ((1, 300), (2, 443), (3, 700))]
-    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    df = local_df(spark, rows, "media_id long, blob binary")
     out = audio_band_energy(
         df, "media_id", "blob", freqs_hz=[300.0, 443.0, 700.0],
         frame_samples=400,
@@ -9505,7 +9508,7 @@ def q_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, bytearray(_gated_sine_wav(443, 4, (2, 3)))),
         (3, bytearray(_gated_sine_wav(700, 1, (9,)))),
     ]
-    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    df = local_df(spark, rows, "media_id long, blob binary")
     return audio_silence_runs(df, "media_id", "blob", frame_samples=400)
 
 
@@ -10687,7 +10690,8 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = meta["shardStatus"][name]
         readback = spark.read.parquet(f"{backend}/rt/{name}").count()
         rows.append((name, st["objectsExported"], readback, st["status"]))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "class_name string, objects_exported long, readback_rows long, "
         "status string",
@@ -10857,7 +10861,8 @@ def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         rows.append((phase, agg["n"], agg["s"]))
 
-    new = spark.createDataFrame(
+    new = local_df(
+        spark,
         [(100, "AAA", 1), (101, "BBB", 2), (102, "CCC", 3)],
         "n_nationkey long, n_name string, n_regionkey long",
     ).select(*[F.col(c).cast(dict(src.dtypes)[c]) for c in src.columns])
@@ -10882,7 +10887,8 @@ def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap("delete")
 
     rows.append(("versions", crud.table_version(scratch), 0))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows, "phase string, n_rows long, key_sum long"
     ).orderBy("phase")
 
@@ -10933,7 +10939,8 @@ def q_crud_delete_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_dry = spark.read.parquet(scratch).count()
     real = crud.delete_where(spark, scratch, where, dry_run=False)
     after_real = spark.read.parquet(scratch).count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [("dryrun", dry, after_dry), ("delete", real, after_real)],
         "step string, matched long, remaining long",
     ).orderBy(F.col("step").desc())
@@ -11012,7 +11019,8 @@ def q_tenant_lifecycle_offload(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.update("BUILDING", "ACTIVE")
     n2, s2 = agg(reg.read(spark, "BUILDING"))
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [("active", n0, s0, False),
          ("offloaded", n1, s1, rejected),
          ("reactivated", n2, s2, False)],
@@ -11098,7 +11106,7 @@ def q_text_gse_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from weaviate_spark.functions.text import tokenize
 
-    df = spark.createDataFrame(_CJK_SENTS, "sid int, s string")
+    df = local_df(spark, _CJK_SENTS, "sid int, s string")
     return (
         df.select("sid", F.posexplode(tokenize(F.col("s"), "gse_all"))
                   .alias("pos", "token"))
@@ -11171,7 +11179,8 @@ def q_retokenize_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         phases.append(("after", doc, sc))
 
     return (
-        spark.createDataFrame(
+        local_df(
+        spark,
             phases, "phase string, doc_id long, score double")
         .orderBy("phase", F.col("score").desc(), "doc_id")
     )
@@ -11239,7 +11248,8 @@ def q_hybrid_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_score").desc(), F.col("doc_id").asc()).collect()
     ]
     picked = mmr_select(rows, "embedding", "rel", k=8, balance=0.5)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, r["doc_id"], round(r["rel"], 6))
          for i, r in enumerate(picked)],
         "mmr_rank int, doc_id long, score double",
@@ -11755,7 +11765,8 @@ def q_crud_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", F.concat(F.lit("upd-"),
                            F.col("n_nationkey").cast("string")))
     crud.upsert(spark, scratch, upd, "n_nationkey")
-    ins = spark.createDataFrame(
+    ins = local_df(
+        spark,
         [(100, "AAA", 1), (101, "BBB", 1)],
         "n_nationkey long, n_name string, n_regionkey long")
     crud.upsert(spark, scratch, ins, "n_nationkey")
@@ -11933,7 +11944,7 @@ def q_nodes_status_storage_states(spark: SparkSession,
             spark, sf_dir, detect_compression=False,
         ).select("class", "shard", "vector_indexing_status", "loaded",
                  "object_count")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
     finally:
         ss.update_shard_status(region_dir, "READY")
         ss.update_shard_status(part_dir, "READY")
@@ -11979,7 +11990,7 @@ def q_nodes_status_tenant_shards(spark: SparkSession,
     table = os.path.join(root, "mtdocs.parquet")
     region = _load(spark, sf_dir, "region")
     rows = (region.crossJoin(
-        spark.createDataFrame([(g,) for g in range(4)], "g int"))
+        local_df(spark, [(g,) for g in range(4)], "g int"))
         .select((F.col("r_regionkey") + 5 * F.col("g")).alias("k"))
         .select("k", F.concat(F.lit("t"), (F.col("k") % 4)
                               .cast("string")).alias("_tenant")))
@@ -11989,7 +12000,7 @@ def q_nodes_status_tenant_shards(spark: SparkSession,
         out = node_status_df(spark, root, detect_compression=False) \
             .select("class", "shard", "object_count",
                     "vector_indexing_status", "loaded", "shard_count")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
     finally:
         ss.clear(table)
     return out

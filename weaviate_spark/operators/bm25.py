@@ -78,7 +78,7 @@ AVGDL_FALLBACK = 40.0  # bm25_searcher.go:452-453
 
 # per-query scratch caches live in weaviate_spark.cache (released at every
 # top-level query entry); re-exported here for backward compatibility
-from weaviate_spark.cache import ensure_min_partitions, register_cache, release_caches, session_key  # noqa: E402,F401
+from weaviate_spark.cache import local_df, ensure_min_partitions, register_cache, release_caches, session_key  # noqa: E402,F401
 
 
 @dataclass
@@ -197,7 +197,8 @@ def build_bm25_index(
             )
         )
     spark = corpus.sparkSession
-    corpus_stats = spark.createDataFrame(
+    corpus_stats = local_df(
+        spark,
         stat_rows, "prop string, n_docs long, n_docs_with_prop long, sum_len long"
     )
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache
+from weaviate_spark.cache import local_df, register_cache
 
 
 def _persistent_rdd_ids(spark) -> set:
@@ -261,7 +261,7 @@ def sssp(
         ).cache()
     )
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0.0)], "_n long, _dist double")
+    dist = local_df(spark, [(source, 0.0)], "_n long, _dist double")
     for _ in range(iterations):
         relaxed = (
             dist.join(e, dist["_n"] == e["_s"])

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from weaviate_spark.cache import local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,6 +210,7 @@ def attach_feature_projection(
 
     schema = T.StructType(out_fields + [
         T.StructField("featureProjection", T.ArrayType(T.DoubleType()))])
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [tuple(r.get(f.name) for f in schema.fields) for r in projected],
         schema)

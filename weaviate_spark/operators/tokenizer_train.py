@@ -23,6 +23,7 @@ text with a learned merge list (fold per merge rank, again JVM-side).
 
 from __future__ import annotations
 
+from weaviate_spark.cache import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,7 +154,8 @@ def train_bpe(
                 words.withColumn("syms", F.expr(_merge_expr(l, r)))
                 .localCheckpoint()
             )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
         "merge_rank bigint, left string, right string, merged string, pair_count bigint",
     )

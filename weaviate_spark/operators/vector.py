@@ -38,7 +38,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import lit_double_array, session_key
+from weaviate_spark.cache import local_df, lit_double_array, session_key
 from weaviate_spark.filters import Clause, apply_where
 from weaviate_spark.functions.distance import certainty_to_distance, distance
 from weaviate_spark.sources.tables import load_table
@@ -533,7 +533,8 @@ def near_vector_batch(
     from weaviate_spark.functions.distance import cosine_distance
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id long, _q array<double>",
     )

@@ -33,6 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weaviate_spark.cache import local_df
 from weaviate_spark.filters import Clause, apply_where, compile_where
 
 
@@ -623,7 +624,8 @@ def delete_where_with_output(
         if matches <= limit:
             kept = current.where(~F.coalesce(pred, F.lit(False)))
         else:
-            id_frame = spark.createDataFrame(
+            id_frame = local_df(
+        spark,
                 [(i,) for i in affected_ids],
                 current.select(id_col).schema)
             kept = current.join(F.broadcast(id_frame), id_col,
@@ -639,7 +641,8 @@ def delete_where_with_output(
         "output": output,
     }
     listed = affected_ids if output == "verbose" else []
-    objects = spark.createDataFrame(
+    objects = local_df(
+        spark,
         [(str(i), status) for i in listed], "id string, status string")
     return result, objects
 
