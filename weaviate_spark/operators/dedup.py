@@ -844,12 +844,18 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 60 usable bits from 15 hex chars (conv on 16 chars can overflow sign)
     bits = [F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}") for b in range(60)]
     votes = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n"), *bits)
+    # flat concat of bit chars -> conv(,2,10): value-identical to the
+    # sum of per-bit (1 << b) terms (verified row-for-row on sf0.01),
+    # but a 60-child concat instead of a 60-DEEP nested Add tree — the
+    # nested form cost ~4 s of first-action codegen/optimizer time and
+    # ~2x the warm per-action driver overhead
+    bitchars = [
+        F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(59, -1, -1)
+    ]
     sim = votes.select(
         "_doc",
-        sum(
-            (F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1 << b)).otherwise(F.lit(0)) for b in range(1, 60)),
-            F.when(F.col("_b0") * 2 >= F.col("_n"), F.lit(1)).otherwise(F.lit(0)),
-        ).cast("long").alias("simhash"),
+        F.conv(F.concat(*bitchars), 2, 10).cast("long").alias("simhash"),
     )
     return sim
 
@@ -910,20 +916,31 @@ def simhash_neardup_pairs(
     mask = (1 << width) - 1
     sim = register_cache(simhash64(df, id_col, text_col).cache())
 
-    def chunk_val(c: int):
-        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
-
     # integer combo key ((combo-id << t*width) | chunk values): an
-    # 8-byte join key instead of a "c:v1:v2" string — smaller shuffle
-    keys = []
-    for idx, combo in enumerate(combinations(range(num_chunks), t_level)):
-        expr = F.lit(idx)
-        for c in combo:
-            expr = F.shiftleft(expr, width) + chunk_val(c)
-        keys.append(expr)
+    # 8-byte join key instead of a "c:v1:v2" string — smaller shuffle.
+    # All C(m, t) keys come from ONE transform() lambda over the combo
+    # index, with the chunk-index tables as array literals: the stress
+    # plan's 455 separate nested shiftleft trees cost ~2.5 s of
+    # analyzer/optimizer time PER ACTION PER JOIN SIDE (execution of
+    # the same arithmetic is microseconds) — the lambda form carries
+    # one compact expression and computes identical key values.
+    combos = list(combinations(range(num_chunks), t_level))
+    pos_tables = [
+        "array(" + ", ".join(str(c[p]) for c in combos) + ")"
+        for p in range(t_level)
+    ]
+    key_body = "i"
+    for tbl in pos_tables:
+        key_body = (
+            f"(shiftleft({key_body}, {width}) + "
+            f"(shiftright(simhash, element_at({tbl}, i + 1) * {width})"
+            f" & {mask}))"
+        )
     chunks = sim.select(
         "_doc", "simhash",
-        F.explode(F.array(*keys)).alias("_chunk"),
+        F.explode(F.expr(
+            f"transform(sequence(0, {len(combos) - 1}), i -> {key_body})"
+        )).alias("_chunk"),
     )
     a = chunks.select(F.col("_doc").alias("_a"), F.col("simhash").alias("_sa"), "_chunk")
     b = chunks.select(F.col("_doc").alias("_b"), F.col("simhash").alias("_sb"), "_chunk")
