@@ -1077,10 +1077,18 @@ def kcenter_coreset(
         )
     )
     sel = seed.localCheckpoint(eager=True)
+    # running maximin state: per point, the min 6dp distance to the
+    # selected set SO FAR. Each pairwise distance is rounded before the
+    # min either way, so folding with least() is value-identical to
+    # recomputing the min over all selected centers — but each round
+    # now joins points against ONLY the center added last round
+    # (k x points x dims total work, was k^2/2 x points x dims).
+    mind = None
     for r in range(2, int(k) + 1):
+        last = sel.where(F.col("rank") == r - 1).select(
+            F.col("_pid").alias("_sid"))
         selitems = items.join(
-            F.broadcast(sel.select(F.col("_pid").alias("_sid"))),
-            items._pid == F.col("_sid"),
+            F.broadcast(last), items._pid == F.col("_sid"),
         ).select("_sid", "_dim", F.col("_val").alias("_sval"))
         pairs = items.join(F.broadcast(selitems), "_dim")
         d = pairs.groupBy("_pid", "_sid").agg(
@@ -1099,13 +1107,18 @@ def kcenter_coreset(
                 6,
             ).alias("_d"),
         )
+        # lazy checkpoint (the pagerank-measured pattern): both
+        # consumers — this round's argmax and next round's fold — reuse
+        # the RDD materialized by the sel checkpoint job below, so an
+        # eager variant only added a job per round (measured slower)
         mind = (
-            d.join(sel.select("_pid"), "_pid", "left_anti")
-            .groupBy("_pid")
-            .agg(F.min("_d").alias("_mind"))
-        )
+            d.select("_pid", F.col("_d").alias("_mind")) if mind is None
+            else mind.join(d, "_pid").select(
+                "_pid", F.least(F.col("_mind"), F.col("_d")).alias("_mind"))
+        ).localCheckpoint(eager=False)
         nxt = (
-            mind.orderBy(F.col("_mind").desc(), F.col("_pid").asc())
+            mind.join(sel.select("_pid"), "_pid", "left_anti")
+            .orderBy(F.col("_mind").desc(), F.col("_pid").asc())
             .limit(1)
             .select(
                 F.lit(r).alias("rank"), F.col("_pid"),
