@@ -604,14 +604,6 @@ def ngram_jaccard_pairs(
         F.col("_rank")
         <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
     )
-    a = prefix.select(
-        F.col("_doc").alias("_a"), "_shingle",
-        F.col("_rank").alias("_ra"), F.col("_sz").alias("_sza"),
-    )
-    b = prefix.select(
-        F.col("_doc").alias("_b"), "_shingle",
-        F.col("_rank").alias("_rb"), F.col("_sz").alias("_szb"),
-    )
     # PPJoin-style size + positional filters (Xiao et al., WWW'08), both
     # conservative (each engine prunes only provably-sub-threshold pairs
     # under its own arithmetic, so oracle parity is unaffected):
@@ -620,9 +612,32 @@ def ngram_jaccard_pairs(
     #    first shared one, so overlap <= 1 + min(|x|-rank_x, |y|-rank_y)
     #    at that token's per-doc ranks; J >= t needs overlap >=
     #    t/(1+t)*(|x|+|y|).
+    # Posting-list pair emission (the _band_candidates shape) instead
+    # of a prefix-vs-prefix self-join: the join executed the freq join
+    # + both windows once PER SIDE and shuffled the prefix stream
+    # twice; one groupBy now shuffles it once, with the size filter
+    # applied map-side on the exploded pairs before the (_a, _b)
+    # aggregate — the same rows the join's WHERE admitted. Prefix
+    # postings are small by construction (rarest-first shingles), so
+    # the per-shingle array is the prefix-filter bound itself.
     t_over = threshold / (1.0 + threshold)
+    plist = (
+        prefix.groupBy("_shingle")
+        .agg(F.collect_list(F.struct("_doc", "_rank", "_sz")).alias("_ps"))
+        .where(F.size("_ps") >= 2)
+    )
+    # double explode streams the posting^2 pairs row by row (the
+    # _band_candidates shape); building the pair ARRAY in one row
+    # (flatten/transform/slice) was measured 5x slower — an uncapped
+    # posting materializes its whole pair set in a single row buffer
     cand = (
-        a.join(b, "_shingle")
+        plist.select(F.explode("_ps").alias("_x"), "_ps")
+        .select("_x", F.explode("_ps").alias("_y"))
+        .select(
+            F.col("_x._doc").alias("_a"), F.col("_y._doc").alias("_b"),
+            F.col("_x._rank").alias("_ra"), F.col("_y._rank").alias("_rb"),
+            F.col("_x._sz").alias("_sza"), F.col("_y._sz").alias("_szb"),
+        )
         .where(
             (F.col("_a") < F.col("_b"))
             & (F.col("_szb")

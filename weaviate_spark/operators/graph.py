@@ -473,10 +473,26 @@ def jaccard_link_prediction(
         inc = inc.join(hub_ok, "_h", "left_semi")
     inc = register_cache(inc.cache())
     deg = inc.groupBy("_n").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
-    l = inc.select("_h", F.col("_n").alias("_a"))
-    r = inc.select("_h", F.col("_n").alias("_b"))
+    # posting-list pair emission (the _band_candidates /
+    # duplicated_substring_pairs shape) instead of a wedge self-join on
+    # the hub key: one groupBy shuffle of the incidence list rather
+    # than two join-side shuffles of the same cached rows, with the
+    # per-hub pair fan-out identical (deg(hub)^2 either way, and a hot
+    # hub concentrates on one partition under the equi-join too). inc
+    # is distinct, so collect_set == the join's row set; sorted arrays
+    # make i < j imply _a < _b.
+    plist = (
+        inc.groupBy("_h")
+        .agg(F.collect_set("_n").alias("_ns"))
+        .where(F.size("_ns") >= 2)
+    )
+    # double explode streams the deg(hub)^2 pairs row by row; building
+    # the pair ARRAY in one row instead (flatten/transform/slice) was
+    # measured slower — a 10k-degree hub would materialize 10^8 structs
+    # in a single row buffer
     common = (
-        l.join(r, "_h")
+        plist.select(F.explode("_ns").alias("_a"), "_ns")
+        .select("_a", F.explode("_ns").alias("_b"))
         .where(F.col("_a") < F.col("_b"))
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("common_hubs"))
