@@ -957,17 +957,26 @@ def simhash_neardup_pairs(
             f"transform(sequence(0, {len(combos) - 1}), i -> {key_body})"
         )).alias("_chunk"),
     )
-    a = chunks.select(F.col("_doc").alias("_a"), F.col("simhash").alias("_sa"), "_chunk")
-    b = chunks.select(F.col("_doc").alias("_b"), F.col("simhash").alias("_sb"), "_chunk")
-    # hamming filter BEFORE the pair dedup: the chunk join emits one row
-    # per shared chunk (up to num_chunks per pair, ~n^2/2^width rows
-    # total), and bit_count is a cheap map-side expression — filtering
-    # first shrinks the distinct's shuffle from the full candidate
-    # stream to just the matching pairs (~250x at 10x bench scale)
+    # posting-list candidates (the _band_candidates shape): one groupBy
+    # shuffle of the chunk stream instead of two join-side shuffles of
+    # the same cached rows; pairs stream out of a double explode with
+    # the hamming filter applied map-side BEFORE the pair dedup — the
+    # candidate stream (~n^2/2^width rows) never hits a shuffle, only
+    # the matching pairs do (~250x smaller at 10x bench scale)
+    plist = (
+        chunks.groupBy("_chunk")
+        .agg(F.collect_list(F.struct("_doc", "simhash")).alias("_ds"))
+        .where(F.size("_ds") >= 2)
+    )
     ham = (
-        a.join(b, "_chunk")
-        .where(F.col("_a") < F.col("_b"))
-        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        plist.select(F.explode("_ds").alias("_x"), "_ds")
+        .select("_x", F.explode("_ds").alias("_y"))
+        .where(F.col("_x._doc") < F.col("_y._doc"))
+        .select(
+            F.col("_x._doc").alias("_a"), F.col("_y._doc").alias("_b"),
+            F.bit_count(F.col("_x.simhash").bitwiseXOR(
+                F.col("_y.simhash"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )
     return ham.select(
