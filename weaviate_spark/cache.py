@@ -38,6 +38,37 @@ def register_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+_live_checkpoints: list[DataFrame] = []
+
+
+def register_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint`` registered for end-of-query release.
+
+    Use INSTEAD of ``register_cache(df.cache())`` when the frame (a) has
+    corpus-sized lineage and (b) is referenced by several downstream
+    consumers that are themselves cached/re-referenced: an
+    InMemoryRelation re-prints and re-ANALYZES its full child plan at
+    every reference, so nested caches multiply the analyzed tree
+    (measured: the clustering-coefficient plan grew to ~4k FileScan
+    prints and +1 s of per-build driver analysis), while a checkpoint is
+    a LogicalRDD *leaf* — downstream plans stay flat no matter the
+    fan-out. Lazy, so the materialization job lands inside the first
+    consumer's action instead of adding one.
+
+    ``Dataset.unpersist()`` is a no-op on checkpointed frames (the cache
+    manager never registered the RDD), so ``release_caches`` frees these
+    through JVM-level ``JavaRDD.unpersist`` on the recorded RDD id —
+    same mechanism as operators/graph.py's iterative generations."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        ck._ckpt_rdd_id = int(
+            ck._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        ck._ckpt_rdd_id = None
+    _live_checkpoints.append(ck)
+    return ck
+
+
 # (session, input files) -> scan partition count. df.rdd.getNumPartitions()
 # forces an RDD conversion through py4j on every call — measured ~50-150 ms
 # of driver time per query build (r11 profile). The split count of a file
@@ -134,10 +165,22 @@ def local_df(spark, data, schema) -> DataFrame:
 
 
 def release_caches() -> None:
-    global _live_caches
+    global _live_caches, _live_checkpoints
     for df in _live_caches:
         try:
             df.unpersist()
         except Exception:
             pass
     _live_caches = []
+    for df in _live_checkpoints:
+        rid = getattr(df, "_ckpt_rdd_id", None)
+        if rid is None:
+            continue
+        try:
+            jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            jrdd = jmap.get(rid)
+            if jrdd is not None:  # never materialized -> nothing to free
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+    _live_checkpoints = []

@@ -9004,6 +9004,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-counts by sorted-triple enumeration."""
     from pyspark.sql import functions as F
 
+    from weaviate_spark.cache import register_checkpoint
     from weaviate_spark.operators.graph import clustering_coefficient
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -9018,7 +9019,11 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("cn"),
                 F.col("s_nationkey").alias("sn"))
     )
-    ew = (
+    # checkpoint the weighted-edge aggregate: the threshold scalar t AND
+    # the sparsified edge filter both consume it — uncached, each
+    # reference replays the 4-table corpus join (and a .cache() here
+    # nests under every downstream cache, exploding plan analysis)
+    ew = register_checkpoint(
         raw.where(F.col("cn") != F.col("sn"))
         .groupBy(
             F.least("cn", "sn").alias("_a"),

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import register_cache
+from weaviate_spark.cache import register_cache, register_checkpoint
 
 
 def retention_cohorts(
@@ -2226,32 +2226,35 @@ def rfm_segments(
         F.sum(amt).alias("_mon"),
     )
     ref = orders.agg(F.max(day).alias("_ref"))
-    scored = register_cache(
+    scored = register_checkpoint(
         per_c.crossJoin(F.broadcast(ref)).withColumn(
             "_rec", F.datediff(F.col("_ref"), F.col("_last"))
-        ).select("_c", "_rec", "_freq", "_mon").cache()
+        ).select("_c", "_rec", "_freq", "_mon")
     )
     # three global ranks via the percentile-bucketed prefix machinery
     # instead of three SEQUENTIAL single-partition ntile windows (guide
-    # §2.5: the frame is customer-sized); each stage is cached so the
-    # next stage's boundary/totals passes don't recompute the chain.
+    # §2.5: the frame is customer-sized); each stage is CHECKPOINTED so
+    # the next stage's boundary/totals passes neither recompute the
+    # chain nor nest InMemoryRelations (chained caches re-analyzed per
+    # reference grew this query's plan to ~3.7k printed lines; a
+    # checkpoint is a leaf and the plan stays flat).
     # _rec ranks descending, so its bucketing key is the negated value
     # (non-null by construction: every customer has >= 1 dated order).
     from weaviate_spark.operators.running import bucketed_running, ntile_from_rank
 
-    s1 = register_cache(
+    s1 = register_checkpoint(
         bucketed_running(
             scored, -F.col("_rec"),
             [F.col("_rec").desc(), F.col("_c").asc()],
             [], rank_col="_rn_r", total_col="_qn",
-        ).cache()
+        )
     )
-    s2 = register_cache(
+    s2 = register_checkpoint(
         bucketed_running(
             s1, F.col("_freq"),
             [F.col("_freq").asc(), F.col("_c").asc()],
             [], rank_col="_rn_f",
-        ).cache()
+        )
     )
     s3 = bucketed_running(
         s2, F.col("_mon"),

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import local_df, register_cache
+from weaviate_spark.cache import local_df, register_cache, register_checkpoint
 
 
 def _persistent_rdd_ids(spark) -> set:
@@ -190,14 +190,19 @@ def triangle_counts(
     at 100 TB). Three shuffles: degree agg, wedge self-join on the
     pivot, closing-edge join on the canonical pair.
     """
-    e = register_cache(
+    # register_checkpoint, not register_cache(.cache()): e and oriented
+    # are each referenced 2-3x downstream, and with corpus-joined
+    # ``edges`` lineage the nested InMemoryRelations re-analyzed per
+    # reference grew the clustering-coefficient plan to thousands of
+    # printed nodes (~1s extra driver analysis per build). Checkpoints
+    # are LogicalRDD leaves: one materialization, flat downstream plans.
+    e = register_checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_a"),
             F.greatest(F.col(src), F.col(dst)).alias("_b"),
         )
         .where(F.col("_a") != F.col("_b"))
         .distinct()
-        .cache()
     )
     deg = (
         e.select(F.col("_a").alias("_n"))
@@ -209,14 +214,13 @@ def triangle_counts(
     db = deg.select(F.col("_n").alias("_b"), F.col("_deg").alias("_db"))
     # canonical edges have _a < _b, so on (deg, id) ties the id decides
     low_first = F.col("_da") <= F.col("_db")
-    oriented = register_cache(
+    oriented = register_checkpoint(
         e.join(da, "_a")
         .join(db, "_b")
         .select(
             F.when(low_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
             F.when(low_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
         )
-        .cache()
     )
     wedges = (
         oriented.select("_u", F.col("_v").alias("_x"))
@@ -547,8 +551,15 @@ def clustering_coefficient(
 
     Reuses the degree-ordered triangle_counts plan (O(m^1.5) wedge
     work, hub-safe); degrees are one extra groupBy; the division is a
-    single fixed-order double expression over exact integers."""
-    e = (
+    single fixed-order double expression over exact integers.
+
+    The canonical edge list is cached ONCE here and every consumer —
+    the degree aggregate's two-sided union AND triangle_counts — reads
+    the cache: ``edges`` often carries a corpus-sized join lineage, and
+    without the cache each of those references replays that full
+    lineage (the uncached form executed the upstream corpus join 4+
+    times per query)."""
+    e = register_checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_a"),
             F.greatest(F.col(src), F.col(dst)).alias("_b"),
@@ -562,7 +573,10 @@ def clustering_coefficient(
         .groupBy("_n")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tri = triangle_counts(edges, src, dst).withColumnRenamed("node", "_n")
+    # e is already canonical (_a < _b, deduped) and cached, so
+    # triangle_counts' own canonicalization pass is a cheap no-op over
+    # the cache instead of another corpus replay
+    tri = triangle_counts(e, "_a", "_b").withColumnRenamed("node", "_n")
     j = deg.join(tri, "_n", "left").select(
         "_n",
         "degree",
