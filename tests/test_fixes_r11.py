@@ -425,3 +425,38 @@ def test_local_df_partitioning(spark):
     assert local_df(spark, wide, "k int").rdd.getNumPartitions() == min(1000, par)
     # empty frames stay valid
     assert local_df(spark, [], schema).count() == 0
+
+
+def test_hash_embed_expr_matches_python(spark):
+    """The JVM expression form of the text2vec-dummy (hash_embed_col)
+    must replay hash_embed_py BIT-FOR-BIT — same md5 bytes, same
+    little-endian uint32, same IEEE division and left-fold
+    normalization — including the NULL->'' and all-zero-norm guards.
+    The expression removed the ArrowEvalPython stage from every
+    vectorize plan (guide §4.1); any drift would silently break the
+    md5-mirror oracles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weaviate_spark.modules import hash_embed_col, hash_embed_py
+
+    rows = [
+        (0, None), (1, ""), (2, " "), (3, "spark filter join"),
+        (4, "héllo wörld 机器学習 🚀"), (5, "a" * 5000), (6, "\t\n|,'\"\\"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = df.select(
+        "i",
+        hash_embed_col("text", 16).alias("e"),
+        hash_embed_col(F.col("text"), 16, as_float=True).alias("ef"),
+    ).collect()
+
+    for r in got:
+        p = hash_embed_py(rows[r["i"]][1], 16)
+        assert p == r["e"], f"double drift at i={r['i']}"
+        assert [float(np.float32(x)) for x in p] == [float(x) for x in r["ef"]], (
+            f"float drift at i={r['i']}")
+    # no Python evaluation node in the expression plan
+    plan = df.select(hash_embed_col("text", 16))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

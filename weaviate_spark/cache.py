@@ -130,6 +130,17 @@ def memo_column(key: tuple, builder):
     return col
 
 
+def column_sql(col) -> str:
+    """SQL text of a Column (or a string passed through verbatim) — for
+    building single-parse F.expr strings around a caller-supplied input
+    column (the ~200-py4j-call composed-F.* alternative is the driver
+    cost the r11 expression-string work removed). Spark 4 classic
+    Columns expose the expression via ``_jc.node().sql()``."""
+    if isinstance(col, str):
+        return col
+    return col._jc.node().sql()
+
+
 def lit_double_array(vals) -> "Column":
     """array<double> literal built with ONE parsed expression instead of
     len(vals) py4j F.lit round trips (a 64-dim query vector cost ~130

@@ -2475,11 +2475,11 @@ def _neartext_move_qvec() -> list[float]:
 def q_neartext_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearText with moveTo/moveAwayFrom concept arithmetic
     (retrieval.go:149-160): documents vectorized by the deterministic
-    text2vec-dummy (Arrow-batched pandas_udf), query vector = averaged
-    concepts nudged toward 'filter' and away from 'audio'; cosine
-    top-15. The oracle reproduces the md5-seeded embedding bit-for-bit
-    in SQL — the full nearText path is hash-checked, not just row
-    counts."""
+    text2vec-dummy (r11: a pure Catalyst md5 expression — no Python
+    evaluation stage), query vector = averaged concepts nudged toward
+    'filter' and away from 'audio'; cosine top-15. The oracle
+    reproduces the md5-seeded embedding bit-for-bit in SQL — the full
+    nearText path is hash-checked, not just row counts."""
     from pyspark.sql import functions as F
     from weaviate_spark.functions.distance import distance
     from weaviate_spark.modules import vectorize_column
@@ -3154,6 +3154,16 @@ def q_neartext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_distance").asc(), F.col("doc_id").asc())
         .limit(10)
     )
+    # exchange barrier between the fetch and the module UDF stages: the
+    # optimizer otherwise pushes the reranker/generative ArrowEvalPython
+    # BELOW the limit's single-partition exchange, paying a Python
+    # worker round per upstream partition for <=10 surviving rows
+    # (measured 3.4 -> 1.3 s at sf0.1); after repartition(1) the tail is
+    # one tiny task over the 10 fetched rows — the reference shape
+    # (rerank the fetched window). Deterministic: the (distance, doc_id)
+    # sort is a total order, so the top-10 set and all outputs are
+    # unchanged.
+    topk = topk.repartition(1)
     reranked = topk.withColumn(
         "_rerank_score", RERANKERS["reranker-dummy"]("spark filter join")(F.col("text"))
     )

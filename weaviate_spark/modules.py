@@ -60,11 +60,56 @@ def hash_embed_py(text: str, dim: int = 16) -> list[float]:
     return [x / n for x in raw]
 
 
+def _hash_embed_sql(col_sql: str, dim: int) -> str:
+    """JVM (Catalyst) expression replaying hash_embed_py BIT-FOR-BIT —
+    same md5 bytes, same little-endian uint32, same IEEE division and
+    left-fold normalization order — so the Python boundary disappears
+    from every vectorize stage with hash-identical output (guide §4.1:
+    built-ins over UDFs; pinned by tests/test_fixes_r11.py against the
+    Python form row-for-row).
+
+    Per dim d: md5(utf8(text) ++ d.to_bytes(4, LE)), first 4 digest
+    bytes as little-endian uint32 (hex char pairs 7-8,5-6,3-4,1-2 —
+    exactly the duckdb oracle's formula) / 0xFFFFFFFF - 0.5; then
+    x / sqrt(sum x_i^2) with sum as an in-order left fold (aggregate)
+    matching Python's sum(), and the n==0 -> 1.0 guard. NULL text
+    embeds like '' (the pandas path called the fn on None)."""
+    raws = []
+    for d in range(dim):
+        sfx = d.to_bytes(4, "little").hex()
+        h = f"md5(concat(CAST(coalesce({col_sql}, '') AS BINARY), X'{sfx}'))"
+        le = (
+            f"CAST(conv(concat(substring({h}, 7, 2), substring({h}, 5, 2), "
+            f"substring({h}, 3, 2), substring({h}, 1, 2)), 16, 10) AS DOUBLE)"
+        )
+        raws.append(f"({le} / 4294967295.0D - 0.5D)")
+    arr = f"array({', '.join(raws)})"
+    # array(...)[0] binds the raw vector to the lambda variable r so the
+    # 16 md5 folds evaluate ONCE, not per output element
+    norm = ("(CASE WHEN sqrt(aggregate(r, 0.0D, (a, y) -> a + y * y)) = 0.0D "
+            "THEN 1.0D ELSE sqrt(aggregate(r, 0.0D, (a, y) -> a + y * y)) END)")
+    return (
+        f"transform(array({arr}), r -> transform(r, x -> x / {norm}))[0]"
+    )
+
+
+def hash_embed_col(col: Column, dim: int = 16, as_float: bool = False) -> Column:
+    """hash_embed_py as a codegen expression over a column (no
+    JVM<->Python round trip). ``as_float`` casts each component to
+    FLOAT — the same double->float rounding the array<float> pandas_udf
+    return path applied."""
+    from weaviate_spark.cache import column_sql
+
+    body = _hash_embed_sql(column_sql(col), dim)
+    if as_float:
+        body = f"transform({body}, x -> CAST(x AS FLOAT))"
+    return F.expr(body)
+
+
 @register_vectorizer("text2vec-dummy")
 def text2vec_dummy(dim: int = 16):
-    @pandas_udf("array<float>")
-    def _embed(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: hash_embed_py(t, dim))
+    def _embed(col: Column) -> Column:
+        return hash_embed_col(col, dim, as_float=True)
 
     return _embed
 
@@ -195,11 +240,12 @@ def class_dict_tokenize_udf(mode: str, reps, fold: bool = False):
 def hash_embed_udf(dim: int = 16):
     """Double-precision variant of the dummy vectorizer: bit-exact with
     the oracle's md5 SQL mirror (array<float> truncation would round
-    differently at the 6dp hash boundary)."""
+    differently at the 6dp hash boundary). Despite the legacy name this
+    is now the JVM expression (hash_embed_col), not a Python UDF — the
+    signature (a callable over a column) is unchanged."""
 
-    @pandas_udf("array<double>")
-    def _embed(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: hash_embed_py(t, dim))
+    def _embed(col) -> Column:
+        return hash_embed_col(col, dim, as_float=False)
 
     return _embed
 
