@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import ensure_min_partitions, register_cache
+from weaviate_spark.cache import (
+    ensure_min_partitions, register_cache, register_checkpoint,
+)
 from weaviate_spark.operators.dedup import shingle_df
 from weaviate_spark.operators.sampling import md5_prefix_long
 
@@ -175,20 +177,27 @@ def unigram_logprob_scores(
     Returns (id, n_tokens, cross_entropy rounded to 6dp); empty docs
     drop out (no tokens to score).
 
-    Scale: one token explode (narrow), one vocabulary count groupBy
-    (token-key shuffle, vocab-sized result), one join of tokens to
-    counts (md5-uniform token keys, no skew beyond natural Zipf head —
-    AQE skew split applies), one per-doc groupBy. The vocabulary count
-    table is a natural ingest artifact (the BM25 term_df table is the
-    same statistic); at 100 TB the join reuses it instead of
-    recounting."""
+    Scale: the corpus is scanned and TOKENIZED once — the (doc, token
+    array) frame is checkpointed, and both consumers (the vocabulary
+    count and the scoring join) explode from that leaf instead of
+    re-running the regex tokenizer per pass. The vocabulary count table
+    (also checkpointed — the scalar T derives from it) is a natural
+    ingest artifact (the BM25 term_df table is the same statistic); at
+    100 TB the join reuses it instead of recounting. Join keys are
+    md5-uniform-ish tokens (no skew beyond natural Zipf head — AQE skew
+    split applies); one per-doc groupBy ends the plan."""
     from weaviate_spark.functions.text import tokenize
 
-    toks = df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
+    tok_arr = register_checkpoint(
+        df.select(
+            F.col(id_col).alias("_doc"),
+            tokenize(F.col(text_col), "word").alias("_tt"),
+        )
     )
-    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    toks = tok_arr.select("_doc", F.explode("_tt").alias("_t"))
+    counts = register_checkpoint(
+        toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
     total = counts.agg(F.sum("_c").alias("_tot"))
     scored = (
         toks.join(counts, "_t")
@@ -488,19 +497,26 @@ def bigram_interp_xent(
     spam scores HIGH even when its unigrams look normal — exactly the
     signal the unigram score misses.
 
-    Scale: bigrams explode narrowly from the token array (zip_with on
-    two slices — no self-join, no window); corpus stats are two
-    groupBys (bigram-key and context-key shuffles, vocab-sized
-    results); scoring is three hash joins on md5-uniform-ish token
-    keys (Zipf head skew handled by AQE skew split) plus one per-doc
-    groupBy. Like the unigram table, the bigram count table is a
-    natural ingest artifact at 100 TB — count once, score many."""
+    Scale: the corpus is scanned and TOKENIZED once — the (doc, token
+    array) frame is checkpointed and every stream (bigrams for the
+    count table, bigrams for the scoring join, unigrams) explodes
+    narrowly from that leaf (zip_with on two slices — no self-join, no
+    window) instead of re-running the regex tokenizer per consumer.
+    The bigram/unigram count tables are checkpointed (vocab-sized;
+    ctx and the scalar T derive from them), so the bigram stream is
+    shuffled once. Scoring is three hash joins on md5-uniform-ish
+    token keys (Zipf head skew handled by AQE skew split) plus one
+    per-doc groupBy. Like the unigram table, the bigram count table is
+    a natural ingest artifact at 100 TB — count once, score many."""
     from weaviate_spark.functions.text import tokenize
 
-    tt = df.select(
-        F.col(id_col).alias("_doc"),
-        tokenize(F.col(text_col), "word").alias("_tt"),
-    ).where(F.size("_tt") >= 2)
+    tok_arr = register_checkpoint(
+        df.select(
+            F.col(id_col).alias("_doc"),
+            tokenize(F.col(text_col), "word").alias("_tt"),
+        )
+    )
+    tt = tok_arr.where(F.size("_tt") >= 2)
     bg = tt.select(
         "_doc",
         F.explode(
@@ -512,12 +528,14 @@ def bigram_interp_xent(
         ).alias("_b"),
     ).select("_doc", F.col("_b._v").alias("_v"), F.col("_b._w").alias("_w"))
 
-    bi = bg.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_cb"))
-    ctx = bi.groupBy("_v").agg(F.sum("_cb").alias("_cv"))
-    toks = df.select(
-        F.explode(tokenize(F.col(text_col), "word")).alias("_w")
+    bi = register_checkpoint(
+        bg.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_cb"))
     )
-    uni = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
+    ctx = bi.groupBy("_v").agg(F.sum("_cb").alias("_cv"))
+    toks = tok_arr.select(F.explode("_tt").alias("_w"))
+    uni = register_checkpoint(
+        toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
+    )
     total = uni.agg(F.sum("_cu").alias("_tot"))
 
     p = (

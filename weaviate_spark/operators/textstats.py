@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from weaviate_spark.cache import ensure_min_partitions, memo_column, register_cache
+from weaviate_spark.cache import (
+    ensure_min_partitions, memo_column, register_cache, register_checkpoint,
+)
 from weaviate_spark.functions.text import EN_STOPWORDS, tokenize
 
 # tiny per-language function-word lists for the n-gram/stopword-vote
@@ -425,11 +427,13 @@ def tfidf_keywords(
     is decided on the exact values both engines hash; ties break on
     the term string.
 
-    Scale: one narrow token explode, one (doc, term) groupBy for tf,
-    one term groupBy for df (both map-side-combined), a broadcast of
-    the scalar N, and one per-doc top-k window. The df table is the
-    same statistic BM25 already persists at ingest — at 100 TB the
-    join reuses that artifact instead of recounting the corpus."""
+    Scale: ONE pass over the corpus — token explode straight into the
+    (doc, term) tf aggregate (map-side combined, checkpointed) — then
+    df (docs per term) and N (docs with >= 1 token) both derive from
+    the tf table by integer-exact aggregation instead of re-exploding
+    the corpus per statistic. The df table is the same statistic BM25
+    already persists at ingest — at 100 TB the join reuses that
+    artifact instead of recounting the corpus."""
     from pyspark.sql import Window
 
     from weaviate_spark.functions.text import tokenize
@@ -438,9 +442,11 @@ def tfidf_keywords(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
     )
-    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = register_checkpoint(
+        toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
-    ndocs = toks.select("_doc").distinct().agg(
+    ndocs = tf.select("_doc").distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )
     scored = (
@@ -660,10 +666,16 @@ def collocations_pmi(
     low-frequency PMI explosion; ties on the 6dp score break
     lexicographically so the top-k set is deterministic.
 
-    Scale shape: one explode to bigram rows, three keyed counts (pair,
-    first-word, second-word), two equi-joins back (marginal tables are
-    vocabulary-sized — AQE broadcasts them when they fit), a scalar N,
-    and a top-k sort over the >= min_count survivors only.
+    Scale shape: ONE pass over the corpus — explode to bigram rows
+    straight into the (pair -> count) aggregate (map-side combined) —
+    then the positional marginals and the scalar N all derive from the
+    checkpointed pair-count table: c1(w) = Σ_w2 c12(w, w2),
+    c2(w) = Σ_w1 c12(w1, w), N = Σ c12 — identical integers to
+    re-counting the raw rows, but the corpus-sized bigram stream is
+    shuffled once instead of held in cache and re-aggregated three
+    more times. Marginal tables are vocabulary-sized (AQE broadcasts
+    them when they fit); the top-k sort sees >= min_count survivors
+    only.
     """
     # single-file local tables serialize the tokenize+explode on 2 of
     # 32 cores (text_profile pattern); no-op on multi-split scans
@@ -680,15 +692,16 @@ def collocations_pmi(
             ),
         )
     )
-    pairs = register_cache(
+    pairs = (
         df.select(F.explode(bg).alias("_b"))
         .select(F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
-        .cache()
     )
-    c12 = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
-    c1 = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
-    c2 = pairs.groupBy("_w2").agg(F.count(F.lit(1)).alias("_c2"))
-    n = pairs.agg(F.count(F.lit(1)).alias("_n"))
+    c12 = register_checkpoint(
+        pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    c2 = c12.groupBy("_w2").agg(F.sum("_c12").alias("_c2"))
+    n = c12.agg(F.sum("_c12").alias("_n"))
     scored = (
         c12.where(F.col("_c12") >= min_count)
         .join(c1, "_w1")
