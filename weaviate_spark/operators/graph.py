@@ -12,13 +12,17 @@ for dataset balancing).
 DataFrame joins — the Pregel superstep pattern:
 
 * edge normalization once: out-weight sums, transition probability
-  p(u→v) = w(u,v) / Σ_v w(u,v);
+  p(u→v) = w(u,v) / Σ_v w(u,v), plus one VIRTUAL edge (u→NULL, p=1)
+  per dangling node so the dangling mass falls out of the same
+  aggregation as the contributions;
 * per iteration: one join of ranks to the transition table on the
   source key + one groupBy on the destination key (both map-side
-  combined, co-keyed across iterations so AQE reuses exchanges), a
-  broadcast of the two scalars (node count, dangling mass);
-* ``localCheckpoint`` after each superstep truncates the lineage —
-  the iterative-plan idiom that keeps plan size O(1) in iterations.
+  combined, co-keyed across iterations so AQE reuses exchanges); the
+  NULL-destination group IS the dangling mass, broadcast back as a
+  1-row scalar; the node count is a one-time collected scalar;
+* ``localCheckpoint`` of the contribution frame each superstep
+  truncates the lineage — the iterative-plan idiom that keeps plan
+  size O(1) in iterations.
 
 Determinism: ranks are pure functions of the edge multiset; float
 summation order varies with partitioning but stays ~1e-15 relative,
@@ -119,38 +123,69 @@ def pagerank(
         .cache()
     )
     out = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    # Transition table AUGMENTED with one virtual edge per dangling node
+    # (no out-edges): (_s=u, _d=NULL, _p=1.0). The per-iteration contrib
+    # aggregation then collects the dangling rank mass in the SAME
+    # shuffle as the real contributions (the NULL destination group) —
+    # the separate dangling-nodes join + O(nodes) aggregate job per
+    # iteration is gone (guide §2.4). _p=1.0 keeps the summed values
+    # bit-identical (1.0 * r = r); only the float sum ORDER moves, which
+    # the module docstring already documents as partitioning-dependent.
+    dst_type = e.schema["_d"].dataType
     p = register_cache(
         e.join(out, "_s")
         .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .union(
+            nodes.join(
+                out.select(F.col("_s").alias("_n")), "_n", "left_anti"
+            ).select(
+                F.col("_n").alias("_s"),
+                F.lit(None).cast(dst_type).alias("_d"),
+                F.lit(1.0).alias("_p"),
+            )
+        )
         .cache()
     )
-    # nodes with no out-edges: their rank mass redistributes uniformly
-    dangling_nodes = register_cache(
-        nodes.join(
-            out.select(F.col("_s").alias("_n")), "_n", "left_anti"
-        ).cache()
-    )
-    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("_nn"))
+    # Node count is iteration-invariant: collect the scalar ONCE instead
+    # of rebuilding a 1-row broadcast per iteration (was one extra Spark
+    # job per power step). Division by the same double is bit-identical
+    # whether the divisor arrives as a literal or a broadcast column.
+    nn = float(nodes.count())
+    if nn == 0:  # empty graph: empty result (the old Spark-side 1/0
+        return nodes.select(  # division yielded an empty frame too)
+            F.col("_n").alias("node"), F.lit(0.0).alias("pagerank"))
 
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "_n", (F.lit(1.0) / F.col("_nn")).alias("_r")
-    )
-    base = F.lit(1.0 - damping) / F.col("_nn")
+    ranks = nodes.select("_n", F.lit(1.0 / nn).alias("_r"))
+    base = F.lit((1.0 - damping) / nn)
     for _ in range(iterations):
-        contrib = (
+        # One edges-pass shuffle produces BOTH the per-node contributions
+        # (real _d groups) and the dangling mass (the _d IS NULL group).
+        # Checkpointing THIS frame (node-sized) means the dangling-scalar
+        # broadcast below reads the materialized result instead of
+        # re-running the join — and ranks' lineage stays depth-1.
+        contrib_all = (
             p.join(ranks, p["_s"] == ranks["_n"])
             .groupBy("_d")
             .agg(F.sum(F.col("_p") * F.col("_r")).alias("_c"))
+            # lazy is the right eagerness HERE: the frame is node-sized
+            # and materializes inside its first consumer's job; forcing
+            # eager added a materialization job per iteration and
+            # measured SLOWER (43.6 -> 52.4 s at sf10 on the pre-fold
+            # shape). Contrast kcore_peel/sssp, where eager measured
+            # faster.
+            .localCheckpoint(eager=False)
         )
-        dang = dangling_nodes.join(ranks, "_n").agg(
-            F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dg")
+        dang = contrib_all.where(F.col("_d").isNull()).agg(
+            F.coalesce(F.sum("_c"), F.lit(0.0)).alias("_dg")
         )
         ranks = (
             nodes.join(
-                contrib.select(F.col("_d").alias("_n"), "_c"), "_n", "left"
+                contrib_all.where(F.col("_d").isNotNull())
+                .select(F.col("_d").alias("_n"), "_c"),
+                "_n",
+                "left",
             )
             .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(ncnt))
             .select(
                 "_n",
                 (
@@ -158,16 +193,10 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dg") / F.col("_nn")
+                        + F.col("_dg") / F.lit(nn)
                     )
                 ).alias("_r"),
             )
-            # lazy is the right eagerness HERE: ranks is node-sized and
-            # both per-round consumers land in one job, so Spark reuses
-            # the checkpoint; forcing eager added a materialization job
-            # per iteration and measured SLOWER (43.6 -> 52.4 s at sf10).
-            # Contrast kcore_peel/sssp, where eager measured faster.
-            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("_n").alias("node"), F.col("_r").alias("pagerank"))
 
