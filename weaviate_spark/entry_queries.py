@@ -5103,15 +5103,22 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     header = F.lit(b"P6\n6 4\n255\n")
+    # both brightness variants from ONE corpus scan: explode a 2-struct
+    # array instead of a self-union (explode_outer: non-empty by
+    # construction, and InferFiltersFromGenerate can't clone the pixel
+    # expressions into a pushed filter)
     media = d.select(
-        (F.col("doc_id") * 2).alias("media_id"),
-        F.concat(header, pix(0)).alias("media"),
-    ).unionByName(
-        d.select(
-            (F.col("doc_id") * 2 + 1).alias("media_id"),
-            F.concat(header, pix(8)).alias("media"),
-        )
-    )
+        F.explode_outer(F.array(
+            F.struct(
+                (F.col("doc_id") * 2).alias("media_id"),
+                F.concat(header, pix(0)).alias("media"),
+            ),
+            F.struct(
+                (F.col("doc_id") * 2 + 1).alias("media_id"),
+                F.concat(header, pix(8)).alias("media"),
+            ),
+        )).alias("_m")
+    ).select("_m.media_id", "_m.media")
     hashes = image_dhash(media, "media_id", "media")
     return dhash_neardup_pairs(
         hashes, "media_id", "dhash", n_bits=20, max_hamming=2

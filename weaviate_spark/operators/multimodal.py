@@ -1668,10 +1668,22 @@ def dhash_neardup_pairs(
     and the same ``max_bucket_size``-style skew logic as simhash
     applies if a degenerate corpus (all-identical images) ever
     concentrates one bucket."""
+    from weaviate_spark.cache import register_checkpoint
+
     bands = max_hamming + 1
     width = -(-n_bits // bands)  # ceil
-    h = hashes.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    # The hash frame is referenced (bands x 2 join sides) times below;
+    # without truncation each reference re-executes its lineage — for
+    # the image pipeline that meant SIX repeated Arrow decode passes
+    # over the media column (measured: 12 parquet scans, 6 MapInPandas
+    # nodes in one executed plan). Checkpoint the narrow (id, hash)
+    # projection once: decode runs a single time, and every band/side
+    # reads the two-column leaf (guide §8: decide on small rows; never
+    # re-derive them from the heavy payload per consumer).
+    h = register_checkpoint(
+        hashes.where(F.col(hash_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+        )
     )
     parts = []
     for b in range(bands):
