@@ -351,6 +351,7 @@ def bloom_membership(
     classic bloom-pushdown shape). The filter is mergeable (bitwise OR
     = union of set-bit rows), so it maintains incrementally like the
     other sketch artifacts here."""
+    from weaviate_spark.cache import register_checkpoint
     from weaviate_spark.operators.dedup import shingle_df
 
     def bit(j: int) -> Column:
@@ -367,20 +368,25 @@ def bloom_membership(
             % m_bits
         )
 
-    bsh = shingle_df(build, id_col, text_col, n).select("_shingle").distinct()
-    bits = None
-    for j in range(k_hashes):
-        part = bsh.select(bit(j).alias("_bit"))
-        bits = part if bits is None else bits.unionByName(part)
-    bits = bits.distinct()
+    # The shingle pipelines (regex tokenize + n-gram assembly + explode)
+    # are the expensive full-text stages; each used to re-execute once
+    # per hash-function union branch plus once per downstream aggregate
+    # (9 corpus scans in the executed plan). Checkpoint each shingle
+    # frame once, and emit the k bloom bits per shingle with ONE explode
+    # of a k-element array instead of a k-way self-union — identical
+    # (shingle, bit) multiset, one pass (guide §2.4).
+    k_bits = F.array(*[bit(j) for j in range(k_hashes)])
+    bsh = register_checkpoint(
+        shingle_df(build, id_col, text_col, n).select("_shingle").distinct()
+    )
+    bits = (
+        bsh.select(F.explode_outer(k_bits).alias("_bit")).distinct()
+    )
 
-    psh = shingle_df(probe, id_col, text_col, n)
-    probe_bits = None
-    for j in range(k_hashes):
-        part = psh.select("_doc", "_shingle", bit(j).alias("_bit"))
-        probe_bits = (
-            part if probe_bits is None else probe_bits.unionByName(part)
-        )
+    psh = register_checkpoint(shingle_df(probe, id_col, text_col, n))
+    probe_bits = psh.select(
+        "_doc", "_shingle", F.explode_outer(k_bits).alias("_bit")
+    )
     hits = (
         probe_bits.join(F.broadcast(bits), "_bit", "left_semi")
         .groupBy("_doc", "_shingle")
