@@ -369,13 +369,23 @@ def training_mix_allocation(
 
     from weaviate_spark.functions.text import tokenize
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_g"),
-        F.size(tokenize(F.col(text_col), "word")).cast("long").alias("_tok"),
+    from weaviate_spark.cache import register_checkpoint
+
+    # base (scan + tokenize + count — the expensive full-text stage) and
+    # the tiny per-group counts frame are each consumed by several
+    # downstream plans (the w/z/budget broadcast builds re-executed the
+    # whole tokenize lineage per reference: 9 corpus scans in the
+    # executed plan). Checkpoint both once — tokenize runs once, the
+    # scalar chain replays only a groups-sized leaf (guide §5.4).
+    base = register_checkpoint(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_g"),
+            F.size(tokenize(F.col(text_col), "word")).cast("long").alias("_tok"),
+        ).where(F.col("_g").isNotNull())
     )
-    base = base.where(F.col("_g").isNotNull())
-    counts = base.groupBy("_g").agg(F.sum("_tok").alias("_n"))
+    counts = register_checkpoint(
+        base.groupBy("_g").agg(F.sum("_tok").alias("_n")))
     tot = counts.agg(F.sum("_n").alias("_nn"))
     w = counts.crossJoin(F.broadcast(tot)).select(
         "_g",
