@@ -204,33 +204,14 @@ def cms_heavy_hitters(
     at any scale. Plan: one explode-free pass per stage — (row, bucket)
     groupBy sized depth*width regardless of corpus, a distinct-item
     frame, and a broadcast-sized sketch join."""
+    from weaviate_spark.cache import register_checkpoint
+
     vals = df.select(F.col(col).cast("string").alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    rows = []
-    for d in range(depth):
-        h = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), F.col("_v"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        )
-        rows.append(
-            vals.select(F.lit(d).alias("_row"), h.alias("_bucket"))
-        )
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    sketch = allrows.groupBy("_row", "_bucket").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
 
-    items = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_true"))
-    probes = []
-    for d in range(depth):
-        h = (
+    def bucket(d: int) -> Column:
+        return (
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), F.col("_v"))), 1, 8),
                 16,
@@ -238,14 +219,32 @@ def cms_heavy_hitters(
             ).cast("bigint")
             % width
         )
-        probes.append(
-            items.select("_v", "_true", F.lit(d).alias("_row"), h.alias("_bucket"))
-        )
-    allprobes = probes[0]
-    for p in probes[1:]:
-        allprobes = allprobes.unionByName(p)
+
+    # ONE corpus pass (guide §8: decide on small rows): the distinct-item
+    # counts are the only corpus aggregate; the sketch's (row, bucket)
+    # counters equal the SUM of item true-counts hashing there (counting
+    # occurrences row-by-row — the previous depth-way self-union of the
+    # corpus — groups the identical multiset), and the probes are the
+    # same item x hash-row frame. Build that frame once (explode of a
+    # depth-element struct array, not a depth-way union) and checkpoint
+    # it; before, the plan re-scanned the corpus once per union branch
+    # per side (8 scans at depth 4).
+    items = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_true"))
+    pf = register_checkpoint(
+        items.select(
+            "_v", "_true",
+            F.explode_outer(F.array(*[
+                F.struct(
+                    F.lit(d).alias("_row"), bucket(d).alias("_bucket"))
+                for d in range(depth)
+            ])).alias("_h"),
+        ).select("_v", "_true", "_h._row", "_h._bucket")
+    )
+    sketch = pf.groupBy("_row", "_bucket").agg(
+        F.sum("_true").alias("_c")
+    )
     est = (
-        allprobes.join(F.broadcast(sketch), ["_row", "_bucket"])
+        pf.join(F.broadcast(sketch), ["_row", "_bucket"])
         .groupBy("_v", "_true")
         .agg(F.min("_c").alias("_est"))
     )
@@ -281,11 +280,20 @@ def histogram_quantiles(
     Returns (quantile, estimate, bucket_idx, bucket_count, n). The
     max value clamps into the last bucket (the standard closed right
     edge)."""
-    stats = df.select(
+    from weaviate_spark.cache import register_checkpoint
+
+    # Two corpus passes are inherent (min/max before bucketing); they
+    # must not MULTIPLY: the 1-row stats frame used to rebuild its scan
+    # per broadcast reference (the bucketing pass + one per quantile
+    # leg), and each quantile leg re-executed the histogram lineage —
+    # 9 corpus scans at 3 quantiles in the executed plan. Checkpoint the
+    # 1-row stats and the <= bins-row cumulative frame once; the legs
+    # replay only those leaves.
+    stats = register_checkpoint(df.select(
         F.min(F.col(col).cast("double")).alias("_lo"),
         F.max(F.col(col).cast("double")).alias("_hi"),
         F.count(F.col(col)).alias("_n"),
-    )
+    ))
     vals = df.select(F.col(col).cast("double").alias("_x")).where(
         F.col("_x").isNotNull()
     )
@@ -300,7 +308,7 @@ def histogram_quantiles(
     )
     hist = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    cum = register_checkpoint(hist.withColumn("_cum", F.sum("_c").over(w)))
     out = None
     for q in quantiles:
         pick = (
