@@ -233,7 +233,13 @@ def funnel_conversion(
         )
         if cur is not None:
             leg = leg.join(cur, "_u").where(F.col("_ts") > F.col("_prev"))
-        cur = leg.groupBy("_u").agg(F.min("_ts").alias("_prev"))
+        # checkpoint each stage's (user, completion) table: it feeds BOTH
+        # the next stage's join and this stage's count — without the
+        # leaf, stage k's count re-executed the whole cascade from the
+        # raw events (k+1 extra scans; quadratic passes in stage count)
+        from weaviate_spark.cache import register_checkpoint
+        cur = register_checkpoint(
+            leg.groupBy("_u").agg(F.min("_ts").alias("_prev")))
         counts.append(
             cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
                 F.lit(i + 1).cast("long").alias("stage_idx"),
@@ -934,15 +940,22 @@ def mad_outlier_profile(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull())
-    med = rows.groupBy("_g").agg(
+    from weaviate_spark.cache import register_checkpoint
+
+    # checkpoint the tiny per-group stat frames: each broadcast
+    # reference replayed its full percentile pass over the fact rows
+    # (4 corpus scans; now the two inherent percentile passes plus the
+    # final flag/count pass — the deviation stream itself stays
+    # streaming, corpus-sized frames are never pinned)
+    med = register_checkpoint(rows.groupBy("_g").agg(
         F.percentile(F.col("_v"), F.lit(0.5)).alias("_med")
-    )
+    ))
     dev = rows.join(F.broadcast(med), "_g").withColumn(
         "_dev", F.abs(F.col("_v") - F.col("_med"))
     )
-    mad = dev.groupBy("_g").agg(
+    mad = register_checkpoint(dev.groupBy("_g").agg(
         F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")
-    )
+    ))
     flagged = dev.join(F.broadcast(mad), "_g").withColumn(
         "_out",
         F.when(
@@ -1339,17 +1352,27 @@ def kaplan_meier_survival(
         F.col(ts_col).cast("timestamp").alias("_t"),
         F.col(type_col).alias("_ty"),
     ).where(F.col("_u").isNotNull() & F.col("_t").isNotNull())
-    entry = base.groupBy("_u").agg(F.min("_t").alias("_t0"))
-    horizon = base.agg(F.max("_t").alias("_h"))
+    from weaviate_spark.cache import register_checkpoint
+
+    # one subject-keyed pass yields BOTH the entry times and (via the
+    # per-user max) the corpus horizon: max over users of the user max
+    # IS the global max, so the separate horizon scan folds into the
+    # entry aggregate. Checkpointing entry stops the first-event join
+    # and the subjects join from re-executing the corpus groupBy (was
+    # 4 corpus scans; now the entry pass + the type-filtered ev pass).
+    entry = register_checkpoint(
+        base.groupBy("_u").agg(
+            F.min("_t").alias("_t0"), F.max("_t").alias("_tm")))
+    horizon = entry.agg(F.max("_tm").alias("_h"))
     ev = (
         base.where(F.col("_ty") == event_type)
-        .join(entry, "_u")
+        .join(entry.select("_u", "_t0"), "_u")
         .where(F.col("_t") > F.col("_t0"))
         .groupBy("_u")
         .agg(F.min("_t").alias("_te"))
     )
     subjects = (
-        entry.join(ev, "_u", "left")
+        entry.select("_u", "_t0").join(ev, "_u", "left")
         .crossJoin(F.broadcast(horizon))
         .select(
             "_u",
@@ -1465,11 +1488,19 @@ def psi_drift(
     b = df_b.select(F.col(value_col).cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    edges = a.agg(
+    from weaviate_spark.cache import register_checkpoint
+
+    # the decile aggregate is a full pass over A; checkpoint its 1-row
+    # result so each side's binning broadcast doesn't re-run it. The
+    # side totals are the SUM of the per-bin counts (every non-null row
+    # lands in exactly one bin), so they read the k-row checkpointed
+    # count frames instead of two extra corpus count() passes — A and B
+    # are each scanned once (was 4+ scans).
+    edges = register_checkpoint(a.agg(
         F.array(
             *[F.round(F.percentile(F.col("_v"), F.lit(q)), 6) for q in qs]
         ).alias("_edges")
-    )
+    ))
 
     def binned(side: DataFrame) -> DataFrame:
         return (
@@ -1482,10 +1513,10 @@ def psi_drift(
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
-    na = a.count()
-    nb = b.count()
-    ca = binned(a).withColumnRenamed("n", "n_a")
-    cb = binned(b).withColumnRenamed("n", "n_b")
+    ca = register_checkpoint(binned(a)).withColumnRenamed("n", "n_a")
+    cb = register_checkpoint(binned(b)).withColumnRenamed("n", "n_b")
+    na = sum(r["n_a"] for r in ca.collect())
+    nb = sum(r["n_b"] for r in cb.collect())
     joined = ca.join(cb, "bin", "full").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
@@ -2461,8 +2492,13 @@ def funnel_step_latency(
 
     Plan: two user-key aggregates + one user-key join — the ordered
     funnel shape, no range join."""
+    from weaviate_spark.cache import register_checkpoint
+
     us = F.col(user_col).isNotNull()
-    a = (
+    # checkpoint the step-a anchors: referenced by the conversion join
+    # twice plus the denominator count — each replayed the step-a scan
+    # and aggregate (4 corpus scans; now one pass per step)
+    a = register_checkpoint(
         events.where((F.col(type_col) == step_a) & us)
         .groupBy(F.col(user_col).alias("_u"))
         .agg(F.min(F.col(ts_col).cast("timestamp")).alias("_ta"))

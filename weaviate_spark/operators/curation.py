@@ -265,10 +265,15 @@ def dsir_importance_weights(
         target_cond.alias("_is_target"),
         F.explode(grams).alias("_g"),
     ).withColumn("_b", md5_prefix_long(F.col("_g"), salt) % buckets)
-    bucket_counts = feats.groupBy("_b").agg(
+    # checkpoint the buckets-sized count table: the totals broadcast and
+    # the ratio frame each replayed the full bigram-explode lineage per
+    # reference (3 corpus scans). The exploded feature stream itself
+    # stays streaming (materializing it would cost more than its two
+    # passes); only the <= `buckets`-row aggregate is pinned.
+    bucket_counts = register_checkpoint(feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
-    )
+    ))
     totals = bucket_counts.agg(
         F.sum("_cr").alias("_Tr"), F.sum("_ct").alias("_Tt")
     )
@@ -587,7 +592,11 @@ def label_outlier_scores(
         F.col(label_col).alias("_lbl"),
         F.posexplode(F.col(vec_col)).alias("_dim", "_val"),
     ).withColumn("_val", F.col("_val").cast("double"))
-    cent = items.groupBy("_lbl", "_dim").agg(F.avg("_val").alias("_mu"))
+    # labels x dims — tiny; checkpointed because BOTH distance joins
+    # reference it (the d_own join and the broadcast build each
+    # re-executed the corpus explode+aggregate without the leaf)
+    cent = register_checkpoint(
+        items.groupBy("_lbl", "_dim").agg(F.avg("_val").alias("_mu")))
 
     d_own = (
         items.join(cent, ["_lbl", "_dim"])
@@ -1199,11 +1208,15 @@ def nb_classifier_scores(
     )
     train_toks = toks.where(~F.col("_hold"))
 
-    # vocabulary counts per class (one groupBy, vocab-sized)
-    vocab = train_toks.groupBy("_t").agg(
+    # vocabulary counts per class (one groupBy, vocab-sized) —
+    # checkpointed: tots, llr and unseen each referenced it, re-running
+    # the training-token explode per reference (5 corpus scans in the
+    # executed plan; now one training explode + one scoring explode +
+    # the prior's doc-count pass)
+    vocab = register_checkpoint(train_toks.groupBy("_t").agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_cp"),
         F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("_cn"),
-    )
+    ))
     # corpus totals + doc priors (1-row broadcast stats)
     tots = vocab.agg(
         F.sum("_cp").alias("_tp"),

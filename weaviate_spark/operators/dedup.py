@@ -1318,7 +1318,13 @@ def fuzzy_name_pairs(
     of theirs pairs them; production corpora should block on a less
     hub-prone key (first token + soundex, say) before raising the
     cap."""
-    names = (
+    from weaviate_spark.cache import register_checkpoint
+
+    # the distinct-name frame is vocabulary-sized BY the design note
+    # above — checkpoint it so the bucket census and both join sides
+    # read the aggregate instead of re-scanning the corpus per
+    # reference (was 4 scans in the executed plan)
+    names = register_checkpoint(
         df.select(F.col(name_col).alias("_n"))
         .where(F.col("_n").isNotNull())
         .groupBy("_n")

@@ -218,9 +218,18 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_dup_chars"),
     )
 
+    # the token-char total rides the gram pyramid (a per-doc constant
+    # carried through the explode) instead of a second tokenize pass
+    # over the corpus: docs with < 2 words produce no gram rows and so
+    # no _wchars row, but their 2-gram fraction is 0.0 either way
+    # (NULL fails the `_wchars > 0` gate exactly like the old 0/len)
     words = df.select(doc, tokenize(t, "word").alias("_w"))
     grams = words.select(
         "_doc",
+        F.aggregate(
+            F.transform(F.col("_w"), lambda w: F.length(w)),
+            F.lit(0), lambda a, x: a + x,
+        ).alias("_wc"),
         F.explode(
             F.when(
                 F.size("_w") >= 2,
@@ -237,16 +246,14 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_gr"),
     )
     per_gram = grams.groupBy("_doc", "_gr.g").agg(
-        F.count(F.lit(1)).alias("_c"), F.first("_gr.glen").alias("_glen")
+        F.count(F.lit(1)).alias("_c"), F.first("_gr.glen").alias("_glen"),
+        F.first("_wc").alias("_wc"),
     )
+    from weaviate_spark.cache import register_checkpoint
+    per_gram = register_checkpoint(per_gram)
 
-    word_chars = words.select(
-        "_doc",
-        F.aggregate(
-            F.transform(F.col("_w"), lambda w: F.length(w)),
-            F.lit(0), lambda a, x: a + x,
-        ).alias("_wchars"),
-    )
+    word_chars = per_gram.groupBy("_doc").agg(
+        F.first("_wc").alias("_wchars"))
 
     return (
         df.select(doc)
