@@ -311,17 +311,19 @@ def tfidf_cosine_topk(
 
     from weaviate_spark.functions.text import tokenize
 
-    from weaviate_spark.cache import register_cache
+    from weaviate_spark.cache import register_checkpoint
 
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
     )
     # tf feeds df-counts, the kept-terms window, AND (via postings) both
-    # sides of the pair join — cache it or the token explode re-executes
-    # per consumer
-    tf = register_cache(
-        toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf")).cache()
+    # sides of the pair join — checkpoint (a LogicalRDD leaf) rather
+    # than cache: the nested InMemoryRelations re-printed and
+    # re-analyzed the whole child plan at every reference (885-line
+    # formatted plan; the commit-16 clustering-coeff pattern)
+    tf = register_checkpoint(
+        toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     ndocs = tf.select("_doc").distinct().agg(F.count(F.lit(1)).alias("_n"))
@@ -355,10 +357,9 @@ def tfidf_cosine_topk(
             .drop("_pr")
         )
     norm = kept.groupBy("_doc").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nm"))
-    postings = register_cache(
+    postings = register_checkpoint(
         kept.join(norm, "_doc")
         .select("_doc", "_t", (F.col("_w") / F.col("_nm")).alias("_wn"))
-        .cache()
     )
     a, b = postings.alias("a"), postings.alias("b")
     pair_cos = (
