@@ -58,7 +58,18 @@ def register_checkpoint(df: DataFrame) -> DataFrame:
     ``Dataset.unpersist()`` is a no-op on checkpointed frames (the cache
     manager never registered the RDD), so ``release_caches`` frees these
     through JVM-level ``JavaRDD.unpersist`` on the recorded RDD id —
-    same mechanism as operators/graph.py's iterative generations."""
+    same mechanism as operators/graph.py's iterative generations.
+
+    ``SPARK_GRAFT_CHECKPOINT_MODE=cache`` falls back to the
+    ``register_cache(df.cache())`` form: localCheckpoint blocks are
+    unrecoverable on executor loss (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND),
+    so clusters with decommissioning / dynamic allocation can trade the
+    flat-plan win for retry-ability. Single-node / static-executor
+    deployments (and the bench) keep the checkpoint default."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CHECKPOINT_MODE", "local") == "cache":
+        return register_cache(df.cache())
     ck = df.localCheckpoint(eager=False)
     try:
         ck._ckpt_rdd_id = int(

@@ -237,7 +237,6 @@ def funnel_conversion(
         # the next stage's join and this stage's count — without the
         # leaf, stage k's count re-executed the whole cascade from the
         # raw events (k+1 extra scans; quadratic passes in stage count)
-        from weaviate_spark.cache import register_checkpoint
         cur = register_checkpoint(
             leg.groupBy("_u").agg(F.min("_ts").alias("_prev")))
         counts.append(
@@ -940,7 +939,6 @@ def mad_outlier_profile(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull())
-    from weaviate_spark.cache import register_checkpoint
 
     # checkpoint the tiny per-group stat frames: each broadcast
     # reference replayed its full percentile pass over the fact rows
@@ -1352,7 +1350,6 @@ def kaplan_meier_survival(
         F.col(ts_col).cast("timestamp").alias("_t"),
         F.col(type_col).alias("_ty"),
     ).where(F.col("_u").isNotNull() & F.col("_t").isNotNull())
-    from weaviate_spark.cache import register_checkpoint
 
     # one subject-keyed pass yields BOTH the entry times and (via the
     # per-user max) the corpus horizon: max over users of the user max
@@ -1488,7 +1485,6 @@ def psi_drift(
     b = df_b.select(F.col(value_col).cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    from weaviate_spark.cache import register_checkpoint
 
     # the decile aggregate is a full pass over A; checkpoint its 1-row
     # result so each side's binning broadcast doesn't re-run it. The
@@ -1517,6 +1513,12 @@ def psi_drift(
     cb = register_checkpoint(binned(b)).withColumnRenamed("n", "n_b")
     na = sum(r["n_a"] for r in ca.collect())
     nb = sum(r["n_b"] for r in cb.collect())
+    if na == 0 or nb == 0:
+        # an empty side would otherwise bake a 0.0 literal divisor into
+        # the plan and emit NULL psi_terms — make the degenerate case
+        # explicit instead of silent (ADVICE r11)
+        raise ValueError(
+            f"psi_drift requires non-empty sides (n_a={na}, n_b={nb})")
     joined = ca.join(cb, "bin", "full").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
@@ -2492,7 +2494,6 @@ def funnel_step_latency(
 
     Plan: two user-key aggregates + one user-key join — the ordered
     funnel shape, no range join."""
-    from weaviate_spark.cache import register_checkpoint
 
     us = F.col(user_col).isNotNull()
     # checkpoint the step-a anchors: referenced by the conversion join

@@ -109,10 +109,16 @@ def pagerank(
         if weight_col is not None
         else F.lit(1.0)
     )
+    # NULL endpoints are dropped up front: a real edge with a NULL
+    # destination would otherwise be indistinguishable from the virtual
+    # dangling-mass sentinel below (its mass silently redistributed),
+    # and a NULL source/destination would land in `nodes` as a
+    # rank-bearing node whose own mass leaks (NULL keys never join).
     e = (
         edges.select(
             F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
         )
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .groupBy("_s", "_d")
         .agg(F.sum("_w").alias("_w"))
     )
@@ -163,17 +169,19 @@ def pagerank(
         # Checkpointing THIS frame (node-sized) means the dangling-scalar
         # broadcast below reads the materialized result instead of
         # re-running the join — and ranks' lineage stays depth-1.
-        contrib_all = (
+        # lazy is the right eagerness HERE: the frame is node-sized
+        # and materializes inside its first consumer's job; forcing
+        # eager added a materialization job per iteration and
+        # measured SLOWER (43.6 -> 52.4 s at sf10 on the pre-fold
+        # shape). Contrast kcore_peel/sssp, where eager measured
+        # faster. register_checkpoint (vs a bare localCheckpoint)
+        # records the RDD id so release_caches() frees each
+        # iteration's blocks at the next query instead of leaving
+        # them to the ContextCleaner.
+        contrib_all = register_checkpoint(
             p.join(ranks, p["_s"] == ranks["_n"])
             .groupBy("_d")
             .agg(F.sum(F.col("_p") * F.col("_r")).alias("_c"))
-            # lazy is the right eagerness HERE: the frame is node-sized
-            # and materializes inside its first consumer's job; forcing
-            # eager added a materialization job per iteration and
-            # measured SLOWER (43.6 -> 52.4 s at sf10 on the pre-fold
-            # shape). Contrast kcore_peel/sssp, where eager measured
-            # faster.
-            .localCheckpoint(eager=False)
         )
         dang = contrib_all.where(F.col("_d").isNull()).agg(
             F.coalesce(F.sum("_c"), F.lit(0.0)).alias("_dg")
