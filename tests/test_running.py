@@ -111,3 +111,56 @@ def test_running_plan_has_no_single_partition_window(spark):
     # the only SinglePartition exchange allowed is the bucket-count-sized
     # offsets frame (its subtree aggregates by _rb, one row per bucket)
     assert len(win_lines) <= 1
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 16])
+def test_grouped_unit_prefix_sum_matches_naive(spark, buckets):
+    from weaviate_spark.operators.running import grouped_unit_prefix_sum
+
+    # unit-interval keys with heavy ties (8 distinct values), several
+    # groups of very different sizes, long values
+    data = [
+        (i, ["en", "de", "fr"][i % 3] if i < 180 else "zh",
+         ((i * 5) % 8) / 8.0, int((i * 13) % 40))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(data, "id long, g string, h double, tok long")
+    got = grouped_unit_prefix_sum(
+        df, ["g"], F.col("h"), [F.col("id").asc()], F.col("tok"),
+        "before", buckets=buckets,
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "before", F.coalesce(F.sum("tok").over(w), F.lit(0))
+    )
+    assert _rows(got.select("id", "g", "before")) == _rows(
+        want.select("id", "g", "before")
+    )
+
+
+def test_grouped_unit_prefix_sum_no_single_group_task(spark):
+    """The corpus-sized window must be partitioned by (group, bucket),
+    not by group alone: one giant group may not serialize the stage."""
+    from weaviate_spark.operators.running import grouped_unit_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, "only", (i % 97) / 97.0, i) for i in range(300)],
+        "id long, g string, h double, tok long",
+    )
+    out = grouped_unit_prefix_sum(
+        df, ["g"], F.col("h"), [F.col("id").asc()], F.col("tok"),
+        "before", buckets=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # the row-level window must ride a (g, bucket) partitioning; only
+    # the bucket-count-sized offsets window may partition by g alone
+    row_windows = [
+        m for m in re.findall(r"Window \[[^\n]*partitionBy=\[[^\]]*\]", plan)
+        if "_gu_rb" not in m
+    ]
+    assert all("sum" not in m or "_gu_bt" in m for m in row_windows), plan

@@ -25,7 +25,7 @@ def main() -> None:
 
     names = sys.argv[3:] or HEADLINE
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     try:

@@ -39,7 +39,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["RunningAgg", "bucketed_running", "ntile_from_rank"]
+__all__ = [
+    "RunningAgg",
+    "bucketed_running",
+    "grouped_unit_prefix_sum",
+    "ntile_from_rank",
+]
 
 
 def ntile_from_rank(rank: Column, n: Column, b: int) -> Column:
@@ -97,6 +102,75 @@ def _bucket_expr(lead: Column, boundaries: list[float]) -> Column:
         )
 
     return search(0, len(boundaries))
+
+
+def grouped_unit_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column,
+    tiebreak: Sequence[Column],
+    value: Column,
+    out: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Per-group EXCLUSIVE running sum of ``value`` over the group-local
+    order (``key`` asc, ``tiebreak...``), where ``key`` is uniform in
+    [0, 1) (a unit hash) — the group-aware companion of
+    ``bucketed_running`` (guide §2.2/§2.5).
+
+    ``Window.partitionBy(group).orderBy(...)`` runs each GROUP's prefix
+    sum in one task: exact, but with a few giant groups (languages,
+    domains) the stage's parallelism is the group count at any scale.
+    Here every row gets a deterministic bucket ``floor(key * B)`` —
+    equal-width over the unit interval, so no boundary sketch pass is
+    needed and the mapping is monotone in the key (equal keys always
+    share a bucket; a tie can never straddle a boundary). The running
+    sum runs per (group, bucket) behind ONE hashpartitioning exchange;
+    cross-bucket offsets come from a (groups x buckets)-sized totals
+    frame whose per-group window is bounded by the bucket count,
+    broadcast back onto the rows. Integer/long sums are exact under any
+    split, so the result is bit-identical to the single-task window.
+
+    The exclusive first-row convention matches
+    ``rowsBetween(unboundedPreceding, -1)`` + ``coalesce(..., 0)``:
+    the returned column is never NULL (a group's first row gets 0)."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = min(
+            max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1), 1024
+        )
+    gcols = list(group_cols)
+    d = df.withColumn("_gu_key", key).withColumn(
+        "_gu_rb",
+        F.least(
+            F.floor(F.col("_gu_key") * F.lit(float(buckets))),
+            F.lit(buckets - 1),
+        ).cast("int"),
+    )
+    wloc = (
+        Window.partitionBy(*gcols, "_gu_rb")
+        .orderBy(F.col("_gu_key").asc(), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = d.withColumn("_gu_loc", F.sum(value).over(wloc))
+    tot = d.groupBy(*gcols, "_gu_rb").agg(F.sum(value).alias("_gu_bt"))
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy("_gu_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.select(
+        *gcols, "_gu_rb", F.sum("_gu_bt").over(woff).alias("_gu_off")
+    )
+    return (
+        loc.join(F.broadcast(off), [*gcols, "_gu_rb"])
+        .withColumn(
+            out,
+            F.coalesce(F.col("_gu_loc"), F.lit(0))
+            + F.coalesce(F.col("_gu_off"), F.lit(0)),
+        )
+        .drop("_gu_key", "_gu_rb", "_gu_loc", "_gu_off")
+    )
 
 
 def bucketed_running(

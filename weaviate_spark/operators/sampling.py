@@ -409,14 +409,25 @@ def training_mix_allocation(
         .cast("long")
         .alias("budget_tokens"),
     )
+    # Per-group admission order is (unit hash asc, id asc); the exclusive
+    # token prefix sum ran as ONE task per group
+    # (Window.partitionBy(group) with an unbounded frame) — with a few
+    # giant groups (languages) that caps the stage's parallelism at the
+    # group count at ANY scale. grouped_unit_prefix_sum buckets the
+    # [0,1)-uniform hash equal-width (monotone, tie-safe, no sketch
+    # pass), runs the sum per (group, bucket) and adds per-group bucket
+    # offsets back — long sums are exact under any split, so the
+    # admission set (and the oracle hash) is unchanged (guide §2.2).
+    from weaviate_spark.operators.running import grouped_unit_prefix_sum
+
     h = _unit_hash(F.col("_id"), salt)
-    win = (
-        Window.partitionBy("_g")
-        .orderBy(h.asc(), F.col("_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ordered = base.withColumn(
-        "_before", F.coalesce(F.sum("_tok").over(win), F.lit(0))
+    ordered = grouped_unit_prefix_sum(
+        base,
+        ["_g"],
+        h,
+        [F.col("_id").asc()],
+        F.col("_tok"),
+        "_before",
     )
     admitted = ordered.join(F.broadcast(budgets), "_g").where(
         F.col("_before") < F.col("budget_tokens")
