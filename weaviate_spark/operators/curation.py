@@ -188,6 +188,9 @@ def unigram_logprob_scores(
     split applies); one per-doc groupBy ends the plan."""
     from weaviate_spark.functions.text import tokenize
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     tok_arr = register_checkpoint(
         df.select(
             F.col(id_col).alias("_doc"),
@@ -515,6 +518,9 @@ def bigram_interp_xent(
     a natural ingest artifact at 100 TB — count once, score many."""
     from weaviate_spark.functions.text import tokenize
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     tok_arr = register_checkpoint(
         df.select(
             F.col(id_col).alias("_doc"),

@@ -852,6 +852,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit simhash as a hex string: bit i set iff the majority of the
     doc's tokens have bit i set in md5(token). Pure column expressions:
     per-token first-16-hex -> 64 bits via conv(), per-bit vote."""
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),

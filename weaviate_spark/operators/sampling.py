@@ -369,7 +369,7 @@ def training_mix_allocation(
 
     from weaviate_spark.functions.text import tokenize
 
-    from weaviate_spark.cache import register_checkpoint
+    from weaviate_spark.cache import ensure_min_partitions, register_checkpoint
 
     # base (scan + tokenize + count — the expensive full-text stage) and
     # the tiny per-group counts frame are each consumed by several
@@ -377,6 +377,9 @@ def training_mix_allocation(
     # whole tokenize lineage per reference: 9 corpus scans in the
     # executed plan). Checkpoint both once — tokenize runs once, the
     # scalar chain replays only a groups-sized leaf (guide §5.4).
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     base = register_checkpoint(
         df.select(
             F.col(id_col).alias("_id"),

@@ -33,7 +33,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 
-from weaviate_spark.cache import lit_double_array
+from weaviate_spark.cache import ensure_min_partitions, lit_double_array
 from pyspark.sql import functions as F
 
 from weaviate_spark.functions.distance import distance
@@ -313,6 +313,9 @@ def tfidf_cosine_topk(
 
     from weaviate_spark.cache import register_checkpoint
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
@@ -537,6 +540,9 @@ def hash_embed_knn(
     all-pairs, no UDF."""
     from weaviate_spark.functions.text import tokenize
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),

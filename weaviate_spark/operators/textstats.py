@@ -195,6 +195,12 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from weaviate_spark.functions.text import tokenize
 
+    # tokenization + the gram explode are the CPU-heavy narrow stages;
+    # a single-file local table arrives as 1-2 splits which would
+    # serialize them (no-op at real scale where the scan is already
+    # wide) — same treatment as text_profile/bm25 (guide §2.2)
+    df = ensure_min_partitions(df)
+
     t = F.col(text_col)
     doc = F.col(id_col).alias("_doc")
 
@@ -444,6 +450,9 @@ def tfidf_keywords(
     from pyspark.sql import Window
 
     from weaviate_spark.functions.text import tokenize
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
 
     toks = df.select(
         F.col(id_col).alias("_doc"),
@@ -600,6 +609,9 @@ def js_divergence_by_group(
     """
     from weaviate_spark.functions.text import tokenize
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(group_col).alias("_g"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
@@ -791,6 +803,9 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     table (vocabulary-sized, not corpus-sized)."""
     from pyspark.sql import Window
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.explode(tokenize(F.col(text_col), "word")).alias("_t")
     )
@@ -850,6 +865,9 @@ def heaps_vocab_growth(
     state). No per-doc vocabulary sets are ever materialized."""
     from pyspark.sql import Window
 
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokenize(F.col(text_col), "word")).alias("_t"),
@@ -1094,6 +1112,9 @@ def rake_keyphrases(
     from pyspark.sql import Window
 
     words = stopwords or EN_STOPWORDS
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.posexplode(tokenize(F.col(text_col), "word")).alias("_pos", "_w"),

@@ -23,7 +23,7 @@ text with a learned merge list (fold per merge rank, again JVM-side).
 
 from __future__ import annotations
 
-from weaviate_spark.cache import local_df
+from weaviate_spark.cache import ensure_min_partitions, local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +33,9 @@ _TOKEN_RE_SQL = TOKEN_RE.replace("\\", "\\\\")
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    # CPU-heavy narrow stage over a possibly single-split local scan:
+    # spread first (no-op at real scale where the scan is already wide)
+    docs = ensure_min_partitions(docs)
     return (
         docs.select(
             F.explode(
