@@ -164,3 +164,27 @@ def test_grouped_unit_prefix_sum_no_single_group_task(spark):
         if "_gu_rb" not in m
     ]
     assert all("sum" not in m or "_gu_bt" in m for m in row_windows), plan
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 16])
+def test_grouped_bucketed_rank_matches_naive(spark, buckets):
+    from weaviate_spark.operators.running import grouped_bucketed_rank
+
+    # heavy value ties (7 distinct values), uneven groups, unique tiebreak
+    data = [
+        (i, ["A", "B", "C"][i % 3] if i < 150 else "D",
+         float((i * 11) % 7), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(data, "id long, g string, v double, tb long")
+    got = grouped_bucketed_rank(
+        df, ["g"], F.col("v"), [F.col("tb").asc()], "ra", "n",
+        buckets=buckets,
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("tb").asc())
+    want = df.withColumn("ra", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    assert _rows(got.select("id", "g", "ra", "n")) == _rows(
+        want.select("id", "g", "ra", "n")
+    )

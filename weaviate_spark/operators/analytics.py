@@ -1549,27 +1549,33 @@ def trimmed_mean(
     kept-set an exact integer count, so the result is engine- and
     partition-exact.
 
-    One shuffle on the group key serves both rank windows; the mean is
-    a second pass over the survivors.
+    Scale shape: the per-group ranks come from ``grouped_bucketed_rank``
+    (operators/running.py) — ``Window.partitionBy(group)`` would sort
+    the WHOLE fact table on one task per group (3 return flags = 3
+    tasks at any scale); the bucketed form ranks per (group,
+    value-bucket) behind one hash exchange and adds bounded per-group
+    bucket offsets. The order (value, tiebreak) is total, so the
+    descending rank is ``n - rank + 1`` — the second window the old
+    shape ran is derived, not computed. The mean is a second pass over
+    the survivors.
     """
     if not 0.0 <= trim_frac < 0.5:
         raise ValueError("trim_frac must be in [0, 0.5)")
+    from weaviate_spark.operators.running import grouped_bucketed_rank
+
     rows = df.select(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("decimal(18,2)").alias("_v"),
         F.col(tiebreak_col).alias("_tb"),
     ).where(F.col("_v").isNotNull())
-    asc = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_tb").asc())
-    desc = Window.partitionBy("_g").orderBy(F.col("_v").desc(), F.col("_tb").desc())
-    cnt = Window.partitionBy("_g")
-    ranked = (
-        rows.withColumn("_ra", F.row_number().over(asc))
-        .withColumn("_rd", F.row_number().over(desc))
-        .withColumn("_n", F.count(F.lit(1)).over(cnt))
-        .withColumn("_k", F.floor(F.col("_n") * F.lit(float(trim_frac))).cast("long"))
+    ranked = grouped_bucketed_rank(
+        rows, ["_g"], F.col("_v"), [F.col("_tb").asc()], "_ra", "_n"
+    ).withColumn(
+        "_k", F.floor(F.col("_n") * F.lit(float(trim_frac))).cast("long")
     )
     kept = ranked.where(
-        (F.col("_ra") > F.col("_k")) & (F.col("_rd") > F.col("_k"))
+        (F.col("_ra") > F.col("_k"))
+        & (F.col("_n") - F.col("_ra") + 1 > F.col("_k"))
     )
     return kept.groupBy(F.col("_g").alias(group_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "RunningAgg",
     "bucketed_running",
+    "grouped_bucketed_rank",
     "grouped_unit_prefix_sum",
     "ntile_from_rank",
 ]
@@ -170,6 +171,79 @@ def grouped_unit_prefix_sum(
             + F.coalesce(F.col("_gu_off"), F.lit(0)),
         )
         .drop("_gu_key", "_gu_rb", "_gu_loc", "_gu_off")
+    )
+
+
+def grouped_bucketed_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    lead: Column,
+    tiebreak: Sequence[Column],
+    rank_col: str,
+    total_col: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based ``row_number`` over the group-local total order
+    (``lead`` asc, ``tiebreak...``) plus the group row count — without
+    ``Window.partitionBy(group)``'s one-task-per-group stage (a fact
+    table with 3 giant groups sorts whole on 3 tasks at any scale).
+
+    Shape: one bounded ``percentile_approx`` sketch of ``lead`` picks
+    boundary values (any monotone bucketing is rank-exact — the
+    boundaries only control balance, and the strict ``v > b`` bucket
+    comparison keeps ties together, so a tie group can never straddle a
+    boundary); the row-level window partitions by (group, bucket);
+    per-(group, bucket) counts feed a per-group offsets window bounded
+    by the bucket count, broadcast back. ``rank_col`` requires the
+    order to be total (unique per row) for a deterministic assignment —
+    the same contract as ``bucketed_running``'s rank_col. Under a total
+    order the DESCENDING rank is ``total - rank + 1``; callers needing
+    both directions derive it instead of running a second window.
+
+    The input is consumed by three plans (sketch, rows, bucket counts);
+    pass something cheap to recompute (a column-pruned scan) or a
+    cached frame."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = min(
+            max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1), 1024
+        )
+    gcols = list(group_cols)
+    boundaries: list[float] = []
+    if buckets > 1:
+        fracs = [i / buckets for i in range(1, buckets)]
+        row = df.select(
+            F.percentile_approx(
+                lead.cast("double"), F.array(*[F.lit(f) for f in fracs]),
+                F.lit(10000),
+            ).alias("_b")
+        ).first()
+        if row is not None and row["_b"] is not None:
+            seen: set[float] = set()
+            for b in row["_b"]:
+                if b is not None and b not in seen:
+                    seen.add(b)
+                    boundaries.append(b)
+    d = df.withColumn("_gr_rb", _bucket_expr(lead, boundaries))
+    wloc = Window.partitionBy(*gcols, "_gr_rb").orderBy(lead.asc(), *tiebreak)
+    loc = d.withColumn("_gr_lr", F.row_number().over(wloc))
+    tot = d.groupBy(*gcols, "_gr_rb").agg(F.count(F.lit(1)).alias("_gr_bn"))
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy("_gr_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*gcols)
+    off = tot.select(
+        *gcols,
+        "_gr_rb",
+        F.coalesce(F.sum("_gr_bn").over(woff), F.lit(0)).alias("_gr_off"),
+        F.sum("_gr_bn").over(wall).alias(total_col),
+    )
+    return (
+        loc.join(F.broadcast(off), [*gcols, "_gr_rb"])
+        .withColumn(rank_col, F.col("_gr_lr") + F.col("_gr_off"))
+        .drop("_gr_rb", "_gr_lr", "_gr_off")
     )
 
 
