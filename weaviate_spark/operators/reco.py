@@ -60,15 +60,28 @@ def item_item_cosine(
     norms = r.groupBy("_i").agg(
         F.sum(F.col("_r") * F.col("_r")).alias("_sq")
     )
-    a = r.select(F.col("_u"), F.col("_i").alias("item_a"), F.col("_r").alias("_ra"))
-    b = r.select(F.col("_u"), F.col("_i").alias("item_b"), F.col("_r").alias("_rb"))
+    # posting-list pair emission (the _band_candidates /
+    # link-prediction shape): ONE groupBy shuffle of the interaction
+    # stream + a double explode of each user's (item, rating) list,
+    # instead of shuffling the cached stream once per self-join side.
+    # collect_list preserves multiplicity, so the pair multiset — and
+    # the DECIMAL dot sums — are bit-identical to the join (verified
+    # exceptAll-empty both directions at sf1).
+    plist = r.groupBy("_u").agg(
+        F.collect_list(F.struct("_i", "_r")).alias("_ps")
+    ).where(F.size("_ps") >= 2)
     num = (
-        a.join(b, "_u")
-        .where(F.col("item_a") != F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        plist.select(F.explode("_ps").alias("_pa"), "_ps")
+        .select(
+            F.col("_pa._i").alias("item_a"),
+            F.col("_pa._r").alias("_ra"),
+            F.explode("_ps").alias("_pb"),
+        )
+        .where(F.col("item_a") != F.col("_pb._i"))
+        .groupBy("item_a", F.col("_pb._i").alias("item_b"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_co_users"),
-            F.sum(F.col("_ra") * F.col("_rb")).alias("_dot"),
+            F.sum(F.col("_ra") * F.col("_pb._r")).alias("_dot"),
         )
         .where(F.col("n_co_users") >= int(min_co_users))
     )
