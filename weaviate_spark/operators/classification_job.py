@@ -472,6 +472,13 @@ def knn_classify_with_meta(
               "mean_winning_distance double, "
               "mean_losing_distance double, "
               "closest_losing_distance double")
+    # the GEMM + per-query vote loop is CPU-heavy mapInPandas work; a
+    # single-split query scan would run it all on ONE task (measured:
+    # 20 s steady at the 10x lane on 2 of 32 cores) — spread first,
+    # no-op when the scan is already wide (guide §2.2)
+    from weaviate_spark.cache import ensure_min_partitions
+
+    queries = ensure_min_partitions(queries)
     return queries.select(id_col, vector_col).mapInPandas(
         _classify, schema)
 

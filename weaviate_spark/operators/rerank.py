@@ -410,7 +410,11 @@ def knn_classify(
 
     out_schema = (f"{id_col} {id_type}, predicted_label {label_type}, "
                   "votes long")
-    return unlabeled.select(id_col, vector_col).mapInPandas(_classify, out_schema)
+    # spread a single-split query scan before the GEMM kernel (same
+    # guard as the expression path below; no-op on wide scans)
+    return ensure_min_partitions(
+        unlabeled.select(id_col, vector_col)
+    ).mapInPandas(_classify, out_schema)
 
 
 def _bucket_stream_kernel(k: int, metric: str):
