@@ -849,22 +849,46 @@ def pca_top_component(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    it = register_cache(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .where(F.col("_vec").isNotNull())
-        .select("_id", F.posexplode("_vec").alias("_dim", "_val"))
-        .withColumn("_val", F.col("_val").cast("double"))
-        .cache()
+    # Gram cells via one numpy X^T X per Arrow batch (guide §4.2): the
+    # previous shape self-joined the exploded (id, dim, val) frame on
+    # the id — an 82M-row join fan-out at the 10x lane (4.2 s noop);
+    # per-batch BLAS plus a d^2-cell partial-sum shuffle measures
+    # 0.8 s on identical cells (max relative difference 2e-12, three
+    # orders below the 6dp rounding every iteration applies — and the
+    # old form's own summation order was already partition-dependent).
+    # The direct d^2 array-explode variant was measured 7x SLOWER than
+    # the join (4096 structs materialized per row — the capped-array
+    # anti-pattern from the r11 posting-list work).
+    def _gram_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            dd = acc.shape[0]
+            i, j = np.unravel_index(np.arange(dd * dd), (dd, dd))
+            yield pd.DataFrame({
+                "_i": i.astype("int32"), "_j": j.astype("int32"),
+                "_g": acc.ravel(),
+            })
+
+    vecs = ensure_min_partitions(
+        df.select(F.col(vec_col).alias("_vec")).where(F.col("_vec").isNotNull())
     )
-    a = it.select(F.col("_id"), F.col("_dim").alias("_i"), F.col("_val").alias("_vi"))
-    b = it.select(F.col("_id"), F.col("_dim").alias("_j"), F.col("_val").alias("_vj"))
     gram = register_cache(
-        a.join(b, "_id")
+        vecs.mapInPandas(_gram_batches, "_i int, _j int, _g double")
         .groupBy("_i", "_j")
-        .agg(F.sum(F.col("_vi") * F.col("_vj")).alias("_g"))
+        .agg(F.sum("_g").alias("_g"))
         .cache()
     )
-    d = it.agg(F.max("_dim")).collect()[0][0] + 1
+    d = int(df.select(F.size(F.col(vec_col)).alias("_d"))
+            .where(F.col(vec_col).isNotNull()).first()["_d"])
     v = gram.sparkSession.range(d).select(
         F.col("id").cast("int").alias("_j"),
         F.round(F.lit(1.0 / float(d) ** 0.5), 6).alias("_v"),
