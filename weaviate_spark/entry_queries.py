@@ -6816,10 +6816,17 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = register_cache(ob.cache())
     total = ob.agg(F.count_distinct("o").alias("total"))
     sup = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a = ob.select(F.col("o"), F.col("b").alias("brand_a"))
-    c = ob.select(F.col("o"), F.col("b").alias("brand_b"))
+    # posting-list pair emission (the link-prediction / item-item
+    # shape): one groupBy of the cached (order, brand) frame + a double
+    # explode, instead of shuffling it once per self-join side — ob is
+    # distinct, so collect_set equals the join's row set and the pair
+    # multiset is identical
+    plist = ob.groupBy("o").agg(F.collect_set("b").alias("_bs")).where(
+        F.size("_bs") >= 2
+    )
     pairs = (
-        a.join(c, "o")
+        plist.select(F.explode("_bs").alias("brand_a"), "_bs")
+        .select("brand_a", F.explode("_bs").alias("brand_b"))
         .where(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
