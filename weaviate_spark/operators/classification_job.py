@@ -423,46 +423,68 @@ def knn_classify_with_meta(
 
     def _classify(iterator):
         Ln, tid_arr, beacon_arr = b.value
+        n_lab = len(tid_arr)
+        # deterministic tie-break WITHOUT a full per-query lexsort: map
+        # each labeled id to its lexicographic rank once, pack
+        # (6dp-micro distance, rank) into one int64 key, and take the
+        # k smallest by argpartition — O(n) per query instead of the
+        # O(n log n) full string lexsort (at the 100x lane: 20k queries
+        # x lexsort(180k strings) dominated the stage). Keys are unique
+        # (ranks are), so the selected SET is identical to
+        # lexsort((tid, D))[:k]; every output below is a set statistic.
+        tid_rank = np.empty(n_lab, dtype=np.int64)
+        tid_rank[np.argsort(tid_arr)] = np.arange(n_lab)
         for pdf in iterator:
             Q = np.array([list(map(float, v)) for v in pdf[vector_col]],
                          dtype=np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            cos = Qn @ Ln.T
-            D = np.round(1.0 - cos, 6)    # index distance (selection)
-            # meta stats aggregate UNROUNDED normalized distances and
-            # round once at output — rounding first would put means of
-            # 6dp values on exact .5 boundaries, where numpy
-            # (half-to-even) and SQL (half-away) disagree
-            NDU = (1.0 - cos) / 2.0
             rows = []
-            for i in range(D.shape[0]):
-                order = np.lexsort((tid_arr, D[i]))[:k]
-                top_beacons = beacon_arr[order]
-                nd = NDU[i][order]
-                vals, counts = np.unique(top_beacons, return_counts=True)
-                win = vals[np.argmax(counts)]
-                win_nd = nd[top_beacons == win]
-                lose_nd = nd[top_beacons != win]
-                rows.append({
-                    id_col: pdf[id_col].iloc[i],
-                    "predicted_label": win,
-                    "votes": int(counts.max()),
-                    "overall_count": int(len(order)),
-                    "winning_count": int(win_nd.size),
-                    "losing_count": int(lose_nd.size),
-                    "closest_overall_distance":
-                        float(np.round(nd.min(), 6)),
-                    "closest_winning_distance":
-                        float(np.round(win_nd.min(), 6)),
-                    "mean_winning_distance":
-                        float(np.round(win_nd.mean(), 6)),
-                    "mean_losing_distance":
-                        float(np.round(lose_nd.mean(), 6))
-                        if lose_nd.size else None,
-                    "closest_losing_distance":
-                        float(np.round(lose_nd.min(), 6))
-                        if lose_nd.size else None,
-                })
+            # chunk the GEMM so the distance matrix stays bounded: a
+            # full 10k-row Arrow batch against 180k labeled rows would
+            # materialize a 14 GB cos matrix (plus D/NDU copies) —
+            # chunk x n_lab is capped at ~16M cells (~128 MB each)
+            chunk = max(1, (1 << 24) // max(1, n_lab))
+            for c0 in range(0, Qn.shape[0], chunk):
+                cos = Qn[c0:c0 + chunk] @ Ln.T
+                D = np.round(1.0 - cos, 6)   # index distance (selection)
+                # meta stats aggregate UNROUNDED normalized distances
+                # and round once at output — rounding first would put
+                # means of 6dp values on exact .5 boundaries, where
+                # numpy (half-to-even) and SQL (half-away) disagree
+                NDU = (1.0 - cos) / 2.0
+                key = (np.rint(D * 1e6).astype(np.int64) * np.int64(n_lab)
+                       + tid_rank[None, :])
+                kk = min(k, n_lab)
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                for ci in range(D.shape[0]):
+                    i = c0 + ci
+                    order = part[ci]
+                    top_beacons = beacon_arr[order]
+                    nd = NDU[ci][order]
+                    vals, counts = np.unique(top_beacons, return_counts=True)
+                    win = vals[np.argmax(counts)]
+                    win_nd = nd[top_beacons == win]
+                    lose_nd = nd[top_beacons != win]
+                    rows.append({
+                        id_col: pdf[id_col].iloc[i],
+                        "predicted_label": win,
+                        "votes": int(counts.max()),
+                        "overall_count": int(len(order)),
+                        "winning_count": int(win_nd.size),
+                        "losing_count": int(lose_nd.size),
+                        "closest_overall_distance":
+                            float(np.round(nd.min(), 6)),
+                        "closest_winning_distance":
+                            float(np.round(win_nd.min(), 6)),
+                        "mean_winning_distance":
+                            float(np.round(win_nd.mean(), 6)),
+                        "mean_losing_distance":
+                            float(np.round(lose_nd.mean(), 6))
+                            if lose_nd.size else None,
+                        "closest_losing_distance":
+                            float(np.round(lose_nd.min(), 6))
+                            if lose_nd.size else None,
+                    })
             yield pd.DataFrame(rows)
 
     schema = (f"{id_col} string, predicted_label string, votes long, "
